@@ -1,0 +1,7 @@
+"""Large-scale training-data operators: dedup, similarity, text,
+multimodal.  All built from JVM-side built-ins except where Arrow-
+batched pandas is the genuinely right tool (media decode)."""
+
+from . import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "multimodal", "similarity", "text"]

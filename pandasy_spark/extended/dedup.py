@@ -1,0 +1,255 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+No counterpart in the reference; designed Spark-first for 100 TB-scale
+corpus dedup:
+
+- exact dedup: hash-partitioned ranking window on a content hash —
+  one shuffle keyed by digest, no driver involvement, no skew (md5
+  keys are uniform).
+- MinHash+LSH: shingle -> k hash functions -> per-doc signature ->
+  banded bucket join.  Only documents sharing a band bucket are ever
+  paired, so the candidate set is ~linear in corpus size instead of
+  O(n^2).  All hashing is ``xxhash64`` (JVM, codegen'd).
+- n-gram Jaccard: exact verification kernel (array_intersect /
+  array_union on distinct shingle sets) — used to verify LSH
+  candidates, or brute-force on small bounded subsets.
+- SimHash: 32-bit rotation-free signature from token hashes; near-dup
+  candidates share the signature on one of the 4 bytes (blocked
+  Hamming search).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.kernels import qround
+from .text import fingerprint
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_dedup_pairs",
+    "simhash",
+    "simhash_candidate_pairs",
+]
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (lowest id) per exact normalized text.
+
+    The ranking window partitions on the md5 fingerprint — uniformly
+    distributed keys, so the shuffle cannot skew even if one document
+    dominates the corpus."""
+    from pyspark.sql.window import Window
+
+    fp = fingerprint(F.col(text_col))
+    w = Window.partitionBy(fp).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct character n-gram set of a string (empty array if the
+    string is shorter than n)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(col, i, n))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs (id1 < id2).
+
+    O(n^2) — intended for bounded subsets or LSH-candidate
+    verification, not whole-corpus runs; pair the ids first with
+    ``lsh_candidate_pairs`` at scale."""
+    a = df.select(
+        F.col(id_col).alias("id1"), shingles(F.col(text_col), n).alias("s1")
+    ).filter(F.size("s1") > 0)
+    b = df.select(
+        F.col(id_col).alias("id2"), shingles(F.col(text_col), n).alias("s2")
+    ).filter(F.size("s2") > 0)
+    pairs = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
+    inter = F.size(F.array_intersect("s1", "s2")).cast("double")
+    uni = F.size(F.array_union("s1", "s2")).cast("double")
+    jac = inter / uni
+    return (
+        pairs.withColumn("jaccard", qround(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: explode distinct shingles, apply
+    ``num_hashes`` seeded xxhash64 functions, take the column-wise min.
+
+    Map-side partial aggregation keeps the shuffle at
+    |docs| x num_hashes, independent of shingle counts."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8
+) -> DataFrame:
+    """Banded LSH: split each signature into ``bands`` contiguous rows
+    of equal width, hash each band, and self-join on (band index, band
+    hash).  Emits distinct (id1 < id2) candidate pairs.
+
+    The self-join is an equi-join on uniform hash keys — shuffle
+    partitioned by bucket, broadcast-free, skew-free unless a bucket is
+    pathologically hot (boilerplate-heavy corpora: raise ``bands``)."""
+    sig_len_col = F.size("signature")
+    width = (sig_len_col / bands).cast("int")
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice("signature", b * width + 1, width).cast("string"), b
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup pipeline: signatures -> LSH candidates ->
+    signature-estimated Jaccard filter.  Returns (id1, id2, est_jaccard).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    cands = lsh_candidate_pairs(sigs, bands)
+    s1 = sigs.select(F.col("id").alias("id1"), F.col("signature").alias("sig1"))
+    s2 = sigs.select(F.col("id").alias("id2"), F.col("signature").alias("sig2"))
+    joined = cands.join(s1, "id1").join(s2, "id2")
+    eq = F.zip_with("sig1", "sig2", lambda a, b: (a == b).cast("int"))
+    est = F.aggregate(eq, F.lit(0), lambda acc, x: acc + x).cast("double") / F.size(
+        "sig1"
+    )
+    return (
+        joined.withColumn("est_jaccard", qround(est, 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id1", "id2", "est_jaccard")
+    )
+
+
+def simhash(col: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens: per-bit majority vote of token
+    hashes, fully columnar (no UDF).  Returns a non-negative long."""
+    tokens = F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def _bit_sum(i: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_sums = [_bit_sum(i) for i in range(bits)]
+    out = F.lit(0).cast("long")
+    for i, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    blocks: int = 4,
+) -> DataFrame:
+    """Blocked Hamming search: near-dup simhashes (distance < blocks)
+    must agree exactly on at least one of ``blocks`` bit-blocks, so a
+    per-block equi-join finds all such pairs without O(n^2)."""
+    width = bits // blocks
+    mask = (1 << width) - 1
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
+    )
+    blocked = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sh", b * width).bitwiseAND(F.lit(mask))
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("block", "key"),
+    )
+    left, right = blocked.alias("l"), blocked.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.block") == F.col("r.block"),
+                F.col("l.key") == F.col("r.key"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id1"),
+            F.col("r.id").alias("id2"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+        )
+        .distinct()
+    )

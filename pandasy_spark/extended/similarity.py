@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small)
+query set against the (huge) corpus — a broadcast nested-loop join
+whose cost is one corpus scan, perfectly partition-parallel, with the
+dot products evaluated JVM-side via ``zip_with``/``aggregate`` (no
+Python in the loop).
+
+The scale path is hyperplane LSH: deterministic pseudo-random
+hyperplanes derived from ``xxhash64(dim, plane)`` give each vector a
+sign-bit bucket; only same-bucket pairs are compared.  Bucketing turns
+the all-pairs problem into an equi-join keyed by bucket id — the same
+shuffle shape Spark already optimizes for joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.kernels import qround
+
+__all__ = [
+    "as_double_vec",
+    "dot",
+    "l2_norm",
+    "cosine",
+    "cosine_topk",
+    "hyperplane_bucket",
+    "lsh_cosine_topk",
+]
+
+
+def as_double_vec(col: Column) -> Column:
+    """Normalize an embedding column to array<double> so arithmetic is
+    double-precision regardless of storage type (float parquet)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast ``queries`` (small) against
+    ``corpus`` (large); rank per query with a window partitioned by
+    query id.  Ties broken deterministically by corpus id.
+
+    Output: (query_id, id, sim, rk) with sim rounded for stable
+    cross-engine comparison."""
+    from pyspark.sql.window import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_vec(F.col(vec_col)).alias("qv"),
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    sim = qround(cosine(F.col("qv"), F.col("v")), round_digits)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("id"))
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "id", "sim", "rk")
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: int = 8) -> Column:
+    """Sign-bit LSH bucket: plane p's coefficient for dimension i is a
+    deterministic pseudo-random ±1 from ``xxhash64(i, p)``, so the
+    bucketing is reproducible with no stored model."""
+    def plane_bit(p: int) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: x
+                * F.when(
+                    F.xxhash64(i, F.lit(p)).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = F.lit(0)
+    for p in range(planes):
+        bucket = bucket + plane_bit(p) * (1 << p)
+    return bucket
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    planes: int = 8,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: compare only vectors sharing the query's
+    hyperplane bucket.  Equi-join on bucket id replaces the cross join —
+    at 1000 executors this is an ordinary shuffled (or broadcast) join
+    keyed by a uniform int."""
+    from pyspark.sql.window import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_vec(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("qv"), planes))
+    pairs = c.join(F.broadcast(q), on="bucket")
+    sim = qround(cosine(F.col("qv"), F.col("v")), round_digits)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("id"))
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "id", "sim", "rk")
+    )

@@ -1,0 +1,117 @@
+"""Text analysis operators for large-scale corpus pipelines.
+
+No counterpart in the reference (it has no scalar string library —
+/root/repo/SURVEY.md §2.9); these are the Spark-first extension surface
+for training-data work: token counting, quality scoring, language-ID
+heuristics, and document fingerprinting.
+
+Everything here is built from JVM-side ``pyspark.sql.functions``
+(regexp/ hash built-ins inside whole-stage codegen) — no Python UDFs in
+the hot path, so the operators scale linearly with input splits and
+never serialize rows to Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.kernels import qround
+
+__all__ = [
+    "token_count",
+    "avg_token_len",
+    "punct_ratio",
+    "alpha_ratio",
+    "quality_score",
+    "lang_score",
+    "lang_id",
+    "fingerprint",
+    "with_text_stats",
+]
+
+# tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic language ID (deterministic, SQL-expressible)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    return F.regexp_count(col, F.lit(r"\S+")).cast("long")
+
+
+def avg_token_len(col: Column) -> Column:
+    """Average token length; NULL when there are no tokens."""
+    n = token_count(col)
+    chars = F.length(F.regexp_replace(col, r"\s", ""))
+    return F.when(n > 0, chars.cast("double") / n.cast("double"))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-word, non-space characters."""
+    total = F.length(col)
+    punct = F.regexp_count(col, F.lit(r"[^\w\s]")).cast("double")
+    return F.when(total > 0, punct / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(col: Column) -> Column:
+    total = F.length(col)
+    alpha = F.regexp_count(col, F.lit(r"[A-Za-z]")).cast("double")
+    return F.when(total > 0, alpha / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic combining token count,
+    average token length, and punctuation density — the standard
+    pre-training filter shape (length/punct/stopword ratios)."""
+    n = token_count(col).cast("double")
+    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    atl = F.coalesce(avg_token_len(col), F.lit(0.0))
+    shape_term = F.when((atl >= 2.0) & (atl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    return qround(0.4 * len_term + 0.3 * shape_term + 0.3 * punct_term, 4)
+
+
+def lang_score(col: Column, lang: str) -> Column:
+    """Stopword-marker hit count for one language."""
+    markers = LANG_MARKERS[lang]
+    pattern = r"\b(" + "|".join(markers) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pattern)).cast("long")
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by marker score, ties broken by the fixed order
+    en > de > fr > es; 'und' (undetermined) when no marker hits."""
+    scores = {lang: lang_score(col, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in ["en", "de", "fr", "es"]:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased,
+    whitespace-collapsed, trimmed text.  Stable across engines (md5 is
+    bit-identical everywhere), usable as an exact-dedup key."""
+    normalized = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    return F.md5(normalized)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "avg_token_len": qround(F.coalesce(avg_token_len(c), F.lit(0.0)), 4),
+            "punct_ratio": qround(punct_ratio(c), 4),
+            "alpha_ratio": qround(alpha_ratio(c), 4),
+            "quality": quality_score(c),
+            "fingerprint": fingerprint(c),
+        }
+    )

@@ -1,0 +1,34 @@
+"""Relational, grouped, aggregate, and window operators."""
+
+from .aggregates import agg, cube, grouping_sets, rollup, top_k_per_group
+from .groupby import sql_groupby_apply
+from .relational import (
+    drop_duplicates,
+    except_df,
+    filter_df,
+    intersect,
+    join,
+    parse_join_type,
+    union,
+)
+from .window import window_spec, with_lag_lead, with_ranking, with_running
+
+__all__ = [
+    "agg",
+    "cube",
+    "drop_duplicates",
+    "except_df",
+    "filter_df",
+    "grouping_sets",
+    "intersect",
+    "join",
+    "parse_join_type",
+    "rollup",
+    "sql_groupby_apply",
+    "top_k_per_group",
+    "union",
+    "window_spec",
+    "with_lag_lead",
+    "with_ranking",
+    "with_running",
+]

@@ -1,0 +1,57 @@
+"""SparkSession factory with the engine's canonical configuration.
+
+Scale-minded defaults:
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  dynamic broadcast decisions) — on a 1000-executor cluster this is the
+  main defense against skewed keys and mis-sized shuffles.
+- Arrow on for all pandas interchange (applyInPandas/mapInPandas/
+  toPandas are Arrow-batched, not pickled rows).
+- ANSI off: the engine implements the reference's NULL-fill cast model
+  explicitly (see functions.casts); strict raising is opt-in per cast.
+- Session timezone pinned to UTC so timestamp semantics are identical
+  across Spark, DuckDB oracle runs, and parquet round-trips.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "DEFAULT_SF_DIR"]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "pandasy-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def configure_existing(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable semantics configs to a
+    session we did not create (e.g. the driver's)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark

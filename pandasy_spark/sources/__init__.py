@@ -1,0 +1,17 @@
+from .catalog import (
+    BROADCAST_TABLES,
+    TABLES,
+    load_table,
+    read_stream_table,
+    register_views,
+    table_path,
+)
+
+__all__ = [
+    "BROADCAST_TABLES",
+    "TABLES",
+    "load_table",
+    "read_stream_table",
+    "register_views",
+    "table_path",
+]

@@ -1,0 +1,97 @@
+"""Parquet table catalog over the driver's testdata layout.
+
+The reference has NO sources/sinks (absence documented at
+/root/repo/SURVEY.md §2.7); ingestion there is in-memory frame
+construction only.  This module is the Spark-native ingestion surface:
+schema-carrying parquet scans with predicate pushdown and column
+pruning handled by the DataSource V2 reader.
+
+Scale posture: a scan is declared, never materialized here; filters
+and projections applied by callers reach the parquet reader
+(``PushedFilters`` / ``ReadSchema`` in ``.explain("formatted")``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["TABLES", "load_table", "register_views", "table_path"]
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at any scale factor the
+# engine targets (region/nation are fixed-size in TPC-H-like schemas).
+BROADCAST_TABLES = {"region", "nation"}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Column names stored as parquet timestamp[ns] (Spark's reader has
+    no nanos timestamp type; see load_table)."""
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if str(f.type).startswith("timestamp[ns")
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = table_path(sf_dir, name)
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    # Parquet TIMESTAMP(NANOS) is illegal for Spark's reader; read the
+    # raw int64 nanos (legacy conf) and floor-convert to microseconds.
+    # Integer DIV, not `/`: int64 nanos exceed double's 53-bit mantissa.
+    # DuckDB floors ns->us identically, so oracles agree.
+    import pyspark.sql.functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view so ``spark.sql`` works on the
+    same names the DuckDB oracle uses."""
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Structured-Streaming reader over the same parquet (file-source
+    stream).  Schema must be known up front for streaming reads."""
+    batch = load_table(spark, sf_dir, name)
+    return (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .load(table_path(sf_dir, name))
+    )

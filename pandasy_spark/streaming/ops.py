@@ -1,0 +1,113 @@
+"""Structured Streaming counterparts of the batch operators.
+
+The reference has no streaming at all (/root/repo/SURVEY.md §2.9);
+this is the Spark-native extension: event-time tumbling/sliding
+windows with watermarks for late data, and gap-based sessionization —
+batch AND streaming from the same definitions, so batch results serve
+as the oracle for the streaming path (tested in
+tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "windowed_agg",
+    "sessionize_batch",
+    "session_window_agg",
+    "run_stream_to_memory",
+]
+
+
+def windowed_agg(
+    df: DataFrame,
+    time_col: str,
+    window: str,
+    aggs: dict[str, Column],
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+    slide: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding) event-time window aggregation.  Works on
+    both batch and streaming frames; pass ``watermark`` on streams so
+    state for late data is bounded."""
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    win = F.window(time_col, window, slide) if slide else F.window(time_col, window)
+    group_cols = [win] + [F.col(k) for k in (keys or [])]
+    out = df.groupBy(*group_cols).agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.withColumn("bucket", F.col("window.start")).drop("window")
+
+
+def sessionize_batch(
+    df: DataFrame,
+    time_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization (batch): a new session starts when the
+    gap to the previous event of the same user exceeds ``gap_minutes``.
+    One shuffle on the user key; microsecond-exact gap comparison so
+    results are engine-portable.  Emits per-session aggregates."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(time_col), F.col(order_tiebreak))
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev = F.lag(F.unix_micros(F.col(time_col))).over(w)
+    new_session = F.when(
+        prev.isNull() | (F.unix_micros(F.col(time_col)) - prev > gap_us), 1
+    ).otherwise(0)
+    wsum = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(time_col), F.col(order_tiebreak))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_sid = df.withColumn("session_id", F.sum(new_session).over(wsum))
+    return with_sid.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(time_col).alias("session_start"),
+        F.max(time_col).alias("session_end"),
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    time_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming-native sessionization via ``session_window`` (state
+    store managed, watermark-bounded).  Batch frames run it too."""
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(time_col), gap), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+):
+    """Drive a streaming frame to a memory sink with availableNow (process
+    everything currently available, then stop).  Returns the query; the
+    result table is ``spark.table(query_name)``."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

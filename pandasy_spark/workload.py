@@ -1,0 +1,1253 @@
+"""Workload registry: named queries + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 (reference
+parity) or an extended Spark-first operator (aggregates, windows,
+dedup, similarity, text, multimodal, events).  The driver runs the
+Spark callable and the oracle SQL side-by-side at sf0.01 and compares
+row-count + schema + value-hash, so:
+
+- every computed column is aliased identically on both sides,
+- double aggregates are ROUNDed identically (2 digits for money-scale
+  sums where FP summation order matters, 4 for ratios/averages),
+- Spark's double->long cast truncates, so oracles use TRUNC before
+  integer casts,
+- ambiguous integer widths are pinned to BIGINT on both sides.
+
+Entries without oracle SQL (minhash/simhash/LSH — xxhash64 is not
+expressible in DuckDB) get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extended import dedup as X_dedup
+from .extended import multimodal as X_mm
+from .extended import similarity as X_sim
+from .extended import text as X_text
+from .functions import case_when, cast, coalesce, is_between, is_in, is_value, like
+from .operators import (
+    agg,
+    cube,
+    drop_duplicates,
+    except_df,
+    filter_df,
+    grouping_sets,
+    intersect,
+    join,
+    rollup,
+    sql_groupby_apply,
+    top_k_per_group,
+    union,
+    window_spec,
+    with_lag_lead,
+    with_ranking,
+    with_running,
+)
+from .session import configure_existing
+from .sources import load_table
+from .streaming import sessionize_batch, windowed_agg
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure_existing(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = name
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def qr(col, d: int = 2):
+    """Portable quantized round: ``floor(x*10^d + 0.5)/10^d``.
+
+    Spark's ROUND (BigDecimal HALF_UP on the shortest decimal repr) and
+    DuckDB's ROUND (float multiply + llround) disagree on boundary
+    doubles (e.g. 214935.855 -> .85 vs .86), which breaks value-hash
+    comparison even when the unrounded doubles are bit-identical.
+    floor/multiply/add are all exact IEEE ops evaluated identically in
+    both engines, so this quantization matches whenever the inputs
+    match.  Oracle SQL uses the literal ``FLOOR(x * p + 0.5) / p``.
+    """
+    p = float(10**d)
+    return F.floor(col * p + F.lit(0.5)).cast("double") / F.lit(p)
+
+
+def exact_sum(col, decimals: int):
+    """Order-independent SUM for fixed-decimal data stored as double.
+
+    Per-row values here are exact multiples of 10^-d (prices have 2
+    decimals, discount*price products 4, etc.), but double summation
+    order differs between engines (shuffle vs hash-table order), so
+    sums can differ in the last ULP — and those sums routinely land
+    exactly on rounding boundaries (e.g. revenue ...855).  Snapping
+    each term to its decimal grid as a BIGINT and summing integers is
+    exact and order-free; the final division is one deterministic IEEE
+    op.  Oracle SQL: ``SUM(CAST(FLOOR(x * p + 0.5) AS BIGINT)) / p``.
+    """
+    p = float(10**decimals)
+    return F.sum(F.floor(col * p + F.lit(0.5)).cast("long")) / F.lit(p)
+
+
+# =====================================================================
+# Flagship / TPC-H-style queries (filter + join + agg end to end)
+# =====================================================================
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           FLOOR((SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0) * 100 + 0.5) / 100 AS sum_qty,
+           FLOOR((SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0) * 100 + 0.5) / 100 AS sum_base_price,
+           FLOOR((SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0) * 100 + 0.5) / 100 AS sum_disc_price,
+           FLOOR((SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5) AS BIGINT)) / 1000000.0) * 100 + 0.5) / 100 AS sum_charge,
+           FLOOR((SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_qty,
+           FLOOR((SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_price,
+           FLOOR((SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) / 100.0 / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return agg(
+        filter_df(li, F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": qr(exact_sum(F.col("l_quantity"), 2), 2),
+            "sum_base_price": qr(exact_sum(F.col("l_extendedprice"), 2), 2),
+            "sum_disc_price": qr(exact_sum(disc_price, 4), 2),
+            "sum_charge": qr(exact_sum(charge, 6), 2),
+            "avg_qty": qr(exact_sum(F.col("l_quantity"), 2) / F.count(F.lit(1)), 4),
+            "avg_price": qr(exact_sum(F.col("l_extendedprice"), 2) / F.count(F.lit(1)), 4),
+            "avg_disc": qr(exact_sum(F.col("l_discount"), 2) / F.count(F.lit(1)), 4),
+            "count_order": F.count(F.lit(1)),
+        },
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           FLOOR((SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0) * 100 + 0.5) / 100 AS revenue,
+           o.o_orderdate AS orderdate, o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    cust = filter_df(
+        _t(spark, sf_dir, "customer"), F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").alias("custkey"))
+    orders = filter_df(
+        _t(spark, sf_dir, "orders"),
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"),
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("orderdate"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    li = filter_df(
+        _t(spark, sf_dir, "lineitem"),
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"),
+    ).select(
+        F.col("l_orderkey").alias("orderkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    joined = join(join(cust, orders, "inner", on=["custkey"]), li, "inner", on=["orderkey"])
+    return agg(
+        joined,
+        ["orderkey", "orderdate", "priority"],
+        {"revenue": qr(exact_sum(F.col("rev"), 4), 2)},
+    ).select("orderkey", "revenue", "orderdate", "priority")
+
+
+@query(
+    "q5_local_supplier",
+    """
+    SELECT n.n_name AS nation,
+           FLOOR((SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0) * 100 + 0.5) / 100 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_suppkey").alias("suppkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    orders = filter_df(
+        _t(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")),
+    ).select(F.col("o_orderkey").alias("orderkey"), F.col("o_custkey").alias("custkey"))
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_nationkey").alias("nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), F.col("s_nationkey").alias("nationkey")
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        F.col("n_regionkey").alias("regionkey"),
+    )
+    region = filter_df(
+        _t(spark, sf_dir, "region"), F.col("r_name") == "ASIA"
+    ).select(F.col("r_regionkey").alias("regionkey"))
+    j = join(li, orders, "inner", on=["orderkey"])
+    j = join(j, cust, "inner", on=["custkey"])
+    j = join(j, F.broadcast(supp), "inner", on=["suppkey", "nationkey"])
+    j = join(j, F.broadcast(nation), "inner", on=["nationkey"])
+    j = join(j, F.broadcast(region), "inner", on=["regionkey"])
+    return agg(j, ["nation"], {"revenue": qr(exact_sum(F.col("rev"), 4), 2)})
+
+
+# =====================================================================
+# Reference-parity relational operators on TPC-H tables
+# =====================================================================
+
+
+@query(
+    "filter_truthy",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE (l_quantity - 10.0) <> 0
+    """,
+)
+def filter_truthy(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # numeric condition column: nonzero kept, zero/NULL/NaN dropped
+    return filter_df(li, F.col("l_quantity") - 10.0).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+_NULLKEY_CTES = """
+    WITH o AS (
+      SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END AS custkey,
+             o_orderkey, o_totalprice
+      FROM orders
+    ), c AS (
+      SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS custkey,
+             c_name, c_acctbal
+      FROM customer
+    )
+"""
+
+
+def _orders_nullkey(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        case_when(
+            (F.col("o_orderstatus") == "P", F.lit(None)),
+            default=F.col("o_custkey"),
+        ).alias("custkey"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+
+def _customer_nullkey(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        case_when(
+            (F.col("c_acctbal") < 0, F.lit(None)), default=F.col("c_custkey")
+        ).alias("custkey"),
+        "c_name",
+        "c_acctbal",
+    )
+
+
+@query(
+    "join_inner",
+    _NULLKEY_CTES
+    + """
+    SELECT o.custkey, o.o_orderkey, o.o_totalprice, c.c_name
+    FROM o JOIN c ON o.custkey = c.custkey
+    """,
+)
+def join_inner(spark, sf_dir):
+    o, c = _orders_nullkey(spark, sf_dir), _customer_nullkey(spark, sf_dir)
+    return join(o, c, "inner", on=["custkey"]).select(
+        "custkey", "o_orderkey", "o_totalprice", "c_name"
+    )
+
+
+@query(
+    "join_left",
+    _NULLKEY_CTES
+    + """
+    SELECT o.custkey, o.o_orderkey, o.o_totalprice, c.c_name
+    FROM o LEFT JOIN c ON o.custkey = c.custkey
+    """,
+)
+def join_left(spark, sf_dir):
+    o, c = _orders_nullkey(spark, sf_dir), _customer_nullkey(spark, sf_dir)
+    return join(o, c, "left", on=["custkey"]).select(
+        "custkey", "o_orderkey", "o_totalprice", "c_name"
+    )
+
+
+@query(
+    "join_right",
+    _NULLKEY_CTES
+    + """
+    SELECT c.custkey, o.o_orderkey, o.o_totalprice, c.c_name
+    FROM o RIGHT JOIN c ON o.custkey = c.custkey
+    """,
+)
+def join_right(spark, sf_dir):
+    o, c = _orders_nullkey(spark, sf_dir), _customer_nullkey(spark, sf_dir)
+    return join(o, c, "right", on=["custkey"]).select(
+        "custkey", "o_orderkey", "o_totalprice", "c_name"
+    )
+
+
+@query(
+    "join_full",
+    _NULLKEY_CTES
+    + """
+    SELECT COALESCE(o.custkey, c.custkey) AS custkey,
+           o.o_orderkey, o.o_totalprice, c.c_name
+    FROM o FULL OUTER JOIN c ON o.custkey = c.custkey
+    """,
+)
+def join_full(spark, sf_dir):
+    o, c = _orders_nullkey(spark, sf_dir), _customer_nullkey(spark, sf_dir)
+    return join(o, c, "full", on=["custkey"]).select(
+        "custkey", "o_orderkey", "o_totalprice", "c_name"
+    )
+
+
+@query(
+    "join_semi",
+    _NULLKEY_CTES
+    + """
+    SELECT c.custkey, c.c_name, c.c_acctbal FROM c
+    WHERE EXISTS (SELECT 1 FROM o WHERE o.custkey = c.custkey)
+    """,
+)
+def join_semi(spark, sf_dir):
+    o, c = _orders_nullkey(spark, sf_dir), _customer_nullkey(spark, sf_dir)
+    return join(c, o, "semi", on=["custkey"]).select("custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "join_anti",
+    _NULLKEY_CTES
+    + """
+    SELECT c.custkey, c.c_name, c.c_acctbal FROM c
+    WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.custkey = c.custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    o, c = _orders_nullkey(spark, sf_dir), _customer_nullkey(spark, sf_dir)
+    return join(c, o, "anti", on=["custkey"]).select("custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "join_cross",
+    """
+    SELECT n.n_nationkey, n.n_name, r.r_regionkey, r.r_name
+    FROM nation n CROSS JOIN region r
+    """,
+)
+def join_cross(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return join(n, r, "cross")
+
+
+# ------------------------------------------------------------- set ops
+_SETOP_CTES = """
+    WITH a AS (
+      SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END AS nk
+      FROM customer
+    ), b AS (
+      SELECT CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END AS nk
+      FROM supplier
+    )
+"""
+
+
+def _setop_frames(spark, sf_dir):
+    a = _t(spark, sf_dir, "customer").select(
+        case_when(
+            (F.col("c_acctbal") < 0, F.lit(None)), default=F.col("c_nationkey")
+        ).alias("nk")
+    )
+    b = _t(spark, sf_dir, "supplier").select(
+        case_when(
+            (F.col("s_acctbal") < 0, F.lit(None)), default=F.col("s_nationkey")
+        ).alias("nk")
+    )
+    return a, b
+
+
+@query("setop_union_all", _SETOP_CTES + "SELECT nk FROM a UNION ALL SELECT nk FROM b")
+def setop_union_all(spark, sf_dir):
+    a, b = _setop_frames(spark, sf_dir)
+    return union(a, b, unique=False)
+
+
+@query("setop_union", _SETOP_CTES + "SELECT nk FROM a UNION SELECT nk FROM b")
+def setop_union(spark, sf_dir):
+    a, b = _setop_frames(spark, sf_dir)
+    return union(a, b, unique=True)
+
+
+@query("setop_intersect", _SETOP_CTES + "SELECT nk FROM a INTERSECT SELECT nk FROM b")
+def setop_intersect(spark, sf_dir):
+    a, b = _setop_frames(spark, sf_dir)
+    return intersect(a, b, unique=True)
+
+
+@query(
+    "setop_intersect_dups",
+    _SETOP_CTES
+    + """
+    SELECT nk FROM a
+    WHERE EXISTS (SELECT 1 FROM b WHERE b.nk IS NOT DISTINCT FROM a.nk)
+    """,
+)
+def setop_intersect_dups(spark, sf_dir):
+    # unique=False: left-semi with null-safe equality (NULLs match)
+    a, b = _setop_frames(spark, sf_dir)
+    return intersect(a, b, unique=False)
+
+
+@query("setop_except", _SETOP_CTES + "SELECT nk FROM a EXCEPT SELECT nk FROM b")
+def setop_except(spark, sf_dir):
+    a, b = _setop_frames(spark, sf_dir)
+    return except_df(a, b, unique=True)
+
+
+@query(
+    "setop_except_dups",
+    _SETOP_CTES
+    + """
+    SELECT nk FROM a
+    WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.nk IS NOT DISTINCT FROM a.nk)
+    """,
+)
+def setop_except_dups(spark, sf_dir):
+    # unique=False: anti-join semantics (remove ALL matching, keep dups)
+    a, b = _setop_frames(spark, sf_dir)
+    return except_df(a, b, unique=False)
+
+
+@query(
+    "distinct_status",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def distinct_status(spark, sf_dir):
+    return drop_duplicates(
+        _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    )
+
+
+# =====================================================================
+# Expression kernel queries
+# =====================================================================
+
+
+@query(
+    "expr_predicates",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS price_n
+      FROM orders
+    )
+    SELECT o_orderkey,
+           o_orderstatus IN ('F','O') AS in_status,
+           o_orderstatus NOT IN ('F','O') AS nin_status,
+           o_orderstatus IN ('F', NULL) AS in_null,
+           o_totalprice BETWEEN 1000.0 AND 5000.0 AS btw,
+           o_totalprice NOT BETWEEN 1000.0 AND 5000.0 AS nbtw,
+           o_orderpriority LIKE '1%' AS like1,
+           o_orderpriority NOT LIKE '%HIGH' AS nlike,
+           o_orderpriority ILIKE '%high%' AS ilike1,
+           price_n IS NULL AS isnull_,
+           price_n IS NOT NULL AS notnull_,
+           (price_n <> 0) IS NOT DISTINCT FROM TRUE AS istrue_
+    FROM t
+    """,
+)
+def expr_predicates(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    price_n = case_when(
+        (F.col("o_orderstatus") == "P", F.lit(None)), default=F.col("o_totalprice")
+    )
+    return o.select(
+        "o_orderkey",
+        is_in(F.col("o_orderstatus"), ["F", "O"], True).alias("in_status"),
+        is_in(F.col("o_orderstatus"), ["F", "O"], False).alias("nin_status"),
+        is_in(F.col("o_orderstatus"), ["F", None], True).alias("in_null"),
+        is_between(F.col("o_totalprice"), 1000.0, 5000.0, True).alias("btw"),
+        is_between(F.col("o_totalprice"), 1000.0, 5000.0, False).alias("nbtw"),
+        like(F.col("o_orderpriority"), "1%").alias("like1"),
+        like(F.col("o_orderpriority"), "%HIGH", positive=False).alias("nlike"),
+        like(F.col("o_orderpriority"), "%high%", ignore_case=True).alias("ilike1"),
+        is_value(price_n, None, True).alias("isnull_"),
+        is_value(price_n, None, False).alias("notnull_"),
+        is_value(price_n, True, True).alias("istrue_"),
+    )
+
+
+@query(
+    "expr_case_coalesce",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS price_n
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN 'done'
+                WHEN o_orderstatus = 'O' THEN 'open'
+                ELSE 'pending' END AS status_label,
+           CASE WHEN (o_totalprice - 2000.0) <> 0 THEN 'big' ELSE 'small' END AS truthy_case,
+           COALESCE(price_n, 0.0 - 1.0) AS price2,
+           COALESCE(price_n, o_totalprice, 0.0) AS price3
+    FROM t
+    """,
+)
+def expr_case_coalesce(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    price_n = case_when(
+        (F.col("o_orderstatus") == "P", F.lit(None)), default=F.col("o_totalprice")
+    )
+    return o.select(
+        "o_orderkey",
+        case_when(
+            (F.col("o_orderstatus") == "F", "done"),
+            (F.col("o_orderstatus") == "O", "open"),
+            default="pending",
+        ).alias("status_label"),
+        # truthy numeric condition: nonzero == TRUE
+        case_when((F.col("o_totalprice") - 2000.0, "big"), default="small").alias(
+            "truthy_case"
+        ),
+        coalesce([price_n, -1.0]).alias("price2"),
+        coalesce([price_n, F.col("o_totalprice"), 0.0]).alias("price3"),
+    )
+
+
+@query(
+    "expr_arith_cmp",
+    """
+    WITH t AS (
+      SELECT *,
+             CASE WHEN l_linenumber = 3 THEN NULL ELSE l_quantity END AS qty_n
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           FLOOR((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) / 100 AS net,
+           FLOOR((-l_extendedprice / 10.0) * 10000 + 0.5) / 10000 AS neg_tenth,
+           qty_n < 30 AS lt30,
+           qty_n >= 30 AS ge30,
+           qty_n = 30 AS eq30,
+           qty_n <> 30 AS ne30,
+           (qty_n < 30) AND (l_discount > 0.02) AS and_,
+           (qty_n < 30) OR (l_discount > 0.02) AS or_,
+           NOT (qty_n < 30) AS not_
+    FROM t
+    """,
+)
+def expr_arith_cmp(spark, sf_dir):
+    from .functions import (
+        binary_arithmetic_op as ar,
+        binary_logical_op as lg,
+        comparison_op as cp,
+        logical_not,
+        unary_arithmetic_op,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    qty_n = case_when(
+        (F.col("l_linenumber") == 3, F.lit(None)), default=F.col("l_quantity")
+    )
+    net = ar(
+        ar(
+            F.col("l_extendedprice"),
+            ar(1.0, F.col("l_discount"), "-"),
+            "*",
+        ),
+        ar(1.0, F.col("l_tax"), "+"),
+        "*",
+    )
+    lt30 = cp(qty_n, 30.0, "<")
+    disc_gt = cp(F.col("l_discount"), 0.02, ">")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        qr(net, 2).alias("net"),
+        qr(
+            ar(unary_arithmetic_op(F.col("l_extendedprice"), "-"), 10.0, "/"), 4
+        ).alias("neg_tenth"),
+        lt30.alias("lt30"),
+        cp(qty_n, 30.0, ">=").alias("ge30"),
+        cp(qty_n, 30.0, "==").alias("eq30"),
+        cp(qty_n, 30.0, "!=").alias("ne30"),
+        lg(lt30, disc_gt, "and").alias("and_"),
+        lg(lt30, disc_gt, "or").alias("or_"),
+        logical_not(lt30).alias("not_"),
+    )
+
+
+@query(
+    "expr_casts",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS VARCHAR) AS qty_str,
+           CAST(TRUNC(CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)) AS BIGINT) AS qty_long,
+           CAST(TRUNC(CAST(CAST(l_extendedprice AS VARCHAR) AS DOUBLE)) AS BIGINT) AS price_long,
+           CASE WHEN l_returnflag = 'R' THEN TRUE ELSE FALSE END AS flag_bool,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date_str,
+           CAST(l_shipdate AS VARCHAR) AS ship_ts_str,
+           CAST(CAST(l_shipdate AS VARCHAR) AS TIMESTAMP) AS ship_ts_back
+    FROM lineitem
+    """,
+)
+def expr_casts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    qty_str = cast(F.col("l_quantity"), "str", input_type="double")
+    price_str = cast(F.col("l_extendedprice"), "str", input_type="double")
+    # string->bool ladder accepts '1.0'/'0.0' (reference-only semantics)
+    flag_str = case_when(
+        (F.col("l_returnflag") == "R", "1.0"), default="0.0"
+    )
+    ship_ts_str = cast(F.col("l_shipdate"), "str", input_type="datetime")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        qty_str.alias("qty_str"),
+        cast(qty_str, "long", input_type="str").alias("qty_long"),
+        cast(price_str, "long", input_type="str").alias("price_long"),
+        cast(flag_str, "bool", input_type="str").alias("flag_bool"),
+        cast(
+            cast(F.col("l_shipdate"), "date", input_type="datetime"),
+            "str",
+            input_type="date",
+        ).alias("ship_date_str"),
+        ship_ts_str.alias("ship_ts_str"),
+        cast(ship_ts_str, "datetime", input_type="str").alias("ship_ts_back"),
+    )
+
+
+@query(
+    "groupby_apply",
+    """
+    WITH t AS (
+      SELECT CASE WHEN l_returnflag = 'N' AND l_linestatus = 'F' THEN NULL
+                  ELSE l_returnflag END AS rf,
+             l_quantity
+      FROM lineitem
+    )
+    SELECT rf, COUNT(*) AS ct, FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
+    FROM t GROUP BY rf
+    """,
+)
+def groupby_apply(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        case_when(
+            ((F.col("l_returnflag") == "N") & (F.col("l_linestatus") == "F"), F.lit(None)),
+            default=F.col("l_returnflag"),
+        ).alias("rf"),
+        "l_quantity",
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        rf = pdf["rf"].iloc[0]
+        return pd.DataFrame(
+            {
+                "rf": [None if pd.isna(rf) else rf],
+                "ct": [len(pdf)],
+                "sum_qty": [math.floor(float(pdf["l_quantity"].sum()) * 100 + 0.5) / 100],
+            }
+        )
+
+    return sql_groupby_apply(
+        li, ["rf"], per_group, output_schema="rf:str,ct:long,sum_qty:double"
+    )
+
+
+# =====================================================================
+# Window / aggregate extension queries
+# =====================================================================
+
+
+@query(
+    "window_rank",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def window_rank(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    spec = window_spec(
+        partition_by=["o_custkey"],
+        order_by=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+    )
+    ranked = with_ranking(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"), spec, row_number="rk"
+    )
+    return filter_df(ranked, F.col("rk") <= 3)
+
+
+@query(
+    "window_running",
+    """
+    SELECT o_orderkey, o_custkey,
+           FLOOR((SUM(o_totalprice) OVER w) * 100 + 0.5) / 100 AS run_sum,
+           COUNT(*) OVER w AS run_ct,
+           LAG(o_totalprice) OVER w2 AS prev_price,
+           LEAD(o_totalprice) OVER w2 AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_running(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    frame = window_spec(
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_orderdate"), F.col("o_orderkey")],
+        rows_between=(Window.unboundedPreceding, Window.currentRow),
+    )
+    order_only = window_spec(
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_orderdate"), F.col("o_orderkey")],
+    )
+    out = with_running(
+        o,
+        frame,
+        {
+            "run_sum": F.sum("o_totalprice"),
+            "run_ct": F.count(F.lit(1)),
+        },
+    )
+    # round per-row AFTER the window evaluates (round cannot wrap a
+    # window function directly); duckdb mirrors it
+    out = out.withColumn("run_sum", qr(F.col("run_sum"), 2))
+    out = with_lag_lead(
+        out, order_only, "o_totalprice", lag=("prev_price", 1), lead=("next_price", 1)
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "run_sum", "run_ct", "prev_price", "next_price"
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty, COUNT(*) AS ct
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    return rollup(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": qr(F.sum("l_quantity"), 2), "ct": F.count(F.lit(1))},
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty, COUNT(*) AS ct
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    return cube(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": qr(F.sum("l_quantity"), 2), "ct": F.count(F.lit(1))},
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    return grouping_sets(
+        _t(spark, sf_dir, "lineitem"),
+        [["l_returnflag"], ["l_linestatus"], []],
+        {"sum_qty": qr(F.sum("l_quantity"), 2)},
+    ).select("l_returnflag", "l_linestatus", "sum_qty")
+
+
+@query(
+    "agg_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS ct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    return agg(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        {
+            "n_supp": F.countDistinct("l_suppkey"),
+            "n_part": F.countDistinct("l_partkey"),
+            "ct": F.count(F.lit(1)),
+        },
+    )
+
+
+@query(
+    "agg_stats",
+    """
+    SELECT FLOOR((AVG(l_extendedprice)) * 10000 + 0.5) / 10000 AS avg_price,
+           FLOOR((SQRT((SUM(l_extendedprice*l_extendedprice) - SUM(l_extendedprice)*SUM(l_extendedprice)/COUNT(*)) / (COUNT(*)-1))) * 100 + 0.5) / 100 AS sd_price,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(*) AS ct
+    FROM lineitem
+    """,
+)
+def agg_stats(spark, sf_dir):
+    return agg(
+        _t(spark, sf_dir, "lineitem"),
+        [],
+        {
+            "avg_price": qr(F.avg("l_extendedprice"), 4),
+            "sd_price": qr(F.sqrt((F.sum(F.col("l_extendedprice") * F.col("l_extendedprice")) - F.sum("l_extendedprice") * F.sum("l_extendedprice") / F.count(F.lit(1))) / (F.count(F.lit(1)) - 1)), 2),
+            "min_price": F.min("l_extendedprice"),
+            "max_price": F.max("l_extendedprice"),
+            "ct": F.count(F.lit(1)),
+        },
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rk
+      FROM part
+    ) WHERE rk <= 2
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    return top_k_per_group(
+        _t(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_retailprice"),
+        ["p_brand"],
+        [F.desc("p_retailprice"), F.asc("p_partkey")],
+        k=2,
+    )
+
+
+# =====================================================================
+# Scalar function library (string / math / date)
+# =====================================================================
+
+
+@query(
+    "string_math_funcs",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           SUBSTRING(p_name, 1, 5) AS name_pfx,
+           CONCAT(p_brand, '-', p_type) AS brand_type,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+           TRIM(CONCAT('  ', p_brand, ' ')) AS brand_trim,
+           REPLACE(p_type, ' ', '_') AS type_us,
+           FLOOR((ABS(p_retailprice - 1000.0)) * 100 + 0.5) / 100 AS abs_diff,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+           FLOOR((SQRT(CAST(p_size AS DOUBLE))) * 10000 + 0.5) / 10000 AS size_sqrt,
+           CAST(p_size % 7 AS INTEGER) AS size_mod
+    FROM part
+    """,
+)
+def string_math_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        qr(F.abs(F.col("p_retailprice") - 1000.0), 2).alias("abs_diff"),
+        F.floor("p_retailprice").cast("long").alias("price_floor"),
+        F.ceil("p_retailprice").cast("long").alias("price_ceil"),
+        qr(F.sqrt(F.col("p_size").cast("double")), 4).alias("size_sqrt"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod"),
+    )
+
+
+@query(
+    "date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
+           CAST(DAY(o_orderdate) AS INTEGER) AS dom,
+           CAST(QUARTER(o_orderdate) AS INTEGER) AS qtr,
+           DATE_TRUNC('month', o_orderdate) AS month_start,
+           CAST(DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_ts
+    FROM orders
+    """,
+)
+def date_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("days_since"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+    )
+
+
+# =====================================================================
+# Text analysis / dedup / similarity / multimodal
+# =====================================================================
+
+_TEXT_STATS_SQL = r"""
+    WITH s AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonws,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+             CAST(length(text) AS BIGINT) AS n_len
+      FROM documents
+    ), d AS (
+      SELECT doc_id, text, n_tokens,
+             CASE WHEN n_tokens > 0
+                  THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS atl,
+             CASE WHEN n_len > 0
+                  THEN CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE)
+                  ELSE 0.0 END AS pr,
+             CASE WHEN n_len > 0
+                  THEN CAST(n_alpha AS DOUBLE) / CAST(n_len AS DOUBLE)
+                  ELSE 0.0 END AS ar
+      FROM s
+    )
+    SELECT doc_id,
+           n_tokens,
+           FLOOR((COALESCE(atl, 0.0)) * 10000 + 0.5) / 10000 AS avg_token_len,
+           FLOOR((pr) * 10000 + 0.5) / 10000 AS punct_ratio,
+           FLOOR((ar) * 10000 + 0.5) / 10000 AS alpha_ratio,
+           FLOOR((0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (CASE WHEN COALESCE(atl, 0.0) >= 2.0
+                              AND COALESCE(atl, 0.0) <= 12.0
+                             THEN 1.0 ELSE 0.5 END)
+               + 0.3 * (1.0 - LEAST(pr * 5.0, 1.0))) * 10000 + 0.5) / 10000 AS quality,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+    FROM d
+"""
+
+
+@query("text_stats", _TEXT_STATS_SQL)
+def text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return X_text.with_text_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "alpha_ratio",
+        "quality",
+        "fingerprint",
+    )
+
+
+@query(
+    "text_langid",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS BIGINT) AS score_en,
+        CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS score_de,
+        CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS BIGINT) AS score_fr,
+        CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|que|de)\b')) AS BIGINT) AS score_es
+      FROM documents
+    )
+    SELECT doc_id, score_en, score_de, score_fr, score_es,
+           CASE WHEN GREATEST(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+                WHEN score_en = GREATEST(score_en, score_de, score_fr, score_es) THEN 'en'
+                WHEN score_de = GREATEST(score_en, score_de, score_fr, score_es) THEN 'de'
+                WHEN score_fr = GREATEST(score_en, score_de, score_fr, score_es) THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM s
+    """,
+)
+def text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        X_text.lang_score(c, "en").alias("score_en"),
+        X_text.lang_score(c, "de").alias("score_de"),
+        X_text.lang_score(c, "fr").alias("score_fr"),
+        X_text.lang_score(c, "es").alias("score_es"),
+        X_text.lang_id(c).alias("lang_pred"),
+    )
+
+
+@query(
+    "dedup_exact",
+    r"""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               ORDER BY doc_id) AS rk
+      FROM documents
+    ) WHERE rk = 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return X_dedup.exact_dedup(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct([substring(text, i, 3)
+                            for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS sh
+      FROM documents WHERE doc_id < 200
+    ), p AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
+      FROM d a, d b
+      WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+    )
+    SELECT id1, id2, FLOOR((jac) * 10000 + 0.5) / 10000 AS jaccard FROM p WHERE FLOOR((jac) * 10000 + 0.5) / 10000 >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 200)
+    return X_dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.6)
+
+
+@query("dedup_minhash")  # rows-only: xxhash64 not expressible in DuckDB
+def dedup_minhash(spark, sf_dir):
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 200)
+    return X_dedup.minhash_dedup_pairs(docs, num_hashes=32, bands=8, threshold=0.3)
+
+
+@query("dedup_simhash")  # rows-only
+def dedup_simhash(spark, sf_dir):
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 200)
+    return X_dedup.simhash_candidate_pairs(docs, bits=32, blocks=4)
+
+
+@query(
+    "knn_cosine",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS id, v FROM e WHERE vec_id >= 10
+    ), s AS (
+      -- manual cosine (bit-identical to the Spark zip_with/aggregate
+      -- formula; list_cosine_similarity is NOT bit-identical)
+      SELECT query_id, id,
+             FLOOR((list_sum([v[i]*qv[i] for i in range(1, len(v)+1)]) /
+                    (sqrt(list_sum([v[i]*v[i] for i in range(1, len(v)+1)])) *
+                     sqrt(list_sum([qv[i]*qv[i] for i in range(1, len(qv)+1)]))))
+                   * 10000 + 0.5) / 10000 AS sim
+      FROM c CROSS JOIN q
+    )
+    SELECT query_id, id, sim, rk FROM (
+      SELECT query_id, id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rk
+      FROM s
+    ) WHERE rk <= 5
+    """,
+)
+def knn_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = filter_df(emb, F.col("vec_id") >= 10)
+    queries = filter_df(emb, F.col("vec_id") < 10)
+    return X_sim.cosine_topk(
+        corpus, queries, k=5, query_id_col="vec_id", round_digits=4
+    )
+
+
+@query("knn_lsh")  # rows-only: hyperplane hashing not expressible in DuckDB
+def knn_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = filter_df(emb, F.col("vec_id") >= 10)
+    queries = filter_df(emb, F.col("vec_id") < 10)
+    return X_sim.lsh_cosine_topk(corpus, queries, k=5, query_id_col="vec_id", planes=6)
+
+
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) % 30 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return X_mm.extract_features(X_mm.with_binary_payload(docs))
+
+
+# =====================================================================
+# Event stream analytics (batch forms; streaming twins in streaming/)
+# =====================================================================
+
+
+@query(
+    "events_window",
+    """
+    SELECT time_bucket(INTERVAL '1 day', ts) AS bucket, event_type,
+           COUNT(*) AS n_events, FLOOR((SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0) * 100 + 0.5) / 100 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return windowed_agg(
+        ev,
+        "ts",
+        "1 day",
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": qr(exact_sum(F.col("value"), 2), 2),
+        },
+        keys=["event_type"],
+    ).select("bucket", "event_type", "n_events", "sum_value")
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s2 AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM s
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM s2 GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=30)
+
+
+@query(
+    "events_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           FLOOR((AVG(CAST(json_extract_string(props, '$.k') AS BIGINT))) * 10000 + 0.5) / 10000 AS avg_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return agg(
+        ev.select("event_type", k.alias("k")),
+        ["event_type"],
+        {
+            "n": F.count(F.lit(1)),
+            "avg_k": qr(F.avg("k"), 4),
+            "min_k": F.min("k"),
+            "max_k": F.max("k"),
+        },
+    )

@@ -1,0 +1,88 @@
+"""Ingest/egress: exact Python types out, nested JSON decode, arrow.
+
+Behavioral model: /root/reference/slide_test/suite.py:1834-2018."""
+
+import datetime as dt
+import pickle
+
+import pyarrow as pa
+import pytest
+
+from pandasy_spark.convert import (
+    as_array,
+    as_arrow,
+    cols_to_df,
+    decode_json_columns,
+    empty,
+    to_df,
+    to_schema,
+)
+from pandasy_spark.exceptions import InvalidOperationError
+
+
+def test_as_array_exact_python_types(spark):
+    df = to_df(
+        spark,
+        [[1, 1.5, "x", dt.datetime(2020, 1, 1, 15, 2, 3), dt.date(2020, 1, 1)]],
+        "a:long,b:double,c:str,d:datetime,e:date",
+    )
+    rows = as_array(df)
+    assert rows == [
+        [1, 1.5, "x", dt.datetime(2020, 1, 1, 15, 2, 3), dt.date(2020, 1, 1)]
+    ]
+    assert type(rows[0][0]) is int
+    assert type(rows[0][3]) is dt.datetime  # not pd.Timestamp
+    assert type(rows[0][4]) is dt.date
+
+
+def test_as_array_nulls_are_none(spark):
+    df = to_df(spark, [[None, None], [None, float("nan")]], "b:str,c:double")
+    assert as_array(df) == [[None, None], [None, None]]  # NaN -> None
+
+
+def test_as_array_nested_json_decode(spark):
+    raw = to_df(
+        spark,
+        [['[{"a":"x","b":[30,40]}]'], [None]],
+        "a:str",
+    )
+    decoded = decode_json_columns(raw, "a:[{a:str,b:[int]}]")
+    rows = as_array(decoded)
+    assert rows == [[[["x", [30, 40]]]], [None]]
+
+
+def test_binary_roundtrip(spark):
+    payload = pickle.dumps("xyz")
+    df = to_df(spark, [[payload, b"xy"]], "a:bytes,b:bytes")
+    rows = as_array(df)
+    assert pickle.loads(rows[0][0]) == "xyz"
+    assert rows[0][1] == b"xy"
+
+
+def test_to_schema_and_arrow(spark):
+    df = to_df(spark, [[1, "x", dt.datetime(2020, 1, 1)]], "a:long,b:str,c:datetime")
+    schema = to_schema(df)
+    assert schema == pa.schema(
+        [
+            pa.field("a", pa.int64()),
+            pa.field("b", pa.string()),
+            pa.field("c", pa.timestamp("us")),
+        ]
+    )
+    tbl = as_arrow(df)
+    assert tbl.num_rows == 1
+    assert tbl.schema.field("c").type == pa.timestamp("us")
+
+
+def test_empty(spark):
+    df = to_df(spark, [], "a:long,b:str")
+    assert empty(df)
+    assert not empty(to_df(spark, [[1, "x"]], "a:long,b:str"))
+
+
+def test_cols_to_df(spark):
+    df = to_df(spark, [[1, "x"]], "a:long,b:str")
+    out = cols_to_df(df, [df["b"], 5], names=["b", "c"])
+    assert as_array(out) == [["x", 5]]
+    with pytest.raises(InvalidOperationError):
+        cols_to_df(df, [1, 2], names=["a", "b"])

@@ -1,0 +1,100 @@
+"""SQL-semantics group-by-apply: NULL keys are real groups.
+
+Behavioral model: /root/reference/slide_test/suite.py:2020-2153."""
+
+import datetime as dt
+
+import pandas as pd
+
+from pandasy_spark.convert import to_df
+from pandasy_spark.operators import sql_groupby_apply
+from tests.helpers import assert_duck_eq
+
+
+def _count(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.head(1).copy()
+    out["ct"] = len(pdf)
+    return out
+
+
+def test_groupby_apply_null_keys(spark):
+    df = to_df(spark, [["a", 1], ["a", 2], [None, 3]], "b:str,c:long")
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"b": [pdf["b"].iloc[0]], "ct": [len(pdf)]})
+
+    res = sql_groupby_apply(df, ["b"], per_group, output_schema="b:str,ct:long")
+    assert_duck_eq(
+        res,
+        "SELECT b, COUNT(*) AS ct FROM t GROUP BY b",
+        t=df,
+    )
+
+
+def test_groupby_apply_composite_null_keys(spark):
+    df = to_df(
+        spark,
+        [
+            ["a", 1.0, 1],
+            ["a", 1.0, 2],
+            ["a", None, 3],
+            [None, 1.0, 4],
+            [None, None, 5],
+            [None, None, 6],
+        ],
+        "a:str,b:double,c:long",
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "a": [pdf["a"].iloc[0]],
+                "b": [pdf["b"].iloc[0]],
+                "ct": [len(pdf)],
+            }
+        )
+
+    res = sql_groupby_apply(
+        df, ["a", "b"], per_group, output_schema="a:str,b:double,ct:long"
+    )
+    assert_duck_eq(
+        res,
+        "SELECT a, b, COUNT(*) AS ct FROM t GROUP BY a, b",
+        t=df,
+    )
+
+
+def test_groupby_apply_datetime_keys(spark):
+    d1, d2 = dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 2)
+    df = to_df(
+        spark,
+        [[d1, 1], [d1, 2], [d2, 3], [None, 4]],
+        "b:datetime,c:long",
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"b": [pdf["b"].iloc[0]], "ct": [len(pdf)]})
+
+    res = sql_groupby_apply(df, ["b"], per_group, output_schema="b:datetime,ct:long")
+    assert_duck_eq(res, "SELECT b, COUNT(*) AS ct FROM t GROUP BY b", t=df)
+
+
+def test_groupby_apply_whole_frame(spark):
+    df = to_df(spark, [["a", 1], ["b", 2], [None, 3]], "b:str,c:long")
+
+    def whole(pdf: pd.DataFrame) -> pd.DataFrame:
+        assert len(pdf) == 3
+        return pd.DataFrame({"total": [int(pdf["c"].sum())]})
+
+    res = sql_groupby_apply(df, [], whole, output_schema="total:long")
+    assert [r["total"] for r in res.collect()] == [6]
+
+
+def test_groupby_apply_kwargs(spark):
+    df = to_df(spark, [["a", 1], ["a", 2]], "b:str,c:long")
+
+    def scaled(pdf: pd.DataFrame, factor: int = 1) -> pd.DataFrame:
+        return pd.DataFrame({"b": [pdf["b"].iloc[0]], "v": [int(pdf["c"].sum()) * factor]})
+
+    res = sql_groupby_apply(df, ["b"], scaled, output_schema="b:str,v:long", factor=10)
+    assert [r["v"] for r in res.collect()] == [30]
