@@ -90,11 +90,14 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, planes: int = 8) -> Column:
+def hyperplane_bucket(vec: Column, planes: int = 8, table: int = 0) -> Column:
     """Sign-bit LSH bucket: plane p's coefficient for dimension i is a
     deterministic pseudo-random ±1 from ``xxhash64(i, p)``, so the
-    bucketing is reproducible with no stored model."""
-    def plane_bit(p: int) -> Column:
+    bucketing is reproducible with no stored model.  ``table`` salts
+    the plane seeds so independent hash tables can be built (standard
+    multi-table LSH: recall = 1-(1-p^b)^T)."""
+    def plane_bit(plane: int) -> Column:
+        p = table * 1_000_003 + plane
         proj = F.aggregate(
             F.zip_with(
                 vec,
@@ -110,8 +113,8 @@ def hyperplane_bucket(vec: Column, planes: int = 8) -> Column:
         return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
 
     bucket = F.lit(0)
-    for p in range(planes):
-        bucket = bucket + plane_bit(p) * (1 << p)
+    for plane in range(planes):
+        bucket = bucket + plane_bit(plane) * (1 << plane)
     return bucket
 
 
@@ -122,23 +125,50 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    planes: int = 8,
+    planes: int = 6,
+    tables: int = 4,
     round_digits: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: compare only vectors sharing the query's
-    hyperplane bucket.  Equi-join on bucket id replaces the cross join —
-    at 1000 executors this is an ordinary shuffled (or broadcast) join
-    keyed by a uniform int."""
+    """Approximate top-k: compare only vectors sharing one of the
+    query's hyperplane buckets (multi-table LSH — ``tables``
+    independent tables OR'd together for recall).  The per-table
+    equi-join on (table, bucket) replaces the cross join — at 1000
+    executors this is an ordinary shuffled (or broadcast) join keyed
+    by a uniform int, and candidate volume is tunable via
+    planes (precision) x tables (recall)."""
     from pyspark.sql.window import Window
 
-    c = corpus.select(
-        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        as_double_vec(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("qv"), planes))
-    pairs = c.join(F.broadcast(q), on="bucket")
+    def with_buckets(df: DataFrame) -> DataFrame:
+        return df.select(
+            "*",
+            F.posexplode(
+                F.array(
+                    *[
+                        hyperplane_bucket(F.col(df.columns[-1]), planes, t)
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("table", "bucket"),
+        )
+
+    c = with_buckets(
+        corpus.select(
+            F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+        )
+    )
+    q = with_buckets(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            as_double_vec(F.col(vec_col)).alias("qv"),
+        )
+    )
+    pairs = (
+        c.join(F.broadcast(q), on=["table", "bucket"])
+        .select("query_id", "qv", "id", "v")
+        # a pair may collide in several tables; dedupe on the small
+        # (query, id) key, not the vector payloads
+        .dropDuplicates(["query_id", "id"])
+    )
     sim = qround(cosine(F.col("qv"), F.col("v")), round_digits)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("id"))
     return (

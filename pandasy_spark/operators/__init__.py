@@ -2,6 +2,7 @@
 
 from .aggregates import agg, cube, grouping_sets, rollup, top_k_per_group
 from .groupby import sql_groupby_apply
+from .sort import limit, order_by, top_k
 from .relational import (
     drop_duplicates,
     except_df,
@@ -22,6 +23,9 @@ __all__ = [
     "grouping_sets",
     "intersect",
     "join",
+    "limit",
+    "order_by",
+    "top_k",
     "parse_join_type",
     "rollup",
     "sql_groupby_apply",

@@ -90,6 +90,15 @@ def filter_df(df: DataFrame, cond: Any) -> DataFrame:
     """
     if not isinstance(cond, Column):
         return df if cond else df.limit(0)
+    # Resolve the condition's type (analysis only, no execution): a
+    # boolean condition must stay bare so Catalyst recognizes it for
+    # parquet predicate pushdown — the truthiness/NaN wrapper is a CASE
+    # WHEN expression that would otherwise block PushedFilters.
+    from pyspark.sql import types as T
+
+    cond_type = df.select(cond).schema[0].dataType
+    if isinstance(cond_type, T.BooleanType):
+        return df.filter(cond)
     return df.filter(safe_bool(cond))
 
 

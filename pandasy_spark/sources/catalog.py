@@ -88,10 +88,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Structured-Streaming reader over the same parquet (file-source
-    stream).  Schema must be known up front for streaming reads."""
-    batch = load_table(spark, sf_dir, name)
-    return (
-        spark.readStream.schema(batch.schema)
-        .format("parquet")
-        .load(table_path(sf_dir, name))
-    )
+    stream).  Schema must be known up front for streaming reads.
+
+    Spark's file stream source requires a *directory*; the testdata
+    tables are single files, so a throwaway symlink directory stands in
+    (read-only testdata stays untouched)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    path = table_path(sf_dir, name)
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema  # pre-conversion schema
+    stream_path = path
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix=f"pandasy_stream_{name}_")
+        os.symlink(path, os.path.join(d, f"{name}.parquet"))
+        stream_path = d
+    df = spark.readStream.schema(raw_schema).format("parquet").load(stream_path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df

@@ -909,6 +909,23 @@ def topk_per_group(spark, sf_dir):
 
 
 @query(
+    "sort_limit_topn",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def sort_limit_topn(spark, sf_dir):
+    from .operators import top_k
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    # deterministic tiebreak on the key; planned as TakeOrderedAndProject
+    return top_k(o, ["o_totalprice", "o_orderkey"], k=20, ascending=[False, True])
+
+
+@query(
     "string_math_funcs",
     """
     SELECT p_partkey,

@@ -1,0 +1,175 @@
+"""Extended operators: correctness on planted duplicates/near-dups and
+known-geometry vectors (things the sf-table oracles can't probe)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasy_spark.convert import to_df
+from pandasy_spark.extended import dedup as X_dedup
+from pandasy_spark.extended import multimodal as X_mm
+from pandasy_spark.extended import similarity as X_sim
+from pandasy_spark.extended import text as X_text
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy")  # one-word change
+    other = "completely different content about spark engines " * 8
+    rows = [
+        [1, base],
+        [2, base],          # exact duplicate of 1
+        [3, near],          # near duplicate of 1
+        [4, other],
+        [5, base + " tail"],  # near duplicate with suffix
+    ]
+    return to_df(spark, rows, "doc_id:long,text:str")
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = _docs(spark)
+    out = X_dedup.exact_dedup(df)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # doc 2 removed (exact dup of 1)
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    df = _docs(spark)
+    pairs = X_dedup.ngram_jaccard_pairs(df, threshold=0.7)
+    got = {(r["id1"], r["id2"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in got and got[(1, 3)] >= 0.7
+    assert (1, 5) in got
+    assert all(4 not in p for p in got)  # unrelated doc never pairs
+
+
+def test_minhash_lsh_finds_near_dups_without_full_cross(spark):
+    df = _docs(spark)
+    pairs = X_dedup.minhash_dedup_pairs(
+        df, num_hashes=32, bands=8, threshold=0.5
+    )
+    got = {(r["id1"], r["id2"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # identical signatures
+    assert (1, 3) in got  # near dup surfaces via shared bands
+    assert all(4 not in p for p in got)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    df = _docs(spark)
+    exact = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in X_dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    est = {
+        (r["id1"], r["id2"]): r["est_jaccard"]
+        for r in X_dedup.minhash_dedup_pairs(df, threshold=0.0).collect()
+    }
+    for pair, e in est.items():
+        assert abs(e - exact[pair]) < 0.35  # 32 hashes -> coarse but close
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = _docs(spark)
+    pairs = X_dedup.simhash_candidate_pairs(df, bits=32, blocks=4)
+    got = {(r["id1"], r["id2"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    if (1, 3) in got:
+        assert got[(1, 3)] <= 8  # near dup: small hamming distance
+
+
+def test_cosine_topk_known_geometry(spark):
+    rows = [
+        [0, [1.0, 0.0, 0.0]],   # query
+        [10, [1.0, 0.0, 0.0]],  # identical -> sim 1
+        [11, [0.0, 1.0, 0.0]],  # orthogonal -> sim 0
+        [12, [-1.0, 0.0, 0.0]], # opposite -> sim -1
+        [13, [1.0, 1.0, 0.0]],  # 45 degrees -> ~0.7071
+    ]
+    df = to_df(spark, rows, "vec_id:long,embedding:[double]")
+    out = X_sim.cosine_topk(
+        df.filter(F.col("vec_id") >= 10),
+        df.filter(F.col("vec_id") < 10),
+        k=4,
+        query_id_col="vec_id",
+    )
+    by_id = {r["id"]: (r["sim"], r["rk"]) for r in out.collect()}
+    assert by_id[10] == (1.0, 1)
+    assert by_id[13][0] == pytest.approx(0.7071, abs=1e-4)
+    assert by_id[11] == (0.0, 3)
+    assert by_id[12] == (-1.0, 4)
+
+
+def test_lsh_recall_against_bruteforce(spark, sf_dir):
+    from pandasy_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = X_sim.cosine_topk(corpus, queries, k=5, query_id_col="vec_id")
+    approx = X_sim.lsh_cosine_topk(
+        corpus, queries, k=5, query_id_col="vec_id", planes=4, tables=8
+    )
+    e = {(r["query_id"], r["id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["id"]) for r in approx.collect()}
+    # weakly-clustered random vectors are LSH's worst case; multi-table
+    # OR (8 tables x 4 planes) must still recover a solid fraction
+    assert len(a & e) / len(e) > 0.3
+    assert len(a) <= len(e)
+
+
+def test_multimodal_plumbing(spark):
+    df = to_df(spark, [[1, "hello world"], [2, ""]], "doc_id:long,text:str")
+    out = X_mm.extract_features(X_mm.with_binary_payload(df))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["byte_len"] == 11
+    assert rows[1]["width"] == 11 and rows[1]["height"] == 77
+    assert rows[2]["byte_len"] == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "byte_len", "width", "height", "n_frames",
+    ]
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        X_mm.decode_image(b"\x89PNG")
+
+
+def test_text_kernels_edge_cases(spark):
+    df = to_df(
+        spark,
+        [[1, ""], [2, "   "], [3, "one"], [4, "a b  c"], [5, None]],
+        "doc_id:long,text:str",
+    )
+    out = X_text.with_text_stats(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 0
+    assert out.loc[2, "n_tokens"] == 0
+    assert out.loc[3, "n_tokens"] == 1
+    assert out.loc[4, "n_tokens"] == 3
+    assert out.loc[4, "avg_token_len"] == 1.0
+    # identical normalized content -> identical fingerprint
+    df2 = to_df(
+        spark, [[1, "A  b"], [2, "a b"]], "doc_id:long,text:str"
+    )
+    fps = [r["fp"] for r in df2.select(X_text.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_lang_id_markers(spark):
+    df = to_df(
+        spark,
+        [
+            [1, "the cat and the dog of the house"],
+            [2, "der hund und die katze ist hier"],
+            [3, "le chat et les chiens des villes"],
+            [4, "xyz qwerty"],
+        ],
+        "doc_id:long,text:str",
+    )
+    out = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", X_text.lang_id(F.col("text")).alias("lang")
+    ).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "und"
