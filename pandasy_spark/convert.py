@@ -84,6 +84,9 @@ def _coerce_value(v: Any, dt: T.DataType) -> Any:
             return int(float(v))
     if isinstance(dt, T.TimestampType) and isinstance(v, str):
         return _dt.datetime.fromisoformat(v)
+    if isinstance(dt, T.TimestampType) and isinstance(v, int):
+        # epoch nanoseconds (numpy datetime64 frames round-trip as ints)
+        return pd.Timestamp(v).to_pydatetime()
     if isinstance(dt, T.DateType):
         if isinstance(v, str):
             return _dt.date.fromisoformat(v)
@@ -187,6 +190,18 @@ def as_array(
 
 def empty(df: DataFrame) -> bool:
     return df.isEmpty()
+
+
+def eval_scalar(spark: SparkSession, col: Any) -> Any:
+    """Evaluate a constant Column expression to a Python value via a
+    1-row frame — the reference's scalar path returns Python constants
+    from constant inputs (/root/reference/slide/utils.py:410-414);
+    Spark Columns are unevaluable without a frame, so this mirrors the
+    same trick behind the same API (/root/repo/SURVEY.md §7.4-3)."""
+    from pyspark.sql import Column
+
+    c = col if isinstance(col, Column) else F.lit(col)
+    return _row_value(spark.range(1).select(c.alias("v")).collect()[0]["v"])
 
 
 def cols_to_df(

@@ -1,3 +1,4 @@
+from .sinks import read_back, write_bucketed_table, write_parquet
 from .catalog import (
     BROADCAST_TABLES,
     TABLES,
@@ -14,4 +15,7 @@ __all__ = [
     "read_stream_table",
     "register_views",
     "table_path",
+    "read_back",
+    "write_bucketed_table",
+    "write_parquet",
 ]
