@@ -1268,3 +1268,125 @@ def events_json(spark, sf_dir):
             "max_k": F.max("k"),
         },
     )
+
+
+# =====================================================================
+# As-of join / percentiles / token explode / extra scalar functions
+# =====================================================================
+
+
+@query(
+    "events_asof",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+    )
+    SELECT l.user_id, l.event_id, l.ts, l.value,
+           r.ts AS asof_ts, r.event_id AS asof_event_id, r.value AS asof_value
+    FROM l ASOF JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+)
+def events_asof(spark, sf_dir):
+    """Each purchase matched to the user's most recent prior click —
+    backward as-of join (operators/asof.py), oracle: DuckDB ASOF JOIN."""
+    from .operators import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = filter_df(ev, F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = filter_df(ev, F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        left, right, on=["user_id"], left_time="ts", right_time="ts", how="inner"
+    )
+
+
+@query(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           FLOOR((quantile_cont(l_extendedprice, 0.25)) * 10000 + 0.5) / 10000 AS p25,
+           FLOOR((quantile_cont(l_extendedprice, 0.5)) * 10000 + 0.5) / 10000 AS p50,
+           FLOOR((quantile_cont(l_extendedprice, 0.9)) * 10000 + 0.5) / 10000 AS p90,
+           COUNT(*) AS ct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return agg(
+        li,
+        ["l_returnflag"],
+        {
+            "p25": qr(F.percentile("l_extendedprice", 0.25), 4),
+            "p50": qr(F.percentile("l_extendedprice", 0.5), 4),
+            "p90": qr(F.percentile("l_extendedprice", 0.9), 4),
+            "ct": F.count(F.lit(1)),
+        },
+    )
+
+
+@query(
+    "text_token_freq",
+    r"""
+    WITH toks AS (
+      SELECT lower(unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> length(x) > 0))) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+    ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def text_token_freq(spark, sf_dir):
+    """Tokenize -> explode -> count -> global top-k (exercises array
+    ops, explode, and TakeOrderedAndProject)."""
+    from .operators import top_k
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok")
+    ).select(F.lower(F.col("tok")).alias("token"))
+    counts = agg(toks, ["token"], {"n": F.count(F.lit(1))})
+    return top_k(counts, ["n", "token"], k=20, ascending=[False, True])
+
+
+@query(
+    "expr_string_extra",
+    """
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_lpad,
+           rpad(p_brand, 12, '.') AS brand_rpad,
+           string_split(p_type, ' ')[1] AS type_first,
+           regexp_extract(p_name, '([a-z]+)', 1) AS name_word,
+           reverse(p_brand) AS brand_rev,
+           translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+           CAST(strpos(p_name, 'a') AS INTEGER) AS a_pos,
+           CAST(LEAST(p_size, 25) AS INTEGER) AS size_cap,
+           CAST(GREATEST(p_size, 25) AS INTEGER) AS size_floor
+    FROM part
+    """,
+)
+def expr_string_extra(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.element_at(F.split(F.col("p_type"), " "), 1).alias("type_first"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("name_word"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.translate(F.col("p_type"), "AEIOU", "aeiou").alias("type_tr"),
+        F.instr("p_name", "a").cast("int").alias("a_pos"),
+        F.least(F.col("p_size"), F.lit(25)).cast("int").alias("size_cap"),
+        F.greatest(F.col("p_size"), F.lit(25)).cast("int").alias("size_floor"),
+    )

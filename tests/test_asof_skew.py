@@ -1,0 +1,84 @@
+"""As-of join semantics + salted skew join equivalence."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pandasy_spark.convert import to_df
+from pandasy_spark.operators import asof_join, join, salted_join
+from tests.helpers import assert_duck_eq
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = to_df(
+        spark,
+        [
+            [1, _ts("2024-01-01 10:00:00"), "L1"],
+            [1, _ts("2024-01-01 12:00:00"), "L2"],
+            [2, _ts("2024-01-01 09:00:00"), "L3"],  # no prior right row
+            [3, _ts("2024-01-01 09:00:00"), "L4"],  # key with no right rows
+        ],
+        "k:long,ts:datetime,lv:str",
+    )
+    right = to_df(
+        spark,
+        [
+            [1, _ts("2024-01-01 09:30:00"), "R1"],
+            [1, _ts("2024-01-01 11:00:00"), "R2"],
+            [1, _ts("2024-01-01 12:00:00"), "R3"],  # equal ts: inclusive
+            [2, _ts("2024-01-01 10:00:00"), "R4"],
+        ],
+        "k:long,ts:datetime,rv:str",
+    )
+    out = asof_join(left, right, on=["k"], left_time="ts", right_time="ts")
+    got = {(r["k"], r["lv"]): r["asof_rv"] for r in out.collect()}
+    assert got == {(1, "L1"): "R1", (1, "L2"): "R3"}
+
+    out_left = asof_join(
+        left, right, on=["k"], left_time="ts", right_time="ts", how="left"
+    )
+    got = {(r["k"], r["lv"]): r["asof_rv"] for r in out_left.collect()}
+    assert got == {
+        (1, "L1"): "R1",
+        (1, "L2"): "R3",
+        (2, "L3"): None,
+        (3, "L4"): None,
+    }
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from pandasy_spark.sources import load_table
+
+    # skewed big side: most lineitems share one suppkey after remap
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 8, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("suppkey"),
+        "l_orderkey",
+        "l_quantity",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    plain = join(li, supp, "inner", on=["suppkey"])
+    salted = salted_join(li, supp, on=["suppkey"], salt=8)
+    assert salted.count() == plain.count()
+    a = sorted(
+        (r["suppkey"], r["l_orderkey"], r["s_name"]) for r in salted.collect()
+    )
+    b = sorted(
+        (r["suppkey"], r["l_orderkey"], r["s_name"]) for r in plain.collect()
+    )
+    assert a == b
+
+
+def test_salted_left_join(spark):
+    big = to_df(spark, [[1, "a"], [1, "b"], [9, "c"]], "k:long,v:str")
+    small = to_df(spark, [[1, "X"]], "k:long,w:str")
+    out = salted_join(big, small, on=["k"], salt=4, how="left")
+    got = sorted((r["k"], r["v"], r["w"]) for r in out.collect())
+    assert got == [(1, "a", "X"), (1, "b", "X"), (9, "c", None)]
