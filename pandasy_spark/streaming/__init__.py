@@ -4,10 +4,12 @@ from .ops import (
     sessionize_batch,
     windowed_agg,
 )
+from .stateful import streaming_dedup
 
 __all__ = [
     "run_stream_to_memory",
     "session_window_agg",
     "sessionize_batch",
+    "streaming_dedup",
     "windowed_agg",
 ]

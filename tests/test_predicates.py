@@ -147,3 +147,26 @@ def test_like_null_pattern(spark):
     df = to_df(spark, [["abc"]], "a:str")
     out = df.select(like(F.col("a"), None).alias("x")).toPandas()
     assert out["x"][0] is None or pd.isna(out["x"][0])
+
+
+def test_like_escapes(spark):
+    # backslash escapes wildcard chars (reference LikeExpr tokenizer
+    # semantics; Spark's default LIKE escape char is also backslash)
+    df = to_df(spark, [["ab%_c"], ["abX_c"], ["abXYc"], ["ab"]], "a:str")
+    res = df.select(
+        "a",
+        like(F.col("a"), r"ab\%\_c").alias("lit_both"),
+        like(F.col("a"), r"ab\%%").alias("lit_pct_then_any"),
+        like(F.col("a"), r"ab%\_c").alias("any_then_lit_us"),
+    )
+    got = {r["a"]: (r["lit_both"], r["lit_pct_then_any"], r["any_then_lit_us"]) for r in res.collect()}
+    assert got["ab%_c"] == (True, True, True)
+    assert got["abX_c"] == (False, False, True)
+    assert got["abXYc"] == (False, False, False)
+    assert got["ab"] == (False, False, False)
+    assert_duck_eq(
+        res.select("lit_both", "any_then_lit_us"),
+        r"SELECT a LIKE 'ab\%\_c' ESCAPE '\' AS lit_both,"
+        r" a LIKE 'ab%\_c' ESCAPE '\' AS any_then_lit_us FROM t",
+        t=df,
+    )

@@ -75,3 +75,32 @@ def test_session_window_agrees_with_gap_sessionize(spark, sf_dir):
         .toPandas()
     )
     assert_pdf_eq(a, b)
+
+
+def test_streaming_stateful_dedup(spark, sf_dir):
+    """applyInPandasWithState dedup: first event per user, matched
+    against the batch window equivalent."""
+    from pandasy_spark.streaming import streaming_dedup
+    from pyspark.sql.window import Window
+
+    batch = load_table(spark, sf_dir, "events")
+    expected = (
+        batch.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .select("user_id", "event_id")
+        .toPandas()
+    )
+    stream = read_stream_table(spark, sf_dir, "events")
+    deduped = streaming_dedup(stream, ["user_id"], order_col="ts")
+    q = run_stream_to_memory(deduped, "dedup_test", output_mode="append")
+    try:
+        actual = spark.table("dedup_test").select("user_id", "event_id").toPandas()
+    finally:
+        q.stop()
+    assert_pdf_eq(actual, expected)
