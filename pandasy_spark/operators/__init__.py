@@ -3,6 +3,7 @@
 from .aggregates import agg, cube, grouping_sets, rollup, top_k_per_group
 from .groupby import sql_groupby_apply
 from .asof import asof_join
+from .rangejoin import tolerance_join
 from .skew import salted_join
 from .sort import limit, order_by, top_k
 from .relational import (
@@ -20,6 +21,7 @@ __all__ = [
     "agg",
     "asof_join",
     "salted_join",
+    "tolerance_join",
     "cube",
     "drop_duplicates",
     "except_df",

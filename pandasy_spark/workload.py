@@ -1390,3 +1390,174 @@ def expr_string_extra(spark, sf_dir):
         F.least(F.col("p_size"), F.lit(25)).cast("int").alias("size_cap"),
         F.greatest(F.col("p_size"), F.lit(25)).cast("int").alias("size_floor"),
     )
+
+
+# =====================================================================
+# Tolerance join / pivot / TPC-H q4+q13 analogs / embedding centroids
+# =====================================================================
+
+
+@query(
+    "events_tolerance_join",
+    """
+    WITH l AS (
+      SELECT user_id, event_id AS err_id, ts AS err_ts
+      FROM events WHERE event_type = 'error'
+    ), r AS (
+      SELECT user_id, event_id AS buy_id, ts AS buy_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.user_id, l.err_id, l.err_ts, r.buy_id, r.buy_ts
+    FROM l JOIN r ON l.user_id = r.user_id
+      AND abs(epoch_us(l.err_ts) - epoch_us(r.buy_ts)) <= 600 * 1000000
+    """,
+)
+def events_tolerance_join(spark, sf_dir):
+    """Errors paired with same-user purchases within ±10 minutes —
+    band join via tolerance-grid bucketing (operators/rangejoin.py);
+    the oracle is DuckDB's native inequality join."""
+    from .operators import tolerance_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = filter_df(ev, F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    right = filter_df(ev, F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), F.col("ts").alias("buy_ts")
+    )
+    return tolerance_join(
+        left, right, on=["user_id"], left_time="err_ts", right_time="buy_ts",
+        tolerance_seconds=600,
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+           FLOOR((SUM(CASE WHEN o_orderstatus = 'F'
+                           THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) / 100.0) * 100 + 0.5) / 100 AS total_f
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot via Spark's native pivot(); oracle mirrors it with CASE
+    aggregation (portable across engines)."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum(F.col("o_totalprice"), 2).alias("total"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
+        qr(F.coalesce(F.col("F_total"), F.lit(0.0)), 2).alias("total_f"),
+    )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS subquery expressed as a semi join on a
+    pre-filtered lineitem projection."""
+    o = filter_df(
+        _t(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp")),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_shipdate"
+    )
+    matched = o.join(
+        li,
+        on=[o["o_orderkey"] == li["o_orderkey"], li["l_shipdate"] > o["o_orderdate"]],
+        how="semi",
+    )
+    return agg(matched, ["o_orderpriority"], {"order_count": F.count(F.lit(1))})
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left join with an extra join-side predicate,
+    two-level aggregation."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = filter_df(
+        _t(spark, sf_dir, "orders"), F.col("o_orderpriority") != "1-URGENT"
+    ).select(F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+    per_cust = agg(
+        join(c, o, "left", on=["c_custkey"]),
+        ["c_custkey"],
+        {"c_count": F.count("o_orderkey")},
+    )
+    return agg(per_cust, ["c_count"], {"custdist": F.count(F.lit(1))})
+
+
+@query(
+    "embedding_centroids",
+    """
+    WITH dims AS (
+      SELECT label,
+             unnest(CAST(embedding AS DOUBLE[])) AS x,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           FLOOR((SUM(x) / COUNT(*)) * 10000 + 0.5) / 10000 AS centroid,
+           COUNT(*) AS n
+    FROM dims WHERE dim <= 8
+    GROUP BY label, dim
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroid of the first 8 embedding dimensions
+    (posexplode -> grouped mean; scalar output keeps the oracle
+    engine-portable)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        F.posexplode(
+            F.slice(F.transform("embedding", lambda x: x.cast("double")), 1, 8)
+        ).alias("pos", "x"),
+    ).select("label", (F.col("pos") + 1).cast("int").alias("dim"), "x")
+    return agg(
+        dims,
+        ["label", "dim"],
+        {
+            "centroid": qr(F.sum("x") / F.count(F.lit(1)), 4),
+            "n": F.count(F.lit(1)),
+        },
+    )

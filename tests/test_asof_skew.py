@@ -82,3 +82,44 @@ def test_salted_left_join(spark):
     out = salted_join(big, small, on=["k"], salt=4, how="left")
     got = sorted((r["k"], r["v"], r["w"]) for r in out.collect())
     assert got == [(1, "a", "X"), (1, "b", "X"), (9, "c", None)]
+
+
+def test_tolerance_join_semantics(spark):
+    from pandasy_spark.operators import tolerance_join
+
+    left = to_df(
+        spark,
+        [
+            [1, _ts("2024-01-01 10:00:00"), "L1"],
+            [1, _ts("2024-01-01 11:00:00"), "L2"],
+            [2, _ts("2024-01-01 10:00:00"), "L3"],
+        ],
+        "k:long,lts:datetime,lv:str",
+    )
+    right = to_df(
+        spark,
+        [
+            [1, _ts("2024-01-01 10:04:59"), "R1"],   # within 5 min of L1
+            [1, _ts("2024-01-01 10:05:00"), "R2"],   # exactly 5 min: inclusive
+            [1, _ts("2024-01-01 10:05:01"), "R3"],   # just outside
+            [1, _ts("2024-01-01 10:55:30"), "R4"],   # within 5 min of L2
+            [2, _ts("2024-01-01 10:00:00"), "R5"],   # equal ts, other key
+        ],
+        "k:long,rts:datetime,rv:str",
+    )
+    out = tolerance_join(
+        left, right, on=["k"], left_time="lts", right_time="rts",
+        tolerance_seconds=300,
+    )
+    got = sorted((r["lv"], r["rv"]) for r in out.collect())
+    assert got == [("L1", "R1"), ("L1", "R2"), ("L2", "R4"), ("L3", "R5")]
+
+
+def test_tolerance_join_rejects_column_clash(spark):
+    import pytest
+    from pandasy_spark.operators import tolerance_join
+
+    a = to_df(spark, [[1, _ts("2024-01-01 10:00:00"), "x"]], "k:long,ts:datetime,v:str")
+    b = to_df(spark, [[1, _ts("2024-01-01 10:00:00"), "y"]], "k:long,ts2:datetime,v:str")
+    with pytest.raises(ValueError):
+        tolerance_join(a, b, on=["k"], left_time="ts", right_time="ts2", tolerance_seconds=60)

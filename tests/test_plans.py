@@ -1,0 +1,66 @@
+"""Physical-plan assertions: the scale-critical plan shapes must not
+regress (pushdown, broadcasts, partial aggregation, codegen-only text
+paths, TakeOrderedAndProject top-k)."""
+
+import pytest
+
+from pandasy_spark.workload import QUERIES
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # map-side partial aggregation before the shuffle
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier")
+    assert plan.count("BroadcastExchange") >= 3  # supp, nation, region
+
+
+def test_text_stats_is_pure_jvm(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_stats")
+    # no Python in the hot path: everything codegen'd JVM-side
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_langid_and_dedup_exact_pure_jvm(spark, sf_dir):
+    for name in ["text_langid", "dedup_exact"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "Python" not in plan, name
+
+
+def test_sort_limit_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_limit_topn")
+    assert "TakeOrderedAndProject" in plan
+    # no global sort exchange
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_knn_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "knn_cosine")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_exact")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_events_window_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_window")
+    assert "partial" in plan
