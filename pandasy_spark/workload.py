@@ -1561,3 +1561,73 @@ def embedding_centroids(spark, sf_dir):
             "n": F.count(F.lit(1)),
         },
     )
+
+
+@query(
+    "q16_parts_supplier",
+    """
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (5, 10, 15, 20)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type
+    """,
+)
+def q16_parts_supplier(spark, sf_dir):
+    """TPC-H Q16 shape: NOT IN subquery as an anti join (the supplier
+    exclusion list has no NULLs, so anti join == NOT IN), distinct-agg
+    over a fact-dim join."""
+    part = filter_df(
+        _t(spark, sf_dir, "part"),
+        (F.col("p_brand") != "Brand#1")
+        & is_in(F.col("p_size"), [5, 10, 15, 20], True),
+    ).select(F.col("p_partkey").alias("partkey"), "p_brand", "p_type")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    )
+    bad_supp = filter_df(
+        _t(spark, sf_dir, "supplier"), F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("suppkey"))
+    li_ok = join(li, bad_supp, "anti", on=["suppkey"])
+    joined = join(li_ok, F.broadcast(part), "inner", on=["partkey"])
+    return agg(
+        joined,
+        ["p_brand", "p_type"],
+        {"supplier_cnt": F.countDistinct("suppkey")},
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           FLOOR((SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT)) / 100.0) * 100 + 0.5) / 100 AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+    HAVING SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 > 150
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: join + grouped HAVING filter on an aggregate."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_custkey", "o_totalprice"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_quantity"
+    )
+    grouped = agg(
+        join(o, li, "inner", on=["orderkey"]),
+        ["orderkey", "o_custkey", "o_totalprice"],
+        {
+            "total_qty": qr(exact_sum(F.col("l_quantity"), 2), 2),
+            "__raw_qty": exact_sum(F.col("l_quantity"), 2),
+        },
+    )
+    return (
+        filter_df(grouped, F.col("__raw_qty") > 150)
+        .drop("__raw_qty")
+        .withColumnRenamed("orderkey", "o_orderkey")
+    )

@@ -98,3 +98,31 @@ def test_groupby_apply_kwargs(spark):
 
     res = sql_groupby_apply(df, ["b"], scaled, output_schema="b:str,v:long", factor=10)
     assert [r["v"] for r in res.collect()] == [30]
+
+
+def test_groupby_apply_multi_row_output(spark):
+    """func may return any number of rows per group (reference allows
+    arbitrary df->df shapes)."""
+    df = to_df(spark, [["a", 1], ["a", 2], ["b", 3]], "b:str,c:long")
+
+    def expand(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"b": list(pdf["b"]) * 2, "c": list(pdf["c"]) + [v * 10 for v in pdf["c"]]}
+        )
+
+    res = sql_groupby_apply(df, ["b"], expand, output_schema="b:str,c:long")
+    got = sorted((r["b"], r["c"]) for r in res.collect())
+    assert got == [("a", 1), ("a", 2), ("a", 10), ("a", 20), ("b", 3), ("b", 30)]
+
+
+def test_groupby_apply_pa_schema_output(spark):
+    import pyarrow as pa
+
+    df = to_df(spark, [["a", 1], ["a", 2]], "b:str,c:long")
+
+    def count(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"b": [pdf["b"].iloc[0]], "n": [len(pdf)]})
+
+    schema = pa.schema([pa.field("b", pa.string()), pa.field("n", pa.int64())])
+    res = sql_groupby_apply(df, ["b"], count, output_schema=schema)
+    assert [(r["b"], r["n"]) for r in res.collect()] == [("a", 2)]

@@ -196,3 +196,21 @@ def test_drop_duplicates(spark):
     assert_duck_eq(
         drop_duplicates(df), "SELECT DISTINCT a, b FROM t", t=df
     )
+
+
+def test_union_mismatched_columns_raises(spark):
+    a = to_df(spark, [[1, "x"]], "a:long,b:str")
+    b = to_df(spark, [[1]], "a:long")
+    with pytest.raises(InvalidOperationError):
+        union(a, b)
+    with pytest.raises(InvalidOperationError):
+        intersect(a, b, unique=True)
+    with pytest.raises(InvalidOperationError):
+        except_df(a, b, unique=True)
+
+
+def test_join_requires_keys(spark):
+    a = to_df(spark, [[1]], "a:long")
+    b = to_df(spark, [[1]], "a:long")
+    with pytest.raises(InvalidOperationError):
+        join(a, b, "inner", on=[])
