@@ -39,6 +39,12 @@ BENCH_QUERIES = [
     "multimodal_features",
     "events_window",
     "events_sessionize",
+    "events_asof",
+    "events_tolerance_join",
+    "q18_large_orders",
+    "pivot_status_by_priority",
+    "unpivot_measures",
+    "agg_percentiles",
 ]
 
 

@@ -1631,3 +1631,43 @@ def q18_large_orders(spark, sf_dir):
         .drop("__raw_qty")
         .withColumnRenamed("orderkey", "o_orderkey")
     )
+
+
+@query(
+    "unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    """Wide->long unpivot (melt); oracle is the portable UNION ALL
+    formulation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    ).withColumn("measure", F.regexp_replace("measure", "^l_", ""))
+
+
+@query("agg_approx")  # rows-only: approximate results have no exact oracle
+def agg_approx(spark, sf_dir):
+    """Approximate aggregates (HLL count-distinct, quantile sketch) —
+    the mergeable-sketch path for 100TB cardinalities; accuracy bounds
+    tested against exact results in tests/test_extended.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return agg(
+        li,
+        ["l_returnflag"],
+        {
+            "approx_parts": F.approx_count_distinct("l_partkey", rsd=0.02),
+            "approx_p50": F.percentile_approx("l_extendedprice", 0.5, 10000),
+            "ct": F.count(F.lit(1)),
+        },
+    )

@@ -173,3 +173,27 @@ def test_lang_id_markers(spark):
     assert out[2] == "de"
     assert out[3] == "fr"
     assert out[4] == "und"
+
+
+def test_approx_aggs_within_bounds(spark, sf_dir):
+    from pandasy_spark.sources import load_table
+    from pandasy_spark.workload import QUERIES
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["n"], r["p50"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    approx = {
+        r["l_returnflag"]: (r["approx_parts"], r["approx_p50"])
+        for r in QUERIES["agg_approx"](spark, sf_dir).collect()
+    }
+    for flag, (n, p50) in exact.items():
+        an, ap = approx[flag]
+        assert abs(an - n) / n < 0.1
+        assert abs(ap - p50) / p50 < 0.05
