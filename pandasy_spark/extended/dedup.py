@@ -26,6 +26,13 @@ from pyspark.sql import functions as F
 from ..functions.kernels import qround
 from .text import fingerprint
 
+# fixed odd multipliers / offsets for the affine minhash family
+# (deterministic across runs; any odd a gives a bijection mod 2^64)
+_MINHASH_A = [0x9E3779B97F4A7C15 * (2 * i + 1) & 0xFFFFFFFFFFFFFFFF for i in range(64)]
+_MINHASH_A = [a - 0x10000000000000000 if a >= 0x8000000000000000 else a for a in _MINHASH_A]
+_MINHASH_B = [(0xC2B2AE3D27D4EB4F * (i + 1)) & 0xFFFFFFFFFFFFFFFF for i in range(64)]
+_MINHASH_B = [b - 0x10000000000000000 if b >= 0x8000000000000000 else b for b in _MINHASH_B]
+
 __all__ = [
     "exact_dedup",
     "shingles",
@@ -111,8 +118,16 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), n)).alias("sh"),
     )
+    # One string hash per shingle, then k affine (universal-family)
+    # transforms over the 64-bit value — k integer multiply-adds are
+    # far cheaper than k string hashes, with equivalent minhash
+    # quality.  Long overflow wraps (Java semantics, non-ANSI),
+    # which is exactly the mod-2^64 universal hashing we want.
+    sh = sh.withColumn("__h", F.xxhash64(F.col("sh")))
     mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        F.min(
+            F.col("__h") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i])
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agg = sh.groupBy("id").agg(*mins)
