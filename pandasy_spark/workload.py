@@ -1671,3 +1671,243 @@ def agg_approx(spark, sf_dir):
             "ct": F.count(F.lit(1)),
         },
     )
+
+
+# =====================================================================
+# Additional TPC-H shapes, bag set ops, range frames, corpus pipeline
+# =====================================================================
+
+
+@query(
+    "q12_shipmode",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_shipmode(spark, sf_dir):
+    """TPC-H Q12 shape: conditional-sum aggregation over a join."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    li = filter_df(
+        _t(spark, sf_dir, "lineitem"),
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")),
+    ).select(F.col("l_orderkey").alias("orderkey"), "l_linestatus")
+    high = is_in(F.col("o_orderpriority"), ["1-URGENT", "2-HIGH"], True)
+    return agg(
+        join(li, o, "inner", on=["orderkey"]),
+        ["l_linestatus"],
+        {
+            "high_line_count": F.sum(F.when(high, 1).otherwise(0)),
+            "low_line_count": F.sum(F.when(~high, 1).otherwise(0)),
+        },
+    )
+
+
+@query(
+    "q14_promo_effect",
+    """
+    SELECT FLOOR((100.00 *
+             SUM(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+                      ELSE 0 END) /
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
+           ) * 10000 + 0.5) / 10000 AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-09-01'
+    """,
+)
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: ratio of conditional to total revenue (LIKE
+    predicate inside the aggregate).  Integer-grid sums keep the ratio
+    engine-portable."""
+    li = filter_df(
+        _t(spark, sf_dir, "lineitem"),
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-09-01").cast("timestamp")),
+    ).select(
+        F.col("l_partkey").alias("partkey"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rev_grid"),
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_type"
+    )
+    j = join(li, F.broadcast(part), "inner", on=["partkey"])
+    promo = like(F.col("p_type"), "PROMO%")
+    return agg(
+        j,
+        [],
+        {
+            "promo_revenue_pct": qr(
+                100.00
+                * F.sum(F.when(promo, F.col("rev_grid")).otherwise(F.lit(0)))
+                / F.sum("rev_grid"),
+                4,
+            )
+        },
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    """
+    SELECT FLOOR((SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0) * 100 + 0.5) / 100 AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 40)
+    """,
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-attribute predicate across
+    both join sides."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand", "p_size"
+    )
+    j = join(li, F.broadcast(part), "inner", on=["partkey"])
+    cond1 = (
+        (F.col("p_brand") == "Brand#1")
+        & is_between(F.col("p_size"), 1, 15, True)
+        & is_between(F.col("l_quantity"), 1.0, 20.0, True)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#3")
+        & is_between(F.col("p_size"), 10, 30, True)
+        & is_between(F.col("l_quantity"), 10.0, 40.0, True)
+    )
+    return agg(
+        filter_df(j, cond1 | cond2),
+        [],
+        {"revenue": qr(exact_sum(F.col("rev"), 4), 2)},
+    )
+
+
+@query(
+    "setop_intersect_all",
+    _SETOP_CTES + "SELECT nk FROM a INTERSECT ALL SELECT nk FROM b",
+)
+def setop_intersect_all(spark, sf_dir):
+    """True bag-semantics INTERSECT ALL (Spark native intersectAll) —
+    offered alongside the reference's semi-join unique=False variant."""
+    a, b = _setop_frames(spark, sf_dir)
+    return a.intersectAll(b)
+
+
+@query(
+    "setop_except_all",
+    _SETOP_CTES + "SELECT nk FROM a EXCEPT ALL SELECT nk FROM b",
+)
+def setop_except_all(spark, sf_dir):
+    """True bag-semantics EXCEPT ALL (Spark native exceptAll)."""
+    a, b = _setop_frames(spark, sf_dir)
+    return a.exceptAll(b)
+
+
+@query(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+                          RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+             AS orders_last_30d,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+                      RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS spend_grid_30d
+    FROM orders
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame over event time (trailing 30 days per customer) —
+    value-based frames, not row-based; the grid-summed spend keeps the
+    aggregate engine-portable even with equal-timestamp peers."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    us30d = 30 * 24 * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-us30d, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("orders_last_30d"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .over(w)
+        .cast("long")
+        .alias("spend_grid_30d"),
+    )
+
+
+@query(
+    "pipeline_clean_corpus",
+    r"""
+    WITH s AS (
+      SELECT doc_id, source, text,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonws,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_len
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, text,
+             0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (CASE WHEN (CASE WHEN n_tokens > 0
+                                    THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                                    ELSE 0.0 END) >= 2.0
+                          AND (CASE WHEN n_tokens > 0
+                                    THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                                    ELSE 0.0 END) <= 12.0
+                         THEN 1.0 ELSE 0.5 END)
+           + 0.3 * (1.0 - LEAST((CASE WHEN n_len > 0
+                                      THEN CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE)
+                                      ELSE 0.0 END) * 5.0, 1.0)) AS q
+      FROM s
+    ), kept AS (
+      SELECT doc_id, source, text FROM scored
+      WHERE FLOOR(q * 10000 + 0.5) / 10000 >= 0.5
+    ), deduped AS (
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                 ORDER BY doc_id) AS rk
+        FROM kept
+      ) WHERE rk = 1
+    )
+    SELECT source, COUNT(*) AS n_docs FROM deduped GROUP BY source
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end training-data cleaning pipeline: quality filter ->
+    exact dedup -> per-source counts.  Composition of the extended
+    operators, whole pipeline oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = X_text.with_text_stats(docs)
+    kept = filter_df(scored, F.col("quality") >= 0.5).select(
+        "doc_id", "source", "text"
+    )
+    deduped = X_dedup.exact_dedup(kept)
+    return agg(deduped, ["source"], {"n_docs": F.count(F.lit(1))})
