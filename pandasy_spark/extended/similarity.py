@@ -28,6 +28,8 @@ __all__ = [
     "cosine_topk",
     "hyperplane_bucket",
     "lsh_cosine_topk",
+    "kmeans_centroids",
+    "ivf_topk",
 ]
 
 
@@ -169,6 +171,127 @@ def lsh_cosine_topk(
         # (query, id) key, not the vector payloads
         .dropDuplicates(["query_id", "id"])
     )
+    sim = qround(cosine(F.col("qv"), F.col("v")), round_digits)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("id"))
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "id", "sim", "rk")
+    )
+
+
+def _assign_clusters(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each (id, v) row to its nearest centroid (L2).  The
+    centroid set is tiny and broadcast; argmin via ranking window on
+    (id) — k×N candidate rows, one shuffle on id."""
+    from pyspark.sql.window import Window
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = vectors.crossJoin(F.broadcast(centroids)).withColumn("__d2", d2)
+    w = Window.partitionBy("id").orderBy(F.asc("__d2"), F.asc("cluster"))
+    return (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("id", "v", "cluster")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over DataFrame ops (the coarse
+    quantizer for IVF).  Initial centroids: the k vectors with the
+    smallest xxhash64(id) — reproducible, no RNG state.  Each
+    iteration: broadcast-assign, then per-(cluster, dim) mean via
+    posexplode (partial-agg shuffle of k×d cells, independent of
+    corpus size).  Centroids live in a tiny DataFrame, never driver
+    arrays."""
+    from pyspark.sql.window import Window
+
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    )
+    cents = (
+        vecs.withColumn("__h", F.xxhash64(F.col("id").cast("string")))
+        .orderBy("__h")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("__h")) - 1).alias("cluster"),
+            F.col("v").alias("cv"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign_clusters(vecs, cents)
+        dims = assigned.select(
+            "cluster", F.posexplode("v").alias("dim", "x")
+        )
+        means = dims.groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
+        cents = (
+            means.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs"))
+            .select(
+                "cluster",
+                F.transform(F.col("pairs"), lambda p: p["m"]).alias("cv"),
+            )
+        )
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: cluster the corpus with a coarse k-means
+    quantizer, then compare each query only against its ``nprobe``
+    nearest clusters' members.  Candidate volume ≈ corpus ×
+    nprobe/n_clusters; the probe is an ordinary equi-join on cluster
+    id.  At 100 TB: centroids are k×d doubles (broadcast), the corpus
+    is scanned once for assignment (cacheable across query batches)."""
+    from pyspark.sql.window import Window
+
+    cents = kmeans_centroids(corpus, n_clusters, kmeans_iters, id_col, vec_col)
+    assigned = _assign_clusters(
+        corpus.select(
+            F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+        ),
+        cents,
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_vec(F.col(vec_col)).alias("qv"),
+    )
+    # nprobe nearest clusters per query
+    qd2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("__d2"), F.asc("cluster"))
+    q_probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__d2", qd2)
+        .withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+    pairs = assigned.join(F.broadcast(q_probes), on="cluster")
     sim = qround(cosine(F.col("qv"), F.col("v")), round_digits)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("id"))
     return (

@@ -111,3 +111,45 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+def stream_stream_tolerance_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    tolerance_seconds: int,
+    watermark: str = "1 hour",
+):
+    """Stream-stream inner join within ±tolerance (the streaming twin
+    of operators.rangejoin.tolerance_join).  Both sides carry
+    watermarks so the state store can evict rows older than the
+    tolerance+watermark horizon — without them a stream-stream join
+    buffers forever."""
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    cond = None
+    for c in on:
+        e = lw[c] == rw[c]
+        cond = e if cond is None else cond & e
+    t = F.expr(
+        f"{right_time} BETWEEN {left_time} - INTERVAL {tolerance_seconds} SECONDS "
+        f"AND {left_time} + INTERVAL {tolerance_seconds} SECONDS"
+    )
+    return lw.join(rw, t if cond is None else cond & t, "inner")
+
+
+def foreach_batch(stream_df: DataFrame, fn, query_name: str = "fb"):
+    """Drive a stream through a foreachBatch sink with availableNow
+    (fn(batch_df, batch_id) per micro-batch); returns after completion.
+    The escape hatch for sinks without native streaming writers
+    (JDBC, bucketed tables, multi-destination fan-out)."""
+    q = (
+        stream_df.writeStream.foreachBatch(fn)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -197,3 +197,32 @@ def test_approx_aggs_within_bounds(spark, sf_dir):
         an, ap = approx[flag]
         assert abs(an - n) / n < 0.1
         assert abs(ap - p50) / p50 < 0.05
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    from pandasy_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = X_sim.cosine_topk(corpus, queries, k=5, query_id_col="vec_id")
+    approx = X_sim.ivf_topk(
+        corpus, queries, k=5, n_clusters=8, nprobe=4, query_id_col="vec_id"
+    )
+    e = {(r["query_id"], r["id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["id"]) for r in approx.collect()}
+    # probing half the clusters must recover a solid fraction even on
+    # weakly-clustered random vectors
+    assert len(a & e) / len(e) >= 0.4
+    assert len(a) <= len(e)
+
+
+def test_kmeans_centroids_shape(spark, sf_dir):
+    from pandasy_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = X_sim.kmeans_centroids(emb, k=8, iters=2).collect()
+    assert len(cents) <= 8  # empty clusters may drop out
+    dims = {len(r["cv"]) for r in cents}
+    assert dims == {64}
+    assert len({r["cluster"] for r in cents}) == len(cents)
