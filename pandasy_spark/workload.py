@@ -1911,3 +1911,110 @@ def pipeline_clean_corpus(spark, sf_dir):
     )
     deduped = X_dedup.exact_dedup(kept)
     return agg(deduped, ["source"], {"n_docs": F.count(F.lit(1))})
+
+
+@query(
+    "correlated_min",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice = (
+      SELECT MIN(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+    )
+    """,
+)
+def correlated_min(spark, sf_dir):
+    """Correlated-subquery shape (TPC-H Q2 pattern): each customer's
+    cheapest order(s), decorrelated into a min-window filter — one
+    shuffle instead of a per-row subquery."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("__mn", F.min("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") == F.col("__mn"))
+        .drop("__mn")
+    )
+
+
+@query(
+    "q7_nation_volume",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           FLOOR((SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0) * 100 + 0.5) / 100 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY cn.n_name, sn.n_name
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: cross-nation trade volume — the same dimension
+    table joined twice under different roles."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_suppkey").alias("suppkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), F.col("o_custkey").alias("custkey")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_nationkey").alias("c_nk")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), F.col("s_nationkey").alias("s_nk")
+    )
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    j = join(li, o, "inner", on=["orderkey"])
+    j = join(j, c, "inner", on=["custkey"])
+    j = join(j, F.broadcast(s), "inner", on=["suppkey"])
+    j = join(j, F.broadcast(cn), "inner", on=["c_nk"])
+    j = join(j, F.broadcast(sn), "inner", on=["s_nk"])
+    j = filter_df(j, F.col("cust_nation") != F.col("supp_nation"))
+    return agg(
+        j,
+        ["cust_nation", "supp_nation"],
+        {"revenue": qr(exact_sum(F.col("rev"), 4), 2), "n_items": F.count(F.lit(1))},
+    )
+
+
+@query(
+    "expr_null_funcs",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS price_n
+      FROM orders
+    )
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'P') AS status_nullif,
+           IFNULL(price_n, 0.0 - 1.0) AS price_ifnull,
+           CASE WHEN price_n IS NOT NULL THEN 'has' ELSE 'none' END AS price_nvl2,
+           COALESCE(NULLIF(o_orderstatus, 'F'), 'was_f') AS chain
+    FROM t
+    """,
+)
+def expr_null_funcs(spark, sf_dir):
+    """NULLIF / IFNULL / NVL2-style null handling functions."""
+    o = _t(spark, sf_dir, "orders")
+    price_n = case_when(
+        (F.col("o_orderstatus") == "P", F.lit(None)), default=F.col("o_totalprice")
+    )
+    return o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_nullif"),
+        F.ifnull(price_n, F.lit(-1.0)).alias("price_ifnull"),
+        F.nvl2(price_n, F.lit("has"), F.lit("none")).alias("price_nvl2"),
+        coalesce([F.nullif(F.col("o_orderstatus"), F.lit("F")), "was_f"]).alias(
+            "chain"
+        ),
+    )
