@@ -43,6 +43,7 @@ from .operators import (
     join,
     rollup,
     sql_groupby_apply,
+    top_k,
     top_k_per_group,
     union,
     window_spec,
@@ -2017,4 +2018,447 @@ def expr_null_funcs(spark, sf_dir):
         coalesce([F.nullif(F.col("o_orderstatus"), F.lit("F")), "was_f"]).alias(
             "chain"
         ),
+    )
+
+
+# =====================================================================
+# Remaining TPC-H shapes: scalar subqueries, nested IN, view+max,
+# correlated-avg, multi-EXISTS — all decorrelated Spark-first
+# =====================================================================
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT FLOOR((SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT)) / 10000.0) * 100 + 0.5) / 100 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + filter + global agg — the query
+    where predicate pushdown and column pruning do all the work (no
+    join, no per-group shuffle; AQE coalesces to a tiny reduce)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li = filter_df(
+        li,
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & is_between(F.col("l_discount"), 0.05, 0.07, True)
+        & (F.col("l_quantity") < 24.0),
+    )
+    return agg(
+        li,
+        [],
+        {
+            "revenue": qr(exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 4), 2),
+            "n_items": F.count(F.lit(1)),
+        },
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           FLOOR((SUM(CASE WHEN sn.n_name = 'NATION_7'
+                           THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+                           ELSE 0 END) * 1.0 /
+                  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
+                 ) * 1000000 + 0.5) / 1000000 AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region r ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'EUROPE'
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of a region's
+    revenue per year — conditional-sum ratio over a 6-way join.  All
+    dimension sides are broadcast; the only shuffles are the two fact
+    joins and the final year agg."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_suppkey").alias("suppkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.year("o_orderdate").alias("o_year"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_nationkey").alias("c_nk")
+    )
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("rk"))
+    r = filter_df(_t(spark, sf_dir, "region"), F.col("r_name") == "EUROPE").select(
+        F.col("r_regionkey").alias("rk")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), F.col("s_nationkey").alias("s_nk")
+    )
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    eu_cust = join(join(c, F.broadcast(cn), "inner", on=["c_nk"]),
+                   F.broadcast(r), "inner", on=["rk"])
+    j = join(li, o, "inner", on=["orderkey"])
+    j = join(j, eu_cust, "inner", on=["custkey"])
+    j = join(j, F.broadcast(join(s, F.broadcast(sn), "inner", on=["s_nk"])),
+             "inner", on=["suppkey"])
+    grid = F.floor(F.col("vol") * 10000 + F.lit(0.5)).cast("long")
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_7", grid).otherwise(F.lit(0)))
+    den = F.sum(grid)
+    return agg(j, ["o_year"], {"mkt_share": qr(num * F.lit(1.0) / den, 6)})
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT sn.n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           FLOOR((SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0) * 100 + 0.5) / 100 AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and order year for a
+    part-name pattern.  The selective part filter is applied before its
+    broadcast join so only matching lineitems reach the orders join."""
+    p = filter_df(
+        _t(spark, sf_dir, "part"), like(F.col("p_name"), "%gear%")
+    ).select(F.col("p_partkey").alias("partkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), F.col("s_nationkey").alias("s_nk")
+    )
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), F.year("o_orderdate").alias("o_year")
+    )
+    j = join(li, F.broadcast(p), "inner", on=["partkey"])
+    j = join(j, F.broadcast(join(s, F.broadcast(sn), "inner", on=["s_nk"])),
+             "inner", on=["suppkey"])
+    j = join(j, o, "inner", on=["orderkey"])
+    return agg(j, ["nation", "o_year"], {"profit": qr(exact_sum(F.col("vol"), 4), 2)})
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           FLOOR((SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0) * 100 + 0.5) / 100 AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue.
+    Ordered on the exact integer-grid sum (ties broken by custkey) so
+    the selected 20 rows are engine-independent; planned as
+    TakeOrderedAndProject, not a total sort."""
+    o = filter_df(
+        _t(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")),
+    ).select(F.col("o_orderkey").alias("orderkey"), F.col("o_custkey").alias("c_custkey"))
+    li = filter_df(
+        _t(spark, sf_dir, "lineitem"), F.col("l_returnflag") == "R"
+    ).select(
+        F.col("l_orderkey").alias("orderkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = join(join(li, o, "inner", on=["orderkey"]), c, "inner", on=["c_custkey"])
+    grouped = agg(
+        j,
+        ["c_custkey", "c_name"],
+        {"rev_grid": F.sum(F.floor(F.col("vol") * 10000 + F.lit(0.5)).cast("long"))},
+    )
+    top = top_k(grouped, ["rev_grid", "c_custkey"], 20, ascending=[False, True])
+    return top.select(
+        "c_custkey", "c_name",
+        qr(F.col("rev_grid") / F.lit(10000.0), 2).alias("revenue"),
+    )
+
+
+@query(
+    "q11_important_stock",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS val_grid
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, FLOOR((val_grid / 10000.0) * 100 + 0.5) / 100 AS part_value
+    FROM pv
+    WHERE val_grid * 1.0 > (SELECT SUM(val_grid) * 0.0007 FROM pv)
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose traded value exceeds a fraction of
+    the GLOBAL total — a scalar subquery decorrelated into a 1-row
+    broadcast cross join against the per-part aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+    )
+    pv = agg(
+        li,
+        ["l_partkey"],
+        {"val_grid": F.sum(F.floor(F.col("vol") * 10000 + F.lit(0.5)).cast("long"))},
+    )
+    total = agg(pv, [], {"__tot": F.sum("val_grid")})
+    j = pv.join(F.broadcast(total), how="cross")
+    j = filter_df(j, F.col("val_grid") * F.lit(1.0) > F.col("__tot") * F.lit(0.0007))
+    return j.select("l_partkey", qr(F.col("val_grid") / F.lit(10000.0), 2).alias("part_value"))
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS s_suppkey,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS rev_grid
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, FLOOR((rev_grid / 10000.0) * 100 + 0.5) / 100 AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.s_suppkey
+    WHERE rev_grid = (SELECT MAX(rev_grid) FROM rev)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: revenue view + scalar MAX subquery — the max
+    is a 1-row broadcast join, and the exact integer-grid revenue makes
+    the equality engine-independent."""
+    li = filter_df(
+        _t(spark, sf_dir, "lineitem"),
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")),
+    ).select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+    )
+    rev = agg(
+        li,
+        ["s_suppkey"],
+        {"rev_grid": F.sum(F.floor(F.col("vol") * 10000 + F.lit(0.5)).cast("long"))},
+    )
+    mx = agg(rev, [], {"__mx": F.max("rev_grid")})
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    j = rev.join(F.broadcast(mx), how="cross")
+    j = filter_df(j, F.col("rev_grid") == F.col("__mx"))
+    j = join(j, F.broadcast(s), "inner", on=["s_suppkey"])
+    return j.select(
+        "s_suppkey", "s_name", qr(F.col("rev_grid") / F.lit(10000.0), 2).alias("total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) * 1.0 / COUNT(*) / 100.0 AS aq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT FLOOR(((SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0) / 7.0) * 100 + 0.5) / 100 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa ON pa.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * aq
+    """,
+)
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part AVG subquery, decorrelated
+    into a window average over the part key (one shuffle; no self-join).
+    The average is computed on the exact integer grid so the `<`
+    boundary is engine-independent."""
+    p = filter_df(_t(spark, sf_dir, "part"), F.col("p_brand") == "Brand#3").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    j = join(li, F.broadcast(p), "inner", on=["l_partkey"])
+    w = window_spec(partition_by=["l_partkey"])
+    qgrid = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    j = j.withColumn(
+        "__aq",
+        F.sum(qgrid).over(w) * F.lit(1.0) / F.count(F.lit(1)).over(w) / F.lit(100.0),
+    )
+    j = filter_df(j, F.col("l_quantity") < F.lit(0.2) * F.col("__aq"))
+    return agg(
+        j,
+        [],
+        {"avg_yearly": qr(exact_sum(F.col("l_extendedprice"), 2) / F.lit(7.0), 2)},
+    )
+
+
+@query(
+    "q20_supplier_part_volume",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) > 5000
+    )
+    """,
+)
+def q20_supplier_part_volume(spark, sf_dir):
+    """TPC-H Q20 shape: nested IN chain — part-name IN-list inside a
+    grouped HAVING inside a supplier IN — compiled to two left-semi
+    joins (both inner sides small enough to broadcast)."""
+    p = filter_df(_t(spark, sf_dir, "part"), like(F.col("p_name"), "small%")).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    li = filter_df(
+        _t(spark, sf_dir, "lineitem"),
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")),
+    ).select("l_suppkey", "l_partkey", "l_quantity")
+    li = join(li, F.broadcast(p), "semi", on=["l_partkey"])
+    per_sp = agg(
+        li,
+        ["l_suppkey", "l_partkey"],
+        {"qty_grid": F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long"))},
+    )
+    heavy = filter_df(per_sp, F.col("qty_grid") > 5000).select(
+        F.col("l_suppkey").alias("s_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return join(s, F.broadcast(heavy), "semi", on=["s_suppkey"])
+
+
+@query(
+    "q21_waiting_supplier",
+    """
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey
+    ), flagged AS (
+      SELECT l_suppkey,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+             SUM(late) OVER (PARTITION BY l_orderkey) AS n_late,
+             late
+      FROM l
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM flagged JOIN supplier ON s_suppkey = l_suppkey
+    WHERE late = 1 AND n_supp > 1 AND n_late = 1
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+    multi-supplier order.  The EXISTS / NOT-EXISTS self-joins are
+    decorrelated into two window aggregates over the order key — one
+    shuffle replaces two self-joins.  'Late' is shipdate > orderdate +
+    60 days (this dataset has no receipt/commit dates)."""
+    o = filter_df(
+        _t(spark, sf_dir, "orders"), F.col("o_orderstatus") == "F"
+    ).select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = join(li, o, "inner", on=["l_orderkey"])
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    per = agg(j, ["l_orderkey", "l_suppkey"], {"late": F.max(late)})
+    w = window_spec(partition_by=["l_orderkey"])
+    flagged = per.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "n_late", F.sum("late").over(w)
+    )
+    flagged = filter_df(
+        flagged,
+        (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1),
+    ).select(F.col("l_suppkey").alias("s_suppkey"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    j2 = join(flagged, F.broadcast(s), "inner", on=["s_suppkey"])
+    return agg(j2, ["s_name"], {"numwait": F.count(F.lit(1))})
+
+
+@query(
+    "q22_global_balance",
+    """
+    WITH g AS (
+      SELECT SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) * 1.0 / COUNT(*) / 100.0 AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT SUBSTRING(c_name, 17, 2) AS cust_bucket, COUNT(*) AS numcust,
+           FLOOR((SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0) * 100 + 0.5) / 100 AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg_bal FROM g)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY cust_bucket
+    """,
+)
+def q22_global_balance(spark, sf_dir):
+    """TPC-H Q22 shape: global-average scalar subquery + NOT EXISTS
+    anti join + substring bucketing ("customers above the average
+    positive balance with no URGENT orders" — every customer in this
+    dataset has *some* order, so the anti side is priority-filtered to
+    keep the shape non-vacuous).  The average broadcasts as one row;
+    the anti join runs on the shuffled order keys."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    bal_grid = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    pos = filter_df(c, F.col("c_acctbal") > 0.0)
+    g = agg(
+        pos, [],
+        {"avg_bal": F.sum(bal_grid) * F.lit(1.0) / F.count(F.lit(1)) / F.lit(100.0)},
+    )
+    rich = filter_df(
+        c.join(F.broadcast(g), how="cross"), F.col("c_acctbal") > F.col("avg_bal")
+    )
+    o = filter_df(
+        _t(spark, sf_dir, "orders"), F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    no_orders = join(rich, o, "anti", on=["c_custkey"])
+    bucketed = no_orders.select(
+        F.substring("c_name", 17, 2).alias("cust_bucket"), "c_acctbal"
+    )
+    return agg(
+        bucketed,
+        ["cust_bucket"],
+        {
+            "numcust": F.count(F.lit(1)),
+            "totacctbal": qr(exact_sum(F.col("c_acctbal"), 2), 2),
+        },
     )
