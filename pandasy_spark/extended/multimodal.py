@@ -23,8 +23,12 @@ from ..types import parse_schema
 __all__ = [
     "with_binary_payload",
     "FEATURE_SCHEMA",
+    "FRAME_SCHEMA",
+    "AUDIO_SCHEMA",
     "extract_features",
     "decode_image",
+    "sample_frames",
+    "audio_features",
 ]
 
 # typed metadata produced by the (fake) feature extractor
@@ -83,4 +87,93 @@ def extract_features(
 
     return df.select(id_col, payload_col).mapInPandas(
         _extract, schema=FEATURE_SCHEMA
+    )
+
+
+# one row per sampled video frame (row-expanding 1->many mapInPandas)
+FRAME_SCHEMA = parse_schema(
+    "doc_id:long,frame_idx:int,frame_ts_ms:long,frame:bytes"
+)
+
+# fixed-rate audio metadata derived from the payload size
+AUDIO_SCHEMA = parse_schema(
+    "doc_id:long,byte_len:long,n_samples:long,duration_ms:long"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 5,
+    fps: float = 30.0,
+    frame_bytes: int = 16,
+) -> DataFrame:
+    """Frame sampling over a binary "video" column: every ``every_n``-th
+    frame becomes its own output row (frame index, event-time stamp at
+    ``fps``, and the frame payload slice).
+
+    This is the production shape for video pipelines — a row-EXPANDING
+    ``mapInPandas`` (one input row yields 0..n_frames/every_n rows) so
+    downstream operators see plain rows they can filter/join/aggregate,
+    and partitions stay bounded because each batch expands locally.
+    The decoder is a deterministic fake (n_frames and the slice offsets
+    derive from the byte length alone); swap the slicing for a real
+    codec (pyav/cv2) in production — the schema, batching, and
+    expansion plumbing are unchanged.
+    """
+    id_name, payload_name = id_col, payload_col
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            tss: list[int] = []
+            frames: list[bytes] = []
+            for did, payload in zip(pdf[id_name], pdf[payload_name]):
+                payload = bytes(payload)
+                n = len(payload)
+                n_frames = n % 30  # fake decoder: same rule as _fake_features
+                if n_frames == 0:
+                    continue
+                stride = n // n_frames
+                for i in range(0, n_frames, every_n):
+                    off = i * stride
+                    ids.append(int(did))
+                    idxs.append(i)
+                    tss.append(int(i * 1000.0 / fps))
+                    frames.append(payload[off : off + frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    sample_rate: int = 16000,
+    bytes_per_sample: int = 2,
+) -> DataFrame:
+    """Audio metadata stub: treats the payload as 16-bit PCM at a fixed
+    rate and derives sample count / duration — pure column arithmetic,
+    fully JVM-side (no Python), because nothing here needs decoding.
+    A real feature extractor (rms/mfcc) would follow the
+    ``extract_features`` mapInPandas pattern instead."""
+    n = F.length(F.col(payload_col)).cast("long")
+    n_samples = F.floor(n / F.lit(bytes_per_sample)).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("byte_len"),
+        n_samples.alias("n_samples"),
+        F.floor(n_samples * F.lit(1000) / F.lit(sample_rate))
+        .cast("long")
+        .alias("duration_ms"),
     )

@@ -2462,3 +2462,102 @@ def q22_global_balance(spark, sf_dir):
             "totacctbal": qr(exact_sum(F.col("c_acctbal"), 2), 2),
         },
     )
+
+
+# =====================================================================
+# Multimodal frame sampling + array/map function coverage
+# =====================================================================
+
+
+@query(
+    "multimodal_frames",
+    """
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             octet_length(encode(text)) % 30 AS nf
+      FROM documents
+      WHERE octet_length(encode(text)) % 30 > 0
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(TRUNC(i * 1000.0 / 30.0) AS BIGINT) AS frame_ts_ms,
+           CAST(LEAST(16, n - i * (n // nf)) AS INT) AS frame_len
+    FROM d, UNNEST(range(0, nf, 5)) AS t(i)
+    """,
+)
+def multimodal_frames(spark, sf_dir):
+    """Video-style frame sampling: binary payload -> one row per
+    sampled frame via a row-expanding mapInPandas (extended/
+    multimodal.py sample_frames).  The oracle reproduces the fake
+    decoder's integer arithmetic with a lateral UNNEST(range(...))."""
+    docs = _t(spark, sf_dir, "documents")
+    frames = X_mm.sample_frames(X_mm.with_binary_payload(docs), every_n=5, fps=30.0)
+    return frames.select(
+        "doc_id", "frame_idx", "frame_ts_ms", F.length("frame").alias("frame_len")
+    )
+
+
+@query(
+    "multimodal_audio",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples,
+           CAST((octet_length(encode(text)) // 2) * 1000 // 16000 AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_audio(spark, sf_dir):
+    """Audio metadata stub over the binary payload (16-bit PCM model):
+    pure JVM-side column arithmetic — no Python in the plan."""
+    docs = _t(spark, sf_dir, "documents")
+    return X_mm.audio_features(X_mm.with_binary_payload(docs))
+
+
+@query(
+    "array_functions",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           embedding[1] AS first_val,
+           embedding[len(embedding)] AS last_val,
+           list_max(embedding) AS max_val,
+           CAST(len(list_filter(embedding, x -> x > 0.0)) AS INT) AS n_pos
+    FROM embeddings
+    """,
+)
+def array_functions(spark, sf_dir):
+    """Array function coverage on the embedding column: size /
+    element_at (front and back) / array_max / lambda filter — all
+    JVM-side higher-order functions, no UDF."""
+    e = F.col("embedding")
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size(e).alias("n_dims"),
+        F.element_at(e, 1).alias("first_val"),
+        F.element_at(e, -1).alias("last_val"),
+        F.array_max(e).alias("max_val"),
+        F.size(F.filter(e, lambda x: x > F.lit(0.0))).alias("n_pos"),
+    )
+
+
+@query(
+    "map_functions",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_val,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           json_keys(props)[1] AS first_key
+    FROM events
+    """,
+)
+def map_functions(spark, sf_dir):
+    """MapType coverage: JSON props parsed into map<string,int>, then
+    element_at / size / map_keys — vectorized from_json, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).alias("n_keys"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+    )

@@ -226,3 +226,28 @@ def test_kmeans_centroids_shape(spark, sf_dir):
     dims = {len(r["cv"]) for r in cents}
     assert dims == {64}
     assert len({r["cluster"] for r in cents}) == len(cents)
+
+
+def test_sample_frames_expansion(spark):
+    # 47 bytes -> fake decoder says 47 % 30 = 17 frames, stride 2;
+    # every 5th frame sampled -> idx 0,5,10,15
+    text_47 = "x" * 47
+    df = to_df(spark, [[1, text_47], [2, "y" * 30]], "doc_id:long,text:str")
+    out = X_mm.sample_frames(X_mm.with_binary_payload(df), every_n=5, fps=30.0)
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"], r["frame_idx"]))
+    # doc 2: 30 % 30 == 0 frames -> contributes nothing (row-expanding 1->0)
+    assert [r["doc_id"] for r in rows] == [1, 1, 1, 1]
+    assert [r["frame_idx"] for r in rows] == [0, 5, 10, 15]
+    # ts at 30 fps: int(idx * 1000 / 30)
+    assert [r["frame_ts_ms"] for r in rows] == [0, 166, 333, 500]
+    # stride = 47 // 17 = 2; frame at idx 15 starts at byte 30 -> 16 bytes left
+    assert [len(r["frame"]) for r in rows] == [16, 16, 16, 16]
+    assert bytes(rows[0]["frame"]) == b"x" * 16
+
+
+def test_audio_features_arithmetic(spark):
+    df = to_df(spark, [[1, "a" * 32000], [2, "b"]], "doc_id:long,text:str")
+    out = {r["doc_id"]: r for r in
+           X_mm.audio_features(X_mm.with_binary_payload(df)).collect()}
+    assert out[1]["n_samples"] == 16000 and out[1]["duration_ms"] == 1000
+    assert out[2]["n_samples"] == 0 and out[2]["duration_ms"] == 0
