@@ -22,7 +22,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..types import to_spark_schema
 
-__all__ = ["streaming_dedup"]
+__all__ = ["streaming_dedup", "stateful_sessions"]
 
 
 def streaming_dedup(
@@ -69,4 +69,105 @@ def streaming_dedup(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_sessions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Gap-based session windows as a custom stateful operator with
+    event-time TIMEOUT EVICTION (``GroupStateTimeout.EventTimeTimeout``).
+
+    Semantics match ``sessionize_batch`` (a new session starts when the
+    gap to the previous event of the same key exceeds ``gap_minutes``):
+
+    - within a micro-batch, events are gap-split locally and every
+      CLOSED session is emitted immediately;
+    - the still-open trailing session is held in the state store with
+      ``setTimeoutTimestamp(end + gap)``;
+    - when the watermark passes that timestamp the group times out, the
+      session is emitted, and its state is evicted — so state size is
+      bounded by the number of concurrently-open sessions, never by
+      stream history.
+
+    Late events inside the watermark merge correctly (intervals are
+    merged by start time, so an event older than the held session's
+    start extends it backward).  The key column must be integral
+    (``long``) in this synthetic setting.
+    """
+    out_schema = to_spark_schema(
+        f"{key_col}:long,session_start:datetime,session_end:datetime,n_events:long"
+    )
+    state_schema = to_spark_schema("start_us:long,end_us:long,n:long")
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1_000
+    key_name, ts_name = key_col, ts_col
+
+    def _emit(key: Any, sessions: list[list[int]]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_name: pd.Series([key[0]] * len(sessions), dtype="int64"),
+                "session_start": pd.to_datetime(
+                    pd.Series([s[0] for s in sessions], dtype="int64"), unit="us"
+                ),
+                "session_end": pd.to_datetime(
+                    pd.Series([s[1] for s in sessions], dtype="int64"), unit="us"
+                ),
+                "n_events": pd.Series([s[2] for s in sessions], dtype="int64"),
+            }
+        )
+
+    def session_fn(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield _emit(key, [[start_us, end_us, n]])
+            return
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_us.extend(
+                    (pd.to_datetime(pdf[ts_name]).astype("int64") // 1000).tolist()
+                )
+        if not ts_us:
+            if state.exists:  # keep the held session armed
+                start_us, end_us, n = state.get
+                state.setTimeoutTimestamp(end_us // 1000 + gap_ms)
+            return
+        intervals = [[t, t, 1] for t in sorted(ts_us)]
+        if state.exists:
+            held = list(state.get)
+            lo = 0
+            while lo < len(intervals) and intervals[lo][0] < held[0]:
+                lo += 1
+            intervals.insert(lo, held)
+        merged: list[list[int]] = []
+        cur = intervals[0]
+        for iv in intervals[1:]:
+            if iv[0] - cur[1] > gap_us:
+                merged.append(cur)
+                cur = iv
+            else:
+                cur = [cur[0], max(cur[1], iv[1]), cur[2] + iv[2]]
+        state.update((cur[0], cur[1], cur[2]))
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_ms)
+        if merged:
+            yield _emit(key, merged)
+
+    return (
+        df.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            session_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -1318,16 +1318,24 @@ def events_asof(spark, sf_dir):
     """,
 )
 def agg_percentiles(spark, sf_dir):
+    """One array-argument percentile aggregate (a single per-group sort
+    feeds all three quantiles) instead of three independent sort-based
+    aggregates — 3x less agg work at any scale."""
     li = _t(spark, sf_dir, "lineitem")
-    return agg(
+    ps = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9))
+    )
+    grouped = agg(
         li,
         ["l_returnflag"],
-        {
-            "p25": qr(F.percentile("l_extendedprice", 0.25), 4),
-            "p50": qr(F.percentile("l_extendedprice", 0.5), 4),
-            "p90": qr(F.percentile("l_extendedprice", 0.9), 4),
-            "ct": F.count(F.lit(1)),
-        },
+        {"__ps": ps, "ct": F.count(F.lit(1))},
+    )
+    return grouped.select(
+        "l_returnflag",
+        qr(F.element_at("__ps", 1), 4).alias("p25"),
+        qr(F.element_at("__ps", 2), 4).alias("p50"),
+        qr(F.element_at("__ps", 3), 4).alias("p90"),
+        "ct",
     )
 
 

@@ -232,3 +232,78 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_stateful_sessions_with_timeout_eviction(spark, sf_dir, tmp_path):
+    """applyInPandasWithState session windows with EventTimeTimeout:
+    closed sessions are emitted in-batch; held-open sessions are
+    evicted and emitted when a later micro-batch advances the
+    watermark past session_end + gap.
+
+    Two micro-batches (maxFilesPerTrigger=1): the real events, then a
+    far-future sentinel event that pushes the watermark forward.
+    Checked against sessionize_batch: every emitted session must be a
+    real batch session, and every session provably closed w.r.t. the
+    batch-1 watermark must have been emitted."""
+    import shutil
+
+    from pandasy_spark.streaming import sessionize_batch, stateful_sessions
+
+    gap_min = 30
+    batch = load_table(spark, sf_dir, "events")
+    expected_all = (
+        sessionize_batch(batch, gap_minutes=gap_min)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .toPandas()
+    )
+    max_real_ms = (
+        pd.to_datetime(batch.agg(F.max("ts")).collect()[0][0]).value // 1_000_000
+    )
+
+    # two-file stream dir: real events then one sentinel far in the future
+    stream_dir = str(tmp_path / "sessions_stream")
+    (tmp_path / "sessions_stream").mkdir()
+    events_pdf = batch.toPandas()
+    # store as us-precision so the stream reads TimestampType (ns parquet
+    # would hit the nanosAsLong legacy path and arrive as long)
+    events_pdf["ts"] = events_pdf["ts"].astype("datetime64[us]")
+    events_pdf.to_parquet(stream_dir + "/a_events.parquet", index=False)
+    sentinel = events_pdf.head(1).copy()
+    sentinel["user_id"] = -1
+    sentinel["ts"] = pd.Series(
+        [events_pdf["ts"].max() + pd.Timedelta(days=30)], dtype="datetime64[us]"
+    ).values
+    sentinel.to_parquet(stream_dir + "/b_sentinel.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stream_dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+        # parquet-from-pandas reads back as TIMESTAMP_NTZ; watermarks
+        # require TIMESTAMP
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sessions = stateful_sessions(stream, gap_minutes=gap_min)
+    q = run_stream_to_memory(sessions, "stateful_sessions_test", output_mode="append")
+    try:
+        actual = (
+            spark.table("stateful_sessions_test")
+            .filter(F.col("user_id") >= 0)
+            .toPandas()
+        )
+    finally:
+        q.stop()
+
+    key = ["user_id", "session_start", "session_end", "n_events"]
+    exp_keys = set(map(tuple, expected_all[key].itertuples(index=False)))
+    act_keys = set(map(tuple, actual[key].itertuples(index=False)))
+    # 1) no fabricated sessions
+    assert act_keys <= exp_keys
+    # 2) everything provably closed by the batch-1 watermark was evicted
+    gap_ms = gap_min * 60 * 1000
+    end_ms = pd.to_datetime(expected_all["session_end"]).astype("int64") // 1_000_000
+    closed = expected_all[end_ms + gap_ms < max_real_ms]
+    closed_keys = set(map(tuple, closed[key].itertuples(index=False)))
+    assert closed_keys <= act_keys
+    # and the stream actually emitted the overwhelming majority
+    assert len(act_keys) >= len(closed_keys) > 0
