@@ -45,6 +45,13 @@ BENCH_QUERIES = [
     "pivot_status_by_priority",
     "unpivot_measures",
     "agg_percentiles",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_items",
+    "q21_waiting_supplier",
+    "multimodal_frames",
+    "map_functions",
+    "dedup_blocked",
 ]
 
 

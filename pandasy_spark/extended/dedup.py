@@ -37,6 +37,7 @@ __all__ = [
     "exact_dedup",
     "shingles",
     "ngram_jaccard_pairs",
+    "blocked_jaccard_pairs",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "minhash_dedup_pairs",
@@ -267,4 +268,41 @@ def simhash_candidate_pairs(
             F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
         )
         .distinct()
+    )
+
+
+def blocked_jaccard_pairs(
+    df: "DataFrame",
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> "DataFrame":
+    """Exact n-gram Jaccard restricted to BLOCKS (equal values of
+    ``block_cols`` — e.g. source, language, a time bucket, or an LSH
+    band): the candidate join is an equi-join on the block keys, so
+    work is sum(|block|^2) instead of |corpus|^2 and each block's
+    pairs are produced by one co-partitioned shuffle join.
+
+    This is the scale path for near-dedup when a natural blocking key
+    exists; use ``lsh_candidate_pairs`` when it does not."""
+    a = df.select(
+        *block_cols,
+        F.col(id_col).alias("id1"),
+        shingles(F.col(text_col), n).alias("s1"),
+    ).filter(F.size("s1") > 0)
+    b = df.select(
+        *block_cols,
+        F.col(id_col).alias("id2"),
+        shingles(F.col(text_col), n).alias("s2"),
+    ).filter(F.size("s2") > 0)
+    pairs = a.join(b, on=list(block_cols)).filter(F.col("id1") < F.col("id2"))
+    inter = F.size(F.array_intersect("s1", "s2")).cast("double")
+    uni = F.size(F.array_union("s1", "s2")).cast("double")
+    jac = inter / uni
+    return (
+        pairs.withColumn("jaccard", qround(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select(*block_cols, "id1", "id2", "jaccard")
     )

@@ -2569,3 +2569,33 @@ def map_functions(spark, sf_dir):
         F.size(m).alias("n_keys"),
         F.element_at(F.map_keys(m), 1).alias("first_key"),
     )
+
+
+@query(
+    "dedup_blocked",
+    """
+    WITH d AS (
+      SELECT source, lang, doc_id,
+             list_distinct([substring(text, i, 3)
+                            for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS sh
+      FROM documents WHERE doc_id < 300
+    ), p AS (
+      SELECT a.source, a.lang, a.doc_id AS id1, b.doc_id AS id2,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
+      FROM d a JOIN d b ON a.source = b.source AND a.lang = b.lang
+      WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+    )
+    SELECT source, lang, id1, id2, FLOOR((jac) * 10000 + 0.5) / 10000 AS jaccard
+    FROM p WHERE FLOOR((jac) * 10000 + 0.5) / 10000 >= 0.6
+    """,
+)
+def dedup_blocked(spark, sf_dir):
+    """Blocked near-dedup: Jaccard pairs only within (source, lang)
+    blocks — candidate generation is an equi-join on the block keys
+    (sum of squared block sizes, not corpus squared), the standard
+    scale pattern when a natural blocking key exists."""
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 300)
+    return X_dedup.blocked_jaccard_pairs(
+        docs, ["source", "lang"], n=3, threshold=0.6
+    )
