@@ -4,7 +4,7 @@ from .aggregates import agg, cube, grouping_sets, rollup, top_k_per_group
 from .groupby import sql_groupby_apply
 from .asof import asof_join
 from .rangejoin import tolerance_join
-from .skew import salted_join
+from .skew import adaptive_salted_join, salted_join
 from .sort import limit, order_by, top_k
 from .relational import (
     drop_duplicates,
@@ -20,6 +20,7 @@ from .window import window_spec, with_lag_lead, with_ranking, with_running
 __all__ = [
     "agg",
     "asof_join",
+    "adaptive_salted_join",
     "salted_join",
     "tolerance_join",
     "cube",

@@ -123,3 +123,30 @@ def test_tolerance_join_rejects_column_clash(spark):
     b = to_df(spark, [[1, _ts("2024-01-01 10:00:00"), "y"]], "k:long,ts2:datetime,v:str")
     with pytest.raises(ValueError):
         tolerance_join(a, b, on=["k"], left_time="ts", right_time="ts2", tolerance_seconds=60)
+
+
+def test_adaptive_salted_join_matches_plain_join(spark):
+    from pandasy_spark.operators import adaptive_salted_join
+
+    # one pathologically hot key (k=1: 20k rows) among uniform cold keys
+    big = spark.range(0, 20000).select(
+        F.lit(1).alias("k"), F.col("id").alias("payload")
+    )
+    cold = spark.range(0, 2000).select(
+        (F.col("id") % 100 + 2).alias("k"), (F.col("id") + 100000).alias("payload")
+    )
+    big = big.unionByName(cold)
+    small = spark.range(0, 102).select(
+        (F.col("id") + 1).alias("k"), (F.col("id") * 7).alias("info")
+    )
+    plain = big.join(small, on=["k"], how="inner")
+    salted = adaptive_salted_join(
+        big, small, on=["k"], rows_per_task=1000, sample_fraction=0.5
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # left join keeps unmatched big rows too
+    plain_l = big.join(small, on=["k"], how="left")
+    salted_l = adaptive_salted_join(
+        big, small, on=["k"], how="left", rows_per_task=1000, sample_fraction=0.5
+    )
+    assert salted_l.count() == plain_l.count()
