@@ -83,7 +83,9 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     for name in TABLES:
         path = table_path(sf_dir, name)
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(name)
+            # load_table, not a raw read: it normalizes ns-timestamp
+            # columns (events.parquet) that Spark can't read natively
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -2599,3 +2599,31 @@ def dedup_blocked(spark, sf_dir):
     return X_dedup.blocked_jaccard_pairs(
         docs, ["source", "lang"], n=3, threshold=0.6
     )
+
+
+# One SQL text, two engines: the Spark side runs it through spark.sql
+# on registered views; the oracle runs the IDENTICAL string on DuckDB.
+# Dialect trap: decimal literals like 100.0 parse as DECIMAL in Spark
+# SQL (DOUBLE in the DataFrame API) — use 1e2-style double literals.
+_SQL_PASSTHROUGH = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           FLOOR((SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2) * 100 + 0.5) / 1e2 AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderstatus <> 'P'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+"""
+
+
+@query("sql_passthrough", _SQL_PASSTHROUGH)
+def sql_passthrough(spark, sf_dir):
+    """The SQL front door: ``register_views`` + ``spark.sql`` over the
+    common ANSI dialect subset — the exact same query text is the
+    DuckDB oracle.  Users of the reference drive it through Fugue SQL;
+    on this engine plain Spark SQL (full Catalyst: pushdown, AQE) is
+    the equivalent surface."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_PASSTHROUGH)

@@ -64,3 +64,42 @@ def test_dedup_exact_single_shuffle(spark, sf_dir):
 def test_events_window_partial_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_window")
     assert "partial" in plan
+
+
+def test_q8_broadcasts_dimension_chain(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q17_decorrelated_to_window_with_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q17_small_quantity")
+    assert "Window" in plan
+    assert "EqualTo(p_brand,Brand#3)" in plan  # filter reached the scan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_windows_not_self_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q21_waiting_supplier")
+    assert "Window" in plan
+    # decorrelation means the lineitem scan appears exactly once
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_array_map_functions_pure_jvm(spark, sf_dir):
+    for name in ["array_functions", "map_functions", "multimodal_audio"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "Python" not in plan, name
+
+
+def test_multimodal_frames_is_arrow_batched(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_frames")
+    # intended Python boundary: exactly one Arrow-batched MapInPandas
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
