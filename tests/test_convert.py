@@ -86,3 +86,30 @@ def test_cols_to_df(spark):
     assert as_array(out) == [["x", 5]]
     with pytest.raises(InvalidOperationError):
         cols_to_df(df, [1, 2], names=["a", "b"])
+
+
+def test_nan_none_empty_frame(spark):
+    """Reference test_nan_none tail (/root/reference/slide_test/
+    suite.py:1997-2004): empty frame egress and int/bool NULLs."""
+    df = to_df(spark, [], "b:str,c:double")
+    assert as_array(df) == []
+    df = to_df(spark, [[None, None]], "b:int,c:bool")
+    assert as_array(df, "b:int,c:bool", type_safe=True) == [[None, None]]
+
+
+def test_boolean_enforce(spark):
+    """Reference test_boolean_enforce (/root/reference/slide_test/
+    suite.py:2006-2018): int- and float-valued columns coerced to bool
+    through the type_safe egress path."""
+    df = to_df(spark, [[1, True], [2, False], [3, None]], "b:int,c:bool")
+    assert as_array(df, "b:int,c:bool", type_safe=True) == [
+        [1, True], [2, False], [3, None],
+    ]
+    df_int = to_df(spark, [[1, 1], [2, 0]], "b:int,c:int")
+    assert as_array(df_int, "b:int,c:bool", type_safe=True) == [
+        [1, True], [2, False],
+    ]
+    df_float = to_df(spark, [[1, 1.0], [2, 0.0]], "b:int,c:double")
+    assert as_array(df_float, "b:int,c:bool", type_safe=True) == [
+        [1, True], [2, False],
+    ]
