@@ -103,3 +103,21 @@ def test_multimodal_frames_is_arrow_batched(spark, sf_dir):
     # intended Python boundary: exactly one Arrow-batched MapInPandas
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_no_query_regresses_to_cartesian_or_row_python(spark, sf_dir):
+    """Fleet-wide plan audit: no workload query may plan a
+    CartesianProduct or row-at-a-time Python eval (BatchEvalPython).
+    Arrow-batched pandas ops (MapInPandas/FlatMapGroupsInPandas) are
+    the sanctioned Python boundary."""
+    offenders = {}
+    for name in sorted(QUERIES):
+        plan = _plan(spark, sf_dir, name)
+        bad = [
+            tag
+            for tag in ("CartesianProduct", "BatchEvalPython")
+            if tag in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
