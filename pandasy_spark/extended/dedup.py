@@ -38,6 +38,7 @@ __all__ = [
     "shingles",
     "ngram_jaccard_pairs",
     "blocked_jaccard_pairs",
+    "rolling_dup_pairs",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "minhash_dedup_pairs",
@@ -306,3 +307,47 @@ def blocked_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select(*block_cols, "id1", "id2", "jaccard")
     )
+
+
+def rolling_dup_pairs(
+    df: "DataFrame",
+    id_col: str,
+    key_cols: list[str],
+    time_col: str,
+    window_seconds: int,
+) -> "DataFrame":
+    """Time-rolling duplicate pairs: rows with equal ``key_cols`` whose
+    timestamps are within ``window_seconds`` of each other — the
+    ingestion-time guard for repeated records in an event stream.
+
+    Scale shape: time is quantized into ``window_seconds`` buckets; the
+    left side is exploded into its bucket ± 1 (3x inflation), the right
+    side keeps its single bucket, and the join runs co-partitioned on
+    (keys + bucket).  Any pair within the window spans at most adjacent
+    buckets, and each pair matches in EXACTLY one (left-replica, right)
+    combination — no distinct pass needed.  Work is Σ|bucket-group|²,
+    never |corpus|², and skewed key groups split across buckets."""
+    window_us = int(window_seconds) * 1_000_000
+    bucket = F.floor(F.unix_micros(F.col(time_col)) / F.lit(window_us)).cast("long")
+    left = df.select(
+        *key_cols,
+        F.col(id_col).alias("id1"),
+        F.col(time_col).alias("__t1"),
+        F.explode(
+            F.array(bucket - F.lit(1), bucket, bucket + F.lit(1))
+        ).alias("__b"),
+    )
+    right = df.select(
+        *key_cols,
+        F.col(id_col).alias("id2"),
+        F.col(time_col).alias("__t2"),
+        bucket.alias("__b"),
+    )
+    pairs = left.join(right, on=list(key_cols) + ["__b"]).filter(
+        (F.col("id1") < F.col("id2"))
+        & (
+            F.abs(F.unix_micros("__t1") - F.unix_micros("__t2"))
+            <= F.lit(window_us)
+        )
+    )
+    return pairs.select(*key_cols, "id1", "id2")

@@ -2627,3 +2627,23 @@ def sql_passthrough(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_PASSTHROUGH)
+
+
+@query(
+    "dedup_rolling",
+    """
+    SELECT a.user_id, a.event_type, a.event_id AS id1, b.event_id AS id2
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_type = b.event_type
+     AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600 * 1000000
+    """,
+)
+def dedup_rolling(spark, sf_dir):
+    """Rolling-window duplicate pairs: same (user, event_type) within
+    ±10 minutes — bucketed self-join (extended/dedup.py
+    rolling_dup_pairs), oracle is DuckDB's native inequality join."""
+    ev = _t(spark, sf_dir, "events")
+    return X_dedup.rolling_dup_pairs(
+        ev, "event_id", ["user_id", "event_type"], "ts", 600
+    )

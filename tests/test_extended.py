@@ -251,3 +251,20 @@ def test_audio_features_arithmetic(spark):
            X_mm.audio_features(X_mm.with_binary_payload(df)).collect()}
     assert out[1]["n_samples"] == 16000 and out[1]["duration_ms"] == 1000
     assert out[2]["n_samples"] == 0 and out[2]["duration_ms"] == 0
+
+
+def test_rolling_dup_pairs_bucket_edges(spark):
+    """Pairs straddling a bucket boundary are found exactly once; pairs
+    outside the window are excluded."""
+    from pandasy_spark.convert import to_df
+
+    rows = [
+        [1, "u", "2020-01-01 00:09:59"],
+        [2, "u", "2020-01-01 00:10:01"],   # 2s after id1, crosses 600s bucket edge
+        [3, "u", "2020-01-01 00:30:00"],   # >600s from both
+        [4, "v", "2020-01-01 00:10:00"],   # different key
+    ]
+    df = to_df(spark, rows, "event_id:long,k:str,ts:datetime")
+    pairs = X_dedup.rolling_dup_pairs(df, "event_id", ["k"], "ts", 600)
+    got = sorted((r["id1"], r["id2"]) for r in pairs.collect())
+    assert got == [(1, 2)]
