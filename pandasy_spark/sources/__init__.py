@@ -1,4 +1,4 @@
-from .sinks import read_back, write_bucketed_table, write_parquet
+from .sinks import read_back, write_bucketed_table, write_parquet, write_range_sorted
 from .catalog import (
     BROADCAST_TABLES,
     TABLES,
@@ -18,4 +18,5 @@ __all__ = [
     "read_back",
     "write_bucketed_table",
     "write_parquet",
+    "write_range_sorted",
 ]

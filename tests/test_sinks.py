@@ -60,3 +60,43 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_range_sorted_write_has_disjoint_file_stats(spark, sf_dir, tmp_path):
+    """write_range_sorted must produce files whose sort-key min/max
+    ranges don't overlap — the property that makes parquet stats prune
+    whole files for range predicates."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pandasy_spark.sources import load_table, write_range_sorted
+
+    out = str(tmp_path / "orders_by_date")
+    orders = load_table(spark, sf_dir, "orders")
+    write_range_sorted(orders, out, ["o_orderdate"], num_files=8)
+
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "o_orderdate"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)  # disjoint (boundary value may touch)
+
+    # and Spark actually prunes: a narrow date filter reads fewer rows
+    back = spark.read.parquet(out).filter(
+        F.col("o_orderdate") < F.lit("1995-02-01").cast("timestamp")
+    )
+    assert back.count() == orders.filter(
+        F.col("o_orderdate") < F.lit("1995-02-01").cast("timestamp")
+    ).count()
