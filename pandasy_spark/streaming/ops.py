@@ -121,12 +121,21 @@ def stream_stream_tolerance_join(
     right_time: str,
     tolerance_seconds: int,
     watermark: str = "1 hour",
+    how: str = "inner",
 ):
-    """Stream-stream inner join within ±tolerance (the streaming twin
-    of operators.rangejoin.tolerance_join).  Both sides carry
-    watermarks so the state store can evict rows older than the
+    """Stream-stream join within ±tolerance (the streaming twin of
+    operators.rangejoin.tolerance_join).  Both sides carry watermarks
+    so the state store can evict rows older than the
     tolerance+watermark horizon — without them a stream-stream join
-    buffers forever."""
+    buffers forever.
+
+    ``how`` may be ``inner`` or ``left_outer``: outer stream-stream
+    joins are legal exactly because the time-interval condition plus
+    watermarks bound how long an unmatched left row must wait before
+    the engine can emit it with NULL right columns (state eviction ==
+    result finalization)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError("stream_stream_tolerance_join supports inner|left_outer")
     lw = left.withWatermark(left_time, watermark)
     rw = right.withWatermark(right_time, watermark)
     cond = None
@@ -137,7 +146,7 @@ def stream_stream_tolerance_join(
         f"{right_time} BETWEEN {left_time} - INTERVAL {tolerance_seconds} SECONDS "
         f"AND {left_time} + INTERVAL {tolerance_seconds} SECONDS"
     )
-    return lw.join(rw, t if cond is None else cond & t, "inner")
+    return lw.join(rw, t if cond is None else cond & t, how)
 
 
 def foreach_batch(stream_df: DataFrame, fn, query_name: str = "fb"):

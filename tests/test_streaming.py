@@ -351,3 +351,77 @@ def test_rate_source_soak(spark):
         )
     finally:
         q.stop()
+
+
+def test_stream_stream_left_outer_tolerance_join(spark, sf_dir, tmp_path):
+    """Outer stream-stream join: errors with no same-user purchase
+    within ±10 min appear with NULL buy columns once the watermark
+    passes err_ts + tolerance.  Outer stream-stream joins require an
+    equality predicate, and results finalize only on a LATER
+    micro-batch — so the stream is two files (events, then a
+    far-future sentinel) like the stateful-sessions test."""
+    from pandasy_spark.operators import tolerance_join
+    from pandasy_spark.streaming.ops import stream_stream_tolerance_join
+
+    batch = load_table(spark, sf_dir, "events")
+    bl = batch.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    br = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+    )
+    inner = tolerance_join(
+        bl.withColumnRenamed("user_id", "l_user_id"), br, on=[],
+        left_time="err_ts", right_time="buy_ts", tolerance_seconds=600,
+    ).filter(F.col("l_user_id") == F.col("r_user_id"))
+    matched_err = set(r["err_id"] for r in inner.select("err_id").collect())
+    err_pdf = bl.toPandas()
+    all_err = set(err_pdf["err_id"])
+    max_real_ms = pd.to_datetime(batch.toPandas()["ts"]).max().value // 1_000_000
+    err_ms = pd.to_datetime(err_pdf["err_ts"]).astype("int64") // 1_000_000
+    finalized = set(err_pdf.loc[err_ms + 600_000 < max_real_ms, "err_id"])
+    expected_null = (all_err - matched_err) & finalized
+
+    stream_dir = str(tmp_path / "ss_outer_stream")
+    (tmp_path / "ss_outer_stream").mkdir()
+    ev_pdf = batch.toPandas()
+    ev_pdf["ts"] = ev_pdf["ts"].astype("datetime64[us]")
+    ev_pdf.to_parquet(stream_dir + "/a_events.parquet", index=False)
+    sentinel = ev_pdf.head(1).copy()
+    sentinel["user_id"] = -1
+    sentinel["ts"] = pd.Series(
+        [ev_pdf["ts"].max() + pd.Timedelta(days=30)], dtype="datetime64[us]"
+    ).values
+    sentinel.to_parquet(stream_dir + "/b_sentinel.parquet", index=False)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stream_dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+    sl = stream.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    sr = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), F.col("ts").alias("buy_ts")
+    )
+    joined = stream_stream_tolerance_join(
+        sl, sr, on=["user_id"], left_time="err_ts", right_time="buy_ts",
+        tolerance_seconds=600, watermark="0 seconds", how="left_outer",
+    ).select("err_id", "buy_id")
+    q = run_stream_to_memory(joined, "ss_outer_test", output_mode="append")
+    try:
+        out = spark.table("ss_outer_test").toPandas()
+    finally:
+        q.stop()
+
+    got_matched = set(out.loc[out["buy_id"].notna(), "err_id"])
+    got_null = set(out.loc[out["buy_id"].isna(), "err_id"])
+    assert got_matched == matched_err
+    # all provably-finalized unmatched errors emitted with NULL right side;
+    # nothing emitted as NULL that actually had a match
+    assert expected_null <= got_null <= (all_err - matched_err)
+    assert len(expected_null) > 0
