@@ -1,3 +1,4 @@
+from .formats import read_csv, read_jsonl, write_csv, write_jsonl
 from .sinks import read_back, write_bucketed_table, write_parquet, write_range_sorted
 from .catalog import (
     BROADCAST_TABLES,
@@ -16,6 +17,10 @@ __all__ = [
     "register_views",
     "table_path",
     "read_back",
+    "read_csv",
+    "read_jsonl",
+    "write_csv",
+    "write_jsonl",
     "write_bucketed_table",
     "write_parquet",
     "write_range_sorted",

@@ -100,3 +100,37 @@ def test_range_sorted_write_has_disjoint_file_stats(spark, sf_dir, tmp_path):
     assert back.count() == orders.filter(
         F.col("o_orderdate") < F.lit("1995-02-01").cast("timestamp")
     ).count()
+
+
+def test_csv_jsonl_round_trip_with_corrupt_quarantine(spark, sf_dir, tmp_path):
+    """CSV and JSONL readers: schema-pinned round trip preserves values
+    and nulls; malformed rows land in _corrupt_record instead of
+    disappearing."""
+    from pandasy_spark.convert import to_df
+    from pandasy_spark.sources import read_csv, read_jsonl, write_csv, write_jsonl
+
+    df = to_df(
+        spark,
+        [[1, "alpha", 1.5], [2, None, -0.25], [3, "gamma", None]],
+        "id:long,name:str,score:double",
+    )
+    csv_dir, json_dir = str(tmp_path / "c"), str(tmp_path / "j")
+    write_csv(df, csv_dir)
+    write_jsonl(df, json_dir)
+
+    back_csv = read_csv(spark, csv_dir, schema="id:long,name:str,score:double")
+    back_json = read_jsonl(spark, json_dir, schema="id:long,name:str,score:double")
+    expect = sorted(map(tuple, df.collect()))
+    assert sorted(map(tuple, back_csv.collect())) == expect
+    assert sorted(map(tuple, back_json.collect())) == expect
+
+    # corrupt quarantine: a malformed JSON line is kept, flagged, parseable rows intact
+    bad = tmp_path / "j" / "zz_bad.json"
+    bad.write_text('{"id": 9, "name": "ok", "score": 2.0}\n{not json at all}\n')
+    with_bad = read_jsonl(
+        spark, json_dir, schema="id:long,name:str,score:double", keep_corrupt=True
+    )
+    rows = with_bad.collect()
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and corrupt[0]["id"] is None
+    assert len([r for r in rows if r["id"] == 9]) == 1
