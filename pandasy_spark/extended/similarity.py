@@ -26,6 +26,7 @@ __all__ = [
     "l2_norm",
     "cosine",
     "cosine_topk",
+    "cosine_dup_pairs",
     "hyperplane_bucket",
     "lsh_cosine_topk",
     "kmeans_centroids",
@@ -299,4 +300,47 @@ def ivf_topk(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "id", "sim", "rk")
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    lsh_planes: int = 0,
+    lsh_tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: (id1 < id2) with
+    cosine >= threshold.
+
+    ``lsh_planes=0`` (default) is the exact path — a triangular
+    self-join; quadratic, for bounded subsets and LSH verification.
+    ``lsh_planes>0`` blocks the self-join by random-hyperplane bucket
+    across ``lsh_tables`` tables first (the scale path): candidates
+    share a bucket in >=1 table, pairs are verified with the exact
+    cosine, and multi-table collisions are deduplicated.  Recall is
+    tunable via planes/tables exactly as in ``lsh_cosine_topk``."""
+    a = df.select(
+        F.col(id_col).alias("id1"), as_double_vec(F.col(vec_col)).alias("v1")
+    )
+    b = df.select(
+        F.col(id_col).alias("id2"), as_double_vec(F.col(vec_col)).alias("v2")
+    )
+    if lsh_planes > 0:
+        pairs = None
+        for t in range(lsh_tables):
+            at = a.withColumn("__b", hyperplane_bucket(F.col("v1"), lsh_planes, t))
+            bt = b.withColumn("__b", hyperplane_bucket(F.col("v2"), lsh_planes, t))
+            cand = at.join(bt, on="__b").drop("__b").filter(F.col("id1") < F.col("id2"))
+            pairs = cand if pairs is None else pairs.unionByName(cand)
+        pairs = pairs.dropDuplicates(["id1", "id2"])
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
+    sim = qround(cosine(F.col("v1"), F.col("v2")), round_digits)
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select("id1", "id2", "sim")
     )

@@ -2647,3 +2647,29 @@ def dedup_rolling(spark, sf_dir):
     return X_dedup.rolling_dup_pairs(
         ev, "event_id", ["user_id", "event_type"], "ts", 600
     )
+
+
+@query(
+    "dedup_embedding",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 300
+    ), p AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
+             (sqrt(list_sum([a.v[i]*a.v[i] for i in range(1, len(a.v)+1)])) *
+              sqrt(list_sum([b.v[i]*b.v[i] for i in range(1, len(b.v)+1)]))) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id1, id2, FLOOR((sim) * 10000 + 0.5) / 10000 AS sim
+    FROM p WHERE FLOOR((sim) * 10000 + 0.5) / 10000 >= 0.42
+    """,
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact path on a bounded
+    subset; extended/similarity.py cosine_dup_pairs — the LSH-blocked
+    variant of the same operator is the scale path, recall-tested in
+    test_extended.py)."""
+    emb = filter_df(_t(spark, sf_dir, "embeddings"), F.col("vec_id") < 300)
+    return X_sim.cosine_dup_pairs(emb, threshold=0.42)

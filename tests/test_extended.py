@@ -268,3 +268,27 @@ def test_rolling_dup_pairs_bucket_edges(spark):
     pairs = X_dedup.rolling_dup_pairs(df, "event_id", ["k"], "ts", 600)
     got = sorted((r["id1"], r["id2"]) for r in pairs.collect())
     assert got == [(1, 2)]
+
+
+def test_cosine_dup_pairs_lsh_blocked_recall(spark, sf_dir):
+    """The LSH-blocked pair finder must (a) return a subset of the
+    exact pairs with identical sims, (b) recover most of them, and
+    (c) never plan a cartesian product."""
+    from pandasy_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    exact = {
+        (r["id1"], r["id2"]): r["sim"]
+        for r in X_sim.cosine_dup_pairs(emb, threshold=0.40).collect()
+    }
+    blocked_df = X_sim.cosine_dup_pairs(
+        emb, threshold=0.40, lsh_planes=4, lsh_tables=8
+    )
+    blocked = {(r["id1"], r["id2"]): r["sim"] for r in blocked_df.collect()}
+    assert set(blocked) <= set(exact)
+    for k, v in blocked.items():
+        assert v == exact[k]
+    assert len(exact) > 0
+    assert len(blocked) / len(exact) >= 0.5  # recall at 4 planes x 8 tables
+    plan = blocked_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
