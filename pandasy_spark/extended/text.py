@@ -27,6 +27,8 @@ __all__ = [
     "lang_score",
     "lang_id",
     "fingerprint",
+    "bpe_token_count",
+    "rolling_fingerprint",
     "with_text_stats",
 ]
 
@@ -114,4 +116,39 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "quality": quality_score(c),
             "fingerprint": fingerprint(c),
         }
+    )
+
+
+# GPT-2-style pre-tokenizer approximation, restricted to the regex
+# subset where Java (Spark) and RE2 (DuckDB oracle) agree: contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+_BPE_ISH = r"'(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+"
+
+_ROLL_BASE = 257
+_ROLL_MOD = 9_007_199_254_740_992  # 2^53: (acc*257 + code) stays in int64
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Subword-ish token count via a BPE pre-tokenizer regex — a much
+    better LLM-token estimate than whitespace splitting (which
+    undercounts punctuation-heavy and digit-heavy text).  Pure
+    regexp_count: JVM-side, codegen, no Python."""
+    return F.regexp_count(col, F.lit(_BPE_ISH)).cast("long")
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Order-sensitive Karp-Rabin rolling hash of the character
+    stream: ``h = (h * 257 + code(c)) mod 2^53``.
+
+    Unlike the md5 ``fingerprint`` (content identity), the polynomial
+    form extends to windowed/shingle fingerprinting (subtract the
+    leading term, multiply, add) — the primitive under winnowing-style
+    near-dup detection.  Computed with a higher-order ``aggregate``
+    over the char array: JVM-side, no UDF, and exactly reproducible in
+    any engine with the same integer ops."""
+    chars = F.filter(F.split(col, ""), lambda c: F.length(c) > 0)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(_ROLL_BASE) + F.ascii(c)) % F.lit(_ROLL_MOD),
     )

@@ -2673,3 +2673,29 @@ def dedup_embedding(spark, sf_dir):
     test_extended.py)."""
     emb = filter_df(_t(spark, sf_dir, "embeddings"), F.col("vec_id") < 300)
     return X_sim.cosine_dup_pairs(emb, threshold=0.42)
+
+
+@query(
+    "text_subword_fingerprint",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '''(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+')) AS BIGINT) AS n_subword,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          [CAST(ascii(c) AS BIGINT)
+                           for c in string_split_regex(text, '') if len(c) > 0]),
+             (acc, code) -> (acc * 257 + code) % 9007199254740992
+           ) AS roll_fp
+    FROM documents
+    """,
+)
+def text_subword_fingerprint(spark, sf_dir):
+    """BPE-ish subword token counting + Karp-Rabin rolling-hash
+    fingerprint (extended/text.py) — both pure JVM column expressions,
+    integer-exact across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X_text.bpe_token_count(F.col("text")).alias("n_subword"),
+        X_text.rolling_fingerprint(F.col("text")).alias("roll_fp"),
+    )
