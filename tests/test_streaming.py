@@ -425,3 +425,35 @@ def test_stream_stream_left_outer_tolerance_join(spark, sf_dir, tmp_path):
     # nothing emitted as NULL that actually had a match
     assert expected_null <= got_null <= (all_err - matched_err)
     assert len(expected_null) > 0
+
+
+def test_stateful_dedup_on_rocksdb_state_store(spark, sf_dir):
+    """The production state backend: RocksDB state store provider
+    (bounded executor memory at 100 TB-scale state, incremental
+    checkpoints) must produce identical results to the default
+    HDFS-backed store."""
+    from pandasy_spark.streaming import streaming_dedup
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_stream_table(spark, sf_dir, "events")
+        deduped = streaming_dedup(stream, ["user_id"], order_col="ts")
+        q = run_stream_to_memory(deduped, "rocksdb_dedup_test", output_mode="append")
+        try:
+            actual = spark.table("rocksdb_dedup_test").count()
+        finally:
+            q.stop()
+        expected = (
+            load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+        )
+        assert actual == expected
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
