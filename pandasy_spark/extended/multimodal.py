@@ -28,6 +28,8 @@ __all__ = [
     "extract_features",
     "decode_image",
     "sample_frames",
+    "resize_images",
+    "RESIZED_SCHEMA",
     "audio_features",
 ]
 
@@ -177,3 +179,48 @@ def audio_features(
         .cast("long")
         .alias("duration_ms"),
     )
+
+
+RESIZED_SCHEMA = parse_schema(
+    "doc_id:long,out_w:int,out_h:int,resized:bytes"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int = 64,
+    out_h: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image-resize plumbing over ``mapInPandas``: binary in, binary
+    out at a fixed target size — the normalization step in front of an
+    embedding model.
+
+    The "resampler" is a deterministic fake (strided byte sampling to
+    exactly ``out_w*out_h`` bytes, zero-padded); swap in PIL/cv2 in
+    production — schema, batching, and memory shape (each batch holds
+    decoded output for its rows only) are the real deliverable."""
+    id_name, payload_name = id_col, payload_col
+    target = out_w * out_h
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[bytes] = []
+            for payload in pdf[payload_name]:
+                b = bytes(payload)
+                if len(b) >= target:
+                    stride = len(b) // target
+                    out.append(b[:: stride][:target])
+                else:
+                    out.append(b + b"\x00" * (target - len(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_name].astype("int64"),
+                    "out_w": pd.Series([out_w] * len(pdf), dtype="int32"),
+                    "out_h": pd.Series([out_h] * len(pdf), dtype="int32"),
+                    "resized": pd.Series(out, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_resize, schema=RESIZED_SCHEMA)

@@ -292,3 +292,17 @@ def test_cosine_dup_pairs_lsh_blocked_recall(spark, sf_dir):
     assert len(blocked) / len(exact) >= 0.5  # recall at 4 planes x 8 tables
     plan = blocked_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_resize_images_fixed_output_size(spark):
+    df = to_df(spark, [[1, "a" * 10000], [2, "b" * 100]], "doc_id:long,text:str")
+    out = {
+        r["doc_id"]: r
+        for r in X_mm.resize_images(
+            X_mm.with_binary_payload(df), out_w=32, out_h=32
+        ).collect()
+    }
+    assert len(bytes(out[1]["resized"])) == 32 * 32  # strided downsample
+    assert len(bytes(out[2]["resized"])) == 32 * 32  # zero-padded upsample
+    assert bytes(out[2]["resized"])[:100] == b"b" * 100
+    assert out[1]["out_w"] == 32 and out[1]["out_h"] == 32
