@@ -2699,3 +2699,42 @@ def text_subword_fingerprint(spark, sf_dir):
         X_text.bpe_token_count(F.col("text")).alias("n_subword"),
         X_text.rolling_fingerprint(F.col("text")).alias("roll_fp"),
     )
+
+
+@query(
+    "events_time_rollup",
+    """
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day_bucket,
+           CASE WHEN GROUPING(time_bucket(INTERVAL '1 hour', ts)) = 0
+                THEN time_bucket(INTERVAL '1 hour', ts) END AS hour_bucket,
+           CAST(GROUPING(time_bucket(INTERVAL '1 hour', ts)) AS INT) AS is_day_total,
+           COUNT(*) AS n_events,
+           FLOOR((SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0) * 100 + 0.5) / 100 AS sum_value
+    FROM events
+    GROUP BY ROLLUP (time_bucket(INTERVAL '1 day', ts),
+                     time_bucket(INTERVAL '1 hour', ts))
+    HAVING GROUPING(time_bucket(INTERVAL '1 day', ts)) = 0
+    """,
+)
+def events_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: hourly buckets
+    with per-day subtotals in ONE grouped pass (ROLLUP over the bucket
+    hierarchy) — the pattern behind multi-granularity time-series
+    dashboards.  A single shuffle computes both granularities; Spark's
+    `expand` node emits each row once per grouping set before the
+    partial agg, so it's still map-side combined."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day_bucket")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour_bucket")
+    g = rollup(
+        ev.select(day, hour, "value"),
+        ["day_bucket", "hour_bucket"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": qr(exact_sum(F.col("value"), 2), 2),
+            "is_day_total": F.grouping("hour_bucket").cast("int"),
+        },
+    )
+    return filter_df(g, F.col("day_bucket").isNotNull()).select(
+        "day_bucket", "hour_bucket", "is_day_total", "n_events", "sum_value"
+    )
