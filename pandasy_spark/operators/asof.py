@@ -42,25 +42,35 @@ def asof_join(
     lcols = left.columns
     rpayload = [c for c in right.columns if c not in on and c != right_time]
 
-    tagged_r = right.select(
+    # SQL equi-join semantics: NULL keys never match.  Right rows with a
+    # NULL key can match nothing; left rows with a NULL key get no match
+    # (dropped for 'inner', NULL payload for 'left').
+    null_key = F.lit(False)
+    for k in on:
+        null_key = null_key | F.col(k).isNull()
+
+    # The matched right row travels as ONE struct so a genuine NULL in a
+    # payload field stays with its row instead of being back-filled from
+    # an older right row by an independent last(..., ignorenulls) per
+    # column (ADVICE r1).
+    r_struct = F.struct(
+        F.col(right_time).alias(right_time),
+        *[F.col(c).alias(c) for c in rpayload],
+    )
+    r_struct_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
+
+    tagged_r = right.filter(~null_key).select(
         *[F.col(c) for c in on],
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
-        F.col(right_time).alias(f"{right_prefix}{right_time}"),
-        *[F.col(c).alias(f"{right_prefix}{c}") for c in rpayload],
+        r_struct.alias("__r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
     )
-    tagged_l = left.select(
+    tagged_l = left.filter(~null_key).select(
         *[F.col(c) for c in on],
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
-        F.lit(None).cast(right.schema[right_time].dataType).alias(
-            f"{right_prefix}{right_time}"
-        ),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{right_prefix}{c}")
-            for c in rpayload
-        ],
+        F.lit(None).cast(r_struct_type).alias("__r"),
         *[F.col(c) for c in lcols if c not in on],
     )
     unioned = tagged_r.unionByName(tagged_l)
@@ -75,14 +85,28 @@ def asof_join(
         *on,
         "__is_left",
         *[F.col(c) for c in lcols if c not in on],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r"),
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        *on,
+        *[F.col(c) for c in lcols if c not in on],
         *[
-            F.last(F.col(f"{right_prefix}{c}"), ignorenulls=True)
-            .over(w)
-            .alias(f"{right_prefix}{c}")
+            F.col("__r")[c].alias(f"{right_prefix}{c}")
             for c in [right_time] + rpayload
         ],
     )
-    out = carried.filter(F.col("__is_left") == 1).drop("__is_left")
+    if how == "left":
+        null_left = left.filter(null_key).select(
+            *on,
+            *[F.col(c) for c in lcols if c not in on],
+            *[
+                F.lit(None)
+                .cast(right.schema[c].dataType)
+                .alias(f"{right_prefix}{c}")
+                for c in [right_time] + rpayload
+            ],
+        )
+        out = out.unionByName(null_left)
     if how == "inner":
         out = out.filter(F.col(f"{right_prefix}{right_time}").isNotNull())
     return out

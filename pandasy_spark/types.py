@@ -66,9 +66,9 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     depth = 0
     buf: list[str] = []
     for ch in s:
-        if ch in "[{":
+        if ch in "[{<":
             depth += 1
-        elif ch in "]}":
+        elif ch in "]}>":
             depth -= 1
         if ch == sep and depth == 0:
             parts.append("".join(buf))
@@ -92,8 +92,10 @@ def parse_type(expr: str) -> T.DataType:
     if expr.startswith("{") and expr.endswith("}"):
         return T.StructType(_parse_fields(expr[1:-1]))
     if expr.startswith("<") and expr.endswith(">"):
-        k, v = _split_top(expr[1:-1])
-        return T.MapType(parse_type(k), parse_type(v))
+        parts = _split_top(expr[1:-1])
+        if len(parts) != 2:
+            raise ValueError(f"map type needs exactly <K,V>: {expr!r}")
+        return T.MapType(parse_type(parts[0]), parse_type(parts[1]))
     if expr in _PRIMITIVES:
         return _PRIMITIVES[expr][0]
     raise ValueError(f"unknown type expression: {expr!r}")

@@ -2733,8 +2733,12 @@ def events_time_rollup(spark, sf_dir):
             "n_events": F.count(F.lit(1)),
             "sum_value": qr(exact_sum(F.col("value"), 2), 2),
             "is_day_total": F.grouping("hour_bucket").cast("int"),
+            # GROUPING(day), not day IS NOT NULL: a genuine NULL-ts group
+            # (grouping=0) must be kept, matching the oracle's HAVING
+            # (ADVICE r1, workload.py:2738).
+            "__g_day": F.grouping("day_bucket").cast("int"),
         },
     )
-    return filter_df(g, F.col("day_bucket").isNotNull()).select(
+    return filter_df(g, F.col("__g_day") == 0).select(
         "day_bucket", "hour_bucket", "is_day_total", "n_events", "sum_value"
     )

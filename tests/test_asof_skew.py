@@ -150,3 +150,43 @@ def test_adaptive_salted_join_matches_plain_join(spark):
         big, small, on=["k"], how="left", rows_per_task=1000, sample_fraction=0.5
     )
     assert salted_l.count() == plain_l.count()
+
+
+def test_asof_join_null_payload_not_backfilled(spark):
+    """A genuine NULL in the matched right row must stay NULL, not be
+    back-filled from an older right row (ADVICE r1: payload travels as
+    one struct). Matches DuckDB ASOF JOIN semantics."""
+    left = to_df(spark, [[1, _ts("2024-01-01 10:00:00")]], "k:long,ts:datetime")
+    right = to_df(
+        spark,
+        [
+            [1, _ts("2024-01-01 01:00:00"), 100, 200],
+            [1, _ts("2024-01-01 05:00:00"), None, 300],
+        ],
+        "k:long,ts:datetime,a:long,b:long",
+    )
+    out = asof_join(left, right, on=["k"], left_time="ts", right_time="ts")
+    row = out.collect()[0]
+    assert row["asof_a"] is None  # NOT 100
+    assert row["asof_b"] == 300
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """NULL join keys follow SQL equi-join semantics: they match nothing
+    (ADVICE r1). inner drops them; left keeps them with NULL payload."""
+    left = to_df(
+        spark,
+        [[None, _ts("2024-01-01 10:00:00"), "LN"], [1, _ts("2024-01-01 10:00:00"), "L1"]],
+        "k:long,ts:datetime,lv:str",
+    )
+    right = to_df(
+        spark,
+        [[None, _ts("2024-01-01 09:00:00"), "RN"], [1, _ts("2024-01-01 09:00:00"), "R1"]],
+        "k:long,ts:datetime,rv:str",
+    )
+    inner = asof_join(left, right, on=["k"], left_time="ts", right_time="ts")
+    assert {(r["lv"], r["asof_rv"]) for r in inner.collect()} == {("L1", "R1")}
+
+    lft = asof_join(left, right, on=["k"], left_time="ts", right_time="ts", how="left")
+    got = {r["lv"]: r["asof_rv"] for r in lft.collect()}
+    assert got == {"L1": "R1", "LN": None}

@@ -65,3 +65,25 @@ def test_infer_constants():
 
 def test_parse_map():
     assert parse_type("<str,long>") == T.MapType(T.StringType(), T.LongType())
+
+
+def test_parse_map_in_schema_and_roundtrip():
+    """Map fields inside schema expressions and nested maps parse; the
+    schema_to_expr -> parse_schema round-trip holds (ADVICE r1: _split_top
+    must track <> depth)."""
+    s = parse_schema("a:<str,int>,b:long")
+    assert s["a"].dataType == T.MapType(T.StringType(), T.IntegerType())
+    assert s["b"].dataType == T.LongType()
+    nested = parse_schema("m:<str,<str,[long]>>,x:{y:<int,str>}")
+    assert nested["m"].dataType == T.MapType(
+        T.StringType(), T.MapType(T.StringType(), T.ArrayType(T.LongType()))
+    )
+    for expr in ("a:<str,int>,b:long", "m:<str,<str,[long]>>,x:{y:<int,str>}"):
+        rt = parse_schema(schema_to_expr(parse_schema(expr)))
+        assert rt == parse_schema(expr)
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_type("<str>")
+    with pytest.raises(ValueError):
+        parse_type("<str,int,long>")
