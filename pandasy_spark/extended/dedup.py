@@ -26,12 +26,19 @@ from pyspark.sql import functions as F
 from ..functions.kernels import qround
 from .text import fingerprint
 
-# fixed odd multipliers / offsets for the affine minhash family
-# (deterministic across runs; any odd a gives a bijection mod 2^64)
-_MINHASH_A = [0x9E3779B97F4A7C15 * (2 * i + 1) & 0xFFFFFFFFFFFFFFFF for i in range(64)]
-_MINHASH_A = [a - 0x10000000000000000 if a >= 0x8000000000000000 else a for a in _MINHASH_A]
-_MINHASH_B = [(0xC2B2AE3D27D4EB4F * (i + 1)) & 0xFFFFFFFFFFFFFFFF for i in range(64)]
-_MINHASH_B = [b - 0x10000000000000000 if b >= 0x8000000000000000 else b for b in _MINHASH_B]
+# All dedup hashing below is pure int64 arithmetic modulo the MINSTD
+# prime — engine-portable, so the minhash/simhash gate queries can be
+# hash-checked against a DuckDB oracle that rebuilds the same values
+# (xxhash64, the r1 hash source, exists only in Spark).  Every
+# intermediate stays well inside int64, so ANSI overflow checks are
+# safe.  a in [1, p-1] is a bijection mod prime p, so the affine family
+# (a_i*h + b_i) mod p is a textbook universal family.
+_P31 = 2147483647  # 2^31 - 1 (prime)
+_ROLL_MOD = 9_007_199_254_740_992  # 2^53: (acc*257 + code) stays in int64
+# 48271 is a primitive root mod 2^31-1, so its powers sweep [1, p-1]
+# — well-spread multipliers, and a*h < 2^62 stays in int64.
+_MINHASH_A = [pow(48271, i + 2, _P31) for i in range(64)]
+_MINHASH_B = [(1103515245 * (i + 1) + 12345) % _P31 for i in range(64)]
 
 __all__ = [
     "exact_dedup",
@@ -66,6 +73,20 @@ def exact_dedup(
     )
 
 
+def char_poly_hash(col: Column) -> Column:
+    """Karp-Rabin char fold ``(acc*257 + code) mod 2^53`` reduced mod
+    the MINSTD prime — an engine-portable string hash (DuckDB:
+    ``list_reduce`` over ``ord`` codes).  The base primitive under the
+    minhash family."""
+    chars = F.filter(F.split(col, ""), lambda c: F.length(c) > 0)
+    h53 = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(257) + F.ascii(c)) % F.lit(_ROLL_MOD),
+    )
+    return h53 % F.lit(_P31)
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct character n-gram set of a string (empty array if the
     string is shorter than n)."""
@@ -81,12 +102,18 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_rows: int | None = 20_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs (id1 < id2).
 
-    O(n^2) — intended for bounded subsets or LSH-candidate
-    verification, not whole-corpus runs; pair the ids first with
-    ``lsh_candidate_pairs`` at scale."""
+    O(n^2) — a bounded-subset / LSH-candidate VERIFICATION kernel, not
+    a whole-corpus operator; use ``blocked_jaccard_pairs`` or
+    ``lsh_candidate_pairs`` at scale.  Guarded by ``max_rows`` (one
+    count job); ``max_rows=None`` explicitly accepts an unbounded
+    quadratic run."""
+    from .similarity import _guard_quadratic
+
+    _guard_quadratic(df, max_rows, "ngram_jaccard_pairs")
     a = df.select(
         F.col(id_col).alias("id1"), shingles(F.col(text_col), n).alias("s1")
     ).filter(F.size("s1") > 0)
@@ -111,8 +138,9 @@ def minhash_signatures(
     num_hashes: int = 32,
     n: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature: explode distinct shingles, apply
-    ``num_hashes`` seeded xxhash64 functions, take the column-wise min.
+    """Per-document MinHash signature: explode distinct shingles, hash
+    each once, apply ``num_hashes`` affine transforms, take the
+    column-wise min.
 
     Map-side partial aggregation keeps the shuffle at
     |docs| x num_hashes, independent of shingle counts."""
@@ -120,15 +148,16 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), n)).alias("sh"),
     )
-    # One string hash per shingle, then k affine (universal-family)
-    # transforms over the 64-bit value — k integer multiply-adds are
-    # far cheaper than k string hashes, with equivalent minhash
-    # quality.  Long overflow wraps (Java semantics, non-ANSI),
-    # which is exactly the mod-2^64 universal hashing we want.
-    sh = sh.withColumn("__h", F.xxhash64(F.col("sh")))
+    # One Karp-Rabin char-fold per shingle, then k affine
+    # (universal-family) transforms mod the MINSTD prime — k integer
+    # multiply-adds are far cheaper than k string hashes, with
+    # equivalent minhash quality, and the whole construction is
+    # reproducible in any SQL engine (DuckDB oracle-checkable).
+    sh = sh.withColumn("__h", char_poly_hash(F.col("sh")))
     mins = [
         F.min(
-            F.col("__h") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i])
+            (F.col("__h") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]))
+            % F.lit(_P31)
         ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
@@ -150,13 +179,17 @@ def lsh_candidate_pairs(
     pathologically hot (boilerplate-heavy corpora: raise ``bands``)."""
     sig_len_col = F.size("signature")
     width = (sig_len_col / bands).cast("int")
+    # band bucket = integer fold over the band's signature slice —
+    # engine-portable (same fold in the DuckDB oracle), uniform keys.
     banded = signatures.select(
         "id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice("signature", b * width + 1, width).cast("string"), b
+                lambda b: F.aggregate(
+                    F.slice("signature", b * width + 1, width),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: (acc * F.lit(48271) + v) % F.lit(_P31),
                 ),
             )
         ).alias("band", "bucket"),
@@ -209,14 +242,22 @@ def simhash(col: Column, bits: int = 32) -> Column:
     """SimHash over whitespace tokens: per-bit majority vote of token
     hashes, fully columnar (no UDF).  Returns a non-negative long."""
     tokens = F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    hashes = F.transform(tokens, lambda t: char_poly_hash(t))
+
+    def _bit(h: Column, i: int) -> Column:
+        # per-bit MINSTD mix of the token hash — engine-portable
+        # pseudo-random bit i (the poly hash's own low bits are too
+        # structured for direct use)
+        x0 = (h * F.lit(1103515245) + F.lit(i * 12345 + 12345)) % F.lit(_P31)
+        x1 = (x0 * F.lit(48271)) % F.lit(_P31)
+        x2 = (x1 * F.lit(48271)) % F.lit(_P31)
+        return x2 % 2
 
     def _bit_sum(i: int) -> Column:
         return F.aggregate(
             hashes,
             F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            lambda acc, h: acc + F.when(_bit(h, i) == 1, 1).otherwise(-1),
         )
 
     bit_sums = [_bit_sum(i) for i in range(bits)]

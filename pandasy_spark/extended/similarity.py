@@ -93,22 +93,43 @@ def cosine_topk(
     )
 
 
+#: MINSTD (Lehmer) PRNG constants — the ±1 hyperplane coefficients are
+#: derived with pure int64 arithmetic (no engine-specific hash), so any
+#: SQL engine reproduces the buckets bit-for-bit.  That is what lets the
+#: LSH-blocked gate queries be hash-checked against DuckDB instead of
+#: rows-only.
+_MINSTD_MOD = 2147483647  # 2^31 - 1 (prime)
+_MINSTD_MUL = 48271
+
+
+def _minstd_sign(i: Column, seed: int) -> Column:
+    """Deterministic pseudo-random ±1.0 for (dimension i, plane seed).
+
+    Two MINSTD rounds over a linear mix; every intermediate stays well
+    inside int64 (max ~2^47), so it is safe under ANSI overflow checks
+    and expressible verbatim in DuckDB SQL."""
+    x0 = (i.cast("long") * F.lit(1103515245) + F.lit(seed * 12345 + 12345)) % F.lit(
+        _MINSTD_MOD
+    )
+    x1 = (x0 * F.lit(_MINSTD_MUL)) % F.lit(_MINSTD_MOD)
+    x2 = (x1 * F.lit(_MINSTD_MUL)) % F.lit(_MINSTD_MOD)
+    return F.when(x2 % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
 def hyperplane_bucket(vec: Column, planes: int = 8, table: int = 0) -> Column:
     """Sign-bit LSH bucket: plane p's coefficient for dimension i is a
-    deterministic pseudo-random ±1 from ``xxhash64(i, p)``, so the
-    bucketing is reproducible with no stored model.  ``table`` salts
-    the plane seeds so independent hash tables can be built (standard
-    multi-table LSH: recall = 1-(1-p^b)^T)."""
+    deterministic pseudo-random ±1 from a MINSTD mix of (i, p), so the
+    bucketing is reproducible with no stored model — in Spark AND in
+    any oracle engine (pure integer arithmetic; see ``_minstd_sign``).
+    ``table`` salts the plane seeds so independent hash tables can be
+    built (standard multi-table LSH: recall = 1-(1-p^b)^T)."""
     def plane_bit(plane: int) -> Column:
         p = table * 1_000_003 + plane
         proj = F.aggregate(
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, i: x
-                * F.when(
-                    F.xxhash64(i, F.lit(p)).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
-                ).otherwise(F.lit(-1.0)),
+                lambda x, i: x * _minstd_sign(i, p),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -309,26 +330,39 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
-    lsh_planes: int = 0,
-    lsh_tables: int = 4,
+    lsh_planes: int = 4,
+    lsh_tables: int = 8,
+    exact: bool = False,
+    exact_max_rows: int | None = 20_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: (id1 < id2) with
     cosine >= threshold.
 
-    ``lsh_planes=0`` (default) is the exact path — a triangular
-    self-join; quadratic, for bounded subsets and LSH verification.
-    ``lsh_planes>0`` blocks the self-join by random-hyperplane bucket
-    across ``lsh_tables`` tables first (the scale path): candidates
-    share a bucket in >=1 table, pairs are verified with the exact
-    cosine, and multi-table collisions are deduplicated.  Recall is
-    tunable via planes/tables exactly as in ``lsh_cosine_topk``."""
+    The DEFAULT is the scale path: block the self-join by
+    random-hyperplane bucket (``lsh_planes`` sign bits) across
+    ``lsh_tables`` independent tables.  Candidates share a bucket in
+    >=1 table, pairs are verified with the exact cosine, and
+    multi-table collisions are deduplicated — every join is an
+    equi-join on a uniform int key.  Recall is tunable via
+    planes (precision) x tables (recall).
+
+    ``exact=True`` opts into the exact all-pairs path — a triangular
+    self-join; O(n²), intended for bounded subsets and LSH recall
+    verification only.  It is guarded by ``exact_max_rows`` (one
+    count job): pass ``exact_max_rows=None`` to explicitly accept an
+    unbounded quadratic run."""
     a = df.select(
         F.col(id_col).alias("id1"), as_double_vec(F.col(vec_col)).alias("v1")
     )
     b = df.select(
         F.col(id_col).alias("id2"), as_double_vec(F.col(vec_col)).alias("v2")
     )
-    if lsh_planes > 0:
+    if not exact:
+        if lsh_planes <= 0:
+            raise ValueError(
+                "lsh_planes must be > 0; pass exact=True to opt into the "
+                "quadratic all-pairs path"
+            )
         pairs = None
         for t in range(lsh_tables):
             at = a.withColumn("__b", hyperplane_bucket(F.col("v1"), lsh_planes, t))
@@ -337,6 +371,7 @@ def cosine_dup_pairs(
             pairs = cand if pairs is None else pairs.unionByName(cand)
         pairs = pairs.dropDuplicates(["id1", "id2"])
     else:
+        _guard_quadratic(df, exact_max_rows, "cosine_dup_pairs")
         pairs = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
     sim = qround(cosine(F.col("v1"), F.col("v2")), round_digits)
     return (
@@ -344,3 +379,20 @@ def cosine_dup_pairs(
         .filter(F.col("sim") >= F.lit(threshold))
         .select("id1", "id2", "sim")
     )
+
+
+def _guard_quadratic(df: DataFrame, max_rows: int | None, op: str) -> None:
+    """Refuse to run an O(n²) kernel on more than ``max_rows`` inputs.
+
+    ``max_rows=None`` is the explicit unbounded opt-in.  The guard
+    costs one count job — acceptable for kernels documented as
+    bounded-subset verification primitives."""
+    if max_rows is None:
+        return
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{op}: input exceeds {max_rows} rows on the exact O(n^2) "
+            "path; use the LSH/blocked variant at scale, or pass "
+            "max_rows=None to explicitly accept a quadratic run"
+        )

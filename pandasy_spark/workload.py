@@ -1102,6 +1102,40 @@ def dedup_exact(spark, sf_dir):
     "dedup_ngram_jaccard",
     """
     WITH d AS (
+      SELECT lang, CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bucket, doc_id,
+             list_distinct([substring(text, i, 3)
+                            for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS sh
+      FROM documents
+    ), p AS (
+      SELECT a.lang, a.len_bucket, a.doc_id AS id1, b.doc_id AS id2,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
+      FROM d a JOIN d b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+      WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+    )
+    SELECT lang, len_bucket, id1, id2, FLOOR((jac) * 10000 + 0.5) / 10000 AS jaccard
+    FROM p WHERE FLOOR((jac) * 10000 + 0.5) / 10000 >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Headline n-gram Jaccard dedup — the SCALE path: candidate pairs
+    come from an equi-join on content-derived blocks (language x
+    100-char length bucket; near-dups have near-equal lengths), so work
+    is sum(|block|^2) over the whole corpus, never |corpus|^2.  The
+    exact all-pairs kernel is opt-in verification only
+    (dedup_ngram_exact)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 100).cast("long")
+    )
+    return X_dedup.blocked_jaccard_pairs(
+        docs, ["lang", "len_bucket"], n=3, threshold=0.6
+    )
+
+
+@query(
+    "dedup_ngram_exact",
+    """
+    WITH d AS (
       SELECT doc_id,
              list_distinct([substring(text, i, 3)
                             for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS sh
@@ -1116,19 +1150,115 @@ def dedup_exact(spark, sf_dir):
     SELECT id1, id2, FLOOR((jac) * 10000 + 0.5) / 10000 AS jaccard FROM p WHERE FLOOR((jac) * 10000 + 0.5) / 10000 >= 0.6
     """,
 )
-def dedup_ngram_jaccard(spark, sf_dir):
+def dedup_ngram_exact(spark, sf_dir):
+    """The exact O(n²) Jaccard kernel on an explicitly bounded subset —
+    the verification primitive behind the blocked/LSH paths.  The
+    kernel guards against unbounded quadratic runs (max_rows); this
+    entry demonstrates the sanctioned bounded use."""
     docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 200)
-    return X_dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.6)
+    return X_dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.6, max_rows=1000)
 
 
-@query("dedup_minhash")  # rows-only: xxhash64 not expressible in DuckDB
+# DuckDB rebuild of the engine-portable minhash signature: Karp-Rabin
+# char fold -> 32 affine transforms mod the MINSTD prime (same
+# constants as extended/dedup.py _MINHASH_A/_B).
+_MINHASH_SIG_SQL = "[" + ", ".join(
+    f"list_min([(CAST({a} AS BIGINT)*h + {b}) % 2147483647 for h in hl])"
+    for a, b in zip(X_dedup._MINHASH_A[:32], X_dedup._MINHASH_B[:32])
+) + "]"
+
+_SIMHASH_BIT_SQL = (
+    "((((h*CAST(1103515245 AS BIGINT) + i*12345 + 12345) % 2147483647)"
+    " * 48271 % 2147483647) * 48271 % 2147483647) % 2"
+)
+
+
+@query(
+    "dedup_minhash",
+    f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct([substring(text, i, 3)
+                     for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS sh
+      FROM documents WHERE doc_id < 200
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS s FROM d
+    ), hb AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), [ord(substring(s, i, 1))
+                                          for i in range(1, len(s)+1)]),
+                         (acc, c) -> (acc * 257 + c) % 9007199254740992)
+             % 2147483647 AS h
+      FROM ex
+    ), hs AS (
+      SELECT doc_id, list(h) AS hl FROM hb GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL} AS sg FROM hs
+    ), banded AS (
+      SELECT doc_id, b,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sg, 4*b + 1, 4*b + 4)),
+                         (acc, v) -> (acc * 48271 + v) % 2147483647) AS bucket
+      FROM sig, range(0, 8) bb(b)
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      FROM banded l JOIN banded r
+        ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), est AS (
+      SELECT id1, id2,
+             list_sum([CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END
+                       for i in range(1, 33)]) / 32e0 AS e
+      FROM cand JOIN sig a ON cand.id1 = a.doc_id
+                JOIN sig b ON cand.id2 = b.doc_id
+    )
+    SELECT id1, id2, FLOOR(e * 10000 + 0.5) / 10000 AS est_jaccard
+    FROM est WHERE FLOOR(e * 10000 + 0.5) / 10000 >= 0.3
+    """,
+)
 def dedup_minhash(spark, sf_dir):
+    """MinHash + banded LSH near-dup pairs.  The whole construction
+    (char-fold shingle hash, affine family, band fold) is mod-p int64
+    arithmetic, so the DuckDB oracle rebuilds identical signatures and
+    the result is hash-checked (was rows-only in r1 under xxhash64)."""
     docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 200)
     return X_dedup.minhash_dedup_pairs(docs, num_hashes=32, bands=8, threshold=0.3)
 
 
-@query("dedup_simhash")  # rows-only
+@query(
+    "dedup_simhash",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         t -> len(t) > 0) AS toks
+      FROM documents WHERE doc_id < 200
+    ), th AS (
+      SELECT doc_id,
+             [list_reduce(list_prepend(CAST(0 AS BIGINT), [ord(substring(t, i, 1))
+                                           for i in range(1, len(t)+1)]),
+                          (acc, c) -> (acc * 257 + c) % 9007199254740992)
+              % 2147483647 for t in toks] AS hl
+      FROM d
+    ), sh AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN list_sum([CASE WHEN {_SIMHASH_BIT_SQL} = 1
+                                           THEN 1 ELSE -1 END for h in hl]) > 0
+                       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+                       for i in range(0, 32)]) AS sig
+      FROM th
+    ), blocked AS (
+      SELECT doc_id, sig, b, (sig >> (8*b)) & 255 AS key
+      FROM sh, range(0, 4) bb(b)
+    )
+    SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+           bit_count(xor(l.sig, r.sig)) AS hamming
+    FROM blocked l JOIN blocked r
+      ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+    """,
+)
 def dedup_simhash(spark, sf_dir):
+    """SimHash + blocked Hamming near-dup candidates — per-bit majority
+    vote of MINSTD-mixed token hashes; engine-portable, hash-checked
+    against a DuckDB oracle rebuilding the same signatures (was
+    rows-only in r1)."""
     docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 200)
     return X_dedup.simhash_candidate_pairs(docs, bits=32, blocks=4)
 
@@ -1168,8 +1298,61 @@ def knn_cosine(spark, sf_dir):
     )
 
 
-@query("knn_lsh")  # rows-only: hyperplane hashing not expressible in DuckDB
+def _lsh_bucket_sql(planes: int) -> str:
+    """DuckDB expression for the MINSTD hyperplane bucket of DOUBLE[]
+    column ``v`` at table index ``t`` — bit-identical to
+    ``extended.similarity.hyperplane_bucket`` (same integer mix, same
+    left-fold projection order), which is what lets the LSH gate
+    queries be hash-checked instead of rows-only."""
+    sign = (
+        "CASE WHEN ((((i*1103515245 + (t*1000003+p)*12345 + 12345) % 2147483647)"
+        " * 48271 % 2147483647) * 48271 % 2147483647) % 2 = 1"
+        " THEN 1e0 ELSE -1e0 END"
+    )
+    return (
+        "list_sum([CASE WHEN list_reduce([v[i+1] * (" + sign + ") "
+        "for i in range(0, len(v))], (acc,x) -> acc + x) >= 0 "
+        f"THEN (1<<p) ELSE 0 END for p in range(0, {planes})])"
+    )
+
+
+@query(
+    "knn_lsh",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS id, v FROM e WHERE vec_id >= 10
+    ), cb AS (
+      SELECT id, t, {_lsh_bucket_sql(6)} AS bucket FROM c, range(0,4) tt(t)
+    ), qb AS (
+      SELECT query_id, t, {_lsh_bucket_sql(6)} AS bucket
+      FROM q, range(0,4) tt(t)
+    ), cand AS (
+      SELECT DISTINCT query_id, id
+      FROM cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+    ), s AS (
+      SELECT cand.query_id, cand.id,
+             FLOOR((list_sum([c.v[i]*q.v[i] for i in range(1, len(c.v)+1)]) /
+                    (sqrt(list_sum([c.v[i]*c.v[i] for i in range(1, len(c.v)+1)])) *
+                     sqrt(list_sum([q.v[i]*q.v[i] for i in range(1, len(q.v)+1)]))))
+                   * 10000 + 0.5) / 10000 AS sim
+      FROM cand JOIN c ON cand.id = c.id JOIN q ON cand.query_id = q.query_id
+    )
+    SELECT query_id, id, sim, rk FROM (
+      SELECT query_id, id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rk
+      FROM s
+    ) WHERE rk <= 5
+    """,
+)
 def knn_lsh(spark, sf_dir):
+    """Multi-table hyperplane-LSH ANN.  The MINSTD bucket construction
+    is engine-portable, so this is hash-checked against a DuckDB oracle
+    that rebuilds the same buckets (was rows-only in r1 when the sign
+    source was xxhash64)."""
     emb = _t(spark, sf_dir, "embeddings")
     corpus = filter_df(emb, F.col("vec_id") >= 10)
     queries = filter_df(emb, F.col("vec_id") < 10)
@@ -2651,26 +2834,35 @@ def dedup_rolling(spark, sf_dir):
 
 @query(
     "dedup_embedding",
-    """
+    f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings WHERE vec_id < 300
+    ), b AS (
+      SELECT vec_id, t, {_lsh_bucket_sql(4)} AS bucket FROM e, range(0,8) tt(t)
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
+      FROM b a JOIN b b2
+        ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
     ), p AS (
-      SELECT a.vec_id AS id1, b.vec_id AS id2,
+      SELECT id1, id2,
              list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
              (sqrt(list_sum([a.v[i]*a.v[i] for i in range(1, len(a.v)+1)])) *
               sqrt(list_sum([b.v[i]*b.v[i] for i in range(1, len(b.v)+1)]))) AS sim
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      FROM cand JOIN e a ON cand.id1 = a.vec_id JOIN e b ON cand.id2 = b.vec_id
     )
     SELECT id1, id2, FLOOR((sim) * 10000 + 0.5) / 10000 AS sim
     FROM p WHERE FLOOR((sim) * 10000 + 0.5) / 10000 >= 0.42
     """,
 )
 def dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact path on a bounded
-    subset; extended/similarity.py cosine_dup_pairs — the LSH-blocked
-    variant of the same operator is the scale path, recall-tested in
-    test_extended.py)."""
+    """Embedding-cosine near-duplicate pairs via the DEFAULT LSH-blocked
+    path (extended/similarity.py cosine_dup_pairs): hyperplane buckets
+    across 8 tables turn the all-pairs problem into equi-joins on a
+    uniform int key.  The MINSTD bucket construction is engine-portable,
+    so the oracle rebuilds the same buckets and the result is
+    hash-checked (the r1 version oracle-checked the exact quadratic
+    path instead; that kernel is now opt-in — see dedup_ngram_exact)."""
     emb = filter_df(_t(spark, sf_dir, "embeddings"), F.col("vec_id") < 300)
     return X_sim.cosine_dup_pairs(emb, threshold=0.42)
 
