@@ -24,14 +24,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# Queries that already have a green CORRECTNESS_r01 row.  The r1 driver
+# recorded only the first 50 registrations, so entries NOT in this set
+# (plus anything newly added) are ordered FIRST below — if the driver
+# truncates again, the least-proven queries are the ones that get rows,
+# and the union across rounds covers the whole registry.
+_R1_CHECKED = {
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "filter_truthy", "join_inner", "join_left", "join_right", "join_full",
+    "join_semi", "join_anti", "join_cross", "setop_union_all", "setop_union",
+    "setop_intersect", "setop_intersect_dups", "setop_except",
+    "setop_except_dups", "distinct_status", "expr_predicates",
+    "expr_case_coalesce", "expr_arith_cmp", "expr_casts", "groupby_apply",
+    "window_rank", "window_running", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_distinct", "agg_stats", "topk_per_group",
+    "sort_limit_topn", "string_math_funcs", "date_funcs", "text_stats",
+    "text_langid", "dedup_exact", "knn_cosine", "multimodal_features",
+    "events_window", "events_sessionize", "events_json",
+    "agg_percentiles", "text_token_freq", "expr_string_extra",
+    # r1 rows exist for dedup_ngram_jaccard, dedup_minhash, dedup_simhash,
+    # knn_lsh and events_asof too, but those operators changed in r2
+    # (blocked path / portable hashing / struct-carry asof), so they are
+    # deliberately left out to re-register first.
+}
+
+
+def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    unproven = {k: v for k, v in QUERIES.items() if k not in _R1_CHECKED}
+    proven = {k: v for k, v in QUERIES.items() if k in _R1_CHECKED}
+    return {**unproven, **proven}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extended
     Spark-first operators).  Each callable takes (spark, sf_dir)."""
-    return dict(QUERIES)
+    return _ordered()
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every oracle-expressible query.
-    minhash/simhash/LSH entries are omitted (xxhash64-based; the driver
-    records the weaker rows-only check for those)."""
-    return dict(ORACLES)
+    """DuckDB-equivalent SQL for every oracle-expressible query
+    (everything except agg_approx, which is approximate by design and
+    gets the driver's rows-only check)."""
+    order = _ordered()
+    return {k: ORACLES[k] for k in order if k in ORACLES}
