@@ -1,7 +1,7 @@
 """Relational, grouped, aggregate, and window operators."""
 
 from .aggregates import agg, cube, grouping_sets, rollup, top_k_per_group
-from .groupby import sql_groupby_apply
+from .groupby import sql_groupby_apply, whole_frame_apply_distributed
 from .asof import asof_join
 from .rangejoin import tolerance_join
 from .skew import adaptive_salted_join, salted_join
@@ -36,6 +36,7 @@ __all__ = [
     "parse_join_type",
     "rollup",
     "sql_groupby_apply",
+    "whole_frame_apply_distributed",
     "top_k_per_group",
     "union",
     "window_spec",

