@@ -75,6 +75,10 @@ def _coerce_value(v: Any, dt: T.DataType) -> Any:
         }
     if isinstance(dt, (T.DoubleType, T.FloatType)) and isinstance(v, int):
         return float(v)
+    if isinstance(dt, T.BooleanType) and isinstance(v, (int, float)):
+        # reference to_df coerce=True accepts 1/0/1.0/0.0 for bool
+        # (/root/reference/slide_test/suite.py:2012-2018)
+        return bool(v)
     if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
         if isinstance(v, bool):
             return int(v)
@@ -142,7 +146,9 @@ def _row_value(v: Any) -> Any:
     from pyspark.sql import Row
 
     if isinstance(v, Row):
-        return [_row_value(x) for x in v]
+        # structs egress as dicts, like the reference's nested contract
+        # (/root/reference/slide_test/suite.py:1972)
+        return {k: _row_value(x) for k, x in v.asDict().items()}
     if isinstance(v, list):
         return [_row_value(x) for x in v]
     if isinstance(v, dict):
@@ -228,10 +234,29 @@ def cols_to_df(
     return df.select(*out)
 
 
+def _stringify_type(dt: T.DataType) -> T.DataType:
+    """Replace every primitive leaf with StringType (recursing through
+    arrays/structs/maps) so ``from_json`` accepts mixed-typed JSON
+    values; the caller then casts to the real schema elementwise."""
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_stringify_type(dt.elementType))
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _stringify_type(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.MapType):
+        return T.MapType(_stringify_type(dt.keyType), _stringify_type(dt.valueType))
+    return T.StringType()
+
+
 def decode_json_columns(df: DataFrame, schema: Any) -> DataFrame:
     """Decode string columns holding JSON into nested types, the
     vectorized equivalent of the reference's row-at-a-time
-    ``str_as_json`` path (/root/reference/slide/utils.py:682-691)."""
+    ``str_as_json`` path (/root/reference/slide/utils.py:682-691).
+
+    Decoding goes through a string-leaf schema first and then casts,
+    so mixed-typed JSON values coerce (``[30, "40"]`` -> [30, 40]) like
+    the reference's type_safe decode instead of nulling out."""
     st = to_spark_schema(schema)
     cols = []
     for f in st.fields:
@@ -239,7 +264,8 @@ def decode_json_columns(df: DataFrame, schema: Any) -> DataFrame:
         if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType)) and isinstance(
             cur, T.StringType
         ):
-            cols.append(F.from_json(F.col(f.name), f.dataType).alias(f.name))
+            decoded = F.from_json(F.col(f.name), _stringify_type(f.dataType))
+            cols.append(decoded.cast(f.dataType).alias(f.name))
         else:
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
     return df.select(*cols)

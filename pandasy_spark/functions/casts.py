@@ -74,6 +74,10 @@ def _cast_to_bool(c: Column, input_type: T.DataType | None, strict: bool) -> Col
 def _cast_to_int(
     c: Column, target: T.DataType, input_type: T.DataType | None, strict: bool
 ) -> Column:
+    if isinstance(input_type, (T.TimestampType, T.DateType)):
+        # Reference raises SlideCastError on datetime->int
+        # (/root/reference/slide_test/suite.py:1469-1477).
+        raise CastError("cannot cast datetime/date to int")
     # String input hops through double ("1.1" -> 1, "nan" -> NULL) —
     # reference /root/reference/slide/utils.py:1047-1056.
     d = c.cast("double")
@@ -126,9 +130,24 @@ def cast(
     if isinstance(tgt, _FLOAT_TYPES):
         return _cast_to_float(c, tgt)
     if isinstance(tgt, T.StringType):
-        # Spark's string rendering already matches the reference:
-        # 'true'/'false', '2', '1.1', '10.0', '2020-01-01 15:02:03'
-        # (/root/reference/slide_test/suite.py:1561-1706).
+        # Spark's string rendering already matches the reference for
+        # bool/int/float/datetime: 'true'/'false', '2', '1.1', '10.0',
+        # '2020-01-01 15:02:03' (/root/reference/slide_test/suite.py:
+        # 1561-1706) — except float NaN/inf: the reference renders
+        # NULL / 'inf' / '-inf' (suite:1183-1185,1632) where Spark
+        # says 'NaN' / 'Infinity'.
+        if isinstance(itp, _FLOAT_TYPES):
+            d = c.cast("double")
+            return (
+                F.when(F.isnan(d), F.lit(None).cast("string"))
+                .when(d == float("inf"), F.lit("inf"))
+                .when(d == float("-inf"), F.lit("-inf"))
+                .otherwise(c.cast("string"))
+            )
+        if isinstance(itp, T.BooleanType):
+            # honor the hint: render via the bool ladder first
+            # (cast(-10, str, bool) == 'true' — suite:1177-1178)
+            return _cast_to_bool(c, None, strict).cast("string")
         return c.cast("string")
     if isinstance(tgt, (T.TimestampType, T.DateType, T.BinaryType)):
         return c.cast(tgt)

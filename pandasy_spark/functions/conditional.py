@@ -41,7 +41,9 @@ def case_when(*pairs: tuple[Any, Any], default: Any = None) -> Column:
     /root/reference/slide_test/suite.py:845-965.
     """
     if len(pairs) == 0:
-        raise ValueError("case_when requires at least one (cond, value) pair")
+        # CASE with no WHEN arms is just the ELSE value
+        # (/root/reference/slide_test/suite.py:846).
+        return to_col(default)
     expr: Column | None = None
     for cond, value in pairs:
         c = safe_bool(cond)

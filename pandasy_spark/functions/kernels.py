@@ -37,13 +37,22 @@ __all__ = [
 
 def lit(value: Any) -> Column:
     """Constant -> Column (the reference promotes constants to 1-row
-    series instead — /root/reference/slide/utils.py:105-120)."""
+    series instead — /root/reference/slide/utils.py:105-120).
+
+    A float NaN constant becomes NULL: NaN ≡ NULL is the engine's
+    boundary rule (SURVEY §4.3-1), and constants enter here
+    (/root/reference/slide_test/suite.py:399-400 asserts the same for
+    the reference's scalar paths)."""
+    import math
+
+    if isinstance(value, float) and math.isnan(value):
+        return F.lit(None).cast("double")
     return F.lit(value)
 
 
 def to_col(x: Any) -> Column:
     """Scalar polymorphism: every kernel accepts Column or constant."""
-    return x if isinstance(x, Column) else F.lit(x)
+    return x if isinstance(x, Column) else lit(x)
 
 
 def safe_bool(col: Any) -> Column:

@@ -48,7 +48,7 @@ def test_as_array_nested_json_decode(spark):
     )
     decoded = decode_json_columns(raw, "a:[{a:str,b:[int]}]")
     rows = as_array(decoded)
-    assert rows == [[[["x", [30, 40]]]], [None]]
+    assert rows == [[[{"a": "x", "b": [30, 40]}]], [None]]
 
 
 def test_binary_roundtrip(spark):
