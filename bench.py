@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "multimodal_frames",
     "map_functions",
     "dedup_blocked",
+    "sample_split",
+    "pack_chunks",
+    "pack_greedy",
 ]
 
 

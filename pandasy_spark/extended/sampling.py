@@ -1,0 +1,301 @@
+"""Deterministic sampling / splitting / packing for training pipelines.
+
+The reference has no sampling surface at all; these are the extended
+LLM-data-pipeline operators (SURVEY.md §2.9 posture) a 100 TB corpus
+build actually needs:
+
+- **hash_split**: stable train/val/test assignment keyed on a document
+  id — the split a row lands in never changes as the corpus grows,
+  shards re-partition, or the job re-runs.  Pure narrow map (no
+  shuffle, no RNG state): `bucket = portable_hash(id) mod 10_000`
+  compared against cumulative fraction boundaries.
+- **stratified_sample**: per-stratum deterministic downsampling —
+  same hash-bucket trick, with the keep-fraction looked up per stratum
+  (broadcast join on the tiny fraction table).  Unlike
+  ``DataFrame.sampleBy`` (Bernoulli RNG, non-reproducible across
+  engines), this is exactly reproducible anywhere.
+- **weighted_interleave**: mix N corpora to target weights by
+  downsampling each source to the largest achievable size preserving
+  the requested proportions.  One count per source (a metadata-cheap
+  agg), then the same deterministic hash filter; no shuffle beyond the
+  final union.
+- **chunk_pack**: GPT-style concat-and-chunk packing — documents are
+  laid end-to-end on a global token axis (running-sum window) and cut
+  into fixed ``budget``-token context windows; emits one row per
+  (document x overlapped window).  Closed-form: one window cumsum +
+  one ``sequence``/``explode`` — no sequential state, so it scales as
+  a single shuffle on the ordering key.
+- **greedy_pack**: bin packing where documents are never split (first
+  sequential bin with room, oversized docs get their own bin).
+  Genuinely stateful per shard -> Arrow-batched ``applyInPandas`` per
+  shard (the sanctioned Python boundary); shards are independent, so
+  parallelism = shard count.
+
+All hashing is the engine-portable MINSTD arithmetic from
+``dedup.char_poly_hash`` (pure int64 ops reproducible in any SQL
+engine), so every closed-form operator here is DuckDB-oracle-checkable
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Mapping, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import char_poly_hash, _P31
+
+__all__ = [
+    "split_bucket",
+    "hash_split",
+    "stratified_sample",
+    "weighted_interleave",
+    "chunk_pack",
+    "greedy_pack",
+]
+
+_BUCKETS = 10_000
+
+
+def split_bucket(id_col: Column, salt: int = 0) -> Column:
+    """Deterministic bucket in [0, 10000) from a document id.
+
+    The id is rendered as a string (so int/string ids hash alike in any
+    engine), char-folded with the portable Karp-Rabin hash, re-mixed
+    through one affine MINSTD step (so ids that differ in a suffix
+    spread over distant buckets), then reduced mod 10_000.
+
+    DuckDB oracle twin (identical values)::
+
+        ((list_reduce(... char fold ...) * 48271 + salt) % 2147483647)
+          % 10000
+    """
+    h = char_poly_hash(id_col.cast("string"))
+    mixed = (h * F.lit(48271) + F.lit(salt)) % F.lit(_P31)
+    return (mixed % F.lit(_BUCKETS)).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: Mapping[str, float],
+    salt: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a stable split label ('train'/'val'/...).
+
+    ``fractions`` maps label -> fraction; they must sum to ~1.  The
+    assignment is a pure narrow map — no shuffle, no sampling state —
+    so it is stable under corpus growth and re-partitioning: a given id
+    is in 'val' today and in 'val' after 10x more data arrives.
+    """
+    total = sum(fractions.values())
+    if not math.isclose(total, 1.0, rel_tol=1e-9):
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = split_bucket(F.col(id_col), salt)
+    # cumulative integer boundaries over the 10k bucket grid
+    expr: Column | None = None
+    acc = 0.0
+    for label, frac in fractions.items():
+        acc += frac
+        hi = int(math.floor(acc * _BUCKETS + 0.5))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    assert expr is not None
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum downsample.
+
+    Keeps a row iff ``split_bucket(id) < fraction(stratum) * 10000``.
+    Fractions ride in on a broadcast join against the tiny
+    stratum->fraction table, so arbitrary per-stratum policies cost one
+    broadcast, not a shuffle.  Exactly reproducible (no RNG), unlike
+    ``DataFrame.sampleBy``.
+    """
+    spark = df.sparkSession
+    ftab = spark.createDataFrame(
+        [(k, int(math.floor(v * _BUCKETS + 0.5))) for k, v in fractions.items()],
+        f"{stratum_col}: string, __keep_below: int",
+    )
+    joined = df.join(F.broadcast(ftab), on=stratum_col, how="left")
+    default_hi = int(math.floor(default_fraction * _BUCKETS + 0.5))
+    keep = F.coalesce(F.col("__keep_below"), F.lit(default_hi))
+    bucket = split_bucket(F.col(id_col), salt)
+    return joined.filter(bucket < keep).drop("__keep_below")
+
+
+def weighted_interleave(
+    sources: Mapping[str, DataFrame],
+    weights: Mapping[str, float],
+    id_col: str,
+    salt: int = 0,
+    source_col: str = "source",
+) -> DataFrame:
+    """Mix corpora to target proportions, deterministically.
+
+    Finds the largest total size achievable with the requested weights
+    given each source's row count (``C = min_i n_i / w_i``), then
+    downsamples source ``i`` to ``w_i * C`` rows via the hash-bucket
+    filter and unions with a source tag.  Count jobs on the sources are
+    the only extra cost; the filter itself is a narrow map.
+    """
+    wsum = sum(weights.values())
+    norm = {k: v / wsum for k, v in weights.items()}
+    counts = {k: sources[k].count() for k in sources}
+    # largest achievable total preserving proportions
+    cap = min(counts[k] / norm[k] for k in sources if norm[k] > 0)
+    parts = []
+    for k, src in sources.items():
+        frac = min(1.0, (norm[k] * cap) / counts[k]) if counts[k] else 0.0
+        hi = int(math.floor(frac * _BUCKETS + 0.5))
+        bucket = split_bucket(F.col(id_col), salt)
+        parts.append(
+            src.filter(bucket < F.lit(hi)).withColumn(source_col, F.lit(k))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def chunk_pack(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    budget: int,
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Concat-and-chunk packing (GPT-style pretraining layout).
+
+    Documents are concatenated in ``order_col`` order on a single token
+    axis; the axis is cut every ``budget`` tokens; a document emits one
+    row per context window it overlaps, with the token sub-range it
+    contributes.  Closed-form — no sequential state.
+
+    The global running sum is computed scalably (a bare
+    ``Window.orderBy`` would drag the whole table into ONE task): range
+    partition on the order key, cumsum within each partition, then add
+    per-partition prefix offsets from a partition-count-sized summary
+    broadcast back — the distributed prefix-sum pattern.  ``order_col``
+    must be a total order (unique), otherwise the concatenation order —
+    like any SQL window over a non-unique ORDER BY — is ambiguous.
+
+    Output: ``id_cols..., chunk_id, tok_start, tok_end`` where
+    [tok_start, tok_end) is the half-open token slice of the document
+    placed in that chunk (document-relative offsets).
+    """
+    t = (
+        df.select(
+            *id_cols,
+            F.col(order_col).alias("__ord"),
+            F.col(token_col).cast("long").alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+        .repartitionByRange(F.col("__ord"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    wp = (
+        Window.partitionBy("__pid")
+        .orderBy("__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("__local_end", F.sum("__n").over(wp))
+    # one row per partition; the exclusive prefix over it is tiny
+    wo = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        t.groupBy("__pid")
+        .agg(F.sum("__n").alias("__ptotal"))
+        .withColumn("__offset", F.sum("__ptotal").over(wo) - F.col("__ptotal"))
+        .select("__pid", "__offset")
+    )
+    t = t.join(F.broadcast(offsets), "__pid").withColumn(
+        "__end", F.col("__local_end") + F.col("__offset")
+    )
+    t = t.withColumn("__start", F.col("__end") - F.col("__n"))
+    first_chunk = F.floor(F.col("__start") / budget)
+    last_chunk = F.floor((F.col("__end") - 1) / budget)
+    t = t.withColumn(
+        "chunk_id", F.explode(F.sequence(first_chunk, last_chunk))
+    )
+    lo = F.greatest(F.col("__start"), F.col("chunk_id") * budget)
+    hi = F.least(F.col("__end"), (F.col("chunk_id") + 1) * budget)
+    return t.select(
+        *id_cols,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (lo - F.col("__start")).cast("long").alias("tok_start"),
+        (hi - F.col("__start")).cast("long").alias("tok_end"),
+    )
+
+
+def greedy_pack(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    token_col: str,
+    budget: int,
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Whole-document greedy bin packing, parallel across shards.
+
+    Within each shard (in ``order_col`` order) a document joins the
+    current bin if it fits, else opens the next bin; documents longer
+    than ``budget`` get a bin of their own.  The per-shard scan is
+    genuinely sequential, so it runs as Arrow-batched
+    ``applyInPandas`` — one task per shard, parallelism = shard count,
+    state bounded by the largest shard (size your shards like
+    partitions: O(100 MB)).
+
+    Output: ``shard_col, id_cols..., bin_id, bin_tokens`` (bin ids are
+    shard-local, dense from 0).
+    """
+    cols = [shard_col, *id_cols, "__ord", "__n"]
+    t = df.select(
+        F.col(shard_col),
+        *[F.col(c) for c in id_cols],
+        F.col(order_col).alias("__ord"),
+        F.col(token_col).cast("long").alias("__n"),
+    )
+    out_fields = ", ".join(
+        [f"`{shard_col}` {t.schema[shard_col].dataType.simpleString()}"]
+        + [f"`{c}` {t.schema[c].dataType.simpleString()}" for c in id_cols]
+        + ["bin_id long", "bin_tokens long"]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__ord", kind="mergesort", ignore_index=True)
+        bins: list[int] = []
+        fill: list[int] = []
+        cur_bin, cur_fill = 0, 0
+        first = True
+        for n in pdf["__n"]:
+            n = int(n)
+            if not first and cur_fill + n > budget:
+                cur_bin += 1
+                cur_fill = 0
+            bins.append(cur_bin)
+            cur_fill += n
+            fill.append(cur_fill)
+            first = False
+        pdf = pdf.assign(bin_id=bins)
+        totals = pdf.groupby("bin_id")["__n"].transform("sum")
+        pdf = pdf.assign(bin_tokens=totals)
+        return pdf[[shard_col, *id_cols, "bin_id", "bin_tokens"]]
+
+    return t.groupBy(shard_col).applyInPandas(pack, schema=out_fields)

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from .extended import dedup as X_dedup
 from .extended import multimodal as X_mm
+from .extended import sampling as X_samp
 from .extended import similarity as X_sim
 from .extended import text as X_text
 from .functions import case_when, cast, coalesce, is_between, is_in, is_value, like
@@ -2976,4 +2977,218 @@ def events_time_rollup(spark, sf_dir):
     )
     return filter_df(g, F.col("__g_day") == 0).select(
         "day_bucket", "hour_bucket", "is_day_total", "n_events", "sum_value"
+    )
+
+
+# =====================================================================
+# Deterministic sampling / splitting / packing (extended/sampling.py)
+# =====================================================================
+
+def _bucket_sql(s: str, salt: int = 0) -> str:
+    """DuckDB twin of sampling.split_bucket: portable Karp-Rabin char
+    fold over the id rendered as VARCHAR, one affine MINSTD mix, mod
+    10000 (same int64 arithmetic as the Spark side)."""
+    fold = (
+        f"(list_reduce(list_prepend(CAST(0 AS BIGINT), [ord(substring({s}, i, 1)) "
+        f"for i in range(1, len({s})+1)]), "
+        f"(acc, c) -> (acc * 257 + c) % 9007199254740992) % 2147483647)"
+    )
+    return f"((({fold} * 48271 + {salt}) % 2147483647) % 10000)"
+
+
+@query(
+    "sample_split",
+    f"""
+    WITH b AS (
+      SELECT doc_id, {_bucket_sql('CAST(doc_id AS VARCHAR)')} AS bucket
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN bucket < 9000 THEN 'train'
+                  WHEN bucket < 9500 THEN 'val'
+                  WHEN bucket < 10000 THEN 'test' END AS split
+      FROM b
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM s GROUP BY split
+    """,
+)
+def sample_split(spark, sf_dir):
+    """Stable train/val/test assignment (extended/sampling.py
+    hash_split): pure narrow map on a portable id hash — no shuffle, no
+    RNG — so a document's split never changes as the corpus grows.  The
+    gate aggregates per split so the driver hash-checks both the
+    assignment and the boundary arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    s = X_samp.hash_split(
+        docs, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}
+    )
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@query(
+    "sample_stratified",
+    f"""
+    WITH b AS (
+      SELECT lang, doc_id, {_bucket_sql('CAST(doc_id AS VARCHAR)')} AS bucket
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+                   ELSE 1000 END
+    GROUP BY lang
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum downsample (stratified_sample): keep
+    50% of en, 20% of de, 10% of everything else, reproducibly (hash
+    filter, not Bernoulli RNG).  Per-stratum fractions ride in on a
+    broadcast join against the tiny policy table."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = X_samp.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.2}, default_fraction=0.1
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@query(
+    "sample_interleave",
+    f"""
+    WITH c AS (
+      SELECT (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS n_en,
+             (SELECT COUNT(*) FROM documents
+              WHERE lang <> 'en' OR lang IS NULL) AS n_rest
+    ), f AS (
+      SELECT LEAST(n_en / (2e0/3e0), n_rest / (1e0/3e0)) AS cap,
+             n_en, n_rest
+      FROM c
+    ), h AS (
+      SELECT CAST(FLOOR(LEAST(1e0, ((2e0/3e0) * cap) / n_en) * 10000 + 0.5)
+                  AS BIGINT) AS hi_en,
+             CAST(FLOOR(LEAST(1e0, ((1e0/3e0) * cap) / n_rest) * 10000 + 0.5)
+                  AS BIGINT) AS hi_rest
+      FROM f
+    ), tagged AS (
+      SELECT 'en' AS source, doc_id FROM documents, h
+      WHERE lang = 'en' AND {_bucket_sql('CAST(doc_id AS VARCHAR)')} < h.hi_en
+      UNION ALL
+      SELECT 'rest' AS source, doc_id FROM documents, h
+      WHERE (lang <> 'en' OR lang IS NULL)
+        AND {_bucket_sql('CAST(doc_id AS VARCHAR)')} < h.hi_rest
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM tagged GROUP BY source
+    """,
+)
+def sample_interleave(spark, sf_dir):
+    """Weighted corpus mixing (weighted_interleave): mix en vs rest at
+    2:1 by downsampling each source to the largest total achievable at
+    those proportions.  One count per source, then the deterministic
+    hash filter; the oracle reproduces the cap/fraction float
+    arithmetic op-for-op."""
+    docs = _t(spark, sf_dir, "documents")
+    en = filter_df(docs, F.col("lang") == "en")
+    rest = filter_df(docs, (F.col("lang") != "en") | F.col("lang").isNull())
+    mixed = X_samp.weighted_interleave(
+        {"en": en, "rest": rest}, {"en": 2.0, "rest": 1.0}, "doc_id"
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@query(
+    "pack_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS e
+      FROM t WHERE n > 0
+    ), x AS (
+      SELECT doc_id, n, e, e - n AS st,
+             unnest(range(CAST((e - n) // 512 AS BIGINT),
+                          CAST(((e - 1) // 512) + 1 AS BIGINT))) AS chunk_id
+      FROM c
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(GREATEST(st, chunk_id * 512) - st AS BIGINT) AS tok_start,
+           CAST(LEAST(e, (chunk_id + 1) * 512) - st AS BIGINT) AS tok_end
+    FROM x
+    """,
+)
+def pack_chunks(spark, sf_dir):
+    """GPT-style concat-and-chunk packing (chunk_pack): documents laid
+    end-to-end on a token axis, cut into 512-token context windows; one
+    row per (document x overlapped window) with the document-relative
+    token slice.  The global running sum uses the distributed
+    prefix-sum pattern (range partition -> per-partition cumsum ->
+    broadcast offsets), not a single-task global window."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", X_text.token_count(F.col("text")).alias("n_tok")
+    )
+    return X_samp.chunk_pack(t, "doc_id", "n_tok", budget=512)
+
+
+@query(
+    "pack_greedy",
+    r"""
+    WITH RECURSIVE s AS (
+      SELECT CAST(doc_id % 16 AS BIGINT) AS shard, doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 16
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ), p AS (
+      SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS bin_id, n AS fill
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.rn, s.doc_id, s.n,
+             CASE WHEN p.fill + s.n > 200 THEN p.bin_id + 1
+                  ELSE p.bin_id END,
+             CASE WHEN p.fill + s.n > 200 THEN s.n
+                  ELSE p.fill + s.n END
+      FROM p JOIN s ON s.shard = p.shard AND s.rn = p.rn + 1
+    ), bt AS (
+      SELECT shard, bin_id, CAST(SUM(n) AS BIGINT) AS bin_tokens
+      FROM p GROUP BY shard, bin_id
+    )
+    SELECT p.shard, p.doc_id, p.bin_id, bt.bin_tokens
+    FROM p JOIN bt ON p.shard = bt.shard AND p.bin_id = bt.bin_id
+    """,
+)
+def pack_greedy(spark, sf_dir):
+    """Whole-document greedy bin packing (greedy_pack): within each of
+    16 shards, in doc_id order, a document joins the current 200-token
+    bin if it fits, else opens the next one.  Genuinely sequential per
+    shard -> Arrow-batched applyInPandas, one task per shard; the
+    DuckDB oracle replays the same recurrence as a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        (F.col("doc_id") % 16).cast("long").alias("shard"),
+        "doc_id",
+        X_text.token_count(F.col("text")).alias("n_tok"),
+    )
+    return X_samp.greedy_pack(
+        t, "shard", "doc_id", "n_tok", budget=200
     )
