@@ -3192,3 +3192,34 @@ def pack_greedy(spark, sf_dir):
     return X_samp.greedy_pack(
         t, "shard", "doc_id", "n_tok", budget=200
     )
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linenumber"]
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS DOUBLE) AS min_val,
+           CAST(MAX({c}) AS DOUBLE) AS max_val,
+           (SUM(CAST(FLOOR({c} * 1e2 + 0.5) AS BIGINT)) / 1e2) / COUNT({c}) AS mean_val
+    FROM lineitem
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@query("profile_lineitem", _PROFILE_SQL)
+def profile_lineitem(spark, sf_dir):
+    """Single-pass numeric profiling (extended/profile.py): one agg
+    computes rows/nulls/exact-distinct/min/max/grid-exact mean for all
+    five columns, map-side combined, one single-row shuffle; the long
+    format comes from inlining a literal struct array (no second
+    scan).  At 100 TB pass exact_distinct=False to swap the Expand-
+    based exact distinct for HyperLogLog."""
+    from .extended.profile import profile_numeric
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_numeric(li, _PROFILE_COLS, grid_decimals=2)

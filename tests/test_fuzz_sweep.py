@@ -1,0 +1,173 @@
+"""Multi-seed differential fuzz sweep: randomized collision-heavy
+frames through the relational operator surface, engine vs DuckDB.
+
+Widens the reference's fixed-seed randomization (SURVEY.md §5.3) to
+many seeds per operator family in one sweep — joins, set ops, grouped
+aggregation, and windows all hit NULL keys, duplicate rows, and
+mixed-type columns every round.
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pandasy_spark.operators import (
+    agg,
+    except_df,
+    intersect,
+    join,
+    union,
+    window_spec,
+    with_ranking,
+    with_running,
+)
+from tests.helpers import assert_duck_eq, make_rand_df
+
+SEEDS = range(6)
+
+
+def _obj(pdf):
+    # object+None form so BOTH engines see SQL NULLs (a registered
+    # Float64 masked array reaches DuckDB as NaN, which is not NULL)
+    return pdf.astype(object).where(pdf.notna(), None)
+
+
+def _pair(spark, seed):
+    a = _obj(
+        make_rand_df(
+            60, seed=seed, k=(int, 12), s=(str, 12), v=(float, 12), t=(dt.datetime, 12)
+        )
+    )
+    b = _obj(
+        make_rand_df(45, seed=seed + 100, k=(int, 8), s=(str, 8), w=(float, 8))
+    )
+    return spark.createDataFrame(a), spark.createDataFrame(b), a, b
+
+
+def test_fuzz_joins(spark):
+    for seed in SEEDS:
+        da, db, a, b = _pair(spark, seed)
+        for how, sql_how in [
+            ("inner", "INNER"),
+            ("left_outer", "LEFT OUTER"),
+            ("full_outer", "FULL OUTER"),
+        ]:
+            res = join(da, db, how, on=["k", "s"])
+            assert_duck_eq(
+                res,
+                f"""
+                SELECT COALESCE(a.k, b.k) AS k, COALESCE(a.s, b.s) AS s,
+                       a.v, a.t, b.w
+                FROM a {sql_how} JOIN b ON a.k = b.k AND a.s = b.s
+                """,
+                a=a,
+                b=b,
+            )
+
+
+def test_fuzz_semi_anti(spark):
+    for seed in SEEDS:
+        da, db, a, b = _pair(spark, seed)
+        assert_duck_eq(
+            join(da, db, "semi", on=["k"]),
+            "SELECT * FROM a WHERE k IN (SELECT k FROM b WHERE k IS NOT NULL)",
+            a=a,
+            b=b,
+        )
+        assert_duck_eq(
+            join(da, db, "anti", on=["k"]),
+            """
+            SELECT * FROM a WHERE k NOT IN (SELECT k FROM b WHERE k IS NOT NULL)
+               OR k IS NULL
+            """,
+            a=a,
+            b=b,
+        )
+
+
+def test_fuzz_setops(spark):
+    for seed in SEEDS:
+        a = _obj(make_rand_df(50, seed=seed, k=(int, 10), s=(str, 10)))
+        b = _obj(make_rand_df(50, seed=seed + 7, k=(int, 10), s=(str, 10)))
+        da = spark.createDataFrame(a, "k: bigint, s: string")
+        db = spark.createDataFrame(b, "k: bigint, s: string")
+        assert_duck_eq(
+            union(da, db, unique=True), "SELECT * FROM a UNION SELECT * FROM b", a=a, b=b
+        )
+        assert_duck_eq(
+            intersect(da, db, unique=True),
+            "SELECT * FROM a INTERSECT SELECT * FROM b",
+            a=a,
+            b=b,
+        )
+        assert_duck_eq(
+            except_df(da, db, unique=True),
+            "SELECT * FROM a EXCEPT SELECT * FROM b",
+            a=a,
+            b=b,
+        )
+
+
+def test_fuzz_grouped_agg(spark):
+    for seed in SEEDS:
+        a = _obj(make_rand_df(80, seed=seed, k=(int, 16), s=(str, 16), v=(int, 16)))
+        da = spark.createDataFrame(a)
+        res = agg(
+            da,
+            ["k", "s"],
+            {
+                "n": F.count(F.lit(1)),
+                "nv": F.count("v"),
+                "sv": F.sum("v"),
+                "mn": F.min("v"),
+                "mx": F.max("v"),
+            },
+        )
+        assert_duck_eq(
+            res,
+            """
+            SELECT k, s, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(v) AS BIGINT) AS nv,
+                   SUM(v) AS sv, MIN(v) AS mn, MAX(v) AS mx
+            FROM a GROUP BY k, s
+            """,
+            a=a,
+        )
+
+
+def test_fuzz_windows(spark):
+    for seed in SEEDS:
+        a = _obj(
+            make_rand_df(60, seed=seed, k=(int, 10), v=int, u=int).assign(
+                o=range(60)
+            )
+        )
+        da = spark.createDataFrame(a)
+        spec = window_spec(partition_by=["k"], order_by=["o"])
+        ranked = with_ranking(da, spec, row_number="row_number", rank="rank")
+        assert_duck_eq(
+            ranked,
+            """
+            SELECT k, v, u, o,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY o) AS INT) AS row_number,
+                   CAST(RANK() OVER (PARTITION BY k ORDER BY o) AS INT) AS rank
+            FROM a
+            """,
+            a=a,
+        )
+        rspec = window_spec(
+            partition_by=["k"], order_by=["o"], rows_between=(Window.unboundedPreceding, Window.currentRow)
+        )
+        running = with_running(da, rspec, {"rs": F.sum("v")})
+        assert_duck_eq(
+            running,
+            """
+            SELECT k, v, u, o,
+                   SUM(v) OVER (PARTITION BY k ORDER BY o
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS rs
+            FROM a
+            """,
+            a=a,
+        )
