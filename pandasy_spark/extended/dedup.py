@@ -47,8 +47,11 @@ __all__ = [
     "blocked_jaccard_pairs",
     "rolling_dup_pairs",
     "minhash_signatures",
+    "banded_buckets",
     "lsh_candidate_pairs",
     "minhash_dedup_pairs",
+    "minhash_index",
+    "dedup_against_index",
     "simhash",
     "simhash_candidate_pairs",
 ]
@@ -188,21 +191,15 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8
-) -> DataFrame:
-    """Banded LSH: split each signature into ``bands`` contiguous rows
-    of equal width, hash each band, and self-join on (band index, band
-    hash).  Emits distinct (id1 < id2) candidate pairs.
-
-    The self-join is an equi-join on uniform hash keys — shuffle
-    partitioned by bucket, broadcast-free, skew-free unless a bucket is
-    pathologically hot (boilerplate-heavy corpora: raise ``bands``)."""
+def banded_buckets(signatures: DataFrame, bands: int = 8) -> DataFrame:
+    """(id, band, bucket) rows: the signature split into ``bands``
+    contiguous slices, each folded to one integer bucket (engine-
+    portable fold, uniform keys).  This IS the persistable LSH index
+    layout — write it bucketed on (band, bucket) and incremental dedup
+    joins against it without touching the corpus."""
     sig_len_col = F.size("signature")
     width = (sig_len_col / bands).cast("int")
-    # band bucket = integer fold over the band's signature slice —
-    # engine-portable (same fold in the DuckDB oracle), uniform keys.
-    banded = signatures.select(
+    return signatures.select(
         "id",
         F.posexplode(
             F.transform(
@@ -215,6 +212,19 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8
+) -> DataFrame:
+    """Banded LSH: split each signature into ``bands`` contiguous rows
+    of equal width, hash each band, and self-join on (band index, band
+    hash).  Emits distinct (id1 < id2) candidate pairs.
+
+    The self-join is an equi-join on uniform hash keys — shuffle
+    partitioned by bucket, broadcast-free, skew-free unless a bucket is
+    pathologically hot (boilerplate-heavy corpora: raise ``bands``)."""
+    banded = banded_buckets(signatures, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -257,6 +267,54 @@ def minhash_dedup_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id1", "id2", "est_jaccard")
     )
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Build the persistable LSH bucket index of a corpus: (id, band,
+    bucket) rows.  At 100 TB this is computed ONCE per corpus and
+    stored bucketed on (band, bucket) (sources.write_bucketed_table);
+    each new crawl batch then dedups against it with one co-located
+    equi-join instead of re-reading the corpus text."""
+    return banded_buckets(
+        minhash_signatures(df, id_col, text_col, num_hashes, n), bands
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Incremental near-dedup: drop new documents that share ANY LSH
+    band bucket with an already-indexed corpus.
+
+    Cost is proportional to the NEW batch (signatures over new docs
+    only) plus one equi-join against the index — the corpus text is
+    never touched.  Both sides of the join are uniform hash keys; with
+    the index stored bucketed on (band, bucket) the join is shuffle-
+    free on the corpus side.  Returns the surviving rows of
+    ``new_docs`` (all columns).
+    """
+    new_buckets = minhash_index(
+        new_docs, id_col, text_col, num_hashes, bands, n
+    )
+    dup_ids = (
+        new_buckets.join(index, on=["band", "bucket"], how="left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(dup_ids, on=id_col, how="left_anti")
 
 
 def simhash(col: Column, bits: int = 32) -> Column:

@@ -3223,3 +3223,65 @@ def profile_lineitem(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     return profile_numeric(li, _PROFILE_COLS, grid_decimals=2)
+
+
+def _minhash_buckets_cte(alias: str, where: str) -> str:
+    """CTE chain producing (doc_id, b, bucket) LSH bucket rows for the
+    documents matching ``where`` — the DuckDB twin of
+    extended/dedup.py minhash_index (32 hashes, 8 bands of width 4)."""
+    return f"""
+    {alias}_d AS (
+      SELECT doc_id, list_distinct([substring(text, i, 3)
+                     for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS sh
+      FROM documents WHERE {where}
+    ), {alias}_ex AS (
+      SELECT doc_id, unnest(sh) AS s FROM {alias}_d
+    ), {alias}_hb AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), [ord(substring(s, i, 1))
+                                          for i in range(1, len(s)+1)]),
+                         (acc, c) -> (acc * 257 + c) % 9007199254740992)
+             % 2147483647 AS h
+      FROM {alias}_ex
+    ), {alias}_hs AS (
+      SELECT doc_id, list(h) AS hl FROM {alias}_hb GROUP BY doc_id
+    ), {alias}_sig AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL} AS sg FROM {alias}_hs
+    ), {alias}_buckets AS (
+      SELECT doc_id, b,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                      list_slice(sg, 4*b + 1, 4*b + 4)),
+                         (acc, v) -> (acc * 48271 + v) % 2147483647) AS bucket
+      FROM {alias}_sig, range(0, 8) bb(b)
+    )"""
+
+
+@query(
+    "dedup_incremental",
+    f"""
+    WITH {_minhash_buckets_cte('idx', 'doc_id < 250')},
+    {_minhash_buckets_cte('new', 'doc_id >= 250')[1:]}
+    SELECT n.doc_id, n.lang, n.n_chars
+    FROM documents n
+    WHERE n.doc_id >= 250
+      AND n.doc_id NOT IN (
+        SELECT DISTINCT nb.doc_id
+        FROM new_buckets nb
+        JOIN idx_buckets ib ON nb.b = ib.b AND nb.bucket = ib.bucket
+      )
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental corpus dedup (extended/dedup.py dedup_against_index):
+    documents >= 250 are the 'new crawl batch', < 250 the already-
+    indexed corpus.  Signatures are computed for the NEW side only; the
+    corpus participates as its (band, bucket) index — at 100 TB that
+    index is written bucketed on the join key and the corpus text is
+    never re-read.  Survivors = new docs sharing no band bucket with
+    the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = filter_df(docs, F.col("doc_id") < 250)
+    new = filter_df(docs, F.col("doc_id") >= 250)
+    idx = X_dedup.minhash_index(corpus, num_hashes=32, bands=8)
+    out = X_dedup.dedup_against_index(new, idx, num_hashes=32, bands=8)
+    return out.select("doc_id", "lang", "n_chars")

@@ -339,3 +339,39 @@ def test_quadratic_guard_blocks_unbounded_exact_paths(spark):
         X_sim.cosine_dup_pairs(emb, threshold=0.9, exact=True, exact_max_rows=10)
     with pytest.raises(ValueError, match="exact=True"):
         X_sim.cosine_dup_pairs(emb, threshold=0.9, lsh_planes=0)
+
+
+def test_dedup_against_index_incremental(spark):
+    """Incremental dedup: new docs sharing any LSH band bucket with the
+    indexed corpus are dropped; genuinely novel docs survive; indexing
+    a corpus against itself drops every doc."""
+    corpus = to_df(
+        spark,
+        [
+            [1, "the quick brown fox jumps over the lazy dog again and again"],
+            [2, "pack my box with five dozen liquor jugs for the trip home"],
+        ],
+        "doc_id:long,text:str",
+    )
+    new = to_df(
+        spark,
+        [
+            # near-copy of doc 1 -> must be dropped
+            [10, "the quick brown fox jumps over the lazy dog again and again!"],
+            # unrelated text -> must survive
+            [11, "zebras graze quietly while violet thunderclouds gather east"],
+        ],
+        "doc_id:long,text:str",
+    )
+    idx = X_dedup.minhash_index(corpus, num_hashes=32, bands=16)
+    out = X_dedup.dedup_against_index(new, idx, num_hashes=32, bands=16)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 10 not in ids
+    assert ids == [11]
+    # self-dedup: every corpus doc shares all its buckets with itself
+    self_out = X_dedup.dedup_against_index(corpus, idx, num_hashes=32, bands=16)
+    assert self_out.count() == 0
+    # the index side never touches new-doc text: plan joins on
+    # (band, bucket) hash keys only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "Python" not in plan
