@@ -1,13 +1,19 @@
 from .ops import (
+    foreach_batch,
     run_stream_to_memory,
     session_window_agg,
     sessionize_batch,
+    stream_stream_tolerance_join,
+    streaming_dedup_against_index,
     windowed_agg,
 )
 from .stateful import stateful_sessions, streaming_dedup
 
 __all__ = [
+    "foreach_batch",
     "run_stream_to_memory",
+    "stream_stream_tolerance_join",
+    "streaming_dedup_against_index",
     "session_window_agg",
     "sessionize_batch",
     "stateful_sessions",

@@ -162,3 +162,62 @@ def foreach_batch(stream_df: DataFrame, fn, query_name: str = "fb"):
     )
     q.awaitTermination()
     return q
+
+
+def streaming_dedup_against_index(
+    stream_docs: DataFrame,
+    index_path: str,
+    survivors_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    query_name: str = "stream_dedup",
+):
+    """Continuous corpus ingestion with incremental near-dedup: each
+    micro-batch (a) anti-joins its LSH band buckets against the
+    persisted corpus index at ``index_path``, (b) appends survivors to
+    ``survivors_path``, and (c) appends the survivors' buckets to the
+    index — so later batches dedup against everything admitted before
+    them, without ever recomputing the corpus.
+
+    This is the production shape of extended/dedup.dedup_against_index:
+    foreachBatch is the sanctioned sink for the read-check-append cycle
+    (transactional per micro-batch; exactly-once under checkpointing
+    because batch_id-keyed writes are idempotent).  At 100 TB the index
+    is a bucketed table on (band, bucket) and both the anti-join and
+    the append are shuffle-free on the corpus side; state lives in the
+    table, NOT in executor memory, so the stream can run forever.
+    """
+    from ..extended.dedup import dedup_against_index, minhash_index
+
+    from ..extended.dedup import lsh_candidate_pairs, minhash_signatures
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            idx = spark.read.parquet(index_path)
+            have_index = True
+        except Exception:
+            have_index = False
+        if have_index:
+            fresh = dedup_against_index(
+                batch_df, idx, id_col, text_col, num_hashes, bands
+            )
+        else:
+            fresh = batch_df
+        # within-batch self-dedup (a batch can contain its own copies,
+        # none of which are in the index yet): banded LSH candidates,
+        # keep the smaller id of each pair
+        sigs = minhash_signatures(fresh, id_col, text_col, num_hashes)
+        losers = (
+            lsh_candidate_pairs(sigs, bands)
+            .select(F.col("id2").alias(id_col))
+            .distinct()
+        )
+        fresh = fresh.join(losers, on=id_col, how="left_anti")
+        fresh.write.mode("append").parquet(survivors_path)
+        new_idx = minhash_index(fresh, id_col, text_col, num_hashes, bands)
+        new_idx.write.mode("append").parquet(index_path)
+
+    return foreach_batch(stream_docs, _step, query_name=query_name)

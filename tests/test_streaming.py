@@ -457,3 +457,67 @@ def test_stateful_dedup_on_rocksdb_state_store(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_streaming_dedup_against_index(spark, tmp_path):
+    """Continuous ingestion with incremental near-dedup: batch 2's
+    near-copy of a batch-1 doc is dropped by the persisted index;
+    batch 2's internal duplicate pair keeps only the smaller id; the
+    index grows by exactly the survivors' buckets."""
+    from pandasy_spark.streaming import streaming_dedup_against_index
+
+    stream_dir = str(tmp_path / "in")
+    index_path = str(tmp_path / "index")
+    surv_path = str(tmp_path / "survivors")
+
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "the quick brown fox jumps over the lazy dog again and again",
+                "pack my box with five dozen liquor jugs for the trip home",
+            ],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            # the near-copy gets id 0 (SMALLER than its batch-1
+            # original): only the cross-batch index drops it — a
+            # single-batch self-dedup would keep 0 and drop 1 instead,
+            # so this distinguishes the two code paths
+            "doc_id": [0, 4, 5],
+            "text": [
+                # near-copy of batch-1 doc 1 -> dropped by the index
+                "the quick brown fox jumps over the lazy dog again and again!",
+                # novel -> survives
+                "zebras graze quietly while violet thunderclouds gather east",
+                # near-copy of doc 4 within the SAME batch -> dropped
+                "zebras graze quietly while violet thunderclouds gather east.",
+            ],
+        }
+    )
+    # two files -> two micro-batches (lexicographic arrival order)
+    spark.createDataFrame(b1).coalesce(1).write.mode("overwrite").parquet(
+        stream_dir + "/f1"
+    )
+    spark.createDataFrame(b2).coalesce(1).write.mode("overwrite").parquet(
+        stream_dir + "/f2"
+    )
+    schema = "doc_id bigint, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+    )
+    streaming_dedup_against_index(
+        stream, index_path, surv_path, num_hashes=32, bands=16
+    )
+    surv = sorted(
+        r["doc_id"] for r in spark.read.parquet(surv_path).collect()
+    )
+    assert surv == [1, 2, 4]
+    idx = spark.read.parquet(index_path)
+    assert sorted(set(r["id"] for r in idx.collect())) == [1, 2, 4]
+    # 16 bands per admitted doc
+    assert idx.count() == 3 * 16
