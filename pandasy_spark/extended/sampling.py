@@ -97,7 +97,10 @@ def hash_split(
     total = sum(fractions.values())
     if not math.isclose(total, 1.0, rel_tol=1e-9):
         raise ValueError(f"fractions must sum to 1, got {total}")
-    bucket = split_bucket(F.col(id_col), salt)
+    # materialize the bucket once — a CASE referencing the raw hash
+    # expression would re-evaluate the char fold per WHEN branch
+    tmp = "__split_bucket"
+    bucket = F.col(tmp)
     # cumulative integer boundaries over the 10k bucket grid
     expr: Column | None = None
     acc = 0.0
@@ -107,7 +110,11 @@ def hash_split(
         cond = bucket < F.lit(hi)
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
     assert expr is not None
-    return df.withColumn(split_col, expr)
+    return (
+        df.withColumn(tmp, split_bucket(F.col(id_col), salt))
+        .withColumn(split_col, expr)
+        .drop(tmp)
+    )
 
 
 def stratified_sample(
@@ -178,6 +185,7 @@ def chunk_pack(
     token_col: str,
     budget: int,
     id_cols: Sequence[str] = ("doc_id",),
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Concat-and-chunk packing (GPT-style pretraining layout).
 
@@ -194,6 +202,15 @@ def chunk_pack(
     must be a total order (unique), otherwise the concatenation order —
     like any SQL window over a non-unique ORDER BY — is ambiguous.
 
+    A prefix sum is inherently two-pass (per-partition totals, then the
+    rows again); without materialization Catalyst plans the second pass
+    as a full re-scan of the input — including recomputing upstream
+    token counts.  ``persist_intermediate`` (default) caches the
+    minimal projected frame (ids + two longs, NEVER the document text)
+    MEMORY_AND_DISK so the input is scanned once; pass False if the
+    caller manages its own materialization (e.g. the frame is already
+    cached or checkpointed).
+
     Output: ``id_cols..., chunk_id, tok_start, tok_end`` where
     [tok_start, tok_end) is the half-open token slice of the document
     placed in that chunk (document-relative offsets).
@@ -208,6 +225,10 @@ def chunk_pack(
         .repartitionByRange(F.col("__ord"))
         .withColumn("__pid", F.spark_partition_id())
     )
+    if persist_intermediate:
+        from pyspark import StorageLevel
+
+        t = t.persist(StorageLevel.MEMORY_AND_DISK)
     wp = (
         Window.partitionBy("__pid")
         .orderBy("__ord")
