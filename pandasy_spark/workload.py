@@ -3285,3 +3285,55 @@ def dedup_incremental(spark, sf_dir):
     idx = X_dedup.minhash_index(corpus, num_hashes=32, bands=8)
     out = X_dedup.dedup_against_index(new, idx, num_hashes=32, bands=8)
     return out.select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "knn_quantized",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), qz AS (
+      SELECT vec_id,
+             [CAST(GREATEST(CAST(-127 AS BIGINT),
+                            LEAST(CAST(127 AS BIGINT),
+                                  CAST(FLOOR(v[i] * 127.0
+                                        / GREATEST(list_max([abs(v[j])
+                                             for j in range(1, len(v)+1)]), 1e-30)
+                                        + 0.5) AS BIGINT))) AS TINYINT)
+              for i in range(1, len(v)+1)] AS codes
+      FROM e
+    ), q AS (
+      SELECT vec_id AS query_id, codes AS qc FROM qz WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS id, codes AS cc FROM qz WHERE vec_id >= 10
+    ), s AS (
+      SELECT query_id, id,
+             FLOOR((CAST(list_sum([CAST(cc[i] AS INT) * CAST(qc[i] AS INT)
+                                   for i in range(1, len(cc)+1)]) AS DOUBLE)
+                    / (sqrt(CAST(list_sum([CAST(cc[i] AS INT) * CAST(cc[i] AS INT)
+                                           for i in range(1, len(cc)+1)]) AS DOUBLE)) *
+                       sqrt(CAST(list_sum([CAST(qc[i] AS INT) * CAST(qc[i] AS INT)
+                                           for i in range(1, len(qc)+1)]) AS DOUBLE))))
+                   * 10000 + 0.5) / 10000 AS qsim
+      FROM c CROSS JOIN q
+    )
+    SELECT query_id, id, qsim, rk FROM (
+      SELECT query_id, id, qsim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qsim DESC, id) AS rk
+      FROM s
+    ) WHERE rk <= 5
+    """,
+)
+def knn_quantized(spark, sf_dir):
+    """Top-k cosine over int8-quantized embeddings (extended/
+    similarity.py quantize_embeddings): 4x less corpus IO, integer dot
+    products, no dequantization (per-vector scales cancel in cosine).
+    Quantization and scoring are deterministic IEEE/int ops, so the
+    DuckDB oracle reproduces scores bit-for-bit and the result is
+    value-hash-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = filter_df(emb, F.col("vec_id") >= 10)
+    queries = filter_df(emb, F.col("vec_id") < 10)
+    return X_sim.quantized_cosine_topk(
+        corpus, queries, k=5, query_id_col="vec_id", round_digits=4
+    )

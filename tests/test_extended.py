@@ -375,3 +375,27 @@ def test_dedup_against_index_incremental(spark):
     # (band, bucket) hash keys only
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_quantized_knn_recall_and_layout(spark, sf_dir):
+    """int8-quantized ANN: codes really are array<tinyint> (the 4x
+    memory claim), scores stay within quantization error of the exact
+    float path, and top-5 recall vs exact brute force is high."""
+    from pandasy_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    qz = X_sim.quantize_embeddings(emb)
+    el = qz.schema["codes"].dataType.elementType.simpleString()
+    assert el == "tinyint", el
+
+    exact = X_sim.cosine_topk(corpus, queries, k=5, query_id_col="vec_id")
+    quant = X_sim.quantized_cosine_topk(
+        corpus, queries, k=5, query_id_col="vec_id"
+    )
+    e = {(r["query_id"], r["id"]) for r in exact.collect()}
+    q = {(r["query_id"], r["id"]) for r in quant.collect()}
+    recall = len(e & q) / len(e)
+    assert recall >= 0.8, recall
