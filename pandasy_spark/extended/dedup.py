@@ -54,6 +54,7 @@ __all__ = [
     "dedup_against_index",
     "simhash",
     "simhash_candidate_pairs",
+    "ngram_contamination",
 ]
 
 
@@ -105,11 +106,19 @@ def char_poly_hash(col: Column, n: int | None = None) -> Column:
 
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct character n-gram set of a string (empty array if the
-    string is shorter than n)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.substring(col, i, n))
-    )
+    string is shorter than n).
+
+    Guarded: ``sequence(1, 0)`` in Spark counts DOWN ([1, 0]), which
+    would emit short junk shingles for strings of length 1..n-1."""
+    cnt = F.length(col) - (n - 1)
+    return F.when(
+        cnt > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt), lambda i: F.substring(col, i, n)
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_jaccard_pairs(
@@ -163,15 +172,15 @@ def minhash_signatures(
     deliberately NOT deduplicated per document: column-wise min is
     duplicate-insensitive, so the values are identical to the set
     version while skipping a per-row ``array_distinct`` pass."""
-    idx = F.sequence(
-        F.lit(1), F.greatest(F.length(F.col(text_col)) - (n - 1), F.lit(0))
-    )
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(idx, lambda i: F.substring(F.col(text_col), i, n))
-        ).alias("sh"),
-    )
+    cnt = F.length(F.col(text_col)) - (n - 1)
+    grams = F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.substring(F.col(text_col), i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("sh"))
     # One Karp-Rabin char-fold per shingle, then k affine
     # (universal-family) transforms mod the MINSTD prime — k integer
     # multiply-adds are far cheaper than k string hashes, with
@@ -471,3 +480,49 @@ def rolling_dup_pairs(
         )
     )
     return pairs.select(*key_cols, "id1", "id2")
+
+
+def ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least ``min_shared`` distinct word ``n``-grams with an evaluation
+    set — the standard pre-training hygiene step that keeps eval
+    answers out of the training corpus.
+
+    Shape: explode distinct n-grams on both sides, semi-join train
+    grams against the (small, distinct) benchmark gram set, count per
+    train doc.  The join is an equi-join on gram strings; the
+    benchmark side is tiny and broadcasts, so the cost is one scan +
+    explode of the training corpus regardless of corpus size.
+
+    Output: (id, n_shared) for contaminated docs only — anti-join it
+    back against the corpus to drop them."""
+    from .text import word_ngrams
+
+    t = train.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("g"),
+    )
+    b = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), n))
+            ).alias("g")
+        )
+        .distinct()
+    )
+    return (
+        t.join(F.broadcast(b), on="g", how="left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(F.col("id").alias(id_col), "n_shared")
+    )

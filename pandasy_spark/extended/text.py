@@ -30,6 +30,11 @@ __all__ = [
     "bpe_token_count",
     "rolling_fingerprint",
     "with_text_stats",
+    "tokens",
+    "word_ngrams",
+    "repetition_stats",
+    "redact_pii",
+    "PII_PATTERNS",
 ]
 
 # tiny per-language stopword marker sets for the n-gram/stopword
@@ -152,3 +157,93 @@ def rolling_fingerprint(col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * F.lit(_ROLL_BASE) + F.ascii(c)) % F.lit(_ROLL_MOD),
     )
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace token array (empty strings filtered)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (empty if fewer than n
+    tokens).  The unit of benchmark-decontamination overlap checks.
+
+    Guarded: ``sequence(1, 0)`` in Spark counts DOWN ([1, 0]), so the
+    index range is only built when at least one n-gram exists."""
+    toks = tokens(col)
+    cnt = F.size(toks) - (n - 1)
+    return F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals: the fraction
+    of duplicate word 2-grams / 3-grams and the highest single-token
+    share.  Repetitive machine-generated text scores high and gets
+    filtered before training.  All array/aggregate built-ins — one
+    narrow pass, no shuffle, no Python."""
+    c = F.col(text_col)
+    toks = tokens(c)
+
+    def dup_frac(n: int) -> Column:
+        grams = word_ngrams(c, n)
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        return F.when(
+            total > 0, (total - distinct).cast("double") / total
+        ).otherwise(F.lit(0.0))
+
+    # share of the most frequent token among all tokens
+    top_share = F.when(
+        F.size(toks) > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ).cast("double")
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+    from ..functions.kernels import qround
+
+    return df.withColumns(
+        {
+            "dup_2gram_frac": qround(dup_frac(2), 4),
+            "dup_3gram_frac": qround(dup_frac(3), 4),
+            "top_token_share": qround(top_share, 4),
+        }
+    )
+
+
+#: PII patterns: conservative, high-precision classes.  Redaction is
+#: regexp_replace chains — JVM codegen, linear scans, no Python.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Replace PII spans with typed placeholders ('[EMAIL]', ...) and
+    count matches per class.  Order matters: ssn/ipv4 run before the
+    generic phone pattern so overlapping digit shapes get the most
+    specific tag.  At 100 TB this is the cheapest possible shape — one
+    narrow projection, a few regex automata per row."""
+    c = F.col(text_col)
+    counts = {
+        f"n_{name}": F.regexp_count(c, F.lit(pat)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+    red = c
+    for name in ["email", "ssn", "ipv4", "phone"]:
+        red = F.regexp_replace(red, PII_PATTERNS[name], f"[{name.upper()}]")
+    return df.withColumns({**counts, out_col: red})

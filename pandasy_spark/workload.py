@@ -3337,3 +3337,125 @@ def knn_quantized(spark, sf_dir):
     return X_sim.quantized_cosine_topk(
         corpus, queries, k=5, query_id_col="vec_id", round_digits=4
     )
+
+
+@query(
+    "text_repetition",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> len(x) > 0) AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, toks,
+             [array_to_string(list_slice(toks, i, i + 1), ' ')
+              for i in range(1, greatest(len(toks) - 1, 0) + 1)] AS g2,
+             [array_to_string(list_slice(toks, i, i + 2), ' ')
+              for i in range(1, greatest(len(toks) - 2, 0) + 1)] AS g3
+      FROM t
+    )
+    SELECT doc_id,
+           FLOOR((CASE WHEN len(g2) > 0
+                  THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                  ELSE 0e0 END) * 10000 + 0.5) / 10000 AS dup_2gram_frac,
+           FLOOR((CASE WHEN len(g3) > 0
+                  THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                  ELSE 0e0 END) * 10000 + 0.5) / 10000 AS dup_3gram_frac,
+           FLOOR((CASE WHEN len(toks) > 0
+                  THEN CAST(list_max([len(list_filter(toks, x -> x = w))
+                                      for w in list_distinct(toks)]) AS DOUBLE)
+                       / len(toks)
+                  ELSE 0e0 END) * 10000 + 0.5) / 10000 AS top_token_share
+    FROM g
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (extended/text.py
+    repetition_stats): duplicate word 2-/3-gram fractions and the top
+    single-token share — the standard signals for dropping repetitive
+    machine-generated text.  One narrow pass of array built-ins, no
+    shuffle, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    return X_text.repetition_stats(docs).select(
+        "doc_id", "dup_2gram_frac", "dup_3gram_frac", "top_token_share"
+    )
+
+
+_PII_E = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_P = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_PII_S = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_I = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "text_pii",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_E}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_P}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '{_PII_S}')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text, '{_PII_I}')) AS BIGINT) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text, '{_PII_E}', '[EMAIL]', 'g'),
+                     '{_PII_S}', '[SSN]', 'g'),
+                     '{_PII_I}', '[IPV4]', 'g'),
+                     '{_PII_P}', '[PHONE]', 'g')) AS redacted_fp
+    FROM documents
+    """,
+)
+def text_pii(spark, sf_dir):
+    """PII detection + redaction (extended/text.py redact_pii):
+    per-class match counts and typed placeholders, pure regexp chains
+    in whole-stage codegen.  The oracle md5s the redacted text, so the
+    hash check proves byte-identical redaction, not just counts."""
+    docs = _t(spark, sf_dir, "documents")
+    out = X_text.redact_pii(docs)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ssn",
+        "n_ipv4",
+        F.md5("text_redacted").alias("redacted_fp"),
+    )
+
+
+@query(
+    "decontaminate",
+    r"""
+    WITH bt AS (
+      SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> len(x) > 0) AS toks
+      FROM documents WHERE doc_id < 50
+    ), bg AS (
+      SELECT DISTINCT unnest(list_distinct(
+               [array_to_string(list_slice(toks, i, i + 4), ' ')
+                for i in range(1, greatest(len(toks) - 4, 0) + 1)])) AS g
+      FROM bt
+    ), tt AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> len(x) > 0) AS toks
+      FROM documents WHERE doc_id >= 50
+    ), tg AS (
+      SELECT doc_id, unnest(list_distinct(
+               [array_to_string(list_slice(toks, i, i + 4), ' ')
+                for i in range(1, greatest(len(toks) - 4, 0) + 1)])) AS g
+      FROM tt
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM tg WHERE g IN (SELECT g FROM bg)
+    GROUP BY doc_id
+    """,
+)
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination (extended/dedup.py
+    ngram_contamination): training docs (doc_id >= 50) sharing any
+    distinct word 5-gram with the 'evaluation set' (doc_id < 50) are
+    flagged with their overlap count.  The benchmark gram set is tiny
+    and broadcasts; cost is one scan + explode of the training side."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = filter_df(docs, F.col("doc_id") < 50)
+    train = filter_df(docs, F.col("doc_id") >= 50)
+    return X_dedup.ngram_contamination(train, bench, n=5, min_shared=1)

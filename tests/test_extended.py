@@ -399,3 +399,99 @@ def test_quantized_knn_recall_and_layout(spark, sf_dir):
     q = {(r["query_id"], r["id"]) for r in quant.collect()}
     recall = len(e & q) / len(e)
     assert recall >= 0.8, recall
+
+
+def test_redact_pii_handcrafted(spark):
+    df = to_df(
+        spark,
+        [
+            [1, "mail me at jo.doe+x@site.org or call 555-123-4567 now"],
+            [2, "ssn 123-45-6789 from host 10.0.255.7 twice 10.0.255.7"],
+            [3, "nothing sensitive here"],
+        ],
+        "doc_id:long,text:str",
+    )
+    out = {r["doc_id"]: r for r in X_text.redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "[EMAIL]" in out[1]["text_redacted"]
+    assert "[PHONE]" in out[1]["text_redacted"]
+    assert "jo.doe" not in out[1]["text_redacted"]
+    assert out[2]["n_ssn"] == 1 and out[2]["n_ipv4"] == 2
+    assert out[2]["text_redacted"].count("[IPV4]") == 2
+    # ssn redacted as [SSN], not mis-tagged by the generic phone rule
+    assert "[SSN]" in out[2]["text_redacted"]
+    assert out[3]["text_redacted"] == "nothing sensitive here"
+    assert out[3]["n_email"] == out[3]["n_phone"] == 0
+
+
+def test_repetition_stats_handcrafted(spark):
+    df = to_df(
+        spark,
+        [
+            [1, "spam spam spam spam"],        # one token repeated
+            [2, "all words here are unique"],  # no repetition
+            [3, ""],                            # degenerate
+        ],
+        "doc_id:long,text:str",
+    )
+    out = {r["doc_id"]: r for r in X_text.repetition_stats(df).collect()}
+    # doc 1: 3 bigrams all "spam spam" -> 2/3 duplicated; top share 1.0
+    assert abs(out[1]["dup_2gram_frac"] - 2 / 3) < 1e-3
+    assert out[1]["top_token_share"] == 1.0
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert abs(out[2]["top_token_share"] - 0.2) < 1e-9
+    assert out[3]["dup_2gram_frac"] == 0.0 and out[3]["top_token_share"] == 0.0
+
+
+def test_ngram_contamination_handcrafted(spark):
+    bench = to_df(
+        spark,
+        [[100, "the capital of france is paris and it is lovely"]],
+        "doc_id:long,text:str",
+    )
+    train = to_df(
+        spark,
+        [
+            # contains the 5-gram "the capital of france is"
+            [1, "we know the capital of france is paris obviously"],
+            # no shared 5-gram
+            [2, "completely unrelated training text about cooking rice"],
+        ],
+        "doc_id:long,text:str",
+    )
+    out = {r["doc_id"]: r["n_shared"] for r in
+           X_dedup.ngram_contamination(train, bench, n=5).collect()}
+    assert 1 in out and out[1] >= 2  # overlapping 5-gram window(s)
+    assert 2 not in out
+
+
+def test_ngram_builders_empty_below_n(spark):
+    """Strings shorter than n must yield EMPTY gram arrays — Spark's
+    sequence(1, 0) counts DOWN, which silently produced junk shingles
+    for 1..n-1-char inputs before the guard."""
+    df = to_df(
+        spark,
+        [[1, "ab"], [2, ""], [3, "abc"], [4, "one two"]],
+        "doc_id:long,text:str",
+    )
+    sh = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", X_dedup.shingles(F.col("text"), 3).alias("s")
+        ).collect()
+    }
+    assert sh[1] == [] and sh[2] == []
+    assert sh[3] == ["abc"]
+    # minhash silently drops gram-less docs rather than erroring
+    sigs = X_dedup.minhash_signatures(df, num_hashes=4)
+    assert sorted(r["id"] for r in sigs.collect()) == [3, 4]
+    from pandasy_spark.extended.text import word_ngrams
+
+    wg = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", word_ngrams(F.col("text"), 2).alias("g")
+        ).collect()
+    }
+    assert wg[1] == [] and wg[2] == [] and wg[3] == []
+    assert wg[4] == ["one two"]
