@@ -49,10 +49,25 @@ _R1_CHECKED = {
 }
 
 
+# Queries that did not exist in the r1 registry at all — the least
+# proven of the unproven, so they register before everything else.
+_R2_NEW = [
+    "sample_split", "sample_stratified", "sample_interleave",
+    "pack_chunks", "pack_greedy", "profile_lineitem",
+    "dedup_incremental", "knn_quantized", "text_repetition",
+    "text_pii", "decontaminate", "dedup_ngram_exact",
+    "expr_cast_strict",
+]
+
+
 def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    unproven = {k: v for k, v in QUERIES.items() if k not in _R1_CHECKED}
+    new = {k: QUERIES[k] for k in _R2_NEW if k in QUERIES}
+    unproven = {
+        k: v for k, v in QUERIES.items()
+        if k not in _R1_CHECKED and k not in new
+    }
     proven = {k: v for k, v in QUERIES.items() if k in _R1_CHECKED}
-    return {**unproven, **proven}
+    return {**new, **unproven, **proven}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
