@@ -55,6 +55,8 @@ __all__ = [
     "simhash",
     "simhash_candidate_pairs",
     "ngram_contamination",
+    "winnow_fingerprints",
+    "winnow_dup_pairs",
 ]
 
 
@@ -525,4 +527,86 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
         .select(F.col("id").alias(id_col), "n_shared")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD '03 —
+    the MOSS algorithm): hash every character k-gram, slide a window of
+    ``w`` consecutive hashes, keep each window's minimum; the distinct
+    minima are the document's fingerprint set.
+
+    Guarantee: any shared substring of length >= w + k - 1 between two
+    documents yields at least one shared fingerprint — unlike MinHash
+    (whole-document similarity), winnowing detects LOCAL overlap
+    (quotations, partial copies) with bounded sketch density ~2/(w+1).
+
+    Everything is the engine-portable Karp-Rabin/MINSTD arithmetic in
+    array built-ins (transform/slice/array_min) — one narrow pass, no
+    shuffle, DuckDB-oracle-checkable.  Dup detection = explode + equi-
+    join on fingerprint value, the same scale shape as LSH buckets.
+
+    Output: (id, fp) exploded distinct fingerprint rows."""
+    text = F.col(text_col)
+
+    def gram_hash(i):  # i: 1-based Column position
+        acc: Column = F.lit(0).cast("long")
+        for j in range(k):
+            acc = (acc * F.lit(257) + F.ascii(F.substring(text, i + j, 1))) % F.lit(
+                _ROLL_MOD
+            )
+        return acc % F.lit(_P31)
+
+    nh = F.length(text) - (k - 1)
+    hs = F.when(
+        nh > 0, F.transform(F.sequence(F.lit(1), nh), gram_hash)
+    ).otherwise(F.array().cast("array<long>"))
+    nw = F.size(hs) - (w - 1)
+    fps = (
+        F.when(
+            nw > 0,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), nw),
+                    lambda i: F.array_min(F.slice(hs, i, w)),
+                )
+            ),
+        )
+        # shorter than one full window but at least one gram: the
+        # whole hash array is the single window
+        .when(F.size(hs) > 0, F.array(F.array_min(hs)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(fps).alias("fp")
+    )
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Local-overlap candidate pairs: documents sharing at least
+    ``min_shared`` winnowing fingerprints.  Equi-join on fingerprint
+    value (uniform keys), count per pair — linear candidates, no
+    all-pairs comparison."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    a = fp.select(F.col("id").alias("id1"), "fp")
+    b = fp.select(F.col("id").alias("id2"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

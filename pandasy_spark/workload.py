@@ -3459,3 +3459,42 @@ def decontaminate(spark, sf_dir):
     bench = filter_df(docs, F.col("doc_id") < 50)
     train = filter_df(docs, F.col("doc_id") >= 50)
     return X_dedup.ngram_contamination(train, bench, n=5, min_shared=1)
+
+
+@query(
+    "dedup_winnow",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN length(text) - 4 > 0 THEN
+               [list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [ord(substring(text, i + j, 1)) for j in range(0, 5)]),
+                  (acc, c) -> (acc * 257 + c) % 9007199254740992) % 2147483647
+                for i in range(1, length(text) - 4 + 1)]
+             ELSE [] END AS hs
+      FROM documents WHERE doc_id < 100
+    ), f AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) - 3 > 0 THEN
+               list_distinct([list_min(list_slice(hs, i, i + 3))
+                              for i in range(1, len(hs) - 3 + 1)])
+             WHEN len(hs) > 0 THEN [list_min(hs)]
+             ELSE [] END AS fps
+      FROM h
+    ), e AS (
+      SELECT doc_id AS id, unnest(fps) AS fp FROM f
+    )
+    SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM e a JOIN e b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_winnow(spark, sf_dir):
+    """Winnowing (MOSS) local-overlap detection (extended/dedup.py
+    winnow_dup_pairs, k=5, w=4): any shared substring >= w+k-1 chars
+    produces a shared fingerprint, so partial copies are caught even
+    when whole-document similarity is low.  Portable Karp-Rabin/MINSTD
+    arithmetic -> the DuckDB oracle rebuilds identical fingerprints."""
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 100)
+    return X_dedup.winnow_dup_pairs(docs, k=5, w=4, min_shared=2)

@@ -495,3 +495,33 @@ def test_ngram_builders_empty_below_n(spark):
     }
     assert wg[1] == [] and wg[2] == [] and wg[3] == []
     assert wg[4] == ["one two"]
+
+
+def test_winnowing_guarantee_and_locality(spark):
+    """Winnowing guarantee: a shared substring of length >= w + k - 1
+    (here 8) always yields a shared fingerprint — even when the rest
+    of the documents are completely different (local overlap, which
+    whole-document MinHash similarity would miss)."""
+    shared = "EXACT COPIED PHRASE"
+    df = to_df(
+        spark,
+        [
+            [1, "left document " + shared + " with its own tail words"],
+            [2, "totally different beginning " + shared + " other ending"],
+            [3, "no overlap with anything else whatsoever in here"],
+        ],
+        "doc_id:long,text:str",
+    )
+    pairs = {
+        (r["id1"], r["id2"]): r["n_shared"]
+        for r in X_dedup.winnow_dup_pairs(df, k=5, w=4, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # sketch density: far fewer fingerprints than k-grams
+    fps = X_dedup.winnow_fingerprints(df, k=5, w=4)
+    n_fp = fps.count()
+    total_grams = sum(
+        len(r["text"]) - 4 for r in df.collect()
+    )
+    assert 0 < n_fp < total_grams
