@@ -56,7 +56,7 @@ _R2_NEW = [
     "pack_chunks", "pack_greedy", "profile_lineitem",
     "dedup_incremental", "knn_quantized", "text_repetition",
     "text_pii", "decontaminate", "dedup_ngram_exact",
-    "expr_cast_strict", "dedup_winnow",
+    "expr_cast_strict", "dedup_winnow", "pipeline_pretraining",
 ]
 
 

@@ -3498,3 +3498,77 @@ def dedup_winnow(spark, sf_dir):
     arithmetic -> the DuckDB oracle rebuilds identical fingerprints."""
     docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 100)
     return X_dedup.winnow_dup_pairs(docs, k=5, w=4, min_shared=2)
+
+
+@query(
+    "pipeline_pretraining",
+    rf"""
+    WITH s AS (
+      SELECT doc_id, lang, text,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> len(x) > 0) AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id, lang, text FROM s
+      WHERE len(toks) >= 10
+        AND FLOOR((CASE WHEN len(toks) - 1 > 0
+              THEN CAST((len(toks) - 1) - len(list_distinct(
+                     [array_to_string(list_slice(toks, i, i + 1), ' ')
+                      for i in range(1, greatest(len(toks) - 1, 0) + 1)]))
+                   AS DOUBLE) / (len(toks) - 1)
+              ELSE 0e0 END) * 10000 + 0.5) / 10000 < 0.2
+    ), r AS (
+      SELECT doc_id, lang,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 text, '{_PII_E}', '[EMAIL]', 'g'),
+                       '{_PII_S}', '[SSN]', 'g'),
+                       '{_PII_I}', '[IPV4]', 'g'),
+                       '{_PII_P}', '[PHONE]', 'g') AS rt
+      FROM f
+    ), d AS (
+      SELECT doc_id, lang, rt,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(lower(trim(regexp_replace(rt, '\s+', ' ', 'g'))))
+               ORDER BY doc_id) AS rk
+      FROM r
+    ), k AS (
+      SELECT doc_id, lang, rt,
+             {_bucket_sql('CAST(doc_id AS VARCHAR)')} AS bucket
+      FROM d WHERE rk = 1
+    ), sp AS (
+      SELECT lang, rt,
+             CASE WHEN bucket < 9800 THEN 'train'
+                  WHEN bucket < 9900 THEN 'val'
+                  WHEN bucket < 10000 THEN 'test' END AS split
+      FROM k
+    )
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(rt, '\S+'))) AS BIGINT) AS n_tokens
+    FROM sp GROUP BY split, lang
+    """,
+)
+def pipeline_pretraining(spark, sf_dir):
+    """End-to-end pretraining corpus build composing the round-2
+    surface in one lazy plan: Gopher repetition filter + minimum
+    length -> PII redaction -> exact dedup on the redacted text
+    (lowest id wins) -> deterministic 98/1/1 split -> per-(split,
+    lang) doc and token budgets.  Every stage is the operator users
+    would call individually; Catalyst fuses the narrow stages into a
+    single scan, and the only shuffles are the dedup window and the
+    final aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    st = X_text.repetition_stats(docs)
+    kept = filter_df(
+        st,
+        (X_text.token_count(F.col("text")) >= 10)
+        & (F.col("dup_2gram_frac") < 0.2),
+    )
+    red = X_text.redact_pii(kept).select("doc_id", "lang", "text_redacted")
+    ded = X_dedup.exact_dedup(red, text_col="text_redacted", id_col="doc_id")
+    spl = X_samp.hash_split(
+        ded, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01}
+    )
+    return spl.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X_text.token_count(F.col("text_redacted"))).alias("n_tokens"),
+    )
