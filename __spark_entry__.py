@@ -57,6 +57,7 @@ _R2_NEW = [
     "dedup_incremental", "knn_quantized", "text_repetition",
     "text_pii", "decontaminate", "dedup_ngram_exact",
     "expr_cast_strict", "dedup_winnow", "pipeline_pretraining",
+    "text_quality_filter", "dedup_semantic",
 ]
 
 

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "sample_split",
     "pack_chunks",
     "pack_greedy",
+    "pipeline_pretraining",
 ]
 
 

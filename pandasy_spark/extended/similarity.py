@@ -27,6 +27,7 @@ __all__ = [
     "cosine",
     "cosine_topk",
     "cosine_dup_pairs",
+    "semantic_dedup",
     "quantize_embeddings",
     "quantized_cosine_topk",
     "hyperplane_bucket",
@@ -481,3 +482,31 @@ def _guard_quadratic(df: DataFrame, max_rows: int | None, op: str) -> None:
             "path; use the LSH/blocked variant at scale, or pass "
             "max_rows=None to explicitly accept a quadratic run"
         )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **pair_kwargs,
+) -> DataFrame:
+    """SemDeDup-style survivor selection (Abbas et al. 2023, arXiv
+    2303.09540): drop every row whose embedding is cosine-near a
+    LOWER-id row, keep the rest.
+
+    Pairs come from :func:`cosine_dup_pairs` — by default the
+    LSH-blocked scale path (hyperplane buckets -> equi-join), so the
+    candidate set is ~linear, not all-pairs.  Survivor selection is a
+    left-anti join against the distinct higher ids: the anti join
+    shuffles only the (small) loser set against the corpus, or
+    broadcasts it outright when the dup rate is low.  The lowest-id
+    policy is the same non-transitive keep-first rule as
+    ``exact_dedup``, so results are deterministic and
+    oracle-expressible.
+    """
+    pairs = cosine_dup_pairs(
+        df, threshold, id_col=id_col, vec_col=vec_col, **pair_kwargs
+    )
+    losers = pairs.select(F.col("id2").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")

@@ -34,6 +34,8 @@ __all__ = [
     "word_ngrams",
     "repetition_stats",
     "redact_pii",
+    "quality_percentile_filter",
+    "quality_quantile_threshold",
     "PII_PATTERNS",
 ]
 
@@ -247,3 +249,58 @@ def redact_pii(
     for name in ["email", "ssn", "ipv4", "phone"]:
         red = F.regexp_replace(red, PII_PATTERNS[name], f"[{name.upper()}]")
     return df.withColumns({**counts, out_col: red})
+
+
+def quality_percentile_filter(
+    df: DataFrame,
+    keep_frac: float = 0.75,
+    by: tuple[str, ...] = ("lang",),
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    out_col: str = "q_pr",
+) -> DataFrame:
+    """Adaptive quality threshold: keep the top ``keep_frac`` of rows
+    per group by quality score, instead of a fixed global cutoff (a
+    fixed threshold over- or under-prunes whole languages/domains whose
+    score distributions differ).
+
+    Exact path: ``percent_rank`` over (quality DESC, id) per group —
+    deterministic because the id tie-break makes the ordering total.
+    This needs a per-group sort (one shuffle on ``by``); groups are
+    whole languages, so at 100 TB prefer
+    :func:`quality_quantile_threshold`, which replaces the sort with a
+    map-combinable quantile sketch + broadcast join.  Keep THIS path
+    for bounded groups and as the oracle-checkable reference.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*by).orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    pr = qround(F.percent_rank().over(w), 4)
+    return df.withColumn(out_col, pr).filter(F.col(out_col) <= F.lit(keep_frac))
+
+
+def quality_quantile_threshold(
+    df: DataFrame,
+    keep_frac: float = 0.75,
+    by: tuple[str, ...] = ("lang",),
+    quality_col: str = "quality",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Scale twin of :func:`quality_percentile_filter`: per-group
+    approximate quantile threshold instead of a per-group total sort.
+
+    Plan shape at 100 TB: one map-combinable ``approx_percentile``
+    aggregate (groups = languages/domains, so the threshold table is
+    tiny), broadcast back, then a narrow filter — no giant per-group
+    sort, no skew exposure.  The cutoff is approximate (rank error
+    ~1/accuracy), which is the accepted trade for corpus curation.
+    """
+    thr = df.groupBy(*list(by)).agg(
+        F.expr(
+            f"approx_percentile({quality_col}, {1.0 - keep_frac}, {accuracy})"
+        ).alias("__q_thr")
+    )
+    joined = df.join(F.broadcast(thr), on=list(by), how="inner")
+    return joined.filter(F.col(quality_col) >= F.col("__q_thr")).drop("__q_thr")

@@ -3572,3 +3572,69 @@ def pipeline_pretraining(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(X_text.token_count(F.col("text_redacted"))).alias("n_tokens"),
     )
+
+
+@query(
+    "text_quality_filter",
+    f"""
+    WITH t AS (SELECT * FROM ({_TEXT_STATS_SQL}) z), j AS (
+      SELECT t.doc_id, d.lang, t.quality
+      FROM t JOIN documents d ON t.doc_id = d.doc_id
+    ), r AS (
+      SELECT doc_id, lang, quality,
+             FLOOR((PERCENT_RANK() OVER (
+                 PARTITION BY lang ORDER BY quality DESC, doc_id))
+               * 10000 + 0.5) / 10000 AS q_pr
+      FROM j
+    )
+    SELECT doc_id, lang, quality, q_pr FROM r WHERE q_pr <= 0.75
+    """,
+)
+def text_quality_filter(spark, sf_dir):
+    """Adaptive quality filtering: keep the top 75% of documents PER
+    LANGUAGE by quality score (extended/text.py
+    quality_percentile_filter) — a fixed global cutoff over-prunes
+    languages whose score distribution sits lower.  Exact
+    percent_rank path here (oracle-checkable); the 100 TB twin is
+    quality_quantile_threshold (approx_percentile sketch + broadcast
+    threshold join, no per-group sort), equivalence-tested in
+    tests/test_extended.py."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = X_text.with_text_stats(docs).select("doc_id", "lang", "quality")
+    return X_text.quality_percentile_filter(scored, keep_frac=0.75)
+
+
+@query(
+    "dedup_semantic",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 300
+    ), b AS (
+      SELECT vec_id, t, {_lsh_bucket_sql(4)} AS bucket FROM e, range(0,8) tt(t)
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
+      FROM b a JOIN b b2
+        ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ), p AS (
+      SELECT id1, id2,
+             list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
+             (sqrt(list_sum([a.v[i]*a.v[i] for i in range(1, len(a.v)+1)])) *
+              sqrt(list_sum([b.v[i]*b.v[i] for i in range(1, len(b.v)+1)]))) AS sim
+      FROM cand JOIN e a ON cand.id1 = a.vec_id JOIN e b ON cand.id2 = b.vec_id
+    )
+    SELECT e.vec_id FROM e
+    WHERE e.vec_id NOT IN (
+      SELECT id2 FROM p WHERE FLOOR((sim) * 10000 + 0.5) / 10000 >= 0.42)
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup SURVIVORS (extended/similarity.py
+    semantic_dedup): embeddings whose cosine-near neighbor set contains
+    no lower id survive; the rest are dropped.  Pair generation is the
+    LSH-blocked default (same engine-portable hyperplane buckets as
+    dedup_embedding), survivor selection is a left-anti join on the
+    distinct loser ids — at 100 TB the anti join broadcasts the loser
+    set when the dup rate is low."""
+    emb = filter_df(_t(spark, sf_dir, "embeddings"), F.col("vec_id") < 300)
+    return X_sim.semantic_dedup(emb, threshold=0.42).select("vec_id")

@@ -525,3 +525,43 @@ def test_winnowing_guarantee_and_locality(spark):
         len(r["text"]) - 4 for r in df.collect()
     )
     assert 0 < n_fp < total_grams
+
+
+def test_quality_quantile_threshold_tracks_exact_percentile(spark, sf_dir):
+    """The approx-sketch scale twin keeps ~the same per-group fraction
+    as the exact percent_rank path, and at accuracy=10k on 500 docs the
+    kept SETS are identical (sketch is exact below its accuracy)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = X_text.with_text_stats(docs).select("doc_id", "lang", "quality")
+    exact = X_text.quality_percentile_filter(scored, keep_frac=0.75)
+    approx = X_text.quality_quantile_threshold(scored, keep_frac=0.75)
+    n_total = scored.count()
+    n_exact, n_approx = exact.count(), approx.count()
+    assert 0 < n_exact < n_total
+    # same ballpark fraction (threshold semantics differ only on ties
+    # and sketch rank error)
+    assert abs(n_approx - n_exact) <= 0.1 * n_total
+    # every exact-path survivor's quality clears the approx threshold
+    # group-wise in >= 90% of cases (sanity, not equality: the exact
+    # path tie-breaks on doc_id which a pure threshold cannot)
+    ex_ids = {r["doc_id"] for r in exact.collect()}
+    ap_ids = {r["doc_id"] for r in approx.collect()}
+    assert len(ex_ids & ap_ids) >= 0.9 * len(ex_ids)
+
+
+def test_semantic_dedup_survivors_partition(spark, sf_dir):
+    """semantic_dedup survivors + pair losers partition the input id
+    set: no survivor appears as a higher-id member of any near-dup
+    pair, and every dropped id does."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    pairs = X_sim.cosine_dup_pairs(emb, threshold=0.42)
+    losers = {r["id2"] for r in pairs.select("id2").distinct().collect()}
+    survivors = {
+        r["vec_id"]
+        for r in X_sim.semantic_dedup(emb, threshold=0.42).collect()
+    }
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert survivors | losers == all_ids
+    assert survivors & losers == set()
