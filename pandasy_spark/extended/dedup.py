@@ -57,6 +57,7 @@ __all__ = [
     "ngram_contamination",
     "winnow_fingerprints",
     "winnow_dup_pairs",
+    "connected_components",
 ]
 
 
@@ -609,4 +610,103 @@ def winnow_dup_pairs(
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair edge list, via the
+    alternating large-star / small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    This is the missing last mile of every candidate-pair generator in
+    this module (LSH, SimHash, blocked Jaccard, winnowing): pairs only
+    say "these two documents match"; dedup at corpus scale needs the
+    transitive CLUSTERS so one survivor per cluster can be kept.  A
+    driver-side union-find over collected pairs caps out at what fits
+    in one process; this version keeps the whole graph distributed:
+
+    - each round is two groupBy+join passes over the edge list (one
+      shuffle each, keyed by node id — uniform keys, no skew beyond
+      the graph's own degree skew, which large-star itself flattens),
+    - the edge set monotonically converges to a star forest
+      (node -> min-id root) in O(log^2 n) rounds (2-4 in practice on
+      dedup graphs, whose components are near-cliques),
+    - lineage is truncated with ``localCheckpoint`` every round, the
+      standard guard against the unbounded-plan-growth trap of
+      iterative algorithms on Spark (on a cluster, prefer
+      ``checkpoint`` with a durable checkpoint dir).
+
+    Returns ``(node, component)`` for every node appearing in an edge;
+    ``component`` is the minimum node id in the connected component.
+    Reference has no graph surface (pandas kernels only); this extends
+    the dedup family per SURVEY.md §2.9.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        # For each node u: connect every strictly-larger neighbour to
+        # min(N(u) + {u}).  Emitted edges point larger -> smaller.
+        sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        # Orient edges larger -> smaller, then for each node u connect
+        # all smaller neighbours (and u itself) to the minimum one.
+        o = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).where(F.col("u") != F.col("v"))
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            o.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev: DataFrame | None = None
+    prev_n = -1
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        n = e.count()
+        # Both sides are distinct sets: equal count + empty difference
+        # means the edge set is stable (converged to the star forest).
+        if prev is not None and n == prev_n and e.exceptAll(prev).isEmpty():
+            break
+        prev, prev_n = e, n
+
+    comp = (
+        e.groupBy("u")
+        .agg(F.min("v").alias("component"))
+        .select(F.col("u").alias("node"), "component")
+    )
+    return nodes.join(comp, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
     )

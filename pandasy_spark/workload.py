@@ -3638,3 +3638,68 @@ def dedup_semantic(spark, sf_dir):
     set when the dup rate is low."""
     emb = filter_df(_t(spark, sf_dir, "embeddings"), F.col("vec_id") < 300)
     return X_sim.semantic_dedup(emb, threshold=0.42).select("vec_id")
+
+
+@query(
+    "dedup_components",
+    """
+    WITH RECURSIVE d AS (
+      SELECT source, lang, doc_id,
+             list_distinct([substring(text, i, 3)
+                            for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS sh
+      FROM documents WHERE doc_id < 300
+    ), p AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM d a JOIN d b ON a.source = b.source AND a.lang = b.lang
+      WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+        AND FLOOR((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE))
+                  * 10000 + 0.5) / 10000 >= 0.6
+    ), e AS (
+      SELECT id1 AS u, id2 AS v FROM p
+      UNION
+      SELECT id2 AS u, id1 AS v FROM p
+    ), r AS (
+      SELECT u, u AS comp FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.u, r.comp FROM e JOIN r ON e.v = r.u
+    ), c AS (
+      SELECT u, MIN(comp) AS component FROM r GROUP BY u
+    )
+    SELECT dd.doc_id,
+           COALESCE(c.component, dd.doc_id) AS component,
+           dd.doc_id = COALESCE(c.component, dd.doc_id) AS keep
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 300) dd
+    LEFT JOIN c ON dd.doc_id = c.u
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Duplicate CLUSTERS, not just pairs: blocked-Jaccard candidate
+    pairs -> distributed connected components (alternating
+    large-star/small-star, extended/dedup.py connected_components) ->
+    every document labeled with its cluster's min doc_id, survivors
+    flagged (``keep`` = is the cluster representative).
+
+    This is the full corpus-dedup shape at 100 TB: pair generation is
+    an equi-join (blocked here; LSH in general), clustering is
+    O(log^2 n) rounds of node-keyed shuffles with checkpointed
+    lineage, survivor selection is a broadcast-able left join.  The
+    DuckDB oracle computes the same transitive closure with a
+    recursive CTE — tractable at sf0.01, which is the point of the
+    scale split."""
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 300)
+    pairs = X_dedup.blocked_jaccard_pairs(
+        docs, ["source", "lang"], n=3, threshold=0.6
+    )
+    comp = X_dedup.connected_components(pairs, "id1", "id2").withColumnRenamed(
+        "node", "doc_id"
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            (F.col("doc_id") == F.coalesce("component", "doc_id")).alias("keep"),
+        )
+    )

@@ -565,3 +565,58 @@ def test_semantic_dedup_survivors_partition(spark, sf_dir):
     all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
     assert survivors | losers == all_ids
     assert survivors & losers == set()
+
+
+def _uf_components(edges):
+    """Driver-side union-find oracle for connected_components tests."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # chain (worst-case diameter), cycle, two components, self-loopish dup edges
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)],
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)],
+        [(5, 9), (9, 5), (5, 9), (100, 2), (7, 7), (3, 8)],
+        [(i, i + 1) for i in range(1, 30)] + [(50, 60), (60, 70)],
+    ],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    df = to_df(spark, [(u, v) for u, v in edges], "id1:long,id2:long")
+    got = {
+        (r["node"], r["component"])
+        for r in X_dedup.connected_components(df).collect()
+    }
+    exp = {(n, c) for n, c in _uf_components(edges).items()}
+    # self-loops contribute no nodes on the Spark side (u != v filter);
+    # mirror that in the oracle.
+    loop_only = {u for u, v in edges if u == v} - {
+        x for u, v in edges if u != v for x in (u, v)
+    }
+    exp = {(n, c) for (n, c) in exp if n not in loop_only}
+    assert got == exp
+
+
+def test_connected_components_converges_on_star_heavy_graph(spark):
+    """A hub-and-spoke plus long chain converges within the iteration
+    cap and labels every node with the component minimum."""
+    edges = [(0, i) for i in range(1, 40)] + [(200 + i, 201 + i) for i in range(20)]
+    df = to_df(spark, edges, "id1:long,id2:long")
+    out = X_dedup.connected_components(df).collect()
+    comp = {r["node"]: r["component"] for r in out}
+    assert all(comp[i] == 0 for i in range(40))
+    assert all(comp[200 + i] == 200 for i in range(21))
