@@ -52,7 +52,7 @@ _R1_CHECKED = {
 # Queries that did not exist in the r1 registry at all — the least
 # proven of the unproven, so they register before everything else.
 _R2_NEW = [
-    "dedup_components",
+    "dedup_components", "agg_mode_argmax", "profile_histogram",
     "sample_split", "sample_stratified", "sample_interleave",
     "pack_chunks", "pack_greedy", "profile_lineitem",
     "dedup_incremental", "knn_quantized", "text_repetition",

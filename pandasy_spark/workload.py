@@ -3703,3 +3703,106 @@ def dedup_components(spark, sf_dir):
             (F.col("doc_id") == F.coalesce("component", "doc_id")).alias("keep"),
         )
     )
+
+
+@query(
+    "agg_mode_argmax",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st, COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT pri, st AS mode_status FROM (
+        SELECT pri, st,
+               ROW_NUMBER() OVER (PARTITION BY pri ORDER BY c DESC, st DESC) AS rn
+        FROM s
+      ) WHERE rn = 1
+    ), a AS (
+      SELECT o_orderpriority AS pri,
+             COUNT(*) AS n_orders,
+             FIRST(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS top_order,
+             FIRST(o_orderkey ORDER BY o_totalprice ASC, o_orderkey ASC) AS cheapest_order
+      FROM orders GROUP BY 1
+    )
+    SELECT a.pri AS o_orderpriority, m.mode_status, a.top_order,
+           a.cheapest_order, a.n_orders
+    FROM a JOIN m ON a.pri = m.pri
+    """,
+)
+def agg_mode_argmax(spark, sf_dir):
+    """max_by / min_by / deterministic mode — the argmax family.
+
+    Ties are broken explicitly by packing the tie-break key into the
+    ordering struct (``max_by(x, struct(v, x))``): Spark's ``mode()``
+    and DuckDB's ``arg_max`` both pick an ARBITRARY row on ties, which
+    is exactly what a reproducible pipeline (and a cross-engine value
+    hash) cannot tolerate.  Mode is the same construction one level
+    up: per-(group, value) counts, then ``max_by(value, struct(cnt,
+    value))`` — two hash aggregates, no window over the raw fact
+    table.  The oracle mirrors with ordered-aggregate FIRST / a
+    ROW_NUMBER pick."""
+    o = _t(spark, sf_dir, "orders")
+    st = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mode = st.groupBy("pri").agg(
+        F.max_by("st", F.struct("c", "st")).alias("mode_status")
+    )
+    am = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max_by(
+            "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+        ).alias("top_order"),
+        F.min_by(
+            "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+        ).alias("cheapest_order"),
+    )
+    return (
+        am.join(mode, "pri")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "mode_status", "top_order", "cheapest_order", "n_orders",
+        )
+    )
+
+
+@query(
+    "profile_histogram",
+    """
+    WITH b AS (
+      SELECT CAST(FLOOR(o_totalprice / 5e4) AS BIGINT) AS bucket, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT bucket,
+           bucket * 5e4 AS lo_edge,
+           (bucket + 1) * 5e4 AS hi_edge,
+           n,
+           FLOOR((CAST(n AS DOUBLE) / SUM(n) OVER ()) * 10000 + 0.5) / 10000 AS share
+    FROM b
+    """,
+)
+def profile_histogram(spark, sf_dir):
+    """Fixed-width histogram profile of a numeric column: bucket in
+    the scan projection (one arithmetic expression, codegen), one hash
+    aggregate over ~#buckets keys, then the share normalization as a
+    window over the tiny aggregated result — the raw table is scanned
+    exactly once and never shuffled by row."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = 50_000.0
+    b = (
+        o.select(F.floor(F.col("o_totalprice") / F.lit(w)).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return b.select(
+        "bucket",
+        (F.col("bucket") * F.lit(w)).alias("lo_edge"),
+        ((F.col("bucket") + 1) * F.lit(w)).alias("hi_edge"),
+        "n",
+        qr(F.col("n").cast("double") / F.sum("n").over(Window.partitionBy()), 4).alias(
+            "share"
+        ),
+    )
