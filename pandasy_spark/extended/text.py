@@ -36,6 +36,7 @@ __all__ = [
     "redact_pii",
     "quality_percentile_filter",
     "quality_quantile_threshold",
+    "bpe_pair_counts",
     "PII_PATTERNS",
 ]
 
@@ -304,3 +305,57 @@ def quality_quantile_threshold(
     )
     joined = df.join(F.broadcast(thr), on=list(by), how="inner")
     return joined.filter(F.col(quality_col) >= F.col("__q_thr")).drop("__q_thr")
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """One merge step of byte-pair-encoding tokenizer training
+    (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+    with Subword Units"): corpus-wide frequencies of adjacent symbol
+    pairs, weighted by word-type frequency.
+
+    Distributed shape — the part that matters at 100 TB:
+
+    1. word-type frequencies: one hash aggregate over exploded words
+       (map-side combine collapses each partition to its distinct
+       words before the shuffle);
+    2. pair explosion runs over word TYPES, not word occurrences —
+       the corpus may hold 10^12 running words but only ~10^7
+       distinct types, so the second stage's input is tiny;
+    3. pair counts: hash aggregate over a key space of ~|alphabet|^2;
+    4. deterministic top-N via (count DESC, pair) rank — ties broken
+       lexicographically, so a re-run (or another engine) picks the
+       SAME merge, which is what makes tokenizer training
+       reproducible.
+
+    Returns (pair, cnt, rk) — the argmax row (rk=1) is the merge a
+    BPE trainer would apply next; iterating merges re-runs this with
+    the learned vocabulary applied, each round over word types only.
+    """
+    words = df.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("word")
+    ).filter(F.length("word") >= 2)
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring("word", i, 2),
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    from pyspark.sql.window import Window
+
+    agg = pairs.groupBy("pair").agg(F.sum("wc").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select("pair", "cnt", "rk")
+    )

@@ -3806,3 +3806,81 @@ def profile_histogram(spark, sf_dir):
             "share"
         ),
     )
+
+
+@query(
+    "text_bpe_pairs",
+    """
+    WITH w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ), wf AS (
+      SELECT word, COUNT(*) AS wc FROM w WHERE length(word) >= 2 GROUP BY word
+    ), p AS (
+      SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, wc
+      FROM wf, UNNEST(range(1, length(word))) AS t(i)
+    ), a AS (
+      SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM p GROUP BY pair
+    )
+    SELECT pair, cnt, rk FROM (
+      SELECT pair, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rk
+      FROM a
+    ) WHERE rk <= 50
+    """,
+)
+def text_bpe_pairs(spark, sf_dir):
+    """One BPE tokenizer-training merge step (extended/text.py
+    bpe_pair_counts): corpus-wide adjacent-symbol-pair frequencies
+    weighted by word-TYPE frequency, deterministic (cnt DESC, pair)
+    rank.  The pair explosion runs over distinct word types — ~10^7
+    rows even when the corpus holds 10^12 running words — so the
+    expensive stage is one word-frequency hash aggregate with map-side
+    combine."""
+    docs = _t(spark, sf_dir, "documents")
+    return X_text.bpe_pair_counts(docs, "text", top_n=50)
+
+
+_CURRICULUM_FOLD = (
+    "((list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "[ord(substring(CAST(doc_id AS VARCHAR), i, 1)) "
+    "for i in range(1, len(CAST(doc_id AS VARCHAR))+1)]), "
+    "(acc, c) -> (acc * 257 + c) % 9007199254740992) % 2147483647) "
+    "* 48271 + 7) % 2147483647"
+)
+
+
+@query(
+    "sample_curriculum",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 800 THEN 0
+                  WHEN n_chars >= 300 THEN 1
+                  ELSE 2 END AS stage,
+             {_CURRICULUM_FOLD} AS h
+      FROM documents
+    )
+    SELECT doc_id, stage,
+           CAST(h % 8 AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % 8
+                                   ORDER BY stage, h, doc_id) AS INTEGER) AS pos
+    FROM s
+    """,
+)
+def sample_curriculum(spark, sf_dir):
+    """Deterministic curriculum ordering (extended/sampling.py
+    curriculum_order): stage from document length (long docs first as
+    a stand-in for a quality phase), stable (shard, pos) from the
+    portable id hash — re-runs and other engines produce the identical
+    shard layout.  One uniform shard-keyed shuffle + within-shard
+    sort, i.e. exactly a sharded writer's work."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.withColumn(
+        "stage",
+        F.when(F.col("n_chars") >= 800, 0)
+        .when(F.col("n_chars") >= 300, 1)
+        .otherwise(2),
+    )
+    out = X_samp.curriculum_order(staged, "stage", "doc_id", num_shards=8, salt=7)
+    return out.select("doc_id", "stage", "shard", "pos")

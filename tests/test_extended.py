@@ -620,3 +620,20 @@ def test_connected_components_converges_on_star_heavy_graph(spark):
     comp = {r["node"]: r["component"] for r in out}
     assert all(comp[i] == 0 for i in range(40))
     assert all(comp[200 + i] == 200 for i in range(21))
+
+
+def test_bpe_pair_counts_hand_checked(spark):
+    df = to_df(spark, [("aaab ab",), ("xy",)], "text:str")
+    out = {
+        (r["pair"], r["cnt"], r["rk"])
+        for r in X_text.bpe_pair_counts(df, "text", top_n=10).collect()
+    }
+    # word types: aaab (aa,aa,ab), ab (ab), xy (xy)
+    assert out == {("aa", 2, 1), ("ab", 2, 2), ("xy", 1, 3)}
+
+
+def test_bpe_pair_counts_weighs_by_type_not_occurrence(spark):
+    # "ab" occurs 3 times but is ONE word type -> wc=3 feeds the pair
+    df = to_df(spark, [("ab ab ab",)], "text:str")
+    rows = X_text.bpe_pair_counts(df, "text").collect()
+    assert [(r["pair"], r["cnt"]) for r in rows] == [("ab", 3)]

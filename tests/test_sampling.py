@@ -238,3 +238,29 @@ def test_greedy_pack_respects_budget(spark, sf_dir):
     for r in per_bin:
         # a bin only exceeds the budget when a single oversized doc owns it
         assert r["bin_tokens"] <= 150 or r["docs"] == 1, r
+
+
+def test_curriculum_order_contract(spark):
+    from pandasy_spark.convert import to_df
+    from pandasy_spark.extended.sampling import curriculum_order
+
+    df = to_df(
+        spark,
+        [(i, i % 3) for i in range(200)],
+        "doc_id:long,stage:int",
+    )
+    out = curriculum_order(df, "stage", "doc_id", num_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append((r["pos"], r["stage"], r["doc_id"]))
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for shard, rows in by_shard.items():
+        rows.sort()
+        # positions contiguous from 1
+        assert [p for p, _, _ in rows] == list(range(1, len(rows) + 1))
+        # stages non-decreasing along the read order
+        stages = [s for _, s, _ in rows]
+        assert stages == sorted(stages)
+    # deterministic: second run is byte-identical
+    again = curriculum_order(df, "stage", "doc_id", num_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
