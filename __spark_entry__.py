@@ -53,7 +53,7 @@ _R1_CHECKED = {
 # proven of the unproven, so they register before everything else.
 _R2_NEW = [
     "dedup_components", "agg_mode_argmax", "profile_histogram",
-    "text_bpe_pairs", "sample_curriculum",
+    "text_bpe_pairs", "sample_curriculum", "decontaminate_semantic",
     "sample_split", "sample_stratified", "sample_interleave",
     "pack_chunks", "pack_greedy", "profile_lineitem",
     "dedup_incremental", "knn_quantized", "text_repetition",

@@ -56,6 +56,12 @@ BENCH_QUERIES = [
     "pack_chunks",
     "pack_greedy",
     "pipeline_pretraining",
+    "dedup_components",
+    "text_bpe_pairs",
+    "text_repetition",
+    "agg_mode_argmax",
+    "profile_histogram",
+    "sample_curriculum",
 ]
 
 

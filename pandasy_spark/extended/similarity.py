@@ -34,6 +34,7 @@ __all__ = [
     "lsh_cosine_topk",
     "kmeans_centroids",
     "ivf_topk",
+    "semantic_contamination",
 ]
 
 
@@ -510,3 +511,57 @@ def semantic_dedup(
     )
     losers = pairs.select(F.col("id2").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-space decontamination: for every corpus vector, the
+    max cosine similarity against a (small) benchmark/eval set, plus
+    the offending benchmark id and a ``contaminated`` flag.
+
+    Complements the n-gram ``ngram_contamination`` (exact textual
+    overlap): paraphrased or re-formatted eval items that share no
+    13-gram still sit next to their source in embedding space.
+
+    Scale shape: the benchmark side is the SMALL side by construction
+    (eval suites are thousands of rows, the corpus is billions), so it
+    is broadcast — the corpus is scanned exactly once, no shuffle of
+    corpus rows at all, and the per-row cost is |benchmark| fused
+    JVM ``zip_with``/``aggregate`` dot products.  The max/argmax is a
+    corpus-id hash aggregate.  If the benchmark ever outgrows
+    broadcast range, swap the broadcast join for the hyperplane-bucket
+    equi-join (``lsh_cosine_topk``) — same contract.
+    """
+    bid = bench_id_col or id_col
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        as_double_vec(F.col(vec_col)).alias("__cv"),
+    )
+    b = benchmark.select(
+        F.col(bid).alias("bench_id"),
+        as_double_vec(F.col(vec_col)).alias("__bv"),
+    )
+    sim = c.join(F.broadcast(b)).select(
+        "corpus_id",
+        "bench_id",
+        qround(cosine(F.col("__cv"), F.col("__bv")), round_digits).alias("__sim"),
+    )
+    agg = sim.groupBy("corpus_id").agg(
+        F.max("__sim").alias("max_sim"),
+        F.max_by("bench_id", F.struct(F.col("__sim"), F.col("bench_id"))).alias(
+            "nearest_bench_id"
+        ),
+    )
+    return agg.select(
+        "corpus_id",
+        "nearest_bench_id",
+        "max_sim",
+        (F.col("max_sim") >= F.lit(threshold)).alias("contaminated"),
+    )

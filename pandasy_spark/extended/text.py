@@ -201,16 +201,30 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             total > 0, (total - distinct).cast("double") / total
         ).otherwise(F.lit(0.0))
 
-    # share of the most frequent token among all tokens
+    # Share of the most frequent token among all tokens.  Computed as
+    # the longest equal-run in the SORTED token array — one aggregate
+    # pass, O(T log T) per document.  (The naive per-distinct-token
+    # rescan is O(T^2) in interpreted higher-order lambdas and was the
+    # dominant cost of the whole pretraining pipeline at bench scale.)
+    sorted_toks = F.array_sort(toks)
+    run_best = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
     top_share = F.when(
         F.size(toks) > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda t: F.size(F.filter(toks, lambda x: x == t)),
-            )
-        ).cast("double")
-        / F.size(toks),
+        run_best.cast("double") / F.size(toks),
     ).otherwise(F.lit(0.0))
     from ..functions.kernels import qround
 

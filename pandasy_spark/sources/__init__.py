@@ -3,6 +3,7 @@ from .sinks import read_back, write_bucketed_table, write_parquet, write_range_s
 from .catalog import (
     BROADCAST_TABLES,
     TABLES,
+    ensure_min_partitions,
     load_table,
     read_stream_table,
     register_views,
@@ -12,6 +13,7 @@ from .catalog import (
 __all__ = [
     "BROADCAST_TABLES",
     "TABLES",
+    "ensure_min_partitions",
     "load_table",
     "read_stream_table",
     "register_views",

@@ -17,7 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TABLES", "load_table", "register_views", "table_path"]
+__all__ = ["TABLES", "load_table", "register_views", "table_path", "ensure_min_partitions"]
 
 TABLES = [
     "region",
@@ -112,4 +112,34 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.readStream.schema(raw_schema).format("parquet").load(stream_path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Adaptive small-scan parallelizer: repartition ONLY when the
+    scan produced fewer partitions than the cluster has cores.
+
+    The pathology this fixes is local/small-file-specific: a table
+    that fits one parquet row group yields ONE input split, so an
+    expensive narrow pipeline (per-document n-gram stats, regex
+    chains) runs on one core while the rest idle.  At real scale the
+    same table has thousands of splits and this is a metadata-only
+    no-op — `getNumPartitions` launches no job, and no shuffle is
+    added unless the input is genuinely under-split.  (Blindly calling
+    `repartition` instead would round-trip the full dataset through a
+    shuffle — catastrophic at 100 TB; this helper never does that.)
+
+    A bare ``repartition`` is NOT enough: Catalyst pushes
+    deterministic filters — including filters over expensive computed
+    columns — straight through ``Repartition``, landing the heavy
+    expressions back in the single-task scan stage.  The lazy
+    ``localCheckpoint`` turns the repartitioned scan into an
+    optimization barrier (``LogicalRDD``), so downstream per-row work
+    genuinely executes at ``target`` parallelism.  The checkpoint only
+    ever caches an under-split (single-row-group-sized) input, and
+    only when the helper fires at all.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target).localCheckpoint(eager=False)
     return df

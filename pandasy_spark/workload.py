@@ -53,7 +53,7 @@ from .operators import (
     with_running,
 )
 from .session import configure_existing
-from .sources import load_table
+from .sources import ensure_min_partitions as X_ensure_min_partitions, load_table
 from .streaming import sessionize_batch, windowed_agg
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2140,7 +2140,7 @@ def pipeline_clean_corpus(spark, sf_dir):
     """End-to-end training-data cleaning pipeline: quality filter ->
     exact dedup -> per-source counts.  Composition of the extended
     operators, whole pipeline oracle-checked."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = X_ensure_min_partitions(_t(spark, sf_dir, "documents"))
     scored = X_text.with_text_stats(docs)
     kept = filter_df(scored, F.col("quality") >= 0.5).select(
         "doc_id", "source", "text"
@@ -2929,7 +2929,7 @@ def text_subword_fingerprint(spark, sf_dir):
     """BPE-ish subword token counting + Karp-Rabin rolling-hash
     fingerprint (extended/text.py) — both pure JVM column expressions,
     integer-exact across engines."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = X_ensure_min_partitions(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         X_text.bpe_token_count(F.col("text")).alias("n_subword"),
@@ -3376,7 +3376,7 @@ def text_repetition(spark, sf_dir):
     single-token share — the standard signals for dropping repetitive
     machine-generated text.  One narrow pass of array built-ins, no
     shuffle, no Python."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = X_ensure_min_partitions(_t(spark, sf_dir, "documents"))
     return X_text.repetition_stats(docs).select(
         "doc_id", "dup_2gram_frac", "dup_3gram_frac", "top_token_share"
     )
@@ -3409,7 +3409,7 @@ def text_pii(spark, sf_dir):
     per-class match counts and typed placeholders, pure regexp chains
     in whole-stage codegen.  The oracle md5s the redacted text, so the
     hash check proves byte-identical redaction, not just counts."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = X_ensure_min_partitions(_t(spark, sf_dir, "documents"))
     out = X_text.redact_pii(docs)
     return out.select(
         "doc_id",
@@ -3455,7 +3455,7 @@ def decontaminate(spark, sf_dir):
     distinct word 5-gram with the 'evaluation set' (doc_id < 50) are
     flagged with their overlap count.  The benchmark gram set is tiny
     and broadcasts; cost is one scan + explode of the training side."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = X_ensure_min_partitions(_t(spark, sf_dir, "documents"))
     bench = filter_df(docs, F.col("doc_id") < 50)
     train = filter_df(docs, F.col("doc_id") >= 50)
     return X_dedup.ngram_contamination(train, bench, n=5, min_shared=1)
@@ -3555,8 +3555,15 @@ def pipeline_pretraining(spark, sf_dir):
     lang) doc and token budgets.  Every stage is the operator users
     would call individually; Catalyst fuses the narrow stages into a
     single scan, and the only shuffles are the dedup window and the
-    final aggregate."""
-    docs = _t(spark, sf_dir, "documents")
+    final aggregate.
+
+    ``ensure_min_partitions`` fixes the local-bench pathology where
+    the whole documents table is ONE parquet split, serializing the
+    expensive per-document n-gram/regex stages onto a single core; at
+    real scale the scan is already well-split and it is a no-op."""
+    from .sources import ensure_min_partitions
+
+    docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     st = X_text.repetition_stats(docs)
     kept = filter_df(
         st,
@@ -3599,7 +3606,7 @@ def text_quality_filter(spark, sf_dir):
     quality_quantile_threshold (approx_percentile sketch + broadcast
     threshold join, no per-group sort), equivalence-tested in
     tests/test_extended.py."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = X_ensure_min_partitions(_t(spark, sf_dir, "documents"))
     scored = X_text.with_text_stats(docs).select("doc_id", "lang", "quality")
     return X_text.quality_percentile_filter(scored, keep_frac=0.75)
 
@@ -3837,7 +3844,7 @@ def text_bpe_pairs(spark, sf_dir):
     rows even when the corpus holds 10^12 running words — so the
     expensive stage is one word-frequency hash aggregate with map-side
     combine."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = X_ensure_min_partitions(_t(spark, sf_dir, "documents"))
     return X_text.bpe_pair_counts(docs, "text", top_n=50)
 
 
@@ -3884,3 +3891,42 @@ def sample_curriculum(spark, sf_dir):
     )
     out = X_samp.curriculum_order(staged, "stage", "doc_id", num_shards=8, salt=7)
     return out.select("doc_id", "stage", "shard", "pos")
+
+
+@query(
+    "decontaminate_semantic",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id < 50
+    ), c AS (
+      SELECT vec_id AS corpus_id, v AS cv FROM e WHERE vec_id >= 50
+    ), s AS (
+      SELECT corpus_id, bench_id,
+             FLOOR((list_sum([cv[i]*bv[i] for i in range(1, len(cv)+1)]) /
+                    (sqrt(list_sum([cv[i]*cv[i] for i in range(1, len(cv)+1)])) *
+                     sqrt(list_sum([bv[i]*bv[i] for i in range(1, len(bv)+1)]))))
+                   * 10000 + 0.5) / 10000 AS sim
+      FROM c CROSS JOIN b
+    ), a AS (
+      SELECT corpus_id, MAX(sim) AS max_sim,
+             FIRST(bench_id ORDER BY sim DESC, bench_id DESC) AS nearest_bench_id
+      FROM s GROUP BY corpus_id
+    )
+    SELECT corpus_id, nearest_bench_id, max_sim,
+           max_sim >= 0.42 AS contaminated
+    FROM a
+    """,
+)
+def decontaminate_semantic(spark, sf_dir):
+    """Embedding-space benchmark decontamination
+    (extended/similarity.py semantic_contamination): max cosine of
+    every corpus vector against the (small, broadcast) eval set —
+    catches paraphrased eval leakage that shares no exact n-gram with
+    the benchmark (the textual twin is `decontaminate`).  One corpus
+    scan, zero corpus shuffles before the final per-id aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = filter_df(emb, F.col("vec_id") >= 50)
+    bench = filter_df(emb, F.col("vec_id") < 50)
+    return X_sim.semantic_contamination(corpus, bench, threshold=0.42)

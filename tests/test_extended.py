@@ -637,3 +637,41 @@ def test_bpe_pair_counts_weighs_by_type_not_occurrence(spark):
     df = to_df(spark, [("ab ab ab",)], "text:str")
     rows = X_text.bpe_pair_counts(df, "text").collect()
     assert [(r["pair"], r["cnt"]) for r in rows] == [("ab", 3)]
+
+
+def test_semantic_contamination_flags_planted_dup(spark):
+    rows = [
+        [100, [1.0, 0.0, 0.0]],  # corpus: identical to bench 1
+        [101, [0.0, 1.0, 0.0]],  # corpus: orthogonal to both bench vecs
+        [1, [1.0, 0.0, 0.0]],    # bench
+        [2, [0.0, 0.0, 1.0]],    # bench
+    ]
+    df = to_df(spark, rows, "vec_id:long,embedding:[double]")
+    out = {
+        r["corpus_id"]: (r["nearest_bench_id"], r["max_sim"], r["contaminated"])
+        for r in X_sim.semantic_contamination(
+            df.filter(F.col("vec_id") >= 100),
+            df.filter(F.col("vec_id") < 100),
+            threshold=0.9,
+        ).collect()
+    }
+    assert out[100] == (1, 1.0, True)
+    assert out[101][2] is False and out[101][1] == 0.0
+
+
+def test_semantic_contamination_broadcasts_bench(spark):
+    emb = to_df(
+        spark,
+        [[i, [float(i), 1.0]] for i in range(20)],
+        "vec_id:long,embedding:[double]",
+    )
+    plan = (
+        X_sim.semantic_contamination(
+            emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5)
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -134,3 +134,25 @@ def test_csv_jsonl_round_trip_with_corrupt_quarantine(spark, sf_dir, tmp_path):
     corrupt = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(corrupt) == 1 and corrupt[0]["id"] is None
     assert len([r for r in rows if r["id"] == 9]) == 1
+
+
+def test_ensure_min_partitions_parallelizes_small_scan(spark, sf_dir):
+    from pandasy_spark.sources import ensure_min_partitions, load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ensure_min_partitions(docs, 8)
+    assert out.rdd.getNumPartitions() >= 8
+    # same rows, same values
+    assert out.count() == docs.count()
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    assert a == b
+    # a filter on a computed column must NOT be pushed below the
+    # barrier back into the single-task scan stage
+    heavy = out.withColumn("L", F.length("text")).filter(F.col("L") > 10)
+    plan = heavy._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    # already-well-split input is untouched (no-op path)
+    wide = spark.range(0, 1000, 1, 16)
+    assert ensure_min_partitions(wide, 8) is wide
