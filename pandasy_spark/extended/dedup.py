@@ -58,6 +58,7 @@ __all__ = [
     "winnow_fingerprints",
     "winnow_dup_pairs",
     "connected_components",
+    "span_dedup",
 ]
 
 
@@ -709,4 +710,71 @@ def connected_components(
     )
     return nodes.join(comp, "node", "left").select(
         "node", F.coalesce("component", "node").alias("component")
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+) -> DataFrame:
+    """Sub-document exact dedup at fixed word-span granularity (the
+    chunk-level approximation of exact-substring dedup used by
+    large-corpus pipelines): split each document into consecutive
+    ``span_words``-word chunks, keep the globally-first occurrence of
+    every distinct chunk (ordered by ``(id, position)``), and rebuild
+    each document from its surviving chunks.
+
+    No counterpart in the reference (no string ops there —
+    /root/repo/SURVEY.md §2.9).  Scale shape: the only shuffle keys are
+    the md5 chunk fingerprints — uniformly distributed, so the
+    first-occurrence window cannot skew; chunking itself is a
+    projection (``sequence``/``slice`` inside codegen, ~|corpus words|
+    rows after the explode).  Reconstruction is one groupBy on the
+    document id.  At 100 TB this is 2 shuffles of the chunk table;
+    there is no all-pairs stage.
+    """
+    from pyspark.sql.window import Window
+
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * span_words + 1, span_words), " "
+                ),
+            )
+        ).alias("cpos", "chunk"),
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy(
+        F.col(id_col), F.col("cpos")
+    )
+    kept = chunks.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") == 1
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cpos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("kept_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.ceil(F.size(F.split(F.col(text_col), " ")) / F.lit(span_words))
+        .cast("long")
+        .alias("n_chunks"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
     )

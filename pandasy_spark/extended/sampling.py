@@ -58,6 +58,7 @@ __all__ = [
     "chunk_pack",
     "greedy_pack",
     "curriculum_order",
+    "domain_cap",
 ]
 
 _BUCKETS = 10_000
@@ -358,3 +359,33 @@ def curriculum_order(
         F.col(stage_col), F.col("__h"), F.col(id_col)
     )
     return out.withColumn("pos", F.row_number().over(w)).drop("__h")
+
+
+def domain_cap(
+    df,
+    domain_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    cap: int = 10,
+):
+    """Per-domain document cap: keep at most ``cap`` documents per
+    domain, preferring high ``order_col`` (quality proxy), ties broken
+    by id — the standard web-corpus guard against a handful of hosts
+    dominating the training mix.
+
+    One ranking window keyed by domain.  Domains are Zipf-skewed at
+    web scale; the window only SORTS within a domain partition (no
+    cross-row state), so AQE's skew split plus the rank filter keeps
+    the hot domains bounded; for pathological single-domain corpora
+    pre-aggregate with ``top_k_per_group`` semantics instead.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= cap)
+    )

@@ -37,6 +37,8 @@ __all__ = [
     "quality_percentile_filter",
     "quality_quantile_threshold",
     "bpe_pair_counts",
+    "bigram_lm_score",
+    "tficf_top_terms",
     "PII_PATTERNS",
 ]
 
@@ -372,4 +374,123 @@ def bpe_pair_counts(
         agg.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= top_n)
         .select("pair", "cnt", "rk")
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """KenLM-style corpus-fit quality score from a word-bigram language
+    model trained on the corpus itself: documents whose bigrams are
+    rare under the corpus distribution (boilerplate mangling, shuffled
+    text, OCR noise) score low and get filtered.
+
+    The per-bigram probability is add-``alpha`` smoothed
+    ``(c(w1,w2) + a) / (c(w1) + a*V)``; the document score is the MEAN
+    bigram probability, accumulated on a fixed ``1/scale`` integer grid
+    so the aggregation is order-independent and bit-identical across
+    engines (see workload.exact_sum for the pattern; log-space scoring
+    would make cross-engine hashes depend on libm rounding).
+
+    Scale shape: model estimation is two hash aggregates over exploded
+    bigrams (map-side combined, uniform keys); scoring is one equi-join
+    of doc-bigrams against the model — bigram keys follow a Zipf
+    distribution, but the model side is small (|V|^2 bound) so AQE
+    broadcasts it at any realistic vocabulary.
+    """
+    toks = tokens(F.col(text_col))
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("bigram"),
+    ).select(
+        F.col(id_col),
+        "bigram",
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+    )
+    big_counts = grams.groupBy("bigram", "w1").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    uni_counts = big_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = df.select(
+        F.explode(toks).alias("w")
+    ).agg(F.count_distinct("w").alias("v"))
+    model = (
+        big_counts.join(uni_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            (
+                (F.col("c12") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * F.col("v"))
+            ).alias("p"),
+        )
+    )
+    scored = grams.join(model, "bigram").select(
+        F.col(id_col),
+        F.floor(F.col("p") * F.lit(float(scale)) + F.lit(0.5))
+        .cast("long")
+        .alias("p_scaled"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        # floor, not cast: DuckDB's double->BIGINT cast rounds while
+        # Spark's truncates; floor agrees everywhere
+        F.floor(F.sum("p_scaled") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("score_scaled"),
+    )
+
+
+def tficf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf x (N/df) —
+    the tf-idf ranking with the raw inverse-frequency ratio instead of
+    its log.  ``ln`` is monotone, so the selected terms and their order
+    are identical to classic tf-idf, while every score stays a single
+    correctly-rounded IEEE division — deterministic across engines,
+    where libm ``ln`` is not.
+
+    Scale shape: term counts are one hash aggregate on (doc, term);
+    document frequencies one on term; the join back is term-keyed with
+    a |vocab|-row side (broadcastable).  Top-k per doc is a ranking
+    window over the doc's own terms — partition key = doc id, no skew.
+    """
+    from pyspark.sql.window import Window
+
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", qround(F.col("score"), 4).alias("score"), "rk")
     )

@@ -43,6 +43,13 @@ def get_spark(
         # (measured on the grouped-apply bench query at sf0.1)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.sql.session.timeZone", "UTC")
+        # naive parquet timestamps (pyarrow timestamp[us]) read as
+        # session-tz TIMESTAMP, not TIMESTAMP_NTZ — matches the DuckDB
+        # oracle's naive reading under the pinned UTC session timezone
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # INT64 micros on write (not legacy INT96): parquet min/max
+        # stats exist for INT64, so range-sorted layouts prune files
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
@@ -54,6 +61,8 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable semantics configs to a
     session we did not create (e.g. the driver's)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")

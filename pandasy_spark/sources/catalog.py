@@ -61,9 +61,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = table_path(sf_dir, name)
+    # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — what pyarrow
+    # writes for naive timestamps — would read as TIMESTAMP_NTZ under
+    # Spark's default inferTimestampNTZ.  The engine's timestamp type is
+    # session-tz TIMESTAMP (pinned to UTC, matching the DuckDB oracle's
+    # naive reading), so disable the inference; values are identical.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        return _ntz_to_timestamp(spark.read.parquet(path))
     # Parquet TIMESTAMP(NANOS) is illegal for Spark's reader; read the
     # raw int64 nanos (legacy conf) and floor-convert to microseconds.
     # Integer DIV, not `/`: int64 nanos exceed double's 53-bit mantissa.
@@ -74,7 +80,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
-    return df
+    return _ntz_to_timestamp(df)
+
+
+def _ntz_to_timestamp(df: DataFrame) -> DataFrame:
+    """Defensive normalization for sessions where inferTimestampNTZ was
+    already baked into a cached reader: cast any TIMESTAMP_NTZ columns
+    to session-tz TIMESTAMP (wall clock preserved; identical micros
+    under the engine's pinned UTC session timezone)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast(T.TimestampType()) for c in ntz})
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -100,6 +120,7 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import pyspark.sql.functions as F
 
     path = table_path(sf_dir, name)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

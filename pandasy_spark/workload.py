@@ -3930,3 +3930,193 @@ def decontaminate_semantic(spark, sf_dir):
     corpus = filter_df(emb, F.col("vec_id") >= 50)
     bench = filter_df(emb, F.col("vec_id") < 50)
     return X_sim.semantic_contamination(corpus, bench, threshold=0.42)
+
+
+@query(
+    "dedup_span",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), c AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS cpos,
+             array_to_string(words[i*8+1 : i*8+8], ' ') AS chunk
+      FROM w, UNNEST(range(0, CAST(ceil(len(words)/8.0) AS BIGINT))) AS t(i)
+    ), k AS (
+      SELECT doc_id, cpos, chunk,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, cpos) AS rn
+      FROM c
+    ), r AS (
+      SELECT doc_id,
+             string_agg(chunk, ' ' ORDER BY cpos) AS kept_text,
+             COUNT(*) AS n_kept
+      FROM k WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(ceil(len(w.words)/8.0) AS BIGINT) AS n_chunks,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.kept_text, '') AS kept_text
+    FROM w LEFT JOIN r ON w.doc_id = r.doc_id
+    """,
+)
+def dedup_span(spark, sf_dir):
+    """Sub-document exact dedup (extended/dedup.py span_dedup): 8-word
+    chunks, global first occurrence wins, documents rebuilt from their
+    surviving chunks — the chunk-granularity approximation of
+    exact-substring dedup for boilerplate removal.  Shuffle keys are
+    md5 chunk fingerprints (uniform) plus one doc-id groupBy for
+    reconstruction; no all-pairs stage anywhere."""
+    docs = X_ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    return X_dedup.span_dedup(docs, "text", "doc_id", span_words=8)
+
+
+@query(
+    "text_lm_score",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+                         x -> length(x) > 0) AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram, t[i] AS w1
+      FROM w, UNNEST(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2
+    ), bc AS (
+      SELECT bigram, w1, COUNT(*) AS c12 FROM g GROUP BY bigram, w1
+    ), uc AS (
+      SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY w1
+    ), v AS (
+      SELECT COUNT(DISTINCT x) AS v
+      FROM (SELECT unnest(t) AS x FROM w)
+    ), m AS (
+      SELECT bigram, (c12 + 1.0) / (c1 + 1.0 * v) AS p
+      FROM bc JOIN uc USING (w1) CROSS JOIN v
+    ), s AS (
+      SELECT doc_id, CAST(FLOOR(p * 1e9 + 0.5) AS BIGINT) AS ps
+      FROM g JOIN m USING (bigram)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(FLOOR(SUM(ps) / COUNT(*)) AS BIGINT) AS score_scaled
+    FROM s GROUP BY doc_id
+    """,
+)
+def text_lm_score(spark, sf_dir):
+    """Corpus-fit quality scoring under a self-trained add-one bigram
+    LM (extended/text.py bigram_lm_score).  Integer-grid probability
+    accumulation keeps the score order-independent and engine-exact
+    (log-space scoring would tie the hash to libm rounding).  Model
+    fit = two map-side-combined hash aggs; scoring = one Zipf-keyed
+    equi-join against the (broadcastable) model."""
+    docs = X_ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    return X_text.bigram_lm_score(docs, "text", "doc_id", alpha=1.0)
+
+
+@query(
+    "text_tficf",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> length(x) > 0) AS t
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, x AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS x FROM w) GROUP BY doc_id, x
+    ), df_ AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+    ), s AS (
+      SELECT doc_id, term,
+             CAST(tf AS DOUBLE) * (n / CAST(df AS DOUBLE)) AS score
+      FROM tf JOIN df_ USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, FLOOR(score * 10000 + 0.5) / 10000 AS score, rk
+    FROM (
+      SELECT doc_id, term, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS INTEGER) AS rk
+      FROM s
+    ) WHERE rk <= 3
+    """,
+)
+def text_tficf(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf x inverse corpus
+    frequency (extended/text.py tficf_top_terms) — tf-idf's ranking
+    with the raw N/df ratio so every score is one correctly-rounded
+    IEEE division (engine-exact; ln is monotone so the ranking is the
+    classic one).  Two hash aggs + a term-keyed join with a
+    vocabulary-sized (broadcast) side."""
+    docs = X_ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    return X_text.tficf_top_terms(docs, "text", "doc_id", k=3)
+
+
+@query(
+    "sample_domain_cap",
+    """
+    SELECT doc_id, source, n_chars, domain_rank FROM (
+      SELECT doc_id, source, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id)
+                  AS INTEGER) AS domain_rank
+      FROM documents
+    ) WHERE domain_rank <= 10
+    """,
+)
+def sample_domain_cap(spark, sf_dir):
+    """Per-domain document cap (extended/sampling.py domain_cap): at
+    most 10 docs per source, longest first — the web-corpus guard
+    against host-level domination of the training mix.  One ranking
+    window keyed by domain; AQE skew split bounds hot domains."""
+    docs = _t(spark, sf_dir, "documents")
+    return X_samp.domain_cap(
+        docs, "source", "n_chars", "doc_id", cap=10
+    ).select("doc_id", "source", "n_chars", "domain_rank")
+
+
+@query(
+    "events_hopping",
+    """
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events
+    ), x AS (
+      SELECT event_type, vc,
+             (us // 300000000 - k) * 300000000 AS ws
+      FROM b, UNNEST([0, 1]) AS t(k)
+    )
+    SELECT make_timestamp(ws) AS window_start,
+           make_timestamp(ws + 600000000) AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(vc) AS BIGINT) AS sum_cents
+    FROM x GROUP BY 1, 2, 3
+    """,
+)
+def events_hopping(spark, sf_dir):
+    """Hopping (sliding) window aggregation: 10-minute windows every 5
+    minutes via ``F.window(ts, windowDuration, slideDuration)`` — each
+    event lands in exactly windowDuration/slide windows, computed
+    JVM-side in exact long micros (the oracle mirrors with integer
+    division).  Value sums accumulate on the cent grid so they are
+    order-independent.  One shuffle keyed by (window, type)."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )

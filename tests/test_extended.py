@@ -675,3 +675,60 @@ def test_semantic_contamination_broadcasts_bench(spark):
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_removes_repeated_chunk_globally(spark):
+    from pandasy_spark.extended.dedup import span_dedup
+
+    # doc 1 repeats doc 0's first 4-word chunk; doc 2 is clean
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d x y z w"),
+        (2, "p q r s"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(df, "text", "doc_id", span_words=4).collect()
+    }
+    assert out[0]["kept_text"] == "a b c d e f g h"
+    assert out[0]["n_chunks"] == 2 and out[0]["n_kept"] == 2
+    # duplicate leading chunk dropped, unique tail survives
+    assert out[1]["kept_text"] == "x y z w"
+    assert out[1]["n_kept"] == 1
+    assert out[2]["kept_text"] == "p q r s"
+
+
+def test_span_dedup_fully_duplicate_doc_keeps_empty(spark):
+    from pandasy_spark.extended.dedup import span_dedup
+
+    rows = [(0, "a b c d"), (1, "a b c d")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(df, "text", "doc_id", span_words=4).collect()
+    }
+    assert out[0]["n_kept"] == 1
+    assert out[1]["n_kept"] == 0 and out[1]["kept_text"] == ""
+
+
+def test_bigram_lm_score_prefers_common_bigrams(spark):
+    from pandasy_spark.extended.text import bigram_lm_score
+
+    # "x y" appears 3x; "q z" once — doc 3's bigram is rarer
+    rows = [(0, "x y"), (1, "x y"), (2, "x y"), (3, "q z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_lm_score(df, "text", "doc_id").collect()}
+    assert out[0]["score_scaled"] == out[1]["score_scaled"]
+    assert out[0]["score_scaled"] > out[3]["score_scaled"]
+
+
+def test_domain_cap_keeps_top_n_per_domain(spark):
+    from pandasy_spark.extended.sampling import domain_cap
+
+    rows = [(i, "d1" if i < 5 else "d2", 100 - i) for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = domain_cap(df, "source", "n_chars", "doc_id", cap=2)
+    kept = sorted((r["source"], r["doc_id"]) for r in out.collect())
+    # d1 keeps its two longest (ids 0,1); d2 keeps ids 5,6
+    assert kept == [("d1", 0), ("d1", 1), ("d2", 5), ("d2", 6)]
