@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "agg_mode_argmax",
     "profile_histogram",
     "sample_curriculum",
+    "dedup_span",
+    "text_lm_score",
+    "text_tficf",
+    "sample_domain_cap",
+    "events_hopping",
 ]
 
 

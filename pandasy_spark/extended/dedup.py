@@ -619,6 +619,7 @@ def connected_components(
     src: str = "id1",
     dst: str = "id2",
     max_iterations: int = 25,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a duplicate-pair edge list, via the
     alternating large-star / small-star algorithm (Kiveris et al.,
@@ -653,12 +654,53 @@ def connected_components(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
     )
+
+    # Small-graph endgame: after near-dup pair generation the edge
+    # list is typically orders of magnitude smaller than the corpus
+    # (only documents WITH a duplicate appear).  Below the explicit
+    # bound, a driver-side union-find beats O(log^2 n) rounds of
+    # distributed shuffles — each round costs several scheduled stages
+    # regardless of data size.  Above the bound, the star-contraction
+    # loop below keeps the whole graph distributed; the threshold is a
+    # parameter so a 100 TB run can force the distributed path with
+    # small_graph_edges=0.
+    if small_graph_edges > 0 and e.count() <= small_graph_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in e.toLocalIterator():
+            u, v = row["u"], row["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by min id so the root IS the component label
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        comp_rows = [(n, find(n)) for n in parent]
+        spark = edges.sparkSession
+        comp_small = spark.createDataFrame(
+            comp_rows or [(0, 0)], "node long, component long"
+        )
+        if not comp_rows:
+            comp_small = comp_small.limit(0)
+        return nodes.join(comp_small, "node", "left").select(
+            "node", F.coalesce("component", "node").alias("component")
+        )
 
     def _large_star(ed: DataFrame) -> DataFrame:
         # For each node u: connect every strictly-larger neighbour to
@@ -692,16 +734,28 @@ def connected_components(
             .distinct()
         )
 
-    prev: DataFrame | None = None
-    prev_n = -1
+    def _checksum(ed: DataFrame) -> tuple:
+        # Order-free set fingerprint in one cheap aggregate action:
+        # count plus three commutative reductions of a per-edge hash.
+        # The star-contraction edge set evolves monotonically, so a
+        # stable fingerprint means a stable set — no per-iteration
+        # exceptAll anti-join (which cost more than the iteration).
+        h = F.xxhash64(F.col("u"), F.col("v"))
+        row = ed.agg(
+            F.count(F.lit(1)),
+            F.sum(h),
+            F.min(h),
+            F.max(h),
+        ).collect()[0]
+        return tuple(row)
+
+    prev_sig: tuple | None = None
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        n = e.count()
-        # Both sides are distinct sets: equal count + empty difference
-        # means the edge set is stable (converged to the star forest).
-        if prev is not None and n == prev_n and e.exceptAll(prev).isEmpty():
+        sig = _checksum(e)
+        if sig == prev_sig:
             break
-        prev, prev_n = e, n
+        prev_sig = sig
 
     comp = (
         e.groupBy("u")

@@ -601,6 +601,15 @@ def test_connected_components_matches_union_find(spark, edges):
         (r["node"], r["component"])
         for r in X_dedup.connected_components(df).collect()
     }
+    # distributed star-contraction path must agree with the
+    # small-graph union-find endgame on the same graph
+    got_dist = {
+        (r["node"], r["component"])
+        for r in X_dedup.connected_components(
+            df, small_graph_edges=0
+        ).collect()
+    }
+    assert got == got_dist
     exp = {(n, c) for n, c in _uf_components(edges).items()}
     # self-loops contribute no nodes on the Spark side (u != v filter);
     # mirror that in the oracle.
@@ -616,7 +625,7 @@ def test_connected_components_converges_on_star_heavy_graph(spark):
     cap and labels every node with the component minimum."""
     edges = [(0, i) for i in range(1, 40)] + [(200 + i, 201 + i) for i in range(20)]
     df = to_df(spark, edges, "id1:long,id2:long")
-    out = X_dedup.connected_components(df).collect()
+    out = X_dedup.connected_components(df, small_graph_edges=0).collect()
     comp = {r["node"]: r["component"] for r in out}
     assert all(comp[i] == 0 for i in range(40))
     assert all(comp[200 + i] == 200 for i in range(21))
