@@ -59,6 +59,7 @@ __all__ = [
     "greedy_pack",
     "curriculum_order",
     "domain_cap",
+    "mixture_weights",
 ]
 
 _BUCKETS = 10_000
@@ -388,4 +389,59 @@ def domain_cap(
     return (
         df.withColumn("domain_rank", F.row_number().over(w))
         .filter(F.col("domain_rank") <= cap)
+    )
+
+
+def mixture_weights(
+    df,
+    group_col: str = "source",
+    weight_col: str | None = None,
+    target: dict[str, float] | None = None,
+):
+    """Per-group sampling weights that reshape the corpus toward a
+    target mixture (uniform across groups when ``target`` is None) —
+    the data-mixing step of pretraining pipelines (domain reweighting
+    a la DoReMi/Pile recipes, here as exact share arithmetic).
+
+    ``weight_col`` (e.g. a token count) weights each row's
+    contribution to its group's share; None counts rows.  Returns one
+    row per group: observed share, target share, the resampling
+    weight ``target/observed``, and the capped keep-probability
+    ``min(1, weight)`` for downsampling-only pipelines.
+
+    One tiny aggregate (|groups| rows) + a broadcast of the total —
+    nothing corpus-sized moves.  Exact IEEE division only, so results
+    hash-match any engine.
+    """
+    from pyspark.sql import functions as F
+
+    contrib = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    )
+    per_group = df.groupBy(group_col).agg(F.sum(contrib).alias("mass"))
+    total = per_group.agg(F.sum("mass").alias("total_mass"))
+    out = per_group.crossJoin(F.broadcast(total))
+    if target is None:
+        n_groups = per_group.agg(
+            F.count(F.lit(1)).cast("double").alias("n_groups")
+        )
+        out = out.crossJoin(F.broadcast(n_groups)).withColumn(
+            "target_share", F.lit(1.0) / F.col("n_groups")
+        )
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in target.items() for x in kv]
+        )
+        out = out.withColumn(
+            "target_share", F.coalesce(mapping[F.col(group_col)], F.lit(0.0))
+        )
+    share = F.col("mass") / F.col("total_mass")
+    weight = F.col("target_share") / share
+    return out.select(
+        group_col,
+        F.col("mass").cast("double").alias("mass"),
+        share.alias("observed_share"),
+        "target_share",
+        weight.alias("weight"),
+        F.least(F.lit(1.0), weight).alias("keep_prob"),
     )

@@ -38,6 +38,7 @@ __all__ = [
     "quality_quantile_threshold",
     "bpe_pair_counts",
     "bigram_lm_score",
+    "bpe_learn",
     "tficf_top_terms",
     "PII_PATTERNS",
 ]
@@ -510,3 +511,89 @@ def tficf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "term", qround(F.col("score"), 4).alias("score"), "rk")
     )
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+    min_word_len: int = 2,
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn ``num_merges`` BPE merges from the corpus (the iterative
+    tokenizer-training loop; ``bpe_pair_counts`` is its single step).
+
+    Returns ``[(rank, left, right, merged, pair_count), ...]`` in merge
+    order.  Classic BPE (Sennrich et al. 2016): repeatedly take the
+    most frequent adjacent symbol pair over word TYPES weighted by
+    type frequency, merge it everywhere, recount.
+
+    Scale shape: the corpus-sized work is the one word-frequency hash
+    aggregate up front; the loop then operates on the word-TYPE table
+    (~10^7 rows for web-scale corpora even at 10^12 running words).
+    Each iteration is one pair-count aggregate (map-side combined) +
+    one argmax row to the driver + one narrow symbol-fold projection;
+    lineage is truncated per iteration with ``localCheckpoint``.
+    Deterministic: ties break on (count DESC, left, right).
+    """
+    words = df.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("word")
+    ).filter(F.length("word") >= min_word_len)
+    types = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .withColumn("syms", F.split(F.col("word"), ""))
+        .select("syms", "wc")
+        .localCheckpoint(eager=True)
+    )
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    empty = F.array().cast("array<string>")
+    for rank in range(num_merges):
+        pairs = (
+            types.select(
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("syms") - 1),
+                            lambda i: F.struct(
+                                F.element_at("syms", i).alias("l"),
+                                F.element_at("syms", i + 1).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy("p")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p.l"), F.col("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        best = pairs[0]
+        left, right, cnt = best["p"]["l"], best["p"]["r"], best["cnt"]
+        merged = left + right
+        merges.append((rank, left, right, merged, int(cnt)))
+        # left-to-right non-overlapping merge: after a merge the new
+        # tail symbol is strictly longer than `left`, so the fold can
+        # never re-consume it — exactly BPE's greedy application.
+        fold = F.aggregate(
+            F.col("syms"),
+            empty,
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        types = types.select(fold.alias("syms"), "wc").localCheckpoint(eager=True)
+    return merges

@@ -1,5 +1,12 @@
 from .formats import read_csv, read_jsonl, write_csv, write_jsonl
-from .sinks import read_back, write_bucketed_table, write_parquet, write_range_sorted
+from .sinks import (
+    read_back,
+    with_zorder,
+    write_bucketed_table,
+    write_parquet,
+    write_range_sorted,
+    write_zordered,
+)
 from .catalog import (
     BROADCAST_TABLES,
     TABLES,
@@ -26,4 +33,6 @@ __all__ = [
     "write_bucketed_table",
     "write_parquet",
     "write_range_sorted",
+    "with_zorder",
+    "write_zordered",
 ]

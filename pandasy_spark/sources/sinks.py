@@ -17,7 +17,14 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_parquet", "write_bucketed_table", "write_range_sorted", "read_back"]
+__all__ = [
+    "write_parquet",
+    "write_bucketed_table",
+    "write_range_sorted",
+    "read_back",
+    "with_zorder",
+    "write_zordered",
+]
 
 
 def write_parquet(
@@ -82,3 +89,73 @@ def write_range_sorted(
         else df.repartitionByRange(*sort_cols)
     )
     part.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def with_zorder(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    z_col: str = "__z",
+) -> DataFrame:
+    """Add a Z-order (Morton) key column interleaving the bits of the
+    given columns' min-max-normalized ranks.
+
+    Multi-dimensional clustering for scan pruning: sorting by ``z``
+    gives every file a tight bounding BOX over all ``cols`` at once,
+    so parquet min/max stats prune files for predicates on ANY of the
+    dimensions — a plain sort only ever prunes its leading column.
+    Normalization bounds come from one tiny aggregate broadcast back
+    onto the scan (no collect; the plan stays lazy end-to-end).
+
+    Bit interleave is unrolled into ``2 * bits`` shift/or terms —
+    straight-line whole-stage-codegen integer ops, no higher-order
+    functions, identically computable in any SQL engine (the gate
+    oracle mirrors it term-for-term).
+    """
+    from pyspark.sql import functions as F
+
+    k = float((1 << bits) - 1)
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"__min_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"__max_{i}") for i, c in enumerate(cols)],
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    norms = []
+    for i, c in enumerate(cols):
+        lo = F.col(f"__min_{i}")
+        hi = F.col(f"__max_{i}")
+        n = F.when(hi == lo, F.lit(0)).otherwise(
+            F.floor((F.col(c).cast("double") - lo) * F.lit(k) / (hi - lo))
+        )
+        norms.append(n.cast("long"))
+    z = F.lit(0).cast("long")
+    ndims = len(cols)
+    for b in range(bits):
+        for i, n in enumerate(norms):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(n, b).bitwiseAND(F.lit(1)), b * ndims + i)
+            )
+    drop = [f"__min_{i}" for i in range(ndims)] + [f"__max_{i}" for i in range(ndims)]
+    return out.withColumn(z_col, z).drop(*drop)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int | None = None,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet layout: range-partition and sort by
+    the Morton key of ``cols``, then drop the key.  Files end up with
+    small bounding boxes in EVERY listed dimension, so stats-based
+    pruning works for predicates on any of them (verified in
+    tests/test_sinks.py against a linear-sort layout)."""
+    zdf = with_zorder(df, cols, bits=bits)
+    part = (
+        zdf.repartitionByRange(num_files, "__z")
+        if num_files
+        else zdf.repartitionByRange("__z")
+    )
+    part.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)

@@ -4120,3 +4120,111 @@ def events_hopping(spark, sf_dir):
             "sum_cents",
         )
     )
+
+
+def _zorder_interleave_sql(xn: str, yn: str, bits: int) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xn} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({yn} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "layout_zorder",
+    f"""
+    WITH m AS (
+      SELECT CAST(MIN(o_custkey) AS DOUBLE) AS xa,
+             CAST(MAX(o_custkey) AS DOUBLE) AS xb,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS ya,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS yb
+      FROM orders
+    ), n AS (
+      SELECT o_orderkey,
+             CASE WHEN xb = xa THEN 0 ELSE CAST(FLOOR(
+               (CAST(o_custkey AS DOUBLE) - xa) * 65535.0 / (xb - xa)
+             ) AS BIGINT) END AS xn,
+             CASE WHEN yb = ya THEN 0 ELSE CAST(FLOOR(
+               (CAST(o_totalprice AS DOUBLE) - ya) * 65535.0 / (yb - ya)
+             ) AS BIGINT) END AS yn
+      FROM orders, m
+    )
+    SELECT o_orderkey,
+           {_zorder_interleave_sql('xn', 'yn', 16)} AS zval
+    FROM n
+    """,
+)
+def layout_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering key over (o_custkey, o_totalprice)
+    (sources/sinks.py with_zorder): min-max-normalized 16-bit ranks,
+    bits interleaved with an unrolled shift/or chain — pure codegen
+    integer ops, no shuffle (the bounds aggregate broadcasts back onto
+    the scan).  ``write_zordered`` sorts by this key so every file
+    gets a tight bounding box in BOTH dimensions; the pruning win over
+    a linear sort is asserted in tests/test_sinks.py from parquet
+    footer stats."""
+    orders = _t(spark, sf_dir, "orders")
+    from .sources import with_zorder
+
+    z = with_zorder(orders, ["o_custkey", "o_totalprice"], bits=16)
+    return z.select("o_orderkey", F.col("__z").alias("zval"))
+
+
+@query("text_bpe_learn")  # iterative merge loop: genuinely non-SQL-expressible
+def text_bpe_learn(spark, sf_dir):
+    """Full BPE tokenizer-training loop (extended/text.py bpe_learn):
+    8 merges learned from the documents corpus.  The corpus-sized work
+    is one word-frequency aggregate; each merge iteration re-counts
+    pairs over the word-TYPE table only.  No DuckDB oracle — the
+    argmax-then-merge recurrence isn't expressible as one SQL query;
+    correctness is pinned against a pure-Python reference in
+    tests/test_extended.py, and the driver records the rows-only
+    check."""
+    docs = X_ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    merges = X_text.bpe_learn(docs, "text", num_merges=8)
+    schema = "rank int, left string, right string, merged string, cnt long"
+    if not merges:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(merges, schema)
+
+
+@query(
+    "sample_mixture",
+    r"""
+    WITH g AS (
+      SELECT source,
+             CAST(SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))
+                  AS DOUBLE) AS mass
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT CAST(SUM(mass) AS DOUBLE) AS total_mass,
+             CAST(COUNT(*) AS DOUBLE) AS n_groups
+      FROM g
+    )
+    SELECT source, mass,
+           FLOOR((mass / total_mass) * 1000000 + 0.5) / 1000000 AS observed_share,
+           FLOOR((1.0 / n_groups) * 1000000 + 0.5) / 1000000 AS target_share,
+           FLOOR(((1.0 / n_groups) / (mass / total_mass)) * 1000000 + 0.5)
+             / 1000000 AS weight,
+           FLOOR(LEAST(1.0, (1.0 / n_groups) / (mass / total_mass)) * 1000000
+             + 0.5) / 1000000 AS keep_prob
+    FROM g, t
+    """,
+)
+def sample_mixture(spark, sf_dir):
+    """Corpus mixture reweighting (extended/sampling.py
+    mixture_weights): token-mass share per source vs a uniform target,
+    emitting the resampling weight and capped keep-probability — the
+    domain-mixing step of a pretraining recipe.  One |groups|-row
+    aggregate + broadcast; the corpus itself never shuffles."""
+    docs = X_ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    docs = docs.withColumn("n_tokens", X_text.token_count(F.col("text")))
+    out = X_samp.mixture_weights(docs, "source", "n_tokens", target=None)
+    return out.select(
+        "source",
+        "mass",
+        qr(F.col("observed_share"), 6).alias("observed_share"),
+        qr(F.col("target_share"), 6).alias("target_share"),
+        qr(F.col("weight"), 6).alias("weight"),
+        qr(F.col("keep_prob"), 6).alias("keep_prob"),
+    )

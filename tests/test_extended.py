@@ -741,3 +741,44 @@ def test_domain_cap_keeps_top_n_per_domain(spark):
     kept = sorted((r["source"], r["doc_id"]) for r in out.collect())
     # d1 keeps its two longest (ids 0,1); d2 keeps ids 5,6
     assert kept == [("d1", 0), ("d1", 1), ("d2", 5), ("d2", 6)]
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    from pandasy_spark.extended.text import bpe_learn
+
+    corpus = ["low lower lowest low low", "newer newest new low", "wider wide new"]
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    got = bpe_learn(df, "text", num_merges=6)
+
+    # reference implementation (Sennrich-style, word types x freq)
+    import re
+    from collections import Counter
+
+    wf = Counter(
+        w for t in corpus for w in re.findall(r"[a-z]+", t.lower()) if len(w) >= 2
+    )
+    syms = {w: list(w) for w in wf}
+    exp = []
+    for rank in range(6):
+        pc = Counter()
+        for w, c in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        # ties: count desc, then (left, right) asc — mirror the operator
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp.append((rank, l, r, l + r, cnt))
+        for w in syms:
+            s, out = syms[w], []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert got == exp

@@ -121,3 +121,27 @@ def test_no_query_regresses_to_cartesian_or_row_python(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_layout_zorder_no_fact_shuffle(spark, sf_dir):
+    """Morton-key computation must not shuffle the fact table: the
+    only exchanges allowed are the 1-row bounds aggregate + its
+    broadcast."""
+    plan = _plan(spark, sf_dir, "layout_zorder")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Python" not in plan
+
+
+def test_events_hopping_expands_then_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_hopping")
+    assert "Expand" in plan  # windowDuration/slide assignments per row
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_dedup_span_shuffles_on_uniform_fingerprints(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_span")
+    assert "md5" in plan  # window partition key is the chunk digest
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan

@@ -264,3 +264,26 @@ def test_curriculum_order_contract(spark):
     # deterministic: second run is byte-identical
     again = curriculum_order(df, "stage", "doc_id", num_shards=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_mixture_weights_with_explicit_target(spark):
+    from pandasy_spark.extended.sampling import mixture_weights
+
+    rows = [("a", 30), ("a", 30), ("b", 20), ("c", 20)]
+    df = spark.createDataFrame(rows, ["source", "toks"])
+    out = {
+        r["source"]: r
+        for r in mixture_weights(
+            df, "source", "toks", target={"a": 0.5, "b": 0.5}
+        ).collect()
+    }
+    # masses: a=60, b=20, c=20, total=100
+    assert out["a"]["observed_share"] == 0.6
+    assert out["a"]["target_share"] == 0.5
+    assert abs(out["a"]["weight"] - 0.5 / 0.6) < 1e-12
+    assert out["a"]["keep_prob"] == out["a"]["weight"]
+    # b is upweighted; keep_prob caps at 1
+    assert abs(out["b"]["weight"] - 2.5) < 1e-12
+    assert out["b"]["keep_prob"] == 1.0
+    # c absent from target -> weight 0
+    assert out["c"]["target_share"] == 0.0 and out["c"]["weight"] == 0.0

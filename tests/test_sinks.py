@@ -156,3 +156,74 @@ def test_ensure_min_partitions_parallelizes_small_scan(spark, sf_dir):
     # already-well-split input is untouched (no-op path)
     wide = spark.range(0, 1000, 1, 16)
     assert ensure_min_partitions(wide, 8) is wide
+
+
+def test_zorder_layout_prunes_non_leading_dimension(spark, sf_dir, tmp_path):
+    """The point of Z-ordering: a predicate on the SECOND clustering
+    column should skip most files in the z-ordered layout, while the
+    linear (first-column-sorted) layout leaves every file's stats
+    overlapping it.  Checked directly against parquet footer min/max."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pandasy_spark.sources import load_table, write_range_sorted, write_zordered
+
+    orders = load_table(spark, sf_dir, "orders")
+    z_out = str(tmp_path / "z")
+    lin_out = str(tmp_path / "lin")
+    write_zordered(orders, z_out, ["o_custkey", "o_totalprice"], num_files=8)
+    write_range_sorted(orders, lin_out, ["o_custkey"], num_files=8)
+
+    lo, hi = 100_000.0, 110_000.0  # narrow o_totalprice band
+
+    def overlapping_files(path: str) -> tuple[int, int]:
+        total, overlap = 0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = [
+                md.schema.column(i).name for i in range(md.num_columns)
+            ].index("o_totalprice")
+            fmin = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            total += 1
+            if fmax >= lo and fmin <= hi:
+                overlap += 1
+        return total, overlap
+
+    z_total, z_hit = overlapping_files(z_out)
+    lin_total, lin_hit = overlapping_files(lin_out)
+    assert z_total >= 4 and lin_total >= 4
+    # linear layout: o_totalprice is unclustered, every file overlaps
+    assert lin_hit == lin_total
+    # z-order: the narrow band must skip at least half the files
+    assert z_hit <= z_total // 2, (z_hit, z_total)
+
+
+def test_zorder_value_matches_reference_interleave(spark):
+    """with_zorder's unrolled shift/or chain equals a bit-twiddling
+    reference implementation on a normalized grid."""
+    from pandasy_spark.sources import with_zorder
+
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = {
+        (r["x"], r["y"]): r["__z"]
+        for r in with_zorder(df, ["x", "y"], bits=3).collect()
+    }
+
+    def ref(x, y):
+        # min=0 max=7 -> rank = floor(v * 7 / 7) = v
+        z = 0
+        for b in range(3):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert out == {(x, y): ref(x, y) for x, y in rows}

@@ -39,6 +39,33 @@ def test_streaming_windowed_agg_matches_batch(spark, sf_dir):
     assert_pdf_eq(actual, expected)
 
 
+def test_streaming_hopping_window_matches_batch(spark, sf_dir):
+    """Sliding (hopping) windows stream==batch: 10-minute windows every
+    5 minutes — each event lands in exactly two windows; the streaming
+    path must produce the identical multi-assignment."""
+    batch = load_table(spark, sf_dir, "events")
+    stream = read_stream_table(spark, sf_dir, "events")
+    aggs = {"n_events": F.count(F.lit(1))}
+    expected = (
+        windowed_agg(
+            batch, "ts", "10 minutes", aggs, keys=["event_type"],
+            slide="5 minutes",
+        )
+        .select("bucket", "event_type", "n_events")
+        .toPandas()
+    )
+    streamed = windowed_agg(
+        stream, "ts", "10 minutes", aggs, keys=["event_type"],
+        watermark="1 hour", slide="5 minutes",
+    ).select("bucket", "event_type", "n_events")
+    q = run_stream_to_memory(streamed, "hop_agg_test", output_mode="complete")
+    try:
+        actual = spark.table("hop_agg_test").toPandas()
+    finally:
+        q.stop()
+    assert_pdf_eq(actual, expected)
+
+
 def test_streaming_session_window_matches_batch(spark, sf_dir):
     batch = load_table(spark, sf_dir, "events")
     stream = read_stream_table(spark, sf_dir, "events")
