@@ -53,6 +53,7 @@ _R1_CHECKED = {
 # proven of the unproven, so they register before everything else.
 _R2_NEW = [
     "layout_zorder", "text_bpe_learn", "sample_mixture",
+    "events_session_window",
     "dedup_span", "text_lm_score", "text_tficf", "sample_domain_cap",
     "events_hopping",
     "dedup_components", "agg_mode_argmax", "profile_histogram",

@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "text_tficf",
     "sample_domain_cap",
     "events_hopping",
+    "layout_zorder",
+    "sample_mixture",
+    "events_session_window",
 ]
 
 

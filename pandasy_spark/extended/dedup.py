@@ -67,17 +67,19 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one representative (lowest id) per exact normalized text.
 
-    The ranking window partitions on the md5 fingerprint — uniformly
-    distributed keys, so the shuffle cannot skew even if one document
-    dominates the corpus."""
-    from pyspark.sql.window import Window
-
+    ``min_by(row, id)`` grouped by the md5 fingerprint: a hash
+    aggregate with map-side partial combine, so a corpus where one
+    document dominates (billions of copies -> one hot fingerprint)
+    still collapses per-mapper before the shuffle.  The previous
+    ranking-window form funneled all copies of a hot key into a single
+    reducer task; distinct-content keys were uniform, duplicate-content
+    keys are by definition not."""
     fp = fingerprint(F.col(text_col))
-    w = Window.partitionBy(fp).orderBy(F.col(id_col))
+    cols = df.columns
     return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk")
+        df.groupBy(fp.alias("__fp"))
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"))
+        .select(*[F.col(f"__row.{c}").alias(c) for c in cols])
     )
 
 
@@ -781,16 +783,18 @@ def span_dedup(
     each document from its surviving chunks.
 
     No counterpart in the reference (no string ops there —
-    /root/repo/SURVEY.md §2.9).  Scale shape: the only shuffle keys are
-    the md5 chunk fingerprints — uniformly distributed, so the
-    first-occurrence window cannot skew; chunking itself is a
-    projection (``sequence``/``slice`` inside codegen, ~|corpus words|
-    rows after the explode).  Reconstruction is one groupBy on the
-    document id.  At 100 TB this is 2 shuffles of the chunk table;
-    there is no all-pairs stage.
+    /root/repo/SURVEY.md §2.9).  Scale shape: the global
+    first-occurrence pick is ``min(struct(id, cpos, chunk))`` grouped
+    by the md5 fingerprint — a HASH AGGREGATE with map-side partial
+    combine, so even a pathological corpus where one boilerplate chunk
+    appears billions of times collapses to one row per mapper before
+    the shuffle (a ranking window over the same key would funnel every
+    copy into a single reducer).  Chunking itself is a projection
+    (``sequence``/``slice`` inside codegen, ~|corpus words| rows after
+    the explode); reconstruction is one groupBy on the document id.
+    At 100 TB this is 2 skew-proof shuffles of the chunk table; there
+    is no all-pairs stage.
     """
-    from pyspark.sql.window import Window
-
     words = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
     chunks = df.select(
@@ -804,13 +808,19 @@ def span_dedup(
             )
         ).alias("cpos", "chunk"),
     )
-    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy(
-        F.col(id_col), F.col("cpos")
+    # min over (id, cpos, chunk): id+cpos identify the occurrence, so
+    # the struct ordering never reaches the chunk field — it rides
+    # along so no join-back is needed to recover the text.
+    first = (
+        chunks.groupBy(F.md5(F.col("chunk")).alias("__fp"))
+        .agg(F.min(F.struct(id_col, "cpos", "chunk")).alias("__first"))
+        .select(
+            F.col(f"__first.{id_col}").alias(id_col),
+            F.col("__first.cpos").alias("cpos"),
+            F.col("__first.chunk").alias("chunk"),
+        )
     )
-    kept = chunks.withColumn("__rk", F.row_number().over(w)).filter(
-        F.col("__rk") == 1
-    )
-    rebuilt = kept.groupBy(id_col).agg(
+    rebuilt = first.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("cpos", "chunk"))),

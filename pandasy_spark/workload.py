@@ -4228,3 +4228,42 @@ def sample_mixture(spark, sf_dir):
         qr(F.col("weight"), 6).alias("weight"),
         qr(F.col("keep_prob"), 6).alias("keep_prob"),
     )
+
+
+@query(
+    "events_session_window",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ), s AS (
+      SELECT user_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                  OR us - LAG(us) OVER w >= 600000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), g AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           make_timestamp(MIN(us)) AS session_start,
+           make_timestamp(MAX(us) + 600000000) AS session_end,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark, sf_dir):
+    """Spark-native ``session_window`` sessionization (streaming/ops.py
+    session_window_agg) on the batch path: dynamic-gap windows merged
+    by the engine (start = first event, end = last event + gap; an
+    event at exactly start+gap opens a NEW session — the oracle
+    mirrors with ``diff >= gap`` islands).  Same operator runs
+    streaming with watermark-bounded state; stream==batch is pinned in
+    tests/test_streaming.py.  One shuffle on the user key."""
+    from .streaming import session_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return session_window_agg(ev, "ts", "user_id", gap="10 minutes")

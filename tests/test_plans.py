@@ -59,6 +59,10 @@ def test_knn_broadcasts_queries(spark, sf_dir):
 def test_dedup_exact_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_exact")
     assert plan.count("Exchange hashpartitioning") == 1
+    # map-side combine: duplicate-content hot keys collapse per mapper
+    # BEFORE the shuffle (a ranking window would funnel every copy of
+    # a hot fingerprint into one reducer)
+    assert "partial_min_by" in plan
 
 
 def test_events_window_partial_agg(spark, sf_dir):
