@@ -1,6 +1,8 @@
 from .formats import read_csv, read_jsonl, write_csv, write_jsonl
 from .sinks import (
+    compact_parquet,
     read_back,
+    read_parquet_merged_schema,
     with_zorder,
     write_bucketed_table,
     write_parquet,
@@ -33,6 +35,8 @@ __all__ = [
     "write_bucketed_table",
     "write_parquet",
     "write_range_sorted",
+    "compact_parquet",
+    "read_parquet_merged_schema",
     "with_zorder",
     "write_zordered",
 ]

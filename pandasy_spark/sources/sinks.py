@@ -24,6 +24,8 @@ __all__ = [
     "read_back",
     "with_zorder",
     "write_zordered",
+    "compact_parquet",
+    "read_parquet_merged_schema",
 ]
 
 
@@ -159,3 +161,57 @@ def write_zordered(
         else zdf.repartitionByRange("__z")
     )
     part.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    roughly ``target_file_bytes`` each, optionally re-sorted.
+
+    The 100 TB housekeeping operator: streaming sinks and incremental
+    appends accumulate thousands of small files, and scan throughput
+    dies on open/footer overhead long before bytes matter (a million
+    4 MB files is metadata death; the same table in 128 MB files scans
+    at disk speed).  File count comes from the directory's actual byte
+    size — no driver-side data movement, one distributed rewrite.
+    Writes to a temp sibling then swaps, so a crashed compaction never
+    corrupts the source.  Returns the new file count.
+    """
+    import math
+    import os
+    import shutil
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    if sort_cols:
+        part = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        part = df.repartition(n_files)
+    part.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
+def read_parquet_merged_schema(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written under EVOLVING schemas as one frame:
+    ``mergeSchema`` unions the footers' schemas; columns absent in a
+    file read as NULL.  The standard posture for long-lived 100 TB
+    tables where new columns appear over time without rewriting
+    history (schema merging is off by default in Spark because footer
+    merging costs a pass over file metadata — turn it on per read, not
+    globally)."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

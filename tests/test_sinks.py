@@ -227,3 +227,67 @@ def test_zorder_value_matches_reference_interleave(spark):
         return z
 
     assert out == {(x, y): ref(x, y) for x, y in rows}
+
+
+def test_compact_parquet_reduces_file_count_and_preserves_rows(
+    spark, sf_dir, tmp_path
+):
+    import glob
+
+    from pandasy_spark.sources import compact_parquet, load_table
+
+    out = str(tmp_path / "shattered")
+    orders = load_table(spark, sf_dir, "orders")
+    n_rows = orders.count()
+    # simulate a streaming sink's small-file mess
+    orders.repartition(64).write.parquet(out)
+    assert len(glob.glob(out + "/*.parquet")) >= 32
+
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(out + "/*.parquet")
+    )
+    n_files = compact_parquet(spark, out, target_file_bytes=max(1, total // 4))
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == n_files <= 8
+    assert spark.read.parquet(out).count() == n_rows
+
+
+def test_compact_parquet_sorted_keeps_disjoint_ranges(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pandasy_spark.sources import compact_parquet, load_table
+
+    out = str(tmp_path / "resort")
+    load_table(spark, sf_dir, "orders").repartition(16).write.parquet(out)
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(out + "/*.parquet")
+    )
+    compact_parquet(
+        spark, out, target_file_bytes=max(1, total // 4), sort_cols=["o_orderkey"]
+    )
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "o_orderkey"
+        )
+        stats = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # compacted-sorted files stay range-disjoint
+
+
+def test_read_parquet_merged_schema_unions_columns(spark, tmp_path):
+    from pandasy_spark.sources import read_parquet_merged_schema
+
+    p1 = str(tmp_path / "v1")
+    p2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a")], ["id", "x"]).write.parquet(p1)
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "x", "score"]).write.parquet(p2)
+    df = read_parquet_merged_schema(spark, p1, p2)
+    assert set(df.columns) == {"id", "x", "score"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
