@@ -171,3 +171,57 @@ def test_fuzz_windows(spark):
             """,
             a=a,
         )
+
+
+def _rand_docs(seed, n=40):
+    """Seeded word-soup corpus with planted duplicates, empties, and
+    unicode — the adversarial shapes for the text/dedup family."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "käse", "żółć", "data", "spark"]
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.08:
+            text = ""
+        elif r < 0.14:
+            text = " ".join(rng.choices(vocab[:2], k=3))  # heavy dup chunks
+        else:
+            text = " ".join(rng.choices(vocab, k=rng.randint(1, 30)))
+        rows.append((i, text))
+    # planted exact duplicate pair
+    rows.append((n, rows[0][1]))
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_fuzz_span_dedup(spark):
+    from pandasy_spark.extended.dedup import span_dedup
+    from pandasy_spark.workload import ORACLES
+
+    for seed in SEEDS:
+        docs = _rand_docs(seed)
+        res = span_dedup(spark.createDataFrame(docs), "text", "doc_id", 8)
+        assert_duck_eq(res, ORACLES["dedup_span"], documents=docs)
+
+
+def test_fuzz_lm_score(spark):
+    from pandasy_spark.extended.text import bigram_lm_score
+    from pandasy_spark.workload import ORACLES
+
+    for seed in SEEDS:
+        docs = _rand_docs(seed + 50)
+        res = bigram_lm_score(spark.createDataFrame(docs), "text", "doc_id")
+        assert_duck_eq(res, ORACLES["text_lm_score"], documents=docs)
+
+
+def test_fuzz_tficf(spark):
+    from pandasy_spark.extended.text import tficf_top_terms
+    from pandasy_spark.workload import ORACLES
+
+    for seed in SEEDS:
+        docs = _rand_docs(seed + 90)
+        res = tficf_top_terms(spark.createDataFrame(docs), "text", "doc_id", k=3)
+        assert_duck_eq(res, ORACLES["text_tficf"], documents=docs)
