@@ -518,6 +518,7 @@ def bpe_learn(
     text_col: str = "text",
     num_merges: int = 10,
     min_word_len: int = 2,
+    local_types_threshold: int = 100_000,
 ) -> list[tuple[int, str, str, str, int]]:
     """Learn ``num_merges`` BPE merges from the corpus (the iterative
     tokenizer-training loop; ``bpe_pair_counts`` is its single step).
@@ -528,22 +529,59 @@ def bpe_learn(
     type frequency, merge it everywhere, recount.
 
     Scale shape: the corpus-sized work is the one word-frequency hash
-    aggregate up front; the loop then operates on the word-TYPE table
-    (~10^7 rows for web-scale corpora even at 10^12 running words).
-    Each iteration is one pair-count aggregate (map-side combined) +
-    one argmax row to the driver + one narrow symbol-fold projection;
-    lineage is truncated per iteration with ``localCheckpoint``.
-    Deterministic: ties break on (count DESC, left, right).
+    aggregate up front; everything after operates on the word-TYPE
+    table (~10^7 rows for web-scale corpora even at 10^12 running
+    words).  Below ``local_types_threshold`` distinct types, the merge
+    loop runs on the collected type table in-process — this is how
+    production tokenizer trainers work (the type table after the
+    distributed count is small by construction) and avoids paying
+    several scheduled Spark jobs per merge.  Above the threshold (or
+    with threshold=0), a fully distributed loop runs: per merge, one
+    map-side-combined pair-count aggregate + one argmax row + one
+    narrow symbol-fold projection, lineage checkpointed per iteration.
+    Both paths are deterministic with ties on (count DESC, left,
+    right) and are pinned against each other in tests.
     """
     words = df.select(
         F.explode(
             F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
         ).alias("word")
     ).filter(F.length("word") >= min_word_len)
+    type_counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+
+    if local_types_threshold > 0 and type_counts.count() <= local_types_threshold:
+        wf = {r["word"]: r["wc"] for r in type_counts.toLocalIterator()}
+        syms = {w: list(w) for w in wf}
+        merges_local: list[tuple[int, str, str, str, int]] = []
+        for rank in range(num_merges):
+            pc: dict[tuple[str, str], int] = {}
+            for w, c in wf.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + c
+            if not pc:
+                break
+            (left, right), cnt = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            merged = left + right
+            merges_local.append((rank, left, right, merged, int(cnt)))
+            for w in syms:
+                s = syms[w]
+                out: list[str] = []
+                i = 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        return merges_local
+
     types = (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("wc"))
-        .withColumn("syms", F.split(F.col("word"), ""))
+        type_counts.withColumn("syms", F.split(F.col("word"), ""))
         .select("syms", "wc")
         .localCheckpoint(eager=True)
     )

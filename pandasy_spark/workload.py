@@ -4267,3 +4267,22 @@ def events_session_window(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return session_window_agg(ev, "ts", "user_id", gap="10 minutes")
+
+
+@query("knn_ivf")  # k-means quantizer is iterative: no single-SQL oracle
+def knn_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbors (extended/similarity.py
+    ivf_topk): coarse k-means quantizer (DataFrame-native Lloyd's,
+    centroids broadcast, never driver arrays) + nprobe cluster probe
+    as an ordinary equi-join.  Candidate volume ~ corpus *
+    nprobe/n_clusters.  No DuckDB oracle — the quantizer is iterative;
+    recall vs brute-force cosine is pinned in tests/test_extended.py,
+    and the driver records the rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = filter_df(emb, F.col("vec_id") >= 10)
+    queries_df = filter_df(emb, F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return X_sim.ivf_topk(
+        corpus, queries_df, k=5, n_clusters=8, nprobe=3, kmeans_iters=2
+    )

@@ -749,6 +749,9 @@ def test_bpe_learn_matches_python_reference(spark):
     corpus = ["low lower lowest low low", "newer newest new low", "wider wide new"]
     df = spark.createDataFrame([(t,) for t in corpus], ["text"])
     got = bpe_learn(df, "text", num_merges=6)
+    # the fully distributed loop must learn the identical merge table
+    got_dist = bpe_learn(df, "text", num_merges=6, local_types_threshold=0)
+    assert got == got_dist
 
     # reference implementation (Sennrich-style, word types x freq)
     import re
