@@ -24,7 +24,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..types import to_spark_schema
 
-__all__ = ["read_csv", "read_jsonl", "write_csv", "write_jsonl"]
+__all__ = [
+    "read_csv",
+    "read_jsonl",
+    "read_orc",
+    "read_text_lines",
+    "write_csv",
+    "write_jsonl",
+    "write_orc",
+]
 
 _CORRUPT = "_corrupt_record"
 
@@ -97,3 +105,25 @@ def write_csv(
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: Any | None = None) -> DataFrame:
+    """Columnar ORC reader — same pushdown/pruning contract as the
+    parquet scans (PushedFilters/ReadSchema in the plan); the format
+    interop surface for Hive-era warehouses."""
+    reader = spark.read
+    s = _schema_arg(schema)
+    if s is not None:
+        reader = reader.schema(s)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """One row per line (column ``value: string``) — the raw-corpus
+    ingestion format for text pipelines; pair with the text operators
+    to score/clean before columnarizing."""
+    return spark.read.text(path)

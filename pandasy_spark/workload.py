@@ -4286,3 +4286,98 @@ def knn_ivf(spark, sf_dir):
     return X_sim.ivf_topk(
         corpus, queries_df, k=5, n_clusters=8, nprobe=3, kmeans_iters=2
     )
+
+
+@query(
+    "events_range_window",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
+                AS BIGINT) AS sum_cents_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_range_window(spark, sf_dir):
+    """Time-based RANGE window: per-event trailing 10-minute count and
+    cent-grid sum over the same user — the per-row sliding aggregate
+    shape (rate limiting, rolling exposure) that tumbling/hopping
+    windows can't express.  The frame is on exact integer microseconds
+    (``unix_micros``), so Spark's RANGE semantics and the DuckDB
+    mirror agree row-for-row; one shuffle on the user key.  RANGE
+    frames include ALL ties of the current timestamp, which is why the
+    oracle uses the same physical ordering column."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, 0)
+    )
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(vc).over(w).alias("sum_cents_trailing"),
+    )
+
+
+@query(
+    "window_distribution",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(NTILE(4) OVER w AS INTEGER) AS price_quartile,
+           FLOOR(PERCENT_RANK() OVER w * 10000 + 0.5) / 10000 AS pr,
+           FLOOR(CUME_DIST() OVER w * 10000 + 0.5) / 10000 AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark, sf_dir):
+    """Distribution window functions (ntile / percent_rank /
+    cume_dist) per priority group — the remaining ranking-family
+    coverage beyond rank/dense_rank/row_number.  Ordering includes the
+    unique key so tie handling is identical across engines; one
+    shuffle on the partition key."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        qr(F.percent_rank().over(w), 4).alias("pr"),
+        qr(F.cume_dist().over(w), 4).alias("cd"),
+    )
+
+
+@query(
+    "agg_bitwise",
+    """
+    SELECT l_returnflag,
+           CAST(BIT_AND(l_linenumber) AS BIGINT) AS flags_and,
+           CAST(BIT_OR(l_linenumber) AS BIGINT) AS flags_or,
+           CAST(BIT_XOR(l_linenumber) AS BIGINT) AS flags_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitwise(spark, sf_dir):
+    """Bitwise aggregate family (bit_and/bit_or/bit_xor) — bitmask
+    roll-ups (feature flags, permission masks) in one partial-agg
+    groupBy.  All three are commutative/associative, so map-side
+    combine applies and the result is order-free by construction."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("flags_and"),
+        F.bit_or("l_linenumber").alias("flags_or"),
+        F.bit_xor("l_linenumber").alias("flags_xor"),
+    )

@@ -291,3 +291,28 @@ def test_read_parquet_merged_schema_unions_columns(spark, tmp_path):
     assert set(df.columns) == {"id", "x", "score"}
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    from pandasy_spark.sources import load_table, read_orc, write_orc
+
+    out = str(tmp_path / "orders_orc")
+    orders = load_table(spark, sf_dir, "orders")
+    write_orc(orders, out)
+    back = read_orc(spark, out)
+    assert back.count() == orders.count()
+    filtered = back.filter(back.o_orderkey == 1)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+def test_read_text_lines(spark, tmp_path):
+    from pandasy_spark.sources import read_text_lines
+
+    p = tmp_path / "raw.txt"
+    p.write_text("first line\nsecond line\n")
+    df = read_text_lines(spark, str(p))
+    assert [r["value"] for r in df.orderBy("value").collect()] == [
+        "first line",
+        "second line",
+    ]
