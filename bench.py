@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "layout_zorder",
     "sample_mixture",
     "events_session_window",
+    "events_range_window",
+    "window_distribution",
+    "agg_bitwise",
 ]
 
 
