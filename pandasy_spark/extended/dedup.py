@@ -59,6 +59,7 @@ __all__ = [
     "winnow_dup_pairs",
     "connected_components",
     "span_dedup",
+    "levenshtein_dup_pairs",
 ]
 
 
@@ -842,3 +843,42 @@ def span_dedup(
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("kept_text", F.lit("")).alias("kept_text"),
     )
+
+
+def levenshtein_dup_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 20,
+    prefix_len: int = 120,
+) -> DataFrame:
+    """Fuzzy near-dup pairs by edit distance within blocks: documents
+    sharing all ``block_cols`` values are paired and kept when the
+    Levenshtein distance of their ``prefix_len``-char prefixes is at
+    most ``max_distance``.
+
+    Edit distance catches single-character corruption (OCR noise,
+    mojibake, typo-level mutations) that shingle/Jaccard methods
+    dilute across many n-grams.  Cost is O(prefix_len^2) per pair and
+    O(sum |block|^2) pairs, so this is the within-block verification
+    tier of a dedup stack — block on cheap keys (source, language,
+    length bucket, or an LSH bucket) and cap the prefix; never run it
+    unblocked.  ``levenshtein`` is an integer JVM built-in, exact and
+    engine-portable (DuckDB has the identical function).
+    """
+    a = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id1"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("t1"),
+    )
+    b = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id2"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("t2"),
+    )
+    pairs = a.join(b, block_cols).filter(F.col("id1") < F.col("id2"))
+    dist = F.levenshtein(F.col("t1"), F.col("t2"))
+    return pairs.select(
+        "id1", "id2", dist.alias("edit_distance"), *block_cols
+    ).filter(F.col("edit_distance") <= max_distance)

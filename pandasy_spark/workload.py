@@ -4381,3 +4381,35 @@ def agg_bitwise(spark, sf_dir):
         F.bit_or("l_linenumber").alias("flags_or"),
         F.bit_xor("l_linenumber").alias("flags_xor"),
     )
+
+
+@query(
+    "dedup_levenshtein",
+    """
+    WITH p AS (
+      SELECT source, lang, doc_id AS id1, substring(text, 1, 120) AS t1
+      FROM documents
+    ), q AS (
+      SELECT source, lang, doc_id AS id2, substring(text, 1, 120) AS t2
+      FROM documents
+    )
+    SELECT id1, id2,
+           CAST(levenshtein(t1, t2) AS INTEGER) AS edit_distance,
+           source, lang
+    FROM p JOIN q USING (source, lang)
+    WHERE id1 < id2 AND levenshtein(t1, t2) <= 40
+    """,
+)
+def dedup_levenshtein(spark, sf_dir):
+    """Blocked fuzzy dedup by edit distance (extended/dedup.py
+    levenshtein_dup_pairs): (source, lang) blocks, 120-char prefixes,
+    pairs within 40 edits — catches character-level corruption (OCR,
+    mojibake) that shingle methods dilute.  Within-block verification
+    tier: cost is sum |block|^2 equi-join pairs x an integer JVM
+    levenshtein (identical function in DuckDB), never an unblocked
+    quadratic."""
+    docs = X_ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    return X_dedup.levenshtein_dup_pairs(
+        docs, ["source", "lang"], "doc_id", "text",
+        max_distance=40, prefix_len=120,
+    )

@@ -785,3 +785,20 @@ def test_bpe_learn_matches_python_reference(spark):
                     i += 1
             syms[w] = out
     assert got == exp
+
+
+def test_levenshtein_dup_pairs_blocked(spark):
+    from pandasy_spark.extended.dedup import levenshtein_dup_pairs
+
+    rows = [
+        (0, "b1", "the quick brown fox jumps"),
+        (1, "b1", "the quick brwon fox jumps"),   # 2-edit transposition
+        (2, "b1", "completely different text here"),
+        (3, "b2", "the quick brown fox jumps"),   # same text, other block
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "blk", "text"])
+    out = levenshtein_dup_pairs(df, ["blk"], "doc_id", "text", max_distance=3)
+    pairs = {(r["id1"], r["id2"], r["edit_distance"]) for r in out.collect()}
+    # only the within-block near-pair survives; cross-block identical
+    # text is never compared (blocking is the contract)
+    assert pairs == {(0, 1, 2)}
