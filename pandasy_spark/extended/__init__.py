@@ -2,6 +2,6 @@
 multimodal.  All built from JVM-side built-ins except where Arrow-
 batched pandas is the genuinely right tool (media decode)."""
 
-from . import dedup, multimodal, similarity, text
+from . import dedup, multimodal, profile, sampling, similarity, text
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "profile", "sampling", "similarity", "text"]

@@ -4413,3 +4413,42 @@ def dedup_levenshtein(spark, sf_dir):
         docs, ["source", "lang"], "doc_id", "text",
         max_distance=40, prefix_len=120,
     )
+
+
+@query(
+    "profile_equidepth",
+    """
+    WITH b AS (
+      SELECT o_totalprice,
+             CAST(NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey)
+                  AS INTEGER) AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def profile_equidepth(spark, sf_dir):
+    """Equi-DEPTH histogram (quantile buckets) of o_totalprice — the
+    skew-revealing complement to the fixed-width `profile_histogram`:
+    equal row counts per bucket, data-dependent edges.  Exact ntile
+    needs one global sort (the oracle's definition); at 100 TB swap in
+    `quality_quantile_threshold`'s approx_percentile pattern for
+    sort-free approximate edges — this exact form is the bounded
+    oracle-checked reference.  Tie order pinned by the unique key."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
