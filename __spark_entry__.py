@@ -52,7 +52,7 @@ _R1_CHECKED = {
 # Queries that did not exist in the r1 registry at all — the least
 # proven of the unproven, so they register before everything else.
 _R2_NEW = [
-    "layout_zorder", "text_bpe_learn", "sample_mixture", "knn_ivf", "events_range_window", "window_distribution", "agg_bitwise", "dedup_levenshtein", "profile_equidepth",
+    "layout_zorder", "text_bpe_learn", "sample_mixture", "knn_ivf", "events_range_window", "window_distribution", "agg_bitwise", "dedup_levenshtein", "profile_equidepth", "expr_null_safe_eq", "agg_collect",
     "events_session_window",
     "dedup_span", "text_lm_score", "text_tficf", "sample_domain_cap",
     "events_hopping",

@@ -4452,3 +4452,55 @@ def profile_equidepth(spark, sf_dir):
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@query(
+    "expr_null_safe_eq",
+    """
+    SELECT o_orderkey,
+           (o_orderstatus IS NOT DISTINCT FROM o_orderpriority) AS self_ns,
+           (o_orderstatus = o_orderpriority) AS self_eq,
+           (NULLIF(o_orderstatus, o_orderstatus) IS NOT DISTINCT FROM
+            NULLIF(o_orderpriority, o_orderpriority)) AS null_ns
+    FROM orders
+    """,
+)
+def expr_null_safe_eq(spark, sf_dir):
+    """Null-safe equality (``<=>`` / IS NOT DISTINCT FROM): the
+    three-valued-logic escape hatch — NULL <=> NULL is TRUE and never
+    NULL, which regular ``=`` cannot express.  NULLIF fabricates NULL
+    operands so the NULL<=>NULL row is actually exercised."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").eqNullSafe(F.col("o_orderpriority")).alias("self_ns"),
+        (F.col("o_orderstatus") == F.col("o_orderpriority")).alias("self_eq"),
+        F.nullif(F.col("o_orderstatus"), F.col("o_orderstatus"))
+        .eqNullSafe(F.nullif(F.col("o_orderpriority"), F.col("o_orderpriority")))
+        .alias("null_ns"),
+    )
+
+
+@query(
+    "agg_collect",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_collect(spark, sf_dir):
+    """Collect-aggregation with deterministic rendering: per-group
+    DISTINCT set gathered, sorted, and joined to a csv string —
+    collect_set order is nondeterministic by contract, so portable
+    output REQUIRES the sort (array output would also defeat the
+    driver's value hash).  Map-side partial collect applies."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+    )
