@@ -3,11 +3,12 @@
 Images/audio/video are carried as ``binary`` columns with a typed
 metadata struct; decode / feature-extraction run as Arrow-batched
 pandas iterators over ``mapInPandas`` — the Spark-side plumbing
-(schema, batch shape, partitioning) is real and tested, while the
-actual media decoding is STUBBED (the image/audio libraries are not in
-this container): ``decode_image`` raises NotImplementedError and
-``extract_features`` uses a deterministic fake derived from the bytes,
-so pipelines are end-to-end runnable and oracle-checkable.
+(schema, batch shape, partitioning) is real and tested.  Decoding is
+REAL for uncompressed formats a pure-numpy path can handle (PPM P6 and
+24-bit BMP — ``decode_image`` / ``image_stats``); compressed formats
+(JPEG/PNG) require PIL/cv2, absent in this container, and raise
+NotImplementedError.  ``extract_features`` keeps the deterministic
+byte-derived fake so its gate query stays engine-oracle-checkable.
 """
 
 from __future__ import annotations
@@ -31,6 +32,8 @@ __all__ = [
     "resize_images",
     "RESIZED_SCHEMA",
     "audio_features",
+    "image_stats",
+    "IMAGE_STATS_SCHEMA",
 ]
 
 # typed metadata produced by the (fake) feature extractor
@@ -48,12 +51,62 @@ def with_binary_payload(
 
 
 def decode_image(payload: bytes) -> "object":
-    """STUB — real image decoding needs PIL/cv2, absent here.  The
-    surrounding plumbing (binary column in, typed struct out, Arrow
-    batching) is the deliverable; swap this function in production."""
+    """Decode an image payload to an ``(h, w, 3) uint8`` numpy array.
+
+    REAL decode for the uncompressed formats a pure-numpy path can
+    handle — PPM (``P6``) and 24-bit uncompressed (BI_RGB) BMP.
+    Compressed formats (JPEG/PNG/WebP) genuinely require PIL/cv2,
+    absent in this container, and still raise NotImplementedError —
+    swap in a library decoder for those in production; every consumer
+    of this function (mapInPandas feature extractors) is agnostic to
+    which branch produced the array."""
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        # PPM: 'P6' <ws> width <ws> height <ws> maxval <single ws> raw RGB
+        # '#' starts a comment running to end-of-line anywhere in header
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace before raster data
+        w, h, maxval = fields
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM not supported")
+        arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return arr.reshape(h, w, 3)
+
+    if payload[:2] == b"BM":
+        data_offset = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+                f"compression={compression})"
+            )
+        bottom_up = h > 0
+        h = abs(h)
+        row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        raw = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+        ).reshape(h, row_bytes)
+        rgb = raw[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        return rgb[::-1] if bottom_up else rgb
+
     raise NotImplementedError(
-        "image decoding requires PIL/cv2 which are not installed; "
-        "extract_features uses a deterministic fake instead"
+        "compressed image formats require PIL/cv2 which are not "
+        "installed; PPM (P6) and 24-bit BMP decode natively"
     )
 
 
@@ -224,3 +277,51 @@ def resize_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+# real-decode image statistics (works for PPM/BMP payloads natively)
+IMAGE_STATS_SCHEMA = parse_schema(
+    "doc_id:long,width:int,height:int,mean_r:double,mean_g:double,mean_b:double"
+)
+
+
+def image_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL per-image statistics over ``mapInPandas``: decode each
+    binary payload with :func:`decode_image` (pure-numpy PPM/BMP) and
+    emit dimensions + per-channel means.  Same Arrow-batched iterator
+    shape as `extract_features`; rows whose payloads need an absent
+    library decoder are dropped (production: route them to a quarantine
+    sink instead)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {k: [] for k in
+                ["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"]}
+        for pdf in batches:
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    img = decode_image(bytes(payload))
+                except NotImplementedError:
+                    continue
+                means = img.reshape(-1, 3).mean(axis=0)
+                rows["doc_id"].append(int(doc_id))
+                rows["height"].append(img.shape[0])
+                rows["width"].append(img.shape[1])
+                rows["mean_r"].append(float(means[0]))
+                rows["mean_g"].append(float(means[1]))
+                rows["mean_b"].append(float(means[2]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "mean_r": pd.Series(rows["mean_r"], dtype="float64"),
+                "mean_g": pd.Series(rows["mean_g"], dtype="float64"),
+                "mean_b": pd.Series(rows["mean_b"], dtype="float64"),
+            }
+        )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _stats, schema=IMAGE_STATS_SCHEMA
+    )

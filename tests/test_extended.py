@@ -802,3 +802,59 @@ def test_levenshtein_dup_pairs_blocked(spark):
     # only the within-block near-pair survives; cross-block identical
     # text is never compared (blocking is the contract)
     assert pairs == {(0, 1, 2)}
+
+
+def _make_ppm(w, h, rgb):
+    header = f"P6\n# test\n{w} {h}\n255\n".encode()
+    return header + bytes(rgb) * (w * h)
+
+
+def _make_bmp(w, h, rgb):
+    import struct
+
+    row = bytes(rgb[::-1]) * w  # BGR per pixel
+    pad = b"\x00" * ((4 - (w * 3) % 4) % 4)
+    pixels = (row + pad) * h
+    data_offset = 54
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_offset + len(pixels), 0, 0, data_offset)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    )
+    return header + pixels
+
+
+def test_decode_image_ppm_and_bmp():
+    import numpy as np
+
+    from pandasy_spark.extended.multimodal import decode_image
+
+    ppm = decode_image(_make_ppm(4, 3, (10, 20, 30)))
+    assert ppm.shape == (3, 4, 3)
+    assert (ppm == np.array([10, 20, 30], dtype=np.uint8)).all()
+
+    bmp = decode_image(_make_bmp(5, 2, (200, 100, 50)))
+    assert bmp.shape == (2, 5, 3)
+    assert (bmp == np.array([200, 100, 50], dtype=np.uint8)).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_image_stats_real_decode_via_mapinpandas(spark):
+    from pandasy_spark.extended.multimodal import image_stats
+
+    rows = [
+        (1, _make_ppm(8, 4, (255, 0, 0))),
+        (2, _make_bmp(6, 6, (0, 128, 0))),
+        (3, b"\xff\xd8\xff\xe0 jpeg-needs-a-library"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in image_stats(df).collect()}
+    assert set(out) == {1, 2}  # the JPEG row routes to the absent-decoder path
+    assert (out[1]["width"], out[1]["height"]) == (8, 4)
+    assert out[1]["mean_r"] == 255.0 and out[1]["mean_b"] == 0.0
+    assert (out[2]["width"], out[2]["height"]) == (6, 6)
+    assert out[2]["mean_g"] == 128.0
