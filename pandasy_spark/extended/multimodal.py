@@ -34,6 +34,7 @@ __all__ = [
     "audio_features",
     "image_stats",
     "IMAGE_STATS_SCHEMA",
+    "resize_decoded_images",
 ]
 
 # typed metadata produced by the (fake) feature extractor
@@ -325,3 +326,51 @@ def image_stats(
     return df.select(id_col, payload_col).mapInPandas(
         _stats, schema=IMAGE_STATS_SCHEMA
     )
+
+
+def resize_decoded_images(
+    df: DataFrame,
+    out_w: int = 64,
+    out_h: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL nearest-neighbor resize for decodable payloads (PPM/BMP
+    via :func:`decode_image`): each image is decoded, index-strided to
+    ``(out_h, out_w, 3)``, and re-emitted as a P6 PPM payload — a
+    genuine pixel-space pipeline with no external library.
+    Non-decodable payloads (JPEG/PNG without PIL) are dropped
+    (production: quarantine sink).  Same RESIZED_SCHEMA and
+    Arrow-batched shape as `resize_images` (the format-agnostic
+    byte-plumbing twin)."""
+    import numpy as np
+
+    id_name, payload_name = id_col, payload_col
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids: list[int] = []
+        payloads: list[bytes] = []
+        for pdf in batches:
+            for did, payload in zip(pdf[id_name], pdf[payload_name]):
+                try:
+                    img = decode_image(bytes(payload))
+                except NotImplementedError:
+                    continue
+                h, w = img.shape[:2]
+                # nearest-neighbor: center-of-cell index striding
+                ys = ((np.arange(out_h) + 0.5) * h / out_h).astype(int)
+                xs = ((np.arange(out_w) + 0.5) * w / out_w).astype(int)
+                resized = img[ys][:, xs]
+                header = f"P6\n{out_w} {out_h}\n255\n".encode()
+                ids.append(int(did))
+                payloads.append(header + resized.tobytes())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "out_w": pd.Series([out_w] * len(ids), dtype="int32"),
+                "out_h": pd.Series([out_h] * len(ids), dtype="int32"),
+                "resized": pd.Series(payloads, dtype="object"),
+            }
+        )
+
+    return df.select(id_col, payload_col).mapInPandas(_resize, schema=RESIZED_SCHEMA)

@@ -858,3 +858,28 @@ def test_image_stats_real_decode_via_mapinpandas(spark):
     assert out[1]["mean_r"] == 255.0 and out[1]["mean_b"] == 0.0
     assert (out[2]["width"], out[2]["height"]) == (6, 6)
     assert out[2]["mean_g"] == 128.0
+
+
+def test_resize_decoded_images_round_trips_through_decoder(spark):
+    import numpy as np
+
+    from pandasy_spark.extended.multimodal import decode_image, resize_decoded_images
+
+    # 2x2 quadrant image scaled up: nearest-neighbor must preserve the
+    # quadrant colors exactly
+    quad = np.zeros((2, 2, 3), dtype=np.uint8)
+    quad[0, 0] = (255, 0, 0)
+    quad[0, 1] = (0, 255, 0)
+    quad[1, 0] = (0, 0, 255)
+    quad[1, 1] = (255, 255, 0)
+    payload = b"P6\n2 2\n255\n" + quad.tobytes()
+    df = spark.createDataFrame(
+        [(1, payload), (2, b"\x89PNG needs-a-library")],
+        "doc_id long, payload binary",
+    )
+    rows = resize_decoded_images(df, out_w=4, out_h=4).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    out = decode_image(bytes(rows[0]["resized"]))
+    assert out.shape == (4, 4, 3)
+    assert (out[0, 0] == (255, 0, 0)).all() and (out[0, 3] == (0, 255, 0)).all()
+    assert (out[3, 0] == (0, 0, 255)).all() and (out[3, 3] == (255, 255, 0)).all()
