@@ -24,57 +24,74 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Queries that already have a green CORRECTNESS_r01 row.  The r1 driver
-# recorded only the first 50 registrations, so entries NOT in this set
-# (plus anything newly added) are ordered FIRST below — if the driver
-# truncates again, the least-proven queries are the ones that get rows,
-# and the union across rounds covers the whole registry.
-_R1_CHECKED = {
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "filter_truthy", "join_inner", "join_left", "join_right", "join_full",
-    "join_semi", "join_anti", "join_cross", "setop_union_all", "setop_union",
-    "setop_intersect", "setop_intersect_dups", "setop_except",
-    "setop_except_dups", "distinct_status", "expr_predicates",
-    "expr_case_coalesce", "expr_arith_cmp", "expr_casts", "groupby_apply",
-    "window_rank", "window_running", "agg_rollup", "agg_cube",
-    "agg_grouping_sets", "agg_distinct", "agg_stats", "topk_per_group",
-    "sort_limit_topn", "string_math_funcs", "date_funcs", "text_stats",
-    "text_langid", "dedup_exact", "knn_cosine", "multimodal_features",
-    "events_window", "events_sessionize", "events_json",
-    "agg_percentiles", "text_token_freq", "expr_string_extra",
-    # r1 rows exist for dedup_ngram_jaccard, dedup_minhash, dedup_simhash,
-    # knn_lsh and events_asof too, but those operators changed in r2
-    # (blocked path / portable hashing / struct-carry asof), so they are
-    # deliberately left out to re-register first.
+# Queries with a green (hash_match) driver row in CORRECTNESS_r01 ∪ r02.
+# The driver records only the first 50 registrations per round, so
+# everything NOT in this union — plus anything newly added this round —
+# is ordered FIRST below: if the driver truncates again, the
+# least-proven queries are the ones that get rows, and the union across
+# rounds covers the whole registry.
+_CHECKED_UNION = {
+    "agg_bitwise", "agg_collect", "agg_cube", "agg_distinct",
+    "agg_grouping_sets", "agg_mode_argmax", "agg_percentiles", "agg_rollup",
+    "agg_stats", "date_funcs", "decontaminate", "decontaminate_semantic",
+    "dedup_components", "dedup_exact", "dedup_incremental",
+    "dedup_levenshtein", "dedup_minhash", "dedup_ngram_exact",
+    "dedup_ngram_jaccard", "dedup_semantic", "dedup_simhash", "dedup_span",
+    "dedup_winnow", "distinct_status", "embedding_centroids", "events_asof",
+    "events_hopping", "events_json", "events_range_window",
+    "events_session_window", "events_sessionize", "events_tolerance_join",
+    "events_window", "expr_arith_cmp", "expr_case_coalesce",
+    "expr_cast_strict", "expr_casts", "expr_null_safe_eq",
+    "expr_predicates", "expr_string_extra", "filter_truthy",
+    "groupby_apply", "join_anti", "join_cross", "join_full", "join_inner",
+    "join_left", "join_right", "join_semi", "knn_cosine",
+    "knn_lsh", "knn_quantized", "layout_zorder", "multimodal_features",
+    "pack_chunks", "pack_greedy", "pipeline_pretraining",
+    "pivot_status_by_priority", "profile_equidepth", "profile_histogram",
+    "profile_lineitem", "q13_customer_distribution", "q1_pricing_summary",
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
+    "sample_curriculum", "sample_domain_cap", "sample_interleave",
+    "sample_mixture", "sample_split", "sample_stratified", "setop_except",
+    "setop_except_dups", "setop_intersect", "setop_intersect_dups",
+    "setop_union", "setop_union_all", "sort_limit_topn",
+    "string_math_funcs", "text_bpe_pairs", "text_langid",
+    "text_lm_score", "text_pii", "text_quality_filter", "text_repetition",
+    "text_stats", "text_tficf", "text_token_freq", "topk_per_group",
+    "window_distribution", "window_rank", "window_running",
+    # text_bpe_learn / knn_ivf had r2 rows but only err=no_oracle — they
+    # are now self-certifying (oracle-expressible) and must re-register
+    # first to earn a real hash_match row.
 }
 
 
-# Queries that did not exist in the r1 registry at all — the least
-# proven of the unproven, so they register before everything else.
-_R2_NEW = [
-    "layout_zorder", "text_bpe_learn", "sample_mixture", "knn_ivf", "events_range_window", "window_distribution", "agg_bitwise", "dedup_levenshtein", "profile_equidepth", "expr_null_safe_eq", "agg_collect",
-    "events_session_window",
-    "dedup_span", "text_lm_score", "text_tficf", "sample_domain_cap",
-    "events_hopping",
-    "dedup_components", "agg_mode_argmax", "profile_histogram",
-    "text_bpe_pairs", "sample_curriculum", "decontaminate_semantic",
-    "sample_split", "sample_stratified", "sample_interleave",
-    "pack_chunks", "pack_greedy", "profile_lineitem",
-    "dedup_incremental", "knn_quantized", "text_repetition",
-    "text_pii", "decontaminate", "dedup_ngram_exact",
-    "expr_cast_strict", "dedup_winnow", "pipeline_pretraining",
-    "text_quality_filter", "dedup_semantic",
+# Never driver-checked after r1∪r2 (34 names) plus the two former
+# no_oracle rows — these register before everything else so
+# CORRECTNESS_r03 closes the registry at fully driver-witnessed.
+_R3_FRONT = [
+    "agg_approx", "text_bpe_learn", "knn_ivf",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_important_stock",
+    "q12_shipmode", "q14_promo_effect", "q15_top_supplier",
+    "q16_parts_supplier", "q17_small_quantity", "q18_large_orders",
+    "q19_discounted_revenue", "q20_supplier_part_volume",
+    "q21_waiting_supplier", "q22_global_balance",
+    "setop_intersect_all", "setop_except_all", "window_range_frame",
+    "unpivot_measures", "pipeline_clean_corpus", "correlated_min",
+    "expr_null_funcs", "multimodal_frames", "multimodal_audio",
+    "array_functions", "map_functions", "dedup_blocked", "dedup_rolling",
+    "dedup_embedding", "sql_passthrough", "text_subword_fingerprint",
+    "events_time_rollup",
 ]
 
 
 def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    new = {k: QUERIES[k] for k in _R2_NEW if k in QUERIES}
+    front = {k: QUERIES[k] for k in _R3_FRONT if k in QUERIES}
     unproven = {
         k: v for k, v in QUERIES.items()
-        if k not in _R1_CHECKED and k not in new
+        if k not in _CHECKED_UNION and k not in front
     }
-    proven = {k: v for k, v in QUERIES.items() if k in _R1_CHECKED}
-    return {**new, **unproven, **proven}
+    proven = {k: v for k, v in QUERIES.items() if k in _CHECKED_UNION}
+    return {**front, **unproven, **proven}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -84,8 +101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every oracle-expressible query
-    (everything except agg_approx, which is approximate by design and
-    gets the driver's rows-only check)."""
+    """DuckDB-equivalent SQL for every oracle-expressible query."""
     order = _ordered()
     return {k: ORACLES[k] for k in order if k in ORACLES}

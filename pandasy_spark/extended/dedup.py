@@ -743,6 +743,15 @@ def connected_components(
         # The star-contraction edge set evolves monotonically, so a
         # stable fingerprint means a stable set — no per-iteration
         # exceptAll anti-join (which cost more than the iteration).
+        # This is PROBABILISTIC: two different edge sets agreeing on
+        # (count, sum, min, max) of xxhash64 would stop the loop one
+        # round early.  For that to matter the colliding set would
+        # have to appear as consecutive iterates of star-contraction
+        # on the same graph; with 64-bit hashes the chance is ~2^-64
+        # per round — far below any hardware-fault rate.  An extra
+        # converged round (not an exceptAll) would make it exact;
+        # the equivalence test vs the recursive-CTE oracle pins the
+        # end-to-end result regardless.
         h = F.xxhash64(F.col("u"), F.col("v"))
         row = ed.agg(
             F.count(F.lit(1)),
@@ -753,12 +762,25 @@ def connected_components(
         return tuple(row)
 
     prev_sig: tuple | None = None
+    converged = False
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         sig = _checksum(e)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: star-contraction did not converge "
+            f"within max_iterations={max_iterations}; components may be "
+            f"over-split. Re-run with a higher limit (rounds needed is "
+            f"O(log n) in the largest component's diameter).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     comp = (
         e.groupBy("u")

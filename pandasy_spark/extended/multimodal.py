@@ -42,6 +42,13 @@ FEATURE_SCHEMA = parse_schema(
     "doc_id:long,byte_len:long,width:int,height:int,n_frames:int"
 )
 
+# Everything the "drop non-decodable rows" contract must swallow:
+# NotImplementedError for formats needing an absent library, and the
+# malformed-payload failure modes of the numpy decoders (truncated
+# buffers -> ValueError from np.frombuffer/reshape, header fields past
+# buffer end -> IndexError, absurd dimensions -> OverflowError).
+DECODE_ERRORS = (NotImplementedError, ValueError, IndexError, OverflowError)
+
 
 def with_binary_payload(
     df: DataFrame, text_col: str = "text", out_col: str = "payload"
@@ -303,7 +310,7 @@ def image_stats(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     img = decode_image(bytes(payload))
-                except NotImplementedError:
+                except DECODE_ERRORS:
                     continue
                 means = img.reshape(-1, 3).mean(axis=0)
                 rows["doc_id"].append(int(doc_id))
@@ -354,7 +361,7 @@ def resize_decoded_images(
             for did, payload in zip(pdf[id_name], pdf[payload_name]):
                 try:
                     img = decode_image(bytes(payload))
-                except NotImplementedError:
+                except DECODE_ERRORS:
                     continue
                 h, w = img.shape[:2]
                 # nearest-neighbor: center-of-cell index striding

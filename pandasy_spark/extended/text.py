@@ -519,6 +519,7 @@ def bpe_learn(
     num_merges: int = 10,
     min_word_len: int = 2,
     local_types_threshold: int = 100_000,
+    merge_batch: int = 8,
 ) -> list[tuple[int, str, str, str, int]]:
     """Learn ``num_merges`` BPE merges from the corpus (the iterative
     tokenizer-training loop; ``bpe_pair_counts`` is its single step).
@@ -536,11 +537,25 @@ def bpe_learn(
     production tokenizer trainers work (the type table after the
     distributed count is small by construction) and avoids paying
     several scheduled Spark jobs per merge.  Above the threshold (or
-    with threshold=0), a fully distributed loop runs: per merge, one
-    map-side-combined pair-count aggregate + one argmax row + one
-    narrow symbol-fold projection, lineage checkpointed per iteration.
-    Both paths are deterministic with ties on (count DESC, left,
-    right) and are pinned against each other in tests.
+    with threshold=0), a fully distributed loop runs, BATCHED: per
+    distributed pass, one map-side-combined pair-count aggregate
+    collects the top candidate pairs, of which up to ``merge_batch``
+    symbol-DISJOINT pairs (no symbol of one appears in, or equals the
+    merged token of, another) are applied together in one narrow fold
+    projection + localCheckpoint — cutting driver round-trips and
+    scheduled jobs ~``merge_batch``× vs one job chain per merge.
+
+    Disjointness makes the batch exact in the common case: merging a
+    pair cannot create, destroy, or recount occurrences of a
+    symbol-disjoint pair, so the stale counts ARE the sequential
+    counts for every pair in the batch.  The only possible deviation
+    from sequential BPE is a pair *created* by an earlier batch member
+    (one involving its merged token) out-counting a later batch member
+    — the ``text_bpe_learn`` driver gate and tests/test_extended.py
+    pin batched == sequential on the corpus, so a deviation surfaces
+    as a red row, not silence.  ``merge_batch=1`` recovers the strict
+    one-merge-per-pass loop.  Both paths are deterministic with ties
+    on (count DESC, left, right).
     """
     words = df.select(
         F.explode(
@@ -588,7 +603,12 @@ def bpe_learn(
 
     merges: list[tuple[int, str, str, str, int]] = []
     empty = F.array().cast("array<string>")
-    for rank in range(num_merges):
+    batch_m = max(1, int(merge_batch))
+    while len(merges) < num_merges:
+        want = num_merges - len(merges)
+        # One distributed pass: full pair count, top candidates to the
+        # driver (a few dozen rows — the over-fetch gives the greedy
+        # disjointness filter room to fill the batch).
         pairs = (
             types.select(
                 F.explode(
@@ -608,30 +628,53 @@ def bpe_learn(
             .groupBy("p")
             .agg(F.sum("wc").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("p.l"), F.col("p.r"))
-            .limit(1)
+            .limit(max(32, 4 * batch_m))
             .collect()
         )
         if not pairs:
             break
-        best = pairs[0]
-        left, right, cnt = best["p"]["l"], best["p"]["r"], best["cnt"]
-        merged = left + right
-        merges.append((rank, left, right, merged, int(cnt)))
-        # left-to-right non-overlapping merge: after a merge the new
-        # tail symbol is strictly longer than `left`, so the fold can
-        # never re-consume it — exactly BPE's greedy application.
-        fold = F.aggregate(
-            F.col("syms"),
-            empty,
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (s == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.lit(merged)),
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
+        # Greedy prefix selection: take candidates in sequential-BPE
+        # order while their symbol closures {l, r, l+r} stay pairwise
+        # disjoint.  Stop at the FIRST conflicting candidate (rather
+        # than skipping it) — a skipped pair's count could legally
+        # change once an overlapping earlier merge applies, so only a
+        # conflict-free PREFIX preserves sequential selection order.
+        batch: list[tuple[str, str, str, int]] = []
+        used: set[str] = set()
+        for row in pairs:
+            left, right, cnt = row["p"]["l"], row["p"]["r"], row["cnt"]
+            merged = left + right
+            closure = {left, right, merged}
+            if used & closure:
+                break
+            batch.append((left, right, merged, int(cnt)))
+            used |= closure
+            if len(batch) >= min(batch_m, want):
+                break
+        for left, right, merged, cnt in batch:
+            merges.append((len(merges), left, right, merged, cnt))
+        # One fold applies the whole batch left-to-right.  Disjointness
+        # means at most one batch pair can match at any position, and a
+        # merged token can never re-participate (it is in no pair's
+        # symbol set, and is strictly longer than its own left symbol)
+        # — exactly BPE's greedy application of each merge.
+        def make_fold(fold_batch):
+            def batch_fold(acc, s):
+                out = F.concat(acc, F.array(s))
+                for left, right, merged, _ in fold_batch:
+                    out = F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.lit(left))
+                        & (s == F.lit(right)),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.lit(merged)),
+                        ),
+                    ).otherwise(out)
+                return out
+
+            return batch_fold
+
+        fold = F.aggregate(F.col("syms"), empty, make_fold(batch))
         types = types.select(fold.alias("syms"), "wc").localCheckpoint(eager=True)
     return merges

@@ -178,8 +178,16 @@ def compact_parquet(
     4 MB files is metadata death; the same table in 128 MB files scans
     at disk speed).  File count comes from the directory's actual byte
     size — no driver-side data movement, one distributed rewrite.
-    Writes to a temp sibling then swaps, so a crashed compaction never
-    corrupts the source.  Returns the new file count.
+
+    Swap discipline: write to a temp sibling, rename the source aside,
+    rename the temp into place, then delete the old copy — at every
+    crash point a complete copy of the table exists on disk (worst
+    case, parked at ``<path>__compact_old``; a follow-up run or a
+    manual rename recovers it).  Rename-based swapping assumes a
+    local/POSIX filesystem, as does the ``os.walk`` sizing pass; on
+    object stores (S3/GCS), compaction belongs to a table format
+    (Delta/Iceberg rewrite actions) where the swap is a metadata
+    commit.  Returns the new file count.
     """
     import math
     import os
@@ -201,8 +209,12 @@ def compact_parquet(
     else:
         part = df.repartition(n_files)
     part.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    old = path.rstrip("/") + "__compact_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return n_files
 
 

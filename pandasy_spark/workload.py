@@ -1892,20 +1892,52 @@ def unpivot_measures(spark, sf_dir):
     ).withColumn("measure", F.regexp_replace("measure", "^l_", ""))
 
 
-@query("agg_approx")  # rows-only: approximate results have no exact oracle
+@query(
+    "agg_approx",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(*) AS BIGINT) AS ct,
+           TRUE AS hll_ok,
+           TRUE AS p50_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx(spark, sf_dir):
     """Approximate aggregates (HLL count-distinct, quantile sketch) —
-    the mergeable-sketch path for 100TB cardinalities; accuracy bounds
-    tested against exact results in tests/test_extended.py."""
+    the mergeable-sketch path for 100TB cardinalities — as a
+    SELF-CERTIFYING gate (the ``expr_cast_strict`` pattern): the same
+    plan computes the sketch AND its exact twin per group, and the
+    emitted booleans pin the error bounds driver-visibly.  ``hll_ok``
+    = HLL estimate within 5× the 2% target rsd of the exact distinct
+    count; ``p50_ok`` = the approx median lands between the exact p45
+    and p55 (accuracy=10000 ⇒ rank error ≤ n/10000, far inside that
+    window).  A sketch regression flips a boolean and fails the hash
+    check; exact_parts/ct double as deterministic anchors."""
     li = _t(spark, sf_dir, "lineitem")
-    return agg(
+    a = agg(
         li,
         ["l_returnflag"],
         {
             "approx_parts": F.approx_count_distinct("l_partkey", rsd=0.02),
+            "exact_parts": F.count_distinct("l_partkey"),
             "approx_p50": F.percentile_approx("l_extendedprice", 0.5, 10000),
+            "p45": F.expr("percentile(l_extendedprice, 0.45)"),
+            "p55": F.expr("percentile(l_extendedprice, 0.55)"),
             "ct": F.count(F.lit(1)),
         },
+    )
+    hll_ok = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        <= F.lit(0.10) * F.col("exact_parts")
+    )
+    p50_ok = F.col("approx_p50").between(F.col("p45"), F.col("p55"))
+    return a.select(
+        "l_returnflag",
+        "exact_parts",
+        "ct",
+        hll_ok.alias("hll_ok"),
+        p50_ok.alias("p50_ok"),
     )
 
 
@@ -4170,22 +4202,42 @@ def layout_zorder(spark, sf_dir):
     return z.select("o_orderkey", F.col("__z").alias("zval"))
 
 
-@query("text_bpe_learn")  # iterative merge loop: genuinely non-SQL-expressible
+@query(
+    "text_bpe_learn",
+    """
+    SELECT CAST(range AS INT) AS rank,
+           TRUE AS paths_agree,
+           TRUE AS cnt_positive
+    FROM range(8)
+    """,
+)
 def text_bpe_learn(spark, sf_dir):
-    """Full BPE tokenizer-training loop (extended/text.py bpe_learn):
-    8 merges learned from the documents corpus.  The corpus-sized work
-    is one word-frequency aggregate; each merge iteration re-counts
-    pairs over the word-TYPE table only.  No DuckDB oracle — the
-    argmax-then-merge recurrence isn't expressible as one SQL query;
-    correctness is pinned against a pure-Python reference in
-    tests/test_extended.py, and the driver records the rows-only
-    check."""
+    """Full BPE tokenizer-training loop (extended/text.py bpe_learn)
+    as a SELF-CERTIFYING gate (the ``expr_cast_strict`` pattern): the
+    argmax-then-merge recurrence isn't expressible as one SQL query,
+    so instead of a rows-only check the query runs BOTH paths — the
+    in-process sequential endgame AND the fully distributed BATCHED
+    merge loop (local_types_threshold=0) — on the documents corpus
+    and emits one row per merge rank asserting tuple-for-tuple
+    equality.  A divergence (batching deviating from sequential BPE,
+    a fold bug, a tie-break change) flips ``paths_agree`` and fails
+    the hash check.  The merge-table values themselves are pinned
+    against a pure-Python Sennrich-style reference in
+    tests/test_extended.py."""
     docs = X_ensure_min_partitions(_t(spark, sf_dir, "documents"))
-    merges = X_text.bpe_learn(docs, "text", num_merges=8)
-    schema = "rank int, left string, right string, merged string, cnt long"
-    if not merges:
-        return spark.createDataFrame([], schema)
-    return spark.createDataFrame(merges, schema)
+    seq = X_text.bpe_learn(docs, "text", num_merges=8)
+    dist = X_text.bpe_learn(docs, "text", num_merges=8, local_types_threshold=0)
+    rows = [
+        (
+            i,
+            i < len(seq) and i < len(dist) and seq[i] == dist[i],
+            i < len(seq) and seq[i][4] > 0,
+        )
+        for i in range(8)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, paths_agree boolean, cnt_positive boolean"
+    )
 
 
 @query(
@@ -4269,22 +4321,66 @@ def events_session_window(spark, sf_dir):
     return session_window_agg(ev, "ts", "user_id", gap="10 minutes")
 
 
-@query("knn_ivf")  # k-means quantizer is iterative: no single-SQL oracle
+@query(
+    "knn_ivf",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(5 AS INT) AS k,
+           TRUE AS recall_ok,
+           TRUE AS bounded_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
 def knn_ivf(spark, sf_dir):
     """IVF approximate nearest neighbors (extended/similarity.py
     ivf_topk): coarse k-means quantizer (DataFrame-native Lloyd's,
     centroids broadcast, never driver arrays) + nprobe cluster probe
-    as an ordinary equi-join.  Candidate volume ~ corpus *
-    nprobe/n_clusters.  No DuckDB oracle — the quantizer is iterative;
-    recall vs brute-force cosine is pinned in tests/test_extended.py,
-    and the driver records the rows-only check."""
+    as an ordinary equi-join; candidate volume ~ corpus *
+    nprobe/n_clusters.  The quantizer is iterative, so instead of a
+    rows-only check this is a SELF-CERTIFYING gate (the
+    ``expr_cast_strict`` pattern): the same plan runs IVF AND exact
+    brute-force cosine over the identical corpus/query split and
+    emits ``recall_ok`` = aggregate recall@5 ≥ 0.4 (the documented
+    floor for nprobe=3 of 8 clusters on weakly-clustered vectors —
+    pinned at the same bound in tests/test_extended.py) and
+    ``bounded_ok`` = IVF returned no more than k rows per query.  A
+    quantizer/probe regression flips a boolean and fails the hash
+    check."""
     emb = _t(spark, sf_dir, "embeddings")
     corpus = filter_df(emb, F.col("vec_id") >= 10)
     queries_df = filter_df(emb, F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return X_sim.ivf_topk(
+    approx = X_sim.ivf_topk(
         corpus, queries_df, k=5, n_clusters=8, nprobe=3, kmeans_iters=2
+    )
+    exact = X_sim.cosine_topk(corpus, queries_df, k=5)
+    hits = approx.select("query_id", "id").join(
+        exact.select("query_id", "id"), ["query_id", "id"]
+    )
+    per_q = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ret"))
+    stats = (
+        queries_df.select("query_id")
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+            "query_id",
+            "left",
+        )
+        .join(per_q, "query_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(F.coalesce(F.col("n_hits"), F.lit(0))).alias("total_hits"),
+            F.max(F.coalesce(F.col("n_ret"), F.lit(0))).alias("max_ret"),
+        )
+    )
+    return stats.select(
+        "n_queries",
+        F.lit(5).alias("k"),
+        (
+            F.col("total_hits").cast("double")
+            >= F.lit(0.4) * F.lit(5.0) * F.col("n_queries").cast("double")
+        ).alias("recall_ok"),
+        (F.col("max_ret") <= F.lit(5)).alias("bounded_ok"),
     )
 
 

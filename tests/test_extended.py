@@ -749,9 +749,14 @@ def test_bpe_learn_matches_python_reference(spark):
     corpus = ["low lower lowest low low", "newer newest new low", "wider wide new"]
     df = spark.createDataFrame([(t,) for t in corpus], ["text"])
     got = bpe_learn(df, "text", num_merges=6)
-    # the fully distributed loop must learn the identical merge table
+    # the fully distributed loop must learn the identical merge table,
+    # both batched (default) and strictly one-merge-per-pass
     got_dist = bpe_learn(df, "text", num_merges=6, local_types_threshold=0)
     assert got == got_dist
+    got_seq = bpe_learn(
+        df, "text", num_merges=6, local_types_threshold=0, merge_batch=1
+    )
+    assert got == got_seq
 
     # reference implementation (Sennrich-style, word types x freq)
     import re
@@ -846,10 +851,18 @@ def test_decode_image_ppm_and_bmp():
 def test_image_stats_real_decode_via_mapinpandas(spark):
     from pandasy_spark.extended.multimodal import image_stats
 
+    good = _make_ppm(8, 4, (255, 0, 0))
     rows = [
-        (1, _make_ppm(8, 4, (255, 0, 0))),
+        (1, good),
         (2, _make_bmp(6, 6, (0, 128, 0))),
         (3, b"\xff\xd8\xff\xe0 jpeg-needs-a-library"),
+        # malformed payloads must be DROPPED, not fail the job: a
+        # truncated raster (frombuffer ValueError), a truncated header
+        # (IndexError/ValueError), and a BMP whose declared dimensions
+        # run past the buffer
+        (4, good[: len(good) // 2]),
+        (5, b"P6\n8"),
+        (6, _make_bmp(6, 6, (0, 128, 0))[:30] + b"\x00" * 4),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r["doc_id"]: r for r in image_stats(df).collect()}

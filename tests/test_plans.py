@@ -146,6 +146,9 @@ def test_events_hopping_expands_then_single_shuffle(spark, sf_dir):
 
 def test_dedup_span_shuffles_on_uniform_fingerprints(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_span")
-    assert "md5" in plan  # window partition key is the chunk digest
+    assert "md5" in plan  # groupBy key is the chunk digest
+    # first-occurrence pick is a min(struct) hash aggregate with a
+    # map-side partial combine, not a ranking window
+    assert "partial_min" in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
