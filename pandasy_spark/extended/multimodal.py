@@ -4,9 +4,10 @@ Images/audio/video are carried as ``binary`` columns with a typed
 metadata struct; decode / feature-extraction run as Arrow-batched
 pandas iterators over ``mapInPandas`` — the Spark-side plumbing
 (schema, batch shape, partitioning) is real and tested.  Decoding is
-REAL for uncompressed formats a pure-numpy path can handle (PPM P6 and
-24-bit BMP — ``decode_image`` / ``image_stats``); compressed formats
-(JPEG/PNG) require PIL/cv2, absent in this container, and raise
+REAL for every format a zlib+numpy path can handle: PPM P6, 24-bit
+BMP, and baseline 8-bit PNG (``decode_image`` / ``image_stats``;
+``encode_png`` is the round-trip writer).  JPEG/WebP require an
+entropy/DCT codec (PIL/cv2), absent in this container, and raise
 NotImplementedError.  ``extract_features`` keeps the deterministic
 byte-derived fake so its gate query stays engine-oracle-checkable.
 """
@@ -35,6 +36,7 @@ __all__ = [
     "image_stats",
     "IMAGE_STATS_SCHEMA",
     "resize_decoded_images",
+    "encode_png",
 ]
 
 # typed metadata produced by the (fake) feature extractor
@@ -44,10 +46,22 @@ FEATURE_SCHEMA = parse_schema(
 
 # Everything the "drop non-decodable rows" contract must swallow:
 # NotImplementedError for formats needing an absent library, and the
-# malformed-payload failure modes of the numpy decoders (truncated
-# buffers -> ValueError from np.frombuffer/reshape, header fields past
-# buffer end -> IndexError, absurd dimensions -> OverflowError).
-DECODE_ERRORS = (NotImplementedError, ValueError, IndexError, OverflowError)
+# malformed-payload failure modes of the numpy/zlib decoders
+# (truncated buffers -> ValueError from np.frombuffer/reshape or
+# struct.error from header unpacking, header fields past buffer end ->
+# IndexError, absurd dimensions -> OverflowError, corrupt DEFLATE
+# streams -> zlib.error).
+import struct as _struct
+import zlib as _zlib
+
+DECODE_ERRORS = (
+    NotImplementedError,
+    ValueError,
+    IndexError,
+    OverflowError,
+    _struct.error,
+    _zlib.error,
+)
 
 
 def with_binary_payload(
@@ -58,16 +72,170 @@ def with_binary_payload(
     return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: "object", h: int, stride: int, bpp: int) -> "object":
+    """Reverse PNG row filters (RFC 2083 §6): ``raw`` is the
+    decompressed IDAT stream of ``h`` rows, each 1 filter byte +
+    ``stride`` data bytes; returns an (h, stride) uint8 array.
+
+    Filters None/Up are whole-row vectorized; Sub is vectorized as a
+    wrapping cumulative sum per byte lane (uint8 accumulate is mod-256
+    by construction); Average/Paeth carry an intra-row serial
+    dependence and fall back to a per-pixel loop for just those rows —
+    encoders that matter here (ours, and most tooling writing small
+    thumbnails) emit None/Sub/Up."""
+    import numpy as np
+
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = rows[y, 1:].copy()
+        if f == 0:  # None
+            line = cur
+        elif f == 1:  # Sub
+            lanes = cur[: (stride // bpp) * bpp].reshape(-1, bpp)
+            np.add.accumulate(lanes, axis=0, out=lanes)
+            line = cur
+        elif f == 2:  # Up
+            line = cur + prev
+        elif f == 3:  # Average
+            line = cur
+            for x in range(stride):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            line = cur
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = line
+        prev = out[y]
+    return out
+
+
+def _decode_png(payload: bytes) -> "object":
+    """Pure zlib+numpy PNG decode to ``(h, w, 3) uint8``.
+
+    Supports the baseline that covers web thumbnails and our own
+    encoder: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced, all five row filters.
+    Alpha is dropped (composited over black would be a policy choice;
+    stats consumers want the raw channels).  16-bit depth and Adam7
+    interlacing raise NotImplementedError — rare in training corpora
+    and cheap to quarantine."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos = len(PNG_SIGNATURE)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[
+            pos + 4 : pos + 8
+        ]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} not supported")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color_type}")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = width * channels
+    if raw.size != height * (stride + 1):
+        raise ValueError("PNG IDAT size does not match dimensions")
+    px = _png_unfilter(raw, height, stride, channels).reshape(
+        height, width, channels
+    )
+    if color_type == 2:
+        return px
+    if color_type == 6:
+        return px[:, :, :3].copy()
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # color_type == 3: palette lookup
+    if palette is None:
+        raise ValueError("paletted PNG missing PLTE")
+    return palette[px[:, :, 0]]
+
+
+def encode_png(arr: "object") -> bytes:
+    """Encode an ``(h, w, 3) uint8`` array as a minimal valid PNG
+    (8-bit RGB, filter None per row, one zlib IDAT).  The round-trip
+    partner of :func:`_decode_png` — lets pipelines emit a compressed,
+    externally-readable payload with no image library installed."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    scanlines = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload to an ``(h, w, 3) uint8`` numpy array.
 
-    REAL decode for the uncompressed formats a pure-numpy path can
-    handle — PPM (``P6``) and 24-bit uncompressed (BI_RGB) BMP.
-    Compressed formats (JPEG/PNG/WebP) genuinely require PIL/cv2,
-    absent in this container, and still raise NotImplementedError —
-    swap in a library decoder for those in production; every consumer
-    of this function (mapInPandas feature extractors) is agnostic to
-    which branch produced the array."""
+    REAL decode for every format a pure zlib+numpy path can handle —
+    PPM (``P6``), 24-bit uncompressed (BI_RGB) BMP, and baseline
+    8-bit PNG (gray/RGB/palette/alpha, all five row filters,
+    non-interlaced; DEFLATE via the stdlib ``zlib``).  JPEG/WebP
+    genuinely require an entropy/DCT codec (PIL/cv2), absent in this
+    container, and still raise NotImplementedError — swap in a
+    library decoder for those in production; every consumer of this
+    function (mapInPandas feature extractors) is agnostic to which
+    branch produced the array."""
     import numpy as np
 
     if payload[:2] == b"P6":
@@ -112,9 +280,13 @@ def decode_image(payload: bytes) -> "object":
         rgb = raw[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
         return rgb[::-1] if bottom_up else rgb
 
+    if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+        return _decode_png(payload)
+
     raise NotImplementedError(
-        "compressed image formats require PIL/cv2 which are not "
-        "installed; PPM (P6) and 24-bit BMP decode natively"
+        "JPEG/WebP require an entropy/DCT codec (PIL/cv2), not "
+        "installed; PPM (P6), 24-bit BMP and baseline PNG decode "
+        "natively"
     )
 
 
@@ -341,17 +513,21 @@ def resize_decoded_images(
     out_h: int = 64,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    out_format: str = "ppm",
 ) -> DataFrame:
-    """REAL nearest-neighbor resize for decodable payloads (PPM/BMP
-    via :func:`decode_image`): each image is decoded, index-strided to
-    ``(out_h, out_w, 3)``, and re-emitted as a P6 PPM payload — a
-    genuine pixel-space pipeline with no external library.
-    Non-decodable payloads (JPEG/PNG without PIL) are dropped
-    (production: quarantine sink).  Same RESIZED_SCHEMA and
-    Arrow-batched shape as `resize_images` (the format-agnostic
-    byte-plumbing twin)."""
+    """REAL nearest-neighbor resize for decodable payloads (PPM/BMP/
+    PNG via :func:`decode_image`): each image is decoded,
+    index-strided to ``(out_h, out_w, 3)``, and re-emitted as a P6
+    PPM payload (``out_format="ppm"``, default) or a compressed PNG
+    (``out_format="png"`` via :func:`encode_png`) — a genuine
+    pixel-space pipeline with no external library.  Non-decodable
+    payloads (JPEG) are dropped (production: quarantine sink).  Same
+    RESIZED_SCHEMA and Arrow-batched shape as `resize_images` (the
+    format-agnostic byte-plumbing twin)."""
     import numpy as np
 
+    if out_format not in ("ppm", "png"):
+        raise ValueError(f"out_format must be 'ppm' or 'png', got {out_format!r}")
     id_name, payload_name = id_col, payload_col
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -368,9 +544,12 @@ def resize_decoded_images(
                 ys = ((np.arange(out_h) + 0.5) * h / out_h).astype(int)
                 xs = ((np.arange(out_w) + 0.5) * w / out_w).astype(int)
                 resized = img[ys][:, xs]
-                header = f"P6\n{out_w} {out_h}\n255\n".encode()
                 ids.append(int(did))
-                payloads.append(header + resized.tobytes())
+                if out_format == "png":
+                    payloads.append(encode_png(resized))
+                else:
+                    header = f"P6\n{out_w} {out_h}\n255\n".encode()
+                    payloads.append(header + resized.tobytes())
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(ids, dtype="int64"),

@@ -2781,6 +2781,53 @@ def multimodal_audio(spark, sf_dir):
 
 
 @query(
+    "multimodal_png",
+    """
+    SELECT doc_id,
+           CAST((doc_id % 4) + 1 AS INT) AS width,
+           CAST((doc_id % 3) + 1 AS INT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_png(spark, sf_dir):
+    """REAL compressed-image pipeline, end-to-end and driver-checked:
+    encode a deterministic solid-color PNG per document (pure
+    zlib+numpy ``encode_png`` — 8-bit RGB, DEFLATE IDAT), then run the
+    payloads through ``image_stats``'s mapInPandas decoder
+    (extended/multimodal.py ``_decode_png``: chunk walk, inflate, row
+    unfilter).  Solid colors make the channel means exact integers, so
+    the DuckDB oracle states the expected dimensions/means in closed
+    form — any codec regression (filter math, chunk parsing, palette
+    handling) breaks the hash match.  Both UDF stages are
+    Arrow-batched; no shuffle anywhere."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.multimodal import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                arr = np.zeros((d % 3 + 1, d % 4 + 1, 3), np.uint8)
+                arr[:, :] = (d % 256, (d * 7) % 256, (d * 13) % 256)
+                payloads.append(encode_png(arr))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_png = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    return X_mm.image_stats(with_png)
+
+
+@query(
     "array_functions",
     """
     SELECT vec_id,

@@ -130,9 +130,10 @@ def test_multimodal_plumbing(spark):
     ]
 
 
-def test_multimodal_decode_is_stubbed():
+def test_multimodal_decode_jpeg_is_stubbed():
+    # JPEG needs an entropy/DCT codec — stays a loud NotImplementedError
     with pytest.raises(NotImplementedError):
-        X_mm.decode_image(b"\x89PNG")
+        X_mm.decode_image(b"\xff\xd8\xff\xe0jpeg")
 
 
 def test_text_kernels_edge_cases(spark):
@@ -844,8 +845,144 @@ def test_decode_image_ppm_and_bmp():
 
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    from pandasy_spark.extended.multimodal import DECODE_ERRORS
+
+    # real PNG decode exists now, so a signature with garbage chunks is
+    # a malformed payload (quarantine), while JPEG stays unimplemented
+    with _pytest.raises(DECODE_ERRORS):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg")
+
+
+def test_png_roundtrip_and_all_filter_types():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pandasy_spark.extended.multimodal import (
+        PNG_SIGNATURE,
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(0)
+    for h, w in [(1, 1), (3, 5), (16, 16), (7, 2)]:
+        a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_image(encode_png(a)) == a).all()
+
+    # a PNG using every filter type (0..4 cycling per row), filtered
+    # with an independent slow reference implementation
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    h, w, bpp = 5, 7, 3
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    lines, prev = [], np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        f, row = y % 5, img[y].reshape(-1)
+        filt = row.copy()
+        for x in range(w * bpp):
+            left = int(row[x - bpp]) if x >= bpp else 0
+            up, ul = int(prev[x]), int(prev[x - bpp]) if x >= bpp else 0
+            if f == 1:
+                filt[x] = (int(row[x]) - left) & 0xFF
+            elif f == 2:
+                filt[x] = (int(row[x]) - up) & 0xFF
+            elif f == 3:
+                filt[x] = (int(row[x]) - ((left + up) >> 1)) & 0xFF
+            elif f == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left
+                    if (pa <= pb and pa <= pc)
+                    else (up if pb <= pc else ul)
+                )
+                filt[x] = (int(row[x]) - pred) & 0xFF
+        lines.append(bytes([f]) + filt.tobytes())
+        prev = row
+    png = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_image(png) == img).all()
+
+
+def test_png_color_types_and_failure_modes():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pandasy_spark.extended.multimodal import (
+        DECODE_ERRORS,
+        PNG_SIGNATURE,
+        decode_image,
+    )
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    def build(colortype, rows, extra=b"", depth=8, interlace=0):
+        ih = struct.pack(">IIBBBBB", 6, 4, depth, colortype, 0, 0, interlace)
+        sc = b"".join(b"\x00" + r for r in rows)
+        return (
+            PNG_SIGNATURE
+            + chunk(b"IHDR", ih)
+            + extra
+            + chunk(b"IDAT", zlib.compress(sc))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(1)
+    gray = rng.integers(0, 256, (4, 6, 1), dtype=np.uint8)
+    out = decode_image(build(0, [gray[y].tobytes() for y in range(4)]))
+    assert (out == np.repeat(gray, 3, axis=2)).all()
+    ga = rng.integers(0, 256, (4, 6, 2), dtype=np.uint8)
+    out = decode_image(build(4, [ga[y].tobytes() for y in range(4)]))
+    assert (out == np.repeat(ga[:, :, :1], 3, axis=2)).all()
+    rgba = rng.integers(0, 256, (4, 6, 4), dtype=np.uint8)
+    out = decode_image(build(6, [rgba[y].tobytes() for y in range(4)]))
+    assert (out == rgba[:, :, :3]).all()
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (4, 6, 1), dtype=np.uint8)
+    out = decode_image(
+        build(
+            3,
+            [idx[y].tobytes() for y in range(4)],
+            extra=chunk(b"PLTE", pal.tobytes()),
+        )
+    )
+    assert (out == pal[idx[:, :, 0]]).all()
+
+    rgb_rows = [rng.integers(0, 256, 18, dtype=np.uint8).tobytes() for _ in range(4)]
+    for bad in [
+        build(2, rgb_rows)[:40],  # truncated mid-chunk
+        build(2, rgb_rows, depth=16),  # 16-bit unsupported
+        build(2, rgb_rows, interlace=1),  # Adam7 unsupported
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"notzlib")
+        + chunk(b"IEND", b""),  # corrupt DEFLATE
+        build(3, [idx[y].tobytes() for y in range(4)]),  # palette, no PLTE
+    ]:
+        with _pytest.raises(DECODE_ERRORS):
+            decode_image(bad)
 
 
 def test_image_stats_real_decode_via_mapinpandas(spark):
@@ -896,3 +1033,11 @@ def test_resize_decoded_images_round_trips_through_decoder(spark):
     assert out.shape == (4, 4, 3)
     assert (out[0, 0] == (255, 0, 0)).all() and (out[0, 3] == (0, 255, 0)).all()
     assert (out[3, 0] == (0, 0, 255)).all() and (out[3, 3] == (255, 255, 0)).all()
+
+    # PNG output format round-trips through the same decoder
+    png_rows = resize_decoded_images(
+        df, out_w=4, out_h=4, out_format="png"
+    ).collect()
+    png_out = decode_image(bytes(png_rows[0]["resized"]))
+    assert bytes(png_rows[0]["resized"])[:4] == b"\x89PNG"
+    assert (png_out == out).all()

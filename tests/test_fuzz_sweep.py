@@ -225,3 +225,108 @@ def test_fuzz_tficf(spark):
         docs = _rand_docs(seed + 90)
         res = tficf_top_terms(spark.createDataFrame(docs), "text", "doc_id", k=3)
         assert_duck_eq(res, ORACLES["text_tficf"], documents=docs)
+
+
+def test_fuzz_winnow(spark):
+    from pandasy_spark.extended.dedup import winnow_dup_pairs
+    from pandasy_spark.workload import ORACLES
+
+    for seed in SEEDS:
+        docs = _rand_docs(seed + 130)  # 41 rows, all doc_id < 100
+        res = winnow_dup_pairs(
+            spark.createDataFrame(docs), k=5, w=4, min_shared=2
+        )
+        assert_duck_eq(res, ORACLES["dedup_winnow"], documents=docs)
+
+
+def _docs_with_source(seed, n=40):
+    """_rand_docs plus the source/n_chars metadata the sampling
+    operators key on (n_chars is independent of the text so every
+    curriculum stage is populated)."""
+    import random
+
+    rng = random.Random(seed * 31 + 5)
+    docs = _rand_docs(seed, n)
+    docs["source"] = [
+        rng.choice(["web", "books", "code", None]) for _ in range(len(docs))
+    ]
+    docs["n_chars"] = [rng.randint(0, 1000) for _ in range(len(docs))]
+    return docs
+
+
+def test_fuzz_mixture_weights(spark):
+    from pandasy_spark.extended import sampling as X_samp
+    from pandasy_spark.extended import text as X_text
+    from pandasy_spark.functions.kernels import qround
+    from pandasy_spark.workload import ORACLES
+
+    for seed in SEEDS:
+        docs = _docs_with_source(seed + 170)
+        da = spark.createDataFrame(docs).withColumn(
+            "n_tokens", X_text.token_count(F.col("text"))
+        )
+        out = X_samp.mixture_weights(da, "source", "n_tokens", target=None)
+        res = out.select(
+            "source",
+            "mass",
+            qround(F.col("observed_share"), 6).alias("observed_share"),
+            qround(F.col("target_share"), 6).alias("target_share"),
+            qround(F.col("weight"), 6).alias("weight"),
+            qround(F.col("keep_prob"), 6).alias("keep_prob"),
+        )
+        assert_duck_eq(res, ORACLES["sample_mixture"], documents=docs)
+
+
+def test_fuzz_curriculum_order(spark):
+    from pandasy_spark.extended import sampling as X_samp
+    from pandasy_spark.workload import ORACLES
+
+    for seed in SEEDS:
+        docs = _docs_with_source(seed + 210)
+        staged = spark.createDataFrame(docs).withColumn(
+            "stage",
+            F.when(F.col("n_chars") >= 800, 0)
+            .when(F.col("n_chars") >= 300, 1)
+            .otherwise(2),
+        )
+        out = X_samp.curriculum_order(
+            staged, "stage", "doc_id", num_shards=8, salt=7
+        )
+        assert_duck_eq(
+            out.select("doc_id", "stage", "shard", "pos"),
+            ORACLES["sample_curriculum"],
+            documents=docs,
+        )
+
+
+def test_fuzz_equidepth_histogram(spark):
+    import random
+
+    import pandas as pd
+
+    from pandasy_spark.workload import ORACLES
+
+    for seed in SEEDS:
+        rng = random.Random(seed + 250)
+        # collision-heavy prices so ntile tie-breaking is exercised
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": range(70),
+                "o_totalprice": [
+                    round(rng.choice([10.0, 42.5, 99.9, 500.0, rng.random() * 1e4]), 2)
+                    for _ in range(70)
+                ],
+            }
+        )
+        o = spark.createDataFrame(orders)
+        w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+        res = (
+            o.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("o_totalprice").alias("lo"),
+                F.max("o_totalprice").alias("hi"),
+            )
+        )
+        assert_duck_eq(res, ORACLES["profile_equidepth"], orders=orders)

@@ -51,6 +51,34 @@ def test_filter_truthy(spark):
     assert filter_df(df, None).count() == 0
 
 
+def test_filter_simple_column_skips_exception_fallback(spark, monkeypatch):
+    """A bare column reference — boolean OR truthy-numeric — resolves
+    via the schema probe with no AnalysisException control flow; only
+    complex expressions reach the try/except fallback."""
+    from pandasy_spark.operators import relational as rel
+
+    def _boom(df, cond):
+        raise AssertionError("fallback reached for a simple column ref")
+
+    monkeypatch.setattr(rel, "_filter_with_analysis_fallback", _boom)
+    df = to_df(
+        spark,
+        [[1.0, True], [0.0, False], [None, None], [-3.0, True]],
+        "a:double,flag:bool",
+    )
+    assert sorted(
+        r["a"] for r in filter_df(df, F.col("a")).collect()
+    ) == [-3.0, 1.0]
+    assert [r["a"] for r in filter_df(df, F.col("flag")).collect()] == [
+        1.0,
+        -3.0,
+    ]
+    # complex expressions still work through the (restored) fallback
+    monkeypatch.undo()
+    assert filter_df(df, F.col("a") * 2).count() == 2
+    assert filter_df(df, F.col("a") > 0).count() == 1
+
+
 def _join_frames(spark):
     a = make_rand_df(100, seed=0, a=(int, 40), b=(dt.datetime, 40), c=(float, 40))
     b = make_rand_df(80, seed=1, d=(float, 10), a=(int, 10), b=(dt.datetime, 10))
