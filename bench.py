@@ -79,6 +79,14 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # optional subset (comma-separated) for spot-benches, e.g. the
+    # sf1.0 nonlinearity check in scripts_scale.py
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    bench_queries = (
+        [q.strip() for q in subset.split(",") if q.strip()]
+        if subset
+        else BENCH_QUERIES
+    )
     spark = get_spark("pandasy-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -89,7 +97,7 @@ def main() -> None:
     # measured pass floor — cuts local-mode scheduler jitter out of
     # round-over-round comparisons without changing what is measured
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         best = float("inf")
         for _ in range(2):
             start = time.perf_counter()
