@@ -2,6 +2,8 @@
 multimodal.  All built from JVM-side built-ins except where Arrow-
 batched pandas is the genuinely right tool (media decode)."""
 
-from . import dedup, multimodal, profile, sampling, similarity, text
+from . import dedup, jpeg, multimodal, profile, sampling, similarity, text
 
-__all__ = ["dedup", "multimodal", "profile", "sampling", "similarity", "text"]
+__all__ = [
+    "dedup", "jpeg", "multimodal", "profile", "sampling", "similarity", "text",
+]

@@ -4,12 +4,14 @@ Images/audio/video are carried as ``binary`` columns with a typed
 metadata struct; decode / feature-extraction run as Arrow-batched
 pandas iterators over ``mapInPandas`` — the Spark-side plumbing
 (schema, batch shape, partitioning) is real and tested.  Decoding is
-REAL for every format a zlib+numpy path can handle: PPM P6, 24-bit
-BMP, and baseline 8-bit PNG (``decode_image`` / ``image_stats``;
-``encode_png`` is the round-trip writer).  JPEG/WebP require an
-entropy/DCT codec (PIL/cv2), absent in this container, and raise
-NotImplementedError.  ``extract_features`` keeps the deterministic
-byte-derived fake so its gate query stays engine-oracle-checkable.
+REAL for every format a numpy+stdlib path can handle: PPM P6, 24-bit
+BMP, baseline 8-bit PNG, and baseline JPEG (``decode_image`` /
+``image_stats``; ``encode_png`` / ``extended.jpeg.encode_jpeg`` are
+the round-trip writers).  Only WebP/AVIF and the non-baseline JPEG
+processes (progressive, arithmetic) still require an external codec
+and raise NotImplementedError.  ``extract_features`` keeps the
+deterministic byte-derived fake so its gate query stays
+engine-oracle-checkable.
 """
 
 from __future__ import annotations
@@ -227,15 +229,17 @@ def encode_png(arr: "object") -> bytes:
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload to an ``(h, w, 3) uint8`` numpy array.
 
-    REAL decode for every format a pure zlib+numpy path can handle —
-    PPM (``P6``), 24-bit uncompressed (BI_RGB) BMP, and baseline
-    8-bit PNG (gray/RGB/palette/alpha, all five row filters,
-    non-interlaced; DEFLATE via the stdlib ``zlib``).  JPEG/WebP
-    genuinely require an entropy/DCT codec (PIL/cv2), absent in this
-    container, and still raise NotImplementedError — swap in a
-    library decoder for those in production; every consumer of this
-    function (mapInPandas feature extractors) is agnostic to which
-    branch produced the array."""
+    REAL decode for every format a pure numpy+stdlib path can handle —
+    PPM (``P6``), 24-bit uncompressed (BI_RGB) BMP, baseline 8-bit
+    PNG (gray/RGB/palette/alpha, all five row filters,
+    non-interlaced; DEFLATE via the stdlib ``zlib``), and baseline
+    JPEG (SOF0, Huffman, 4:4:4/4:2:2/4:2:0, grayscale, restart
+    markers — ``extended/jpeg.py``, implemented from the public T.81
+    spec).  Only formats needing an external library (WebP/AVIF,
+    progressive/arithmetic JPEG) still raise NotImplementedError —
+    swap in a library decoder for those in production; every consumer
+    of this function (mapInPandas feature extractors) is agnostic to
+    which branch produced the array."""
     import numpy as np
 
     if payload[:2] == b"P6":
@@ -283,9 +287,14 @@ def decode_image(payload: bytes) -> "object":
     if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
         return _decode_png(payload)
 
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+
     raise NotImplementedError(
-        "JPEG/WebP require an entropy/DCT codec (PIL/cv2), not "
-        "installed; PPM (P6), 24-bit BMP and baseline PNG decode "
+        "WebP/AVIF require an external codec, not installed; PPM "
+        "(P6), 24-bit BMP, baseline PNG and baseline JPEG decode "
         "natively"
     )
 

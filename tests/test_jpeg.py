@@ -1,0 +1,127 @@
+"""Pure-codec tests for extended/jpeg.py plus the Spark decode path.
+
+The driver-level gate is ``workload.multimodal_jpeg`` (closed-form
+SQL oracle); these tests pin the codec details the gate can't see:
+non-solid content, every encoder mode (4:2:0 / 4:4:4 / grayscale /
+restart markers), the quality-scaling formula, and malformed-payload
+behavior through ``image_stats``'s drop contract.
+"""
+
+import numpy as np
+import pytest
+
+from pandasy_spark.extended.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_quant_tables,
+)
+
+
+def _gradient(h, w):
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    grad = np.clip(xx * 4 + yy * 2, 0, 255).astype(np.uint8)
+    return np.stack([grad, 255 - grad, np.full_like(grad, 90)], axis=2)
+
+
+def test_quality_scaling_matches_libjpeg_formula():
+    luma50, chroma50 = jpeg_quant_tables(50)
+    assert luma50[0] == 16 and chroma50[0] == 17  # base tables at Q50
+    luma90, _ = jpeg_quant_tables(90)
+    assert luma90[0] == (16 * (200 - 180) + 50) // 100 == 3
+    luma10, _ = jpeg_quant_tables(10)
+    assert luma10[0] == (16 * 500 + 50) // 100
+    assert jpeg_quant_tables(1)[0].max() <= 255
+    assert jpeg_quant_tables(100)[0].min() >= 1
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},
+        {"subsample": False},
+        {"gray": True},
+        {"restart_interval": 2},
+        {"subsample": False, "restart_interval": 1},
+        {"gray": True, "restart_interval": 3},
+    ],
+)
+def test_roundtrip_modes_small_error(kwargs):
+    img = _gradient(37, 50)
+    dec = decode_jpeg(encode_jpeg(img, quality=92, **kwargs))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    if kwargs.get("gray"):
+        ref = np.floor(
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2] + 0.5
+        )
+        assert np.abs(dec[..., 0].astype(float) - ref).max() <= 2
+        assert np.array_equal(dec[..., 0], dec[..., 1])
+    else:
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_restart_markers_do_not_change_pixels():
+    img = _gradient(24, 40)
+    a = decode_jpeg(encode_jpeg(img, quality=92))
+    b = decode_jpeg(encode_jpeg(img, quality=92, restart_interval=2))
+    assert np.array_equal(a, b)
+
+
+def test_solid_gray_closed_form_all_values():
+    """The contract the multimodal_jpeg SQL oracle states: solid gray v
+    at Q90 (luma DC quantizer q00 = 3) decodes to
+    clip(floor(floor(8*(v-128)/3 + 0.5)*3/8 + 128.5)) exactly."""
+    for v in range(0, 256, 7):
+        arr = np.full((3, 5, 3), v, np.uint8)
+        dec = decode_jpeg(encode_jpeg(arr, quality=90))
+        dc = np.floor(8 * (v - 128) / 3.0 + 0.5)
+        exp = int(np.clip(np.floor(dc * 3 / 8.0 + 128.5), 0, 255))
+        u = np.unique(dec)
+        assert len(u) == 1 and u[0] == exp, (v, u, exp)
+
+
+def test_multi_mcu_and_edge_padding_dims():
+    for h, w in [(1, 1), (9, 17), (16, 16), (20, 11), (33, 7)]:
+        img = _gradient(h, w)
+        dec = decode_jpeg(encode_jpeg(img, quality=90))
+        assert dec.shape == (h, w, 3)
+
+
+def test_deterministic_bytes():
+    img = _gradient(16, 16)
+    assert encode_jpeg(img, 85) == encode_jpeg(img, 85)
+
+
+def test_malformed_payloads_raise():
+    p = encode_jpeg(_gradient(16, 16), 85)
+    for bad in [p[:2], p[:20], b"\xff\xd8\xff\xdb\x00\x05abc", b"notjpeg"]:
+        with pytest.raises((ValueError, NotImplementedError, IndexError)):
+            decode_jpeg(bad)
+
+
+def test_progressive_marker_quarantined():
+    # splice a SOF2 (progressive) marker in place of SOF0
+    p = bytearray(encode_jpeg(_gradient(8, 8), 85))
+    idx = bytes(p).find(b"\xff\xc0")
+    p[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(p))
+
+
+def test_image_stats_decodes_jpeg_and_drops_malformed(spark):
+    """Spark-side: JPEG payloads flow through the same mapInPandas
+    stats path as PPM/BMP/PNG; truncated ones are dropped, not fatal."""
+    import pandas as pd
+
+    from pandasy_spark.extended.multimodal import image_stats
+
+    good = encode_jpeg(np.full((4, 6, 3), 77, np.uint8), quality=90)
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "payload": [good, good[:15], b"\x00\x01"]}
+    )
+    df = spark.createDataFrame(pdf)
+    rows = {r["doc_id"]: r for r in image_stats(df).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    # 77 -> dc = floor(8*(77-128)/3 + 0.5) = -136; 77 round-trips to 77
+    assert (r["width"], r["height"]) == (6, 4)
+    assert r["mean_r"] == r["mean_g"] == r["mean_b"] == 77.0
