@@ -73,6 +73,13 @@ BENCH_QUERIES = [
     "events_range_window",
     "window_distribution",
     "agg_bitwise",
+    "multimodal_png",
+    "multimodal_jpeg",
+    "text_chunking",
+    "text_collocations",
+    "decontaminate_bloom",
+    "sample_reservoir",
+    "text_tokenize",
 ]
 
 

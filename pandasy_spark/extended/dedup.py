@@ -60,6 +60,9 @@ __all__ = [
     "connected_components",
     "span_dedup",
     "levenshtein_dup_pairs",
+    "bloom_build",
+    "bloom_might_contain",
+    "bloom_decontaminate",
 ]
 
 
@@ -904,3 +907,115 @@ def levenshtein_dup_pairs(
     return pairs.select(
         "id1", "id2", dist.alias("edit_distance"), *block_cols
     ).filter(F.col("edit_distance") <= max_distance)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORDS_DEFAULT = 1024  # 64 Ki bits = 8 KiB — fine for 10^4-row eval sets
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str = "text",
+    num_words: int = _BLOOM_WORDS_DEFAULT,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as a ONE-ROW DataFrame
+    with an ``array<bigint>`` of ``num_words`` 64-bit words.
+
+    Probe positions are ``xxhash64(key, seed=i) mod (num_words*64)``
+    for ``i`` in [0, num_hashes) — JVM-side, no UDF.  Build shape:
+    explode k positions per key (k×|eval| rows — the eval set is small
+    by definition), bit_or per word, densify via a map lookup over the
+    word index sequence.  The result is a single row holding ~8 KiB —
+    exactly what a broadcast join wants.
+    """
+    m_bits = num_words * 64
+    pos = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.pmod(F.xxhash64(F.col(key_col), i), F.lit(m_bits)),
+        )
+    ).alias("pos")
+    words = (
+        df.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            # shiftleft()'s python wrapper only takes a literal shift;
+            # call_function passes the per-row bit position as a Column
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    dense = words.agg(
+        F.map_from_arrays(
+            F.collect_list("word_idx"), F.collect_list("word")
+        ).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(num_words - 1).cast("long")),
+            lambda w: F.coalesce(
+                F.element_at(F.col("m"), w), F.lit(0).cast("long")
+            ),
+        ).alias("bloom")
+    )
+    return dense
+
+
+def bloom_might_contain(
+    bloom_col: Column, key: Column, num_words: int = _BLOOM_WORDS_DEFAULT,
+    num_hashes: int = 5,
+) -> Column:
+    """True iff all ``num_hashes`` probe bits for ``key`` are set in
+    the broadcast bloom array — pure codegen arithmetic per row."""
+    m_bits = num_words * 64
+    def bit_set(i):
+        p = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(bloom_col, (p / 64).cast("int") + 1)
+        return F.call_function("shiftright", word, (p % 64).cast("int")) % 2 != 0
+    cond = bit_set(0)
+    for i in range(1, num_hashes):
+        cond = cond & bit_set(i)
+    return cond
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    key_col: str = "text",
+    num_words: int = _BLOOM_WORDS_DEFAULT,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """EXACT removal of corpus rows whose ``key_col`` appears in the
+    eval set, with a Bloom prefilter doing ~all the work.
+
+    The 100 TB shape this demonstrates: a plain anti-join would
+    shuffle the full corpus on the text key.  Instead the eval set is
+    folded into an ~8 KiB bit array carried to every executor by a
+    1-row broadcast cross join, and each corpus row does k integer
+    probes in whole-stage codegen — a pure narrow map.  Only the tiny
+    candidate set (true hits + false positives, bounded by the bloom's
+    FP rate) pays an exact broadcast anti-join to restore exactness;
+    the surviving non-candidates never shuffle at all.
+
+    Result: corpus rows NOT present in the eval set (exact — false
+    positives are rescued by the confirm join).
+    """
+    bloom = bloom_build(eval_df, key_col, num_words, num_hashes)
+    probed = corpus.crossJoin(F.broadcast(bloom)).withColumn(
+        "__hit",
+        bloom_might_contain(F.col("bloom"), F.col(key_col), num_words, num_hashes),
+    )
+    clean = probed.filter(~F.col("__hit")).drop("__hit", "bloom")
+    candidates = probed.filter(F.col("__hit")).drop("__hit", "bloom")
+    rescued = candidates.join(
+        F.broadcast(eval_df.select(F.col(key_col)).distinct()),
+        on=key_col,
+        how="left_anti",
+    )
+    return clean.unionByName(rescued)

@@ -60,6 +60,7 @@ __all__ = [
     "curriculum_order",
     "domain_cap",
     "mixture_weights",
+    "reservoir_per_group",
 ]
 
 _BUCKETS = 10_000
@@ -444,4 +445,51 @@ def mixture_weights(
         "target_share",
         weight.alias("weight"),
         F.least(F.lit(1.0), weight).alias("keep_prob"),
+    )
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    k: int,
+    weight_col: str | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic reservoir sample of ``k`` rows per group.
+
+    Unweighted: each row's priority is the portable id hash (mixed
+    with ``salt``), and the k smallest priorities per group win —
+    exactly the classic reservoir-sampling outcome but reproducible
+    across engines and re-runs (the hash plays the role of the RNG).
+    With ``weight_col``, priorities become A-Res keys
+    (Efraimidis-Spirakis 2006): ``-ln(u)/w`` with ``u`` the hash
+    mapped into (0,1) — higher weight, more likely to survive.
+
+    Scale shape: one shuffle on the group key + a rank window; k is
+    tiny, so the window's per-group state is bounded.  No RNG state,
+    no driver participation, stable under corpus growth — the same
+    guarantees as ``hash_split``, per group.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    # the salt picks the MULTIPLIER (48271^(salt+1) mod p): any additive
+    # salt — before or after a linear map — only shifts every priority
+    # by the same constant, preserving the ordering except at the mod
+    # wrap; distinct multipliers genuinely re-permute the order
+    g = pow(48271, salt + 1, _P31)
+    h = (char_poly_hash(F.col(id_col).cast("string")) * F.lit(g)) % F.lit(_P31)
+    if weight_col is None:
+        priority = h
+    else:
+        u = (h + F.lit(1)).cast("double") / F.lit(float(_P31 + 1))
+        priority = -F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__priority"), F.col(id_col)
+    )
+    return (
+        df.withColumn("__priority", priority)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__priority", "__rk")
     )

@@ -40,6 +40,9 @@ __all__ = [
     "bigram_lm_score",
     "bpe_learn",
     "tficf_top_terms",
+    "chunk_documents",
+    "collocations",
+    "tokenize_bpe",
     "PII_PATTERNS",
 ]
 
@@ -678,3 +681,209 @@ def bpe_learn(
         fold = F.aggregate(F.col("syms"), empty, make_fold(batch))
         types = types.select(fold.alias("syms"), "wc").localCheckpoint(eager=True)
     return merges
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split documents into overlapping character windows — the RAG /
+    context-window chunking primitive.
+
+    Chunk k starts at character ``1 + k*(size-overlap)``; starts are
+    generated while ``start <= max(len - overlap, 1)``, so every chunk
+    except possibly the last has ``size`` characters, consecutive
+    chunks share ``overlap`` characters, the full text is covered, and
+    every document emits at least one chunk (an empty text yields one
+    empty chunk rather than disappearing).
+
+    Output: (id, chunk_idx, start, chunk_text, chunk_len).
+
+    Scale shape: one narrow projection + explode — no shuffle, no UDF;
+    the sequence/substring arithmetic stays in whole-stage codegen, so
+    chunking 100 TB is a pure map over input splits.
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    step = size - overlap
+    n = F.length(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step))
+    out = df.select(
+        F.col(id_col),
+        F.explode(starts).alias("start"),
+        F.col(text_col).alias("__t"),
+    )
+    return out.select(
+        id_col,
+        ((F.col("start") - 1) / step).cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start"),
+        F.substring(F.col("__t"), F.col("start"), F.lit(size)).alias("chunk_text"),
+        F.length(F.substring(F.col("__t"), F.col("start"), F.lit(size)))
+        .cast("int")
+        .alias("chunk_len"),
+    )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    round_decimals: int = 4,
+) -> DataFrame:
+    """Corpus-level collocation mining: adjacent word pairs ranked by
+    pointwise mutual information ``log(P(xy) / (P(x)P(y)))``.
+
+    Output: (w1, w2, pair_ct, ct1, ct2, pmi) for pairs seen at least
+    ``min_count`` times, PMI rounded to ``round_decimals`` (the
+    rounding makes the float SQL-oracle-stable; ranking consumers
+    sort on it downstream).
+
+    Scale shape: two map-side-combined hash aggregates (bigram counts,
+    unigram counts) + two joins of the pair table against the unigram
+    table.  The unigram table is vocabulary-sized (≪ corpus) and
+    usually broadcastable; the bigram table shuffles on the pair key
+    once.  PMI normalizers (total tokens / total bigrams) ride along
+    via scalar subquery-style cross joins of 1-row aggregates — no
+    driver collect.
+    """
+    toks = df.select(tokens(F.col(text_col)).alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    big = (
+        toks.select(
+            F.explode(
+                F.when(
+                    F.size("toks") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - 1),
+                        lambda i: F.struct(
+                            F.element_at("toks", i).alias("w1"),
+                            F.element_at("toks", i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_ct"))
+        .filter(F.col("pair_ct") >= min_count)
+    )
+    n_tok = uni.agg(F.sum("ct").alias("n_tok"))
+    n_big = toks.select(
+        F.greatest(F.size("toks") - 1, F.lit(0)).alias("nb")
+    ).agg(F.sum("nb").alias("n_big"))
+    joined = (
+        big.join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                             .withColumnRenamed("ct", "ct1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("ct", "ct2")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+    )
+    pmi = F.log(
+        (F.col("pair_ct") / F.col("n_big"))
+        / ((F.col("ct1") / F.col("n_tok")) * (F.col("ct2") / F.col("n_tok")))
+    )
+    return joined.select(
+        "w1",
+        "w2",
+        F.col("pair_ct").cast("long").alias("pair_ct"),
+        F.col("ct1").cast("long").alias("ct1"),
+        F.col("ct2").cast("long").alias("ct2"),
+        qround(pmi, round_decimals).alias("pmi"),
+    )
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], tuple[int, str]]) -> list[str]:
+    """Greedy BPE encode of one word: repeatedly merge the
+    lowest-rank adjacent pair (Sennrich et al. 2016 inference)."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r[0] < best_rank):
+                best_rank = r[0]
+                best_i = i
+        if best_i < 0:
+            break
+        merged = ranks[(syms[best_i], syms[best_i + 1])][1]
+        syms[best_i : best_i + 2] = [merged]
+    return syms
+
+
+def tokenize_bpe(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_word_tokens: bool = False,
+) -> DataFrame:
+    """Apply a learned BPE merge table (``bpe_learn`` output) to the
+    corpus — the tokenizer-inference half of the train/apply pair.
+
+    Output: one row per document with (id, n_words, n_tokens, tokens
+    [array<string> in word order]); with ``keep_word_tokens`` also
+    ``word_tokens`` (array<array<string>>, one inner array per word —
+    the shape boundary-sensitive checks need, since BPE never merges
+    across words).
+
+    Scale shape: encoding cost is paid once per word TYPE, not per
+    running word: a distinct-word hash aggregate feeds an Arrow-batched
+    ``mapInPandas`` encoder over the (small, vocabulary-sized) type
+    table, and the result joins back to the exploded corpus on the
+    word key.  The type table is broadcastable for real vocabularies,
+    so the corpus-side join is shuffle-free; the final per-document
+    regroup is the one corpus-sized shuffle.  The merge table itself
+    travels in the UDF closure (tokenizer merge tables are ≤ a few
+    hundred thousand entries — broadcast-variable scale).
+    """
+    ranks = {(l, r): (rank, m) for rank, l, r, m, _ in merges}
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    types = words.select("word").distinct()
+
+    def _enc(batches):
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "toks": [_encode_word(w, ranks) for w in pdf["word"]],
+                }
+            )
+
+    encoded = types.mapInPandas(_enc, schema="word string, toks array<string>")
+    joined = words.join(F.broadcast(encoded), "word")
+    per_word = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("toks")))
+    ).getField("toks")
+    out_cols = [
+        F.col(id_col),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.col("tokens"),
+    ]
+    if keep_word_tokens:
+        out_cols.append(F.col("word_tokens"))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            per_word.alias("word_tokens"),
+        )
+        .withColumn("tokens", F.flatten(F.col("word_tokens")))
+        .select(*out_cols)
+    )

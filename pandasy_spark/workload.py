@@ -2828,6 +2828,66 @@ def multimodal_png(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg",
+    # q00 = 3 is the quality-scaled (Q=90) Annex-K luma DC quantizer;
+    # a solid gray v round-trips through the whole codec to
+    # clip(floor(floor(8*(v-128)/q00 + 0.5)*q00/8 + 128.5)) — the
+    # codec's floor(x+0.5) rounding rule stated in exact SQL.
+    """
+    SELECT doc_id,
+           CAST((doc_id % 9) + 1 AS INT) AS width,
+           CAST((doc_id % 7) + 1 AS INT) AS height,
+           CAST(LEAST(255, GREATEST(0,
+               FLOOR(FLOOR(8 * ((doc_id % 256) - 128) / 3.0 + 0.5)
+                     * 3 / 8.0 + 128.5))) AS DOUBLE) AS mean_r,
+           CAST(LEAST(255, GREATEST(0,
+               FLOOR(FLOOR(8 * ((doc_id % 256) - 128) / 3.0 + 0.5)
+                     * 3 / 8.0 + 128.5))) AS DOUBLE) AS mean_g,
+           CAST(LEAST(255, GREATEST(0,
+               FLOOR(FLOOR(8 * ((doc_id % 256) - 128) / 3.0 + 0.5)
+                     * 3 / 8.0 + 128.5))) AS DOUBLE) AS mean_b
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_jpeg(spark, sf_dir):
+    """REAL lossy-codec pipeline, end-to-end and driver-checked: encode
+    a deterministic solid-gray baseline JPEG per document (pure
+    numpy+stdlib ``extended.jpeg.encode_jpeg`` — 4:2:0 MCUs, Annex-K
+    Huffman tables, DRI/RSTn resync markers on two thirds of the
+    rows), then run the payloads through ``image_stats``'s
+    mapInPandas decoder (``extended.jpeg.decode_jpeg``: marker walk,
+    canonical Huffman, dequant, IDCT, chroma upsample).  The DuckDB
+    oracle states the lossy round-trip in closed form because the
+    codec commits to floor(x+0.5) rounding — any regression in the
+    entropy coder, DCT normalization, quant scaling or MCU layout
+    shifts a decoded value and breaks the hash match.  Both UDF
+    stages are Arrow-batched; no shuffle anywhere."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.jpeg import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                arr = np.full((d % 7 + 1, d % 9 + 1, 3), d % 256, np.uint8)
+                payloads.append(
+                    encode_jpeg(arr, quality=90, restart_interval=d % 3)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_jpeg = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    return X_mm.image_stats(with_jpeg)
+
+
+@query(
     "array_functions",
     """
     SELECT vec_id,
@@ -4646,4 +4706,206 @@ def agg_collect(spark, sf_dir):
             "statuses"
         ),
         F.count_distinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+# =====================================================================
+# Round-3 additions: RAG chunking, collocations, bloom decontamination,
+# per-group reservoir sampling, BPE tokenizer inference
+# =====================================================================
+
+
+def _fold_sql(s: str, salt: int = 0) -> str:
+    """DuckDB twin of ``char_poly_hash(s) * 48271^(salt+1) % P31`` —
+    the priority hash under sampling.reservoir_per_group (same int64
+    arithmetic as _bucket_sql, without the bucket reduction)."""
+    g = pow(48271, salt + 1, 2147483647)
+    fold = (
+        f"(list_reduce(list_prepend(CAST(0 AS BIGINT), [ord(substring({s}, i, 1)) "
+        f"for i in range(1, len({s})+1)]), "
+        f"(acc, c) -> (acc * 257 + c) % 9007199254740992) % 2147483647)"
+    )
+    return f"(({fold} * {g}) % 2147483647)"
+
+
+@query(
+    "text_chunking",
+    r"""
+    WITH s AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 30, 1), 90))
+               AS start
+      FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 90 AS INT) AS chunk_idx,
+           CAST(start AS INT) AS start,
+           substring(text, CAST(start AS INT), 120) AS chunk_text,
+           CAST(length(substring(text, CAST(start AS INT), 120)) AS INT)
+             AS chunk_len
+    FROM s
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """RAG-style overlapping character chunking (extended/text.py
+    chunk_documents): size 120, overlap 30.  One narrow
+    sequence+explode projection — zero shuffles, scales as a pure map
+    over input splits; the oracle re-derives every chunk boundary."""
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 500)
+    return X_text.chunk_documents(docs, size=120, overlap=30)
+
+
+@query(
+    "text_collocations",
+    r"""
+    WITH tk AS (
+      SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> len(x) > 0) AS toks
+      FROM documents
+    ), uc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w
+    ), bg AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_ct
+      FROM (
+        SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+               unnest(list_slice(toks, 2, len(toks))) AS w2
+        FROM tk WHERE len(toks) >= 2
+      ) GROUP BY w1, w2 HAVING COUNT(*) >= 5
+    ), nt AS (SELECT SUM(ct) AS n_tok FROM uc),
+    nb AS (
+      SELECT SUM(greatest(len(toks) - 1, 0)) AS n_big FROM tk
+    )
+    SELECT b.w1, b.w2, b.pair_ct, u1.ct AS ct1, u2.ct AS ct2,
+           FLOOR(ln((b.pair_ct / n_big) /
+                    ((u1.ct / n_tok) * (u2.ct / n_tok))) * 10000 + 0.5)
+             / 10000 AS pmi
+    FROM bg b
+    JOIN uc u1 ON b.w1 = u1.w
+    JOIN uc u2 ON b.w2 = u2.w
+    CROSS JOIN nt CROSS JOIN nb
+    """,
+)
+def text_collocations(spark, sf_dir):
+    """Corpus collocation mining by PMI (extended/text.py
+    collocations): two map-side-combined hash aggregates + broadcast
+    joins of the pair table against the vocabulary-sized unigram
+    table; normalizers ride along as broadcast 1-row aggregates (no
+    driver collect).  PMI rounded 1e-4 for cross-engine float
+    stability — same convention as the jaccard queries."""
+    return X_text.collocations(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+@query(
+    "decontaminate_bloom",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 97 = 0)
+    """,
+)
+def decontaminate_bloom(spark, sf_dir):
+    """EXACT eval-set decontamination with a Bloom prefilter
+    (extended/dedup.py bloom_decontaminate): the eval texts fold into
+    an 8 KiB bit array carried by a 1-row broadcast cross join; each
+    corpus row does 5 xxhash64 probes in whole-stage codegen (narrow
+    map — the corpus never shuffles), and only Bloom HITS (true +
+    false positives) pay the exact broadcast anti-join that restores
+    exactness.  At 100 TB the full-corpus shuffle of a naive anti-join
+    disappears entirely."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = filter_df(docs, F.col("doc_id") % 97 == 0).select("text")
+    return X_dedup.bloom_decontaminate(docs, ev).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "sample_reservoir",
+    f"""
+    WITH p AS (
+      SELECT lang, doc_id,
+             {_fold_sql('CAST(doc_id AS VARCHAR)')} AS pr
+      FROM documents
+    ), r AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pr, doc_id) AS rk
+      FROM p
+    )
+    SELECT lang, doc_id FROM r WHERE rk <= 7
+    """,
+)
+def sample_reservoir(spark, sf_dir):
+    """Deterministic per-group reservoir sample (extended/sampling.py
+    reservoir_per_group, k=7 per lang): the portable id hash plays the
+    RNG, so the winners are stable across engines/reruns/corpus
+    growth.  One shuffle on the group key + a bounded rank window —
+    the oracle recomputes the identical priorities in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    return X_samp.reservoir_per_group(docs, ["lang"], "doc_id", k=7).select(
+        "lang", "doc_id"
+    )
+
+
+@query(
+    "text_tokenize",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> len(x) > 0) AS toks
+      FROM documents WHERE doc_id < 1000
+    )
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+           TRUE AS ok_reconstruct, TRUE AS ok_irreducible
+    FROM tk WHERE len(toks) > 0
+    """,
+)
+def text_tokenize(spark, sf_dir):
+    """BPE tokenizer INFERENCE as a self-certifying gate
+    (extended/text.py tokenize_bpe over merges learned by bpe_learn on
+    a 200-doc sample): encoding cost is paid once per word TYPE via an
+    Arrow-batched mapInPandas over the distinct-word table, joined
+    back broadcast to the exploded corpus; one per-document regroup.
+    The gate emits two in-plan booleans the oracle pins TRUE:
+    ``ok_reconstruct`` (concatenated tokens rebuild the concatenated
+    words — no characters lost or invented) and ``ok_irreducible`` (no
+    adjacent token pair is still mergeable under the learned table —
+    the BPE fixpoint property).  A broken merge application flips a
+    boolean and fails the hash; exact token sequences are pinned
+    against a pure-python reference in tests/test_extended.py."""
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 1000)
+    sample = filter_df(docs, F.col("doc_id") < 200)
+    merges = X_text.bpe_learn(sample, num_merges=20)
+    toked = X_text.tokenize_bpe(docs, merges, keep_word_tokens=True)
+
+    pair_keys = [f"{l}\x00{r}" for _, l, r, _, _ in merges]
+    pairs_lit = F.array(*[F.lit(p) for p in pair_keys])
+
+    def word_mergeable(wt):
+        # BPE merges only within a word, so the fixpoint check runs
+        # per inner (word) token array, never across word boundaries
+        return F.when(
+            F.size(wt) >= 2,
+            F.exists(
+                F.sequence(F.lit(1), F.size(wt) - 1),
+                lambda i: F.array_contains(
+                    pairs_lit,
+                    F.concat(
+                        F.element_at(wt, i), F.lit("\x00"), F.element_at(wt, i + 1)
+                    ),
+                ),
+            ),
+        ).otherwise(F.lit(False))
+
+    mergeable = F.exists(F.col("word_tokens"), word_mergeable)
+    joined = toked.join(
+        docs.select("doc_id", X_text.tokens(F.col("text")).alias("__w")), "doc_id"
+    )
+    return joined.select(
+        "doc_id",
+        "n_words",
+        (
+            F.array_join(F.col("tokens"), "") == F.array_join(F.col("__w"), "")
+        ).alias("ok_reconstruct"),
+        (~mergeable).alias("ok_irreducible"),
     )

@@ -1,0 +1,233 @@
+"""Tests for the round-3 operator additions: RAG chunking,
+collocations, bloom decontamination, per-group reservoir sampling,
+and BPE tokenizer inference.
+
+Each has a DuckDB-oracle gate query in workload.py; these tests pin
+the properties and edge cases the row-level gates can't state.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasy_spark.extended import dedup as X_dedup
+from pandasy_spark.extended import sampling as X_samp
+from pandasy_spark.extended import text as X_text
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+
+def test_chunking_reconstruction(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    ch = X_text.chunk_documents(docs, size=100, overlap=20)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    chunks = {}
+    for r in ch.collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    assert set(chunks) == set(texts)
+    for did, rows in chunks.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        recon = rows[0]["chunk_text"] + "".join(
+            r["chunk_text"][20:] for r in rows[1:]
+        )
+        assert recon == texts[did]
+        # starts advance by the step; lengths are size except the tail
+        for i, r in enumerate(rows):
+            assert r["start"] == 1 + i * 80
+            assert r["chunk_len"] == len(r["chunk_text"])
+            if i < len(rows) - 1:
+                assert r["chunk_len"] == 100
+
+
+def test_chunking_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "short"), (2, ""), (3, "x" * 100)], "doc_id long, text string"
+    )
+    rows = X_text.chunk_documents(df, size=50, overlap=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["chunk_text"] for r in by_doc[1]] == ["short"]
+    assert [r["chunk_text"] for r in by_doc[2]] == [""]
+    assert len(by_doc[3]) == 3  # starts 1, 41, 81
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        X_text.chunk_documents(df, size=10, overlap=10)
+
+
+# ---------------------------------------------------------------------------
+# collocations
+# ---------------------------------------------------------------------------
+
+
+def test_collocations_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c c")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in X_text.collocations(df, min_count=2).collect()
+    }
+    # bigrams: (a,b)x2 + (b,a) + (a,b) + (b,c) + (c,c) => only (a,b) has >= 2
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    # 9 tokens total: a:3 b:3 c:3; 6 bigrams; pair_ct(a,b)=3
+    assert (r["pair_ct"], r["ct1"], r["ct2"]) == (3, 3, 3)
+    expected = math.log((3 / 6) / ((3 / 9) * (3 / 9)))
+    assert abs(r["pmi"] - round(expected, 4)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# bloom decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_decontaminate_exact_vs_antijoin(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter("doc_id % 7 = 0").select("text")
+    out = X_dedup.bloom_decontaminate(docs, ev)
+    expect = docs.join(ev.distinct(), "text", "left_anti")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in expect.collect()
+    )
+
+
+def test_bloom_exact_even_with_tiny_filter(spark, sf_dir):
+    """A deliberately undersized bloom (1 word = 64 bits) floods the
+    candidate set with false positives — the exact confirm join must
+    still restore the exact result."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    ev = docs.filter("doc_id % 11 = 0").select("text")
+    out = X_dedup.bloom_decontaminate(docs, ev, num_words=1, num_hashes=2)
+    expect = docs.join(ev.distinct(), "text", "left_anti")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in expect.collect()
+    )
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every eval member must probe True — the bloom invariant the
+    exactness argument rests on."""
+    df = spark.createDataFrame(
+        [(f"text number {i}",) for i in range(500)], "text string"
+    )
+    bloom = X_dedup.bloom_build(df)
+    probed = df.crossJoin(F.broadcast(bloom)).select(
+        X_dedup.bloom_might_contain(F.col("bloom"), F.col("text")).alias("hit")
+    )
+    assert probed.filter(~F.col("hit")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# reservoir_per_group
+# ---------------------------------------------------------------------------
+
+
+def test_reservoir_bounds_and_determinism(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = X_samp.reservoir_per_group(docs, ["lang"], "doc_id", k=4)
+    b = X_samp.reservoir_per_group(docs, ["lang"], "doc_id", k=4)
+    ra = sorted((r["lang"], r["doc_id"]) for r in a.collect())
+    assert ra == sorted((r["lang"], r["doc_id"]) for r in b.collect())
+    per = {}
+    for lang, _ in ra:
+        per[lang] = per.get(lang, 0) + 1
+    assert all(v <= 4 for v in per.values())
+    # salt changes the winners
+    c = X_samp.reservoir_per_group(docs, ["lang"], "doc_id", k=4, salt=99)
+    assert ra != sorted((r["lang"], r["doc_id"]) for r in c.collect())
+
+
+def test_reservoir_sample_is_stable_under_growth(spark, sf_dir):
+    """Hash priorities don't depend on the rest of the data: a winner
+    can only be displaced by a new row with smaller priority, never by
+    reshuffling — growing the corpus keeps any winner whose priority
+    still ranks in the top k."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    small = docs.filter("doc_id < 100")
+    win_small = {
+        (r["lang"], r["doc_id"])
+        for r in X_samp.reservoir_per_group(small, ["lang"], "doc_id", 3).collect()
+    }
+    win_full = {
+        (r["lang"], r["doc_id"])
+        for r in X_samp.reservoir_per_group(docs, ["lang"], "doc_id", 3).collect()
+    }
+    # every full-corpus winner with doc_id < 100 must also win on the subset
+    assert {w for w in win_full if w[1] < 100} <= win_small
+
+
+def test_reservoir_weighted_prefers_heavy_rows(spark):
+    rows = [(i, "g", 1.0 if i else 1e9) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    out = X_samp.reservoir_per_group(df, ["g"], "id", k=5, weight_col="w")
+    ids = {r["id"] for r in out.collect()}
+    assert 0 in ids  # the 10^9-weight row essentially always survives
+    assert len(ids) == 5
+
+
+def test_reservoir_rejects_bad_k(spark):
+    df = spark.createDataFrame([(1, "g")], "id long, g string")
+    with pytest.raises(ValueError):
+        X_samp.reservoir_per_group(df, ["g"], "id", k=0)
+
+
+# ---------------------------------------------------------------------------
+# tokenize_bpe
+# ---------------------------------------------------------------------------
+
+
+def _reference_encode(word: str, merges):
+    """Independent BPE inference: apply merges in rank order, each one
+    scanned left-to-right until exhausted (the original Sennrich
+    formulation) — equivalent to lowest-rank-first greedy merging."""
+    syms = list(word)
+    for _rank, left, right, merged, _ct in sorted(merges):
+        i = 0
+        while i < len(syms) - 1:
+            if syms[i] == left and syms[i + 1] == right:
+                syms[i : i + 2] = [merged]
+            else:
+                i += 1
+    return syms
+
+
+def test_tokenize_matches_reference_encoder(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    merges = X_text.bpe_learn(docs, num_merges=15)
+    out = {
+        r["doc_id"]: r
+        for r in X_text.tokenize_bpe(docs, merges, keep_word_tokens=True).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    checked_words = 0
+    for did, text in texts.items():
+        words = text.split()
+        if not words:
+            assert did not in out
+            continue
+        r = out[did]
+        assert r["n_words"] == len(words)
+        expect = [_reference_encode(w, merges) for w in words]
+        assert [list(t) for t in r["word_tokens"]] == expect
+        assert list(r["tokens"]) == [t for w in expect for t in w]
+        assert r["n_tokens"] == len(r["tokens"])
+        checked_words += len(words)
+    assert checked_words > 100
+
+
+def test_tokenize_empty_merge_table_yields_chars(spark):
+    df = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    r = X_text.tokenize_bpe(df, []).collect()[0]
+    assert list(r["tokens"]) == ["a", "b", "c", "d"]
+    assert (r["n_words"], r["n_tokens"]) == (2, 4)
