@@ -330,3 +330,77 @@ def test_fuzz_equidepth_histogram(spark):
             )
         )
         assert_duck_eq(res, ORACLES["profile_equidepth"], orders=orders)
+
+
+def test_fuzz_chunking(spark):
+    from pandasy_spark.extended.text import chunk_documents
+    from pandasy_spark.workload import ORACLES
+
+    # the workload oracle filters doc_id < 500; seeded ids are < 50
+    for seed in SEEDS:
+        docs = _rand_docs(seed + 130)
+        res = chunk_documents(
+            spark.createDataFrame(docs), size=120, overlap=30
+        )
+        assert_duck_eq(res, ORACLES["text_chunking"], documents=docs)
+
+
+def test_fuzz_collocations(spark):
+    from pandasy_spark.extended.text import collocations
+    from pandasy_spark.workload import ORACLES
+
+    for seed in SEEDS:
+        docs = _rand_docs(seed + 170)
+        res = collocations(spark.createDataFrame(docs), min_count=5)
+        assert_duck_eq(res, ORACLES["text_collocations"], documents=docs)
+
+
+def test_fuzz_reservoir(spark):
+    from pandasy_spark.extended.sampling import reservoir_per_group
+    from pandasy_spark.workload import _fold_sql
+
+    for seed in SEEDS:
+        docs = _rand_docs(seed + 210)
+        docs["g"] = (docs["doc_id"] % 3).astype(str)
+        res = reservoir_per_group(
+            spark.createDataFrame(docs), ["g"], "doc_id", k=4, salt=seed
+        ).select("g", "doc_id")
+        assert_duck_eq(
+            res,
+            f"""
+            WITH p AS (
+              SELECT g, doc_id,
+                     {_fold_sql('CAST(doc_id AS VARCHAR)', salt=seed)} AS pr
+              FROM documents
+            ), r AS (
+              SELECT g, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY g ORDER BY pr, doc_id)
+                       AS rk
+              FROM p
+            )
+            SELECT g, doc_id FROM r WHERE rk <= 4
+            """,
+            documents=docs,
+        )
+
+
+def test_fuzz_tokenize_vs_reference(spark):
+    from pandasy_spark.extended.text import bpe_learn, tokenize_bpe
+    from tests.test_round3_ops import _reference_encode
+
+    for seed in SEEDS[:3]:
+        docs = _rand_docs(seed + 250)
+        sdf = spark.createDataFrame(docs)
+        merges = bpe_learn(sdf, num_merges=8)
+        out = {
+            r["doc_id"]: [list(t) for t in r["word_tokens"]]
+            for r in tokenize_bpe(sdf, merges, keep_word_tokens=True).collect()
+        }
+        for _, row in docs.iterrows():
+            words = row["text"].split()
+            if not words:
+                assert row["doc_id"] not in out
+                continue
+            assert out[row["doc_id"]] == [
+                _reference_encode(w, merges) for w in words
+            ]
