@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "decontaminate_bloom",
     "sample_reservoir",
     "text_tokenize",
+    "profile_heavy_hitters",
+    "embedding_pca",
 ]
 
 

@@ -24,11 +24,11 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_numeric"]
+__all__ = ["profile_numeric", "cms_build", "heavy_hitters"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -93,3 +93,89 @@ def profile_numeric(
         ]
     )
     return row.select(F.inline(structs))
+
+
+def _cms_probe(cms_col: Column, key: Column, depth: int, width: int) -> Column:
+    """Min over the depth rows of the flattened (depth x width) sketch
+    — the count-min estimate, pure codegen arithmetic per row."""
+    est = None
+    for j in range(depth):
+        bucket = F.pmod(F.xxhash64(key, F.lit(j)), F.lit(width))
+        cell = F.element_at(cms_col, (F.lit(j * width) + bucket).cast("int") + 1)
+        est = cell if est is None else F.least(est, cell)
+    return est
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 8192
+) -> DataFrame:
+    """Count-min sketch over ``key_col`` as a ONE-ROW DataFrame with a
+    flattened ``array<bigint>`` of ``depth*width`` counters.
+
+    Build shape: explode ``depth`` (row, bucket) probes per input row,
+    count per (row, bucket) — the aggregate's key space is bounded by
+    ``depth*width`` (map-side combine collapses each partition to at
+    most that many rows regardless of input size), then densify to one
+    array via a map lookup over the counter-index sequence.  The
+    result is ~256 KiB at the defaults — broadcast scale.
+    """
+    probes = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(depth - 1)),
+            lambda j: (
+                j * width + F.pmod(F.xxhash64(F.col(key_col), j.cast("int")), F.lit(width))
+            ).cast("long"),
+        )
+    ).alias("cell")
+    counts = (
+        df.select(probes)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    return counts.agg(
+        F.map_from_arrays(F.collect_list("cell"), F.collect_list("ct")).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(depth * width - 1).cast("long")),
+            lambda c: F.coalesce(F.element_at(F.col("m"), c), F.lit(0).cast("long")),
+        ).alias("cms")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 8192,
+) -> DataFrame:
+    """EXACT heavy hitters (keys appearing at least ``min_count``
+    times, with their exact counts) via a count-min prefilter.
+
+    The 100 TB shape: a plain ``groupBy(key).count()`` shuffles every
+    row on a key space as large as the data.  Here pass 1 builds a
+    bounded-size count-min sketch (one aggregate whose map-side
+    partial output is ≤ depth*width rows per partition), pass 2 probes
+    the broadcast sketch per row in codegen and keeps only rows whose
+    estimate reaches ``min_count`` — count-min never underestimates,
+    so no true heavy hitter is lost — and only that thin candidate
+    stream (true hitters + sketch collisions) pays the exact
+    ``groupBy`` that removes overestimates.  The full-corpus shuffle
+    disappears; exactness survives.
+
+    Output: (key_col, ct) with ct the exact count, ct >= min_count.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    cms = cms_build(df, key_col, depth, width)
+    candidates = (
+        df.select(key_col)
+        .crossJoin(F.broadcast(cms))
+        .filter(_cms_probe(F.col("cms"), F.col(key_col), depth, width) >= min_count)
+    )
+    return (
+        candidates.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .filter(F.col("ct") >= min_count)
+        .select(key_col, F.col("ct").cast("long").alias("ct"))
+    )

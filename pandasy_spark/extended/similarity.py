@@ -35,6 +35,8 @@ __all__ = [
     "kmeans_centroids",
     "ivf_topk",
     "semantic_contamination",
+    "pca_moments",
+    "embedding_pca",
 ]
 
 
@@ -565,3 +567,112 @@ def semantic_contamination(
         "max_sim",
         (F.col("max_sim") >= F.lit(threshold)).alias("contaminated"),
     )
+
+
+def pca_moments(df: DataFrame, vec_col: str = "embedding") -> tuple:
+    """Distributed first/second moments of a vector column: returns
+    ``(n, mean[d], cov[d,d])`` as numpy values.
+
+    Shape: an Arrow-batched ``mapInPandas`` computes each batch's
+    count / sum / Gram with one numpy matmul (the hand-rolled map-side
+    combine), the tiny per-batch partials explode to (index, value)
+    pairs and sum in one hash aggregate, and the driver receives
+    exactly ``d^2 + d + 1`` doubles — bounded by the DIMENSION, never
+    by the row count (same posture as kmeans_centroids)."""
+    import numpy as np
+
+    def _partial(batches):
+        import numpy as np  # noqa: F811
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [float(x.shape[0])],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    d = None
+    first = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not first:
+        raise ValueError("pca_moments: empty input")
+    d = int(first[0]["d"])
+    partials = df.select(vec_col).mapInPandas(
+        _partial, schema="n double, s array<double>, g array<double>"
+    )
+    flat = partials.select(
+        F.posexplode(
+            F.concat(F.array(F.col("n")), F.col("s"), F.col("g"))
+        ).alias("i", "v")
+    )
+    rows = flat.groupBy("i").agg(F.sum("v").alias("v")).collect()
+    acc = np.zeros(1 + d + d * d)
+    for r in rows:
+        acc[r["i"]] = r["v"]
+    n = acc[0]
+    mean = acc[1 : 1 + d] / n
+    gram = acc[1 + d :].reshape(d, d) / n
+    cov = gram - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def embedding_pca(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int | None = None,
+) -> tuple:
+    """PCA projection of an embedding column to ``k`` components.
+
+    Returns ``(projected_df, eigvals, components)``: the DataFrame has
+    (id, proj array<double> of length k); ``components`` is the (d, k)
+    eigenvector matrix, ``eigvals`` the top-k covariance eigenvalues
+    (descending).  The whitening/compaction step SemDeDup-style
+    semantic pipelines run before clustering.
+
+    Scale shape: the only data-sized work is ``pca_moments``' single
+    pass; the eigendecomposition is a d×d driver numpy call (bounded
+    by dimension, like the k-means centroid update), and the
+    projection is a pure codegen expression — each component is a
+    zip_with dot product against a literal eigenvector plus a constant
+    offset, so projecting 100 TB is a narrow map.
+
+    Eigenvector SIGN is pinned deterministically (largest-|coefficient|
+    entry made positive) so reruns and engines agree.
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    n, mean, cov = pca_moments(df, vec_col)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    eigvals = vals[order]
+    comp = vecs[:, order]  # (d, k)
+    for c in range(comp.shape[1]):
+        j = int(np.argmax(np.abs(comp[:, c])))
+        if comp[j, c] < 0:
+            comp[:, c] = -comp[:, c]
+    projections = []
+    for c in range(k):
+        vc = F.array(*[F.lit(float(v)) for v in comp[:, c]])
+        offset = float(-(mean @ comp[:, c]))
+        y = (
+            F.aggregate(
+                F.zip_with(F.col(vec_col), vc, lambda x, v: x * v),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            + F.lit(offset)
+        )
+        if round_decimals is not None:
+            y = qround(y, round_decimals)
+        projections.append(y)
+    out = df.select(F.col(id_col), F.array(*projections).alias("proj"))
+    return out, eigvals, comp

