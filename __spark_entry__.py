@@ -71,7 +71,8 @@ _R3_FRONT = [
     "agg_approx", "text_bpe_learn", "knn_ivf", "multimodal_png",
     "multimodal_jpeg", "text_chunking", "text_collocations",
     "decontaminate_bloom", "sample_reservoir", "text_tokenize",
-    "profile_heavy_hitters", "embedding_pca",
+    "profile_heavy_hitters", "embedding_pca", "events_funnel",
+    "events_retention",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
     "q9_product_profit", "q10_returned_items", "q11_important_stock",
     "q12_shipmode", "q14_promo_effect", "q15_top_supplier",

@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "text_tokenize",
     "profile_heavy_hitters",
     "embedding_pca",
+    "events_funnel",
+    "events_retention",
 ]
 
 
@@ -102,13 +104,15 @@ def main() -> None:
     # warm the JVM + parquet footers with a trivial action
     QUERIES["q1_pricing_summary"](spark, sf_dir).count()
 
-    # best of 2 runs per query: one JVM/codegen warm-up pass, one
-    # measured pass floor — cuts local-mode scheduler jitter out of
-    # round-over-round comparisons without changing what is measured
+    # best of 3 runs per query: JVM/codegen warm-up + measured floor —
+    # cuts local-mode scheduler jitter AND shared-host CPU noise out of
+    # round-over-round comparisons (single runs on this host vary up to
+    # ~1.5x run-to-run with identical code) without changing what is
+    # measured
     times: dict[str, float] = {}
     for name in bench_queries:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

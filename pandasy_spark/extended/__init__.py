@@ -2,8 +2,18 @@
 multimodal.  All built from JVM-side built-ins except where Arrow-
 batched pandas is the genuinely right tool (media decode)."""
 
-from . import dedup, jpeg, multimodal, profile, sampling, similarity, text
+from . import (
+    dedup,
+    events,
+    jpeg,
+    multimodal,
+    profile,
+    sampling,
+    similarity,
+    text,
+)
 
 __all__ = [
-    "dedup", "jpeg", "multimodal", "profile", "sampling", "similarity", "text",
+    "dedup", "events", "jpeg", "multimodal", "profile", "sampling",
+    "similarity", "text",
 ]

@@ -5001,3 +5001,69 @@ def embedding_pca_gate(spark, sf_dir):
         ok_ordered.alias("ok_ordered"),
         ok_bessel.alias("ok_bessel"),
     )
+
+
+@query(
+    "events_funnel",
+    """
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS t_0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s1 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_1 FROM events e
+      JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s0.t_0 GROUP BY e.user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_2 FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'error' AND e.ts > s1.t_1 GROUP BY e.user_id
+    )
+    SELECT s0.user_id, s0.t_0, s1.t_1, s2.t_2,
+           CAST(1 + (CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END) AS INT)
+             AS steps_completed
+    FROM s0
+    LEFT JOIN s1 ON s0.user_id = s1.user_id
+    LEFT JOIN s2 ON s0.user_id = s2.user_id
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup → purchase → error
+    (extended/events.py funnel): per user, each step's earliest event
+    STRICTLY AFTER the previous step.  One filtered min-aggregate per
+    step (filters pushed to the scan, each step frame a small slice of
+    the corpus) joined on the user key — no windows, no per-user event
+    lists; the oracle replays the identical CTE chain."""
+    from .extended.events import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["signup", "purchase", "error"])
+
+
+@query(
+    "events_retention",
+    """
+    WITH f AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+    )
+    SELECT cohort,
+           CAST(FLOOR((epoch(p) - epoch(cohort)) / 604800) AS INT)
+             AS period_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY cohort, period_offset
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention triangle (extended/events.py
+    retention_cohorts): first-activity aggregate + (user, week)
+    distinct, both shuffling on the user key, then a count over the
+    small cohort grid.  The offset arithmetic is exact integer weeks
+    (fixed 7-day spans), so the oracle states it in epoch seconds."""
+    from .extended.events import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev)

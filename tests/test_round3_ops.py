@@ -319,3 +319,86 @@ def test_pca_moments_empty_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         pca_moments(df)
+
+
+# ---------------------------------------------------------------------------
+# funnel / retention_cohorts
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_strict_ordering(spark):
+    import datetime as dt
+
+    from pandasy_spark.extended.events import funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: full funnel in order
+        (1, t(0), "signup"), (1, t(5), "purchase"), (1, t(9), "error"),
+        # user 2: purchase BEFORE signup must not count; no later purchase
+        (2, t(3), "purchase"), (2, t(4), "signup"),
+        # user 3: signup only
+        (3, t(1), "signup"),
+        # user 4: never signed up -> absent from output
+        (4, t(2), "purchase"),
+        # user 5: error between signup and purchase counts only if a
+        # NEW error follows the purchase
+        (5, t(0), "signup"), (5, t(1), "error"), (5, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel(df, ["signup", "purchase", "error"]).collect()
+    }
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1]["steps_completed"] == 3
+    assert out[1]["t_2"] == t(9)
+    assert out[2]["steps_completed"] == 1 and out[2]["t_1"] is None
+    assert out[3]["steps_completed"] == 1
+    assert out[5]["steps_completed"] == 2 and out[5]["t_2"] is None
+
+
+def test_funnel_rejects_empty_steps(spark):
+    import pytest as _pytest
+
+    from pandasy_spark.extended.events import funnel
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+    with _pytest.raises(ValueError):
+        funnel(df, [])
+
+
+def test_retention_hand_computed(spark):
+    import datetime as dt
+
+    from pandasy_spark.extended.events import retention_cohorts
+
+    # weeks starting Mon 2024-01-01 and Mon 2024-01-08
+    w0, w1 = dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 10)
+    rows = [
+        (1, w0, "x"), (1, w1, "x"),   # cohort w0, active offsets {0, 1}
+        (2, w0, "x"),                 # cohort w0, offset {0}
+        (3, w1, "x"),                 # cohort w1, offset {0}
+        (1, w0 + dt.timedelta(days=1), "x"),  # same week, distinct-folded
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["cohort"], r["period_offset"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    mon0, mon1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 8)
+    assert got == {(mon0, 0): 2, (mon0, 1): 1, (mon1, 0): 1}
+
+
+def test_retention_rejects_bad_period(spark):
+    import pytest as _pytest
+
+    from pandasy_spark.extended.events import retention_cohorts
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+    with _pytest.raises(ValueError):
+        retention_cohorts(df, period="fortnight")
