@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "embedding_pca",
     "events_funnel",
     "events_retention",
+    "streaming_window",
+    "join_salted",
 ]
 
 

@@ -4,6 +4,7 @@ from .ops import (
     session_window_agg,
     sessionize_batch,
     stream_stream_tolerance_join,
+    stream_table,
     streaming_dedup_against_index,
     windowed_agg,
 )
@@ -12,6 +13,7 @@ from .stateful import stateful_sessions, streaming_dedup
 __all__ = [
     "foreach_batch",
     "run_stream_to_memory",
+    "stream_table",
     "stream_stream_tolerance_join",
     "streaming_dedup_against_index",
     "session_window_agg",

@@ -221,3 +221,30 @@ def streaming_dedup_against_index(
         new_idx.write.mode("append").parquet(index_path)
 
     return foreach_batch(stream_docs, _step, query_name=query_name)
+
+
+def stream_table(spark, sf_dir: str, table: str) -> DataFrame:
+    """Open a testdata table as a file-source STREAM.
+
+    Spark's file stream source requires a directory, while the
+    testdata tables are single parquet files — so a per-(sf, table)
+    staging directory under the system temp dir holds a symlink to the
+    real file (idempotent, cheap, read-only on the source).  The
+    schema comes from the batch catalog loader so timestamp handling
+    matches the batch path exactly."""
+    import os
+    import tempfile
+
+    from ..sources import load_table
+
+    schema = load_table(spark, sf_dir, table).schema
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"pandasy_stream_{tag}_{table}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, f"{table}.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if not os.path.islink(link):
+        os.symlink(src, link)
+    return spark.readStream.schema(schema).parquet(stage)

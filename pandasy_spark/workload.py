@@ -5067,3 +5067,86 @@ def events_retention(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return retention_cohorts(ev)
+
+
+_STREAM_GATE_SEQ = [0]
+
+
+@query(
+    "streaming_window",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR((SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0)
+                 * 100 + 0.5) / 100 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_window(spark, sf_dir):
+    """A REAL Structured Streaming run, driver-witnessed: the events
+    table is opened as a file-source STREAM (streaming/ops.py
+    stream_table), the same windowed_agg definition the batch path
+    uses aggregates hourly buckets per event type, and an availableNow
+    memory-sink micro-batch drains it to a table the oracle then
+    checks against plain batch SQL.  This pins the streaming engine's
+    end-to-end result — window assignment, state store aggregation,
+    sink commit — not just a batch twin of it.  Complete output mode,
+    no watermark: the gate drains a bounded table, so no state is ever
+    evicted and the final table equals the batch aggregate exactly."""
+    from .streaming import run_stream_to_memory, stream_table, windowed_agg
+
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_window_gate_{_STREAM_GATE_SEQ[0]}"
+    ev = stream_table(spark, sf_dir, "events")
+    out = windowed_agg(
+        ev,
+        "ts",
+        "1 hour",
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": qr(exact_sum(F.col("value"), 2), 2),
+        },
+        keys=["event_type"],
+    ).select("bucket", "event_type", "n_events", "sum_value")
+    q = run_stream_to_memory(out, name, output_mode="complete")
+    q.stop()
+    return spark.table(name)
+
+
+@query(
+    "join_salted",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           FLOOR((SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  / 100.0) * 100 + 0.5) / 100 AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_salted(spark, sf_dir):
+    """Skew tooling, driver-witnessed: the orders-customer join runs
+    through operators/skew.py adaptive_salted_join with
+    ``rows_per_task`` forced low enough that real per-key salt factors
+    engage (sampled key histogram → per-key replication of the small
+    side), and the result must equal the plain join the oracle states
+    — salting redistributes the shuffle, never the answer.  The
+    aggregate keys the check on every joined row's segment and grid-
+    exact revenue, so a dropped or duplicated (key, salt) pairing
+    breaks the hash."""
+    from .operators.skew import adaptive_salted_join
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    joined = adaptive_salted_join(
+        o, c.select("custkey", "c_mktsegment"), on=["custkey"],
+        rows_per_task=50, sample_fraction=0.5, max_salt=8,
+    )
+    return agg(
+        joined,
+        ["c_mktsegment"],
+        {
+            "n_orders": F.count(F.lit(1)),
+            "revenue": qr(exact_sum(F.col("o_totalprice"), 2), 2),
+        },
+    )

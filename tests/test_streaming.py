@@ -548,3 +548,34 @@ def test_streaming_dedup_against_index(spark, tmp_path):
     assert sorted(set(r["id"] for r in idx.collect())) == [1, 2, 4]
     # 16 bands per admitted doc
     assert idx.count() == 3 * 16
+
+
+def test_stream_table_matches_batch(spark, sf_dir):
+    """stream_table + windowed_agg drained through the memory sink must
+    equal the batch aggregate — the exact contract the
+    streaming_window driver gate states in SQL."""
+    from pandasy_spark.sources import load_table
+    from pandasy_spark.streaming import (
+        run_stream_to_memory,
+        stream_table,
+        windowed_agg,
+    )
+
+    aggs = lambda: {"n_events": F.count(F.lit(1))}
+    out = windowed_agg(
+        stream_table(spark, sf_dir, "events"), "ts", "1 day", aggs(),
+        keys=["event_type"],
+    )
+    q = run_stream_to_memory(out, "stream_table_smoke", output_mode="complete")
+    q.stop()
+    streamed = sorted(map(tuple, spark.table("stream_table_smoke").collect()))
+    batch = sorted(
+        map(
+            tuple,
+            windowed_agg(
+                load_table(spark, sf_dir, "events"), "ts", "1 day", aggs(),
+                keys=["event_type"],
+            ).collect(),
+        )
+    )
+    assert streamed == batch and len(streamed) > 0
