@@ -73,6 +73,7 @@ _R3_FRONT = [
     "decontaminate_bloom", "sample_reservoir", "text_tokenize",
     "profile_heavy_hitters", "embedding_pca", "events_funnel",
     "events_retention", "streaming_window", "join_salted",
+    "streaming_sessionize",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
     "q9_product_profit", "q10_returned_items", "q11_important_stock",
     "q12_shipmode", "q14_promo_effect", "q15_top_supplier",

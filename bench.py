@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "events_retention",
     "streaming_window",
     "join_salted",
+    "streaming_sessionize",
 ]
 
 

@@ -238,13 +238,18 @@ def stream_table(spark, sf_dir: str, table: str) -> DataFrame:
     from ..sources import load_table
 
     schema = load_table(spark, sf_dir, table).schema
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        # already a directory of part files — the file source's native
+        # shape; staging a symlink to the DIRECTORY would nest it one
+        # level deep where the source's listing never looks
+        return spark.readStream.schema(schema).parquet(src)
     tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
     stage = os.path.join(
         tempfile.gettempdir(), f"pandasy_stream_{tag}_{table}"
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, f"{table}.parquet")
-    src = os.path.join(sf_dir, f"{table}.parquet")
     if not os.path.islink(link):
         os.symlink(src, link)
     return spark.readStream.schema(schema).parquet(stage)

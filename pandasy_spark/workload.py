@@ -5150,3 +5150,47 @@ def join_salted(spark, sf_dir):
             "revenue": qr(exact_sum(F.col("o_totalprice"), 2), 2),
         },
     )
+
+
+@query(
+    "streaming_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ), s AS (
+      SELECT user_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                  OR us - LAG(us) OVER w >= 600000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), g AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           make_timestamp(MIN(us)) AS session_start,
+           make_timestamp(MAX(us) + 600000000) AS session_end,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def streaming_sessionize(spark, sf_dir):
+    """STREAMING session windows, driver-witnessed: the events stream
+    (file source) runs through ``session_window_agg`` — Spark's
+    state-store-managed session merging, the most stateful streaming
+    path in the engine — and the availableNow memory-sink drain must
+    reproduce the batch gap-island result the oracle computes in SQL.
+    Same 10-minute gap as the batch events_session_window gate, so the
+    two rows together pin batch == streaming == oracle."""
+    from .streaming import run_stream_to_memory, session_window_agg, stream_table
+
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_sessionize_gate_{_STREAM_GATE_SEQ[0]}"
+    ev = stream_table(spark, sf_dir, "events")
+    out = session_window_agg(ev, gap="10 minutes", watermark="0 seconds")
+    q = run_stream_to_memory(out, name, output_mode="complete")
+    q.stop()
+    return spark.table(name)

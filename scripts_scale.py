@@ -39,6 +39,14 @@ TOP5 = [
     "expr_casts",
     "text_lm_score",
     "dedup_components",
+    # round-3 additions that read a FULL scaled table (gates filtered
+    # on doc_id < N shrink under the id-shifting replication and are
+    # excluded — they'd measure less data at sf1.0, not more)
+    "text_collocations",
+    "decontaminate_bloom",
+    "profile_heavy_hitters",
+    "streaming_window",
+    "events_funnel",
 ]
 COPY = [
     "region", "nation", "customer", "supplier", "part", "embeddings",
