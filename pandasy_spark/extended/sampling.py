@@ -478,7 +478,13 @@ def reservoir_per_group(
     # by the same constant, preserving the ordering except at the mod
     # wrap; distinct multipliers genuinely re-permute the order
     g = pow(48271, salt + 1, _P31)
-    h = (char_poly_hash(F.col(id_col).cast("string")) * F.lit(g)) % F.lit(_P31)
+    # NULL ids hash to NULL, and NULL sorts FIRST in Spark ascending
+    # but LAST in most SQL engines — pin them to the largest priority
+    # so they lose deterministically everywhere
+    h = F.coalesce(
+        (char_poly_hash(F.col(id_col).cast("string")) * F.lit(g)) % F.lit(_P31),
+        F.lit(_P31),
+    )
     if weight_col is None:
         priority = h
     else:

@@ -125,3 +125,51 @@ def test_image_stats_decodes_jpeg_and_drops_malformed(spark):
     # 77 -> dc = floor(8*(77-128)/3 + 0.5) = -136; 77 round-trips to 77
     assert (r["width"], r["height"]) == (6, 4)
     assert r["mean_r"] == r["mean_g"] == r["mean_b"] == 77.0
+
+
+def test_corruption_fuzz_never_escapes_quarantine():
+    """Truncations and byte flips at every region of a valid JPEG must
+    either decode (harmless corruption) or raise one of the declared
+    DECODE_ERRORS — never an unexpected exception type that would fail
+    a whole Spark job instead of dropping the row."""
+    import random
+
+    from pandasy_spark.extended.multimodal import DECODE_ERRORS
+
+    p = encode_jpeg(_gradient(24, 16), 85, restart_interval=2)
+    rng = random.Random(7)
+    cases = []
+    for _ in range(60):
+        cut = rng.randrange(2, len(p))
+        cases.append(p[:cut])
+    for _ in range(60):
+        pos = rng.randrange(2, len(p))
+        flip = bytes([p[pos] ^ (1 << rng.randrange(8))])
+        cases.append(p[:pos] + flip + p[pos + 1 :])
+    decoded = 0
+    for payload in cases:
+        try:
+            out = decode_jpeg(payload)
+            assert out.dtype == np.uint8 and out.ndim == 3
+            decoded += 1
+        except DECODE_ERRORS:
+            pass
+    # some corruptions land in don't-care bytes and still decode
+    assert decoded < len(cases)
+
+
+def test_roundtrip_fuzz_random_images():
+    import random
+
+    rng = random.Random(11)
+    for _ in range(8):
+        h, w = rng.randrange(1, 40), rng.randrange(1, 40)
+        arr = np.frombuffer(
+            bytes(rng.randrange(256) for _ in range(h * w * 3)), np.uint8
+        ).reshape(h, w, 3)
+        q = rng.choice([60, 80, 92])
+        sub = rng.random() < 0.5
+        dec = decode_jpeg(encode_jpeg(arr, q, subsample=sub))
+        assert dec.shape == (h, w, 3)
+        # re-encode of the decode is a fixpoint-ish sanity: deterministic
+        assert encode_jpeg(dec, q, subsample=sub) == encode_jpeg(dec, q, subsample=sub)

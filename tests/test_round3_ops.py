@@ -402,3 +402,27 @@ def test_retention_rejects_bad_period(spark):
     df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
     with _pytest.raises(ValueError):
         retention_cohorts(df, period="fortnight")
+
+
+def test_reservoir_null_ids_lose_deterministically(spark):
+    rows = [(None, "g"), (1, "g"), (2, "g"), (3, "g")]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = {r["id"] for r in
+           X_samp.reservoir_per_group(df, ["g"], "id", k=3).collect()}
+    # NULL id gets the max priority: never selected while non-NULL rows fill k
+    assert out == {1, 2, 3}
+
+
+def test_chunking_null_text_yields_one_null_chunk(spark):
+    """greatest() ignores NULLs in BOTH Spark and DuckDB, so a NULL
+    text emits exactly one chunk row with NULL chunk_text — the same
+    row the SQL oracle derives (verified cross-engine)."""
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "doc_id long, text string"
+    )
+    rows = X_text.chunk_documents(df, size=10, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["chunk_text"] for r in by_doc[1]] == ["hello"]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] is None
