@@ -74,6 +74,11 @@ _R3_FRONT = [
     "profile_heavy_hitters", "embedding_pca", "events_funnel",
     "events_retention", "streaming_window", "join_salted",
     "streaming_sessionize",
+    # positions 51+: registered after the 50-row recording window on
+    # purpose — the older backlog above must be witnessed THIS round;
+    # these two (added last, scripts_check-verified green) rotate to
+    # the front of the next round's unproven set
+    "dedup_containment", "text_search",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
     "q9_product_profit", "q10_returned_items", "q11_important_stock",
     "q12_shipmode", "q14_promo_effect", "q15_top_supplier",

@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "streaming_window",
     "join_salted",
     "streaming_sessionize",
+    "dedup_containment",
+    "text_search",
 ]
 
 

@@ -63,6 +63,7 @@ __all__ = [
     "bloom_build",
     "bloom_might_contain",
     "bloom_decontaminate",
+    "containment_pairs",
 ]
 
 
@@ -1019,3 +1020,42 @@ def bloom_decontaminate(
         how="left_anti",
     )
     return clean.unionByName(rescued)
+
+
+def containment_pairs(
+    df: "DataFrame",
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> "DataFrame":
+    """ASYMMETRIC near-dup: containment(A in B) = |sh(A) ∩ sh(B)| /
+    |sh(A)| — the quote/subset detector Jaccard misses (a paragraph
+    fully copied into a much longer page has low Jaccard but
+    containment ≈ 1).  The directional score matters for
+    training-data hygiene: keep the superset document, drop the
+    contained one.
+
+    Emits BOTH directions per unordered pair (id1 contained-in id2 is
+    a different fact than id2 contained-in id1); same block-equi-join
+    scale shape as :func:`blocked_jaccard_pairs` — work is
+    sum(|block|²), one co-partitioned shuffle join, no all-pairs."""
+    a = df.select(
+        *block_cols,
+        F.col(id_col).alias("id1"),
+        shingles(F.col(text_col), n).alias("s1"),
+    ).filter(F.size("s1") > 0)
+    b = df.select(
+        *block_cols,
+        F.col(id_col).alias("id2"),
+        shingles(F.col(text_col), n).alias("s2"),
+    ).filter(F.size("s2") > 0)
+    pairs = a.join(b, on=list(block_cols)).filter(F.col("id1") != F.col("id2"))
+    inter = F.size(F.array_intersect("s1", "s2")).cast("double")
+    cont = inter / F.size("s1").cast("double")
+    return (
+        pairs.withColumn("containment", qround(cont, 4))
+        .filter(F.col("containment") >= threshold)
+        .select(*block_cols, "id1", "id2", "containment")
+    )

@@ -43,6 +43,8 @@ __all__ = [
     "chunk_documents",
     "collocations",
     "tokenize_bpe",
+    "build_inverted_index",
+    "search_index",
     "PII_PATTERNS",
 ]
 
@@ -886,4 +888,49 @@ def tokenize_bpe(
         )
         .withColumn("tokens", F.flatten(F.col("word_tokens")))
         .select(*out_cols)
+    )
+
+
+def build_inverted_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverted index as a DataFrame: one row per (token, doc, term
+    frequency).  Materialize it with ``write_bucketed`` on ``token``
+    and conjunctive search becomes a bucket-pruned scan — the classic
+    search-engine layout expressed as a table.
+
+    Build is one narrow explode + one hash aggregate on (token, doc)
+    — map-side combined, scales as a pure corpus pass."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("token", id_col, F.col("tf").cast("long").alias("tf"))
+    )
+
+
+def search_index(
+    index: DataFrame, terms: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Conjunctive (AND) term search against an inverted index: docs
+    containing EVERY term, with total term-frequency as the score.
+
+    The term filter is a pushdown-able IN over the index's token
+    column (partition/bucket pruning when the index is written
+    bucketed on token); the only shuffle aggregates the ≤|terms|
+    surviving posting lists by document."""
+    if not terms:
+        raise ValueError("search needs at least one term")
+    hits = index.filter(F.col("token").isin(list(terms)))
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count_distinct("token").alias("n_terms"),
+            F.sum("tf").alias("score"),
+        )
+        .filter(F.col("n_terms") == len(set(terms)))
+        .select(id_col, F.col("score").cast("long").alias("score"))
     )

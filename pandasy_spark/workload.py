@@ -5194,3 +5194,68 @@ def streaming_sessionize(spark, sf_dir):
     q = run_stream_to_memory(out, name, output_mode="complete")
     q.stop()
     return spark.table(name)
+
+
+@query(
+    "dedup_containment",
+    r"""
+    WITH d AS (
+      SELECT source, lang, doc_id,
+             list_distinct([substring(text, i, 3)
+                            for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS sh
+      FROM documents WHERE doc_id < 300
+    ), p AS (
+      SELECT a.source, a.lang, a.doc_id AS id1, b.doc_id AS id2,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(a.sh) AS DOUBLE) AS c
+      FROM d a JOIN d b ON a.source = b.source AND a.lang = b.lang
+      WHERE a.doc_id <> b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+    )
+    SELECT source, lang, id1, id2,
+           FLOOR(c * 10000 + 0.5) / 10000 AS containment
+    FROM p WHERE FLOOR(c * 10000 + 0.5) / 10000 >= 0.6
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dup (extended/dedup.py
+    containment_pairs): |sh(A) ∩ sh(B)| / |sh(A)| — the quote/subset
+    detector Jaccard misses; directional, so the superset doc can be
+    kept and the contained one dropped.  Same (source, lang)
+    block-equi-join scale shape as dedup_blocked."""
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 300)
+    return X_dedup.containment_pairs(
+        docs, ["source", "lang"], threshold=0.6
+    )
+
+
+@query(
+    "text_search",
+    r"""
+    WITH idx AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> len(x) > 0)) AS token
+      FROM documents
+    ), tf AS (
+      SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM idx GROUP BY token, doc_id
+    ), hits AS (
+      SELECT doc_id, COUNT(DISTINCT token) AS n_terms,
+             SUM(tf) AS score
+      FROM tf WHERE token IN ('data', 'spark', 'query')
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(score AS BIGINT) AS score
+    FROM hits WHERE n_terms = 3
+    """,
+)
+def text_search(spark, sf_dir):
+    """Conjunctive term search over an in-plan inverted index
+    (extended/text.py build_inverted_index + search_index): the index
+    build is one explode + map-combined (token, doc) aggregate; the
+    query filters the token column (bucket/partition-prunable when
+    the index is a bucketed table) and aggregates the <= |terms|
+    posting lists by document.  AND semantics = distinct-term count
+    equals the query length; score = total term frequency."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = X_text.build_inverted_index(docs)
+    return X_text.search_index(idx, ["data", "spark", "query"])

@@ -426,3 +426,47 @@ def test_chunking_null_text_yields_one_null_chunk(spark):
         by_doc.setdefault(r["doc_id"], []).append(r)
     assert [r["chunk_text"] for r in by_doc[1]] == ["hello"]
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] is None
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs / inverted index search
+# ---------------------------------------------------------------------------
+
+
+def test_containment_is_directional(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "a", "en"),
+            (2, "the quick brown fox jumps over the lazy dog tonight", "a", "en"),
+            (3, "completely different words here", "a", "en"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    out = {
+        (r["id1"], r["id2"]): r["containment"]
+        for r in X_dedup.containment_pairs(
+            df, ["source", "lang"], threshold=0.5
+        ).collect()
+    }
+    # doc1's shingles are (almost) all inside doc2, not vice versa
+    assert out[(1, 2)] > 0.9
+    assert (2, 1) not in out or out[(2, 1)] < out[(1, 2)]
+    assert not any(3 in k for k in out)
+
+
+def test_inverted_index_search_and_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark data query engine"),
+            (2, "spark data"),           # missing 'query' -> excluded
+            (3, "query data spark spark data query"),  # tf 6 over terms
+        ],
+        "doc_id long, text string",
+    )
+    idx = X_text.build_inverted_index(df)
+    got = {r["doc_id"]: r["score"] for r in
+           X_text.search_index(idx, ["spark", "data", "query"]).collect()}
+    assert got == {1: 3, 3: 6}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        X_text.search_index(idx, [])
