@@ -5,6 +5,7 @@ from .ops import (
     sessionize_batch,
     stream_stream_tolerance_join,
     stream_table,
+    streaming_bloom_decontaminate,
     streaming_dedup_against_index,
     windowed_agg,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "run_stream_to_memory",
     "stream_table",
     "stream_stream_tolerance_join",
+    "streaming_bloom_decontaminate",
     "streaming_dedup_against_index",
     "session_window_agg",
     "sessionize_batch",

@@ -253,3 +253,33 @@ def stream_table(spark, sf_dir: str, table: str) -> DataFrame:
     if not os.path.islink(link):
         os.symlink(src, link)
     return spark.readStream.schema(schema).parquet(stage)
+
+
+def streaming_bloom_decontaminate(
+    stream_docs: DataFrame,
+    eval_df: DataFrame,
+    survivors_path: str,
+    key_col: str = "text",
+    num_words: int = 1024,
+    num_hashes: int = 5,
+    query_name: str = "stream_decon",
+):
+    """Continuous-ingestion decontamination: each micro-batch passes
+    through the EXACT bloom-prefiltered eval-set removal
+    (extended/dedup.bloom_decontaminate) and appends survivors.
+
+    The eval set is fixed for the stream's lifetime, so the natural
+    production form computes the ~8 KiB bloom once and the per-batch
+    cost is the pure narrow probe map + the (tiny) confirm join —
+    state lives in the sink table, not the state store, so the stream
+    runs forever.  foreachBatch is the sanctioned sink (idempotent
+    per-batch appends under checkpointing)."""
+    from ..extended.dedup import bloom_decontaminate
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        clean = bloom_decontaminate(
+            batch_df, eval_df, key_col, num_words, num_hashes
+        )
+        clean.write.mode("append").parquet(survivors_path)
+
+    return foreach_batch(stream_docs, _step, query_name=query_name)

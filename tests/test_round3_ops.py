@@ -470,3 +470,24 @@ def test_inverted_index_search_and_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         X_text.search_index(idx, [])
+
+
+def test_bucketed_index_search_prunes_buckets(spark, sf_dir, tmp_path):
+    """The 100 TB search story: the inverted index persisted as a
+    table bucketed on token lets a conjunctive search scan only the
+    buckets holding the query terms (SelectedBucketsCount in the scan)
+    instead of the whole index."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    idx = X_text.build_inverted_index(docs)
+    from pandasy_spark.sources.sinks import write_bucketed_table
+
+    spark.sql("DROP TABLE IF EXISTS inv_idx_test")
+    write_bucketed_table(idx, "inv_idx_test", ["token"], 8)
+    table = spark.table("inv_idx_test")
+    out = X_text.search_index(table, ["data", "spark"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan, plan[:2000]
+    # and the pruned search still returns the same answer as unbucketed
+    expect = sorted(map(tuple, X_text.search_index(idx, ["data", "spark"]).collect()))
+    assert sorted(map(tuple, out.collect())) == expect
+    spark.sql("DROP TABLE IF EXISTS inv_idx_test")

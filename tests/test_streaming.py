@@ -579,3 +579,33 @@ def test_stream_table_matches_batch(spark, sf_dir):
         )
     )
     assert streamed == batch and len(streamed) > 0
+
+
+def test_streaming_bloom_decontaminate_matches_batch(spark, tmp_path, sf_dir):
+    """Two micro-batches of documents decontaminated against a fixed
+    eval set must leave exactly the survivors the batch operator
+    computes over the union — per-batch blooms change nothing because
+    the eval side is constant."""
+    import os
+
+    from pandasy_spark.extended.dedup import bloom_decontaminate
+    from pandasy_spark.streaming import streaming_bloom_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    ev = docs.filter("doc_id % 13 = 0").select("text")
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "survivors")
+    os.makedirs(src)
+    docs.filter("doc_id % 2 = 0").write.mode("append").parquet(src)
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    docs.filter("doc_id % 2 = 1").write.mode("append").parquet(src)
+    streaming_bloom_decontaminate(stream, ev, out)
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    expect = sorted(
+        r["doc_id"] for r in bloom_decontaminate(docs, ev).collect()
+    )
+    assert got == expect and len(got) > 0
