@@ -78,7 +78,7 @@ _R3_FRONT = [
     # purpose — the older backlog above must be witnessed THIS round;
     # these two (added last, scripts_check-verified green) rotate to
     # the front of the next round's unproven set
-    "dedup_containment", "text_search",
+    "dedup_containment", "text_search", "pipeline_rag",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
     "q9_product_profit", "q10_returned_items", "q11_important_stock",
     "q12_shipmode", "q14_promo_effect", "q15_top_supplier",

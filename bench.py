@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "streaming_sessionize",
     "dedup_containment",
     "text_search",
+    "pipeline_rag",
 ]
 
 

@@ -409,21 +409,99 @@ def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return plane
 
 
+def _enc_dc_diff(writer: "_BitWriter", diff: int, dc_codes) -> None:
+    n = _magnitude(diff)
+    code, ln = dc_codes[n]
+    writer.write(code, ln)
+    if n:
+        writer.write(diff if diff >= 0 else diff + (1 << n) - 1, n)
+
+
+def _enc_ac_first_block(writer, zz, ac_codes, ss, se, al) -> None:
+    """Progressive AC first scan for one block (point transform Al,
+    EOB runs capped at 1 so the Annex K tables' symbol set suffices —
+    the decoder handles general EOBn regardless)."""
+    r = 0
+    for k in range(ss, se + 1):
+        c = int(zz[k])
+        v = (c >> al) if c >= 0 else -((-c) >> al)  # trunc toward zero
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            writer.write(code, ln)
+            r -= 16
+        n = _magnitude(v)
+        code, ln = ac_codes[(r << 4) | n]
+        writer.write(code, ln)
+        writer.write(v if v >= 0 else v + (1 << n) - 1, n)
+        r = 0
+    if r > 0:
+        code, ln = ac_codes[0x00]  # EOB (run of 1)
+        writer.write(code, ln)
+
+
+def _enc_ac_refine_block(writer, zz, ac_codes, ss, se, al) -> None:
+    """Progressive AC successive-approximation refinement for one
+    block (T.81 G.1.2.3 mirror of the decoder): newly-significant
+    coefficients (|c|>>Al == 1) are run-coded over zero-history
+    positions; nonzero-history positions contribute buffered
+    correction bits that flush after the next emitted token."""
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        c = int(zz[k])
+        t = abs(c) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            writer.write(code, ln)
+            r -= 16
+            for b in br:
+                writer.write(b, 1)
+            br = []
+        if t > 1:  # history-significant: correction bit only
+            br.append(t & 1)
+            continue
+        # newly significant: run of zero-history positions + sign
+        code, ln = ac_codes[(r << 4) | 1]
+        writer.write(code, ln)
+        writer.write(1 if c > 0 else 0, 1)
+        for b in br:
+            writer.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        code, ln = ac_codes[0x00]  # EOB (run of 1) + its correction bits
+        writer.write(code, ln)
+        for b in br:
+            writer.write(b, 1)
+
+
 def encode_jpeg(
     arr: np.ndarray,
     quality: int = 90,
     subsample: bool = True,
     gray: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode an ``(h, w, 3) uint8`` RGB array as a baseline JFIF JPEG.
+    """Encode an ``(h, w, 3) uint8`` RGB array as a JFIF JPEG.
 
     ``subsample=True`` writes 4:2:0 (chroma averaged over 2x2), else
     4:4:4.  ``gray=True`` writes a single-component (luma-only) scan.
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that many MCUs — the resync structure a parallel/robust decoder
-    relies on.  Deterministic: same input -> same bytes, with the
-    ``floor(x+0.5)`` rounding rule throughout (see module docstring).
+    relies on (baseline mode only).  ``progressive=True`` writes a
+    SOF2 progressive stream with the classic scan script — interleaved
+    DC at Al=1, per-component AC 1..63 at Al=1, the matching AC
+    successive-approximation refinements, then the DC refinement —
+    exercising every progressive decode path.  Deterministic: same
+    input -> same bytes, with the ``floor(x+0.5)`` rounding rule
+    throughout (see module docstring).
     """
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 3:
@@ -457,13 +535,53 @@ def encode_jpeg(
     dc_c = _build_codes(*_DC_CHROMA)
     ac_c = _build_codes(*_AC_CHROMA)
 
-    writer = _BitWriter()
-    rst_out = bytearray()
-    preds = [0, 0, 0]
-    y_bw = y_plane.shape[1] // 8  # luma blocks per row
+    y_bw = y_plane.shape[1] // 8  # luma blocks per row (padded grid)
     c_bw = 0 if gray else cb.shape[1] // 8
     mcus_x = y_plane.shape[1] // (8 * hs)
     mcus_y = y_plane.shape[0] // (8 * vs)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(tid: int, tab: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in tab[_ZZ]))
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    if gray:
+        sof_comps = bytes([1, 0x11, 0])
+        nc = 1
+    else:
+        sof_comps = (
+            bytes([1, (hs << 4) | vs, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+        )
+        nc = 3
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    tables = dqt(0, luma_q) + dht(0, 0, *_DC_LUMA) + dht(1, 0, *_AC_LUMA)
+    if not gray:
+        tables += dqt(1, chroma_q) + dht(0, 1, *_DC_CHROMA) + dht(1, 1, *_AC_CHROMA)
+
+    # per-component layout metadata shared by both modes
+    # (sof_id, zz blocks, padded bw, padded bh, hs, vs, dc_codes, ac_codes,
+    #  dc_tid, ac_tid)
+    if gray:
+        comp_meta = [(1, comp_zz[0], y_bw, mcus_y * vs, hs, vs, dc_l, ac_l, 0, 0)]
+    else:
+        comp_meta = [
+            (1, comp_zz[0], y_bw, mcus_y * vs, hs, vs, dc_l, ac_l, 0, 0),
+            (2, comp_zz[1], c_bw, mcus_y, 1, 1, dc_c, ac_c, 1, 1),
+            (3, comp_zz[2], c_bw, mcus_y, 1, 1, dc_c, ac_c, 1, 1),
+        ]
+
+    if progressive:
+        body = _encode_progressive_scans(comp_meta, seg, h, w, mcus_x, mcus_y)
+        sof = seg(0xFFC2, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
+        return b"\xff\xd8" + app0 + tables + sof + body + b"\xff\xd9"
+
+    writer = _BitWriter()
+    rst_out = bytearray()
+    preds = [0, 0, 0]
     mcu_index = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -493,31 +611,12 @@ def encode_jpeg(
     writer.flush()
     rst_out += writer.out
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    def dqt(tid: int, tab: np.ndarray) -> bytes:
-        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in tab[_ZZ]))
-
-    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
-        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
-
     if gray:
-        sof_comps = bytes([1, 0x11, 0])
         sos_comps = bytes([1, 1, 0x00])
-        nc = 1
     else:
-        sof_comps = (
-            bytes([1, (hs << 4) | vs, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
-        )
         sos_comps = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11])
-        nc = 3
     sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
     sos = seg(0xFFDA, sos_comps + bytes([0, 63, 0]))
-    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    tables = dqt(0, luma_q) + dht(0, 0, *_DC_LUMA) + dht(1, 0, *_AC_LUMA)
-    if not gray:
-        tables += dqt(1, chroma_q) + dht(0, 1, *_DC_CHROMA) + dht(1, 1, *_AC_CHROMA)
     dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"
@@ -531,98 +630,88 @@ def encode_jpeg(
     )
 
 
+def _encode_progressive_scans(comp_meta, seg, h, w, mcus_x, mcus_y) -> bytes:
+    """Emit the progressive scan sequence: interleaved DC first (Al=1),
+    per-component AC first (band 1..63, Al=1), per-component AC
+    refinement (Ah=1, Al=0), interleaved DC refinement.  AC scans
+    traverse each component's USED blocks (true sample dims rounded to
+    blocks), not the MCU-padded grid — T.81 A.2.2."""
+    hmax = max(m[4] for m in comp_meta)
+    vmax = max(m[5] for m in comp_meta)
+    out = bytearray()
+
+    def sos(comp_specs, ss, se, ah, al):
+        hdr = bytes([len(comp_specs)])
+        for sof_id, dc_tid, ac_tid in comp_specs:
+            hdr += bytes([sof_id, (dc_tid << 4) | ac_tid])
+        return seg(0xFFDA, hdr + bytes([ss, se, (ah << 4) | al]))
+
+    def stuffed(writer):
+        writer.flush()
+        return bytes(writer.out)
+
+    all_specs = [(m[0], m[8], m[9]) for m in comp_meta]
+
+    # scan 1: DC first, interleaved, Al=1
+    writer = _BitWriter()
+    preds = {m[0]: 0 for m in comp_meta}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for sof_id, zzs, bw, _bh, chs, cvs, dc_codes, _ac, _dt, _at in comp_meta:
+                for by in range(cvs):
+                    for bx in range(chs):
+                        idx = (my * cvs + by) * bw + (mx * chs + bx)
+                        t = int(zzs[idx][0]) >> 1  # arithmetic shift (T.81 DC)
+                        _enc_dc_diff(writer, t - preds[sof_id], dc_codes)
+                        preds[sof_id] = t
+    out += sos(all_specs, 0, 0, 0, 1) + stuffed(writer)
+
+    # per component: AC first (Al=1) then AC refinement (Ah=1 -> Al=0)
+    for sof_id, zzs, bw, _bh, chs, cvs, _dc, ac_codes, dc_tid, ac_tid in comp_meta:
+        bh_used = -(-(-(-h * cvs // vmax)) // 8)
+        bw_used = -(-(-(-w * chs // hmax)) // 8)
+        spec = [(sof_id, dc_tid, ac_tid)]
+        for ah, al in ((0, 1), (1, 0)):
+            writer = _BitWriter()
+            for row in range(bh_used):
+                for col in range(bw_used):
+                    zz = zzs[row * bw + col]
+                    if ah == 0:
+                        _enc_ac_first_block(writer, zz, ac_codes, 1, 63, al)
+                    else:
+                        _enc_ac_refine_block(writer, zz, ac_codes, 1, 63, al)
+            out += sos(spec, 1, 63, ah, al) + stuffed(writer)
+
+    # final scan: DC refinement (raw bits, no Huffman)
+    writer = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for sof_id, zzs, bw, _bh, chs, cvs, _dc, _ac, _dt, _at in comp_meta:
+                for by in range(cvs):
+                    for bx in range(chs):
+                        idx = (my * cvs + by) * bw + (mx * chs + bx)
+                        writer.write(int(zzs[idx][0]) & 1, 1)
+    out += sos(all_specs, 0, 0, 1, 0) + stuffed(writer)
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG (SOF0, 8-bit, Huffman, 1–3 components,
-    sampling factors 1–2, optional restart markers) to an
-    ``(h, w, 3) uint8`` RGB array.  Progressive (SOF2), arithmetic
-    coding and 12-bit depth raise NotImplementedError."""
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG (missing SOI)")
-    qtabs: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], _HuffDecoder] = {}
-    frame = None  # (h, w, comps) where comps: [(cid, hs, vs, qid)]
-    scan_comps = None  # [(cid, dc_tid, ac_tid)]
-    restart_interval = 0
-    pos = 2
-    scan_data = None
-    while pos + 4 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError("bad JPEG marker alignment")
-        marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI
-            break
-        length = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
-        data = payload[pos + 4 : pos + 2 + length]
-        if len(data) != length - 2:
-            raise ValueError("truncated JPEG segment")
-        if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(data):
-                pq, tq = data[i] >> 4, data[i] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit JPEG quant tables")
-                tab = np.frombuffer(data[i + 1 : i + 65], dtype=np.uint8)
-                if tab.size != 64:
-                    raise ValueError("short DQT")
-                full = np.zeros(64, dtype=np.int64)
-                full[_ZZ] = tab.astype(np.int64)
-                qtabs[tq] = full
-                i += 65
-        elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(data):
-                cls, tid = data[i] >> 4, data[i] & 0x0F
-                bits = list(data[i + 1 : i + 17])
-                n = sum(bits)
-                vals = list(data[i + 17 : i + 17 + n])
-                huff[(cls, tid)] = _HuffDecoder(bits, vals)
-                i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both baseline-decodable)
-            prec, fh, fw, nc = struct.unpack(">BHHB", data[:6])
-            if prec != 8:
-                raise NotImplementedError(f"JPEG precision {prec}")
-            comps = []
-            for ci in range(nc):
-                cid = data[6 + 3 * ci]
-                sf = data[7 + 3 * ci]
-                comps.append((cid, sf >> 4, sf & 0x0F, data[8 + 3 * ci]))
-            frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
-            )
-        elif marker == 0xDD:  # DRI
-            restart_interval = struct.unpack(">H", data[:2])[0]
-        elif marker == 0xDA:  # SOS
-            ns = data[0]
-            scan_comps = []
-            for si in range(ns):
-                cid = data[1 + 2 * si]
-                tids = data[2 + 2 * si]
-                scan_comps.append((cid, tids >> 4, tids & 0x0F))
-            scan_start = pos + 2 + length
-            # entropy-coded data runs to the next non-RST marker
-            end = scan_start
-            while end + 1 < len(payload):
-                if payload[end] == 0xFF and payload[end + 1] not in (
-                    0x00,
-                    *range(0xD0, 0xD8),
-                ):
-                    break
-                end += 1
-            scan_data = payload[scan_start:end]
-            pos = end
-            continue
-        pos += 2 + length
-    if frame is None or scan_comps is None or scan_data is None:
-        raise ValueError("JPEG missing SOF/SOS")
+    """Decode a JPEG to an ``(h, w, 3) uint8`` RGB array.
 
-    fh, fw, comps = frame
+    Supported: the Huffman processes of T.81 — BASELINE (SOF0/SOF1:
+    sequential, 8-bit, 1–3 components, sampling factors 1–2, restart
+    markers) and PROGRESSIVE (SOF2: spectral selection + successive
+    approximation, DC and AC first/refinement scans, EOB runs,
+    interleaved DC / single-component AC, restart markers).
+    Arithmetic coding, hierarchical/lossless processes and 12-bit
+    depth raise NotImplementedError."""
+    qtabs, frame, scans = _parse_jpeg(payload)
+    kind, fh, fw, comps = frame
     if fh == 0 or fw == 0:
         raise ValueError("bad JPEG dimensions")
     hmax = max(c[1] for c in comps)
@@ -631,30 +720,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise NotImplementedError("JPEG sampling factors > 2")
     mcus_x = -(-fw // (8 * hmax))
     mcus_y = -(-fh // (8 * vmax))
-
-    # split on restart markers, stripping byte stuffing per interval
-    intervals = []
-    if restart_interval:
-        cur = bytearray()
-        i = 0
-        while i < len(scan_data):
-            b = scan_data[i]
-            if b == 0xFF and i + 1 < len(scan_data):
-                nxt = scan_data[i + 1]
-                if nxt == 0x00:
-                    cur.append(0xFF)
-                    i += 2
-                    continue
-                if 0xD0 <= nxt <= 0xD7:
-                    intervals.append(bytes(cur))
-                    cur = bytearray()
-                    i += 2
-                    continue
-            cur.append(b)
-            i += 1
-        intervals.append(bytes(cur))
-    else:
-        intervals = [scan_data.replace(b"\xff\x00", b"\xff")]
 
     comp_info = {c[0]: c for c in comps}
     planes = {}
@@ -665,51 +730,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         planes[cid] = np.zeros((bh * bw, 64), dtype=np.int64)
         nblocks[cid] = (bh, bw)
 
-    preds = {cid: 0 for cid, *_ in comps}
-    mcu_index = 0
-    interval_idx = 0
-    reader = _BitReader(intervals[0])
-    total_mcus = mcus_x * mcus_y
-    while mcu_index < total_mcus:
-        if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-            interval_idx += 1
-            if interval_idx >= len(intervals):
-                raise ValueError("missing JPEG restart interval")
-            reader = _BitReader(intervals[interval_idx])
-            preds = {cid: 0 for cid in preds}
-        my, mx = divmod(mcu_index, mcus_x)
-        for cid, dct, act in scan_comps:
-            _, hs, vs, _ = comp_info[cid]
-            dc_tab = huff.get((0, dct))
-            ac_tab = huff.get((1, act))
-            if dc_tab is None or ac_tab is None:
-                raise ValueError("JPEG scan references missing Huffman table")
-            _, bw = nblocks[cid]
-            for by in range(vs):
-                for bx in range(hs):
-                    zz = np.zeros(64, dtype=np.int64)
-                    n = reader.decode_huff(dc_tab)
-                    diff = _extend(reader.receive(n), n)
-                    preds[cid] += diff
-                    zz[0] = preds[cid]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode_huff(ac_tab)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:
-                                k += 16  # ZRL
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC run past block end")
-                        zz[k] = _extend(reader.receive(s), s)
-                        k += 1
-                    row = my * vs + by
-                    col = mx * hs + bx
-                    planes[cid][row * bw + col] = zz
-        mcu_index += 1
+    if kind in (0xC0, 0xC1):
+        if len(scans) != 1:
+            raise ValueError("baseline JPEG must have exactly one scan")
+        _decode_baseline_scan(
+            scans[0], comp_info, planes, nblocks, mcus_x, mcus_y
+        )
+    else:  # SOF2 progressive
+        for scan in scans:
+            _decode_progressive_scan(
+                scan, comp_info, planes, nblocks, mcus_x, mcus_y,
+                fh, fw, hmax, vmax,
+            )
 
     # dequantize + IDCT per component, vectorized over all blocks
     out_planes = {}
@@ -743,3 +775,341 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"JPEG with {len(comps)} components")
     cids = [c[0] for c in comps]
     return _ycbcr_to_rgb(out_planes[cids[0]], out_planes[cids[1]], out_planes[cids[2]])
+
+
+class _Scan:
+    """One SOS segment with its entropy data and the table/DRI state
+    in force when it appeared (tables may be redefined between
+    scans)."""
+
+    __slots__ = ("comps", "ss", "se", "ah", "al", "intervals", "restart")
+
+    def __init__(self, comps, ss, se, ah, al, intervals, restart):
+        self.comps = comps  # [(cid, dc_tab|None, ac_tab|None)]
+        self.ss = ss
+        self.se = se
+        self.ah = ah
+        self.al = al
+        self.intervals = intervals
+        self.restart = restart
+
+
+def _split_intervals(scan_data: bytes, restart_interval: int) -> list[bytes]:
+    """Split entropy-coded data on RSTn markers, stripping 0xFF00 byte
+    stuffing per interval."""
+    if not restart_interval:
+        return [scan_data.replace(b"\xff\x00", b"\xff")]
+    intervals = []
+    cur = bytearray()
+    i = 0
+    while i < len(scan_data):
+        b = scan_data[i]
+        if b == 0xFF and i + 1 < len(scan_data):
+            nxt = scan_data[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(b)
+        i += 1
+    intervals.append(bytes(cur))
+    return intervals
+
+
+def _parse_jpeg(payload: bytes):
+    """Walk the marker stream: returns (qtabs, (sof_marker, h, w,
+    comps), scans) with per-scan table snapshots."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    frame = None
+    restart_interval = 0
+    scans: list[_Scan] = []
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        length = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        data = payload[pos + 4 : pos + 2 + length]
+        if len(data) != length - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                tab = np.frombuffer(data[i + 1 : i + 65], dtype=np.uint8)
+                if tab.size != 64:
+                    raise ValueError("short DQT")
+                full = np.zeros(64, dtype=np.int64)
+                full[_ZZ] = tab.astype(np.int64)
+                qtabs[tq] = full
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                cls, tid = data[i] >> 4, data[i] & 0x0F
+                bits = list(data[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(data[i + 17 : i + 17 + n])
+                huff[(cls, tid)] = _HuffDecoder(bits, vals)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            prec, fh, fw, nc = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            comps = []
+            for ci in range(nc):
+                cid = data[6 + 3 * ci]
+                sf = data[7 + 3 * ci]
+                comps.append((cid, sf >> 4, sf & 0x0F, data[8 + 3 * ci]))
+            frame = (marker, fh, fw, comps)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"unsupported JPEG process (SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", data[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            comps = []
+            for si in range(ns):
+                cid = data[1 + 2 * si]
+                tids = data[2 + 2 * si]
+                comps.append(
+                    (cid, huff.get((0, tids >> 4)), huff.get((1, tids & 0x0F)))
+                )
+            ss, se, ahal = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
+            scan_start = pos + 2 + length
+            end = scan_start
+            while end + 1 < len(payload):
+                if payload[end] == 0xFF and payload[end + 1] not in (
+                    0x00,
+                    *range(0xD0, 0xD8),
+                ):
+                    break
+                end += 1
+            scans.append(
+                _Scan(
+                    comps, ss, se, ahal >> 4, ahal & 0x0F,
+                    _split_intervals(payload[scan_start:end], restart_interval),
+                    restart_interval,
+                )
+            )
+            pos = end
+            continue
+        pos += 2 + length
+    if frame is None or not scans:
+        raise ValueError("JPEG missing SOF/SOS")
+    return qtabs, frame, scans
+
+
+def _decode_baseline_scan(scan, comp_info, planes, nblocks, mcus_x, mcus_y):
+    preds = {cid: 0 for cid in comp_info}
+    mcu_index = 0
+    interval_idx = 0
+    reader = _BitReader(scan.intervals[0])
+    total_mcus = mcus_x * mcus_y
+    while mcu_index < total_mcus:
+        if scan.restart and mcu_index and mcu_index % scan.restart == 0:
+            interval_idx += 1
+            if interval_idx >= len(scan.intervals):
+                raise ValueError("missing JPEG restart interval")
+            reader = _BitReader(scan.intervals[interval_idx])
+            preds = {cid: 0 for cid in preds}
+        my, mx = divmod(mcu_index, mcus_x)
+        for cid, dc_tab, ac_tab in scan.comps:
+            _, hs, vs, _ = comp_info[cid]
+            if dc_tab is None or ac_tab is None:
+                raise ValueError("JPEG scan references missing Huffman table")
+            _, bw = nblocks[cid]
+            for by in range(vs):
+                for bx in range(hs):
+                    zz = np.zeros(64, dtype=np.int64)
+                    n = reader.decode_huff(dc_tab)
+                    diff = _extend(reader.receive(n), n)
+                    preds[cid] += diff
+                    zz[0] = preds[cid]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_huff(ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        zz[k] = _extend(reader.receive(s), s)
+                        k += 1
+                    row = my * vs + by
+                    col = mx * hs + bx
+                    planes[cid][row * bw + col] = zz
+        mcu_index += 1
+
+
+def _used_block_dims(fh, fw, hs, vs, hmax, vmax):
+    """Block dimensions a NON-interleaved scan traverses: the
+    component's true sample dimensions rounded up to whole blocks —
+    NOT the MCU-padded grid (T.81 A.2.2)."""
+    sx = -(-fw * hs // hmax)
+    sy = -(-fh * vs // vmax)
+    return -(-sy // 8), -(-sx // 8)
+
+
+def _decode_progressive_scan(
+    scan, comp_info, planes, nblocks, mcus_x, mcus_y, fh, fw, hmax, vmax
+):
+    ss, se, ah, al = scan.ss, scan.se, scan.ah, scan.al
+    if ss > se or se > 63:
+        raise ValueError("bad JPEG spectral band")
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se = 0")
+    if ss > 0 and len(scan.comps) != 1:
+        raise ValueError("progressive AC scans must be single-component")
+    interleaved = len(scan.comps) > 1
+
+    # iteration units: MCUs when interleaved, used blocks otherwise
+    if interleaved:
+        total_units = mcus_x * mcus_y
+    else:
+        cid0 = scan.comps[0][0]
+        _, hs0, vs0, _ = comp_info[cid0]
+        bh_used, bw_used = _used_block_dims(fh, fw, hs0, vs0, hmax, vmax)
+        total_units = bh_used * bw_used
+
+    preds = {cid: 0 for cid in comp_info}
+    eobrun = 0
+    interval_idx = 0
+    reader = _BitReader(scan.intervals[0])
+
+    for unit in range(total_units):
+        if scan.restart and unit and unit % scan.restart == 0:
+            interval_idx += 1
+            if interval_idx >= len(scan.intervals):
+                raise ValueError("missing JPEG restart interval")
+            reader = _BitReader(scan.intervals[interval_idx])
+            preds = {cid: 0 for cid in preds}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(unit, mcus_x)
+            for cid, dc_tab, ac_tab in scan.comps:
+                _, hs, vs, _ = comp_info[cid]
+                _, bw = nblocks[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        idx = (my * vs + by) * bw + (mx * hs + bx)
+                        _prog_dc(
+                            reader, planes[cid][idx], preds, cid, dc_tab,
+                            ah, al,
+                        )
+        else:
+            cid, dc_tab, ac_tab = scan.comps[0]
+            _, bw = nblocks[cid]
+            row, col = divmod(unit, bw_used)
+            zz = planes[cid][row * bw + col]
+            if ss == 0:
+                _prog_dc(reader, zz, preds, cid, dc_tab, ah, al)
+            elif ah == 0:
+                eobrun = _prog_ac_first(
+                    reader, zz, ac_tab, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _prog_ac_refine(
+                    reader, zz, ac_tab, ss, se, al, eobrun
+                )
+
+
+def _prog_dc(reader, zz, preds, cid, dc_tab, ah, al):
+    if ah == 0:  # first DC scan: DPCM of the point-transformed value
+        if dc_tab is None:
+            raise ValueError("JPEG DC scan references missing Huffman table")
+        n = reader.decode_huff(dc_tab)
+        preds[cid] += _extend(reader.receive(n), n)
+        zz[0] = preds[cid] << al
+    else:  # refinement: one raw bit appends the next magnitude bit
+        if reader.receive(1):
+            zz[0] |= 1 << al
+
+
+def _prog_ac_first(reader, zz, ac_tab, ss, se, al, eobrun):
+    if ac_tab is None:
+        raise ValueError("JPEG AC scan references missing Huffman table")
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            return (1 << r) + reader.receive(r) - 1  # EOBn (this block done)
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        zz[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(reader, zz, ac_tab, ss, se, al, eobrun):
+    """T.81 G.1.2.3 AC successive-approximation refinement: newly
+    significant coefficients arrive as runs over ZERO-HISTORY
+    positions; every nonzero-history position in the path contributes
+    one correction bit."""
+    if ac_tab is None:
+        raise ValueError("JPEG AC scan references missing Huffman table")
+    p1 = 1 << al
+    m1 = -p1
+
+    def correct(k):
+        if reader.receive(1) and (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + reader.receive(r)
+                    break  # correction bits of the tail handled below
+                # r == 15: run of 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad JPEG refinement magnitude")
+                val = p1 if reader.receive(1) else m1
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if val:
+                            zz[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun

@@ -5,11 +5,12 @@ metadata struct; decode / feature-extraction run as Arrow-batched
 pandas iterators over ``mapInPandas`` — the Spark-side plumbing
 (schema, batch shape, partitioning) is real and tested.  Decoding is
 REAL for every format a numpy+stdlib path can handle: PPM P6, 24-bit
-BMP, baseline 8-bit PNG, and baseline JPEG (``decode_image`` /
-``image_stats``; ``encode_png`` / ``extended.jpeg.encode_jpeg`` are
-the round-trip writers).  Only WebP/AVIF and the non-baseline JPEG
-processes (progressive, arithmetic) still require an external codec
-and raise NotImplementedError.  ``extract_features`` keeps the
+BMP, baseline 8-bit PNG, and the JPEG Huffman processes — BASELINE
+and PROGRESSIVE/SOF2 (``decode_image`` / ``image_stats``;
+``encode_png`` / ``extended.jpeg.encode_jpeg`` are the round-trip
+writers).  Only WebP/AVIF and the rare JPEG processes (arithmetic
+coding, lossless, 12-bit) still require an external codec and raise
+NotImplementedError.  ``extract_features`` keeps the
 deterministic byte-derived fake so its gate query stays
 engine-oracle-checkable.
 """
@@ -232,11 +233,13 @@ def decode_image(payload: bytes) -> "object":
     REAL decode for every format a pure numpy+stdlib path can handle —
     PPM (``P6``), 24-bit uncompressed (BI_RGB) BMP, baseline 8-bit
     PNG (gray/RGB/palette/alpha, all five row filters,
-    non-interlaced; DEFLATE via the stdlib ``zlib``), and baseline
-    JPEG (SOF0, Huffman, 4:4:4/4:2:2/4:2:0, grayscale, restart
-    markers — ``extended/jpeg.py``, implemented from the public T.81
-    spec).  Only formats needing an external library (WebP/AVIF,
-    progressive/arithmetic JPEG) still raise NotImplementedError —
+    non-interlaced; DEFLATE via the stdlib ``zlib``), and the JPEG
+    Huffman processes — BASELINE (SOF0/SOF1) and PROGRESSIVE (SOF2,
+    spectral selection + successive approximation), 4:4:4/4:2:2/
+    4:2:0, grayscale, restart markers — ``extended/jpeg.py``,
+    implemented from the public T.81 spec.  Only formats needing an
+    external library (WebP/AVIF, arithmetic/lossless/12-bit JPEG)
+    still raise NotImplementedError —
     swap in a library decoder for those in production; every consumer
     of this function (mapInPandas feature extractors) is agnostic to
     which branch produced the array."""

@@ -2851,12 +2851,15 @@ def multimodal_png(spark, sf_dir):
 )
 def multimodal_jpeg(spark, sf_dir):
     """REAL lossy-codec pipeline, end-to-end and driver-checked: encode
-    a deterministic solid-gray baseline JPEG per document (pure
-    numpy+stdlib ``extended.jpeg.encode_jpeg`` — 4:2:0 MCUs, Annex-K
-    Huffman tables, DRI/RSTn resync markers on two thirds of the
-    rows), then run the payloads through ``image_stats``'s
-    mapInPandas decoder (``extended.jpeg.decode_jpeg``: marker walk,
-    canonical Huffman, dequant, IDCT, chroma upsample).  The DuckDB
+    a deterministic solid-gray JPEG per document (pure numpy+stdlib
+    ``extended.jpeg.encode_jpeg`` — 4:2:0 MCUs, Annex-K Huffman
+    tables; even doc_ids take the BASELINE path with DRI/RSTn resync
+    markers, odd doc_ids the PROGRESSIVE (SOF2) path with spectral
+    selection + successive approximation), then run the payloads
+    through ``image_stats``'s mapInPandas decoder
+    (``extended.jpeg.decode_jpeg``: marker walk, canonical Huffman,
+    multi-scan coefficient accumulation, dequant, IDCT, chroma
+    upsample).  The DuckDB
     oracle states the lossy round-trip in closed form because the
     codec commits to floor(x+0.5) rounding — any regression in the
     entropy coder, DCT normalization, quant scaling or MCU layout
@@ -2876,9 +2879,14 @@ def multimodal_jpeg(spark, sf_dir):
             for did in pdf["doc_id"]:
                 d = int(did)
                 arr = np.full((d % 7 + 1, d % 9 + 1, 3), d % 256, np.uint8)
-                payloads.append(
-                    encode_jpeg(arr, quality=90, restart_interval=d % 3)
-                )
+                if d % 2:  # odd rows take the PROGRESSIVE (SOF2) path
+                    payloads.append(
+                        encode_jpeg(arr, quality=90, progressive=True)
+                    )
+                else:
+                    payloads.append(
+                        encode_jpeg(arr, quality=90, restart_interval=d % 3)
+                    )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )
@@ -5259,3 +5267,67 @@ def text_search(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     idx = X_text.build_inverted_index(docs)
     return X_text.search_index(idx, ["data", "spark", "query"])
+
+
+@query(
+    "pipeline_rag",
+    r"""
+    WITH clean AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 97 = 0)
+    ), ch AS (
+      SELECT doc_id, lang, text,
+             unnest(generate_series(1, greatest(length(text) - 40, 1), 160))
+               AS start
+      FROM clean
+    ), chunks AS (
+      SELECT doc_id, lang,
+             substring(text, CAST(start AS INT), 200) AS chunk_text
+      FROM ch
+    ), scored AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(chunk_text, '\s+'),
+                             x -> len(x) > 0)) AS n_tok,
+             length(chunk_text) AS n_chars
+      FROM chunks
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+    FROM scored GROUP BY lang
+    """,
+)
+def pipeline_rag(spark, sf_dir):
+    """End-to-end RAG ingestion pipeline in ONE composed plan:
+    bloom-decontaminate the corpus against a held-out eval set (exact,
+    corpus never shuffles — extended/dedup.bloom_decontaminate), chunk
+    the survivors into 200-char windows with 40 overlap (zero-shuffle
+    sequence+explode), token-count each chunk JVM-side, and aggregate
+    per language.  The whole pipeline is narrow until the final
+    per-language aggregate: the bloom probe, the chunk explode and the
+    token count all fuse into the same scan stage — at 100 TB this is
+    one pass over the corpus plus one 5-row shuffle.  The oracle
+    replays every stage as a CTE chain."""
+    docs = _t(spark, sf_dir, "documents")
+    held = filter_df(docs, F.col("doc_id") % 97 == 0).select("text")
+    clean = X_dedup.bloom_decontaminate(docs, held)
+    chunks = X_text.chunk_documents(clean, size=200, overlap=40).join(
+        clean.select("doc_id", "lang"), "doc_id"
+    )
+    scored = chunks.select(
+        "lang",
+        F.size(X_text.tokens(F.col("chunk_text"))).alias("n_tok"),
+        F.length("chunk_text").alias("n_chars"),
+    )
+    return agg(
+        scored,
+        ["lang"],
+        {
+            "n_chunks": F.count(F.lit(1)),
+            "total_tokens": F.sum("n_tok"),
+            "total_chars": F.sum("n_chars"),
+            "max_tokens": F.max("n_tok").cast("long"),
+        },
+    )

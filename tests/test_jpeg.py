@@ -98,13 +98,21 @@ def test_malformed_payloads_raise():
             decode_jpeg(bad)
 
 
-def test_progressive_marker_quarantined():
-    # splice a SOF2 (progressive) marker in place of SOF0
+def test_unsupported_processes_quarantined():
+    # progressive (SOF2) decodes natively now; a baseline stream
+    # mislabeled as progressive is MALFORMED (its interleaved scan
+    # claims Ss=0/Se=63, illegal for progressive DC) — while the
+    # genuinely unsupported processes (lossless SOF3, arithmetic
+    # SOF9) stay NotImplementedError
     p = bytearray(encode_jpeg(_gradient(8, 8), 85))
     idx = bytes(p).find(b"\xff\xc0")
     p[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(p))
+    for bad_sof in (0xC3, 0xC9):
+        p[idx + 1] = bad_sof
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(p))
 
 
 def test_image_stats_decodes_jpeg_and_drops_malformed(spark):
@@ -173,3 +181,105 @@ def test_roundtrip_fuzz_random_images():
         assert dec.shape == (h, w, 3)
         # re-encode of the decode is a fixpoint-ish sanity: deterministic
         assert encode_jpeg(dec, q, subsample=sub) == encode_jpeg(dec, q, subsample=sub)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "kwargs", [{}, {"subsample": False}, {"gray": True}]
+)
+def test_progressive_decodes_identically_to_baseline(kwargs):
+    """The progressive scan script re-encodes the SAME quantized
+    coefficients, so decoding the SOF2 stream must reproduce the
+    baseline decode bit-for-bit — DC/AC first scans, the AC
+    successive-approximation refinement and the DC refinement all
+    have to round-trip exactly."""
+    for h, w in [(8, 8), (17, 9), (37, 50), (1, 1), (20, 33)]:
+        img = _gradient(h, w)
+        base = decode_jpeg(encode_jpeg(img, 90, **kwargs))
+        prog = decode_jpeg(encode_jpeg(img, 90, progressive=True, **kwargs))
+        assert np.array_equal(base, prog), (h, w, kwargs)
+
+
+def test_progressive_random_fuzz():
+    import random
+
+    rng = random.Random(23)
+    for _ in range(10):
+        h, w = rng.randrange(1, 48), rng.randrange(1, 48)
+        arr = np.frombuffer(
+            bytes(rng.randrange(256) for _ in range(h * w * 3)), np.uint8
+        ).reshape(h, w, 3)
+        q = rng.choice([50, 75, 90])
+        sub = rng.random() < 0.5
+        base = decode_jpeg(encode_jpeg(arr, q, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg(arr, q, subsample=sub, progressive=True)
+        )
+        assert np.array_equal(base, prog), (h, w, q, sub)
+
+
+def test_progressive_eobn_runs_gt_one():
+    """The encoder caps EOB runs at 1 (the Annex K tables lack EOBn
+    symbols), but real progressive files use EOBn freely — drive the
+    scan decoder directly with a custom table emitting EOB3."""
+    from pandasy_spark.extended.jpeg import (
+        _BitReader,
+        _BitWriter,
+        _HuffDecoder,
+        _build_codes,
+        _prog_ac_first,
+        _prog_ac_refine,
+    )
+
+    # tiny table: symbols 0x01 (run0/size1), 0x10 (EOB2..3), 0x00 (EOB)
+    bits = [0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    vals = [0x01, 0x10, 0x00]
+    dec_tab = _HuffDecoder(bits, vals)
+    codes = _build_codes(bits, vals)
+
+    # encode: block0 has coef at k=1, then EOB3 read inside block0
+    # terminates it and covers blocks 1..2 (3 blocks total)
+    wtr = _BitWriter()
+    c, ln = codes[0x01]
+    wtr.write(c, ln)
+    wtr.write(1, 1)  # value +1
+    c, ln = codes[0x10]  # EOBn with r=1 -> run = 2 + extra(1 bit)
+    wtr.write(c, ln)
+    wtr.write(1, 1)  # extra -> EOBRUN = 3 (this block + 2 more)
+    wtr.flush()
+    rdr = _BitReader(bytes(wtr.out))
+
+    blocks = [np.zeros(64, dtype=np.int64) for _ in range(3)]
+    eobrun = 0
+    for zz in blocks:
+        eobrun = _prog_ac_first(rdr, zz, dec_tab, 1, 63, 0, eobrun)
+    assert blocks[0][1] == 1
+    assert all(int(b.sum()) == (1 if i == 0 else 0)
+               for i, b in enumerate(blocks))
+    assert eobrun == 0
+
+    # refinement EOB run: 3 blocks, history coefficient picks up
+    # correction bits through the run
+    wtr = _BitWriter()
+    c, ln = codes[0x10]
+    wtr.write(c, ln)
+    wtr.write(1, 1)  # EOBRUN = 3
+    wtr.write(1, 1)  # correction bit block0 (coef k=2 -> +1<<al)
+    wtr.write(0, 1)  # correction bit block1
+    wtr.write(1, 1)  # correction bit block2
+    wtr.flush()
+    rdr = _BitReader(bytes(wtr.out))
+    blocks = []
+    for _ in range(3):
+        zz = np.zeros(64, dtype=np.int64)
+        zz[2] = -2  # history-significant at al=0 (|c|>>0 == 2)
+        blocks.append(zz)
+    eobrun = 0
+    for zz in blocks:
+        eobrun = _prog_ac_refine(rdr, zz, dec_tab, 1, 63, 0, eobrun)
+    assert [int(b[2]) for b in blocks] == [-3, -2, -3]
+    assert eobrun == 0
