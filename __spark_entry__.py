@@ -79,6 +79,7 @@ _R3_FRONT = [
     # these two (added last, scripts_check-verified green) rotate to
     # the front of the next round's unproven set
     "dedup_containment", "text_search", "pipeline_rag",
+    "events_asof_directions", "profile_dq", "scd2_merge",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
     "q9_product_profit", "q10_returned_items", "q11_important_stock",
     "q12_shipmode", "q14_promo_effect", "q15_top_supplier",

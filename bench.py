@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "dedup_containment",
     "text_search",
     "pipeline_rag",
+    "events_asof_directions",
+    "profile_dq",
+    "scd2_merge",
 ]
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_numeric", "cms_build", "heavy_hitters"]
+__all__ = ["profile_numeric", "cms_build", "heavy_hitters", "dq_check"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -179,3 +179,111 @@ def heavy_hitters(
         .filter(F.col("ct") >= min_count)
         .select(key_col, F.col("ct").cast("long").alias("ct"))
     )
+
+
+def dq_check(df: DataFrame, rules: list[tuple]) -> DataFrame:
+    """Declarative data-quality expectations over a table, evaluated
+    in-plan — the pre-training "gate the data before the run" check.
+
+    ``rules`` entries:
+      ("not_null", col)
+      ("in_range", col, lo, hi)             # inclusive, NULLs violate
+      ("accepted_values", col, [v, ...])    # NULLs violate
+      ("unique", [col, ...])                # rows in keys seen > once
+      ("ref_integrity", col, other_df, other_col)  # FK has a parent
+
+    Output: one row per rule — (rule, target, violations, total,
+    passed) — deterministic order-insensitive.
+
+    Scale shape: every row-predicate rule folds into ONE shared
+    aggregate pass over the table (conditional sums — map-side
+    combined, single scan no matter how many rules); 'unique' adds a
+    keyed aggregate, 'ref_integrity' a broadcast-or-shuffled anti-join
+    counted — each the minimal plan for its semantics.
+    """
+    import json as _json
+
+    row_rules = []
+    extra_frames = []
+    for rule in rules:
+        kind = rule[0]
+        if kind == "not_null":
+            _, col = rule
+            row_rules.append((kind, col, F.col(col).isNull()))
+        elif kind == "in_range":
+            _, col, lo, hi = rule
+            bad = F.col(col).isNull() | ~F.col(col).between(F.lit(lo), F.lit(hi))
+            row_rules.append((kind, col, bad))
+        elif kind == "accepted_values":
+            _, col, vals = rule
+            bad = F.col(col).isNull() | ~F.col(col).isin(list(vals))
+            row_rules.append((kind, col, bad))
+        elif kind == "unique":
+            _, cols = rule
+            dup = (
+                df.groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .agg(
+                    F.coalesce(F.sum("__n"), F.lit(0)).alias("violations"),
+                )
+            )
+            total = df.agg(F.count(F.lit(1)).alias("total"))
+            extra_frames.append(
+                dup.crossJoin(total).select(
+                    F.lit(kind).alias("rule"),
+                    F.lit(",".join(cols)).alias("target"),
+                    F.col("violations").cast("long"),
+                    F.col("total").cast("long"),
+                    (F.col("violations") == 0).alias("passed"),
+                )
+            )
+        elif kind == "ref_integrity":
+            _, col, other_df, other_col = rule
+            orphans = (
+                df.select(F.col(col))
+                .filter(F.col(col).isNotNull())
+                .join(
+                    other_df.select(F.col(other_col).alias(col)).distinct(),
+                    col,
+                    "left_anti",
+                )
+                .agg(F.count(F.lit(1)).alias("violations"))
+            )
+            total = df.agg(F.count(F.lit(1)).alias("total"))
+            extra_frames.append(
+                orphans.crossJoin(total).select(
+                    F.lit(kind).alias("rule"),
+                    F.lit(col).alias("target"),
+                    F.col("violations").cast("long"),
+                    F.col("total").cast("long"),
+                    (F.col("violations") == 0).alias("passed"),
+                )
+            )
+        else:
+            raise ValueError(f"unknown dq rule kind {kind!r}")
+
+    frames = list(extra_frames)
+    if row_rules:
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        for i, (_k, _t, bad) in enumerate(row_rules):
+            aggs.append(
+                F.sum(F.when(bad, 1).otherwise(0)).alias(f"__v{i}")
+            )
+        one = df.agg(*aggs)
+        for i, (kind, target, _bad) in enumerate(row_rules):
+            frames.append(
+                one.select(
+                    F.lit(kind).alias("rule"),
+                    F.lit(target).alias("target"),
+                    F.col(f"__v{i}").cast("long").alias("violations"),
+                    F.col("__total").cast("long").alias("total"),
+                    (F.col(f"__v{i}") == 0).alias("passed"),
+                )
+            )
+    if not frames:
+        raise ValueError("dq_check needs at least one rule")
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out

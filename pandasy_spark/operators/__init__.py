@@ -3,6 +3,7 @@
 from .aggregates import agg, cube, grouping_sets, rollup, top_k_per_group
 from .groupby import sql_groupby_apply, whole_frame_apply_distributed
 from .asof import asof_join
+from .scd import scd2_apply
 from .rangejoin import tolerance_join
 from .skew import adaptive_salted_join, salted_join
 from .sort import limit, order_by, top_k
@@ -20,6 +21,7 @@ from .window import window_spec, with_lag_lead, with_ranking, with_running
 __all__ = [
     "agg",
     "asof_join",
+    "scd2_apply",
     "adaptive_salted_join",
     "salted_join",
     "tolerance_join",

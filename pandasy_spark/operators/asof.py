@@ -29,16 +29,33 @@ def asof_join(
     right_time: str,
     how: str = "inner",
     right_prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join.
+    """As-of join with the pandas ``merge_asof`` surface.
+
+    ``direction``: 'backward' (greatest right_time <= left_time, the
+    default and DuckDB's ASOF JOIN shape), 'forward' (smallest
+    right_time >= left_time), or 'nearest' (whichever is closer; ties
+    go backward, as in pandas).  ``tolerance`` invalidates matches
+    farther than the given distance — SECONDS for timestamp time
+    columns, same-unit for numerics.
 
     Output: all ``left`` columns, plus ``{right_prefix}{right_time}``
     and every other right payload column prefixed the same way.
-    ``how``: 'inner' drops left rows with no prior right row; 'left'
-    keeps them with NULL payload.
+    ``how``: 'inner' drops left rows with no match; 'left' keeps them
+    with NULL payload.
+
+    Scale shape is unchanged: one shuffle on the key; 'nearest' adds a
+    second sort (opposite tie order) inside the same exchange, never a
+    second shuffle.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join how must be inner|left, got {how!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join direction must be backward|forward|nearest, got {direction!r}"
+        )
     lcols = left.columns
     rpayload = [c for c in right.columns if c not in on and c != right_time]
 
@@ -75,18 +92,67 @@ def asof_join(
     )
     unioned = tagged_r.unionByName(tagged_l)
 
-    # right rows sort before left rows at equal time -> inclusive <=
-    w = (
+    # backward: right rows sort BEFORE left rows at equal time so the
+    # running last() includes them -> inclusive <=.  forward mirrors:
+    # right rows sort AFTER left rows and a following-first() includes
+    # the equal-time right -> inclusive >=.
+    w_back = (
         Window.partitionBy(*on)
         .orderBy(F.col("__t"), F.col("__is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t"), F.col("__is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carry_cols = []
+    if direction in ("backward", "nearest"):
+        carry_cols.append(
+            F.last(F.col("__r"), ignorenulls=True).over(w_back).alias("__rb")
+        )
+    if direction in ("forward", "nearest"):
+        carry_cols.append(
+            F.first(F.col("__r"), ignorenulls=True).over(w_fwd).alias("__rf")
+        )
     carried = unioned.select(
         *on,
         "__is_left",
+        F.col("__t"),
         *[F.col(c) for c in lcols if c not in on],
-        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r"),
+        *carry_cols,
     )
+
+    # distance between the left row and a candidate struct, in seconds
+    # for timestamps / native units for numerics
+    is_ts = str(left.schema[left_time].dataType).startswith("Timestamp")
+
+    def dist(r):
+        rt = r[right_time]
+        if is_ts:
+            return F.abs(
+                F.unix_micros(F.col("__t")) - F.unix_micros(rt)
+            ) / F.lit(1_000_000.0)
+        return F.abs(F.col("__t").cast("double") - rt.cast("double"))
+
+    def within(r):
+        if tolerance is None:
+            return r.isNotNull()
+        return r.isNotNull() & (dist(r) <= F.lit(float(tolerance)))
+
+    if direction == "backward":
+        chosen = F.when(within(F.col("__rb")), F.col("__rb"))
+    elif direction == "forward":
+        chosen = F.when(within(F.col("__rf")), F.col("__rf"))
+    else:  # nearest: closer wins, ties go backward (pandas semantics)
+        b, f = F.col("__rb"), F.col("__rf")
+        ok_b, ok_f = within(b), within(f)
+        chosen = (
+            F.when(ok_b & ok_f, F.when(dist(f) < dist(b), f).otherwise(b))
+            .when(ok_b, b)
+            .when(ok_f, f)
+        )
+    carried = carried.withColumn("__r", chosen)
     out = carried.filter(F.col("__is_left") == 1).select(
         *on,
         *[F.col(c) for c in lcols if c not in on],

@@ -1,0 +1,101 @@
+"""Slowly-changing-dimension maintenance (SCD Type 2).
+
+No counterpart in the reference (its surface is stateless frame ops —
+SURVEY.md §2.9); this is the warehouse-side operator a feature/metadata
+dimension needs when history must be preserved: instead of updating a
+row in place, the current version is CLOSED (effective-to stamped) and
+a new open version appended.
+
+Pure declarative joins/unions — Catalyst plans it like any other
+query; at 100 TB the dimension and snapshot join once on the business
+key and everything else is narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["scd2_apply"]
+
+
+def scd2_apply(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    update_ts,
+    eff_from: str = "eff_from",
+    eff_to: str = "eff_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Merge a full ``snapshot`` into an SCD2 ``dim`` table.
+
+    ``dim`` rows carry (keys..., tracked..., eff_from, eff_to NULL for
+    open rows, is_current).  ``snapshot`` carries (keys..., tracked...)
+    — the new truth as of ``update_ts`` (a literal-able timestamp/date
+    value).  Semantics per business key:
+
+    - unchanged (all tracked columns null-safe-equal): dim untouched;
+    - changed: the open row closes (eff_to = update_ts,
+      is_current = false) and a new open row starts at update_ts;
+    - new key: a new open row starts at update_ts;
+    - key absent from the snapshot: dim untouched (no implicit
+      deletes — emit explicit tombstones upstream if needed).
+
+    History rows (is_current = false) pass through untouched.
+
+    Scale shape: one equi-join of the OPEN slice against the snapshot
+    on the business key (broadcast when the snapshot is small), plus
+    unions of narrow projections — no windows, no driver state.
+    """
+    ts = F.lit(update_ts)
+    dim_cols = dim.columns
+    open_rows = dim.filter(F.col(current_col))
+    closed_rows = dim.filter(~F.col(current_col))
+
+    snap = snapshot.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__new_{c}") for c in tracked],
+    )
+    # a key is in the snapshot iff the full-outer join found a right
+    # row — detected via an explicit marker, never by guessing from
+    # tracked-column NULLs (which are legitimate values)
+    joined = open_rows.join(
+        snap.withColumn("__in_snap", F.lit(True)), keys, "full_outer"
+    )
+    changed: Column = F.lit(False)
+    for c in tracked:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"__new_{c}"))
+    has_snap = F.coalesce(F.col("__in_snap"), F.lit(False))
+    has_dim = F.col(eff_from).isNotNull()
+
+    # 1) open rows whose key is absent from the snapshot, or unchanged
+    keep_open = joined.filter(
+        has_dim & (~has_snap | (has_snap & ~changed))
+    ).select(*[F.col(c) for c in dim_cols])
+
+    # 2) open rows superseded by a changed snapshot: close them
+    close = joined.filter(has_dim & has_snap & changed).select(
+        *[
+            ts.alias(eff_to) if c == eff_to
+            else F.lit(False).alias(current_col) if c == current_col
+            else F.col(c)
+            for c in dim_cols
+        ]
+    )
+
+    # 3) new open versions: changed keys + brand-new keys
+    fresh = joined.filter(has_snap & (~has_dim | changed)).select(
+        *[
+            F.col(f"__new_{c}").alias(c) if c in tracked
+            else ts.alias(eff_from) if c == eff_from
+            else F.lit(None).cast(dim.schema[eff_to].dataType).alias(eff_to)
+            if c == eff_to
+            else F.lit(True).alias(current_col) if c == current_col
+            else F.col(c)
+            for c in dim_cols
+        ]
+    )
+
+    return closed_rows.unionByName(keep_open).unionByName(close).unionByName(fresh)

@@ -5331,3 +5331,196 @@ def pipeline_rag(spark, sf_dir):
             "max_tokens": F.max("n_tok").cast("long"),
         },
     )
+
+
+@query(
+    "events_asof_directions",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ), b AS (
+      SELECT l.event_id, l.user_id,
+             (SELECT MAX(r.ts) FROM r
+              WHERE r.user_id = l.user_id AND r.ts <= l.ts) AS mt
+      FROM l
+    ), f AS (
+      SELECT l.event_id, l.user_id,
+             (SELECT MIN(r.ts) FROM r
+              WHERE r.user_id = l.user_id AND r.ts >= l.ts
+                AND epoch_us(r.ts) - epoch_us(l.ts) <= 3600000000) AS mt
+      FROM l
+    ), lab AS (
+      SELECT 'backward' AS mode, event_id, user_id, mt FROM b
+      UNION ALL
+      SELECT 'forward_1h' AS mode, event_id, user_id, mt FROM f
+    )
+    SELECT lab.mode, lab.event_id, lab.user_id, lab.mt AS asof_ts, r.value AS asof_value
+    FROM lab LEFT JOIN r ON r.user_id = lab.user_id AND r.ts = lab.mt
+    """,
+)
+def events_asof_directions(spark, sf_dir):
+    """The pandas merge_asof surface beyond backward (operators/
+    asof.py direction/tolerance): forward as-of with a 1-hour
+    tolerance next to the plain backward join, both as union'd modes
+    so one gate row pins the direction mirror and the tolerance
+    cutoff.  Forward is the same one-shuffle union+carry plan with the
+    opposite tie order; tolerance is a post-carry filter, no extra
+    shuffle.  Oracle: correlated min/max subqueries + payload re-join
+    (right (user, ts) pairs are unique in this data, as the existing
+    ASOF gate already relies on)."""
+    from .operators import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = filter_df(ev, F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = filter_df(ev, F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    back = asof_join(
+        left, right, ["user_id"], "ts", "ts", how="left"
+    ).select(
+        F.lit("backward").alias("mode"), "event_id", "user_id",
+        "asof_ts", "asof_value",
+    )
+    fwd = asof_join(
+        left, right, ["user_id"], "ts", "ts", how="left",
+        direction="forward", tolerance=3600,
+    ).select(
+        F.lit("forward_1h").alias("mode"), "event_id", "user_id",
+        "asof_ts", "asof_value",
+    )
+    return back.unionByName(fwd)
+
+
+@query(
+    "profile_dq",
+    """
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem),
+    ot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
+    SELECT 'not_null' AS rule, 'l_shipdate' AS target,
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL) AS BIGINT)
+             AS violations,
+           t.total, (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL) = 0
+             AS passed
+    FROM t
+    UNION ALL
+    SELECT 'in_range', 'l_quantity',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
+                AS BIGINT),
+           t.total,
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) = 0
+    FROM t
+    UNION ALL
+    SELECT 'accepted_values', 'o_orderstatus',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderstatus IS NULL
+                    OR o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT),
+           ot.total,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus IS NULL
+               OR o_orderstatus NOT IN ('F', 'O', 'P')) = 0
+    FROM ot
+    UNION ALL
+    SELECT 'unique', 'o_orderkey',
+           CAST(COALESCE((SELECT SUM(n) FROM (
+             SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+             HAVING COUNT(*) > 1)), 0) AS BIGINT),
+           ot.total,
+           COALESCE((SELECT SUM(n) FROM (
+             SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+             HAVING COUNT(*) > 1)), 0) = 0
+    FROM ot
+    UNION ALL
+    SELECT 'ref_integrity', 'l_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+                   (SELECT o_orderkey FROM orders)) AS BIGINT),
+           t.total,
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+              (SELECT o_orderkey FROM orders)) = 0
+    FROM t
+    """,
+)
+def profile_dq(spark, sf_dir):
+    """Declarative data-quality expectations (extended/profile.py
+    dq_check) over the fact tables: null / range / accepted-values
+    rules fold into ONE shared aggregate scan per table, uniqueness
+    adds a keyed aggregate, referential integrity an anti-join count.
+    The report rows the oracle pins make the gate fail loudly if any
+    rule's predicate or plumbing drifts."""
+    from .extended.profile import dq_check
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    li_report = dq_check(
+        li,
+        [
+            ("not_null", "l_shipdate"),
+            ("in_range", "l_quantity", 1, 50),
+            ("ref_integrity", "l_orderkey", o, "o_orderkey"),
+        ],
+    )
+    o_report = dq_check(
+        o,
+        [
+            ("accepted_values", "o_orderstatus", ["F", "O", "P"]),
+            ("unique", ["o_orderkey"]),
+        ],
+    )
+    return li_report.unionByName(o_report)
+
+
+@query(
+    "scd2_merge",
+    """
+    SELECT c_custkey, c_acctbal AS bal,
+           TIMESTAMP '2024-01-01 00:00:00' AS eff_from,
+           CAST(NULL AS TIMESTAMP) AS eff_to, TRUE AS is_current
+    FROM customer WHERE c_custkey % 3 <> 0
+    UNION ALL
+    SELECT c_custkey, c_acctbal,
+           TIMESTAMP '2024-01-01 00:00:00',
+           TIMESTAMP '2024-06-01 00:00:00', FALSE
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey, c_acctbal + 1e2,
+           TIMESTAMP '2024-06-01 00:00:00',
+           CAST(NULL AS TIMESTAMP), TRUE
+    FROM customer WHERE c_custkey % 3 = 0
+    """,
+)
+def scd2_merge(spark, sf_dir):
+    """SCD Type-2 dimension maintenance (operators/scd.py scd2_apply):
+    merging a changed snapshot closes each superseded open row
+    (eff_to stamped, is_current dropped) and appends a new open
+    version, leaving unchanged keys and history rows untouched.  One
+    business-key equi-join of the open slice against the snapshot +
+    narrow unions — the oracle states the post-merge table in closed
+    form (keys ≡ 0 mod 3 get +100 balance at the June update)."""
+    import datetime as _dt
+
+    from .operators import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    t0 = _dt.datetime(2024, 1, 1)
+    t1 = _dt.datetime(2024, 6, 1)
+    dim = c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.lit(t0).alias("eff_from"),
+        F.lit(None).cast("timestamp").alias("eff_to"),
+        F.lit(True).alias("is_current"),
+    )
+    snap = c.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")).cast("double").alias("bal"),
+    )
+    return scd2_apply(dim, snap, ["c_custkey"], ["bal"], t1)

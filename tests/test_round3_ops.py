@@ -491,3 +491,143 @@ def test_bucketed_index_search_prunes_buckets(spark, sf_dir, tmp_path):
     expect = sorted(map(tuple, X_text.search_index(idx, ["data", "spark"]).collect()))
     assert sorted(map(tuple, out.collect())) == expect
     spark.sql("DROP TABLE IF EXISTS inv_idx_test")
+
+
+# ---------------------------------------------------------------------------
+# asof directions / dq_check / scd2_apply
+# ---------------------------------------------------------------------------
+
+
+def test_asof_directions_and_tolerance_vs_bruteforce(spark):
+    from pandasy_spark.operators import asof_join
+
+    lrows = [(1, 10.0, "a"), (1, 25.0, "b"), (2, 5.0, "c"), (3, 7.0, "d")]
+    rrows = [(1, 8.0, 100), (1, 12.0, 200), (1, 30.0, 300), (2, 6.0, 400)]
+    left = spark.createDataFrame(lrows, "k long, t double, lbl string")
+    right = spark.createDataFrame(rrows, "k long, t double, v int")
+
+    def brute(direction, tol):
+        out = {}
+        for k, lt, lbl in lrows:
+            cands = [(rt, v) for rk, rt, v in rrows if rk == k]
+            back = [c for c in cands if c[0] <= lt]
+            fwd = [c for c in cands if c[0] >= lt]
+            b = max(back, key=lambda c: c[0]) if back else None
+            f = min(fwd, key=lambda c: c[0]) if fwd else None
+            if tol is not None:
+                if b and abs(lt - b[0]) > tol:
+                    b = None
+                if f and abs(lt - f[0]) > tol:
+                    f = None
+            if direction == "backward":
+                pick = b
+            elif direction == "forward":
+                pick = f
+            else:  # nearest, ties backward
+                if b and f:
+                    pick = f if abs(lt - f[0]) < abs(lt - b[0]) else b
+                else:
+                    pick = b or f
+            out[(k, lbl)] = pick
+        return out
+
+    for direction in ["backward", "forward", "nearest"]:
+        for tol in [None, 3.0]:
+            got = {
+                (r["k"], r["lbl"]): (
+                    None if r["asof_t"] is None else (r["asof_t"], r["asof_v"])
+                )
+                for r in asof_join(
+                    left, right, ["k"], "t", "t", how="left",
+                    direction=direction, tolerance=tol,
+                ).collect()
+            }
+            assert got == brute(direction, tol), (direction, tol)
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    from pandasy_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, 10.0)], "k long, t double")
+    right = spark.createDataFrame(
+        [(1, 8.0, "back"), (1, 12.0, "fwd")], "k long, t double, tag string"
+    )
+    r = asof_join(
+        left, right, ["k"], "t", "t", direction="nearest"
+    ).collect()[0]
+    assert r["asof_tag"] == "back"
+
+
+def test_dq_check_report(spark):
+    from pandasy_spark.extended.profile import dq_check
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "x"), (2, None, "y"), (2, 70.0, "z"), (3, 10.0, None)],
+        "id long, val double, cat string",
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "id long")
+    report = {
+        (r["rule"], r["target"]): (r["violations"], r["total"], r["passed"])
+        for r in dq_check(
+            df,
+            [
+                ("not_null", "cat"),
+                ("in_range", "val", 0, 50),
+                ("accepted_values", "cat", ["x", "y", "z"]),
+                ("unique", ["id"]),
+                ("ref_integrity", "id", ref, "id"),
+            ],
+        ).collect()
+    }
+    assert report[("not_null", "cat")] == (1, 4, False)
+    # NULL val violates in_range; 70 violates range
+    assert report[("in_range", "val")] == (2, 4, False)
+    assert report[("accepted_values", "cat")] == (1, 4, False)
+    assert report[("unique", "id")] == (2, 4, False)  # both id=2 rows
+    assert report[("ref_integrity", "id")] == (1, 4, False)  # id=3 orphan
+
+    clean = spark.createDataFrame([(1, 1.0, "x")], "id long, val double, cat string")
+    ok = dq_check(clean, [("not_null", "cat"), ("unique", ["id"])]).collect()
+    assert all(r["passed"] for r in ok)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dq_check(clean, [])
+    with _pytest.raises(ValueError):
+        dq_check(clean, [("made_up_rule", "cat")])
+
+
+def test_scd2_apply_all_transitions(spark):
+    import datetime as dt
+
+    from pandasy_spark.operators import scd2_apply
+
+    d0, d1 = dt.date(2024, 1, 1), dt.date(2024, 6, 1)
+    dim = spark.createDataFrame(
+        [
+            (1, "alice", 100.0, d0, None, True),
+            (2, "bob", None, d0, None, True),      # NULL tracked value
+            (3, "carol", 300.0, d0, None, True),
+            (1, "alice", 50.0, dt.date(2023, 1, 1), d0, False),  # history
+        ],
+        "k long, name string, bal double, eff_from date, eff_to date,"
+        " is_current boolean",
+    )
+    snap = spark.createDataFrame(
+        [
+            (1, "alice", 150.0),  # changed
+            (2, "bob", None),     # unchanged (null-safe equal)
+            (4, "dan", 400.0),    # new key; key 3 absent -> untouched
+        ],
+        "k long, name string, bal double",
+    )
+    rows = sorted(map(tuple, scd2_apply(dim, snap, ["k"], ["name", "bal"], d1).collect()))
+    assert rows == sorted(
+        [
+            (1, "alice", 50.0, dt.date(2023, 1, 1), d0, False),
+            (1, "alice", 100.0, d0, d1, False),
+            (1, "alice", 150.0, d1, None, True),
+            (2, "bob", None, d0, None, True),
+            (3, "carol", 300.0, d0, None, True),
+            (4, "dan", 400.0, d1, None, True),
+        ]
+    )
