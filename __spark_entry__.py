@@ -74,12 +74,6 @@ _R3_FRONT = [
     "profile_heavy_hitters", "embedding_pca", "events_funnel",
     "events_retention", "streaming_window", "join_salted",
     "streaming_sessionize",
-    # positions 51+: registered after the 50-row recording window on
-    # purpose — the older backlog above must be witnessed THIS round;
-    # these two (added last, scripts_check-verified green) rotate to
-    # the front of the next round's unproven set
-    "dedup_containment", "text_search", "pipeline_rag",
-    "events_asof_directions", "profile_dq", "scd2_merge",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
     "q9_product_profit", "q10_returned_items", "q11_important_stock",
     "q12_shipmode", "q14_promo_effect", "q15_top_supplier",
@@ -92,6 +86,13 @@ _R3_FRONT = [
     "array_functions", "map_functions", "dedup_blocked", "dedup_rolling",
     "dedup_embedding", "sql_passthrough", "text_subword_fingerprint",
     "events_time_rollup",
+    # positions 51+: registered AFTER the 50-row recording window on
+    # purpose — the older backlog above must be witnessed THIS round;
+    # these eight (added late in r3, each scripts_check-verified green)
+    # rotate to the front of the next round's unproven set
+    "dedup_containment", "text_search", "pipeline_rag",
+    "events_asof_directions", "profile_dq", "scd2_merge",
+    "pack_manifest", "sample_temporal_split",
 ]
 
 

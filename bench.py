@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "events_asof_directions",
     "profile_dq",
     "scd2_merge",
+    "pack_manifest",
+    "sample_temporal_split",
 ]
 
 

@@ -61,6 +61,7 @@ __all__ = [
     "domain_cap",
     "mixture_weights",
     "reservoir_per_group",
+    "pack_manifest",
 ]
 
 _BUCKETS = 10_000
@@ -498,4 +499,57 @@ def reservoir_per_group(
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__priority", "__rk")
+    )
+
+
+def pack_manifest(
+    packed: DataFrame,
+    chunk_col: str = "chunk_id",
+    id_col: str = "doc_id",
+    start_col: str = "tok_start",
+    end_col: str = "tok_end",
+) -> DataFrame:
+    """Per-context-window manifest over ``chunk_pack`` output — the
+    table an attention-masking data loader reads: which documents a
+    packed window contains and where their segment boundaries sit
+    (cross-document attention must be masked at those boundaries).
+
+    Output: (chunk, n_docs, n_tokens, segments) with ``segments`` a
+    deterministic ``id:start-end;id:start-end`` rendering in document
+    order — a string, not a nested array, so the result is value-
+    hashable across engines.
+
+    One keyed aggregate on the chunk id (map-side combined; windows
+    hold a bounded number of documents by construction)."""
+    seg = F.concat_ws(
+        ";",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("i"),
+                        F.col(start_col).alias("s"),
+                        F.col(end_col).alias("e"),
+                    )
+                )
+            ),
+            lambda x: F.concat_ws(
+                "", x["i"].cast("string"), F.lit(":"),
+                x["s"].cast("string"), F.lit("-"), x["e"].cast("string"),
+            ),
+        ),
+    )
+    return (
+        packed.groupBy(F.col(chunk_col).alias("chunk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(end_col) - F.col(start_col)).alias("n_tokens"),
+            seg.alias("segments"),
+        )
+        .select(
+            "chunk",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "segments",
+        )
     )

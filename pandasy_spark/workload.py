@@ -5524,3 +5524,91 @@ def scd2_merge(spark, sf_dir):
         ).otherwise(F.col("c_acctbal")).cast("double").alias("bal"),
     )
     return scd2_apply(dim, snap, ["c_custkey"], ["bal"], t1)
+
+
+@query(
+    "pack_manifest",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS e
+      FROM t WHERE n > 0
+    ), x AS (
+      SELECT doc_id, n, e, e - n AS st,
+             unnest(range(CAST((e - n) // 512 AS BIGINT),
+                          CAST(((e - 1) // 512) + 1 AS BIGINT))) AS chunk_id
+      FROM c
+    ), p AS (
+      SELECT doc_id, chunk_id,
+             GREATEST(st, chunk_id * 512) - st AS tok_start,
+             LEAST(e, (chunk_id + 1) * 512) - st AS tok_end
+      FROM x
+    )
+    SELECT CAST(chunk_id AS BIGINT) AS chunk,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok_end - tok_start) AS BIGINT) AS n_tokens,
+           string_agg(doc_id || ':' || tok_start || '-' || tok_end, ';'
+                      ORDER BY doc_id, tok_start, tok_end) AS segments
+    FROM p GROUP BY chunk_id
+    """,
+)
+def pack_manifest(spark, sf_dir):
+    """Attention-mask manifest over the packed context windows
+    (extended/sampling.py pack_manifest on chunk_pack output): per
+    window, the contained documents and their segment boundaries as a
+    deterministic string — what a masking data loader consumes.  One
+    keyed aggregate on the chunk id after the packing plan."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", X_text.token_count(F.col("text")).alias("n_tok")
+    )
+    packed = X_samp.chunk_pack(t, "doc_id", "n_tok", budget=512)
+    return X_samp.pack_manifest(packed)
+
+
+@query(
+    "sample_temporal_split",
+    """
+    WITH c AS (
+      SELECT quantile_cont(epoch_us(ts), 0.8) AS cut FROM events
+    )
+    SELECT CASE WHEN epoch_us(ts) <= c.cut THEN 'train' ELSE 'holdout' END
+             AS split,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM events, c GROUP BY 1
+    """,
+)
+def sample_temporal_split(spark, sf_dir):
+    """Leakage-safe TEMPORAL train/holdout split: everything at or
+    before the exact 80th time percentile trains, the future holds
+    out — the split ML evaluation needs when events correlate over
+    time (a hash split would leak future context into training).  The
+    exact percentile is one aggregate riding a broadcast cross join
+    (no driver collect); the labeling is a narrow map.  Grouped
+    output so the driver pins both counts and boundary membership."""
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.expr("percentile(unix_micros(ts), 0.8)").alias("cut")
+    )
+    labeled = ev.crossJoin(F.broadcast(cut)).select(
+        F.when(F.unix_micros("ts") <= F.col("cut"), "train")
+        .otherwise("holdout")
+        .alias("split"),
+        "event_id",
+    )
+    return agg(
+        labeled,
+        ["split"],
+        {
+            "n": F.count(F.lit(1)),
+            "min_id": F.min("event_id"),
+            "max_id": F.max("event_id"),
+        },
+    )

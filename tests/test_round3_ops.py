@@ -631,3 +631,25 @@ def test_scd2_apply_all_transitions(spark):
             (4, "dan", 400.0, d1, None, True),
         ]
     )
+
+
+def test_pack_manifest_covers_every_chunk_token(spark, sf_dir):
+    from pandasy_spark.extended.sampling import chunk_pack, pack_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        "doc_id", F.size(X_text.tokens(F.col("text"))).alias("n_tok")
+    )
+    packed = chunk_pack(t, "doc_id", "n_tok", budget=128)
+    man = {r["chunk"]: r for r in pack_manifest(packed).collect()}
+    total = t.filter("n_tok > 0").agg(F.sum("n_tok")).collect()[0][0]
+    # every full chunk holds exactly 128 tokens; the tail holds the rest
+    sizes = sorted((c, r["n_tokens"]) for c, r in man.items())
+    assert sum(s for _, s in sizes) == total
+    assert all(s == 128 for _, s in sizes[:-1])
+    # segments string matches n_docs and is ordered by doc id
+    for r in man.values():
+        segs = r["segments"].split(";")
+        assert len(segs) == r["n_docs"]
+        ids = [int(s.split(":")[0]) for s in segs]
+        assert ids == sorted(ids)
