@@ -404,3 +404,68 @@ def test_fuzz_tokenize_vs_reference(spark):
             assert out[row["doc_id"]] == [
                 _reference_encode(w, merges) for w in words
             ]
+
+
+def test_fuzz_heavy_hitters(spark):
+    from pandasy_spark.extended.profile import heavy_hitters
+
+    for seed in SEEDS:
+        docs = _rand_docs(seed + 300)
+        words = spark.createDataFrame(docs).select(
+            F.explode(
+                F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
+            ).alias("w")
+        )
+        exact = sorted(
+            (r["w"], r["count"])
+            for r in words.groupBy("w").count().filter("count >= 5").collect()
+        )
+        got = sorted(
+            (r["w"], r["ct"])
+            for r in heavy_hitters(words, "w", 5, depth=2, width=16).collect()
+        )
+        assert got == exact, seed
+
+
+def test_fuzz_funnel(spark):
+    """Randomized event streams vs a python brute-force funnel."""
+    import datetime as dt
+    import random
+
+    from pandasy_spark.extended.events import funnel
+
+    steps = ["a", "b", "c"]
+    for seed in SEEDS:
+        rng = random.Random(seed + 400)
+        rows = []
+        for i in range(120):
+            rows.append(
+                (
+                    rng.randrange(8),
+                    dt.datetime(2024, 1, 1) + dt.timedelta(minutes=rng.randrange(500)),
+                    rng.choice(steps + ["x"]),
+                )
+            )
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        got = {
+            r["user_id"]: (r["t_0"], r["t_1"], r["t_2"], r["steps_completed"])
+            for r in funnel(df, steps).collect()
+        }
+        # brute force
+        expect = {}
+        for u in {r[0] for r in rows}:
+            ev = sorted((t, s) for uu, t, s in rows if uu == u)
+            t0 = min((t for t, s in ev if s == "a"), default=None)
+            if t0 is None:
+                continue
+            t1 = min((t for t, s in ev if s == "b" and t > t0), default=None)
+            t2 = (
+                min((t for t, s in ev if s == "c" and t > t1), default=None)
+                if t1 is not None
+                else None
+            )
+            n = 1 + (t1 is not None) + (t2 is not None)
+            expect[u] = (t0, t1, t2, n)
+        assert got == expect, seed
