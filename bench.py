@@ -95,6 +95,11 @@ BENCH_QUERIES = [
     "scd2_merge",
     "pack_manifest",
     "sample_temporal_split",
+    "events_sequences",
+    "agg_incremental",
+    "profile_corr",
+    "graph_pagerank",
+    "events_anomaly",
 ]
 
 

@@ -13,7 +13,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "retention_cohorts"]
+__all__ = ["funnel", "retention_cohorts", "sequence_ngrams", "robust_anomalies"]
 
 
 def funnel(
@@ -109,5 +109,116 @@ def retention_cohorts(
             "cohort",
             F.col("period_offset").cast("int").alias("period_offset"),
             F.col("n_users").cast("long").alias("n_users"),
+        )
+    )
+
+
+def sequence_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+    sep: str = ">",
+) -> DataFrame:
+    """Frequent ordered event-type n-grams across user streams — the
+    "what do users do next" path-mining primitive (a Markov-transition
+    / clickstream-pattern count).
+
+    Each user's events are ordered by ``ts_col`` (ties broken by
+    ``tiebreak_col`` so the sequence — and therefore the result — is
+    deterministic); every run of ``n`` consecutive events contributes
+    one n-gram ``t1>t2>...>tn``.  Returns (ngram, n_occurrences,
+    n_users) sorted nowhere — compose with ``top_k_per_group`` or
+    ORDER BY downstream.
+
+    Scale shape: one shuffle on ``user_col`` for the ordering window
+    (per-user streams are bounded; power-user skew is the same
+    exposure as any sessionization and AQE's skew-split handles the
+    window exchange), then one map-side-combined count keyed by the
+    (small) n-gram vocabulary.  ``lead`` avoids materializing
+    per-user event arrays.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(user_col).orderBy(*order)
+    parts = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    gram = F.concat_ws(sep, *parts)
+    complete = parts[-1].isNotNull() if n > 1 else F.lit(True)
+    return (
+        df.select(F.col(user_col), gram.alias("ngram"), complete.alias("ok"))
+        .filter(F.col("ok"))
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(user_col).alias("n_users"),
+        )
+    )
+
+
+def robust_anomalies(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    k: int = 5,
+    decimals: int = 4,
+) -> DataFrame:
+    """Robust (median/MAD) outlier detection per group — the metric
+    anomaly screen that mean/stddev z-scores fail at, because the
+    anomalies themselves inflate the baseline; the median and the
+    median-absolute-deviation are 50%-breakdown robust.
+
+    A value is anomalous when ``|v - median| > k * MAD``.  Output per
+    group: (group, n, n_anomalies, med, mad).
+
+    Determinism: values are snapped to the ``decimals`` integer grid
+    first, so the exact interpolated percentile is a midpoint of two
+    integers — exactly representable — and every later comparison is
+    exact IEEE arithmetic on grid points; the result value-hashes
+    against any engine's ``quantile_cont``.
+
+    Scale shape: two grouped EXACT percentiles (sort-based aggregates,
+    shuffles on the group key) + one broadcast-or-shuffled join of the
+    per-group stats back onto the stream and a final count.  At
+    100 TB swap the exact percentile for ``approx_percentile`` (the
+    same plan shape, fully map-combinable) — exactness of the FLAG
+    only moves where the threshold sits inside the sketch error.
+    """
+    p = float(10**decimals)
+    g = df.select(
+        F.col(group_col).alias("g"),
+        F.floor(F.col(value_col) * p + F.lit(0.5)).cast("long").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    med = g.groupBy("g").agg(F.expr("percentile(v, 0.5)").alias("med_g"))
+    d = g.join(med, "g").select(
+        "g", "v", "med_g", F.abs(F.col("v") - F.col("med_g")).alias("ad")
+    )
+    mad = d.groupBy("g").agg(F.expr("percentile(ad, 0.5)").alias("mad_g"))
+    flagged = d.join(mad, "g")
+    return (
+        flagged.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("ad") > F.lit(float(k)) * F.col("mad_g"), 1)
+                .otherwise(0)
+            ).alias("n_anomalies"),
+            F.first("med_g").alias("med_g"),
+            F.first("mad_g").alias("mad_g"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            "n_anomalies",
+            (F.col("med_g") / F.lit(p)).alias("med"),
+            (F.col("mad_g") / F.lit(p)).alias("mad"),
         )
     )

@@ -28,7 +28,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_numeric", "cms_build", "heavy_hitters", "dq_check"]
+__all__ = [
+    "profile_numeric",
+    "cms_build",
+    "heavy_hitters",
+    "dq_check",
+    "corr_pairs",
+]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -287,3 +293,89 @@ def dq_check(df: DataFrame, rules: list[tuple]) -> DataFrame:
     for fdf in frames[1:]:
         out = out.unionByName(fdf)
     return out
+
+
+def corr_pairs(
+    df: DataFrame,
+    cols: Sequence[str],
+    decimals: int = 4,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix of ``cols`` in ONE pass,
+    exactly — the feature-redundancy screen a profiling run does
+    before training.
+
+    Determinism: ``F.corr`` accumulates doubles, so its last-ULP
+    value depends on partitioning/shuffle order.  Here each input is
+    snapped to its decimal grid as DECIMAL(38,0) integer units, the
+    five moments (Σx, Σy, Σxy, Σx², Σy²) are summed EXACTLY in
+    decimal, and the correlation is assembled from the exact moments
+    with a handful of deterministic IEEE ops:
+
+        corr = (n·Σxy − ΣxΣy) / sqrt((n·Σx²−Σx²)·(n·Σy²−Σy²))
+
+    The result is bit-reproducible across engines and cluster sizes —
+    ``SUM(CAST(FLOOR(x*p + 0.5) AS HUGEINT))`` states the same
+    moments in DuckDB.  Rows where either column is NULL are excluded
+    per pair (pairwise deletion, matching SQL CORR).
+
+    Output: long format (x_col, y_col, corr) for the upper triangle,
+    optionally per group key.  Scale shape: one scan, one map-side-
+    combined aggregate of 5·C(k,2)+k² scalar moments; shuffle volume
+    is one row (or #groups).  Grid products fit DECIMAL(38): with
+    p = 10^4 and |x| < 10^9 the per-row product is < 10^26 and 10^12
+    rows of headroom remain.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("corr_pairs needs at least two columns")
+    dec = T.DecimalType(38, 0)
+    p = float(10**decimals)
+
+    def grid(c: str) -> Column:
+        return F.floor(F.col(c) * p + F.lit(0.5)).cast(dec)
+
+    exprs: list[Column] = []
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    for x, y in pairs:
+        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        gx = F.when(both, grid(x))
+        gy = F.when(both, grid(y))
+        tag = f"{x}__{y}"
+        exprs += [
+            F.count(F.when(both, F.lit(1))).cast(dec).alias(f"n_{tag}"),
+            F.sum(gx).alias(f"sx_{tag}"),
+            F.sum(gy).alias(f"sy_{tag}"),
+            F.sum(gx * gy).alias(f"sxy_{tag}"),
+            F.sum(gx * gx).alias(f"sxx_{tag}"),
+            F.sum(gy * gy).alias(f"syy_{tag}"),
+        ]
+    keys = list(keys)
+    state = df.groupBy(*keys).agg(*exprs) if keys else df.agg(*exprs)
+    rows = []
+    for x, y in pairs:
+        tag = f"{x}__{y}"
+        n = F.col(f"n_{tag}")
+        sx, sy = F.col(f"sx_{tag}"), F.col(f"sy_{tag}")
+        sxy = F.col(f"sxy_{tag}")
+        sxx, syy = F.col(f"sxx_{tag}"), F.col(f"syy_{tag}")
+        # exact decimal covariance/variance numerators, then double
+        cov = (n * sxy - sx * sy).cast("double")
+        vx = (n * sxx - sx * sx).cast("double")
+        vy = (n * syy - sy * sy).cast("double")
+        corr = F.when(
+            (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+        ).otherwise(F.lit(None).cast("double"))
+        rows.append(
+            F.struct(
+                F.lit(x).alias("x_col"),
+                F.lit(y).alias("y_col"),
+                corr.alias("corr"),
+            )
+        )
+    out = state.select(*keys, F.explode(F.array(*rows)).alias("r"))
+    return out.select(*keys, "r.x_col", "r.y_col", "r.corr")

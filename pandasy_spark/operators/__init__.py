@@ -1,6 +1,15 @@
 """Relational, grouped, aggregate, and window operators."""
 
-from .aggregates import agg, cube, grouping_sets, rollup, top_k_per_group
+from .aggregates import (
+    agg,
+    agg_state,
+    cube,
+    finalize_agg_state,
+    grouping_sets,
+    merge_agg_states,
+    rollup,
+    top_k_per_group,
+)
 from .groupby import sql_groupby_apply, whole_frame_apply_distributed
 from .asof import asof_join
 from .scd import scd2_apply
@@ -40,6 +49,9 @@ __all__ = [
     "sql_groupby_apply",
     "whole_frame_apply_distributed",
     "top_k_per_group",
+    "agg_state",
+    "merge_agg_states",
+    "finalize_agg_state",
     "union",
     "window_spec",
     "with_lag_lead",

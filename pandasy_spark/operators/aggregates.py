@@ -24,7 +24,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["agg", "rollup", "cube", "grouping_sets", "top_k_per_group"]
+__all__ = [
+    "agg",
+    "rollup",
+    "cube",
+    "grouping_sets",
+    "top_k_per_group",
+    "agg_state",
+    "merge_agg_states",
+    "finalize_agg_state",
+]
+
+#: algebraic aggregates with a mergeable partial state: the state of a
+#: union of partitions is a pure function of the per-partition states.
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts merge by summing
+    "min": F.min,
+    "max": F.max,
+}
 
 
 def _to_exprs(aggs: dict[str, Column] | Sequence[Column]) -> list[Column]:
@@ -89,3 +107,57 @@ def top_k_per_group(
         df.withColumn(rank_col, fn().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def agg_state(
+    df: DataFrame, keys: Sequence[str], specs: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """Per-key ALGEBRAIC aggregate state — the building block of
+    incremental / materialized-view aggregation.  ``specs`` maps an
+    output column to ``(op, input_col)`` with op in sum|count|min|max
+    (avg = sum state + count state, finalized downstream).
+
+    The state table for yesterday's partitions never needs
+    recomputing: aggregate only the new partition and
+    ``merge_agg_states`` the two states — at 100 TB this turns a
+    full-corpus rescan into a scan of the delta (the DataSketches /
+    Spark partial-aggregation contract, surfaced as an operator).
+    """
+    exprs = []
+    for name, (op, col) in specs.items():
+        if op == "count":
+            exprs.append(F.count(col).alias(name))
+        elif op in ("sum", "min", "max"):
+            exprs.append(getattr(F, op)(col).alias(name))
+        else:
+            raise ValueError(f"non-algebraic op {op!r}")
+    return df.groupBy(*keys).agg(*exprs)
+
+
+def merge_agg_states(
+    states: Sequence[DataFrame],
+    keys: Sequence[str],
+    specs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Merge algebraic states produced by :func:`agg_state` over
+    disjoint row sets: sums/counts add, mins/maxs re-min/max.  One
+    union + one map-side-combined aggregate keyed by ``keys`` —
+    shuffle volume is #groups × #states, independent of corpus size.
+    """
+    if not states:
+        raise ValueError("need at least one state")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    exprs = [
+        _MERGE[op](name).alias(name) for name, (op, _) in specs.items()
+    ]
+    return u.groupBy(*keys).agg(*exprs)
+
+
+def finalize_agg_state(
+    state: DataFrame, derived: dict[str, Column]
+) -> DataFrame:
+    """Project derived aggregates (e.g. avg = sum/count) out of a
+    merged state; a narrow map, no shuffle."""
+    return state.select("*", *[c.alias(n) for n, c in derived.items()])

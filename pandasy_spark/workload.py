@@ -5612,3 +5612,250 @@ def sample_temporal_split(spark, sf_dir):
             "max_id": F.max("event_id"),
         },
     )
+
+
+@query(
+    "events_sequences",
+    """
+    WITH s AS (
+      SELECT user_id,
+             event_type || '>' || lead(event_type, 1) OVER w || '>' ||
+               lead(event_type, 2) OVER w AS ngram,
+             lead(event_type, 2) OVER w IS NOT NULL AS ok
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM s WHERE ok GROUP BY ngram
+    """,
+)
+def events_sequences(spark, sf_dir):
+    """Ordered event-type trigram mining over user streams
+    (extended/events.py sequence_ngrams): clickstream path counts /
+    Markov transitions, the "what happens next" analytics primitive.
+    One user-key window shuffle (ties broken by event_id so the
+    sequence is deterministic), `lead` instead of per-user arrays,
+    then a map-side-combined count over the small n-gram vocabulary."""
+    from .extended.events import sequence_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_ngrams(ev, n=3, tiebreak_col="event_id")
+
+
+@query(
+    "agg_incremental",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents,
+           MIN(o_orderdate) AS first_d,
+           MAX(o_orderdate) AS last_d,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100 / COUNT(o_orderkey) AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_incremental(spark, sf_dir):
+    """Incremental (materialized-view style) aggregation
+    (operators/aggregates.py agg_state / merge_agg_states /
+    finalize_agg_state): the table is split at a date cut into an
+    "already aggregated yesterday" slice and a "new arrivals" slice,
+    each reduced to its algebraic state independently, and the MERGED
+    states must equal a full recompute — which is exactly what the
+    oracle states.  At 100 TB this is the pattern that replaces a
+    full-corpus rescan with a scan of the delta partition: sums/counts
+    add, mins/maxs re-min — shuffle volume is #groups per state, never
+    #rows.  Integer-cent sums keep the merge order-exact."""
+    import datetime as _dt
+
+    from .operators import agg_state, finalize_agg_state, merge_agg_states
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "cents_g", F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    )
+    cut = _dt.datetime(1997, 1, 1)
+    specs = {
+        "n": ("count", "o_orderkey"),
+        "cents": ("sum", "cents_g"),
+        "first_d": ("min", "o_orderdate"),
+        "last_d": ("max", "o_orderdate"),
+    }
+    keys = ["o_orderpriority"]
+    old_state = agg_state(o.filter(F.col("o_orderdate") < cut), keys, specs)
+    new_state = agg_state(o.filter(F.col("o_orderdate") >= cut), keys, specs)
+    merged = merge_agg_states([old_state, new_state], keys, specs)
+    return finalize_agg_state(
+        merged,
+        {
+            "avg_price": F.col("cents").cast("double")
+            / F.lit(100.0)
+            / F.col("n")
+        },
+    )
+
+
+@query(
+    "profile_corr",
+    """
+    WITH g AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_quantity      * 10000 + 0.5) AS HUGEINT) AS gq,
+             CAST(FLOOR(l_extendedprice * 10000 + 0.5) AS HUGEINT) AS gp,
+             CAST(FLOOR(l_discount      * 10000 + 0.5) AS HUGEINT) AS gd
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(gq) AS sq, SUM(gp) AS sp, SUM(gd) AS sd,
+             SUM(gq*gq) AS sqq, SUM(gp*gp) AS spp, SUM(gd*gd) AS sdd,
+             SUM(gq*gp) AS sqp, SUM(gq*gd) AS sqd, SUM(gp*gd) AS spd
+      FROM g GROUP BY l_returnflag
+    ), pairs AS (
+      SELECT l_returnflag, 'l_quantity' AS x_col, 'l_extendedprice' AS y_col,
+             CAST(n*sqp - sq*sp AS DOUBLE) /
+               SQRT(CAST(n*sqq - sq*sq AS DOUBLE) *
+                    CAST(n*spp - sp*sp AS DOUBLE)) AS c
+      FROM m
+      UNION ALL
+      SELECT l_returnflag, 'l_quantity', 'l_discount',
+             CAST(n*sqd - sq*sd AS DOUBLE) /
+               SQRT(CAST(n*sqq - sq*sq AS DOUBLE) *
+                    CAST(n*sdd - sd*sd AS DOUBLE))
+      FROM m
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', 'l_discount',
+             CAST(n*spd - sp*sd AS DOUBLE) /
+               SQRT(CAST(n*spp - sp*sp AS DOUBLE) *
+                    CAST(n*sdd - sd*sd AS DOUBLE))
+      FROM m
+    )
+    SELECT l_returnflag, x_col, y_col,
+           FLOOR(c * 1000000000 + 0.5) / 1000000000 AS corr
+    FROM pairs
+    """,
+)
+def profile_corr(spark, sf_dir):
+    """Pairwise Pearson correlation matrix per return flag in ONE scan
+    (extended/profile.py corr_pairs): feature-redundancy profiling.
+    Every moment (Σx, Σy, Σxy, Σx², Σy²) is summed EXACTLY on a
+    DECIMAL(38,0) integer grid — F.corr's double accumulation is
+    shuffle-order-dependent in the last ULP and would never value-hash
+    across engines — then the correlation is a handful of
+    deterministic IEEE ops over the exact moments.  One
+    map-side-combined aggregate; shuffle volume = #groups."""
+    from .extended.profile import corr_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = corr_pairs(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        decimals=4,
+        keys=["l_returnflag"],
+    )
+    return out.select("l_returnflag", "x_col", "y_col", qr(F.col("corr"), 9).alias("corr"))
+
+
+@query(
+    "graph_pagerank",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst
+      FROM lineitem
+    ), nd AS (
+      SELECT DISTINCT src AS node FROM e
+      UNION SELECT DISTINCT dst AS node FROM e
+    ), dg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nd
+    ), c1 AS (
+      SELECT e.dst AS node, CAST(SUM(r0.r // dg.outdeg) AS BIGINT) AS inc
+      FROM e JOIN r0 ON e.src = r0.node JOIN dg ON e.src = dg.src
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT nd.node,
+             CAST(150000000 + (85 * COALESCE(c1.inc, 0)) // 100 AS BIGINT) AS r
+      FROM nd LEFT JOIN c1 ON nd.node = c1.node
+    ), c2 AS (
+      SELECT e.dst AS node, CAST(SUM(r1.r // dg.outdeg) AS BIGINT) AS inc
+      FROM e JOIN r1 ON e.src = r1.node JOIN dg ON e.src = dg.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT nd.node,
+             CAST(150000000 + (85 * COALESCE(c2.inc, 0)) // 100 AS BIGINT) AS r
+      FROM nd LEFT JOIN c2 ON nd.node = c2.node
+    ), c3 AS (
+      SELECT e.dst AS node, CAST(SUM(r2.r // dg.outdeg) AS BIGINT) AS inc
+      FROM e JOIN r2 ON e.src = r2.node JOIN dg ON e.src = dg.src
+      GROUP BY e.dst
+    ), r3 AS (
+      SELECT nd.node,
+             CAST(150000000 + (85 * COALESCE(c3.inc, 0)) // 100 AS BIGINT) AS r
+      FROM nd LEFT JOIN c3 ON nd.node = c3.node
+    )
+    SELECT node, r AS rank_nano FROM r3
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the symmetrized part↔supplier
+    bipartite graph from lineitem (extended/graph.py pagerank) —
+    iterative graph analytics as a chain of relational rounds, the
+    companion to connected components (extended/dedup.py).  Ranks live
+    in BIGINT nano-units and every update is integer floor-division,
+    so 3 iterations are bit-reproducible and the oracle unrolls the
+    identical rounds as CTEs.  Each round = one |V|-vs-|E| equi-join
+    (AQE broadcasts the rank side when small) + one map-side-combined
+    sum on dst; localCheckpoint bounds lineage.  Supplier ids offset
+    by 10^6 to disjoin the node spaces."""
+    from .extended.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 1000000).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, iterations=3)
+
+
+@query(
+    "events_anomaly",
+    """
+    WITH g AS (
+      SELECT event_type AS g, FLOOR(value * 10000 + 0.5) AS v
+      FROM events WHERE value IS NOT NULL
+    ), m AS (
+      SELECT g, quantile_cont(v, 0.5) AS med_g FROM g GROUP BY g
+    ), d AS (
+      SELECT g.g, v, med_g, ABS(v - med_g) AS ad FROM g JOIN m USING (g)
+    ), md AS (
+      SELECT g, quantile_cont(ad, 0.5) AS mad_g FROM d GROUP BY g
+    )
+    SELECT d.g AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN ad > 5e0 * mad_g THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies,
+           ANY_VALUE(med_g) / 10000 AS med,
+           ANY_VALUE(mad_g) / 10000 AS mad
+    FROM d JOIN md USING (g) GROUP BY d.g
+    """,
+)
+def events_anomaly(spark, sf_dir):
+    """Robust median/MAD outlier detection per event type
+    (extended/events.py robust_anomalies): |v - median| > 5·MAD flags
+    anomalies without the baseline-inflation failure of mean/stddev
+    z-scores.  Values snap to the 1e-4 integer grid first so the
+    exact interpolated median is a midpoint of integers — exactly
+    representable — and the flag comparison is exact IEEE arithmetic
+    that value-hashes against DuckDB's quantile_cont.  Two grouped
+    exact percentiles + stats joined back; at 100 TB the documented
+    swap is approx_percentile with the identical plan shape."""
+    from .extended.events import robust_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return robust_anomalies(ev, "value", "event_type", k=5)

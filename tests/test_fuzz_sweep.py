@@ -469,3 +469,137 @@ def test_fuzz_funnel(spark):
             n = 1 + (t1 is not None) + (t2 is not None)
             expect[u] = (t0, t1, t2, n)
         assert got == expect, seed
+
+
+def test_fuzz_sequence_ngrams(spark):
+    """Randomized event streams vs a DuckDB lead-window oracle."""
+    import random
+
+    from pandasy_spark.extended.events import sequence_ngrams
+
+    for seed in SEEDS:
+        rng = random.Random(seed + 500)
+        rows = [
+            (
+                i,
+                dt.datetime(2024, 1, 1)
+                + dt.timedelta(minutes=rng.randrange(60)),  # many ts ties
+                rng.randrange(6),
+                rng.choice("abcd"),
+            )
+            for i in range(150)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        assert_duck_eq(
+            sequence_ngrams(df, n=2, tiebreak_col="event_id"),
+            """
+            WITH s AS (
+              SELECT user_id,
+                     event_type || '>' || lead(event_type, 1) OVER w AS ngram,
+                     lead(event_type, 1) OVER w IS NOT NULL AS ok
+              FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM s WHERE ok GROUP BY ngram
+            """,
+            ev=df,
+        )
+
+
+def test_fuzz_agg_state_merge(spark):
+    """Random split points + NULL keys: merged states == full recompute."""
+    from pandasy_spark.operators import agg_state, merge_agg_states
+
+    specs = {
+        "n": ("count", "v"),
+        "s": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    for seed in SEEDS:
+        pdf = _obj(make_rand_df(80, seed=seed + 600, k=(int, 20), v=(int, 15)))
+        df = spark.createDataFrame(pdf, "k bigint, v bigint")
+        cut = seed * 13 % 7 - 3
+        parts = [
+            df.filter(F.col("v") < cut),
+            df.filter(F.col("v") >= cut),
+            df.filter(F.col("v").isNull()),
+        ]
+        merged = merge_agg_states(
+            [agg_state(p, ["k"], specs) for p in parts], ["k"], specs
+        )
+        full = agg_state(df, ["k"], specs)
+        key = lambda r: (float("-inf") if r[0] is None else r[0],)
+        assert sorted(map(tuple, merged.collect()), key=key) == sorted(
+            map(tuple, full.collect()), key=key
+        ), seed
+
+
+def test_fuzz_corr_pairs_vs_numpy(spark):
+    import numpy as np
+
+    from pandasy_spark.extended.profile import corr_pairs
+
+    for seed in SEEDS:
+        rng = np.random.RandomState(seed + 700)
+        n = 50 + seed * 17
+        x = np.round(rng.uniform(-50, 50, n), 2)
+        y = np.round(rng.uniform(0, 10, n) + x * (seed % 3 - 1), 2)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+        )
+        got = corr_pairs(df, ["x", "y"], decimals=2).collect()[0]["corr"]
+        assert abs(got - np.corrcoef(x, y)[0, 1]) < 1e-9, seed
+
+
+def test_fuzz_pagerank_vs_reference(spark):
+    import random
+
+    from pandasy_spark.extended.graph import pagerank
+    from tests.test_round3b_ops import _pagerank_numpy
+
+    for seed in SEEDS:
+        rng = random.Random(seed + 800)
+        edges = list(
+            {(rng.randrange(12), rng.randrange(12)) for _ in range(30)}
+        )
+        edges = [(s, d) for s, d in edges if s != d]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        it = 1 + seed % 4
+        got = {
+            r["node"]: r["rank_nano"]
+            for r in pagerank(df, iterations=it, checkpoint_every=1).collect()
+        }
+        assert got == _pagerank_numpy(edges, it), seed
+
+
+def test_fuzz_robust_anomalies_vs_python(spark):
+    import random
+    import statistics
+
+    from pandasy_spark.extended.events import robust_anomalies
+
+    for seed in SEEDS:
+        rng = random.Random(seed + 900)
+        rows = [
+            (rng.choice("pq"), round(rng.uniform(0, 20), 2))
+            for _ in range(60)
+        ] + [("p", 500.0)]
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        got = {
+            r["event_type"]: (r["n"], r["n_anomalies"], r["med"], r["mad"])
+            for r in robust_anomalies(df, k=5).collect()
+        }
+        for grp in "pq":
+            vals = [round(v * 10000) for g, v in rows if g == grp]
+            med = statistics.median(vals)
+            ads = [abs(v - med) for v in vals]
+            mad = statistics.median(ads)
+            n_anom = sum(1 for a in ads if a > 5 * mad)
+            assert got[grp] == (len(vals), n_anom, med / 10000, mad / 10000), (
+                seed,
+                grp,
+            )

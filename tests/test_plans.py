@@ -152,3 +152,22 @@ def test_dedup_span_shuffles_on_uniform_fingerprints(spark, sf_dir):
     assert "partial_min" in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_profile_corr_is_one_scan_one_aggregate(spark, sf_dir):
+    """corr_pairs claims ONE pass: every pairwise moment must ride a
+    single lineitem scan (one FileScan) feeding one hash aggregate —
+    no per-pair re-scans, no joins."""
+    plan = _plan(spark, sf_dir, "profile_corr")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_agg_incremental_merges_states_not_rows(spark, sf_dir):
+    """The merged-state plan re-aggregates two per-slice states on the
+    group key: two scans (old + new slice), no join — the merge is a
+    union + aggregate whose shuffle volume is #groups per state."""
+    plan = _plan(spark, sf_dir, "agg_incremental")
+    assert "Join" not in plan
+    assert "Union" in plan

@@ -1,0 +1,289 @@
+"""Tests for the late round-3 operator batch: event-sequence n-grams,
+incremental algebraic aggregate states, single-pass exact correlation,
+and integer-exact PageRank.
+
+Each has a DuckDB-oracle gate query in workload.py; these pin the
+properties and hand-checkable cases the row-level gates can't state.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pandasy_spark.extended.events import sequence_ngrams
+from pandasy_spark.extended.graph import SCALE, pagerank
+from pandasy_spark.extended.profile import corr_pairs
+from pandasy_spark.operators.aggregates import (
+    agg_state,
+    finalize_agg_state,
+    merge_agg_states,
+)
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+# ---------------------------------------------------------------------------
+# sequence_ngrams
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_ngrams_hand_computed(spark):
+    rows = [
+        (1, _ts(1), 1, "a"),
+        (2, _ts(2), 1, "b"),
+        (3, _ts(3), 1, "c"),
+        (4, _ts(4), 1, "a"),
+        (5, _ts(1), 2, "a"),
+        (6, _ts(2), 2, "b"),
+        (7, _ts(3), 2, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        r["ngram"]: (r["n_occurrences"], r["n_users"])
+        for r in sequence_ngrams(df, n=3, tiebreak_col="event_id").collect()
+    }
+    # user 1: a>b>c, b>c>a; user 2: a>b>c
+    assert out == {"a>b>c": (2, 2), "b>c>a": (1, 1)}
+
+
+def test_sequence_ngrams_tiebreak_determinism(spark):
+    # two events at the SAME timestamp: order must come from event_id
+    rows = [
+        (10, _ts(1), 1, "x"),
+        (11, _ts(1), 1, "y"),
+        (12, _ts(2), 1, "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["ngram"] for r in sequence_ngrams(df, n=2, tiebreak_col="event_id").collect()}
+    assert out == {"x>y", "y>z"}
+
+
+def test_sequence_ngrams_unigram_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(1), 1, "a"), (2, _ts(2), 1, "a")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = sequence_ngrams(df, n=1).collect()
+    assert [(r["ngram"], r["n_occurrences"]) for r in got] == [("a", 2)]
+    with pytest.raises(ValueError):
+        sequence_ngrams(df, n=0)
+
+
+# ---------------------------------------------------------------------------
+# agg_state / merge_agg_states / finalize_agg_state
+# ---------------------------------------------------------------------------
+
+_SPECS = {
+    "n": ("count", "v"),
+    "s": ("sum", "v"),
+    "lo": ("min", "v"),
+    "hi": ("max", "v"),
+}
+
+
+def test_merged_state_equals_full_recompute(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", i * 7) for i in range(5)],
+        "k string, v long",
+    )
+    old = df.filter(F.col("v") < 10)
+    new = df.filter(F.col("v") >= 10)
+    merged = merge_agg_states(
+        [agg_state(old, ["k"], _SPECS), agg_state(new, ["k"], _SPECS)],
+        ["k"],
+        _SPECS,
+    )
+    full = agg_state(df, ["k"], _SPECS)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_merge_state_key_only_in_one_side(spark):
+    a = spark.createDataFrame([("only_a", 1)], "k string, v long")
+    b = spark.createDataFrame([("only_b", 2)], "k string, v long")
+    merged = merge_agg_states(
+        [agg_state(a, ["k"], _SPECS), agg_state(b, ["k"], _SPECS)],
+        ["k"],
+        _SPECS,
+    )
+    got = {r["k"]: (r["n"], r["s"]) for r in merged.collect()}
+    assert got == {"only_a": (1, 1), "only_b": (1, 2)}
+
+
+def test_finalize_and_validation(spark):
+    df = spark.createDataFrame([("a", 2), ("a", 4)], "k string, v long")
+    st = agg_state(df, ["k"], _SPECS)
+    fin = finalize_agg_state(st, {"avg": F.col("s") / F.col("n")})
+    assert fin.collect()[0]["avg"] == 3.0
+    with pytest.raises(ValueError):
+        agg_state(df, ["k"], {"bad": ("median", "v")})
+    with pytest.raises(ValueError):
+        merge_agg_states([], ["k"], _SPECS)
+
+
+# ---------------------------------------------------------------------------
+# corr_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_corr_pairs_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    x = np.round(rng.uniform(0, 100, 200), 2)
+    y = np.round(x * 3 + rng.uniform(0, 50, 200), 2)
+    z = np.round(rng.uniform(0, 9, 200), 2)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    got = {
+        (r["x_col"], r["y_col"]): r["corr"]
+        for r in corr_pairs(df, ["x", "y", "z"], decimals=2).collect()
+    }
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    series = {"x": x, "y": y, "z": z}
+    for (a, b), v in got.items():
+        expect = np.corrcoef(series[a], series[b])[0, 1]
+        assert abs(v - expect) < 1e-9
+
+
+def test_corr_pairs_pairwise_null_deletion_and_degenerate(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, None, 5.0)],
+        "x double, y double, c double",
+    )
+    got = {
+        (r["x_col"], r["y_col"]): r["corr"]
+        for r in corr_pairs(df, ["x", "y", "c"], decimals=2).collect()
+    }
+    assert got[("x", "y")] == pytest.approx(1.0)  # null row excluded
+    assert got[("x", "c")] is None  # zero variance -> NULL
+    with pytest.raises(ValueError):
+        corr_pairs(df, ["x"])
+
+
+def test_corr_pairs_grouped(spark):
+    df = spark.createDataFrame(
+        [("g1", 1.0, 1.0), ("g1", 2.0, 2.0), ("g2", 1.0, 2.0), ("g2", 2.0, 1.0)],
+        "g string, x double, y double",
+    )
+    got = {
+        r["g"]: r["corr"]
+        for r in corr_pairs(df, ["x", "y"], keys=["g"]).collect()
+    }
+    assert got["g1"] == pytest.approx(1.0)
+    assert got["g2"] == pytest.approx(-1.0)
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_numpy(edges, iterations, damping_pct=85):
+    """Independent integer-arithmetic reference."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {n: SCALE for n in nodes}
+    base = (100 - damping_pct) * SCALE // 100
+    for _ in range(iterations):
+        inc = {n: 0 for n in nodes}
+        for s, d in edges:
+            inc[d] += rank[s] // out[s]
+        rank = {n: base + (damping_pct * inc[n]) // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_reference_loop(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_nano"] for r in pagerank(df, iterations=4).collect()}
+    assert got == _pagerank_numpy(edges, 4)
+
+
+def test_pagerank_dangling_node_keeps_base_rank(spark):
+    # node 2 has no out-edges: it receives but never sends; node 1
+    # receives nothing so after iteration 1 it sits at the base rank.
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["node"]: r["rank_nano"] for r in pagerank(df, iterations=2).collect()}
+    assert got == _pagerank_numpy([(1, 2)], 2)
+    assert got[1] == (100 - 85) * SCALE // 100
+
+
+def test_pagerank_zero_iterations_and_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["node"]: r["rank_nano"] for r in pagerank(df, iterations=0).collect()}
+    assert got == {1: SCALE, 2: SCALE}
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=-1)
+    with pytest.raises(ValueError):
+        pagerank(df, damping_pct=101)
+
+
+def test_pagerank_symmetric_graph_uniform(spark):
+    # a symmetric cycle is regular: every node must end at the same rank
+    edges = [(i, (i + 1) % 5) for i in range(5)] + [
+        ((i + 1) % 5, i) for i in range(5)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r["rank_nano"] for r in pagerank(df, iterations=3).collect()}
+    assert len(ranks) == 1
+
+
+# ---------------------------------------------------------------------------
+# robust_anomalies
+# ---------------------------------------------------------------------------
+
+
+def test_robust_anomalies_hand_computed(spark):
+    from pandasy_spark.extended.events import robust_anomalies
+
+    # group a: values 1..9 plus an outlier 1000. median=5.5 (of 10
+    # values), MAD over |v-5.5|: {4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,
+    # 994.5} -> median 2.5; threshold 5*2.5=12.5 -> only 1000 flags.
+    vals = [float(i) for i in range(1, 10)] + [1000.0]
+    df = spark.createDataFrame(
+        [("a", v) for v in vals], "event_type string, value double"
+    )
+    r = robust_anomalies(df, "value", "event_type", k=5).collect()[0]
+    assert r["n"] == 10
+    assert r["n_anomalies"] == 1
+    assert r["med"] == pytest.approx(5.5)
+    assert r["mad"] == pytest.approx(2.5)
+
+
+def test_robust_anomalies_constant_group_flags_nothing(spark):
+    from pandasy_spark.extended.events import robust_anomalies
+
+    df = spark.createDataFrame(
+        [("c", 7.0)] * 5, "event_type string, value double"
+    )
+    r = robust_anomalies(df).collect()[0]
+    # MAD = 0: nothing exceeds 5*0 strictly except nonzero deviations;
+    # all values identical -> zero anomalies
+    assert (r["n_anomalies"], r["mad"]) == (0, 0.0)
+
+
+def test_robust_anomalies_nulls_excluded(spark):
+    from pandasy_spark.extended.events import robust_anomalies
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0)],
+        "event_type string, value double",
+    )
+    r = robust_anomalies(df).collect()[0]
+    assert r["n"] == 2
+    assert r["med"] == pytest.approx(2.0)
