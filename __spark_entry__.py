@@ -95,7 +95,7 @@ _R3_FRONT = [
     "events_asof_directions", "profile_dq", "scd2_merge",
     "pack_manifest", "sample_temporal_split",
     "events_sequences", "agg_incremental", "profile_corr",
-    "graph_pagerank", "events_anomaly",
+    "graph_pagerank", "events_anomaly", "multimodal_gif",
 ]
 
 

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "profile_corr",
     "graph_pagerank",
     "events_anomaly",
+    "multimodal_gif",
 ]
 
 

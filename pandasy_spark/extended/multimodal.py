@@ -233,11 +233,13 @@ def decode_image(payload: bytes) -> "object":
     REAL decode for every format a pure numpy+stdlib path can handle —
     PPM (``P6``), 24-bit uncompressed (BI_RGB) BMP, baseline 8-bit
     PNG (gray/RGB/palette/alpha, all five row filters,
-    non-interlaced; DEFLATE via the stdlib ``zlib``), and the JPEG
-    Huffman processes — BASELINE (SOF0/SOF1) and PROGRESSIVE (SOF2,
-    spectral selection + successive approximation), 4:4:4/4:2:2/
-    4:2:0, grayscale, restart markers — ``extended/jpeg.py``,
-    implemented from the public T.81 spec.  Only formats needing an
+    non-interlaced; DEFLATE via the stdlib ``zlib``), GIF
+    (``extended/gif.py``: variable-width LZW, interlacing,
+    transparency, multi-frame), and the JPEG Huffman processes —
+    BASELINE (SOF0/SOF1) and PROGRESSIVE (SOF2, spectral selection +
+    successive approximation), 4:4:4/4:2:2/4:2:0, grayscale, restart
+    markers — ``extended/jpeg.py``, implemented from the public T.81
+    spec.  Only formats needing an
     external library (WebP/AVIF, arithmetic/lossless/12-bit JPEG)
     still raise NotImplementedError —
     swap in a library decoder for those in production; every consumer
@@ -295,10 +297,15 @@ def decode_image(payload: bytes) -> "object":
 
         return decode_jpeg(payload)
 
+    if payload[:4] == b"GIF8":
+        from .gif import decode_gif
+
+        return decode_gif(payload)
+
     raise NotImplementedError(
         "WebP/AVIF require an external codec, not installed; PPM "
-        "(P6), 24-bit BMP, baseline PNG and baseline JPEG decode "
-        "natively"
+        "(P6), 24-bit BMP, baseline PNG, GIF, and baseline/"
+        "progressive JPEG decode natively"
     )
 
 

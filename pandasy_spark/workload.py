@@ -5859,3 +5859,69 @@ def events_anomaly(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return robust_anomalies(ev, "value", "event_type", k=5)
+
+
+@query(
+    "multimodal_gif",
+    # GIF is lossless: a two-color checkerboard round-trips exactly.
+    # cells with (row+col) even: na = ceil(h/2)*ceil(w/2) +
+    # floor(h/2)*floor(w/2); the rest are color B.
+    """
+    WITH p AS (
+      SELECT doc_id,
+             (doc_id % 4) + 1 AS w, (doc_id % 3) + 1 AS h,
+             ((doc_id % 3) + 2) // 2 * (((doc_id % 4) + 2) // 2)
+               + ((doc_id % 3) + 1) // 2 * (((doc_id % 4) + 1) // 2) AS na
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(na * (doc_id % 256) + (w*h - na) * ((doc_id*3) % 256)
+                AS DOUBLE) / (w*h) AS mean_r,
+           CAST(na * ((doc_id*7) % 256) + (w*h - na) * ((doc_id*5) % 256)
+                AS DOUBLE) / (w*h) AS mean_g,
+           CAST(na * ((doc_id*13) % 256) + (w*h - na) * ((doc_id*11) % 256)
+                AS DOUBLE) / (w*h) AS mean_b
+    FROM p
+    """,
+)
+def multimodal_gif(spark, sf_dir):
+    """REAL GIF pipeline, end-to-end and driver-checked: encode a
+    deterministic two-color checkerboard GIF per document (pure
+    numpy+stdlib ``extended/gif.py`` — palettization + variable-width
+    LZW), then run the payloads through ``image_stats``'s mapInPandas
+    decoder (LZW stream, color table, sub-block walk).  GIF is
+    lossless, so the DuckDB oracle states dimensions and exact channel
+    means in closed form — any codec regression (width bookkeeping,
+    table reset, palette mapping) breaks the hash match.  Both UDF
+    stages are Arrow-batched; no shuffle anywhere."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.gif import encode_gif
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w = d % 3 + 1, d % 4 + 1
+                a = (d % 256, (d * 7) % 256, (d * 13) % 256)
+                b = ((d * 3) % 256, (d * 5) % 256, (d * 11) % 256)
+                rr, cc = np.indices((h, w))
+                arr = np.where(
+                    ((rr + cc) % 2 == 0)[:, :, None],
+                    np.array(a, np.uint8),
+                    np.array(b, np.uint8),
+                ).astype(np.uint8)
+                payloads.append(encode_gif(arr))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_gif = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    return X_mm.image_stats(with_gif)
