@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "events_anomaly",
     "multimodal_gif",
+    "streaming_join",
 ]
 
 

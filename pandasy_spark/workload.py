@@ -5925,3 +5925,50 @@ def multimodal_gif(spark, sf_dir):
 
     with_gif = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
     return X_mm.image_stats(with_gif)
+
+
+@query(
+    "streaming_join",
+    """
+    SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'signup' AND r.event_type = 'purchase'
+     AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE
+                  AND l.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_join(spark, sf_dir):
+    """A REAL stream-stream join, driver-witnessed: signup and
+    purchase event streams (both file-source streams over the events
+    table) joined on the user key within a ±30-minute interval
+    (streaming/ops.py stream_stream_tolerance_join — watermarks on
+    both sides bound the state store), drained through an availableNow
+    memory-sink micro-batch, then value-hash-checked against the plain
+    batch interval join.  This pins the streaming join's state
+    buffering, interval matching and commit path — the third
+    Structured Streaming surface inside the driver gate alongside
+    windowed aggregation and session windows."""
+    from .streaming import (
+        run_stream_to_memory,
+        stream_stream_tolerance_join,
+        stream_table,
+    )
+
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_join_gate_{_STREAM_GATE_SEQ[0]}"
+    ev = stream_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    ).withColumnRenamed("r_user", "user_id")
+    joined = stream_stream_tolerance_join(
+        left, right, ["user_id"], "l_ts", "r_ts", 1800, watermark="1 hour"
+    ).select(left["user_id"].alias("user_id"), "l_id", "r_id")
+    q = run_stream_to_memory(joined, name, output_mode="append")
+    q.stop()
+    return spark.table(name)
