@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "events_anomaly",
     "multimodal_gif",
     "streaming_join",
+    "profile_drift",
 ]
 
 

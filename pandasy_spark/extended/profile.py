@@ -27,6 +27,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 __all__ = [
     "profile_numeric",
@@ -34,6 +35,7 @@ __all__ = [
     "heavy_hitters",
     "dq_check",
     "corr_pairs",
+    "distribution_drift",
 ]
 
 _NUMERIC = (
@@ -379,3 +381,76 @@ def corr_pairs(
         )
     out = state.select(*keys, F.explode(F.array(*rows)).alias("r"))
     return out.select(*keys, "r.x_col", "r.y_col", "r.corr")
+
+
+def distribution_drift(
+    df: DataFrame,
+    bucket_col: Column | str,
+    is_baseline: Column,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Distribution drift between a baseline slice and the rest of the
+    table — the "did the data change between snapshots" monitor a
+    pipeline runs before retraining.  Rows where ``is_baseline`` is
+    true form distribution A, the rest B, both histogrammed by
+    ``bucket_col``; the drift score is the total-variation distance
+    ``TVD = 1/2 * Σ_buckets |a_i/N_a − b_i/N_b|``.
+
+    Determinism: the per-bucket term is computed as the exact integer
+    ``|a_i·N_b − b_i·N_a|`` (DECIMAL(38,0) — no float summation
+    anywhere), summed exactly, then divided once by ``2·N_a·N_b`` —
+    bit-reproducible at any partitioning, unlike a float Σ|p−q| whose
+    result depends on shuffle order.  (PSI's ln() terms are NOT
+    engine-portable at the ULP level; TVD needs no transcendentals.)
+
+    Output per key group: (keys..., n_a, n_b, n_buckets, tvd).
+    Scale shape: one scan -> count aggregate keyed by (keys, bucket)
+    — map-side combined, shuffle volume = #buckets × #groups — then a
+    second tiny aggregate over the bucket counts.  DECIMAL(38)
+    headroom: |a_i·N_b| < N², safe beyond 10^18 rows.
+    """
+    dec = T.DecimalType(38, 0)
+    keys = list(keys)
+    b = bucket_col if isinstance(bucket_col, Column) else F.col(bucket_col)
+    counted = (
+        df.select(
+            *keys,
+            b.alias("__bucket"),
+            F.when(is_baseline, 1).otherwise(0).alias("__a"),
+        )
+        .groupBy(*keys, "__bucket")
+        .agg(
+            F.sum("__a").cast(dec).alias("a_i"),
+            F.sum(F.lit(1) - F.col("__a")).cast(dec).alias("b_i"),
+        )
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]) if keys else Window.partitionBy()
+    totals = counted.select(
+        *keys,
+        "a_i",
+        "b_i",
+        F.sum("a_i").over(w).alias("n_a"),
+        F.sum("b_i").over(w).alias("n_b"),
+    )
+    return (
+        totals.groupBy(*keys)
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(
+                F.abs(F.col("a_i") * F.col("n_b") - F.col("b_i") * F.col("n_a"))
+            ).alias("s"),
+        )
+        .select(
+            *keys,
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.col("s").cast("double")
+                / (F.lit(2.0) * F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            ).alias("tvd"),
+        )
+    )

@@ -5972,3 +5972,56 @@ def streaming_join(spark, sf_dir):
     q = run_stream_to_memory(joined, name, output_mode="append")
     q.stop()
     return spark.table(name)
+
+
+@query(
+    "profile_drift",
+    """
+    WITH c AS (
+      SELECT event_type, FLOOR(value / 25) AS bucket,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                           THEN 1 ELSE 0 END) AS HUGEINT) AS a_i,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                           THEN 0 ELSE 1 END) AS HUGEINT) AS b_i
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, SUM(a_i) AS n_a, SUM(b_i) AS n_b,
+             COUNT(*) AS n_buckets
+      FROM c GROUP BY 1
+    ), s AS (
+      SELECT c.event_type,
+             SUM(ABS(c.a_i * t.n_b - c.b_i * t.n_a)) AS s
+      FROM c JOIN t USING (event_type) GROUP BY 1
+    )
+    SELECT t.event_type,
+           CAST(t.n_a AS BIGINT) AS n_a,
+           CAST(t.n_b AS BIGINT) AS n_b,
+           CAST(t.n_buckets AS BIGINT) AS n_buckets,
+           CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+             CAST(s.s AS DOUBLE)
+               / (2e0 * CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE))
+           END AS tvd
+    FROM t JOIN s USING (event_type)
+    """,
+)
+def profile_drift(spark, sf_dir):
+    """Distribution-drift monitor (extended/profile.py
+    distribution_drift): the value distribution of each event type in
+    the first half of January vs the second, scored by
+    total-variation distance.  The per-bucket term |a_i·N_b − b_i·N_a|
+    is exact DECIMAL(38,0) integer arithmetic — no float summation, so
+    the score is bit-reproducible at any partitioning (PSI's ln()
+    terms are not engine-portable; TVD needs no transcendentals).
+    One scan, one (key, bucket)-keyed count aggregate, then a tiny
+    bucket-table aggregate."""
+    import datetime as _dt
+
+    from .extended.profile import distribution_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return distribution_drift(
+        ev,
+        F.floor(F.col("value") / 25),
+        F.col("ts") < _dt.datetime(2024, 1, 16),
+        keys=["event_type"],
+    )

@@ -47,6 +47,12 @@ TOP5 = [
     "profile_heavy_hitters",
     "streaming_window",
     "events_funnel",
+    # late round-3 additions: the iterative graph rounds and the
+    # decimal moment aggregate are where superlinear behavior would
+    # hide; sequence mining adds the user-window + vocab-count shape
+    "graph_pagerank",
+    "profile_corr",
+    "events_sequences",
 ]
 COPY = [
     "region", "nation", "customer", "supplier", "part", "embeddings",

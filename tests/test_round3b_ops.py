@@ -287,3 +287,46 @@ def test_robust_anomalies_nulls_excluded(spark):
     r = robust_anomalies(df).collect()[0]
     assert r["n"] == 2
     assert r["med"] == pytest.approx(2.0)
+
+
+# ---------------------------------------------------------------------------
+# distribution_drift
+# ---------------------------------------------------------------------------
+
+
+def test_drift_identical_halves_zero(spark):
+    from pandasy_spark.extended.profile import distribution_drift
+
+    rows = [("x", i % 5, s) for i in range(50) for s in (True, False)]
+    df = spark.createDataFrame(rows, "k string, v long, base boolean")
+    r = distribution_drift(df, "v", F.col("base"), keys=["k"]).collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_buckets"]) == (50, 50, 5)
+    assert r["tvd"] == 0.0
+
+
+def test_drift_disjoint_is_one(spark):
+    from pandasy_spark.extended.profile import distribution_drift
+
+    rows = [(1, True)] * 10 + [(2, False)] * 7
+    df = spark.createDataFrame(rows, "v long, base boolean")
+    r = distribution_drift(df, "v", F.col("base")).collect()[0]
+    assert r["tvd"] == pytest.approx(1.0)
+
+
+def test_drift_hand_computed(spark):
+    from pandasy_spark.extended.profile import distribution_drift
+
+    # A: bucket1 x3, bucket2 x1 ; B: bucket1 x1, bucket2 x1
+    # p = (.75,.25), q = (.5,.5) -> TVD = .5*(|.25|+|.25|) = 0.25
+    rows = [(1, True)] * 3 + [(2, True)] + [(1, False), (2, False)]
+    df = spark.createDataFrame(rows, "v long, base boolean")
+    r = distribution_drift(df, "v", F.col("base")).collect()[0]
+    assert r["tvd"] == pytest.approx(0.25)
+
+
+def test_drift_empty_side_null(spark):
+    from pandasy_spark.extended.profile import distribution_drift
+
+    df = spark.createDataFrame([(1, True), (2, True)], "v long, base boolean")
+    r = distribution_drift(df, "v", F.col("base")).collect()[0]
+    assert r["tvd"] is None and r["n_b"] == 0
