@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "multimodal_gif",
     "streaming_join",
     "profile_drift",
+    "multimodal_phash",
 ]
 
 

@@ -6025,3 +6025,56 @@ def profile_drift(spark, sf_dir):
         F.col("ts") < _dt.datetime(2024, 1, 16),
         keys=["event_type"],
     )
+
+
+@query(
+    "multimodal_phash",
+    # docs d and d+60 carry the SAME pixels in DIFFERENT byte formats
+    # (PNG vs GIF); distinct patterns sit >=20 bits apart (pinned in
+    # tests), so the <=2 threshold finds exactly the cross-format twins
+    """
+    SELECT doc_id AS id1, doc_id + 60 AS id2, CAST(0 AS INT) AS hamming
+    FROM documents WHERE doc_id < 60
+    """,
+)
+def multimodal_phash(spark, sf_dir):
+    """Perceptual image dedup, end-to-end and driver-checked
+    (extended/multimodal.py image_phash / phash_dup_pairs): each
+    document gets a deterministic random-palette image — docs d and
+    d+60 share PIXELS but not BYTES (d encodes as PNG, d+60 as GIF) —
+    then payloads are decoded and pHashed inside Arrow-batched
+    mapInPandas and near-pairs found by the pigeonhole banded Hamming
+    join (the visual twin of SimHash text dedup).  Exact payload
+    hashing can never find these pairs; the decoded-pixel pHash must.
+    The oracle states the expected pair set in closed form."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 120
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.gif import encode_gif
+        from pandasy_spark.extended.multimodal import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                r = np.random.RandomState(d % 60)
+                pal = np.unique(
+                    r.randint(0, 256, (64, 3), dtype=np.uint8), axis=0
+                )
+                img = pal[r.randint(0, len(pal), (40, 48))]
+                payloads.append(
+                    encode_png(img) if d < 60 else encode_gif(img)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_img = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    hashes = X_mm.image_phash(with_img)
+    return X_mm.phash_dup_pairs(hashes, max_hamming=2).select(
+        "id1", "id2", F.col("hamming").cast("int").alias("hamming")
+    )

@@ -174,3 +174,77 @@ def test_image_stats_drops_corrupt_gif(spark):
     got = image_stats(df).collect()
     assert [r["doc_id"] for r in got] == [1]
     assert got[0]["mean_r"] == 5.0
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (lives here with the codecs it depends on)
+# ---------------------------------------------------------------------------
+
+
+def test_phash_format_agnostic_and_resize_robust():
+    from pandasy_spark.extended.multimodal import (
+        decode_image,
+        encode_png,
+        phash64,
+    )
+
+    rng = np.random.RandomState(5)
+    pal = np.unique(rng.randint(0, 256, (64, 3), dtype=np.uint8), axis=0)
+    img = pal[rng.randint(0, len(pal), (40, 48))]
+    h = phash64(img)
+    assert phash64(decode_image(encode_png(img))) == h
+    assert phash64(decode_image(G.encode_gif(img))) == h
+    big = np.kron(img, np.ones((2, 2, 1), np.uint8))
+    assert bin((phash64(big) ^ h) & (2**64 - 1)).count("1") <= 2
+
+
+def test_phash_distinct_images_far_apart():
+    import itertools
+
+    from pandasy_spark.extended.multimodal import phash64
+
+    hs = []
+    for s in range(30):
+        r = np.random.RandomState(s)
+        pal = np.unique(r.randint(0, 256, (64, 3), dtype=np.uint8), axis=0)
+        hs.append(phash64(pal[r.randint(0, len(pal), (40, 48))]))
+    mind = min(
+        bin((a ^ b) & (2**64 - 1)).count("1")
+        for a, b in itertools.combinations(hs, 2)
+    )
+    assert mind > 8  # banded threshold 2 has wide margin
+
+
+def test_phash_dup_pairs_finds_cross_format_twins(spark):
+    from pandasy_spark.extended.multimodal import (
+        image_phash,
+        phash_dup_pairs,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for d in range(6):
+        pal = np.unique(
+            np.random.RandomState(d % 3)
+            .randint(0, 256, (32, 3), dtype=np.uint8),
+            axis=0,
+        )
+        img = pal[np.random.RandomState(d % 3).randint(0, len(pal), (20, 24))]
+        payload = encode_png(img) if d < 3 else G.encode_gif(img)
+        rows.append((d, bytearray(payload)))
+    rows.append((99, bytearray(b"not an image")))  # dropped, not fatal
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in phash_dup_pairs(image_phash(df), max_hamming=2).collect()
+    }
+    assert pairs == {(0, 3), (1, 4), (2, 5)}
+
+
+def test_phash_dup_pairs_validates_blocks(spark):
+    from pandasy_spark.extended.multimodal import phash_dup_pairs
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, phash long")
+    with pytest.raises(ValueError):
+        phash_dup_pairs(df, max_hamming=4, blocks=4)
