@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "streaming_join",
     "profile_drift",
     "multimodal_phash",
+    "multimodal_wav",
 ]
 
 

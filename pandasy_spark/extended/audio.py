@@ -1,0 +1,174 @@
+"""Pure numpy+stdlib WAV codec and exact audio features.
+
+Implemented from the public RIFF/WAVE format description (the
+Microsoft multimedia file format spec): chunk walk, PCM fmt parsing,
+16-bit sample decode.  Companion to the image codecs
+(``extended/gif.py``, ``extended/jpeg.py``): audio payloads are
+opaque ``binary`` columns and feature extraction runs inside
+Arrow-batched ``mapInPandas``.  Compressed codecs (MP3/AAC/Opus) and
+float/24-bit PCM need an external library and raise
+NotImplementedError — the same quarantine contract as WebP images.
+
+Features are INTEGER-EXACT so gates can value-hash them: the RMS is
+``sqrt(Σx²/n)`` with the sum accumulated in int64 (no float
+summation), zero crossings and peak are integer counts — all
+bit-reproducible at any partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+__all__ = ["decode_wav", "encode_wav", "wav_features", "WAV_FEATURE_COLS"]
+
+
+def encode_wav(samples: "object", sample_rate: int = 16000) -> bytes:
+    """Encode int16 samples (``(n,)`` mono or ``(n, ch)``) as a
+    canonical RIFF/WAVE PCM16 payload."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    data = a.astype("<i2").tobytes()
+    block = ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, 16
+    )
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+    out += b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+def decode_wav(payload: bytes) -> "tuple":
+    """Decode a RIFF/WAVE payload to ``(samples int16 (n, ch),
+    sample_rate)``.  Walks chunks (LIST/INFO etc. are skipped), PCM
+    format 1 with 16-bit depth only; anything else raises
+    NotImplementedError (compressed / float audio needs a library)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE signature")
+    pos = 12
+    fmt = None
+    data = None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("truncated WAV data chunk")
+            data = body
+            break
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, ch, rate, _bps, _block, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 WAV decodes natively (format={audio_format}, "
+            f"bits={bits}); compressed/float audio needs a codec library"
+        )
+    if ch < 1:
+        raise ValueError("WAV with zero channels")
+    usable = (len(data) // (2 * ch)) * ch
+    a = np.frombuffer(data, "<i2", count=usable).reshape(-1, ch)
+    return a, rate
+
+
+WAV_FEATURE_COLS = (
+    "doc_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_ms long, peak int, rms double, zero_crossings long"
+)
+
+
+def wav_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio features over Arrow-batched ``mapInPandas``: decode
+    WAV, then per payload (channel 0 for multi-channel):
+
+    - ``peak`` = max |x| (int)
+    - ``rms``  = sqrt(Σx²/n) — Σx² in int64, one sqrt: exact-input
+      deterministic, so a synthetic-waveform oracle can pin it
+    - ``zero_crossings`` = #i>0 with sign(x_i) != sign(x_{i-1}),
+      zeros keeping the previous sign (so a square wave's count is
+      exact)
+
+    Non-decodable payloads are dropped (quarantine contract, same as
+    :func:`image_stats`).  Scale shape: narrow mapInPandas, no
+    shuffle; the per-batch loop is numpy-vectorized per payload.
+    """
+    import numpy as np
+
+    from .multimodal import DECODE_ERRORS
+
+    id_name, payload_name = id_col, payload_col
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_name], pdf[payload_name]):
+                try:
+                    a, rate = decode_wav(bytes(p))
+                except DECODE_ERRORS:
+                    continue
+                x = a[:, 0].astype(np.int64)
+                n = len(x)
+                if n == 0:
+                    continue
+                sq = int((x * x).sum())
+                sgn = np.sign(x)
+                # zeros inherit the previous sign: forward-fill
+                nz = sgn != 0
+                idx = np.where(nz, np.arange(n), 0)
+                np.maximum.accumulate(idx, out=idx)
+                filled = sgn[idx]
+                zc = int(
+                    ((filled[1:] != filled[:-1]) & (filled[:-1] != 0)).sum()
+                )
+                rows.append(
+                    (
+                        int(did),
+                        int(rate),
+                        a.shape[1],
+                        n,
+                        n * 1000 // int(rate),
+                        int(np.abs(x).max()),
+                        float(np.sqrt(sq / n)),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_ms", "peak", "rms", "zero_crossings",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "sample_rate": "int32",
+                    "n_channels": "int32", "n_samples": "int64",
+                    "duration_ms": "int64", "peak": "int32",
+                    "rms": "float64", "zero_crossings": "int64",
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _extract, schema=WAV_FEATURE_COLS
+    )

@@ -5,12 +5,13 @@ metadata struct; decode / feature-extraction run as Arrow-batched
 pandas iterators over ``mapInPandas`` — the Spark-side plumbing
 (schema, batch shape, partitioning) is real and tested.  Decoding is
 REAL for every format a numpy+stdlib path can handle: PPM P6, 24-bit
-BMP, baseline 8-bit PNG, and the JPEG Huffman processes — BASELINE
+BMP, baseline 8-bit PNG, GIF (``extended/gif.py``), WAV audio
+(``extended/audio.py``), and the JPEG Huffman processes — BASELINE
 and PROGRESSIVE/SOF2 (``decode_image`` / ``image_stats``;
 ``encode_png`` / ``extended.jpeg.encode_jpeg`` are the round-trip
-writers).  Only WebP/AVIF and the rare JPEG processes (arithmetic
-coding, lossless, 12-bit) still require an external codec and raise
-NotImplementedError.  ``extract_features`` keeps the
+writers).  Only WebP/AVIF, compressed/float audio (MP3/AAC/Opus),
+and the rare JPEG processes (arithmetic coding, lossless, 12-bit)
+still require an external codec and raise NotImplementedError.  ``extract_features`` keeps the
 deterministic byte-derived fake so its gate query stays
 engine-oracle-checkable.
 """

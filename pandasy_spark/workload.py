@@ -6078,3 +6078,64 @@ def multimodal_phash(spark, sf_dir):
     return X_mm.phash_dup_pairs(hashes, max_hamming=2).select(
         "id1", "id2", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+@query(
+    "multimodal_wav",
+    # square wave with half-period h: RMS == amplitude exactly,
+    # zero crossings == (n-1) // h — the codec's closed form
+    """
+    WITH p AS (
+      SELECT doc_id,
+             1 + doc_id % 8 AS h,
+             1000 + doc_id % 2000 AS amp,
+             200 + doc_id % 50 AS n
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(amp AS INT) AS peak,
+           CAST(amp AS DOUBLE) AS rms,
+           CAST((n - 1) // h AS BIGINT) AS zero_crossings
+    FROM p
+    """,
+)
+def multimodal_wav(spark, sf_dir):
+    """REAL audio pipeline, end-to-end and driver-checked
+    (extended/audio.py): encode a deterministic PCM16 square wave per
+    document (RIFF/WAVE writer), then decode + feature-extract inside
+    Arrow-batched mapInPandas (chunk walk, fmt parsing, int64-exact
+    RMS / zero-crossing counts).  Square waves make every feature
+    closed-form — RMS equals the amplitude EXACTLY because Σx² = n·A²
+    — so the oracle pins the whole decode path; any header-parsing or
+    sample-decode regression breaks the hash.  Replaces nothing: the
+    byte-arithmetic metadata stub (multimodal_audio) remains the
+    JVM-only fast path for when payloads are headerless PCM."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 300
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.audio import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, amp, n = 1 + d % 8, 1000 + d % 2000, 200 + d % 50
+                i = np.arange(n)
+                x = np.where((i // h) % 2 == 0, amp, -amp).astype(np.int16)
+                payloads.append(encode_wav(x, 8000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_wav = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    from pandasy_spark.extended.audio import wav_features
+
+    return wav_features(with_wav)

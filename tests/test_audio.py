@@ -1,0 +1,85 @@
+"""WAV codec + exact-feature tests (pandasy_spark/extended/audio.py)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from pandasy_spark.extended.audio import decode_wav, encode_wav, wav_features
+
+
+def test_round_trip_mono_and_stereo():
+    rng = np.random.RandomState(0)
+    mono = rng.randint(-32768, 32768, 500).astype(np.int16)
+    a, r = decode_wav(encode_wav(mono, 8000))
+    assert r == 8000 and a.shape == (500, 1) and (a[:, 0] == mono).all()
+    st = rng.randint(-32768, 32768, (300, 2)).astype(np.int16)
+    a, r = decode_wav(encode_wav(st, 44100))
+    assert r == 44100 and a.shape == (300, 2) and (a == st).all()
+
+
+def test_chunk_walk_skips_list_chunks():
+    mono = np.arange(-50, 50, dtype=np.int16)
+    enc = bytearray(encode_wav(mono, 16000))
+    lst = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    spliced = bytes(enc[:12]) + lst + bytes(enc[12:])
+    a, r = decode_wav(spliced)
+    assert (a[:, 0] == mono).all()
+
+
+def test_quarantine_non_pcm16():
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    bad = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(bad)
+    with pytest.raises(ValueError):
+        decode_wav(b"JUNKJUNKJUNKJUNK")
+    with pytest.raises(ValueError):
+        decode_wav(encode_wav(np.zeros(4, np.int16))[:20])
+
+
+def test_features_square_wave_closed_form(spark):
+    h, amp, n = 3, 1000, 20
+    i = np.arange(n)
+    x = np.where((i // h) % 2 == 0, amp, -amp).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(x, 8000))), (2, bytearray(b"bad"))],
+        "doc_id long, payload binary",
+    )
+    rows = wav_features(df).collect()
+    assert len(rows) == 1  # corrupt payload dropped
+    r = rows[0]
+    assert r["n_samples"] == n and r["peak"] == amp
+    assert r["rms"] == float(amp)  # Σx² = n·A² exactly
+    assert r["zero_crossings"] == (n - 1) // h
+    assert r["duration_ms"] == n * 1000 // 8000
+
+
+def test_zero_samples_keep_previous_sign(spark):
+    # +A, 0, -A: the zero keeps +, so exactly ONE crossing (+ -> -);
+    # leading zeros never count as a crossing
+    x = np.array([0, 0, 5, 0, -5], np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(x, 8000)))], "doc_id long, payload binary"
+    )
+    r = wav_features(df).collect()[0]
+    assert r["zero_crossings"] == 1
+    assert r["peak"] == 5
+
+
+def test_stereo_features_use_channel_zero(spark):
+    left = np.array([100, -100, 100, -100], np.int16)
+    right = np.zeros(4, np.int16)
+    st = np.stack([left, right], axis=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(st, 8000)))], "doc_id long, payload binary"
+    )
+    r = wav_features(df).collect()[0]
+    assert r["n_channels"] == 2
+    assert r["rms"] == 100.0 and r["zero_crossings"] == 3
