@@ -96,7 +96,7 @@ _R3_FRONT = [
     "pack_manifest", "sample_temporal_split",
     "events_sequences", "agg_incremental", "profile_corr",
     "graph_pagerank", "events_anomaly", "multimodal_gif",
-    "streaming_join", "profile_drift", "multimodal_phash", "multimodal_wav",
+    "streaming_join", "profile_drift", "multimodal_phash", "multimodal_wav", "multimodal_video",
 ]
 
 

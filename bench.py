@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "profile_drift",
     "multimodal_phash",
     "multimodal_wav",
+    "multimodal_video",
 ]
 
 

@@ -6139,3 +6139,75 @@ def multimodal_wav(spark, sf_dir):
     from pandasy_spark.extended.audio import wav_features
 
     return wav_features(with_wav)
+
+
+@query(
+    "multimodal_video",
+    # each sampled frame is a solid gray v = (doc_id*31 + 17*f) % 256
+    # that round-trips through the JPEG codec to the same closed form
+    # as multimodal_jpeg (Q=90 luma DC quantizer q00 = 3)
+    """
+    WITH f AS (
+      SELECT doc_id, unnest([0, 2]) AS frame_idx FROM documents
+      WHERE doc_id < 100
+    ), v AS (
+      SELECT doc_id, frame_idx,
+             (doc_id * 31 + 17 * frame_idx) % 256 AS v
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST((doc_id % 9) + 1 AS INT) AS width,
+           CAST((doc_id % 7) + 1 AS INT) AS height,
+           CAST(LEAST(255, GREATEST(0,
+               FLOOR(FLOOR(8 * (v - 128) / 3.0 + 0.5)
+                     * 3 / 8.0 + 128.5))) AS DOUBLE) AS mean_r,
+           CAST(LEAST(255, GREATEST(0,
+               FLOOR(FLOOR(8 * (v - 128) / 3.0 + 0.5)
+                     * 3 / 8.0 + 128.5))) AS DOUBLE) AS mean_g,
+           CAST(LEAST(255, GREATEST(0,
+               FLOOR(FLOOR(8 * (v - 128) / 3.0 + 0.5)
+                     * 3 / 8.0 + 128.5))) AS DOUBLE) AS mean_b
+    FROM v
+    """,
+)
+def multimodal_video(spark, sf_dir):
+    """REAL video pipeline, end-to-end and driver-checked
+    (extended/video.py): encode a 3-frame MJPEG AVI per document
+    (RIFF container writer + the in-repo JPEG encoder), then decode
+    and SAMPLE every 2nd frame inside Arrow-batched mapInPandas
+    (RIFF tree walk, per-frame JPEG decode, exact channel means) —
+    the frame-sampling surface with real pixels behind it.  Solid
+    gray frames make each sampled frame's mean the multimodal_jpeg
+    closed form, so the oracle pins container parsing, frame
+    ordering, the sampling stride AND the codec in one hash."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 100
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.video import encode_mjpeg_avi
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                frames = [
+                    np.full(
+                        (d % 7 + 1, d % 9 + 1, 3),
+                        (d * 31 + 17 * f) % 256,
+                        np.uint8,
+                    )
+                    for f in range(3)
+                ]
+                payloads.append(encode_mjpeg_avi(frames, quality=90))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_avi = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    from pandasy_spark.extended.video import video_frame_stats
+
+    return video_frame_stats(with_avi, every_k=2)
