@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "multimodal_phash",
     "multimodal_wav",
     "multimodal_video",
+    "multimodal_spectral",
 ]
 
 

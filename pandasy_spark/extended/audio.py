@@ -22,7 +22,14 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["decode_wav", "encode_wav", "wav_features", "WAV_FEATURE_COLS"]
+__all__ = [
+    "decode_wav",
+    "encode_wav",
+    "wav_features",
+    "WAV_FEATURE_COLS",
+    "spectral_features",
+    "SPECTRAL_COLS",
+]
 
 
 def encode_wav(samples: "object", sample_rate: int = 16000) -> bytes:
@@ -171,4 +178,81 @@ def wav_features(
 
     return df.select(id_col, payload_col).mapInPandas(
         _extract, schema=WAV_FEATURE_COLS
+    )
+
+
+SPECTRAL_COLS = (
+    "doc_id long, n_samples long, dominant_bin int, "
+    "dominant_freq_hz double, parseval_ok boolean"
+)
+
+
+def spectral_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Dominant-frequency analysis per WAV payload (channel 0): an
+    rFFT inside Arrow-batched ``mapInPandas`` emitting the peak
+    non-DC bin, its frequency in Hz, and a self-certifying
+    ``parseval_ok`` boolean (relative |Σ|X|²/n − Σx²| < 1e-9 — the
+    energy identity any correct FFT must satisfy, in the same
+    exercise-the-contract style as the expr_cast_strict gate).
+
+    FFT magnitudes are floats and NOT engine-portable bit-for-bit,
+    so gates pin the integer peak bin and the exactly-representable
+    bin frequency instead of raw magnitudes; the Parseval boolean
+    certifies the transform numerically in-plan.  Scale shape:
+    narrow mapInPandas, no shuffle; O(n log n) per payload.
+    """
+    import numpy as np
+
+    from .multimodal import DECODE_ERRORS
+
+    id_name, payload_name = id_col, payload_col
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_name], pdf[payload_name]):
+                try:
+                    a, rate = decode_wav(bytes(p))
+                except DECODE_ERRORS:
+                    continue
+                x = a[:, 0].astype(np.float64)
+                n = len(x)
+                if n < 2:
+                    continue
+                spec = np.fft.rfft(x)
+                mag2 = (spec * spec.conj()).real
+                # Parseval for rFFT of a real signal: Σx² == (Σ|X|²
+                # with interior bins doubled) / n
+                interior = mag2[1 : (n + 1) // 2].sum() * 2
+                total = mag2[0] + interior + (mag2[n // 2] if n % 2 == 0 else 0.0)
+                energy = float((x * x).sum())
+                ok = bool(
+                    energy == 0.0
+                    or abs(total / n - energy) <= 1e-9 * max(energy, 1.0)
+                )
+                bin_ = int(np.argmax(mag2[1:]) + 1) if len(mag2) > 1 else 0
+                rows.append(
+                    (
+                        int(did), n, bin_,
+                        bin_ * rate / n, ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "dominant_bin",
+                    "dominant_freq_hz", "parseval_ok",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "n_samples": "int64",
+                    "dominant_bin": "int32",
+                    "dominant_freq_hz": "float64", "parseval_ok": "bool",
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _extract, schema=SPECTRAL_COLS
     )

@@ -6211,3 +6211,55 @@ def multimodal_video(spark, sf_dir):
     from pandasy_spark.extended.video import video_frame_stats
 
     return video_frame_stats(with_avi, every_k=2)
+
+
+@query(
+    "multimodal_spectral",
+    # a rounded cosine at exact bin k: the rFFT peak must land on k,
+    # whose frequency k*8000/256 = k*31.25 is exactly representable;
+    # parseval_ok self-certifies the transform's energy identity
+    """
+    SELECT doc_id,
+           CAST(256 AS BIGINT) AS n_samples,
+           CAST(5 + doc_id % 20 AS INT) AS dominant_bin,
+           CAST((5 + doc_id % 20) * 8e3 / 256 AS DOUBLE)
+             AS dominant_freq_hz,
+           TRUE AS parseval_ok
+    FROM documents WHERE doc_id < 150
+    """,
+)
+def multimodal_spectral(spark, sf_dir):
+    """Audio spectral analysis, driver-checked (extended/audio.py
+    spectral_features): each document gets a PCM16 cosine at exact
+    FFT bin k; the rFFT's dominant non-DC bin, its
+    exactly-representable frequency, and an in-plan Parseval energy
+    check (the self-certifying boolean pattern) are what the oracle
+    pins — FFT magnitudes themselves are floats and never
+    engine-portable, so the gate pins the invariants instead."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 150
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.audio import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                k, amp, n = 5 + d % 20, 8000 + d % 997, 256
+                t = np.arange(n)
+                x = np.round(amp * np.cos(2 * np.pi * k * t / n)).astype(
+                    np.int16
+                )
+                payloads.append(encode_wav(x, 8000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_wav = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    from pandasy_spark.extended.audio import spectral_features
+
+    return spectral_features(with_wav)

@@ -83,3 +83,37 @@ def test_stereo_features_use_channel_zero(spark):
     r = wav_features(df).collect()[0]
     assert r["n_channels"] == 2
     assert r["rms"] == 100.0 and r["zero_crossings"] == 3
+
+
+def test_spectral_pure_tone_and_parseval(spark):
+    from pandasy_spark.extended.audio import spectral_features
+
+    n, k, amp = 256, 7, 5000
+    t = np.arange(n)
+    x = np.round(amp * np.cos(2 * np.pi * k * t / n)).astype(np.int16)
+    noise = np.random.RandomState(0).randint(-300, 300, n).astype(np.int16)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(x, 8000))),
+            (2, bytearray(encode_wav((x + noise).astype(np.int16), 8000))),
+            (3, bytearray(b"junk")),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in spectral_features(df).collect()}
+    assert set(rows) == {1, 2}  # junk dropped
+    for d in (1, 2):
+        assert rows[d]["dominant_bin"] == k  # peak survives noise
+        assert rows[d]["dominant_freq_hz"] == k * 8000 / 256
+        assert rows[d]["parseval_ok"] is True
+
+
+def test_spectral_silence_handled(spark):
+    from pandasy_spark.extended.audio import spectral_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(np.zeros(64, np.int16), 8000)))],
+        "doc_id long, payload binary",
+    )
+    r = spectral_features(df).collect()[0]
+    assert r["parseval_ok"] is True  # zero-energy special case
