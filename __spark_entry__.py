@@ -97,7 +97,7 @@ _R3_FRONT = [
     "events_sequences", "agg_incremental", "profile_corr",
     "graph_pagerank", "events_anomaly", "multimodal_gif",
     "streaming_join", "profile_drift", "multimodal_phash", "multimodal_wav", "multimodal_video",
-    "multimodal_spectral",
+    "multimodal_spectral", "merge_upsert",
 ]
 
 

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "multimodal_wav",
     "multimodal_video",
     "multimodal_spectral",
+    "merge_upsert",
 ]
 
 

@@ -12,7 +12,7 @@ from .aggregates import (
 )
 from .groupby import sql_groupby_apply, whole_frame_apply_distributed
 from .asof import asof_join
-from .scd import scd2_apply
+from .scd import merge_upsert, scd2_apply
 from .rangejoin import tolerance_join
 from .skew import adaptive_salted_join, salted_join
 from .sort import limit, order_by, top_k
@@ -31,6 +31,7 @@ __all__ = [
     "agg",
     "asof_join",
     "scd2_apply",
+    "merge_upsert",
     "adaptive_salted_join",
     "salted_join",
     "tolerance_join",

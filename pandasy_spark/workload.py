@@ -6263,3 +6263,41 @@ def multimodal_spectral(spark, sf_dir):
     from pandasy_spark.extended.audio import spectral_features
 
     return spectral_features(with_wav)
+
+
+@query(
+    "merge_upsert",
+    """
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 500
+                ELSE c_acctbal END AS bal
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 1000000, 'NEW:' || c_custkey, 0e0
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def merge_upsert(spark, sf_dir):
+    """ANSI MERGE INTO (operators/scd.py merge_upsert): a delta of
+    updates (keys ≡ 0 mod 4 get +500 balance) and inserts (fresh keys
+    offset by 10^6) merged into the customer table in ONE outer join
+    + narrow projection — WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT in a single pass, the Delta/Iceberg MERGE primitive
+    engine-neutrally.  The oracle states the post-merge table in
+    closed form."""
+    from .operators import merge_upsert as _merge
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    updates = c.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey", "c_name", (F.col("bal") + 500.0).alias("bal")
+    )
+    inserts = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW:"), F.col("c_custkey")).alias("c_name"),
+        F.lit(0.0).alias("bal"),
+    )
+    return _merge(c, updates.unionByName(inserts), ["c_custkey"], ["bal", "c_name"])

@@ -330,3 +330,58 @@ def test_drift_empty_side_null(spark):
     df = spark.createDataFrame([(1, True), (2, True)], "v long, base boolean")
     r = distribution_drift(df, "v", F.col("base")).collect()[0]
     assert r["tvd"] is None and r["n_b"] == 0
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_all_three_branches(spark):
+    from pandasy_spark.operators import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    # update only v: matched row keeps its target name
+    got = {
+        r["k"]: (r["name"], r["v"])
+        for r in merge_upsert(target, source, ["k"], ["v"]).collect()
+    }
+    assert got == {
+        1: ("a", 10.0), 2: ("b", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)
+    }
+    # delete_unmatched drops target-only rows
+    got2 = {
+        r["k"]
+        for r in merge_upsert(
+            target, source, ["k"], delete_unmatched=True
+        ).collect()
+    }
+    assert got2 == {2, 4}
+
+
+def test_merge_upsert_null_keys_match_nullsafely(spark):
+    from pandasy_spark.operators import merge_upsert
+
+    target = spark.createDataFrame([(None, 1.0)], "k long, v double")
+    source = spark.createDataFrame([(None, 2.0)], "k long, v double")
+    rows = merge_upsert(target, source, ["k"]).collect()
+    assert len(rows) == 1 and rows[0]["v"] == 2.0  # matched, not doubled
+
+
+def test_merge_upsert_validation(spark):
+    from pandasy_spark.operators import merge_upsert
+
+    a = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    b = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        merge_upsert(a, b, ["k"])
+    with pytest.raises(ValueError):
+        merge_upsert(a, a, ["k"], ["k"])  # key can't be updated
+    with pytest.raises(ValueError):
+        merge_upsert(a, a, ["missing"])
