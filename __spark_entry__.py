@@ -88,9 +88,9 @@ _R3_FRONT = [
     "events_time_rollup",
     # positions 51+: registered AFTER the 50-row recording window on
     # purpose — the older backlog above must be witnessed THIS round;
-    # these thirteen (added late in r3, each scripts_check-verified
-    # green at sf0.01) rotate to the front of the next round's
-    # unproven set
+    # these 21 (added late in r3, each scripts_check-verified green at
+    # sf0.01 — the exact list is in ROADMAP.md "Handoff to round 4")
+    # rotate to the front of the next round's unproven set
     "dedup_containment", "text_search", "pipeline_rag",
     "events_asof_directions", "profile_dq", "scd2_merge",
     "pack_manifest", "sample_temporal_split",
