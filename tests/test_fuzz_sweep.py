@@ -603,3 +603,55 @@ def test_fuzz_robust_anomalies_vs_python(spark):
                 seed,
                 grp,
             )
+
+
+def test_fuzz_merge_upsert_vs_duckdb(spark):
+    """Random targets/deltas incl. NULL keys and overlapping rows."""
+    from pandasy_spark.operators import merge_upsert
+
+    for seed in SEEDS:
+        t = _obj(make_rand_df(40, seed=seed + 1000, k=(int, 10), v=(float, 8)))
+        s = _obj(make_rand_df(25, seed=seed + 1100, k=(int, 6), v=(float, 5)))
+        # distinct keys per side (MERGE requires a deterministic match)
+        t = t.drop_duplicates(subset=["k"])
+        s = s.drop_duplicates(subset=["k"])
+        dt = spark.createDataFrame(t, "k bigint, v double")
+        ds = spark.createDataFrame(s, "k bigint, v double")
+        assert_duck_eq(
+            merge_upsert(dt, ds, ["k"]),
+            """
+            SELECT COALESCE(t.k, s.k) AS k,
+                   CASE WHEN s.ok THEN s.v ELSE t.v END AS v
+            FROM (SELECT *, TRUE AS ok FROM tt) t
+            FULL OUTER JOIN (SELECT *, TRUE AS ok FROM ss) s
+              ON t.k IS NOT DISTINCT FROM s.k
+            """,
+            tt=dt,
+            ss=ds,
+        )
+
+
+def test_fuzz_distribution_drift_vs_python(spark):
+    import random
+    from collections import Counter
+
+    from pandasy_spark.extended.profile import distribution_drift
+
+    for seed in SEEDS:
+        rng = random.Random(seed + 1200)
+        rows = [
+            (rng.randrange(6), rng.random() < 0.5) for _ in range(120)
+        ]
+        df = spark.createDataFrame(rows, "v long, base boolean")
+        r = distribution_drift(df, "v", F.col("base")).collect()[0]
+        a = Counter(v for v, b in rows if b)
+        b = Counter(v for v, b in rows if not b)
+        na, nb = sum(a.values()), sum(b.values())
+        buckets = set(a) | set(b)
+        s = sum(abs(a[x] * nb - b[x] * na) for x in buckets)
+        expect = s / (2 * na * nb) if na and nb else None
+        assert (r["n_a"], r["n_b"], r["n_buckets"]) == (na, nb, len(buckets))
+        if expect is None:
+            assert r["tvd"] is None
+        else:
+            assert r["tvd"] == expect, seed  # bit-exact by construction
