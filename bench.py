@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "multimodal_video",
     "multimodal_spectral",
     "merge_upsert",
+    "basket_affinity",
+    "graph_triangles",
 ]
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "cooccurrence_edges", "triangle_count"]
 
 #: rank scale: 1.0 == 10^9 nano-units.
 SCALE = 1_000_000_000
@@ -102,3 +102,67 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """Item co-occurrence graph: an edge ``(x, y, sup)`` for every
+    ordered item pair (``x < y``) that appears together in at least
+    ``min_support`` groups — the market-basket / "parts bought
+    together" structure.
+
+    Scale shape: distinct (group, item) first, then a SELF-EQUI-JOIN
+    on the group key — fan-out is Σ|group|², bounded because baskets
+    are small (an order has ~7 items); the pair count aggregate is
+    map-side combined.  The support threshold is what keeps the edge
+    set (and everything downstream) sparse at 100 TB — without it the
+    pair space is quadratic in item popularity.
+    """
+    if min_support < 1:
+        raise ValueError("min_support must be >= 1")
+    i = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("x")
+    ).distinct()
+    a, b = i.alias("a"), i.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.x") < F.col("b.x")),
+        )
+        .groupBy(F.col("a.x").alias("x"), F.col("b.x").alias("y"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= min_support)
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "x", dst_col: str = "y"
+) -> DataFrame:
+    """Global triangle count over an ORIENTED edge list (``src <
+    dst``): each triangle a<b<c is found exactly once by the
+    two-hop-plus-closure join e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c).
+
+    Scale shape: two equi-joins; the first's fan-out is Σ deg_out·
+    deg_in per middle node — the standard mitigation at scale is to
+    orient edges by DEGREE (low-degree node first) instead of by id,
+    which bounds the wedge count at O(|E|^1.5); id orientation is
+    kept here because the oracle must state the identical join.
+    Output: one row ``(n_triangles)``.
+    """
+    e = edges.select(
+        F.col(src_col).alias("x"), F.col(dst_col).alias("y")
+    ).distinct()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.y") == F.col("e2.x"))
+        .join(
+            e3,
+            (F.col("e3.x") == F.col("e1.x"))
+            & (F.col("e3.y") == F.col("e2.y")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

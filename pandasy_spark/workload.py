@@ -6301,3 +6301,85 @@ def merge_upsert(spark, sf_dir):
         F.lit(0.0).alias("bal"),
     )
     return _merge(c, updates.unionByName(inserts), ["c_custkey"], ["bal", "c_name"])
+
+
+_COOC_CTE = """
+    WITH i AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS x FROM lineitem
+    ), e AS (
+      SELECT a.x AS x, b.x AS y, CAST(COUNT(*) AS BIGINT) AS sup
+      FROM i a JOIN i b ON a.g = b.g AND a.x < b.x
+      GROUP BY a.x, b.x HAVING COUNT(*) >= 2
+    )
+"""
+
+
+@query(
+    "basket_affinity",
+    _COOC_CTE
+    + """
+    , n AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n_groups FROM i),
+    c AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM i GROUP BY x)
+    SELECT e.x, e.y, e.sup,
+           CAST(e.sup * n.n_groups AS DOUBLE)
+             / CAST(cx.cnt * cy.cnt AS DOUBLE) AS lift
+    FROM e, n
+    JOIN c cx ON cx.x = e.x
+    JOIN c cy ON cy.x = e.y
+    """,
+)
+def basket_affinity(spark, sf_dir):
+    """Market-basket affinity (extended/graph.py cooccurrence_edges):
+    parts bought together in ≥2 orders, scored by LIFT =
+    sup·N / (cnt_x·cnt_y) — >1 means the pair co-occurs more than
+    independence predicts.  The lift is one double division of exact
+    integer products, so it value-hashes.  Scale: distinct (group,
+    item) → small-basket self-join → map-combined counts; the item
+    marginals broadcast back onto the (support-thresholded, sparse)
+    edge list."""
+    from .extended.graph import cooccurrence_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    i = li.select(
+        F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("x")
+    ).distinct()
+    n = i.agg(F.countDistinct("g").alias("n_groups"))
+    c = i.groupBy("x").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        e.crossJoin(F.broadcast(n))
+        .join(c.withColumnRenamed("x", "jx").withColumnRenamed("cnt", "cnt_x"),
+              F.col("x") == F.col("jx"))
+        .join(c.withColumnRenamed("x", "jy").withColumnRenamed("cnt", "cnt_y"),
+              F.col("y") == F.col("jy"))
+        .select(
+            "x", "y", "sup",
+            (
+                (F.col("sup") * F.col("n_groups")).cast("double")
+                / (F.col("cnt_x") * F.col("cnt_y")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "graph_triangles",
+    _COOC_CTE
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.y = e2.x
+    JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Triangle counting (extended/graph.py triangle_count) over the
+    part co-occurrence graph — the clustering/community-density
+    primitive.  Oriented edges (x < y) make the two-hop-plus-closure
+    join count each triangle exactly once; at scale the orientation
+    flips to lowest-degree-first to bound wedges at O(|E|^1.5)
+    (docstring note) — here id order keeps the oracle identical."""
+    from .extended.graph import cooccurrence_edges, triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return triangle_count(e)

@@ -385,3 +385,59 @@ def test_merge_upsert_validation(spark):
         merge_upsert(a, a, ["k"], ["k"])  # key can't be updated
     with pytest.raises(ValueError):
         merge_upsert(a, a, ["missing"])
+
+
+# ---------------------------------------------------------------------------
+# cooccurrence_edges / triangle_count
+# ---------------------------------------------------------------------------
+
+
+def test_cooccurrence_hand_computed(spark):
+    from pandasy_spark.extended.graph import cooccurrence_edges
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a"),
+            (3, "b"), (2, "a")]  # duplicate (2, a) must not inflate sup
+    df = spark.createDataFrame(rows, "g long, item string")
+    got = {
+        (r["x"], r["y"]): r["sup"]
+        for r in cooccurrence_edges(df, "g", "item").collect()
+    }
+    assert got == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+    sup2 = cooccurrence_edges(df, "g", "item", min_support=2).collect()
+    assert [(r["x"], r["y"]) for r in sup2] == [("a", "b")]
+    with pytest.raises(ValueError):
+        cooccurrence_edges(df, "g", "item", min_support=0)
+
+
+def test_triangle_count_hand_graphs(spark):
+    from pandasy_spark.extended.graph import triangle_count
+
+    # K4 has 4 triangles; a path has none
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4, "x long, y long")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "x long, y long")
+    assert triangle_count(path).collect()[0]["n_triangles"] == 0
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from pandasy_spark.extended.graph import triangle_count
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(10), 2)))
+                for _ in range(20)
+            }
+        )
+        expect = sum(
+            1
+            for a, b, c in itertools.combinations(range(10), 3)
+            if ((a, b) in edges and (b, c) in edges and (a, c) in edges)
+        )
+        df = spark.createDataFrame(edges, "x long, y long")
+        assert triangle_count(df).collect()[0]["n_triangles"] == expect, seed
