@@ -98,7 +98,7 @@ _R3_FRONT = [
     "graph_pagerank", "events_anomaly", "multimodal_gif",
     "streaming_join", "profile_drift", "multimodal_phash", "multimodal_wav", "multimodal_video",
     "multimodal_spectral", "merge_upsert",
-    "basket_affinity", "graph_triangles",
+    "basket_affinity", "graph_triangles", "text_textrank",
 ]
 
 

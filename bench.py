@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "merge_upsert",
     "basket_affinity",
     "graph_triangles",
+    "text_textrank",
 ]
 
 

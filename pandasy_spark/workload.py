@@ -6383,3 +6383,115 @@ def graph_triangles(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     e = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
     return triangle_count(e)
+
+
+@query(
+    "text_textrank",
+    # TextRank (Mihalcea & Tarau 2004) with the integer nano-unit
+    # PageRank: ranks are BIGINTs, so 2 unrolled rounds + a total
+    # ORDER BY (rank, word) LIMIT are deterministic in both engines
+    """
+    WITH lst AS (
+      SELECT doc_id,
+             list_filter(regexp_extract_all(lower(text), '\\S+'),
+                         x -> len(x) > 2) AS l
+      FROM documents WHERE doc_id < 400
+    ), tok AS (
+      -- generate_subscripts keeps the LIST order: positionally exact,
+      -- unlike ROW_NUMBER without ORDER BY under parallel scans
+      SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS pos
+      FROM lst
+    ), w AS (
+      SELECT doc_id, t,
+             lead(t, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+             lead(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+      FROM tok
+    ), pr AS (
+      SELECT LEAST(t, t1) AS a, GREATEST(t, t1) AS b FROM w
+      WHERE t1 IS NOT NULL AND t <> t1
+      UNION
+      SELECT LEAST(t, t2), GREATEST(t, t2) FROM w
+      WHERE t2 IS NOT NULL AND t <> t2
+    ), e AS (
+      SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr
+    ), nd AS (
+      SELECT DISTINCT src AS node FROM e
+    ), dg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nd
+    ), c1 AS (
+      SELECT e.dst AS node, CAST(SUM(r0.r // dg.outdeg) AS BIGINT) AS inc
+      FROM e JOIN r0 ON e.src = r0.node JOIN dg ON e.src = dg.src
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT nd.node,
+             CAST(150000000 + (85 * COALESCE(c1.inc, 0)) // 100 AS BIGINT) AS r
+      FROM nd LEFT JOIN c1 ON nd.node = c1.node
+    ), c2 AS (
+      SELECT e.dst AS node, CAST(SUM(r1.r // dg.outdeg) AS BIGINT) AS inc
+      FROM e JOIN r1 ON e.src = r1.node JOIN dg ON e.src = dg.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT nd.node,
+             CAST(150000000 + (85 * COALESCE(c2.inc, 0)) // 100 AS BIGINT) AS r
+      FROM nd LEFT JOIN c2 ON nd.node = c2.node
+    )
+    SELECT node AS word, r AS rank_nano FROM r2
+    ORDER BY r DESC, node LIMIT 30
+    """,
+)
+def text_textrank(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, public
+    algorithm) composed from in-repo parts: per-document token
+    streams -> window-2 co-occurrence pairs via `lead` (no self-join
+    fan-out), symmetrized into a word graph -> the integer nano-unit
+    `pagerank` (extended/graph.py, 2 rounds) -> global top-30 words
+    by rank with a total (rank, word) order.  Every stage is
+    oracle-mirrorable because ranks are BIGINTs.  Scale: the token
+    window shuffles on doc_id; the graph is vocab-sized (sparse by
+    the window construction); each PR round is an equi-join + sum."""
+    from pyspark.sql.window import Window
+
+    from .extended.graph import pagerank
+
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 400)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: F.length(t) > 2,
+            )
+        ).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.select(
+        "t",
+        F.lead("t", 1).over(w).alias("t1"),
+        F.lead("t", 2).over(w).alias("t2"),
+    )
+    pr = (
+        pairs.filter(F.col("t1").isNotNull() & (F.col("t") != F.col("t1")))
+        .select(
+            F.least("t", "t1").alias("a"), F.greatest("t", "t1").alias("b")
+        )
+        .union(
+            pairs.filter(
+                F.col("t2").isNotNull() & (F.col("t") != F.col("t2"))
+            ).select(
+                F.least("t", "t2").alias("a"),
+                F.greatest("t", "t2").alias("b"),
+            )
+        )
+        .distinct()
+    )
+    edges = pr.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(pr.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    ranks = pagerank(edges, iterations=2)
+    return (
+        ranks.orderBy(F.col("rank_nano").desc(), F.col("node"))
+        .limit(30)
+        .select(F.col("node").alias("word"), "rank_nano")
+    )

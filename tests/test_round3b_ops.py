@@ -441,3 +441,45 @@ def test_triangle_count_matches_bruteforce(spark):
         )
         df = spark.createDataFrame(edges, "x long, y long")
         assert triangle_count(df).collect()[0]["n_triangles"] == expect, seed
+
+
+# ---------------------------------------------------------------------------
+# text_textrank (workload composition: lead-window pairs + pagerank)
+# ---------------------------------------------------------------------------
+
+
+def test_textrank_hub_word_ranks_highest(spark, sf_dir):
+    """A word co-occurring with everything must out-rank the
+    periphery: build a tiny corpus where 'hub' neighbors every other
+    word and check the composed query's graph ranks it first."""
+    from pandasy_spark.extended.graph import pagerank
+
+    docs = ["hub aaa", "hub bbb", "hub ccc", "hub ddd", "aaa bbb"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    # replicate the query's pair construction
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 2)
+        ).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    p = toks.select("t", F.lead("t", 1).over(w).alias("t1"))
+    pr = (
+        p.filter(F.col("t1").isNotNull() & (F.col("t") != F.col("t1")))
+        .select(F.least("t", "t1").alias("a"), F.greatest("t", "t1").alias("b"))
+        .distinct()
+    )
+    edges = pr.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pr.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    ranks = {
+        r["node"]: r["rank_nano"]
+        for r in pagerank(edges, iterations=3).collect()
+    }
+    assert max(ranks, key=ranks.get) == "hub"
+    assert ranks["hub"] > ranks["ccc"]
