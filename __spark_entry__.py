@@ -24,13 +24,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Queries with a green (hash_match) driver row in CORRECTNESS_r01 ∪ r02.
+# Queries with a green (hash_match) driver row in CORRECTNESS_r01 ∪ r02 ∪ r03.
 # The driver records only the first 50 registrations per round, so
 # everything NOT in this union — plus anything newly added this round —
 # is ordered FIRST below: if the driver truncates again, the
 # least-proven queries are the ones that get rows, and the union across
 # rounds covers the whole registry.
 _CHECKED_UNION = {
+    # --- green hash_match rows in CORRECTNESS_r03 (50/50) ---
+    "agg_approx", "array_functions", "correlated_min",
+    "decontaminate_bloom", "dedup_blocked", "dedup_embedding",
+    "dedup_rolling", "embedding_pca", "events_funnel", "events_retention",
+    "events_time_rollup", "expr_null_funcs", "join_salted", "knn_ivf",
+    "map_functions", "multimodal_audio", "multimodal_frames",
+    "multimodal_jpeg", "multimodal_png", "pipeline_clean_corpus",
+    "profile_heavy_hitters", "q10_returned_items", "q11_important_stock",
+    "q12_shipmode", "q14_promo_effect", "q15_top_supplier",
+    "q16_parts_supplier", "q17_small_quantity", "q18_large_orders",
+    "q19_discounted_revenue", "q20_supplier_part_volume",
+    "q21_waiting_supplier", "q22_global_balance", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "sample_reservoir", "setop_except_all", "setop_intersect_all",
+    "sql_passthrough", "streaming_sessionize", "streaming_window",
+    "text_bpe_learn", "text_chunking", "text_collocations",
+    "text_subword_fingerprint", "text_tokenize", "unpivot_measures",
+    "window_range_frame",
+    # --- green rows from r01 ∪ r02 ---
     "agg_bitwise", "agg_collect", "agg_cube", "agg_distinct",
     "agg_grouping_sets", "agg_mode_argmax", "agg_percentiles", "agg_rollup",
     "agg_stats", "date_funcs", "decontaminate", "decontaminate_semantic",
@@ -58,52 +77,28 @@ _CHECKED_UNION = {
     "text_lm_score", "text_pii", "text_quality_filter", "text_repetition",
     "text_stats", "text_tficf", "text_token_freq", "topk_per_group",
     "window_distribution", "window_rank", "window_running",
-    # text_bpe_learn / knn_ivf had r2 rows but only err=no_oracle — they
-    # are now self-certifying (oracle-expressible) and must re-register
-    # first to earn a real hash_match row.
 }
 
 
-# Never driver-checked after r1∪r2 (34 names) plus the two former
-# no_oracle rows — these register before everything else so
-# CORRECTNESS_r03 closes the registry at fully driver-witnessed.
-_R3_FRONT = [
-    "agg_approx", "text_bpe_learn", "knn_ivf", "multimodal_png",
-    "multimodal_jpeg", "text_chunking", "text_collocations",
-    "decontaminate_bloom", "sample_reservoir", "text_tokenize",
-    "profile_heavy_hitters", "embedding_pca", "events_funnel",
-    "events_retention", "streaming_window", "join_salted",
-    "streaming_sessionize",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q11_important_stock",
-    "q12_shipmode", "q14_promo_effect", "q15_top_supplier",
-    "q16_parts_supplier", "q17_small_quantity", "q18_large_orders",
-    "q19_discounted_revenue", "q20_supplier_part_volume",
-    "q21_waiting_supplier", "q22_global_balance",
-    "setop_intersect_all", "setop_except_all", "window_range_frame",
-    "unpivot_measures", "pipeline_clean_corpus", "correlated_min",
-    "expr_null_funcs", "multimodal_frames", "multimodal_audio",
-    "array_functions", "map_functions", "dedup_blocked", "dedup_rolling",
-    "dedup_embedding", "sql_passthrough", "text_subword_fingerprint",
-    "events_time_rollup",
-    # positions 51+: registered AFTER the 50-row recording window on
-    # purpose — the older backlog above must be witnessed THIS round;
-    # these 21 (added late in r3, each scripts_check-verified green at
-    # sf0.01 — the exact list is in ROADMAP.md "Handoff to round 4")
-    # rotate to the front of the next round's unproven set
-    "dedup_containment", "text_search", "pipeline_rag",
-    "events_asof_directions", "profile_dq", "scd2_merge",
-    "pack_manifest", "sample_temporal_split",
-    "events_sequences", "agg_incremental", "profile_corr",
-    "graph_pagerank", "events_anomaly", "multimodal_gif",
-    "streaming_join", "profile_drift", "multimodal_phash", "multimodal_wav", "multimodal_video",
-    "multimodal_spectral", "merge_upsert",
-    "basket_affinity", "graph_triangles", "text_textrank",
+# Never driver-checked after r1∪r2∪r3: the 24 queries registered past
+# r3's 50-row recording window (judge-verified green at sf0.01 in
+# VERDICT.md r3, but without durable driver rows).  These register
+# FIRST so CORRECTNESS_r04 closes the registry at 167/167
+# driver-witnessed; new round-4 queries follow them inside the window.
+_R4_FRONT = [
+    "agg_incremental", "basket_affinity", "dedup_containment",
+    "events_anomaly", "events_asof_directions", "events_sequences",
+    "graph_pagerank", "graph_triangles", "merge_upsert",
+    "multimodal_gif", "multimodal_phash", "multimodal_spectral",
+    "multimodal_video", "multimodal_wav", "pack_manifest",
+    "pipeline_rag", "profile_corr", "profile_dq", "profile_drift",
+    "sample_temporal_split", "scd2_merge", "streaming_join",
+    "text_search", "text_textrank",
 ]
 
 
 def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    front = {k: QUERIES[k] for k in _R3_FRONT if k in QUERIES}
+    front = {k: QUERIES[k] for k in _R4_FRONT if k in QUERIES}
     unproven = {
         k: v for k, v in QUERIES.items()
         if k not in _CHECKED_UNION and k not in front
