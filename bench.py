@@ -147,17 +147,44 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "workload_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = json.dumps(
+        {
+            "metric": "workload_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf_val,
+        }
     )
+    # The driver records only the last ~2 KB of stdout and JSON-parses
+    # the final line; with 90+ per-query entries the single line
+    # overflows that window and the headline total becomes unparseable
+    # (BENCH_r03 `parsed: null`).  So: if the full line fits a safe
+    # budget, print it alone; otherwise print it for the log, then a
+    # final compact line with the headline fields plus as many
+    # slowest-first per-query entries as fit the budget.
+    tail_budget = 1800
+    if len(full) <= tail_budget:
+        print(full)
+    else:
+        print(full)
+        compact_q: dict[str, float] = {}
+        base = {
+            "metric": "workload_total_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf_val,
+            "queries_total": len(times),
+            "queries": compact_q,
+        }
+        for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
+            compact_q[name] = t
+            if len(json.dumps(base)) > tail_budget:
+                del compact_q[name]
+                break
+        sys.stdout.flush()
+        print(json.dumps(base))
     spark.stop()
 
 
