@@ -443,6 +443,58 @@ def test_triangle_count_matches_bruteforce(spark):
         assert triangle_count(df).collect()[0]["n_triangles"] == expect, seed
 
 
+def test_triangle_count_degree_orientation_bounds_skew(spark):
+    """On a hub graph (one celebrity node), degree orientation keeps
+    the wedge fan-out O(|E|^1.5) where id orientation is quadratic:
+    the hub's edges all point INWARD, so it contributes zero wedges.
+    Both orientations must still agree on the count."""
+    from collections import Counter
+
+    from pandasy_spark.extended.graph import triangle_count
+
+    # hub node 50 (a MIDDLE id) connects to every other node 0..100:
+    # under id orientation the hub has in-degree 50 AND out-degree 50,
+    # so the two-hop join fans out 50*50 = 2500 wedge pairs through it;
+    # under degree orientation all hub edges point INWARD (everyone
+    # else has lower degree) and the hub contributes zero wedges.
+    hub = 50
+    edges = sorted(
+        {tuple(sorted((hub, i))) for i in range(101) if i != hub}
+        | {(0, 1), (99, 100)}
+    )
+    df = spark.createDataFrame(edges, "x long, y long")
+    got_deg = triangle_count(df, orient="degree").collect()[0]["n_triangles"]
+    got_id = triangle_count(df, orient="id").collect()[0]["n_triangles"]
+    assert got_deg == got_id == 2  # (0,1,50) and (50,99,100)
+
+    # wedge count = sum over middle nodes b of out(b) * in(b) for the
+    # two-hop join e1.y == e2.x == b; compute for both orientations
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+
+    def wedges(oriented):
+        out = Counter()
+        inc = Counter()
+        for a, b in oriented:
+            out[a] += 1
+            inc[b] += 1
+        return sum(out[v] * inc[v] for v in set(out) | set(inc))
+
+    w_id = wedges(edges)  # already x < y
+    w_deg = wedges(
+        [(a, b) if (deg[a], a) < (deg[b], b) else (b, a) for a, b in edges]
+    )
+    m = len(edges)
+    assert w_id >= (m // 2) ** 2 // 2  # id orientation: quadratic in hub deg
+    assert w_deg <= int(2 * m**1.5)  # degree orientation: O(|E|^1.5)
+    assert w_deg < w_id // 100  # and 100x+ smaller on this graph
+
+    with pytest.raises(ValueError):
+        triangle_count(df, orient="nope")
+
+
 # ---------------------------------------------------------------------------
 # text_textrank (workload composition: lead-window pairs + pagerank)
 # ---------------------------------------------------------------------------
