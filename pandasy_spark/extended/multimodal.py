@@ -626,7 +626,7 @@ def image_phash(
     """Perceptual hash per image payload over Arrow-batched
     ``mapInPandas`` (decode + pHash inside the batch loop;
     non-decodable payloads dropped like :func:`image_stats`).
-    Output: (doc_id, phash long)."""
+    Output: (``id_col`` — preserved, not renamed — , phash long)."""
     id_name, payload_name = id_col, payload_col
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -641,13 +641,13 @@ def image_phash(
                 hashes.append(phash64(arr))
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    id_name: pd.Series(ids, dtype="int64"),
                     "phash": pd.Series(hashes, dtype="int64"),
                 }
             )
 
     return df.select(id_col, payload_col).mapInPandas(
-        _hash, schema="doc_id long, phash long"
+        _hash, schema=f"{id_name} long, phash long"
     )
 
 

@@ -13,10 +13,39 @@ key and everything else is narrow.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["scd2_apply", "merge_upsert"]
+
+
+def _assert_unique_keys(df: DataFrame, keys: list[str], side: str) -> DataFrame:
+    """Guard a merge input against duplicate business keys WITHOUT a
+    driver action: a per-key window count feeds ``assert_true``, so the
+    first duplicate key fails the JOB (like ANSI MERGE's "multiple
+    source rows matched" error) instead of silently fanning out the
+    join.  Cost: one shuffle of ``df`` on ``keys`` — ``df`` is the
+    delta/snapshot side, small by construction.  NULL keys group
+    together, consistent with the null-safe join condition.
+    """
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(*[F.col(k) for k in keys]))
+    # the raise rides a kept data column with DIFFERING when-branches —
+    # an equal-branch `when` (or a bare assert_true projected then
+    # dropped) gets folded away by Catalyst and the guard never fires
+    first = df.columns[0]
+    dtype = df.schema[first].dataType
+    return df.withColumn(
+        first,
+        F.when(
+            cnt > 1,
+            F.raise_error(
+                F.lit(
+                    f"duplicate {side} merge keys {keys}: ANSI MERGE "
+                    "forbids multiple source matches per target row"
+                )
+            ).cast(dtype),
+        ).otherwise(F.col(first)),
+    )
 
 
 def scd2_apply(
@@ -28,6 +57,7 @@ def scd2_apply(
     eff_from: str = "eff_from",
     eff_to: str = "eff_to",
     current_col: str = "is_current",
+    check_unique_snapshot: bool = True,
 ) -> DataFrame:
     """Merge a full ``snapshot`` into an SCD2 ``dim`` table.
 
@@ -45,9 +75,17 @@ def scd2_apply(
 
     History rows (is_current = false) pass through untouched.
 
+    PRECONDITION: business keys are unique within the snapshot AND
+    within the open slice of the dim (any valid SCD2 table satisfies
+    the latter); duplicates would fan out the full-outer join.  With
+    ``check_unique_snapshot`` (default) the snapshot side is guarded
+    in-plan — the job fails on the first duplicate key instead of
+    silently multiplying rows.
+
     Scale shape: one equi-join of the OPEN slice against the snapshot
     on the business key (broadcast when the snapshot is small), plus
-    unions of narrow projections — no windows, no driver state.
+    unions of narrow projections and the optional snapshot-side
+    uniqueness window — no driver state.
     """
     ts = F.lit(update_ts)
     dim_cols = dim.columns
@@ -58,17 +96,20 @@ def scd2_apply(
         *[F.col(k) for k in keys],
         *[F.col(c).alias(f"__new_{c}") for c in tracked],
     )
-    # a key is in the snapshot iff the full-outer join found a right
-    # row — detected via an explicit marker, never by guessing from
-    # tracked-column NULLs (which are legitimate values)
-    joined = open_rows.join(
+    if check_unique_snapshot:
+        snap = _assert_unique_keys(snap, keys, "snapshot")
+    # presence on either side of the full-outer join is detected via
+    # explicit markers, never by guessing from NULLable data columns
+    # (a legitimately-NULL eff_from or tracked value must not
+    # misclassify the row)
+    joined = open_rows.withColumn("__in_dim", F.lit(True)).join(
         snap.withColumn("__in_snap", F.lit(True)), keys, "full_outer"
     )
     changed: Column = F.lit(False)
     for c in tracked:
         changed = changed | ~F.col(c).eqNullSafe(F.col(f"__new_{c}"))
     has_snap = F.coalesce(F.col("__in_snap"), F.lit(False))
-    has_dim = F.col(eff_from).isNotNull()
+    has_dim = F.coalesce(F.col("__in_dim"), F.lit(False))
 
     # 1) open rows whose key is absent from the snapshot, or unchanged
     keep_open = joined.filter(
@@ -107,6 +148,7 @@ def merge_upsert(
     keys: list[str],
     update_cols: list[str] | None = None,
     delete_unmatched: bool = False,
+    check_unique_source: bool = True,
 ) -> DataFrame:
     """ANSI ``MERGE INTO`` semantics as one declarative plan: rows
     matched on ``keys`` take the source's values for ``update_cols``
@@ -119,6 +161,14 @@ def merge_upsert(
 
     Both frames must share a schema; keys are compared null-safely
     (a NULL key matches a NULL key, unlike a plain equi-join).
+
+    PRECONDITION: merge keys are unique within the source — ANSI MERGE
+    (and Delta/Iceberg) raise when multiple source rows match one
+    target row; a duplicated delta must fail loudly, not silently grow
+    the table.  With ``check_unique_source`` (default) the source side
+    carries an in-plan uniqueness assertion that fails the job on the
+    first duplicate key; disable only when the source is known-unique
+    upstream and the extra source-side shuffle matters.
 
     Scale shape: ONE equi-join on the merge keys (broadcast when the
     source delta is small — the common case; shuffle-hash otherwise)
@@ -140,6 +190,8 @@ def merge_upsert(
     for c in update_cols:
         if c not in target.columns or c in keys:
             raise ValueError(f"bad update column {c!r}")
+    if check_unique_source:
+        source = _assert_unique_keys(source, keys, "source")
     t = target.withColumn("__tgt", F.lit(True)).alias("t")
     s = source.withColumn("__src", F.lit(True)).alias("s")
     cond = None

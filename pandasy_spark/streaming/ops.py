@@ -250,7 +250,19 @@ def stream_table(spark, sf_dir: str, table: str) -> DataFrame:
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, f"{table}.parquet")
+    # the staging path is predictable and world-shared: a stale link
+    # from an earlier run (or one pre-created by another local user)
+    # pointing elsewhere would silently feed wrong data — validate the
+    # target and re-create on any mismatch
+    if os.path.islink(link) and os.readlink(link) != src:
+        os.unlink(link)
     if not os.path.islink(link):
+        if os.path.lexists(link):  # non-symlink squatter
+            raise RuntimeError(
+                f"stream staging path {link} exists and is not a "
+                "symlink; remove it or point SPARK_GRAFT_SF_DIR "
+                "elsewhere"
+            )
         os.symlink(src, link)
     return spark.readStream.schema(schema).parquet(stage)
 

@@ -374,6 +374,56 @@ def test_merge_upsert_null_keys_match_nullsafely(spark):
     assert len(rows) == 1 and rows[0]["v"] == 2.0  # matched, not doubled
 
 
+def test_merge_upsert_duplicate_source_keys_fail_loudly(spark):
+    """ANSI MERGE raises on multiple source matches; the default guard
+    must fail the job instead of silently fanning out the join."""
+    from pandasy_spark.operators import merge_upsert
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    dup = spark.createDataFrame([(2, "B"), (2, "C")], "k long, v string")
+    with pytest.raises(Exception, match="duplicate source merge keys"):
+        merge_upsert(target, dup, ["k"]).collect()
+    # explicit opt-out restores the raw outer-join fan-out
+    assert merge_upsert(
+        target, dup, ["k"], check_unique_source=False
+    ).count() == 3
+    # unique source passes through the guard untouched
+    ok = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    got = {r["k"]: r["v"] for r in merge_upsert(target, ok, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_scd2_null_eff_from_open_row_survives(spark):
+    """An open dim row with NULL eff_from is still IN the dim — presence
+    comes from the explicit __in_dim marker, not from guessing off a
+    NULLable column; and duplicate snapshot keys fail the job."""
+    import datetime
+
+    from pandasy_spark.operators import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "x", None, None, True),
+         (2, "y", datetime.date(2020, 1, 1), None, True)],
+        "k long, v string, eff_from date, eff_to date, is_current boolean",
+    )
+    snap = spark.createDataFrame([(1, "x"), (2, "y2")], "k long, v string")
+    rows = sorted(
+        (r["k"], r["v"], r["eff_from"], r["eff_to"], r["is_current"])
+        for r in scd2_apply(dim, snap, ["k"], ["v"],
+                            datetime.date(2024, 6, 1)).collect()
+    )
+    assert rows == [
+        # unchanged key 1 kept verbatim, NULL eff_from and all
+        (1, "x", None, None, True),
+        (2, "y", datetime.date(2020, 1, 1), datetime.date(2024, 6, 1), False),
+        (2, "y2", datetime.date(2024, 6, 1), None, True),
+    ]
+    snap_dup = spark.createDataFrame([(1, "x"), (1, "z")], "k long, v string")
+    with pytest.raises(Exception, match="duplicate snapshot merge keys"):
+        scd2_apply(dim, snap_dup, ["k"], ["v"],
+                   datetime.date(2024, 6, 1)).collect()
+
+
 def test_merge_upsert_validation(spark):
     from pandasy_spark.operators import merge_upsert
 
