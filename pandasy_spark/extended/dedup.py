@@ -627,6 +627,7 @@ def connected_components(
     dst: str = "id2",
     max_iterations: int = 25,
     small_graph_edges: int = 1_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a duplicate-pair edge list, via the
     alternating large-star / small-star algorithm (Kiveris et al.,
@@ -654,7 +655,17 @@ def connected_components(
     ``component`` is the minimum node id in the connected component.
     Reference has no graph surface (pandas kernels only); this extends
     the dedup family per SURVEY.md §2.9.
+
+    Pass a ``stats`` dict to receive run telemetry after the (eager)
+    loop finishes: ``iterations``, ``confirm_rounds`` (how many times
+    the exact fixpoint confirmation ran — exactly once per converged
+    distributed run), and ``converged`` (False only when
+    ``max_iterations`` was exhausted; surface it in downstream output
+    so an over-split labeling is visible, not silent).
     """
+    if stats is None:
+        stats = {}
+    stats.update(iterations=0, confirm_rounds=0, converged=True)
     e = (
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -747,15 +758,13 @@ def connected_components(
         # The star-contraction edge set evolves monotonically, so a
         # stable fingerprint means a stable set — no per-iteration
         # exceptAll anti-join (which cost more than the iteration).
-        # This is PROBABILISTIC: two different edge sets agreeing on
-        # (count, sum, min, max) of xxhash64 would stop the loop one
-        # round early.  For that to matter the colliding set would
-        # have to appear as consecutive iterates of star-contraction
-        # on the same graph; with 64-bit hashes the chance is ~2^-64
-        # per round — far below any hardware-fault rate.  An extra
-        # converged round (not an exceptAll) would make it exact;
-        # the equivalence test vs the recursive-CTE oracle pins the
-        # end-to-end result regardless.
+        # This is PROBABILISTIC on its own: two different edge sets
+        # agreeing on (count, sum, min, max) of xxhash64 would stop
+        # the loop one round early (~2^-64 odds per round).  The loop
+        # below therefore treats a stable fingerprint as a CANDIDATE
+        # fixpoint and confirms it exactly with one exceptAll
+        # anti-join — cheap because it runs once, at the converged
+        # (star-forest, smallest) edge set, instead of every round.
         h = F.xxhash64(F.col("u"), F.col("v"))
         row = ed.agg(
             F.count(F.lit(1)),
@@ -768,12 +777,21 @@ def connected_components(
     prev_sig: tuple | None = None
     converged = False
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        sig = _checksum(e)
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        stats["iterations"] += 1
+        sig = _checksum(e2)
         if sig == prev_sig:
-            converged = True
-            break
+            # candidate fixpoint: confirm exactly.  Counts already
+            # match (part of the fingerprint), so one empty one-sided
+            # multiset difference proves e2 == e.
+            stats["confirm_rounds"] += 1
+            if e2.exceptAll(e).isEmpty():
+                e = e2
+                converged = True
+                break
         prev_sig = sig
+        e = e2
+    stats["converged"] = converged
     if not converged:
         import warnings
 

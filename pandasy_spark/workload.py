@@ -3822,7 +3822,8 @@ def dedup_semantic(spark, sf_dir):
     )
     SELECT dd.doc_id,
            COALESCE(c.component, dd.doc_id) AS component,
-           dd.doc_id = COALESCE(c.component, dd.doc_id) AS keep
+           dd.doc_id = COALESCE(c.component, dd.doc_id) AS keep,
+           TRUE AS converged
     FROM (SELECT doc_id FROM documents WHERE doc_id < 300) dd
     LEFT JOIN c ON dd.doc_id = c.u
     """,
@@ -3840,14 +3841,16 @@ def dedup_components(spark, sf_dir):
     lineage, survivor selection is a broadcast-able left join.  The
     DuckDB oracle computes the same transitive closure with a
     recursive CTE — tractable at sf0.01, which is the point of the
-    scale split."""
+    scale split.  The ``converged`` contract column surfaces the CC
+    loop's exact-confirmed convergence (extended/dedup.py)."""
     docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 300)
     pairs = X_dedup.blocked_jaccard_pairs(
         docs, ["source", "lang"], n=3, threshold=0.6
     )
-    comp = X_dedup.connected_components(pairs, "id1", "id2").withColumnRenamed(
-        "node", "doc_id"
-    )
+    cc_stats: dict = {}
+    comp = X_dedup.connected_components(
+        pairs, "id1", "id2", stats=cc_stats
+    ).withColumnRenamed("node", "doc_id")
     return (
         docs.select("doc_id")
         .join(comp, "doc_id", "left")
@@ -3855,6 +3858,9 @@ def dedup_components(spark, sf_dir):
             "doc_id",
             F.coalesce("component", "doc_id").alias("component"),
             (F.col("doc_id") == F.coalesce("component", "doc_id")).alias("keep"),
+            # contract column the oracle pins TRUE: a max-iteration
+            # (over-split) exit would flip it and fail the hash gate
+            F.lit(bool(cc_stats["converged"])).alias("converged"),
         )
     )
 

@@ -635,6 +635,39 @@ def test_connected_components_converges_on_star_heavy_graph(spark):
     assert all(comp[200 + i] == 200 for i in range(21))
 
 
+def test_connected_components_exact_confirm_runs_once(spark):
+    """The distributed loop treats a stable checksum as a CANDIDATE
+    fixpoint and confirms exactly with one exceptAll — the confirm
+    round must fire exactly once per converged run, and a
+    max_iterations exhaustion must report converged=False."""
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    df = to_df(spark, edges, "id1:long,id2:long")
+    stats: dict = {}
+    X_dedup.connected_components(
+        df, small_graph_edges=0, stats=stats
+    ).collect()
+    assert stats["converged"] is True
+    assert stats["confirm_rounds"] == 1
+    assert 1 <= stats["iterations"] <= 25
+
+    # exhausting the cap on a long chain: no convergence, no confirm
+    chain = to_df(
+        spark, [(i, i + 1) for i in range(1, 40)], "id1:long,id2:long"
+    )
+    stats2: dict = {}
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        X_dedup.connected_components(
+            chain, small_graph_edges=0, max_iterations=1, stats=stats2
+        ).collect()
+    assert stats2["converged"] is False
+    assert stats2["confirm_rounds"] == 0
+
+    # the small-graph endgame is exact by construction
+    stats3: dict = {}
+    X_dedup.connected_components(df, stats=stats3).collect()
+    assert stats3 == {"iterations": 0, "confirm_rounds": 0, "converged": True}
+
+
 def test_bpe_pair_counts_hand_checked(spark):
     df = to_df(spark, [("aaab ab",), ("xy",)], "text:str")
     out = {
