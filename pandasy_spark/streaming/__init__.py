@@ -3,6 +3,7 @@ from .ops import (
     run_stream_to_memory,
     session_window_agg,
     sessionize_batch,
+    staged_file_stream,
     stream_stream_tolerance_join,
     stream_table,
     streaming_bloom_decontaminate,
@@ -20,6 +21,7 @@ __all__ = [
     "streaming_dedup_against_index",
     "session_window_agg",
     "sessionize_batch",
+    "staged_file_stream",
     "stateful_sessions",
     "streaming_dedup",
     "windowed_agg",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "windowed_agg",
+    "staged_file_stream",
     "sessionize_batch",
     "session_window_agg",
     "run_stream_to_memory",
@@ -93,6 +94,45 @@ def session_window_agg(
             F.col("session_window.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+def staged_file_stream(spark, pdfs: list, ts_col: str = "ts") -> DataFrame:
+    """Open a MULTI-micro-batch file-source stream over a list of
+    pandas frames: each frame becomes one parquet file in a fresh
+    per-call staging dir (mtimes strictly increasing so the file
+    source's oldest-first listing replays them in order), and
+    ``maxFilesPerTrigger=1`` makes each file its own micro-batch.
+
+    This is the harness for watermark-SEQUENCE tests: Spark advances
+    the watermark between micro-batches, never inside one, so
+    late-data eviction semantics are only observable with a staged
+    multi-batch replay.  The staging is test/gate scaffolding (driver
+    writes the files); production streams read real arrival-ordered
+    directories and need none of this."""
+    import os
+    import tempfile
+    import time
+
+    stage = tempfile.mkdtemp(prefix="pandasy_staged_stream_")
+    now = time.time()
+    for i, pdf in enumerate(pdfs):
+        pdf = pdf.copy()
+        # store as us-precision so the stream reads TimestampType (ns
+        # parquet would hit the nanosAsLong legacy path)
+        pdf[ts_col] = pdf[ts_col].astype("datetime64[us]")
+        path = os.path.join(stage, f"{i:04d}.parquet")
+        pdf.to_parquet(path, index=False)
+        mt = now - (len(pdfs) - i) * 10
+        os.utime(path, (mt, mt))
+    schema = spark.read.parquet(stage).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        # parquet-from-pandas reads back as TIMESTAMP_NTZ; watermarks
+        # require TIMESTAMP
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     )
 
 

@@ -5211,6 +5211,78 @@ def streaming_sessionize(spark, sf_dir):
 
 
 @query(
+    "streaming_late_data",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR((SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0)
+                 * 100 + 0.5) / 100 AS sum_value,
+           TRUE AS late_dropped
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_late_data(spark, sf_dir):
+    """Watermark EVICTION, driver-witnessed — the one streaming
+    behavior the complete-mode gates cannot show: events beyond the
+    watermark must be DROPPED, not absorbed.
+
+    A staged 4-micro-batch replay (streaming/ops.py
+    staged_file_stream): (1) the real events table; (2) a sentinel
+    event 30 days ahead, advancing the watermark past every real
+    window; (3) a second sentinel 5 minutes later — Spark applies the
+    late-record filter with the watermark of the PREVIOUS batch, so
+    this hop makes batch 2's watermark operative for filtering; (4) a
+    LATE batch: 200 copies of real events shifted 400 days into the
+    past.  Hourly append-mode aggregation with a 1-hour watermark then
+    drains to a memory sink.  The final table must equal the plain
+    batch aggregate of the REAL events alone: every real window was
+    evicted (watermark passed it, so it emitted exactly once), the
+    sentinel windows are still open (never emitted), and the late
+    batch hit evicted state and was discarded.  A leak shows up twice:
+    extra/changed rows break the value hash, and the ``late_dropped``
+    contract column (no bucket outside the real event-time range)
+    flips to false."""
+    import pandas as pd
+
+    from .streaming import run_stream_to_memory, staged_file_stream, windowed_agg
+
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_late_data_gate_{_STREAM_GATE_SEQ[0]}"
+    real = (
+        _t(spark, sf_dir, "events")
+        .select("ts", "event_type", "value")
+        .toPandas()
+    )
+    sentinel1 = real.head(1).copy()
+    sentinel1["ts"] = real["ts"].max() + pd.Timedelta(days=30)
+    sentinel2 = real.head(1).copy()
+    sentinel2["ts"] = real["ts"].max() + pd.Timedelta(days=30, minutes=5)
+    late = real.head(200).copy()
+    late["ts"] = late["ts"] - pd.Timedelta(days=400)
+    stream = staged_file_stream(spark, [real, sentinel1, sentinel2, late])
+    out = windowed_agg(
+        stream,
+        "ts",
+        "1 hour",
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": qr(exact_sum(F.col("value"), 2), 2),
+        },
+        keys=["event_type"],
+        watermark="1 hour",
+    ).select("bucket", "event_type", "n_events", "sum_value")
+    q = run_stream_to_memory(out, name, output_mode="append")
+    q.stop()
+    sink = spark.table(name)
+    lo = F.lit(real["ts"].min().floor("h").to_pydatetime())
+    hi = F.lit(real["ts"].max().to_pydatetime())
+    n_outside = sink.filter(
+        (F.col("bucket") < lo) | (F.col("bucket") > hi)
+    ).count()
+    return sink.withColumn("late_dropped", F.lit(n_outside == 0))
+
+
+@query(
     "dedup_containment",
     r"""
     WITH d AS (

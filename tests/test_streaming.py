@@ -609,3 +609,47 @@ def test_streaming_bloom_decontaminate_matches_batch(spark, tmp_path, sf_dir):
         r["doc_id"] for r in bloom_decontaminate(docs, ev).collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_staged_stream_drops_late_data_after_eviction(spark):
+    """The watermark-eviction contract: once a window has been evicted
+    (watermark passed its end, with one extra batch for the
+    late-record filter to pick the new watermark up), a late row for
+    that window is DROPPED — the sink shows the pre-late aggregate,
+    not an absorbed or duplicated one.  Also pins that still-open
+    (sentinel) windows are NOT emitted by availableNow's final batch."""
+    import pandas as pd
+
+    from pandasy_spark.streaming import (
+        run_stream_to_memory,
+        staged_file_stream,
+        windowed_agg,
+    )
+
+    def mk(ts_list, vals):
+        return pd.DataFrame(
+            {"ts": pd.to_datetime(ts_list, format="ISO8601"), "v": vals}
+        )
+
+    real = mk(["2024-01-01 00:30:00", "2024-01-01 01:30:00"], [1.0, 2.0])
+    sentinel1 = mk(["2024-01-01 10:00:00"], [3.0])
+    sentinel2 = mk(["2024-01-01 10:05:00"], [4.0])
+    late = mk(["2024-01-01 00:45:00"], [100.0])
+    stream = staged_file_stream(spark, [real, sentinel1, sentinel2, late])
+    out = windowed_agg(
+        stream,
+        "ts",
+        "1 hour",
+        {"n": F.count(F.lit(1)), "s": F.sum("v")},
+        watermark="1 hour",
+    ).select("bucket", "n", "s")
+    q = run_stream_to_memory(out, "late_drop_test", output_mode="append")
+    q.stop()
+    rows = {
+        str(r["bucket"]): (r["n"], r["s"])
+        for r in spark.table("late_drop_test").collect()
+    }
+    assert rows == {
+        "2024-01-01 00:00:00": (1, 1.0),  # late v=100 dropped, not absorbed
+        "2024-01-01 01:00:00": (1, 2.0),
+    }
