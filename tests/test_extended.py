@@ -786,14 +786,14 @@ def test_bpe_learn_matches_python_reference(spark):
     corpus = ["low lower lowest low low", "newer newest new low", "wider wide new"]
     df = spark.createDataFrame([(t,) for t in corpus], ["text"])
     got = bpe_learn(df, "text", num_merges=6)
-    # the fully distributed loop must learn the identical merge table,
-    # both batched (default) and strictly one-merge-per-pass
-    got_dist = bpe_learn(df, "text", num_merges=6, local_types_threshold=0)
-    assert got == got_dist
-    got_seq = bpe_learn(
-        df, "text", num_merges=6, local_types_threshold=0, merge_batch=1
-    )
-    assert got == got_seq
+    # the fully distributed loop must learn the identical merge table
+    # across every batch schedule: adaptive (default), fixed 8, and
+    # strictly one-merge-per-pass
+    for mb in ("adaptive", 8, 1):
+        got_dist = bpe_learn(
+            df, "text", num_merges=6, local_types_threshold=0, merge_batch=mb
+        )
+        assert got == got_dist, f"merge_batch={mb}"
 
     # reference implementation (Sennrich-style, word types x freq)
     import re
