@@ -306,10 +306,17 @@ def decode_image(payload: bytes) -> "object":
 
         return decode_gif(payload)
 
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        # lossless VP8L decodes natively (raises NotImplementedError
+        # for lossy VP8/VP8X); alpha dropped for the RGB stats surface
+        return decode_webp(payload)[:, :, :3]
+
     raise NotImplementedError(
-        "WebP/AVIF require an external codec, not installed; PPM "
-        "(P6), 24-bit BMP, baseline PNG, GIF, and baseline/"
-        "progressive JPEG decode natively"
+        "lossy WebP (VP8) / AVIF require an external codec, not "
+        "installed; PPM (P6), 24-bit BMP, baseline PNG, GIF, lossless "
+        "WebP (VP8L), and baseline/progressive JPEG decode natively"
     )
 
 

@@ -6006,6 +6006,73 @@ def multimodal_gif(spark, sf_dir):
 
 
 @query(
+    "multimodal_webp",
+    # VP8L is lossless: the checkerboard round-trips exactly (same
+    # closed form as multimodal_gif, different colors so a dispatch
+    # mix-up between the codecs cannot silently pass)
+    """
+    WITH p AS (
+      SELECT doc_id,
+             (doc_id % 5) + 1 AS w, (doc_id % 3) + 1 AS h,
+             ((doc_id % 3) + 2) // 2 * (((doc_id % 5) + 2) // 2)
+               + ((doc_id % 3) + 1) // 2 * (((doc_id % 5) + 1) // 2) AS na
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(na * ((doc_id*17) % 256) + (w*h - na) * ((doc_id*19) % 256)
+                AS DOUBLE) / (w*h) AS mean_r,
+           CAST(na * ((doc_id*23) % 256) + (w*h - na) * ((doc_id*29) % 256)
+                AS DOUBLE) / (w*h) AS mean_g,
+           CAST(na * ((doc_id*31) % 256) + (w*h - na) * ((doc_id*37) % 256)
+                AS DOUBLE) / (w*h) AS mean_b
+    FROM p
+    """,
+)
+def multimodal_webp(spark, sf_dir):
+    """REAL lossless-WebP pipeline, end-to-end and driver-checked:
+    encode a deterministic two-color checkerboard VP8L per document
+    (pure stdlib/numpy ``extended/webp.py`` — RIFF container, LSB-first
+    bit writing, canonical Huffman codes), then run the payloads
+    through ``image_stats``'s mapInPandas decoder (full VP8L: simple
+    and code-length-coded Huffman forms here; LZ77 / cache /
+    transforms covered in tests/test_webp.py with crafted streams).
+    Lossless means the DuckDB oracle states dimensions and exact
+    channel means in closed form.  Both UDF stages Arrow-batched; no
+    shuffle anywhere."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.webp import encode_webp_lossless
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w = d % 3 + 1, d % 5 + 1
+                a = ((d * 17) % 256, (d * 23) % 256, (d * 31) % 256)
+                b = ((d * 19) % 256, (d * 29) % 256, (d * 37) % 256)
+                rr, cc = np.indices((h, w))
+                arr = np.where(
+                    ((rr + cc) % 2 == 0)[:, :, None],
+                    np.array(a, np.uint8),
+                    np.array(b, np.uint8),
+                ).astype(np.uint8)
+                payloads.append(encode_webp_lossless(arr))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_webp = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    return X_mm.image_stats(with_webp)
+
+
+@query(
     "streaming_join",
     """
     SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id
