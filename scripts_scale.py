@@ -129,5 +129,114 @@ def bench() -> None:
     print(json.dumps({"sf1_over_sf01_ratio": ratios}))
 
 
+def probe() -> None:
+    """Ungated 10x probes for the operators whose GATES filter on
+    doc_id < N (codecs) or run on fixtures (warehouse merges): the
+    id-shifted replication shrinks those gates, so this bench runs the
+    operator over the FULL documents/orders table at sf0.1 and the
+    synthetic sf1.0 — per-payload codec CPU and single-join merges
+    should both scale ~linearly."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pandasy_spark.session import get_spark
+
+    spark = get_spark("pandasy-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def codec_probe(sf_dir, encoder_mod, encoder_fn):
+        import pandas as pd
+
+        from pandasy_spark.extended import multimodal as X_mm
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+        def _enc(batches):
+            import importlib
+
+            import numpy as np
+
+            enc = getattr(importlib.import_module(encoder_mod), encoder_fn)
+            for pdf in batches:
+                payloads = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    h, w = d % 3 + 2, d % 5 + 2
+                    rr, cc = np.indices((h, w))
+                    arr = np.where(
+                        ((rr + cc) % 2 == 0)[:, :, None],
+                        np.array((d % 256, (d * 7) % 256, (d * 13) % 256), np.uint8),
+                        np.array(((d * 3) % 256, (d * 5) % 256, (d * 11) % 256), np.uint8),
+                    ).astype(np.uint8)
+                    payloads.append(enc(arr))
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+                )
+
+        with_payload = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+        return X_mm.image_stats(with_payload)
+
+    def scd2_probe(sf_dir):
+        from pandasy_spark.operators.scd import scd2_apply
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        dim = o.select(
+            "o_orderkey", "o_totalprice",
+            F.col("o_orderdate").alias("eff_from"),
+            F.lit(None).cast("date").alias("eff_to"),
+            F.lit(True).alias("is_current"),
+        )
+        snap = o.select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 2 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        import datetime
+
+        return scd2_apply(
+            dim, snap, ["o_orderkey"], ["o_totalprice"],
+            datetime.date(2026, 1, 1),
+        )
+
+    def merge_probe(sf_dir):
+        from pandasy_spark.operators.scd import merge_upsert
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        delta = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        return merge_upsert(o, delta, ["o_orderkey"])
+
+    probes = {
+        "codec_webp": lambda d: codec_probe(
+            d, "pandasy_spark.extended.webp", "encode_webp_lossless"
+        ),
+        "codec_gif": lambda d: codec_probe(
+            d, "pandasy_spark.extended.gif", "encode_gif"
+        ),
+        "scd2_full_orders": scd2_probe,
+        "merge_full_orders": merge_probe,
+    }
+    results: dict[str, dict[str, float]] = {}
+    for name, fn in probes.items():
+        results[name] = {}
+        for label, sf_dir in [("sf0.1", SRC), ("sf1.0", DST)]:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            results[name][label] = round(best, 2)
+        results[name]["ratio"] = round(
+            results[name]["sf1.0"] / max(results[name]["sf0.1"], 1e-9), 2
+        )
+        print(name, results[name])
+    print(json.dumps({"ungated_probes": results}))
+
+
 if __name__ == "__main__":
-    {"build": build, "bench": bench}[sys.argv[1]]()
+    {"build": build, "bench": bench, "probe": probe}[sys.argv[1]]()
