@@ -33,6 +33,7 @@ __all__ = [
     "hyperplane_bucket",
     "lsh_cosine_topk",
     "kmeans_centroids",
+    "kmeans_exact",
     "ivf_topk",
     "semantic_contamination",
     "pca_moments",
@@ -355,6 +356,101 @@ def kmeans_centroids(
             )
         )
     return cents
+
+
+def kmeans_exact(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Grid-exact Lloyd's k-means: embeddings are quantized to an
+    integer grid (``floor(x*scale + 0.5)``), distances are BIGINT
+    sums, and centroid updates are floor-divided integer means — so
+    every iteration is BIT-IDENTICAL across engines, partitionings and
+    reruns, and a SQL oracle can state the unrolled iterations
+    (``embedding_kmeans`` gate).  Float k-means
+    (:func:`kmeans_centroids`) is the production form; this is its
+    determinism-auditable twin — same plan shape, provable numbers.
+
+    Initial centroids: the ``k`` smallest ids (deterministic, no RNG).
+    Returns per-cluster ``(cluster, n_members, c_sum, c_min, c_max)``
+    after ``iters`` assign/update rounds: the final-assignment counts
+    plus integer centroid fingerprints.
+
+    Scale shape: per iteration, one broadcast crossJoin of the k-row
+    centroid table against the corpus with a codegen zip_with integer
+    distance (narrow, no corpus shuffle), an id-window argmin, then a
+    (k x d)-cell partial-combined aggregate for the update — the same
+    story as :func:`kmeans_centroids`.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1 or iters < 0:
+        raise ValueError("k >= 1 and iters >= 0 required")
+    q = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
+    cents = (
+        q.orderBy("id")
+        .limit(k)
+        .select(F.col("id").alias("cluster"), F.col("qv").alias("cv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("id").orderBy(F.asc("__d2"), F.asc("cluster"))
+    assigned = None
+    for _ in range(iters):
+        assigned = (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("__d2", d2)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("id", "qv", "cluster")
+        )
+        dims = assigned.select("cluster", F.posexplode("qv").alias("dim", "x"))
+        cents = (
+            dims.groupBy("cluster", "dim")
+            .agg(
+                F.floor(
+                    F.sum("x").cast("double") / F.count(F.lit(1))
+                ).cast("long").alias("m")
+            )
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("p"))
+            .select(
+                "cluster", F.transform(F.col("p"), lambda s: s["m"]).alias("cv")
+            )
+        )
+    if assigned is None:  # iters == 0: everything in its own seed story
+        assigned = (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("__d2", d2)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("id", "cluster")
+        )
+    counts = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    fp = cents.select(
+        "cluster",
+        F.aggregate(
+            F.col("cv"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("c_sum"),
+        F.array_min("cv").alias("c_min"),
+        F.array_max("cv").alias("c_max"),
+    )
+    return counts.join(fp, "cluster").select(
+        "cluster", "n_members", "c_sum", "c_min", "c_max"
+    )
 
 
 def ivf_topk(

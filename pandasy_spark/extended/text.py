@@ -45,8 +45,18 @@ __all__ = [
     "tokenize_bpe",
     "build_inverted_index",
     "search_index",
+    "canonicalize_url",
     "PII_PATTERNS",
+    "TRACKING_PARAMS",
 ]
+
+#: query parameters stripped by URL canonicalization — the standard
+#: analytics/click-tracking junk that makes byte-identical pages look
+#: like distinct crawl URLs.
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "fbclid", "gclid", "msclkid", "ref",
+)
 
 # tiny per-language stopword marker sets for the n-gram/stopword
 # heuristic language ID (deterministic, SQL-expressible)
@@ -958,4 +968,54 @@ def search_index(
         )
         .filter(F.col("n_terms") == len(set(terms)))
         .select(id_col, F.col("score").cast("long").alias("score"))
+    )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL column — the first dedup step of every
+    web-crawl pipeline (duplicate PAGES hide behind case-varied hosts,
+    default ports, fragments, tracking parameters, parameter order and
+    trailing slashes).
+
+    Rules: lowercase scheme and authority; drop the fragment; drop
+    default ports (http:80, https:443); drop ``TRACKING_PARAMS``
+    query parameters; sort the remaining parameters; collapse the
+    empty path to ``/`` and strip a trailing slash from non-root
+    paths.
+
+    Pure codegen (regexp + split/filter/sort/join builtins) — no UDF,
+    no shuffle: canonicalizing 100 TB of URLs is a narrow map, and the
+    downstream dedup is a plain groupBy on the canonical key.
+    """
+    u = F.regexp_replace(url, "#.*$", "")  # fragment
+    pat = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)([^?]*)(\?(.*))?$"
+    scheme = F.lower(F.regexp_extract(u, pat, 1))
+    auth = F.lower(F.regexp_extract(u, pat, 2))
+    path = F.regexp_extract(u, pat, 3)
+    query = F.regexp_extract(u, pat, 5)
+    auth = F.when(
+        (scheme == "http") & auth.endswith(":80"),
+        F.regexp_replace(auth, ":80$", ""),
+    ).when(
+        (scheme == "https") & auth.endswith(":443"),
+        F.regexp_replace(auth, ":443$", ""),
+    ).otherwise(auth)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, "(.+)/$", "$1")
+    )
+    def keep(x: Column) -> Column:
+        c = (x != "")
+        for p in TRACKING_PARAMS:
+            c = c & ~x.startswith(p + "=") & (x != p)
+        return c
+
+    params = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), keep)), "&"
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params)),
     )

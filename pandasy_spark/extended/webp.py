@@ -409,7 +409,7 @@ def decode_webp(payload: bytes) -> "object":
     NotImplementedError (declared boundary)."""
     import numpy as np
 
-    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+    if len(payload) < 16 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) payload")
     fourcc = payload[12:16]
     if fourcc in (b"VP8 ", b"VP8X"):
@@ -419,6 +419,8 @@ def decode_webp(payload: bytes) -> "object":
         )
     if fourcc != b"VP8L":
         raise ValueError(f"WebP: unknown chunk {fourcc!r}")
+    if len(payload) < 21:
+        raise ValueError("VP8L: truncated container")
     (chunk_len,) = struct.unpack_from("<I", payload, 16)
     data = payload[20 : 20 + chunk_len]
     if not data or data[0] != 0x2F:

@@ -6655,3 +6655,177 @@ def text_textrank(spark, sf_dir):
         .limit(30)
         .select(F.col("node").alias("word"), "rank_nano")
     )
+
+
+@query(
+    "embedding_kmeans",
+    # grid-exact Lloyd's: 2 unrolled assign/update rounds in integer
+    # arithmetic — counts from the final assignment, fingerprints from
+    # the final centroid update; bit-identical across engines
+    """
+    WITH v AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings
+    ), seed AS (
+      SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8
+    ), c0 AS (
+      SELECT v.vec_id AS cluster, dim, q AS c FROM v JOIN seed USING (vec_id)
+    ), d1 AS (
+      SELECT v.vec_id, c.cluster,
+             SUM((v.q - c.c) * (v.q - c.c)) AS d2
+      FROM v JOIN c0 c ON v.dim = c.dim GROUP BY 1, 2
+    ), asg1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rk
+        FROM d1) WHERE rk = 1
+    ), c1 AS (
+      SELECT a.cluster, v.dim,
+             CAST(FLOOR(CAST(SUM(v.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      FROM v JOIN asg1 a USING (vec_id) GROUP BY 1, 2
+    ), d2_ AS (
+      SELECT v.vec_id, c.cluster,
+             SUM((v.q - c.c) * (v.q - c.c)) AS d2
+      FROM v JOIN c1 c ON v.dim = c.dim GROUP BY 1, 2
+    ), asg2 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rk
+        FROM d2_) WHERE rk = 1
+    ), c2 AS (
+      SELECT a.cluster, v.dim,
+             CAST(FLOOR(CAST(SUM(v.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      FROM v JOIN asg2 a USING (vec_id) GROUP BY 1, 2
+    ), n AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM asg2 GROUP BY 1
+    ), f AS (
+      SELECT cluster, CAST(SUM(c) AS BIGINT) AS c_sum,
+             MIN(c) AS c_min, MAX(c) AS c_max
+      FROM c2 GROUP BY 1
+    )
+    SELECT n.cluster, n.n_members, f.c_sum, f.c_min, f.c_max
+    FROM n JOIN f USING (cluster)
+    """,
+)
+def embedding_kmeans(spark, sf_dir):
+    """Deterministic k-means for data curation (extended/similarity.py
+    kmeans_exact): embeddings quantized to an integer grid so Lloyd's
+    assign/update rounds are BIGINT-exact — the oracle states the same
+    two unrolled iterations and every count/centroid fingerprint must
+    hash-match.  This is the clustering primitive under SemDeDup-style
+    semantic dedup and IVF index training, made auditable: the float
+    production twin (kmeans_centroids) shares the plan shape (broadcast
+    crossJoin assignment, k x d-cell partial-agg update) that scales to
+    100 TB."""
+    from .extended.similarity import kmeans_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_exact(emb, k=8, iters=2)
+
+
+# messy-URL synthesis shared by the dedup_url gate: per document,
+# a URL whose host case, default port, trailing slash, tracking
+# params, param order and fragment vary with doc_id — but whose
+# canonical form depends only on (source, doc_id DIV 4)
+_URL_CTE = """
+    WITH raw AS (
+      SELECT doc_id, source,
+             'http://' ||
+             CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END ||
+             CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END ||
+             '/' || source || '/item' || CAST(doc_id // 4 AS VARCHAR) ||
+             CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+             CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '?b=2&a=1' END ||
+             CASE WHEN doc_id % 3 = 1 THEN '&utm_source=x&gclid=42' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents WHERE doc_id < 2000
+    )
+"""
+
+
+@query(
+    "dedup_url",
+    _URL_CTE
+    + """
+    , parts AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+    ), split_ AS (
+      SELECT doc_id,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)([^?]*)(\\?(.*))?$', 1)) AS scheme,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)([^?]*)(\\?(.*))?$', 2)) AS auth,
+             regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)([^?]*)(\\?(.*))?$', 3) AS path,
+             regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)([^?]*)(\\?(.*))?$', 5) AS query
+      FROM parts
+    ), canon AS (
+      SELECT doc_id,
+             scheme || '://' ||
+             CASE WHEN scheme = 'http' AND auth LIKE '%:80'
+                  THEN regexp_replace(auth, ':80$', '')
+                  WHEN scheme = 'https' AND auth LIKE '%:443'
+                  THEN regexp_replace(auth, ':443$', '')
+                  ELSE auth END ||
+             CASE WHEN path = '' THEN '/'
+                  ELSE regexp_replace(path, '(.+)/$', '\\1') END ||
+             CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+      FROM (
+        SELECT doc_id, scheme, auth, path,
+               array_to_string(list_sort(list_filter(
+                 string_split(query, '&'),
+                 x -> x != '' AND NOT (
+                   x LIKE 'utm\\_%' ESCAPE '\\' OR x = 'fbclid' OR x LIKE 'fbclid=%'
+                   OR x = 'gclid' OR x LIKE 'gclid=%'
+                   OR x = 'msclkid' OR x LIKE 'msclkid=%'
+                   OR x = 'ref' OR x LIKE 'ref=%'
+                   OR x = 'utm_source' OR x = 'utm_medium' OR x = 'utm_campaign'
+                   OR x = 'utm_term' OR x = 'utm_content'
+                 ))), '&') AS q
+        FROM split_
+      )
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           MIN(doc_id) AS first_doc
+    FROM canon GROUP BY 1
+    """,
+)
+def dedup_url(spark, sf_dir):
+    """URL canonicalization dedup (extended/text.py canonicalize_url)
+    — the first dedup pass of a web-crawl pipeline: host case, default
+    ports, fragments, tracking parameters (utm_*/gclid/fbclid/...),
+    parameter order and trailing slashes are all collapsed by pure
+    codegen regexp/array builtins, and duplicate pages group on the
+    canonical key.  The oracle re-states the full canonicalization in
+    SQL over the same synthesized messy URLs, so every rule is
+    hash-checked rule-for-rule.  Scale: narrow map + one groupBy on
+    the canonical key."""
+    from .extended.text import canonicalize_url
+
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 2000)
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.Example.COM"))
+            .otherwise(F.lit("www.example.com")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+            F.lit("/"), F.col("source"), F.lit("/item"),
+            F.expr("CAST(doc_id DIV 4 AS STRING)"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("?a=1&b=2"))
+            .otherwise(F.lit("?b=2&a=1")),
+            F.when(F.col("doc_id") % 3 == 1, F.lit("&utm_source=x&gclid=42"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return (
+        raw.select("doc_id", canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_raw"), F.min("doc_id").alias("first_doc"))
+    )

@@ -132,8 +132,9 @@ def test_multimodal_plumbing(spark):
 
 def test_multimodal_decode_boundaries():
     # baseline JPEG decodes natively now (extended/jpeg.py), so a
-    # truncated JPEG is a MALFORMED payload (quarantine drop), while
-    # formats with no native codec (WebP) stay NotImplementedError
+    # truncated JPEG is a MALFORMED payload (quarantine drop); lossless
+    # WebP (VP8L) decodes natively too, so only LOSSY WebP (VP8/VP8X)
+    # stays NotImplementedError
     with pytest.raises(X_mm.DECODE_ERRORS):
         X_mm.decode_image(b"\xff\xd8\xff\xe0jpeg")
     with pytest.raises(NotImplementedError):
@@ -885,7 +886,7 @@ def test_decode_image_ppm_and_bmp():
 
     # real PNG and JPEG decode exist now, so signatures with garbage
     # payloads are MALFORMED (quarantine); only codec-less formats
-    # (WebP) remain NotImplementedError
+    # (lossy WebP) remain NotImplementedError
     with _pytest.raises(DECODE_ERRORS):
         decode_image(b"\x89PNG\r\n\x1a\n....")
     with _pytest.raises(DECODE_ERRORS):

@@ -80,3 +80,75 @@ def test_fingerprint_distinguishes_unicode(edge_df):
     assert fps[6] != fps[7]
     # whitespace-only normalizes to the empty fingerprint class
     assert fps[1] == fps[2]
+
+
+def test_canonicalize_url_rules(spark):
+    from pandasy_spark.extended.text import canonicalize_url
+
+    cases = {
+        # host case + default port + fragment
+        "HTTP://WWW.Ex.COM:80/a/b#frag": "http://www.ex.com/a/b",
+        # https default port kept-host, non-default port preserved
+        "https://Ex.com:443/x": "https://ex.com/x",
+        "https://ex.com:8443/x": "https://ex.com:8443/x",
+        # tracking params dropped, rest sorted, empty query dropped
+        "http://e.com/p?utm_source=x&b=2&a=1&gclid=9": "http://e.com/p?a=1&b=2",
+        "http://e.com/p?utm_source=x": "http://e.com/p",
+        # trailing slash stripped except root; empty path -> root
+        "http://e.com/a/": "http://e.com/a",
+        "http://e.com/": "http://e.com/",
+        "http://e.com": "http://e.com/",
+        # ref is tracking, bare and valued
+        "http://e.com/p?ref=abc&z=1&ref": "http://e.com/p?z=1",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["c"]
+        for r in df.select("url", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert got == cases
+
+
+def test_kmeans_exact_matches_python(spark):
+    """Grid-exact Lloyd's must reproduce a literal Python run of the
+    same integer algorithm (seeds = smallest ids, floor-div means)."""
+    import numpy as np
+
+    from pandasy_spark.extended.similarity import kmeans_exact
+
+    rng = np.random.default_rng(3)
+    vecs = {i: rng.normal(size=4).astype(np.float32) for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["cluster"]: (r["n_members"], r["c_sum"], r["c_min"], r["c_max"])
+        for r in kmeans_exact(df, k=3, iters=2).collect()
+    }
+
+    import math
+
+    q = {i: [math.floor(float(x) * 1000 + 0.5) for x in v] for i, v in vecs.items()}
+    cents = {i: q[i][:] for i in range(3)}
+    asg = {}
+    for _ in range(2):
+        asg = {}
+        for i, v in q.items():
+            best = min(
+                cents, key=lambda c: (sum((a - b) ** 2 for a, b in zip(v, cents[c])), c)
+            )
+            asg[i] = best
+        new = {}
+        for c in set(asg.values()):
+            members = [q[i] for i in q if asg[i] == c]
+            new[c] = [
+                math.floor(sum(col) / len(members))
+                for col in zip(*members)
+            ]
+        cents = new
+    exp = {}
+    for c, cv in cents.items():
+        n = sum(1 for i in asg if asg[i] == c)
+        exp[c] = (n, sum(cv), min(cv), max(cv))
+    assert got == exp
