@@ -13,7 +13,14 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "retention_cohorts", "sequence_ngrams", "robust_anomalies"]
+__all__ = [
+    "funnel",
+    "retention_cohorts",
+    "sequence_ngrams",
+    "robust_anomalies",
+    "last_touch_attribution",
+    "rfm_segments",
+]
 
 
 def funnel(
@@ -221,4 +228,87 @@ def robust_anomalies(
             (F.col("med_g") / F.lit(p)).alias("med"),
             (F.col("mad_g") / F.lit(p)).alias("mad"),
         )
+    )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conversion: str = "purchase",
+    touches: tuple = ("click", "signup"),
+) -> DataFrame:
+    """Last-touch attribution: each conversion event is credited to the
+    most recent PRECEDING touch event of the same user (NULL when the
+    user converted with no prior touch) — the standard marketing /
+    funnel-credit assignment.
+
+    One window over (user, ts, id): ``last(touch_id, ignorenulls)`` up
+    to the current row, then filter to conversions.  Scale: a single
+    shuffle on the user key; the running last is O(1) state per row —
+    no self-join, no per-user collect.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_id = F.when(F.col(type_col).isin(*touches), F.col(id_col))
+    touch_ts = F.when(F.col(type_col).isin(*touches), F.col(ts_col))
+    out = df.withColumn("touch_id", F.last(touch_id, ignorenulls=True).over(w))
+    out = out.withColumn("touch_ts", F.last(touch_ts, ignorenulls=True).over(w))
+    return out.filter(F.col(type_col) == conversion).select(
+        F.col(user_col), F.col(id_col).alias("conversion_id"),
+        F.col(ts_col).alias("conversion_ts"), "touch_id", "touch_ts",
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    buckets: int = 4,
+) -> DataFrame:
+    """RFM segmentation: per user, Recency (days between the user's
+    last event and the corpus max timestamp), Frequency (event count)
+    and Monetary (grid-exact value sum), each scored into ``buckets``
+    quantile bands via ntile with deterministic (metric, user) ties.
+
+    Scale: one groupBy on the user key, then three ntile windows over
+    the (small, one-row-per-user) aggregate — the heavy shuffle is the
+    first aggregate only.  The ntile windows are GLOBAL sorts of the
+    per-user table: exact quantile banding is inherently global.  At
+    billions of users swap them for approx_percentile thresholds (one
+    aggregate + a broadcast join) — same segments up to boundary ties;
+    exact ntile is kept here because the gate must hash-match.
+    """
+    from pyspark.sql.window import Window
+
+    per_user = df.groupBy(user_col).agg(
+        F.max(ts_col).alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    overall = df.agg(F.max(ts_col).alias("max_ts"))
+    scored = per_user.crossJoin(F.broadcast(overall)).select(
+        F.col(user_col),
+        F.datediff(F.col("max_ts"), F.col("last_ts")).alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc(user_col))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc(user_col))
+    m_w = Window.orderBy(F.desc("monetary_cents"), F.asc(user_col))
+    return scored.select(
+        user_col, "recency_days", "frequency", "monetary_cents",
+        F.ntile(buckets).over(r_w).alias("r_score"),
+        F.ntile(buckets).over(f_w).alias("f_score"),
+        F.ntile(buckets).over(m_w).alias("m_score"),
     )

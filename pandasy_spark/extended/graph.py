@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "cooccurrence_edges", "triangle_count"]
+__all__ = ["pagerank", "cooccurrence_edges", "triangle_count", "label_propagation"]
 
 #: rank scale: 1.0 == 10^9 nano-units.
 SCALE = 1_000_000_000
@@ -205,3 +205,58 @@ def triangle_count(
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "x",
+    dst_col: str = "y",
+    rounds: int = 3,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Bounded-round min-label propagation over an undirected edge
+    list: every node starts labeled with its own id; each round a node
+    takes the minimum of its label and its neighbors' labels.  After k
+    rounds, nodes within graph distance k of a component's minimum
+    carry that minimum — the cheap community/cluster pass when full
+    connected-components convergence is unnecessary (or as its
+    bounded-latency approximation on a streaming cadence).
+
+    Integer min-only updates: bit-identical across engines, so a SQL
+    oracle can state the unrolled rounds (``graph_label_prop`` gate).
+
+    Scale shape: each round is one equi-join of the |V|-row label
+    table against the (symmetrized) edge list plus a map-combined min
+    aggregate — same k x (join+agg) story as :func:`pagerank`, with
+    ``localCheckpoint`` bounding lineage.
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).distinct()
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if rounds > 1:
+        sym = sym.localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for i in range(rounds):
+        incoming = (
+            sym.join(labels.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(incoming, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from ..functions.kernels import qround as _qr
+
 __all__ = [
     "profile_numeric",
     "cms_build",
@@ -36,6 +38,7 @@ __all__ = [
     "dq_check",
     "corr_pairs",
     "distribution_drift",
+    "column_entropy",
 ]
 
 _NUMERIC = (
@@ -454,3 +457,60 @@ def distribution_drift(
             ).alias("tvd"),
         )
     )
+
+
+def column_entropy(
+    df: DataFrame,
+    cols: list[str],
+    round_decimals: int = 4,
+) -> DataFrame:
+    """Per-column distribution profiling: distinct count, Shannon
+    entropy (bits) and Gini impurity of the value histogram — the
+    quick-look signals for key-quality / skew / anonymization audits
+    (entropy ~0 means a constant column; entropy ~log2(n) means nearly
+    unique).
+
+    NULLs count as a category (they carry distributional information).
+    Entropy's log2 is libm-evaluated, so the ROUNDED value is the
+    portable contract (same policy as every float surface here); Gini
+    is a polynomial in exact counts.
+
+    Scale shape: one groupBy per column (map-combined) feeding a
+    one-row aggregate — Σ over value counts, never a collect; columns
+    are profiled independently and unioned, so a wide audit
+    parallelizes across the cluster.
+    """
+    out = None
+    for c in cols:
+        counts = df.groupBy(F.col(c).cast("string").alias("__v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        one = counts.agg(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("cnt").alias("n_rows"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("__ss"),
+            (
+                -F.sum(
+                    F.col("cnt").cast("double")
+                    * F.log2(F.col("cnt").cast("double"))
+                )
+            ).alias("__plogp"),
+        ).select(
+            "column",
+            "n_distinct",
+            "n_rows",
+            _qr(
+                F.log2(F.col("n_rows").cast("double"))
+                + F.col("__plogp") / F.col("n_rows").cast("double"),
+                round_decimals,
+            ).alias("entropy_bits"),
+            _qr(
+                F.lit(1.0)
+                - F.col("__ss").cast("double")
+                / (F.col("n_rows") * F.col("n_rows")).cast("double"),
+                round_decimals,
+            ).alias("gini"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -46,6 +46,8 @@ __all__ = [
     "build_inverted_index",
     "search_index",
     "canonicalize_url",
+    "quality_logistic",
+    "hash_features",
     "PII_PATTERNS",
     "TRACKING_PARAMS",
 ]
@@ -1018,4 +1020,78 @@ def canonicalize_url(url: Column) -> Column:
         auth,
         path,
         F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params)),
+    )
+
+
+#: fixed logistic-regression weights for the classifier-style quality
+#: filter: (feature expression, weight).  Trained-model stand-in with
+#: the shape real pipelines use (fastText/LR over cheap features); the
+#: arithmetic below is the deployment surface that matters at 100 TB.
+QUALITY_LR_BIAS = -1.0
+
+
+def quality_logistic(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Classifier-based quality filtering: a fixed-weight logistic
+    regression over the cheap text features (token count, average
+    token length, punctuation and alpha ratios) — the "model-based
+    filter" stage of pre-training pipelines, reduced to its deployment
+    shape: a pure codegen dot product + sigmoid, no UDF, no shuffle.
+
+    Emits ``quality_logit`` (rounded, pure arithmetic — engine-exact),
+    ``quality_prob`` (sigmoid, rounded to 4: exp() is libm-dependent
+    in the last ulp, so the rounded value is the portable contract)
+    and ``keep`` (logit > 0 — the decision does NOT depend on exp).
+    """
+    c = F.col(text_col)
+    n = token_count(c).cast("double")
+    f1 = F.least(n / F.lit(100.0), F.lit(1.0))
+    f2 = F.least(F.coalesce(avg_token_len(c), F.lit(0.0)) / F.lit(10.0), F.lit(1.0))
+    f3 = punct_ratio(c)
+    f4 = alpha_ratio(c)
+    logit = (
+        F.lit(QUALITY_LR_BIAS)
+        + F.lit(2.0) * f1
+        + F.lit(1.5) * f2
+        + F.lit(-3.0) * f3
+        + F.lit(2.5) * f4
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return df.select(
+        "*",
+        qround(logit, 6).alias("quality_logit"),
+        qround(prob, 4).alias("quality_prob"),
+        (logit > 0).alias("keep"),
+    )
+
+
+def hash_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Hashing-trick term-frequency vectorizer: each lowercase word is
+    hashed to one of ``num_buckets`` buckets with the engine-portable
+    char-fold hash, and per-(doc, bucket) counts form the sparse
+    feature vector — the fixed-dimension featurizer that needs no
+    vocabulary pass (hence no global state) at 100 TB.
+
+    Output: (id, bucket, tf) sparse triples.  Scale: explode + one
+    map-combined groupBy on (id, bucket) — no vocabulary broadcast, no
+    second scan, and the hash is straight-line codegen arithmetic.
+    """
+    from .dedup import char_poly_hash
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("w"),
+    )
+    return (
+        words.select(
+            id_col, (char_poly_hash(F.col("w")) % num_buckets).alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )

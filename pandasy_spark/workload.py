@@ -6829,3 +6829,250 @@ def dedup_url(spark, sf_dir):
         .groupBy("canonical_url")
         .agg(F.count(F.lit(1)).alias("n_raw"), F.min("doc_id").alias("first_doc"))
     )
+
+
+@query(
+    "events_attribution",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type IN ('click', 'signup')
+                             THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS touch_id,
+             last_value(CASE WHEN event_type IN ('click', 'signup')
+                             THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS touch_ts
+      FROM events
+    )
+    SELECT user_id, event_id AS conversion_id, ts AS conversion_ts,
+           touch_id, touch_ts
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """Last-touch attribution (extended/events.py
+    last_touch_attribution): every purchase credited to the user's
+    most recent preceding click/signup (NULL when none) via one
+    running-last window — one shuffle on the user key, O(1) state per
+    row, no self-join.  The oracle states the identical
+    IGNORE-NULLS window."""
+    from .extended.events import last_touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return last_touch_attribution(ev)
+
+
+@query(
+    "events_rfm",
+    """
+    WITH pu AS (
+      SELECT user_id, MAX(ts) AS last_ts,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM events GROUP BY 1
+    ), mx AS (SELECT MAX(ts) AS max_ts FROM events)
+    SELECT user_id,
+           CAST(date_diff('day', CAST(last_ts AS DATE), CAST(max_ts AS DATE))
+                AS INT) AS recency_days,
+           frequency, monetary_cents,
+           CAST(ntile(4) OVER (ORDER BY date_diff('day', CAST(last_ts AS DATE),
+                                        CAST(max_ts AS DATE)), user_id)
+                AS INT) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INT)
+             AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS INT)
+             AS m_score
+    FROM pu, mx
+    """,
+)
+def events_rfm(spark, sf_dir):
+    """RFM segmentation (extended/events.py rfm_segments): per-user
+    recency/frequency/monetary with deterministic ntile quartile
+    scores — heavy shuffle is the single user aggregate; the exact
+    quantile banding is a global sort of the (one-row-per-user) table,
+    swapped for approx_percentile thresholds at billion-user scale
+    (docstring note).  Monetary is grid-exact cents."""
+    from .extended.events import rfm_segments
+
+    ev = _t(spark, sf_dir, "events")
+    return rfm_segments(ev)
+
+
+@query(
+    "graph_label_prop",
+    _COOC_CTE
+    + """
+    , sym AS (
+      SELECT x AS u, y AS v FROM e UNION SELECT y AS u, x AS v FROM e
+    ), l0 AS (
+      SELECT DISTINCT u AS node, u AS label FROM sym
+    ), l1 AS (
+      SELECT l0.node,
+             LEAST(l0.label, COALESCE(MIN(n.label), l0.label)) AS label
+      FROM l0
+      LEFT JOIN sym s ON s.v = l0.node
+      LEFT JOIN l0 n ON n.node = s.u
+      GROUP BY l0.node, l0.label
+    ), l2 AS (
+      SELECT l1.node,
+             LEAST(l1.label, COALESCE(MIN(n.label), l1.label)) AS label
+      FROM l1
+      LEFT JOIN sym s ON s.v = l1.node
+      LEFT JOIN l1 n ON n.node = s.u
+      GROUP BY l1.node, l1.label
+    )
+    SELECT node, label FROM l2
+    """,
+)
+def graph_label_prop(spark, sf_dir):
+    """Bounded-round min-label propagation (extended/graph.py
+    label_propagation) over the part co-occurrence graph — the cheap
+    community pass when full CC convergence is unnecessary.  Two
+    rounds, integer min-only updates, so the oracle states the same
+    unrolled rounds.  Scale: k x (|V|-join + map-combined min) with
+    checkpointed lineage."""
+    from .extended.graph import cooccurrence_edges, label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return label_propagation(e, rounds=2)
+
+
+@query(
+    "text_quality_classifier",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             LEAST(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)
+                   / 1e2, 1e0) AS f1,
+             LEAST(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+                   THEN CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                             AS DOUBLE)
+                        / len(regexp_extract_all(text, '\\S+'))
+                   ELSE 0e0 END / 1e1, 1e0) AS f2,
+             CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0e0 END AS f3,
+             CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0e0 END AS f4
+      FROM documents WHERE doc_id < 2000
+    ), s AS (
+      SELECT doc_id,
+             -1e0 + 2e0 * f1 + 1.5e0 * f2 + -3e0 * f3 + 2.5e0 * f4 AS logit
+      FROM f
+    )
+    SELECT doc_id,
+           FLOOR(logit * 1e6 + 0.5) / 1e6 AS quality_logit,
+           FLOOR((1e0 / (1e0 + exp(-logit))) * 1e4 + 0.5) / 1e4
+             AS quality_prob,
+           logit > 0 AS keep
+    FROM s
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """Classifier-based quality filtering (extended/text.py
+    quality_logistic): fixed-weight logistic regression over the cheap
+    text features, reduced to its deployment shape — a codegen dot
+    product + sigmoid, no UDF, no shuffle.  The rounded logit is pure
+    arithmetic (engine-exact); the rounded sigmoid and the exp-free
+    keep decision are the portable contracts, all re-stated by the
+    oracle feature-for-feature."""
+    from .extended.text import quality_logistic
+
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 2000
+    ).select("doc_id", "text")
+    return quality_logistic(docs).select(
+        "doc_id", "quality_logit", "quality_prob", "keep"
+    )
+
+
+@query(
+    "text_hash_features",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+               AS word
+      FROM documents WHERE doc_id < 1000
+    ), h AS (
+      SELECT doc_id,
+             (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 [ord(substring(word, i, 1))
+                  for i in range(1, len(word) + 1)]),
+                 (acc, c) -> (acc * 257 + c) % 9007199254740992)
+              % 2147483647) % 64 AS bucket
+      FROM w
+    )
+    SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM h GROUP BY 1, 2
+    """,
+)
+def text_hash_features(spark, sf_dir):
+    """Hashing-trick term-frequency vectorizer (extended/text.py
+    hash_features): words hashed to 64 buckets with the portable
+    char-fold hash, per-(doc, bucket) counts as sparse features — the
+    fixed-dimension featurizer with NO vocabulary pass, hence no
+    global state at 100 TB.  Scale: explode + one map-combined
+    groupBy; the oracle folds the identical hash in SQL."""
+    from .extended.text import hash_features
+
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 1000
+    ).select("doc_id", "text")
+    return hash_features(docs, num_buckets=64)
+
+
+@query(
+    "profile_entropy",
+    """
+    WITH src AS (
+      SELECT CAST(l_returnflag AS VARCHAR) AS v FROM lineitem
+    ), c1 AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM src GROUP BY v
+    ), a1 AS (
+      SELECT 'l_returnflag' AS "column",
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS ss,
+             -SUM(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE))) AS plogp
+      FROM c1
+    ), src2 AS (
+      SELECT CAST(l_linestatus AS VARCHAR) AS v FROM lineitem
+    ), c2 AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM src2 GROUP BY v
+    ), a2 AS (
+      SELECT 'l_linestatus' AS "column",
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS ss,
+             -SUM(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE))) AS plogp
+      FROM c2
+    ), u AS (
+      SELECT * FROM a1 UNION ALL SELECT * FROM a2
+    )
+    SELECT "column", n_distinct, n_rows,
+           FLOOR((log2(CAST(n_rows AS DOUBLE))
+                  + plogp / CAST(n_rows AS DOUBLE)) * 1e4 + 0.5) / 1e4
+             AS entropy_bits,
+           FLOOR((1e0 - CAST(ss AS DOUBLE)
+                  / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)))
+                 * 1e4 + 0.5) / 1e4 AS gini
+    FROM u
+    """,
+)
+def profile_entropy(spark, sf_dir):
+    """Distribution profiling (extended/profile.py column_entropy):
+    distinct count, Shannon entropy and Gini impurity per column —
+    key-quality / skew audit signals.  One map-combined groupBy per
+    column feeding a one-row aggregate; rounded floats are the
+    portable contract (log2 is libm-evaluated)."""
+    from .extended.profile import column_entropy
+
+    li = _t(spark, sf_dir, "lineitem")
+    return column_entropy(li, ["l_returnflag", "l_linestatus"])
