@@ -231,6 +231,31 @@ def encode_png(arr: "object") -> bytes:
     )
 
 
+def encode_bmp(arr: "object") -> bytes:
+    """Encode an ``(h, w, 3) uint8`` array as a 24-bit uncompressed
+    (BI_RGB) Windows BMP — BITMAPINFOHEADER, bottom-up rows, BGR byte
+    order, rows padded to 4 bytes.  The round-trip partner of the BMP
+    branch in :func:`decode_image`."""
+    import struct
+
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_bytes - w * 3)
+    # bottom-up: last image row first; RGB -> BGR
+    raster = b"".join(a[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1))
+    data_offset = 14 + 40
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", data_offset + len(raster), 0, 0, data_offset
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + raster
+
+
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload to an ``(h, w, 3) uint8`` numpy array.
 

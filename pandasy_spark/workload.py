@@ -7076,3 +7076,207 @@ def profile_entropy(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     return column_entropy(li, ["l_returnflag", "l_linestatus"])
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(FLOOR(l_extendedprice * 100.0 / l_quantity + 0.5)
+                      AS BIGINT)) AS cost_grid
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), ep AS (
+      SELECT ps.l_partkey, ps.cost_grid, eu.s_name, eu.s_acctbal, eu.n_name
+      FROM ps JOIN eu ON ps.l_suppkey = eu.s_suppkey
+    ), mc AS (
+      SELECT l_partkey, MIN(cost_grid) AS min_cost FROM ep GROUP BY l_partkey
+    )
+    SELECT p_partkey, p_type, p_size, s_name, n_name,
+           FLOOR(s_acctbal * 100 + 0.5) / 100 AS acctbal,
+           FLOOR((cost_grid / 100.0) * 100 + 0.5) / 100 AS supply_cost
+    FROM ep JOIN mc ON ep.l_partkey = mc.l_partkey
+                   AND ep.cost_grid = mc.min_cost
+    JOIN part ON p_partkey = ep.l_partkey
+    WHERE p_size <= 10 AND p_type = 'LARGE'
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier), completing the q1-q22
+    set.  The testdata has no partsupp table, so the supply relation is
+    DERIVED: per (part, supplier) the minimum observed unit price on an
+    exact integer grid plays partsupp.ps_supplycost.  The correlated
+    MIN-per-part subquery decorrelates into a groupBy + equi-join back
+    on (partkey, cost) — the classic Catalyst-friendly rewrite.
+
+    Scale shape: one map-combined groupBy on (partkey, suppkey) over
+    lineitem (the only big scan), dims (supplier x nation x region and
+    the filtered part) broadcast, and the min-cost join is
+    partkey-keyed — no shuffle wider than the part count.  Reference
+    parity: multi-way join composition, slide/utils.py joins."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice") * F.lit(100.0) / F.col("l_quantity")
+            + F.lit(0.5)
+        ).alias("unit"),
+    )
+    ps = agg(
+        li,
+        ["l_partkey", "l_suppkey"],
+        {"cost_grid": F.min(F.floor(F.col("unit")).cast("long"))},
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = filter_df(
+        _t(spark, sf_dir, "region"), F.col("r_name") == "EUROPE"
+    ).select("r_regionkey")
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal",
+        F.col("s_nationkey").alias("n_nationkey"),
+    )
+    eu = join(
+        join(s, F.broadcast(n), "inner", on=["n_nationkey"]).withColumnRenamed(
+            "n_regionkey", "r_regionkey"
+        ),
+        F.broadcast(r),
+        "inner",
+        on=["r_regionkey"],
+    ).select(F.col("s_suppkey").alias("l_suppkey"), "s_name", "s_acctbal", "n_name")
+    ep = join(ps, F.broadcast(eu), "inner", on=["l_suppkey"])
+    mc = agg(ep, ["l_partkey"], {"min_cost": F.min("cost_grid")})
+    j = filter_df(
+        join(ep, mc, "inner", on=["l_partkey"]),
+        F.col("cost_grid") == F.col("min_cost"),
+    )
+    p = filter_df(
+        _t(spark, sf_dir, "part"),
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE"),
+    ).select(F.col("p_partkey").alias("l_partkey"), "p_type", "p_size")
+    j = join(j, F.broadcast(p), "inner", on=["l_partkey"])
+    return j.select(
+        F.col("l_partkey").alias("p_partkey"),
+        "p_type",
+        "p_size",
+        "s_name",
+        "n_name",
+        qr(F.col("s_acctbal"), 2).alias("acctbal"),
+        qr(F.col("cost_grid") / F.lit(100.0), 2).alias("supply_cost"),
+    )
+
+
+@query(
+    "streaming_dedup",
+    """
+    SELECT event_id, ts, user_id, event_type,
+           FLOOR(value * 100 + 0.5) / 100 AS value
+    FROM events
+    """,
+)
+def streaming_dedup(spark, sf_dir):
+    """Streaming EXACT dedup with bounded state, driver-witnessed:
+    ``dropDuplicatesWithinWatermark`` on event_id over a staged 2-batch
+    replay — batch 1 is the real events table, batch 2 re-sends 300 of
+    the same rows (same event_id, same ts).  The watermark delay covers
+    the whole event-time range, so every key is still in the dedup
+    state store when the duplicates arrive and all 300 are suppressed;
+    the memory sink must equal the real table exactly (append mode
+    emits each key once, on first sight).  A leak shows as 300 extra
+    rows -> hash mismatch.
+
+    At 100 TB the same operator runs with a REAL delay (say 1 hour):
+    state is keys-within-horizon only, evicted as the watermark
+    advances — the production shape of continuous exact dedup, vs the
+    dedup_incremental batch-index variant for unbounded horizons."""
+    from .streaming import run_stream_to_memory, staged_file_stream
+
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_dedup_gate_{_STREAM_GATE_SEQ[0]}"
+    real = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .toPandas()
+    )
+    dup = real.head(300).copy()
+    stream = staged_file_stream(spark, [real, dup])
+    out = (
+        stream.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id", "ts", "user_id", "event_type",
+            qr(F.col("value"), 2).alias("value"),
+        )
+    )
+    q = run_stream_to_memory(out, name, output_mode="append")
+    q.stop()
+    return spark.table(name)
+
+
+@query(
+    "multimodal_bmp",
+    # BMP is uncompressed: the checkerboard round-trips exactly (same
+    # closed form as multimodal_gif, distinct colors/dims so codec
+    # dispatch mix-ups cannot silently pass)
+    """
+    WITH p AS (
+      SELECT doc_id,
+             (doc_id % 6) + 1 AS w, (doc_id % 4) + 1 AS h,
+             ((doc_id % 4) + 2) // 2 * (((doc_id % 6) + 2) // 2)
+               + ((doc_id % 4) + 1) // 2 * (((doc_id % 6) + 1) // 2) AS na
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(na * ((doc_id*41) % 256) + (w*h - na) * ((doc_id*43) % 256)
+                AS DOUBLE) / (w*h) AS mean_r,
+           CAST(na * ((doc_id*47) % 256) + (w*h - na) * ((doc_id*53) % 256)
+                AS DOUBLE) / (w*h) AS mean_g,
+           CAST(na * ((doc_id*59) % 256) + (w*h - na) * ((doc_id*61) % 256)
+                AS DOUBLE) / (w*h) AS mean_b
+    FROM p
+    """,
+)
+def multimodal_bmp(spark, sf_dir):
+    """REAL BMP pipeline, end-to-end and driver-checked: encode a
+    deterministic two-color checkerboard 24-bit BI_RGB BMP per document
+    (``extended/multimodal.py`` encode_bmp — bottom-up BGR rows, 4-byte
+    padding), then run the payloads through ``image_stats``'s
+    mapInPandas decoder (header walk, pad strip, BGR->RGB, row flip).
+    BMP is lossless, so the DuckDB oracle states dimensions and exact
+    channel means in closed form — padding or row-order bugs break the
+    hash.  Both UDF stages Arrow-batched; no shuffle anywhere."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.multimodal import encode_bmp
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w = d % 4 + 1, d % 6 + 1
+                a = ((d * 41) % 256, (d * 47) % 256, (d * 59) % 256)
+                b = ((d * 43) % 256, (d * 53) % 256, (d * 61) % 256)
+                rr, cc = np.indices((h, w))
+                arr = np.where(
+                    ((rr + cc) % 2 == 0)[:, :, None],
+                    np.array(a, np.uint8),
+                    np.array(b, np.uint8),
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(arr))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_bmp = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    return X_mm.image_stats(with_bmp)

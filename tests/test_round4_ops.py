@@ -156,3 +156,44 @@ def test_column_entropy_known_distributions(spark):
     assert out["c2"]["n_distinct"] == 4
     assert out["c2"]["entropy_bits"] == 2.0
     assert out["c2"]["gini"] == 0.75
+
+
+def test_encode_bmp_roundtrip_all_pad_widths():
+    import numpy as np
+
+    from pandasy_spark.extended.multimodal import decode_image, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for h in (1, 2, 3, 5):
+        for w in (1, 2, 3, 4, 7):  # w%4 covers all row-padding cases
+            a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payload = encode_bmp(a)
+            assert payload[:2] == b"BM"
+            # row stride must be 4-byte aligned
+            assert (len(payload) - 54) % 4 == 0 or h == 0
+            b = decode_image(payload)
+            assert (a == b).all(), (h, w)
+
+
+def test_streaming_dedup_within_watermark_suppresses_resends(spark):
+    import pandas as pd
+
+    from pandasy_spark.streaming import run_stream_to_memory, staged_file_stream
+
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    real = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": [t0 + pd.Timedelta(minutes=m) for m in (0, 1, 2, 3)],
+            "v": [10.0, 20.0, 30.0, 40.0],
+        }
+    )
+    dup = real.head(2).copy()  # re-send ids 1, 2
+    stream = staged_file_stream(spark, [real, dup])
+    out = stream.withWatermark("ts", "365 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = run_stream_to_memory(out, "t_sdedup_unit", output_mode="append")
+    q.stop()
+    got = spark.table("t_sdedup_unit").toPandas()
+    assert sorted(got["event_id"]) == [1, 2, 3, 4]
