@@ -146,8 +146,9 @@ def triangle_count(
     orient: str = "degree",
 ) -> DataFrame:
     """Global triangle count over an undirected edge list (each edge
-    stated once, any orientation): edges are re-oriented by a total
-    node order, then each triangle a→b→c is found exactly once by the
+    stated in either — or BOTH — directions; the oriented list is
+    deduplicated): edges are re-oriented by a total node order, then
+    each triangle a→b→c is found exactly once by the
     two-hop-plus-closure join e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c).
 
     ``orient`` picks the total order:
@@ -160,8 +161,8 @@ def triangle_count(
       bounding total wedges at O(|E|^1.5) even on power-law graphs —
       a celebrity node contributes ZERO wedges because all its edges
       point inward.  This is the orientation to run at 100 TB.
-    - ``"id"``: lower id first (assumes the input is already
-      id-oriented, ``src < dst``).  Wedges are unbounded on skewed
+    - ``"id"``: lower id first (enforced via least/greatest +
+      dedup, so any input orientation is safe).  Wedges are unbounded on skewed
       graphs (a hub with degree d placed low in the id order fans out
       d² pairs); kept for plan-identical comparisons only.
 
@@ -192,8 +193,21 @@ def triangle_count(
                 F.when(keep, F.col("x")).otherwise(F.col("y")).alias("x"),
                 F.when(keep, F.col("y")).otherwise(F.col("x")).alias("y"),
             )
+            # an undirected edge stated in BOTH directions ((a,b) and
+            # (b,a) each survive the initial distinct) collapses to the
+            # same oriented edge — dedup here or every incident
+            # triangle double-counts; cheap next to the triangle joins
+            .distinct()
         )
-    elif orient != "id":
+    elif orient == "id":
+        # ENFORCE the id order rather than assuming it: least/greatest
+        # + distinct collapses both-direction statements the same way
+        # the degree path does (narrow map + the dedup shuffle)
+        e = e.select(
+            F.least(F.col("x"), F.col("y")).alias("x"),
+            F.greatest(F.col("x"), F.col("y")).alias("y"),
+        ).distinct()
+    else:
         raise ValueError(f"unknown orient: {orient!r} (degree|id)")
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     return (

@@ -489,7 +489,13 @@ def column_entropy(
             F.lit(c).alias("column"),
             F.count(F.lit(1)).alias("n_distinct"),
             F.sum("cnt").alias("n_rows"),
-            F.sum(F.col("cnt") * F.col("cnt")).alias("__ss"),
+            # sum of squared counts in DOUBLE: cnt*cnt in BIGINT
+            # overflows int64 once any count passes ~3e9 — real at
+            # 100 TB; the double loses nothing the 4-decimal rounding
+            # keeps
+            F.sum(F.col("cnt").cast("double") * F.col("cnt").cast("double")).alias(
+                "__ss"
+            ),
             (
                 -F.sum(
                     F.col("cnt").cast("double")
@@ -507,8 +513,8 @@ def column_entropy(
             ).alias("entropy_bits"),
             _qr(
                 F.lit(1.0)
-                - F.col("__ss").cast("double")
-                / (F.col("n_rows") * F.col("n_rows")).cast("double"),
+                - F.col("__ss")
+                / (F.col("n_rows").cast("double") * F.col("n_rows").cast("double")),
                 round_decimals,
             ).alias("gini"),
         )

@@ -420,10 +420,15 @@ def kmeans_exact(
         dims = assigned.select("cluster", F.posexplode("qv").alias("dim", "x"))
         cents = (
             dims.groupBy("cluster", "dim")
-            .agg(
-                F.floor(
-                    F.sum("x").cast("double") / F.count(F.lit(1))
-                ).cast("long").alias("m")
+            .agg(F.sum("x").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            # EXACT integer floor division — (s - pmod(s, n)) is
+            # divisible by n, so integral `div` equals floor for any
+            # sign of s.  A double-cast floor would silently round
+            # once |s| > 2^53, breaking the bit-identical contract.
+            .select(
+                "cluster",
+                "dim",
+                F.expr("(__s - pmod(__s, __n)) div __n").alias("m"),
             )
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("p"))

@@ -980,10 +980,12 @@ def canonicalize_url(url: Column) -> Column:
     trailing slashes).
 
     Rules: lowercase scheme and authority; drop the fragment; drop
-    default ports (http:80, https:443); drop ``TRACKING_PARAMS``
-    query parameters; sort the remaining parameters; collapse the
-    empty path to ``/`` and strip a trailing slash from non-root
-    paths.
+    default ports (http:80, https:443); drop tracking query
+    parameters — ANY parameter whose name starts with ``utm_``
+    (prefix rule: utm_source/utm_id/utm_anything) plus the
+    ``TRACKING_PARAMS`` click-id names; sort the remaining
+    parameters; collapse the empty path to ``/`` and strip a
+    trailing slash from non-root paths.
 
     Pure codegen (regexp + split/filter/sort/join builtins) — no UDF,
     no shuffle: canonicalizing 100 TB of URLs is a narrow map, and the
@@ -1006,8 +1008,13 @@ def canonicalize_url(url: Column) -> Column:
         F.regexp_replace(path, "(.+)/$", "$1")
     )
     def keep(x: Column) -> Column:
-        c = (x != "")
+        # the utm_ family is open-ended (utm_id, utm_reader, ...):
+        # drop by PREFIX, exactly the rule the dedup_url oracle states
+        # (LIKE 'utm\_%'); click-ids are fixed names, matched exactly
+        c = (x != "") & ~x.startswith("utm_")
         for p in TRACKING_PARAMS:
+            if p.startswith("utm_"):
+                continue
             c = c & ~x.startswith(p + "=") & (x != p)
         return c
 

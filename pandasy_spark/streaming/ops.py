@@ -97,6 +97,15 @@ def session_window_agg(
     )
 
 
+#: hard cap on TOTAL rows a staged replay may materialize on the
+#: driver — this helper is gate/test scaffolding (the driver writes
+#: the files from pandas frames); a bound this explicit keeps a future
+#: sf1.0 streaming probe from silently funneling millions of rows
+#: through driver memory.  Production streams read real
+#: arrival-ordered directories and never pass through here.
+STAGED_STREAM_MAX_ROWS = 100_000
+
+
 def staged_file_stream(spark, pdfs: list, ts_col: str = "ts") -> DataFrame:
     """Open a MULTI-micro-batch file-source stream over a list of
     pandas frames: each frame becomes one parquet file in a fresh
@@ -109,12 +118,24 @@ def staged_file_stream(spark, pdfs: list, ts_col: str = "ts") -> DataFrame:
     late-data eviction semantics are only observable with a staged
     multi-batch replay.  The staging is test/gate scaffolding (driver
     writes the files); production streams read real arrival-ordered
-    directories and need none of this."""
+    directories and need none of this.  Total staged rows are capped
+    at ``STAGED_STREAM_MAX_ROWS`` (driver-memory bound) and the
+    staging dir is registered for interpreter-exit cleanup."""
+    import atexit
     import os
+    import shutil
     import tempfile
     import time
 
+    total = sum(len(p) for p in pdfs)
+    if total > STAGED_STREAM_MAX_ROWS:
+        raise ValueError(
+            f"staged_file_stream is driver-side test scaffolding: "
+            f"{total} rows exceeds the {STAGED_STREAM_MAX_ROWS}-row cap; "
+            "stream a real directory instead"
+        )
     stage = tempfile.mkdtemp(prefix="pandasy_staged_stream_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     now = time.time()
     for i, pdf in enumerate(pdfs):
         pdf = pdf.copy()

@@ -6516,7 +6516,8 @@ def basket_affinity(spark, sf_dir):
         SELECT x AS node FROM e UNION ALL SELECT y AS node FROM e
       ) GROUP BY node
     ), o AS (
-      SELECT CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y)
+      SELECT DISTINCT
+             CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y)
                   THEN e.x ELSE e.y END AS x,
              CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y)
                   THEN e.y ELSE e.x END AS y
@@ -6685,7 +6686,8 @@ def text_textrank(spark, sf_dir):
         FROM d1) WHERE rk = 1
     ), c1 AS (
       SELECT a.cluster, v.dim,
-             CAST(FLOOR(CAST(SUM(v.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+             CAST((SUM(v.q) - ((SUM(v.q) % COUNT(*)) + COUNT(*)) % COUNT(*))
+                  // COUNT(*) AS BIGINT) AS c
       FROM v JOIN asg1 a USING (vec_id) GROUP BY 1, 2
     ), d2_ AS (
       SELECT v.vec_id, c.cluster,
@@ -6699,7 +6701,8 @@ def text_textrank(spark, sf_dir):
         FROM d2_) WHERE rk = 1
     ), c2 AS (
       SELECT a.cluster, v.dim,
-             CAST(FLOOR(CAST(SUM(v.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+             CAST((SUM(v.q) - ((SUM(v.q) % COUNT(*)) + COUNT(*)) % COUNT(*))
+                  // COUNT(*) AS BIGINT) AS c
       FROM v JOIN asg2 a USING (vec_id) GROUP BY 1, 2
     ), n AS (
       SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
@@ -7039,7 +7042,7 @@ def text_hash_features(spark, sf_dir):
       SELECT 'l_returnflag' AS "column",
              CAST(COUNT(*) AS BIGINT) AS n_distinct,
              CAST(SUM(cnt) AS BIGINT) AS n_rows,
-             CAST(SUM(cnt * cnt) AS BIGINT) AS ss,
+             SUM(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)) AS ss,
              -SUM(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE))) AS plogp
       FROM c1
     ), src2 AS (
@@ -7050,7 +7053,7 @@ def text_hash_features(spark, sf_dir):
       SELECT 'l_linestatus' AS "column",
              CAST(COUNT(*) AS BIGINT) AS n_distinct,
              CAST(SUM(cnt) AS BIGINT) AS n_rows,
-             CAST(SUM(cnt * cnt) AS BIGINT) AS ss,
+             SUM(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)) AS ss,
              -SUM(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE))) AS plogp
       FROM c2
     ), u AS (
@@ -7060,7 +7063,7 @@ def text_hash_features(spark, sf_dir):
            FLOOR((log2(CAST(n_rows AS DOUBLE))
                   + plogp / CAST(n_rows AS DOUBLE)) * 1e4 + 0.5) / 1e4
              AS entropy_bits,
-           FLOOR((1e0 - CAST(ss AS DOUBLE)
+           FLOOR((1e0 - ss
                   / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)))
                  * 1e4 + 0.5) / 1e4 AS gini
     FROM u
