@@ -24,14 +24,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Queries with a green (hash_match) driver row in CORRECTNESS_r01 ∪ r02 ∪ r03.
-# The driver records only the first 50 registrations per round, so
-# everything NOT in this union — plus anything newly added this round —
-# is ordered FIRST below: if the driver truncates again, the
-# least-proven queries are the ones that get rows, and the union across
-# rounds covers the whole registry.
-_CHECKED_UNION = {
-    # --- green hash_match rows in CORRECTNESS_r03 (50/50) ---
+# Latest-witness tiers across CORRECTNESS_r01..r04 — every registry
+# query has a green driver row; the tier records WHICH round last
+# witnessed it, so each new round re-proves the stalest names first
+# inside the driver's 50-row recording window.
+_WITNESSED_R4 = {
+    "agg_incremental", "basket_affinity", "dedup_containment", "dedup_url",
+    "embedding_kmeans", "events_anomaly", "events_asof_directions",
+    "events_attribution", "events_rfm", "events_sequences",
+    "filter_truthy", "graph_label_prop", "graph_pagerank",
+    "graph_triangles", "join_anti", "join_cross", "join_full",
+    "join_inner", "join_left", "join_right", "join_semi", "merge_upsert",
+    "multimodal_bmp", "multimodal_gif", "multimodal_phash",
+    "multimodal_spectral", "multimodal_video", "multimodal_wav",
+    "multimodal_webp", "pack_manifest", "pipeline_rag", "profile_corr",
+    "profile_dq", "profile_drift", "profile_entropy", "q1_pricing_summary",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q5_local_supplier",
+    "sample_temporal_split", "scd2_merge", "setop_union",
+    "setop_union_all", "streaming_dedup", "streaming_join",
+    "streaming_late_data", "text_hash_features", "text_quality_classifier",
+    "text_search", "text_textrank",
+}
+
+_WITNESSED_R3 = {
     "agg_approx", "array_functions", "correlated_min",
     "decontaminate_bloom", "dedup_blocked", "dedup_embedding",
     "dedup_rolling", "embedding_pca", "events_funnel", "events_retention",
@@ -49,62 +64,61 @@ _CHECKED_UNION = {
     "text_bpe_learn", "text_chunking", "text_collocations",
     "text_subword_fingerprint", "text_tokenize", "unpivot_measures",
     "window_range_frame",
-    # --- green rows from r01 ∪ r02 ---
-    "agg_bitwise", "agg_collect", "agg_cube", "agg_distinct",
-    "agg_grouping_sets", "agg_mode_argmax", "agg_percentiles", "agg_rollup",
-    "agg_stats", "date_funcs", "decontaminate", "decontaminate_semantic",
-    "dedup_components", "dedup_exact", "dedup_incremental",
-    "dedup_levenshtein", "dedup_minhash", "dedup_ngram_exact",
-    "dedup_ngram_jaccard", "dedup_semantic", "dedup_simhash", "dedup_span",
-    "dedup_winnow", "distinct_status", "embedding_centroids", "events_asof",
-    "events_hopping", "events_json", "events_range_window",
-    "events_session_window", "events_sessionize", "events_tolerance_join",
-    "events_window", "expr_arith_cmp", "expr_case_coalesce",
-    "expr_cast_strict", "expr_casts", "expr_null_safe_eq",
-    "expr_predicates", "expr_string_extra", "filter_truthy",
-    "groupby_apply", "join_anti", "join_cross", "join_full", "join_inner",
-    "join_left", "join_right", "join_semi", "knn_cosine",
-    "knn_lsh", "knn_quantized", "layout_zorder", "multimodal_features",
-    "pack_chunks", "pack_greedy", "pipeline_pretraining",
-    "pivot_status_by_priority", "profile_equidepth", "profile_histogram",
-    "profile_lineitem", "q13_customer_distribution", "q1_pricing_summary",
-    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
-    "sample_curriculum", "sample_domain_cap", "sample_interleave",
-    "sample_mixture", "sample_split", "sample_stratified", "setop_except",
-    "setop_except_dups", "setop_intersect", "setop_intersect_dups",
-    "setop_union", "setop_union_all", "sort_limit_topn",
-    "string_math_funcs", "text_bpe_pairs", "text_langid",
-    "text_lm_score", "text_pii", "text_quality_filter", "text_repetition",
-    "text_stats", "text_tficf", "text_token_freq", "topk_per_group",
-    "window_distribution", "window_rank", "window_running",
 }
 
+_WITNESSED_R1R2 = {
+    "agg_bitwise", "agg_collect", "agg_cube", "agg_distinct",
+    "agg_grouping_sets", "agg_mode_argmax", "agg_percentiles",
+    "agg_rollup", "agg_stats", "date_funcs", "decontaminate",
+    "decontaminate_semantic", "dedup_components", "dedup_exact",
+    "dedup_incremental", "dedup_levenshtein", "dedup_minhash",
+    "dedup_ngram_exact", "dedup_ngram_jaccard", "dedup_semantic",
+    "dedup_simhash", "dedup_span", "dedup_winnow", "distinct_status",
+    "embedding_centroids", "events_asof", "events_hopping", "events_json",
+    "events_range_window", "events_session_window", "events_sessionize",
+    "events_tolerance_join", "events_window", "expr_arith_cmp",
+    "expr_case_coalesce", "expr_cast_strict", "expr_casts",
+    "expr_null_safe_eq", "expr_predicates", "expr_string_extra",
+    "groupby_apply", "knn_cosine", "knn_lsh", "knn_quantized",
+    "layout_zorder", "multimodal_features", "pack_chunks", "pack_greedy",
+    "pipeline_pretraining", "pivot_status_by_priority",
+    "profile_equidepth", "profile_histogram", "profile_lineitem",
+    "q13_customer_distribution", "q4_order_priority", "sample_curriculum",
+    "sample_domain_cap", "sample_interleave", "sample_mixture",
+    "sample_split", "sample_stratified", "setop_except",
+    "setop_except_dups", "setop_intersect", "setop_intersect_dups",
+    "sort_limit_topn", "string_math_funcs", "text_bpe_pairs",
+    "text_langid", "text_lm_score", "text_pii", "text_quality_filter",
+    "text_repetition", "text_stats", "text_tficf", "text_token_freq",
+    "topk_per_group", "window_distribution", "window_rank",
+    "window_running",
+}
 
-# Never driver-checked after r1∪r2∪r3: the 24 queries registered past
-# r3's 50-row recording window (judge-verified green at sf0.01 in
-# VERDICT.md r3, but without durable driver rows).  These register
-# FIRST so CORRECTNESS_r04 closes the registry at 167/167
-# driver-witnessed; new round-4 queries follow them inside the window.
-_R4_FRONT = [
-    "agg_incremental", "basket_affinity", "dedup_containment",
-    "events_anomaly", "events_asof_directions", "events_sequences",
-    "graph_pagerank", "graph_triangles", "merge_upsert",
-    "multimodal_gif", "multimodal_phash", "multimodal_spectral",
-    "multimodal_video", "multimodal_wav", "pack_manifest",
-    "pipeline_rag", "profile_corr", "profile_dq", "profile_drift",
-    "sample_temporal_split", "scd2_merge", "streaming_join",
-    "text_search", "text_textrank",
+_CHECKED_UNION = _WITNESSED_R1R2 | _WITNESSED_R3 | _WITNESSED_R4
+
+
+# Round-5 additions (never driver-witnessed) register FIRST; after
+# them, the stalest tiers (r1/r2 witness, then r3, then r4) fill the
+# driver's 50-row recording window so the least-recently-proven
+# queries are re-witnessed each round.
+_R5_NEW: list[str] = [
 ]
 
 
 def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    front = {k: QUERIES[k] for k in _R4_FRONT if k in QUERIES}
+    front = {k: QUERIES[k] for k in _R5_NEW if k in QUERIES}
     unproven = {
         k: v for k, v in QUERIES.items()
         if k not in _CHECKED_UNION and k not in front
     }
-    proven = {k: v for k, v in QUERIES.items() if k in _CHECKED_UNION}
-    return {**front, **unproven, **proven}
+    tiers = (_WITNESSED_R1R2, _WITNESSED_R3, _WITNESSED_R4)
+    by_staleness = {
+        k: QUERIES[k]
+        for tier in tiers
+        for k in QUERIES
+        if k in tier
+    }
+    return {**front, **unproven, **by_staleness}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

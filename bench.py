@@ -111,6 +111,20 @@ BENCH_QUERIES = [
     "basket_affinity",
     "graph_triangles",
     "text_textrank",
+    # --- round-4 operators (first baselined in BENCH_r05) ---
+    "embedding_kmeans",
+    "dedup_url",
+    "q2_min_cost_supplier",
+    "multimodal_webp",
+    "multimodal_bmp",
+    "streaming_late_data",
+    "streaming_dedup",
+    "events_attribution",
+    "events_rfm",
+    "graph_label_prop",
+    "text_quality_classifier",
+    "text_hash_features",
+    "profile_entropy",
 ]
 
 

@@ -273,22 +273,34 @@ def rfm_segments(
     ts_col: str = "ts",
     value_col: str = "value",
     buckets: int = 4,
+    banding: str = "threshold",
 ) -> DataFrame:
     """RFM segmentation: per user, Recency (days between the user's
     last event and the corpus max timestamp), Frequency (event count)
     and Monetary (grid-exact value sum), each scored into ``buckets``
-    quantile bands via ntile with deterministic (metric, user) ties.
+    quantile bands; score 1 is best (most recent / most frequent /
+    highest spend).
 
-    Scale: one groupBy on the user key, then three ntile windows over
-    the (small, one-row-per-user) aggregate — the heavy shuffle is the
-    first aggregate only.  The ntile windows are GLOBAL sorts of the
-    per-user table: exact quantile banding is inherently global.  At
-    billions of users swap them for approx_percentile thresholds (one
-    aggregate + a broadcast join) — same segments up to boundary ties;
-    exact ntile is kept here because the gate must hash-match.
+    ``banding`` picks the quantile mechanism:
+
+    - ``"threshold"`` (default): exact ``percentile_disc`` interior
+      thresholds computed as ONE distributed aggregate
+      (extended/profile.py ``quantile_thresholds``), broadcast back,
+      and banded by comparison — a narrow map.  No window, no global
+      sort: the plan that runs at billions of users.  Ties at a
+      threshold all take the better band (SQL states the identical
+      rule, so gates hash-match); band sizes are equal only up to
+      ties.
+    - ``"ntile"`` (opt-in): three global ntile windows with
+      deterministic (metric, user) tie-breaks — exactly-equal band
+      sizes, but each window is a SINGLE-PARTITION sort of the whole
+      per-user table; kept for small-table parity comparisons only.
+
+    Scale: the heavy shuffle is the per-user aggregate; the threshold
+    aggregate buffers a value->count map (days/counts/cents:
+    bounded); swap ``quantile_thresholds(exact=False)`` in for
+    unbounded metrics.
     """
-    from pyspark.sql.window import Window
-
     per_user = df.groupBy(user_col).agg(
         F.max(ts_col).alias("last_ts"),
         F.count(F.lit(1)).alias("frequency"),
@@ -303,6 +315,33 @@ def rfm_segments(
         "frequency",
         "monetary_cents",
     )
+    if banding == "threshold":
+        from .profile import band_by_thresholds, quantile_thresholds
+
+        th = quantile_thresholds(
+            scored,
+            ["recency_days", "frequency", "monetary_cents"],
+            buckets=buckets,
+            exact=True,
+        )
+        n = buckets - 1
+        r_ts = [F.col(f"recency_days_t{i}") for i in range(1, n + 1)]
+        f_ts = [F.col(f"frequency_t{i}") for i in range(1, n + 1)]
+        m_ts = [F.col(f"monetary_cents_t{i}") for i in range(1, n + 1)]
+        return scored.crossJoin(F.broadcast(th)).select(
+            user_col, "recency_days", "frequency", "monetary_cents",
+            band_by_thresholds(F.col("recency_days"), r_ts).alias("r_score"),
+            band_by_thresholds(
+                F.col("frequency"), f_ts, descending=True
+            ).alias("f_score"),
+            band_by_thresholds(
+                F.col("monetary_cents"), m_ts, descending=True
+            ).alias("m_score"),
+        )
+    if banding != "ntile":
+        raise ValueError(f"unknown banding: {banding!r} (threshold|ntile)")
+    from pyspark.sql.window import Window
+
     r_w = Window.orderBy(F.asc("recency_days"), F.asc(user_col))
     f_w = Window.orderBy(F.desc("frequency"), F.asc(user_col))
     m_w = Window.orderBy(F.desc("monetary_cents"), F.asc(user_col))

@@ -39,6 +39,8 @@ __all__ = [
     "corr_pairs",
     "distribution_drift",
     "column_entropy",
+    "quantile_thresholds",
+    "band_by_thresholds",
 ]
 
 _NUMERIC = (
@@ -520,3 +522,76 @@ def column_entropy(
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+def quantile_thresholds(
+    df: DataFrame,
+    cols: Sequence[str],
+    buckets: int = 4,
+    exact: bool = True,
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """ONE-ROW frame of interior quantile thresholds for each column:
+    ``{col}_t{i}`` at probability ``i/buckets`` for i = 1..buckets-1,
+    computed as a single distributed aggregate — the scale-safe
+    replacement for a global-sort ``ntile`` whenever the goal is
+    quantile BANDING rather than exactly-equal band sizes (broadcast
+    the row back and compare; :func:`band_by_thresholds`).
+
+    ``exact=True`` uses ``percentile_disc`` (SQL-standard discrete
+    percentile: the first value whose cumulative distribution reaches
+    p — DuckDB's ``quantile_disc`` states the identical rule, so
+    banded gates hash-match).  Exact percentile aggregates buffer a
+    value->count map per executor: fine for bounded-cardinality
+    metrics (days, counts, cents); for unbounded high-cardinality
+    columns pass ``exact=False`` for t-digest ``approx_percentile``
+    (fully map-combinable, ``relative_error`` accuracy).
+
+    Thresholds are cast back to each column's own type (the
+    discrete percentile IS one of the column's values, so the cast is
+    value-exact; Spark's percentile_disc surfaces DOUBLE otherwise).
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    ps = [i / buckets for i in range(1, buckets)]
+    aggs: list[Column] = []
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        for i, p in enumerate(ps, start=1):
+            if exact:
+                expr = F.expr(
+                    f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY {c})"
+                )
+            else:
+                expr = F.expr(
+                    f"approx_percentile({c}, {p!r}, "
+                    f"{max(1, int(1.0 / relative_error))})"
+                )
+            aggs.append(expr.cast(dt).alias(f"{c}_t{i}"))
+    return df.agg(*aggs)
+
+
+def band_by_thresholds(
+    metric: Column,
+    thresholds: Sequence[Column],
+    descending: bool = False,
+) -> Column:
+    """Quantile-band score 1..len(thresholds)+1 from the interior
+    thresholds (broadcast one-row :func:`quantile_thresholds` output
+    and compare — a narrow map, no window, no sort).  ``thresholds``
+    are always the ASCENDING interior quantiles (t_i at p = i/b).
+
+    Ascending (default): band = 1 + Σ (metric > t_i) — the smallest
+    values land in band 1.  Descending: band = b − Σ (metric > t_i)
+    — the largest values land in band 1; the two rules are mirror
+    images, agree with ntile wherever values are distinct enough to
+    fill bands, and give ALL tied values the same band (ntile splits
+    ties to force equal sizes — that is the semantic price of
+    shuffle-free banding, stated identically in SQL oracles).
+    """
+    exceeded: Column = F.lit(0)
+    for t in thresholds:
+        exceeded = exceeded + (metric > t).cast("int")
+    if descending:
+        return (F.lit(len(thresholds) + 1) - exceeded).cast("int")
+    return (F.lit(1) + exceeded).cast("int")

@@ -537,6 +537,7 @@ def bpe_learn(
     min_word_len: int = 2,
     local_types_threshold: int = 100_000,
     merge_batch: int | str = "adaptive",
+    stats: dict | None = None,
 ) -> list[tuple[int, str, str, str, int]]:
     """Learn ``num_merges`` BPE merges from the corpus (the iterative
     tokenizer-training loop; ``bpe_pair_counts`` is its single step).
@@ -594,6 +595,7 @@ def bpe_learn(
 
     if local_types_threshold > 0 and type_counts.count() <= local_types_threshold:
         wf = {r["word"]: r["wc"] for r in type_counts.toLocalIterator()}
+        local_stats = stats
         syms = {w: list(w) for w in wf}
         merges_local: list[tuple[int, str, str, str, int]] = []
         for rank in range(num_merges):
@@ -621,6 +623,14 @@ def bpe_learn(
                         out.append(s[i])
                         i += 1
                 syms[w] = out
+        if local_stats is not None:
+            local_stats.update(
+                {
+                    "passes": len(merges_local),
+                    "merges": len(merges_local),
+                    "final_batch": 1,
+                }
+            )
         return merges_local
 
     types = (
@@ -633,7 +643,9 @@ def bpe_learn(
     empty = F.array().cast("array<string>")
     adaptive = merge_batch == "adaptive"
     batch_m = 8 if adaptive else max(1, int(merge_batch))
+    passes = 0
     while len(merges) < num_merges:
+        passes += 1
         want = num_merges - len(merges)
         # One distributed pass: full pair count, top candidates to the
         # driver (a few dozen rows — the over-fetch gives the greedy
@@ -719,6 +731,12 @@ def bpe_learn(
 
         fold = F.aggregate(F.col("syms"), empty, make_fold(batch))
         types = types.select(fold.alias("syms"), "wc").localCheckpoint(eager=True)
+    if stats is not None:
+        # telemetry for the adaptive-batching convergence claim: a
+        # 50k-merge training should report O(hundreds) of passes
+        stats.update(
+            {"passes": passes, "merges": len(merges), "final_batch": batch_m}
+        )
     return merges
 
 

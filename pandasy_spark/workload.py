@@ -6876,28 +6876,49 @@ def events_attribution(spark, sf_dir):
              CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS monetary_cents
       FROM events GROUP BY 1
-    ), mx AS (SELECT MAX(ts) AS max_ts FROM events)
-    SELECT user_id,
-           CAST(date_diff('day', CAST(last_ts AS DATE), CAST(max_ts AS DATE))
-                AS INT) AS recency_days,
-           frequency, monetary_cents,
-           CAST(ntile(4) OVER (ORDER BY date_diff('day', CAST(last_ts AS DATE),
-                                        CAST(max_ts AS DATE)), user_id)
-                AS INT) AS r_score,
-           CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INT)
-             AS f_score,
-           CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS INT)
-             AS m_score
-    FROM pu, mx
+    ), mx AS (SELECT MAX(ts) AS max_ts FROM events
+    ), scored AS (
+      SELECT user_id,
+             CAST(date_diff('day', CAST(last_ts AS DATE),
+                            CAST(max_ts AS DATE)) AS INT) AS recency_days,
+             frequency, monetary_cents
+      FROM pu, mx
+    ), th AS (
+      -- interior quantile_disc thresholds: the identical rule the
+      -- Spark plan computes with percentile_disc (one aggregate,
+      -- broadcast back, band by comparison -- no global sort)
+      SELECT CAST(quantile_disc(recency_days, 0.25) AS INT) AS r1,
+             CAST(quantile_disc(recency_days, 0.5)  AS INT) AS r2,
+             CAST(quantile_disc(recency_days, 0.75) AS INT) AS r3,
+             CAST(quantile_disc(frequency, 0.25) AS BIGINT) AS f1,
+             CAST(quantile_disc(frequency, 0.5)  AS BIGINT) AS f2,
+             CAST(quantile_disc(frequency, 0.75) AS BIGINT) AS f3,
+             CAST(quantile_disc(monetary_cents, 0.25) AS BIGINT) AS m1,
+             CAST(quantile_disc(monetary_cents, 0.5)  AS BIGINT) AS m2,
+             CAST(quantile_disc(monetary_cents, 0.75) AS BIGINT) AS m3
+      FROM scored
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           CAST(1 + CAST(recency_days > r1 AS INT)
+                  + CAST(recency_days > r2 AS INT)
+                  + CAST(recency_days > r3 AS INT) AS INT) AS r_score,
+           CAST(4 - CAST(frequency > f1 AS INT)
+                  - CAST(frequency > f2 AS INT)
+                  - CAST(frequency > f3 AS INT) AS INT) AS f_score,
+           CAST(4 - CAST(monetary_cents > m1 AS INT)
+                  - CAST(monetary_cents > m2 AS INT)
+                  - CAST(monetary_cents > m3 AS INT) AS INT) AS m_score
+    FROM scored, th
     """,
 )
 def events_rfm(spark, sf_dir):
     """RFM segmentation (extended/events.py rfm_segments): per-user
-    recency/frequency/monetary with deterministic ntile quartile
-    scores — heavy shuffle is the single user aggregate; the exact
-    quantile banding is a global sort of the (one-row-per-user) table,
-    swapped for approx_percentile thresholds at billion-user scale
-    (docstring note).  Monetary is grid-exact cents."""
+    recency/frequency/monetary banded into quartiles by exact
+    percentile_disc THRESHOLDS — one distributed aggregate broadcast
+    back and compared, no window, no global sort (the plan that runs
+    at billions of users; ntile is the opt-in small-table form).  The
+    oracle states the identical quantile_disc threshold CTE, so every
+    band boundary is hash-checked.  Monetary is grid-exact cents."""
     from .extended.events import rfm_segments
 
     ev = _t(spark, sf_dir, "events")
@@ -7151,16 +7172,23 @@ def q2_min_cost_supplier(spark, sf_dir):
         "inner",
         on=["r_regionkey"],
     ).select(F.col("s_suppkey").alias("l_suppkey"), "s_name", "s_acctbal", "n_name")
+    p = filter_df(
+        _t(spark, sf_dir, "part"),
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE"),
+    ).select(F.col("p_partkey").alias("l_partkey"), "p_type", "p_size")
+    # push the part filter ABOVE the supplier join and min-cost
+    # aggregate: a broadcast semi-join on the ~2% surviving part keys
+    # prunes ep and mc ~30x before the window of joins (the per-part
+    # MIN is unchanged by restricting to whole part groups)
+    ps = join(
+        ps, F.broadcast(p.select("l_partkey")), "left_semi", on=["l_partkey"]
+    )
     ep = join(ps, F.broadcast(eu), "inner", on=["l_suppkey"])
     mc = agg(ep, ["l_partkey"], {"min_cost": F.min("cost_grid")})
     j = filter_df(
         join(ep, mc, "inner", on=["l_partkey"]),
         F.col("cost_grid") == F.col("min_cost"),
     )
-    p = filter_df(
-        _t(spark, sf_dir, "part"),
-        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE"),
-    ).select(F.col("p_partkey").alias("l_partkey"), "p_type", "p_size")
     j = join(j, F.broadcast(p), "inner", on=["l_partkey"])
     return j.select(
         F.col("l_partkey").alias("p_partkey"),

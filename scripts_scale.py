@@ -238,5 +238,119 @@ def probe() -> None:
     print(json.dumps({"ungated_probes": results}))
 
 
+def probe_r5() -> None:
+    """sf1.0 probes for the round-4 operators (VERDICT r4 item #6):
+    kmeans (corpus 10x, k fixed — expect ~10x linear assignment),
+    label propagation, last-touch attribution, RFM under the new
+    threshold-banding default, and the hashing featurizer — each over
+    the FULL scaled tables, not the gates' doc_id-bounded slices.
+    The embeddings table is copied (not replicated) by build(), so the
+    kmeans probe replicates it inline with shifted vec_ids."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pandasy_spark.session import get_spark
+
+    spark = get_spark("pandasy-scale-probe-r5")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def emb(sf_dir):
+        e = spark.read.parquet(f"{SRC}/embeddings.parquet")
+        if sf_dir == DST:
+            reps = spark.range(10).select(F.col("id").alias("__rep"))
+            e = e.crossJoin(F.broadcast(reps)).select(
+                (F.col("vec_id") * 10 + F.col("__rep")).alias("vec_id"),
+                "embedding",
+            )
+        return e
+
+    def kmeans_probe(sf_dir):
+        from pandasy_spark.extended.similarity import kmeans_exact
+
+        return kmeans_exact(emb(sf_dir), k=8, iters=2)
+
+    def labelprop_probe(sf_dir):
+        from pandasy_spark.extended.graph import (
+            cooccurrence_edges,
+            label_propagation,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        e = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+        return label_propagation(e, rounds=2)
+
+    def attribution_probe(sf_dir):
+        from pandasy_spark.extended.events import last_touch_attribution
+
+        return last_touch_attribution(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        )
+
+    def rfm_probe(sf_dir):
+        from pandasy_spark.extended.events import rfm_segments
+
+        return rfm_segments(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+    def hashfeat_probe(sf_dir):
+        from pandasy_spark.extended.text import hash_features
+
+        return hash_features(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+    probes = {
+        "kmeans_10x_corpus": kmeans_probe,
+        "label_prop_full_lineitem": labelprop_probe,
+        "attribution_full_events": attribution_probe,
+        "rfm_threshold_full_events": rfm_probe,
+        "hash_features_full_docs": hashfeat_probe,
+    }
+    results: dict[str, dict[str, float]] = {}
+    for name, fn in probes.items():
+        results[name] = {}
+        for label, sf_dir in [("sf0.1", SRC), ("sf1.0", DST)]:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            results[name][label] = round(best, 2)
+        results[name]["ratio"] = round(
+            results[name]["sf1.0"] / max(results[name]["sf0.1"], 1e-9), 2
+        )
+        print(name, results[name], flush=True)
+    print(json.dumps({"r5_probes": results}))
+
+
+def bpe50k() -> None:
+    """50k-merge adaptive-BPE convergence demonstration (VERDICT r4
+    item #7): run the DISTRIBUTED batched loop (local_types_threshold=0)
+    at num_merges=50000 over sf0.1 documents and ASSERT the pass count
+    is O(hundreds) — the geometric x2-growth/halve-on-conflict batch
+    schedule, not a per-merge job chain."""
+    import time
+
+    from pandasy_spark.extended.text import bpe_learn
+    from pandasy_spark.session import get_spark
+
+    spark = get_spark("pandasy-bpe50k")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    stats: dict = {}
+    t0 = time.perf_counter()
+    merges = bpe_learn(
+        docs, num_merges=50_000, local_types_threshold=0, stats=stats
+    )
+    wall = round(time.perf_counter() - t0, 1)
+    assert stats["passes"] <= 1000, f"adaptive batching did not converge: {stats}"
+    assert stats["merges"] == len(merges)
+    print(json.dumps({"bpe50k": {"wall_sec": wall, **stats}}))
+
+
 if __name__ == "__main__":
-    {"build": build, "bench": bench, "probe": probe}[sys.argv[1]]()
+    {
+        "build": build,
+        "bench": bench,
+        "probe": probe,
+        "probe_r5": probe_r5,
+        "bpe50k": bpe50k,
+    }[sys.argv[1]]()

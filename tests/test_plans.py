@@ -171,3 +171,37 @@ def test_agg_incremental_merges_states_not_rows(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_incremental")
     assert "Join" not in plan
     assert "Union" in plan
+
+
+def test_events_rfm_default_has_no_global_window_sort(spark, sf_dir):
+    """The threshold-banding default must carry NO window at all — the
+    old ntile form moved the whole per-user table through a
+    single-partition sort three times.  The thresholds ride one
+    aggregate and come back as a broadcast."""
+    plan = _plan(spark, sf_dir, "events_rfm")
+    assert "Window" not in plan, plan
+    assert "percentile_disc" in plan
+    assert "BroadcastExchange" in plan
+    assert "Python" not in plan
+
+
+def test_events_rfm_ntile_opt_in_still_available(spark, sf_dir):
+    from pandasy_spark.extended.events import rfm_segments
+    from pandasy_spark.workload import _t
+
+    df = rfm_segments(_t(spark, sf_dir, "events"), banding="ntile")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" in plan
+
+
+def test_q2_part_filter_pruned_early(spark, sf_dir):
+    """The filtered-part semi-join sits BELOW the min-cost aggregate:
+    the supply relation is pruned ~30x before the EU join chain."""
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert "LeftSemi" in plan
+    # the semi join must appear before (deeper than) the min_cost
+    # aggregate in the plan string's bottom-up ordering: find the
+    # partial_min aggregate and check a LeftSemi exists after it in
+    # the printed (top-down) tree
+    top_down = plan
+    assert top_down.index("LeftSemi") > top_down.index("partial_min")

@@ -134,3 +134,53 @@ def test_staged_file_stream_registers_cleanup(spark, monkeypatch):
     ops.staged_file_stream(spark, [pdf])
     dirs = [a[0] for fn, a in registered if fn is shutil.rmtree]
     assert len(dirs) == 1 and "pandasy_staged_stream_" in dirs[0]
+
+
+def test_quantile_thresholds_exact_and_approx(spark):
+    from pandasy_spark.extended.profile import quantile_thresholds
+
+    df = spark.createDataFrame([(v,) for v in range(1, 101)], "v long")
+    row = quantile_thresholds(df, ["v"], buckets=4).collect()[0]
+    assert (row["v_t1"], row["v_t2"], row["v_t3"]) == (25, 50, 75)
+    # type preserved (percentile_disc surfaces double; we cast back)
+    assert isinstance(row["v_t1"], int)
+    arow = quantile_thresholds(df, ["v"], buckets=4, exact=False).collect()[0]
+    assert abs(arow["v_t2"] - 50) <= 2
+    with pytest.raises(ValueError):
+        quantile_thresholds(df, ["v"], buckets=1)
+
+
+def test_band_by_thresholds_mirror_rules(spark):
+    from pandasy_spark.extended.profile import (
+        band_by_thresholds,
+        quantile_thresholds,
+    )
+
+    df = spark.createDataFrame([(v,) for v in (1, 2, 3, 4)], "v long")
+    th = quantile_thresholds(df, ["v"], buckets=4)
+    ts = [F.col(f"v_t{i}") for i in (1, 2, 3)]
+    out = (
+        df.crossJoin(F.broadcast(th))
+        .select(
+            "v",
+            band_by_thresholds(F.col("v"), ts).alias("asc"),
+            band_by_thresholds(F.col("v"), ts, descending=True).alias("desc"),
+        )
+        .collect()
+    )
+    got = {r["v"]: (r["asc"], r["desc"]) for r in out}
+    # distinct values, full bands: matches ntile in both directions
+    assert got == {1: (1, 4), 2: (2, 3), 3: (3, 2), 4: (4, 1)}
+    # ties all land in the same band
+    df2 = spark.createDataFrame([(v,) for v in (5, 5, 5, 1)], "v long")
+    th2 = quantile_thresholds(df2, ["v"], buckets=4)
+    out2 = (
+        df2.crossJoin(F.broadcast(th2))
+        .select(
+            "v",
+            band_by_thresholds(F.col("v"), ts, descending=True).alias("d"),
+        )
+        .collect()
+    )
+    d = {r["v"]: r["d"] for r in out2}
+    assert d[5] == d[5] and d[1] == 4 and d[5] < d[1]
