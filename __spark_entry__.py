@@ -102,6 +102,14 @@ _CHECKED_UNION = _WITNESSED_R1R2 | _WITNESSED_R3 | _WITNESSED_R4
 # driver's 50-row recording window so the least-recently-proven
 # queries are re-witnessed each round.
 _R5_NEW: list[str] = [
+    "text_quality_train",
+    "dedup_paragraph",
+    "graph_kcore",
+    "snapshot_diff",
+    "text_rake",
+    "multimodal_tiff",
+    "knn_pq",
+    "pipeline_near_dedup",
 ]
 
 

@@ -125,6 +125,15 @@ BENCH_QUERIES = [
     "text_quality_classifier",
     "text_hash_features",
     "profile_entropy",
+    # --- round-5 operators ---
+    "text_quality_train",
+    "dedup_paragraph",
+    "graph_kcore",
+    "snapshot_diff",
+    "text_rake",
+    "multimodal_tiff",
+    "knn_pq",
+    "pipeline_near_dedup",
 ]
 
 

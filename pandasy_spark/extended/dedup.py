@@ -20,6 +20,8 @@ corpus dedup:
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -64,6 +66,7 @@ __all__ = [
     "bloom_might_contain",
     "bloom_decontaminate",
     "containment_pairs",
+    "paragraph_dedup",
 ]
 
 
@@ -1076,4 +1079,87 @@ def containment_pairs(
         pairs.withColumn("containment", qround(cont, 4))
         .filter(F.col("containment") >= threshold)
         .select(*block_cols, "id1", "id2", "containment")
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup with document reconstruction — the
+    boilerplate-removal pass of web-crawl pipelines (nav bars, cookie
+    banners, newsletter blurbs repeat across MILLIONS of pages while
+    the surrounding documents are unique; C4/RefinedWeb both dedup at
+    line/paragraph granularity, not document granularity).
+
+    Rules: split on ``sep``; drop whitespace-only paragraphs; a
+    paragraph's identity is the md5 of its lowercased,
+    whitespace-collapsed, trimmed text; the FIRST occurrence in
+    (id, position) order survives, every later occurrence is dropped;
+    each document is rebuilt from its surviving paragraphs in original
+    order (possibly empty when everything was boilerplate).
+
+    Output: ``(id, clean_text, n_paragraphs, n_kept)``.
+
+    Scale shape: posexplode (narrow) -> ONE map-combined min(struct)
+    aggregate per fingerprint (the global first-occurrence choice —
+    same partial-agg shape as exact_dedup, no ranking window) -> one
+    equi-join back on the fingerprint -> one groupBy(id) to
+    reassemble.  Hot fingerprints (the actual boilerplate) collapse
+    map-side in the aggregate; the join fans them back out only to
+    the docs that contain them.
+    """
+    c = F.col(text_col)
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.filter(
+                F.split(c, _re.escape(sep)),
+                lambda x: F.length(F.trim(x)) > 0,
+            )
+        ).alias("__pos", "__para"),
+    ).withColumn(
+        "__fp",
+        F.md5(F.lower(F.trim(F.regexp_replace(F.col("__para"), r"\s+", " ")))),
+    )
+    firsts = paras.groupBy("__fp").agg(
+        F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__first")
+    )
+    flagged = paras.join(firsts, "__fp").select(
+        "__id",
+        "__pos",
+        "__para",
+        (
+            (F.col("__first.__id") == F.col("__id"))
+            & (F.col("__first.__pos") == F.col("__pos"))
+        ).alias("__keep"),
+    )
+    return (
+        flagged.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("__pos"), F.col("__para")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "clean_text",
+            F.col("n_paragraphs").cast("long").alias("n_paragraphs"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
     )

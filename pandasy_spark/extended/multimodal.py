@@ -41,6 +41,7 @@ __all__ = [
     "IMAGE_STATS_SCHEMA",
     "resize_decoded_images",
     "encode_png",
+    "encode_tiff",
     "phash64",
     "image_phash",
     "phash_dup_pairs",
@@ -256,6 +257,110 @@ def encode_bmp(arr: "object") -> bytes:
     return file_header + info_header + raster
 
 
+def encode_tiff(arr: "object") -> bytes:
+    """Encode an ``(h, w, 3) uint8`` array as an uncompressed baseline
+    TIFF 6.0 (little-endian ``II``, chunky RGB, one strip) — the
+    round-trip partner of the TIFF branch in :func:`decode_image`.
+    Layout: 8-byte header, IFD at offset 8 (9 entries), BitsPerSample
+    triple after the IFD, raster last."""
+    import struct
+
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    raster = a.tobytes()
+    n_entries = 9
+    ifd_off = 8
+    bits_off = ifd_off + 2 + n_entries * 12 + 4
+    data_off = bits_off + 6
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    entries = b"".join(
+        [
+            entry(256, 4, 1, w),              # ImageWidth
+            entry(257, 4, 1, h),              # ImageLength
+            entry(258, 3, 3, bits_off),       # BitsPerSample -> offset
+            entry(259, 3, 1, 1),              # Compression: none
+            entry(262, 3, 1, 2),              # Photometric: RGB
+            entry(273, 4, 1, data_off),       # StripOffsets
+            entry(277, 3, 1, 3),              # SamplesPerPixel
+            entry(278, 4, 1, h),              # RowsPerStrip
+            entry(279, 4, 1, len(raster)),    # StripByteCounts
+        ]
+    )
+    return (
+        struct.pack("<2sHI", b"II", 42, ifd_off)
+        + struct.pack("<H", n_entries)
+        + entries
+        + struct.pack("<I", 0)  # next IFD
+        + struct.pack("<HHH", 8, 8, 8)
+        + raster
+    )
+
+
+def _decode_tiff(payload: bytes) -> "object":
+    """Baseline TIFF 6.0 decode: both byte orders, IFD walk,
+    uncompressed chunky strips, 8-bit grayscale (PhotometricInterp
+    0/1) or RGB(A) — alpha dropped for the RGB stats surface.
+    Compression, tiling, planar and non-8-bit depths quarantine with
+    NotImplementedError (bind libtiff in production)."""
+    import struct
+
+    import numpy as np
+
+    bo = {"II": "<", "MM": ">"}[payload[:2].decode("latin1")]
+    if struct.unpack(bo + "H", payload[2:4])[0] != 42:
+        raise ValueError("bad TIFF magic")
+    (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+    (n_entries,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    type_size = {1: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + i * 12
+        tag, typ, count = struct.unpack(bo + "HHI", payload[off : off + 8])
+        if typ not in type_size:
+            continue  # RATIONAL/ASCII metadata tags: not needed here
+        size = type_size[typ] * count
+        if size <= 4:
+            raw = payload[off + 8 : off + 8 + size]
+        else:
+            (voff,) = struct.unpack(bo + "I", payload[off + 8 : off + 12])
+            raw = payload[voff : voff + size]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(bo + fmt * count, raw))
+    w, h = tags[256][0], tags[257][0]
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8] * spp)
+    if compression != 1 or any(b != 8 for b in bits):
+        raise NotImplementedError(
+            f"only uncompressed 8-bit TIFF supported (compression="
+            f"{compression}, bits={bits})"
+        )
+    if photometric not in (0, 1, 2) or 322 in tags or 324 in tags:
+        raise NotImplementedError(
+            f"unsupported TIFF layout (photometric={photometric}, "
+            f"tiled={322 in tags or 324 in tags})"
+        )
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError("planar TIFF not supported")
+    strips = b"".join(
+        payload[o : o + n] for o, n in zip(tags[273], tags[279])
+    )
+    arr = np.frombuffer(strips, dtype=np.uint8, count=h * w * spp).reshape(
+        h, w, spp
+    )
+    if photometric == 0:  # WhiteIsZero: invert to BlackIsZero
+        arr = 255 - arr
+    if spp == 1:
+        return np.repeat(arr, 3, axis=2)
+    return np.ascontiguousarray(arr[:, :, :3])
+
+
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload to an ``(h, w, 3) uint8`` numpy array.
 
@@ -331,6 +436,9 @@ def decode_image(payload: bytes) -> "object":
 
         return decode_gif(payload)
 
+    if payload[:2] in (b"II", b"MM") and len(payload) >= 4 and payload[2:4] in (b"*\x00", b"\x00*"):
+        return _decode_tiff(payload)
+
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from .webp import decode_webp
 
@@ -341,7 +449,8 @@ def decode_image(payload: bytes) -> "object":
     raise NotImplementedError(
         "lossy WebP (VP8) / AVIF require an external codec, not "
         "installed; PPM (P6), 24-bit BMP, baseline PNG, GIF, lossless "
-        "WebP (VP8L), and baseline/progressive JPEG decode natively"
+        "WebP (VP8L), baseline TIFF, and baseline/progressive JPEG decode "
+        "natively"
     )
 
 

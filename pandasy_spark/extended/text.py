@@ -47,7 +47,10 @@ __all__ = [
     "search_index",
     "canonicalize_url",
     "quality_logistic",
+    "quality_train",
     "hash_features",
+    "rake_keywords",
+    "RAKE_STOPWORDS",
     "PII_PATTERNS",
     "TRACKING_PARAMS",
 ]
@@ -1089,6 +1092,115 @@ def quality_logistic(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_train(
+    df: DataFrame,
+    text_col: str = "text",
+    iters: int = 2,
+    lr_num: int = 1,
+    lr_den: int = 2,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """TRAIN a linear quality probe on the corpus — the distributed,
+    grid-exact upgrade of :func:`quality_logistic`'s fixed weights:
+    ``iters`` full-batch gradient-descent steps on squared loss, every
+    number a BIGINT on the ``grid`` (1e-6) lattice with EXACT integer
+    floor division (pmod identity), so the learned weights are
+    bit-identical across engines, partitionings and reruns, and a SQL
+    oracle can state the unrolled steps (``text_quality_train`` gate).
+
+    Setup: features x = (1, len_term, atl_term, punct_ratio,
+    alpha_ratio) quantized to the grid; label y = grid * [fixed-weight
+    logit > 0] (the probe distills the deployed heuristic — swap any
+    0/grid label column in for human labels).  Squared loss keeps the
+    gradient POLYNOMIAL (no exp/libm anywhere): per step one
+    map-combined aggregate computes the 5 gradient sums, and the
+    weight update rides a 1-row broadcast — k steps = k aggregates,
+    the corpus is never shuffled.
+
+    Output (one row): ``w_bias w_len w_atl w_punct w_alpha`` (final
+    grid weights), ``n_docs``, ``sum_abs_err`` (Σ|residual| on the
+    grid after the final step).  Overflow audit: per-doc dot terms ≤
+    5·grid²·|w|/grid ≈ 5e13 at |w|≈10, per-doc gradient contributions
+    are floor-divided back to grid scale BEFORE the sum, so the
+    aggregate stays < 2^63 to ~1e9 docs; Σ|r| ≤ 5·grid·n — document
+    the 1e9-doc bound rather than silently rounding in double.
+    """
+    if iters < 0 or lr_num < 1 or lr_den < 1 or grid < 1:
+        raise ValueError("iters >= 0, lr_num/lr_den/grid >= 1 required")
+    c = F.col(text_col)
+    n_tok = token_count(c).cast("double")
+    f1 = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    f2 = F.least(
+        F.coalesce(avg_token_len(c), F.lit(0.0)) / F.lit(10.0), F.lit(1.0)
+    )
+    f3 = punct_ratio(c)
+    f4 = alpha_ratio(c)
+    logit = (
+        F.lit(QUALITY_LR_BIAS)
+        + F.lit(2.0) * f1
+        + F.lit(1.5) * f2
+        + F.lit(-3.0) * f3
+        + F.lit(2.5) * f4
+    )
+
+    def q(col: Column) -> Column:
+        return F.floor(col * grid + F.lit(0.5)).cast("long")
+
+    names = ["bias", "len", "atl", "punct", "alpha"]
+    docs = df.select(
+        F.lit(int(grid)).cast("long").alias("qx_bias"),
+        q(f1).alias("qx_len"),
+        q(f2).alias("qx_atl"),
+        q(f3).alias("qx_punct"),
+        q(f4).alias("qx_alpha"),
+        F.when(logit > 0, F.lit(int(grid)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("y"),
+    )
+    spark = df.sparkSession
+
+    def fd(a: str, b) -> str:
+        # exact floor division for any-sign numerators: Spark `div`
+        # truncates, but (a - pmod(a, b)) is divisible by b
+        return f"((({a}) - pmod(({a}), {b})) div {b})"
+
+    dot = " + ".join(f"qx_{n} * w_{n}" for n in names)
+    resid = f"({fd(dot, grid)} - y)"
+    w = spark.range(1).select(
+        *[F.lit(0).cast("long").alias(f"w_{n}") for n in names]
+    )
+    for _ in range(iters):
+        sums = (
+            docs.crossJoin(F.broadcast(w))
+            .selectExpr(
+                *[f"{fd(f'qx_{n} * {resid}', grid)} AS c_{n}" for n in names]
+            )
+            .agg(
+                *[F.sum(f"c_{n}").alias(f"g_{n}") for n in names],
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+        )
+        updates = []
+        for n in names:
+            gmean = fd(f"g_{n}", "n_docs")
+            step = fd(f"{lr_num} * {gmean}", lr_den)
+            updates.append(f"w_{n} - {step} AS w_{n}")
+        w = w.crossJoin(F.broadcast(sums)).selectExpr(*updates)
+    return (
+        docs.crossJoin(F.broadcast(w))
+        .selectExpr(
+            *[f"w_{n}" for n in names],
+            f"abs({resid}) AS abs_r",
+        )
+        .groupBy(*[f"w_{n}" for n in names])
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("abs_r").alias("sum_abs_err"),
+        )
+    )
+
+
 def hash_features(
     df: DataFrame,
     text_col: str = "text",
@@ -1119,4 +1231,97 @@ def hash_features(
         )
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+#: boundary stopwords for RAKE candidate-phrase splitting (fixed,
+#: deterministic — the method's quality comes from the degree/freq
+#: statistics, not stopword completeness)
+RAKE_STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "on", "for", "with",
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    max_words: int = 4,
+    top_k: int = 50,
+    grid: int = 10_000,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword/punctuation-free word runs
+    (1..``max_words`` words); each word scores degree/freq where
+    freq counts its phrase-occurrence instances and degree adds the
+    containing phrase's length per instance; a phrase scores the sum
+    of its member word scores (with multiplicity).
+
+    All scores live on an integer ``grid`` (word score =
+    ``degree*grid div freq`` — positive operands, so truncating and
+    floor division agree in every engine), so the ranking is
+    BIT-exact and a SQL oracle can restate it.  Output: top ``top_k``
+    ``(phrase, score, n_occurrences)`` by (score DESC, phrase).
+
+    Scale shape: phrase extraction is a narrow regexp map + explode;
+    word statistics are ONE map-combined aggregate over word
+    instances; the phrase score joins word scores back on the word
+    key (shuffle equi-join, skew-bounded because stopword splitting
+    caps phrase length); top-k is TakeOrderedAndProject — no global
+    sort.
+    """
+    if max_words < 1 or top_k < 1 or grid < 1:
+        raise ValueError("max_words/top_k/grid must be >= 1")
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, r"[^a-z\s]", "|")
+    stop_pat = r"\b(" + "|".join(RAKE_STOPWORDS) + r")\b"
+    t = F.regexp_replace(t, stop_pat, "|")
+    phrases = df.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.split(t, r"\|"),
+                    lambda x: F.trim(F.regexp_replace(x, r"\s+", " ")),
+                ),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("phrase")
+    ).filter(F.size(F.split(F.col("phrase"), " ")) <= max_words)
+    occurrences = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    inst = phrases.select(
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    )
+    wstats = inst.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("degree"),
+    )
+    wscore = wstats.selectExpr(
+        "word", f"(degree * {grid}) div freq AS wscore"
+    )
+    # per phrase TYPE: member-word multiplicities once, then the join
+    per_type = (
+        occurrences.select(
+            "phrase",
+            F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+        )
+        .groupBy("phrase", "word")
+        .agg(F.count(F.lit(1)).alias("mult"))
+    )
+    scored = (
+        per_type.join(wscore, "word")
+        .groupBy("phrase")
+        .agg(F.sum(F.col("mult") * F.col("wscore")).alias("score"))
+        .join(occurrences, "phrase")
+    )
+    return (
+        scored.select(
+            "phrase",
+            F.col("score").cast("long").alias("score"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        )
+        .orderBy(F.col("score").desc(), F.col("phrase"))
+        .limit(top_k)
     )

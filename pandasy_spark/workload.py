@@ -7311,3 +7311,574 @@ def multimodal_bmp(spark, sf_dir):
 
     with_bmp = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
     return X_mm.image_stats(with_bmp)
+
+
+# --- round 5: trained quality probe -------------------------------------
+# The oracle unrolls the grid-exact gradient steps; the FD/residual SQL
+# fragments are generated so operator and oracle state the IDENTICAL
+# floor-division rule at every site.
+def _fd_sql(a: str, b) -> str:
+    """Exact integer floor division in DuckDB SQL (pmod identity; `//`
+    truncation is exact because the numerator is made divisible)."""
+    return f"((({a}) - ((({a}) % ({b}) + ({b})) % ({b}))) // ({b}))"
+
+
+def _qt_resid(w: dict[str, str]) -> str:
+    dot = " + ".join(f"qx_{n} * {w[n]}" for n in ("bias", "len", "atl", "punct", "alpha"))
+    return f"({_fd_sql(dot, 1000000)} - y)"
+
+
+def _qt_oracle() -> str:
+    names = ("bias", "len", "atl", "punct", "alpha")
+    w0 = {n: f"w0_{n}" for n in names}
+    w1 = {n: f"w1_{n}" for n in names}
+    w2 = {n: f"w2_{n}" for n in names}
+    r0, r1, r2 = _qt_resid(w0), _qt_resid(w1), _qt_resid(w2)
+    g1 = ",\n             ".join(
+        f"CAST(SUM({_fd_sql(f'qx_{n} * {r0}', 1000000)}) AS BIGINT) AS g_{n}"
+        for n in names
+    )
+    u1 = ",\n             ".join(
+        f"CAST({w0[n]} - {_fd_sql('1 * ' + _fd_sql(f'g_{n}', 'n'), 2)} AS BIGINT)"
+        f" AS w1_{n}"
+        for n in names
+    )
+    g2 = ",\n             ".join(
+        f"CAST(SUM({_fd_sql(f'qx_{n} * {r1}', 1000000)}) AS BIGINT) AS g_{n}"
+        for n in names
+    )
+    u2 = ",\n             ".join(
+        f"CAST({w1[n]} - {_fd_sql('1 * ' + _fd_sql(f'g_{n}', 'n'), 2)} AS BIGINT)"
+        f" AS w2_{n}"
+        for n in names
+    )
+    final_w = ", ".join(f"w2_{n} AS w_{n}" for n in names)
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             LEAST(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)
+                   / 1e2, 1e0) AS f1,
+             LEAST(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+                   THEN CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                             AS DOUBLE)
+                        / len(regexp_extract_all(text, '\\S+'))
+                   ELSE 0e0 END / 1e1, 1e0) AS f2,
+             CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0e0 END AS f3,
+             CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0e0 END AS f4
+      FROM documents WHERE doc_id < 2000
+    ), d AS (
+      SELECT CAST(1000000 AS BIGINT) AS qx_bias,
+             CAST(FLOOR(f1 * 1e6 + 0.5) AS BIGINT) AS qx_len,
+             CAST(FLOOR(f2 * 1e6 + 0.5) AS BIGINT) AS qx_atl,
+             CAST(FLOOR(f3 * 1e6 + 0.5) AS BIGINT) AS qx_punct,
+             CAST(FLOOR(f4 * 1e6 + 0.5) AS BIGINT) AS qx_alpha,
+             CASE WHEN -1e0 + 2e0*f1 + 1.5e0*f2 + -3e0*f3 + 2.5e0*f4 > 0
+                  THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT)
+             END AS y
+      FROM f
+    ), w0 AS (
+      SELECT {', '.join(f'CAST(0 AS BIGINT) AS w0_{n}' for n in names)}
+    ), g1_ AS (
+      SELECT {g1},
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM d, w0
+    ), w1_ AS (
+      SELECT {u1}
+      FROM w0, g1_
+    ), g2_ AS (
+      SELECT {g2},
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM d, w1_
+    ), w2_ AS (
+      SELECT {u2}
+      FROM w1_, g2_
+    )
+    SELECT {final_w},
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ABS({r2})) AS BIGINT) AS sum_abs_err
+    FROM d, w2_
+    GROUP BY {', '.join(f'w2_{n}' for n in names)}
+    """
+
+
+@query("text_quality_train", _qt_oracle())
+def text_quality_train(spark, sf_dir):
+    """Distributed trained quality probe (extended/text.py
+    quality_train): two full-batch gradient steps of a squared-loss
+    linear probe over the cheap text features, every number BIGINT on
+    the 1e-6 grid with exact pmod floor division — the oracle unrolls
+    the identical steps, so the learned WEIGHTS hash-match, not just a
+    score.  Scale: k steps = k map-combined aggregates over the
+    corpus + 1-row broadcast weight updates; no shuffle of the docs,
+    no exp/libm anywhere."""
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 2000)
+    return X_text.quality_train(docs, iters=2)
+
+
+@query(
+    "dedup_paragraph",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             'subscribe to our newsletter at ' || source ||
+             chr(10) || chr(10) || substr(text, 1, 60 + doc_id % 40) ||
+             chr(10) || chr(10) || 'copyright 2024 ' || source ||
+             chr(10) || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) ||
+             ' ' || substr(text, 30, 50) AS text
+      FROM documents WHERE doc_id < 3000
+    ), paras AS (
+      SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS para
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(text, chr(10) || chr(10)),
+                           x -> trim(x) != '') AS l
+        FROM raw
+      )
+    ), fp AS (
+      SELECT doc_id, pos, para,
+             md5(lower(trim(regexp_replace(para, '\\s+', ' ', 'g')))) AS f
+      FROM paras
+    ), flagged AS (
+      SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id, pos) = 1
+               AS keep
+      FROM fp
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                    FILTER (keep), '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def dedup_paragraph(spark, sf_dir):
+    """Paragraph-level dedup with document reconstruction
+    (extended/dedup.py paragraph_dedup) — the C4/RefinedWeb
+    boilerplate-removal pass: repeated nav/footer paragraphs are
+    dropped at their 2nd+ occurrence (global (id, pos)
+    first-occurrence rule, a map-combined min(struct) aggregate — no
+    ranking window), unique prose survives, and every document is
+    rebuilt in original paragraph order.  The gate synthesizes
+    paragraph-structured pages from the documents table (two
+    boilerplate paragraphs shared per source + two content
+    paragraphs) and the oracle restates split/normalize/md5/
+    first-occurrence/reassembly rule-for-rule."""
+    sep = "\n\n"
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 3000)
+    text2 = F.concat_ws(
+        sep,
+        F.concat(F.lit("subscribe to our newsletter at "), F.col("source")),
+        F.expr("substr(text, 1, 60 + doc_id % 40)"),
+        F.concat(F.lit("copyright 2024 "), F.col("source")),
+        F.concat(
+            F.lit("doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.expr("substr(text, 30, 50)"),
+        ),
+    )
+    synth = docs.select("doc_id", text2.alias("text"))
+    return X_dedup.paragraph_dedup(synth)
+
+
+@query(
+    "graph_kcore",
+    _COOC_CTE
+    + """
+    , sym0 AS (
+      SELECT x AS u, y AS v FROM e UNION ALL SELECT y AS u, x AS v FROM e
+    ), d0 AS (SELECT u, COUNT(*) AS c FROM sym0 GROUP BY u
+    ), g0 AS (SELECT u FROM d0 WHERE c >= 3
+    ), s1 AS (
+      SELECT s.u, s.v FROM sym0 s
+      JOIN g0 a ON s.u = a.u JOIN g0 b ON s.v = b.u
+    ), d1 AS (SELECT u, COUNT(*) AS c FROM s1 GROUP BY u
+    ), g1 AS (SELECT u FROM d1 WHERE c >= 3
+    ), s2 AS (
+      SELECT s.u, s.v FROM s1 s
+      JOIN g1 a ON s.u = a.u JOIN g1 b ON s.v = b.u
+    ), d2 AS (SELECT u, COUNT(*) AS c FROM s2 GROUP BY u
+    ), g2 AS (SELECT u FROM d2 WHERE c >= 3
+    ), s3 AS (
+      SELECT s.u, s.v FROM s2 s
+      JOIN g2 a ON s.u = a.u JOIN g2 b ON s.v = b.u
+    )
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM s3 GROUP BY u
+    """,
+)
+def graph_kcore(spark, sf_dir):
+    """Bounded-round k-core peeling (extended/graph.py kcore) over the
+    part co-occurrence graph, k=3, 3 rounds — the density filter that
+    sheds the long-tail fringe before community/triangle analytics.
+    The oracle unrolls the identical peel rounds.  Scale: per round
+    one map-combined degree aggregate + two semi-joins of the edge
+    list against the surviving node set; localCheckpoint bounds
+    lineage."""
+    from .extended.graph import cooccurrence_edges, kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return kcore(e, k=3, rounds=3)
+
+
+@query(
+    "snapshot_diff",
+    """
+    WITH old_ AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 13 != 0
+    ), new_ AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 11 != 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                  OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                THEN 'changed' ELSE 'unchanged' END AS change_type,
+           CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN 0
+                ELSE CAST(o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                          AS INT)
+                   + CAST(o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                          AS INT) END AS n_changed_cols
+    FROM old_ o FULL OUTER JOIN new_ n ON o.o_orderkey = n.o_orderkey
+    WHERE NOT (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+               AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+               AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+    """,
+)
+def snapshot_diff(spark, sf_dir):
+    """Snapshot diff (operators/scd.py snapshot_diff): added/removed/
+    changed rows between two table versions via ONE full outer
+    equi-join + a null-safe column comparison — the CDC-validation /
+    backfill-review primitive.  The gate derives two deterministic
+    orders snapshots (13-multiples deleted from old, 11-multiples
+    from new, 7-multiples repriced) and the oracle states the same
+    diff rule with IS DISTINCT FROM."""
+    from .operators.scd import snapshot_diff as _sd
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = filter_df(o, F.col("o_orderkey") % 13 != 0)
+    new = filter_df(o, F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return _sd(old, new, ["o_orderkey"])
+
+
+@query(
+    "text_rake",
+    """
+    WITH t AS (
+      SELECT regexp_replace(
+               regexp_replace(lower(text), '[^a-z\\s]', '|', 'g'),
+               '\\b(the|and|of|to|a|in|is|on|for|with)\\b', '|', 'g') AS s
+      FROM documents WHERE doc_id < 1500
+    ), ph0 AS (
+      SELECT trim(regexp_replace(p, '\\s+', ' ', 'g')) AS phrase
+      FROM (SELECT unnest(string_split(s, '|')) AS p FROM t)
+    ), ph AS (
+      SELECT phrase FROM ph0
+      WHERE length(phrase) > 0 AND len(string_split(phrase, ' ')) <= 4
+    ), occ AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM ph GROUP BY 1
+    ), inst AS (
+      SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+             unnest(string_split(phrase, ' ')) AS word
+      FROM ph
+    ), ws AS (
+      SELECT word, COUNT(*) AS freq, SUM(plen) AS degree
+      FROM inst GROUP BY 1
+    ), wsc AS (
+      SELECT word, CAST((degree * 10000) // freq AS BIGINT) AS wscore
+      FROM ws
+    ), pt AS (
+      SELECT phrase, word, COUNT(*) AS mult FROM (
+        SELECT phrase, unnest(string_split(phrase, ' ')) AS word FROM occ
+      ) GROUP BY 1, 2
+    ), sc AS (
+      SELECT pt.phrase, CAST(SUM(pt.mult * wsc.wscore) AS BIGINT) AS score
+      FROM pt JOIN wsc USING (word) GROUP BY 1
+    )
+    SELECT sc.phrase, score, occ.n_occurrences
+    FROM sc JOIN occ USING (phrase)
+    ORDER BY score DESC, phrase LIMIT 50
+    """,
+)
+def text_rake(spark, sf_dir):
+    """RAKE keyword extraction (extended/text.py rake_keywords):
+    stopword/punctuation-bounded candidate phrases scored by summed
+    member-word degree/freq on an integer grid — the classic unsupervised
+    keyword method, complementing TextRank's graph ranking.  Scale:
+    narrow regexp phrase map, one map-combined word aggregate, one
+    equi-join back, TakeOrderedAndProject top-k.  The oracle restates
+    phrase extraction, word statistics and the integer scoring
+    rule-for-rule."""
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 1500)
+    return X_text.rake_keywords(docs, max_words=4, top_k=50)
+
+
+@query(
+    "multimodal_tiff",
+    # TIFF is uncompressed: the checkerboard round-trips exactly (same
+    # closed form family as bmp/gif; distinct dims/colors so codec
+    # dispatch mix-ups cannot silently pass)
+    """
+    WITH p AS (
+      SELECT doc_id,
+             (doc_id % 5) + 1 AS w, (doc_id % 3) + 1 AS h,
+             ((doc_id % 3) + 2) // 2 * (((doc_id % 5) + 2) // 2)
+               + ((doc_id % 3) + 1) // 2 * (((doc_id % 5) + 1) // 2) AS na
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(na * ((doc_id*67) % 256) + (w*h - na) * ((doc_id*71) % 256)
+                AS DOUBLE) / (w*h) AS mean_r,
+           CAST(na * ((doc_id*73) % 256) + (w*h - na) * ((doc_id*79) % 256)
+                AS DOUBLE) / (w*h) AS mean_g,
+           CAST(na * ((doc_id*83) % 256) + (w*h - na) * ((doc_id*89) % 256)
+                AS DOUBLE) / (w*h) AS mean_b
+    FROM p
+    """,
+)
+def multimodal_tiff(spark, sf_dir):
+    """REAL TIFF pipeline, end-to-end and driver-checked: encode a
+    deterministic two-color checkerboard baseline TIFF per document
+    (``extended/multimodal.py`` encode_tiff — little-endian IFD, one
+    strip, chunky RGB), then run the payloads through ``image_stats``'s
+    mapInPandas decoder (IFD walk, strip assembly; the decoder also
+    handles big-endian, multi-strip, grayscale and WhiteIsZero —
+    tests/test_tiff.py crafted streams).  TIFF is lossless, so the
+    DuckDB oracle states dimensions and exact channel means in closed
+    form.  Both UDF stages Arrow-batched; no shuffle anywhere."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.multimodal import encode_tiff
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w = d % 3 + 1, d % 5 + 1
+                a = ((d * 67) % 256, (d * 73) % 256, (d * 83) % 256)
+                b = ((d * 71) % 256, (d * 79) % 256, (d * 89) % 256)
+                rr, cc = np.indices((h, w))
+                arr = np.where(
+                    ((rr + cc) % 2 == 0)[:, :, None],
+                    np.array(a, np.uint8),
+                    np.array(b, np.uint8),
+                ).astype(np.uint8)
+                payloads.append(encode_tiff(arr))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_tiff = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    return X_mm.image_stats(with_tiff)
+
+
+@query(
+    "knn_pq",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(5 AS INT) AS k,
+           TRUE AS recall_ok,
+           TRUE AS bounded_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def knn_pq(spark, sf_dir):
+    """Product-quantization ANN (extended/similarity.py pq_encode /
+    pq_topk): per-subspace grid-exact Lloyd's codebooks (BIGINT
+    lattice, pmod floor-division means — bit-reproducible), codes =
+    m integer bytes per vector (the ~32x memory compression that
+    makes billion-vector ANN fit), queries answered by asymmetric
+    distance over a broadcast m*n_codes lookup table.  Like knn_ivf
+    this is a SELF-CERTIFYING gate: the same plan runs PQ AND exact
+    integer-grid L2 top-5 over the identical corpus/query split and
+    emits ``recall_ok`` = aggregate recall@5 >= 0.3 (floor for
+    m=32/16 codes on the UNIFORM-random test embeddings — the
+    hardest case for PQ, measured 0.52; clustered real embeddings do
+    far better, tests/test_round5_ops.py pins recall 1.0 on planted
+    clusters) and ``bounded_ok`` = no more than k rows per query.
+    Every number integer, so the booleans are deterministic."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = filter_df(emb, F.col("vec_id") >= 10)
+    queries_df = filter_df(emb, F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = X_sim.pq_topk(
+        corpus, queries_df, k=5, m=32, n_codes=16, iters=2
+    )
+
+    def _qz(c):
+        return F.transform(
+            c, lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long")
+        )
+
+    c = corpus.select(F.col("vec_id").alias("id"), _qz(F.col("embedding")).alias("v"))
+    q = queries_df.select("query_id", _qz(F.col("embedding")).alias("qv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("id"))
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("d2", d2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "id")
+    )
+    hits = approx.select("query_id", "id").join(exact, ["query_id", "id"])
+    per_q = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ret"))
+    stats = (
+        queries_df.select("query_id")
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+            "query_id",
+            "left",
+        )
+        .join(per_q, "query_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(F.coalesce(F.col("n_hits"), F.lit(0))).alias("total_hits"),
+            F.max(F.coalesce(F.col("n_ret"), F.lit(0))).alias("max_ret"),
+        )
+    )
+    return stats.select(
+        "n_queries",
+        F.lit(5).alias("k"),
+        (
+            F.col("total_hits").cast("double")
+            >= F.lit(0.3) * F.lit(5.0) * F.col("n_queries").cast("double")
+        ).alias("recall_ok"),
+        (F.col("max_ret") <= F.lit(5)).alias("bounded_ok"),
+    )
+
+
+@query(
+    "pipeline_near_dedup",
+    f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, list_distinct([substring(text, i, 3)
+                     for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS sh
+      FROM documents WHERE doc_id < 200
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS s FROM d
+    ), hb AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), [ord(substring(s, i, 1))
+                                          for i in range(1, len(s)+1)]),
+                         (acc, c) -> (acc * 257 + c) % 9007199254740992)
+             % 2147483647 AS h
+      FROM ex
+    ), hs AS (
+      SELECT doc_id, list(h) AS hl FROM hb GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL} AS sg FROM hs
+    ), banded AS (
+      SELECT doc_id, b,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sg, 4*b + 1, 4*b + 4)),
+                         (acc, v) -> (acc * 48271 + v) % 2147483647) AS bucket
+      FROM sig, range(0, 8) bb(b)
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      FROM banded l JOIN banded r
+        ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), est AS (
+      SELECT id1, id2,
+             list_sum([CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END
+                       for i in range(1, 33)]) / 32e0 AS e
+      FROM cand JOIN sig a ON cand.id1 = a.doc_id
+                JOIN sig b ON cand.id2 = b.doc_id
+    ), p AS (
+      SELECT id1, id2 FROM est WHERE FLOOR(e * 10000 + 0.5) / 10000 >= 0.3
+    ), e AS (
+      SELECT id1 AS u, id2 AS v FROM p
+      UNION
+      SELECT id2 AS u, id1 AS v FROM p
+    ), r AS (
+      SELECT u, u AS comp FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.u, r.comp FROM e JOIN r ON e.v = r.u
+    ), c AS (
+      SELECT u, MIN(comp) AS component FROM r GROUP BY u
+    ), labeled AS (
+      SELECT dd.doc_id, dd.source,
+             COALESCE(c.component, dd.doc_id) AS component
+      FROM (SELECT doc_id, source FROM documents WHERE doc_id < 200) dd
+      LEFT JOIN c ON dd.doc_id = c.u
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id = component THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM labeled GROUP BY source
+    """,
+)
+def pipeline_near_dedup(spark, sf_dir):
+    """End-to-end NEAR-duplicate removal pipeline in one composed
+    plan — the production corpus-dedup shape: MinHash signatures ->
+    banded LSH candidate pairs (equi-join, never all-pairs) ->
+    signature-estimated Jaccard threshold -> distributed connected
+    components (star-contraction, exact-confirmed convergence) ->
+    min-id survivor per cluster -> per-source survivor counts.  The
+    oracle replays signatures, banding, threshold AND the transitive
+    closure (recursive CTE) rule-for-rule.  At 100 TB every stage is
+    an equi-join or map-combined aggregate; this gate pins the
+    COMPOSITION, not just the parts (dedup_minhash,
+    dedup_components)."""
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 200)
+    pairs = X_dedup.minhash_dedup_pairs(
+        docs, num_hashes=32, bands=8, threshold=0.3
+    ).select("id1", "id2")
+    comp = X_dedup.connected_components(pairs, "id1", "id2").withColumnRenamed(
+        "node", "doc_id"
+    )
+    labeled = (
+        docs.select("doc_id", "source")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    return agg(
+        labeled,
+        ["source"],
+        {
+            "n_docs": F.count(F.lit(1)),
+            "n_kept": F.sum(
+                (F.col("doc_id") == F.col("component")).cast("long")
+            ),
+        },
+    )
