@@ -714,21 +714,33 @@ def bpe_learn(
         # means at most one batch pair can match at any position, and a
         # merged token can never re-participate (it is in no pair's
         # symbol set, and is strictly longer than its own left symbol)
-        # — exactly BPE's greedy application of each merge.
+        # — exactly BPE's greedy application of each merge.  The batch
+        # is applied through a MAP LITERAL lookup ((last, next) key ->
+        # merged token), so the fold expression is CONSTANT-size: a
+        # chain of per-pair WHENs makes Catalyst analysis superlinear
+        # in batch width and stalls the adaptive schedule exactly when
+        # it succeeds in growing the batch.
         def make_fold(fold_batch):
+            kv: list = []
+            for left, right, merged, _ in fold_batch:
+                kv += [F.lit(left + "\x00" + right), F.lit(merged)]
+            pair_map = F.create_map(*kv)
+
             def batch_fold(acc, s):
-                out = F.concat(acc, F.array(s))
-                for left, right, merged, _ in fold_batch:
-                    out = F.when(
-                        (F.size(acc) > 0)
-                        & (F.element_at(acc, -1) == F.lit(left))
-                        & (s == F.lit(right)),
-                        F.concat(
-                            F.slice(acc, 1, F.size(acc) - 1),
-                            F.array(F.lit(merged)),
-                        ),
-                    ).otherwise(out)
-                return out
+                # F.get is null-on-out-of-bounds (ANSI-safe on the
+                # empty accumulator); the \x00 delimiter cannot occur
+                # in [a-z]+ symbols, so a bare-symbol key never
+                # false-matches a map entry
+                last = F.get(acc, F.size(acc) - 1)
+                rep = F.try_element_at(
+                    pair_map, F.concat_ws("\x00", last, s)
+                )
+                return F.when(
+                    (F.size(acc) > 0) & rep.isNotNull(),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(rep)
+                    ),
+                ).otherwise(F.concat(acc, F.array(s)))
 
             return batch_fold
 

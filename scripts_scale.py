@@ -365,15 +365,15 @@ def bpe50k() -> None:
     )
     u = (F.pmod(F.xxhash64("t"), F.lit(1_000_000)) + 1) / 1_000_000.0
     rank = F.floor(F.exp(u * math.log(200_000.0))).cast("long")
-    # 4-char base-26 word: a 26-letter alphabet keeps the early
-    # letter-pair merge phase disjoint enough for the batch to grow
-    # (a 10-letter digit alphabet starves the greedy prefix)
-    word = F.expr(
-        "concat("
-        " substr('abcdefghijklmnopqrstuvwxyz', CAST(rank div 17576 % 26 AS INT) + 1, 1),"
-        " substr('abcdefghijklmnopqrstuvwxyz', CAST(rank div 676 % 26 AS INT) + 1, 1),"
-        " substr('abcdefghijklmnopqrstuvwxyz', CAST(rank div 26 % 26 AS INT) + 1, 1),"
-        " substr('abcdefghijklmnopqrstuvwxyz', CAST(rank % 26 AS INT) + 1, 1))"
+    # word = 6 hex chars of md5(rank) folded to letters: RANDOM letter
+    # sequences (dense base-N rank encodings share prefixes — aaab/
+    # aaac/... — so every candidate merge overlaps every other and the
+    # disjoint batch can never fill; random stems are what natural
+    # vocabularies look like after the letter-pair phase)
+    word = F.translate(
+        F.substring(F.md5(F.col("rank").cast("string")), 1, 6),
+        "0123456789abcdef",
+        "abcdefghijklmnop",
     )
     corpus = t.select(rank.alias("rank")).select(word.alias("text"))
     stats: dict = {}
