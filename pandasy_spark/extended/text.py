@@ -406,10 +406,15 @@ def bpe_pair_counts(
     from pyspark.sql.window import Window
 
     agg = pairs.groupBy("pair").agg(F.sum("wc").alias("cnt"))
+    # TakeOrderedAndProject the top_n FIRST (per-partition top-n +
+    # driver merge, no global sort), then rank the <= top_n survivors
+    # — a bare global ranking window would single-partition the whole
+    # pair table (~|vocab| symbols squared at web scale)
     w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
     return (
-        agg.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= top_n)
+        agg.orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(top_n)
+        .withColumn("rk", F.row_number().over(w))
         .select("pair", "cnt", "rk")
     )
 
@@ -636,9 +641,16 @@ def bpe_learn(
             )
         return merges_local
 
+    # EXPLICIT repartition: the type table is tiny in BYTES (AQE
+    # coalesces its shuffle to one partition) but every fold pass is
+    # CPU-heavy per ROW — one partition serializes the whole merge
+    # loop onto a single core.  A fixed-width repartition survives AQE
+    # and is preserved by the narrow per-pass selects.
+    par = df.sparkSession.sparkContext.defaultParallelism
     types = (
         type_counts.withColumn("syms", F.split(F.col("word"), ""))
         .select("syms", "wc")
+        .repartition(par)
         .localCheckpoint(eager=True)
     )
 
@@ -649,6 +661,16 @@ def bpe_learn(
     passes = 0
     while len(merges) < num_merges:
         passes += 1
+        if passes % 10 == 0:
+            # the superseded localCheckpoint blocks are only released
+            # when the driver's ContextCleaner sees their Python/py4j
+            # references collected — at hundreds of passes the lazy GC
+            # lets dead type-table copies pile up in block storage and
+            # the JVM tips into GC thrash; an explicit collect keeps
+            # exactly one live checkpoint
+            import gc
+
+            gc.collect()
         want = num_merges - len(merges)
         # One distributed pass: full pair count, top candidates to the
         # driver (a few dozen rows — the over-fetch gives the greedy
