@@ -110,6 +110,8 @@ _R5_NEW: list[str] = [
     "multimodal_tiff",
     "knn_pq",
     "pipeline_near_dedup",
+    "sketch_hll",
+    "sketch_kmv",
 ]
 
 

@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "multimodal_tiff",
     "knn_pq",
     "pipeline_near_dedup",
+    "sketch_hll",
+    "sketch_kmv",
 ]
 
 

@@ -1,0 +1,245 @@
+"""Mergeable cardinality sketches with ENGINE-PORTABLE hashing.
+
+The existing approximate-aggregate gate (``agg_approx``) self-certifies
+Spark's builtin HLL/t-digest with error-bound booleans; these
+operators go further: the whole sketch — hash, register, estimator —
+is integer arithmetic over md5 hex-prefix hashes (md5 has identical
+semantics in Spark and DuckDB), so a DuckDB oracle rebuilds
+bit-identical registers and the estimate itself is hash-checked
+across engines.  That is the property a production
+pipeline needs when sketches are persisted and merged across systems:
+two engines must agree on the REGISTERS, not just land inside an error
+bound.
+
+Reference scope: the reference engine's aggregate surface
+(`/root/reference/slide/utils.py` group-agg ops) has no sketch
+aggregates; these are Spark-first extensions in the
+training-pipeline-profiling family (distinct counts of near-unbounded
+key spaces: URLs, doc fingerprints, user ids).
+
+Scale shapes (the point of a sketch at 100 TB):
+
+- HLL: ONE ``groupBy(group, bucket).agg(max(rho))`` — the aggregate's
+  key space is ``groups × m`` regardless of input rows, so map-side
+  combine collapses each partition to ≤ m rows per group and the
+  shuffle is sketch-sized, not data-sized.  No distinct, no sort.
+- KMV (exact k-th minimum distinct hash): a data-sized distinct is
+  unavoidable (the statistic is over the distinct set), but the sort
+  is not — a coarse-bucket histogram (4096 cells per group, counted
+  with ``count_distinct`` partial aggregation) locates the k-th value's
+  bucket, and only that O(k + n_distinct/4096) sliver is ranked.  The
+  classic distributed order-statistic two-pass; no per-group global
+  sort of the distinct table.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "portable_hash31",
+    "portable_hash56",
+    "hll_sketch",
+    "hll_estimate",
+    "kmv_kth_hash",
+    "kmv_estimate",
+]
+
+
+def portable_hash31(col: Column) -> Column:
+    """Engine-portable UNIFORM key hash in ``[0, 2^31)``: the first 8
+    hex digits of ``md5`` of the key's string form, as an integer, mod
+    2^31.  md5 exists with identical semantics in Spark and DuckDB
+    (``('0x' || substring(md5(s),1,8))::BIGINT`` on the DuckDB side),
+    and unlike the MINSTD char fold it has full avalanche — sketch
+    estimators (HLL rho ranks) need cryptographic-grade bit uniformity
+    that a linear-congruential fold cannot provide on clustered key
+    spaces like sequential ids."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(1 << 31),
+    )
+
+
+def portable_hash56(col: Column) -> Column:
+    """56-bit variant (first 14 md5 hex digits) for order-statistic
+    sketches: KMV needs hash RESOLUTION (the k-th minimum of n distinct
+    values sits near ``2^bits·k/n`` — 31 bits run out of headroom by
+    n ≈ 10^7) while keeping ``(k-1)·2^56`` inside int64 for the exact
+    integer estimator."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 14), 16, 10).cast(
+        "long"
+    )
+
+
+def _rho(w: Column, max_bits: int) -> Column:
+    """1-based leading-zero rank of ``w`` within ``max_bits`` bits:
+    ``max_bits - msb(w) + 1`` with ``msb`` = length of the minimal
+    binary string — ``bin()`` has identical minimal-width semantics in
+    Spark and DuckDB, so the register values match bit-for-bit."""
+    return F.when(w == 0, F.lit(max_bits + 1)).otherwise(
+        F.lit(max_bits + 1) - F.length(F.bin(w))
+    )
+
+
+def hll_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """HyperLogLog registers per group: ``(group..., bucket, rho)``
+    with ``bucket = h mod 2^p`` and ``rho`` the max leading-zero rank
+    of the remaining ``31 - p`` hash bits (Flajolet et al. 2007).
+
+    ONE aggregate, key space ``groups × 2^p``: map-side combine makes
+    the shuffle sketch-sized however large the input.  Registers are
+    mergeable across runs/engines by ``max(rho)`` — the property that
+    makes HLL the 100 TB distinct counter."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    h = portable_hash31(F.col(key_col))
+    w = F.floor(h / F.lit(m)).cast("long")  # h < 2^31: exact in double
+    return (
+        df.select(
+            *group_cols,
+            (h % F.lit(m)).alias("bucket"),
+            _rho(w, 31 - p).cast("int").alias("__r"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("__r").alias("rho"))
+    )
+
+
+def hll_estimate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    p: int = 6,
+    alpha_milli: int = 709,
+) -> DataFrame:
+    """Integer-exact HLL estimate per group.
+
+    ``S = Σ_buckets 2^(32 - rho)`` (empty buckets contribute ``2^32``)
+    is BIGINT-exact, and the raw estimate
+    ``alpha · m² / Σ 2^(-rho)`` is evaluated as ONE BIGINT floor
+    division ``(alpha_milli · m² · 2^29) div (125 · S)`` (the /8
+    reduction keeps the numerator under 2^53 so the DuckDB mirror is
+    also exact in every representation) — no floating point anywhere,
+    so two engines cannot disagree in the last ulp.
+    ``alpha_milli=709`` is HLL's alpha_64 in thousandths; callers
+    using a different ``p`` should pass the matching constant.
+
+    Output: ``(group..., m, nonzero, s, est)``.
+    """
+    m = 1 << p
+    regs = hll_sketch(df, group_cols, key_col, p)
+    per_bucket = F.expr("shiftleft(CAST(1 AS BIGINT), 32 - rho)")
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("nonzero"),
+        F.sum(per_bucket).alias("__sp"),
+    )
+    return agg.select(
+        *group_cols,
+        F.lit(m).cast("long").alias("m"),
+        F.col("nonzero").cast("long").alias("nonzero"),
+        F.expr(
+            f"CAST(__sp + ({m} - nonzero) * {1 << 32} AS BIGINT)"
+        ).alias("s"),
+    ).withColumn(
+        "est",
+        F.expr(
+            f"(CAST({alpha_milli} AS BIGINT) * {m * m} * {1 << 29})"
+            " div (125 * s)"
+        ).cast("long"),
+    )
+
+
+def kmv_kth_hash(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    k: int = 64,
+    coarse_bits: int = 12,
+) -> DataFrame:
+    """EXACT k-th smallest distinct portable hash per group, without
+    sorting the distinct table — the KMV / bottom-k sketch statistic
+    (Bar-Yossef et al. 2002; Beyer et al. 2007).
+
+    Two passes:
+
+    1. coarse histogram: ``count_distinct(h)`` per
+       ``(group, h div 2^(31 - coarse_bits))`` — 4096 cells per group
+       at the default, partial-aggregated; a per-group running sum
+       over those ≤ 4096 cells (bounded window) locates the cell
+       containing the k-th distinct hash.
+    2. refine: only hashes below that cell's upper edge (expected
+       ``k + n_distinct/2^coarse_bits`` rows per group) are
+       distinct-ed and ranked.  The full distinct table is never
+       sorted.
+
+    Groups with fewer than ``k`` distinct keys are dropped (the
+    statistic is undefined).  Output: ``(group..., kth_hash)``.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    shift = 1 << (56 - coarse_bits)
+    h = portable_hash56(F.col(key_col)).alias("h")
+    hashed = df.select(*group_cols, h)
+    cells = hashed.groupBy(
+        *group_cols, F.floor(F.col("h") / F.lit(shift)).alias("cell")
+    ).agg(F.count_distinct("h").alias("nd"))
+    wc = Window.partitionBy(*group_cols).orderBy("cell")
+    located = (
+        cells.withColumn("cum", F.sum("nd").over(wc))
+        .filter(F.col("cum") >= k)
+        .groupBy(*group_cols)
+        .agg(F.min("cell").alias("kcell"))
+    )
+    wr = Window.partitionBy(*group_cols).orderBy("h")
+    joined = (
+        hashed.crossJoin(F.broadcast(located))
+        if not group_cols
+        else hashed.join(F.broadcast(located), list(group_cols))
+    )
+    sliver = (
+        joined
+        .filter(F.col("h") < (F.col("kcell") + 1) * F.lit(shift))
+        .select(*group_cols, "h")
+        .distinct()
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == k)
+        .select(*group_cols, F.col("h").alias("kth_hash"))
+    )
+    return sliver
+
+
+def kmv_estimate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    k: int = 64,
+    coarse_bits: int = 12,
+) -> DataFrame:
+    """KMV distinct-count estimate per group, integer-exact:
+    ``est = (k-1) · 2^56 div kth_hash`` — the unbiased (k-1)/u_k
+    estimator with the division done in BIGINT (``(k-1)·2^56`` must
+    stay inside int64: k ≤ 127), so engines agree exactly.
+    Output: ``(group..., kth_hash, est)``."""
+    if not 2 <= k <= 127:
+        raise ValueError("k must be in [2, 127] for the int64 estimator")
+    kth = kmv_kth_hash(df, group_cols, key_col, k, coarse_bits)
+    return kth.withColumn(
+        "est",
+        F.expr(
+            f"(CAST({k - 1} AS BIGINT) * {1 << 56}) div kth_hash"
+        ).cast("long"),
+    )

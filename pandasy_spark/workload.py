@@ -31,6 +31,7 @@ from .extended import dedup as X_dedup
 from .extended import multimodal as X_mm
 from .extended import sampling as X_samp
 from .extended import similarity as X_sim
+from .extended import sketches as X_sk
 from .extended import text as X_text
 from .functions import case_when, cast, coalesce, is_between, is_in, is_value, like
 from .operators import (
@@ -7881,4 +7882,127 @@ def pipeline_near_dedup(spark, sf_dir):
                 (F.col("doc_id") == F.col("component")).cast("long")
             ),
         },
+    )
+
+
+@query(
+    "sketch_hll",
+    # md5-hashed HLL registers rebuilt rule-for-rule: 31-bit hash,
+    # 6 bucket bits, rho = leading-zero rank of the remaining 25 bits,
+    # integer-exact estimator (alpha_64 = 709/1000, /8-reduced so the
+    # numerator stays under 2^53 in every representation)
+    """
+    WITH h AS (
+      SELECT l_returnflag,
+             ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT
+               % 2147483648 AS h
+      FROM lineitem
+    ), r AS (
+      SELECT l_returnflag, h % 64 AS bucket,
+             CASE WHEN h // 64 = 0 THEN 26
+                  ELSE 26 - length(bin(h // 64)) END AS rho
+      FROM h
+    ), regs AS (
+      SELECT l_returnflag, bucket, MAX(rho) AS rho
+      FROM r GROUP BY l_returnflag, bucket
+    ), s AS (
+      SELECT l_returnflag,
+             CAST(64 AS BIGINT) AS m,
+             CAST(COUNT(*) AS BIGINT) AS nonzero,
+             CAST(SUM(CAST(1 AS BIGINT) << (32 - rho))
+                  + (64 - COUNT(*)) * 4294967296 AS BIGINT) AS s
+      FROM regs GROUP BY l_returnflag
+    ), ex AS (
+      SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT s.l_returnflag, m, nonzero, s,
+           CAST((CAST(709 AS BIGINT) * 4096 * 536870912) // (125 * s)
+                AS BIGINT) AS est,
+           exact,
+           abs(CAST((CAST(709 AS BIGINT) * 4096 * 536870912) // (125 * s)
+                    AS BIGINT) - exact) * 100 <= 35 * exact AS ok
+    FROM s JOIN ex USING (l_returnflag)
+    """,
+)
+def sketch_hll(spark, sf_dir):
+    """Engine-portable HyperLogLog distinct sketch, hash-matched
+    (extended/sketches.py hll_estimate): md5-prefix hash, ONE
+    ``groupBy(group, bucket).agg(max(rho))`` whose key space is
+    ``groups × 64`` however large the input (map-side combine makes
+    the shuffle sketch-sized — the 100 TB distinct counter), and a
+    BIGINT-exact estimator so the DuckDB oracle rebuilds the very
+    registers and estimate, not just an error bound.  The exact twin
+    and ``ok`` boolean self-certify the ±35 % (≈2.7 σ at m=64)
+    accuracy contract driver-visibly."""
+    li = _t(spark, sf_dir, "lineitem")
+    est = X_sk.hll_estimate(li, ["l_returnflag"], "l_partkey")
+    ex = agg(
+        li,
+        ["l_returnflag"],
+        {"exact": F.count_distinct("l_partkey").cast("long")},
+    )
+    return est.join(ex, "l_returnflag").select(
+        "l_returnflag",
+        "m",
+        "nonzero",
+        "s",
+        "est",
+        "exact",
+        (F.abs(F.col("est") - F.col("exact")) * 100 <= 35 * F.col("exact"))
+        .alias("ok"),
+    )
+
+
+@query(
+    "sketch_kmv",
+    # KMV bottom-k sketch: k-th smallest distinct 56-bit md5 hash,
+    # unbiased (k-1)/u_k estimator in exact BIGINT division
+    """
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 14))::BIGINT AS h
+      FROM lineitem
+    ), r AS (
+      SELECT l_returnflag, h,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+      FROM h
+    ), kth AS (
+      SELECT l_returnflag, h AS kth_hash,
+             CAST((CAST(63 AS BIGINT) * 72057594037927936) // h AS BIGINT) AS est
+      FROM r WHERE rk = 64
+    ), ex AS (
+      SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT kth.l_returnflag, kth_hash, est, exact,
+           abs(est - exact) * 100 <= 35 * exact AS ok
+    FROM kth JOIN ex USING (l_returnflag)
+    """,
+)
+def sketch_kmv(spark, sf_dir):
+    """KMV (k-minimum-values) distinct sketch, hash-matched
+    (extended/sketches.py kmv_estimate): the EXACT 64-th smallest
+    distinct hash per group found WITHOUT sorting the distinct table —
+    a 4096-cell coarse histogram (count_distinct partial aggregate)
+    locates the k-th value's cell, and only that
+    O(k + n_distinct/4096) sliver is ranked (the distributed
+    order-statistic two-pass; the oracle states the plain rank rule).
+    The unbiased (k-1)/u_k estimate is one BIGINT floor division, so
+    both engines agree bit-for-bit; exact twin + ``ok`` self-certify
+    the accuracy contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    est = X_sk.kmv_estimate(li, ["l_returnflag"], "l_partkey", k=64)
+    ex = agg(
+        li,
+        ["l_returnflag"],
+        {"exact": F.count_distinct("l_partkey").cast("long")},
+    )
+    return est.join(ex, "l_returnflag").select(
+        "l_returnflag",
+        "kth_hash",
+        "est",
+        "exact",
+        (F.abs(F.col("est") - F.col("exact")) * 100 <= 35 * F.col("exact"))
+        .alias("ok"),
     )
