@@ -24,10 +24,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Latest-witness tiers across CORRECTNESS_r01..r04 — every registry
+# Latest-witness tiers across CORRECTNESS_r01..r05 — every registry
 # query has a green driver row; the tier records WHICH round last
 # witnessed it, so each new round re-proves the stalest names first
 # inside the driver's 50-row recording window.
+_WITNESSED_R5 = {
+    "agg_cube", "agg_distinct", "agg_grouping_sets", "agg_percentiles",
+    "agg_rollup", "agg_stats", "date_funcs", "dedup_exact",
+    "dedup_minhash", "dedup_ngram_exact", "dedup_ngram_jaccard",
+    "dedup_paragraph", "dedup_simhash", "distinct_status",
+    "events_asof", "events_json", "events_sessionize",
+    "events_tolerance_join", "events_window", "expr_arith_cmp",
+    "expr_case_coalesce", "expr_cast_strict", "expr_casts",
+    "expr_predicates", "expr_string_extra", "graph_kcore",
+    "groupby_apply", "knn_cosine", "knn_lsh", "knn_pq",
+    "multimodal_features", "multimodal_tiff", "pipeline_near_dedup",
+    "setop_except", "setop_except_dups", "setop_intersect",
+    "setop_intersect_dups", "sketch_hll", "sketch_kmv", "snapshot_diff",
+    "sort_limit_topn", "string_math_funcs", "text_langid",
+    "text_quality_train", "text_rake", "text_stats", "text_token_freq",
+    "topk_per_group", "window_rank", "window_running",
+}
 _WITNESSED_R4 = {
     "agg_incremental", "basket_affinity", "dedup_containment", "dedup_url",
     "embedding_kmeans", "events_anomaly", "events_asof_directions",
@@ -67,61 +84,41 @@ _WITNESSED_R3 = {
 }
 
 _WITNESSED_R1R2 = {
-    "agg_bitwise", "agg_collect", "agg_cube", "agg_distinct",
-    "agg_grouping_sets", "agg_mode_argmax", "agg_percentiles",
-    "agg_rollup", "agg_stats", "date_funcs", "decontaminate",
-    "decontaminate_semantic", "dedup_components", "dedup_exact",
-    "dedup_incremental", "dedup_levenshtein", "dedup_minhash",
-    "dedup_ngram_exact", "dedup_ngram_jaccard", "dedup_semantic",
-    "dedup_simhash", "dedup_span", "dedup_winnow", "distinct_status",
-    "embedding_centroids", "events_asof", "events_hopping", "events_json",
-    "events_range_window", "events_session_window", "events_sessionize",
-    "events_tolerance_join", "events_window", "expr_arith_cmp",
-    "expr_case_coalesce", "expr_cast_strict", "expr_casts",
-    "expr_null_safe_eq", "expr_predicates", "expr_string_extra",
-    "groupby_apply", "knn_cosine", "knn_lsh", "knn_quantized",
-    "layout_zorder", "multimodal_features", "pack_chunks", "pack_greedy",
+    "agg_bitwise", "agg_collect", "agg_mode_argmax", "decontaminate",
+    "decontaminate_semantic", "dedup_components", "dedup_incremental",
+    "dedup_levenshtein", "dedup_semantic", "dedup_span", "dedup_winnow",
+    "embedding_centroids", "events_hopping", "events_range_window",
+    "events_session_window", "expr_null_safe_eq", "knn_quantized",
+    "layout_zorder", "pack_chunks", "pack_greedy",
     "pipeline_pretraining", "pivot_status_by_priority",
     "profile_equidepth", "profile_histogram", "profile_lineitem",
-    "q13_customer_distribution", "q4_order_priority", "sample_curriculum",
-    "sample_domain_cap", "sample_interleave", "sample_mixture",
-    "sample_split", "sample_stratified", "setop_except",
-    "setop_except_dups", "setop_intersect", "setop_intersect_dups",
-    "sort_limit_topn", "string_math_funcs", "text_bpe_pairs",
-    "text_langid", "text_lm_score", "text_pii", "text_quality_filter",
-    "text_repetition", "text_stats", "text_tficf", "text_token_freq",
-    "topk_per_group", "window_distribution", "window_rank",
-    "window_running",
+    "q13_customer_distribution", "q4_order_priority",
+    "sample_curriculum", "sample_domain_cap", "sample_interleave",
+    "sample_mixture", "sample_split", "sample_stratified",
+    "text_bpe_pairs", "text_lm_score", "text_pii",
+    "text_quality_filter", "text_repetition", "text_tficf",
+    "window_distribution",
 }
 
-_CHECKED_UNION = _WITNESSED_R1R2 | _WITNESSED_R3 | _WITNESSED_R4
+_CHECKED_UNION = (
+    _WITNESSED_R1R2 | _WITNESSED_R3 | _WITNESSED_R4 | _WITNESSED_R5
+)
 
 
-# Round-5 additions (never driver-witnessed) register FIRST; after
-# them, the stalest tiers (r1/r2 witness, then r3, then r4) fill the
+# Round-6 additions (never driver-witnessed) register FIRST; after
+# them, the stalest tiers (r1/r2 witness, then r3, r4, r5) fill the
 # driver's 50-row recording window so the least-recently-proven
 # queries are re-witnessed each round.
-_R5_NEW: list[str] = [
-    "text_quality_train",
-    "dedup_paragraph",
-    "graph_kcore",
-    "snapshot_diff",
-    "text_rake",
-    "multimodal_tiff",
-    "knn_pq",
-    "pipeline_near_dedup",
-    "sketch_hll",
-    "sketch_kmv",
-]
+_R6_NEW: list[str] = []
 
 
 def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    front = {k: QUERIES[k] for k in _R5_NEW if k in QUERIES}
+    front = {k: QUERIES[k] for k in _R6_NEW if k in QUERIES}
     unproven = {
         k: v for k, v in QUERIES.items()
         if k not in _CHECKED_UNION and k not in front
     }
-    tiers = (_WITNESSED_R1R2, _WITNESSED_R3, _WITNESSED_R4)
+    tiers = (_WITNESSED_R1R2, _WITNESSED_R3, _WITNESSED_R4, _WITNESSED_R5)
     by_staleness = {
         k: QUERIES[k]
         for tier in tiers

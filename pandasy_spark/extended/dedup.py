@@ -1136,30 +1136,34 @@ def paragraph_dedup(
             & (F.col("__first.__pos") == F.col("__pos"))
         ).alias("__keep"),
     )
-    return (
-        flagged.groupBy("__id")
-        .agg(
-            F.count(F.lit(1)).alias("n_paragraphs"),
-            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("__keep"),
-                                F.struct(F.col("__pos"), F.col("__para")),
-                            )
+    rebuilt = flagged.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("__pos"), F.col("__para")),
                         )
-                    ),
-                    lambda s: s["__para"],
+                    )
                 ),
-                sep,
-            ).alias("clean_text"),
-        )
-        .select(
-            F.col("__id").alias(id_col),
-            "clean_text",
-            F.col("n_paragraphs").cast("long").alias("n_paragraphs"),
-            F.col("n_kept").cast("long").alias("n_kept"),
-        )
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    # documents whose text has NO non-whitespace paragraph emit zero
+    # posexplode rows and never reach the aggregate — left-join back
+    # to the distinct input ids so "every document is rebuilt
+    # (possibly empty)" holds for them too
+    base = df.select(F.col(id_col).alias("__id")).distinct()
+    return base.join(rebuilt, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_paragraphs"), F.lit(0))
+        .cast("long")
+        .alias("n_paragraphs"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
     )

@@ -287,10 +287,12 @@ def rfm_segments(
       thresholds computed as ONE distributed aggregate
       (extended/profile.py ``quantile_thresholds``), broadcast back,
       and banded by comparison — a narrow map.  No window, no global
-      sort: the plan that runs at billions of users.  Ties at a
-      threshold all take the better band (SQL states the identical
-      rule, so gates hash-match); band sizes are equal only up to
-      ties.
+      sort: the plan that runs at billions of users.  Tie rule at a
+      threshold: the ascending metric (recency) takes the BETTER
+      band (``<=`` comparison), the descending metrics (frequency,
+      monetary) take the WORSE band (strict ``>`` comparison) — the
+      SQL oracle states the identical rule, so gates hash-match;
+      band sizes are equal only up to ties.
     - ``"ntile"`` (opt-in): three global ntile windows with
       deterministic (metric, user) tie-breaks — exactly-equal band
       sizes, but each window is a SINGLE-PARTITION sort of the whole

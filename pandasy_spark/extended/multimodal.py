@@ -356,8 +356,13 @@ def _decode_tiff(payload: bytes) -> "object":
     )
     if photometric == 0:  # WhiteIsZero: invert to BlackIsZero
         arr = 255 - arr
-    if spp == 1:
-        return np.repeat(arr, 3, axis=2)
+    if spp in (1, 2):
+        # grayscale, optionally +alpha: replicate the gray plane so
+        # the (h, w, 3) contract holds (spp=2 would otherwise leak a
+        # 2-channel array past the slice below)
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    if spp not in (3, 4):
+        raise NotImplementedError(f"unsupported TIFF spp={spp}")
     return np.ascontiguousarray(arr[:, :, :3])
 
 

@@ -122,23 +122,36 @@ def hll_estimate(
     group_cols: Sequence[str],
     key_col: str,
     p: int = 6,
-    alpha_milli: int = 709,
+    alpha_milli: int | None = None,
 ) -> DataFrame:
     """Integer-exact HLL estimate per group.
 
     ``S = Σ_buckets 2^(32 - rho)`` (empty buckets contribute ``2^32``)
-    is BIGINT-exact, and the raw estimate
-    ``alpha · m² / Σ 2^(-rho)`` is evaluated as ONE BIGINT floor
-    division ``(alpha_milli · m² · 2^29) div (125 · S)`` (the /8
-    reduction keeps the numerator under 2^53 so the DuckDB mirror is
-    also exact in every representation) — no floating point anywhere,
-    so two engines cannot disagree in the last ulp.
-    ``alpha_milli=709`` is HLL's alpha_64 in thousandths; callers
-    using a different ``p`` should pass the matching constant.
+    is BIGINT-exact.  Every register term is a multiple of ``2^p``
+    (rho ≤ 32 - p), so ``S div 2^p`` is an exact reduction and the raw
+    estimate ``alpha · m² / Σ 2^(-rho)`` is ONE BIGINT floor division
+
+        ``(alpha_milli · 2^(p+29)) div (125 · (S div 2^p))``
+
+    identical in value to the unreduced
+    ``(alpha_milli · m² · 2^29) div (125 · S)`` but with the numerator
+    bounded at ``alpha_milli · 2^45`` — inside int64 for the whole
+    supported ``p ∈ [4, 16]`` range (the unreduced form overflows at
+    p ≥ 13), and under ``2^53`` (double-representable in any engine's
+    mirror) for ``p ≤ 14``.  No floating point anywhere, so two
+    engines cannot disagree in the last ulp.
+
+    ``alpha_milli`` defaults per the HLL paper's bias constants in
+    thousandths — 673/697/709 for p = 4/5/6, ``round(721.3 /
+    (1 + 1.079/m))`` beyond — and may be overridden.
 
     Output: ``(group..., m, nonzero, s, est)``.
     """
     m = 1 << p
+    if alpha_milli is None:
+        alpha_milli = {4: 673, 5: 697, 6: 709}.get(p) or round(
+            721.3 / (1 + 1.079 / m)
+        )
     regs = hll_sketch(df, group_cols, key_col, p)
     per_bucket = F.expr("shiftleft(CAST(1 AS BIGINT), 32 - rho)")
     agg = regs.groupBy(*group_cols).agg(
@@ -155,8 +168,8 @@ def hll_estimate(
     ).withColumn(
         "est",
         F.expr(
-            f"(CAST({alpha_milli} AS BIGINT) * {m * m} * {1 << 29})"
-            " div (125 * s)"
+            f"(CAST({alpha_milli} AS BIGINT) * {1 << (p + 29)})"
+            f" div (125 * (s div {m}))"
         ).cast("long"),
     )
 
@@ -175,7 +188,8 @@ def kmv_kth_hash(
     Two passes:
 
     1. coarse histogram: ``count_distinct(h)`` per
-       ``(group, h div 2^(31 - coarse_bits))`` — 4096 cells per group
+       ``(group, h div 2^(56 - coarse_bits))`` — the 56-bit portable
+       hash bucketed into 4096 cells per group
        at the default, partial-aggregated; a per-group running sum
        over those ≤ 4096 cells (bounded window) locates the cell
        containing the k-th distinct hash.

@@ -5219,7 +5219,8 @@ def streaming_sessionize(spark, sf_dir):
            FLOOR((SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0)
                  * 100 + 0.5) / 100 AS sum_value,
            TRUE AS late_dropped
-    FROM events GROUP BY 1, 2
+    FROM (SELECT * FROM events ORDER BY event_id LIMIT 50000) events
+    GROUP BY 1, 2
     """,
 )
 def streaming_late_data(spark, sf_dir):
@@ -5242,7 +5243,12 @@ def streaming_late_data(spark, sf_dir):
     batch hit evicted state and was discarded.  A leak shows up twice:
     extra/changed rows break the value hash, and the ``late_dropped``
     contract column (no bucket outside the real event-time range)
-    flips to false."""
+    flips to false.
+
+    The replay is bounded to the first 50k events by event_id (a
+    deterministic subset, restated identically in the oracle) so the
+    staged scaffolding stays under its driver-memory row cap at any
+    sf — at sf0.1 the full events table alone is exactly the cap."""
     import pandas as pd
 
     from .streaming import run_stream_to_memory, staged_file_stream, windowed_agg
@@ -5251,6 +5257,8 @@ def streaming_late_data(spark, sf_dir):
     name = f"streaming_late_data_gate_{_STREAM_GATE_SEQ[0]}"
     real = (
         _t(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(50_000)
         .select("ts", "event_type", "value")
         .toPandas()
     )
@@ -7207,7 +7215,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     """
     SELECT event_id, ts, user_id, event_type,
            FLOOR(value * 100 + 0.5) / 100 AS value
-    FROM events
+    FROM (SELECT * FROM events ORDER BY event_id LIMIT 50000) events
     """,
 )
 def streaming_dedup(spark, sf_dir):
@@ -7224,13 +7232,19 @@ def streaming_dedup(spark, sf_dir):
     At 100 TB the same operator runs with a REAL delay (say 1 hour):
     state is keys-within-horizon only, evicted as the watermark
     advances — the production shape of continuous exact dedup, vs the
-    dedup_incremental batch-index variant for unbounded horizons."""
+    dedup_incremental batch-index variant for unbounded horizons.
+
+    The replay is bounded to the first 50k events by event_id (same
+    deterministic subset in the oracle) so the staged scaffolding
+    stays under its driver-memory row cap at any sf."""
     from .streaming import run_stream_to_memory, staged_file_stream
 
     _STREAM_GATE_SEQ[0] += 1
     name = f"streaming_dedup_gate_{_STREAM_GATE_SEQ[0]}"
     real = (
         _t(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(50_000)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .toPandas()
     )
