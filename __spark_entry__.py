@@ -109,7 +109,16 @@ _CHECKED_UNION = (
 # them, the stalest tiers (r1/r2 witness, then r3, r4, r5) fill the
 # driver's 50-row recording window so the least-recently-proven
 # queries are re-witnessed each round.
-_R6_NEW: list[str] = []
+_R6_NEW: list[str] = [
+    "graph_bfs",
+    "events_markov",
+    "sketch_cms",
+    "sketch_hll_merge",
+    "text_bm25",
+    "multimodal_sniff",
+    "text_script",
+    "sample_weighted",
+]
 
 
 def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -136,6 +136,15 @@ BENCH_QUERIES = [
     "pipeline_near_dedup",
     "sketch_hll",
     "sketch_kmv",
+    # --- round-6 operators ---
+    "graph_bfs",
+    "events_markov",
+    "sketch_cms",
+    "sketch_hll_merge",
+    "text_bm25",
+    "multimodal_sniff",
+    "text_script",
+    "sample_weighted",
 ]
 
 

@@ -20,6 +20,7 @@ __all__ = [
     "robust_anomalies",
     "last_touch_attribution",
     "rfm_segments",
+    "transition_matrix",
 ]
 
 
@@ -352,4 +353,51 @@ def rfm_segments(
         F.ntile(buckets).over(r_w).alias("r_score"),
         F.ntile(buckets).over(f_w).alias("f_score"),
         F.ntile(buckets).over(m_w).alias("m_score"),
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every observed ``(from_type, to_type)`` adjacent
+    pair, the count and the row-normalized transition probability —
+    the journey/next-action model behind funnel optimization and
+    session simulation.
+
+    ``prob`` is ONE double division of two exact BIGINT counts (the
+    same value-hashing discipline as basket lift), so engines agree
+    bit-for-bit.  Ordering inside a user is ``(ts, tiebreak)`` —
+    deterministic under timestamp ties.
+
+    Scale shape: the lead window is partitioned BY USER (bounded
+    per-partition state, no global sort); the pair count is one
+    map-combined aggregate over |types|² keys at most; the row totals
+    re-aggregate the already-tiny pair table and broadcast back.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    seq = df.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias(
+            "prob"
+        ),
     )

@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "cooccurrence_edges", "triangle_count", "label_propagation", "kcore"]
+__all__ = [
+    "pagerank",
+    "cooccurrence_edges",
+    "triangle_count",
+    "label_propagation",
+    "kcore",
+    "bfs_hops",
+]
 
 #: rank scale: 1.0 == 10^9 nano-units.
 SCALE = 1_000_000_000
@@ -328,4 +335,65 @@ def kcore(
             F.col("u").alias("node"),
             F.col("degree").cast("long").alias("degree"),
         )
+    )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "x",
+    dst_col: str = "y",
+    node_col: str = "node",
+    max_hops: int = 3,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Multi-source breadth-first search over an undirected edge list:
+    the minimum hop distance from ANY source node, out to
+    ``max_hops`` — the reachability/blast-radius primitive (seed-set
+    expansion, contamination neighborhoods, n-hop ego networks).
+
+    Frontier algorithm, the Pregel shape stated relationally: round h
+    joins the CURRENT frontier (nodes first reached at h-1) to the
+    symmetrized edge list, dedups the neighbor set, anti-joins the
+    visited set, and stamps survivors ``dist = h``.  Each round's work
+    is proportional to the frontier's out-edges, not the graph — the
+    property that makes BFS tractable on billion-edge graphs; the
+    visited/frontier tables are node-keyed equi-joins (broadcast when
+    the frontier is small, shuffle-hash otherwise — AQE picks), and
+    ``localCheckpoint`` bounds lineage like every iterative operator
+    here.  Distances are exact integers, so a SQL oracle can state the
+    same result as a bounded recursive CTE.
+
+    Output: ``(node, dist)`` — every node within ``max_hops`` of a
+    source (sources themselves at dist 0).  Unreached nodes are
+    absent, not NULL.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).distinct()
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if max_hops > 0:
+        sym = sym.localCheckpoint(eager=False)
+    visited = sources.select(
+        F.col(node_col).alias("node"), F.lit(0).cast("int").alias("dist")
+    ).distinct()
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nbrs = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new = nbrs.join(visited, "node", "left_anti").select(
+            "node", F.lit(h).cast("int").alias("dist")
+        )
+        if checkpoint_every and h % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=False)
+        visited = visited.unionByName(new)
+        frontier = new.select("node")
+    return visited.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("int").alias("dist"),
     )

@@ -805,13 +805,14 @@ def pq_encode(
     corpus*m rows.
 
     Scale shape: per Lloyd's round ONE broadcast join of the m*n_codes
-    codebook onto the subvector table (narrow, no corpus shuffle), an
-    (id, sub)-window argmin, and an (m*n_codes*dsub)-cell
-    partial-combined update — the corpus is never shuffled, same
-    story as kmeans_exact.
+    codebook onto the subvector table (narrow, no corpus shuffle), a
+    map-combined ``min(struct(d2, code))`` argmin per (id, sub) — an
+    aggregate, NOT a ranking window: the n_codes candidate rows
+    combine map-side so no sort and no window exchange ever sees the
+    fanned-out table — and an (m*n_codes*dsub)-cell partial-combined
+    update.  The corpus is never shuffled beyond the (id, sub) hash
+    aggregate, same story as kmeans_exact.
     """
-    from pyspark.sql.window import Window
-
     if m < 1 or n_codes < 1 or iters < 0:
         raise ValueError("m >= 1, n_codes >= 1, iters >= 0 required")
     q = corpus.select(
@@ -837,6 +838,11 @@ def pq_encode(
             F.expr("slice(qv, sub * dsub + 1, dsub)").alias("sv"),
         )
     )
+    if iters > 0:
+        # each Lloyd's round re-reads the subvector table (assignment)
+        # and the update re-reads the assignment: truncate the lineage
+        # once so rounds don't recompute the scan+explode chain
+        subs = subs.localCheckpoint(eager=False)
     seed = q.orderBy("id").limit(n_codes).select(F.col("id"))
     cents = subs.join(F.broadcast(seed), "id").select(
         "sub", F.col("id").alias("code"), F.col("sv").alias("cv")
@@ -846,14 +852,24 @@ def pq_encode(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("id", "sub").orderBy(F.asc("__d2"), F.asc("code"))
-    assigned = (
-        subs.join(F.broadcast(cents), "sub")
-        .withColumn("__d2", d2)
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select("id", "sub", "sv", "code")
-    )
+
+    def _assign(cb):
+        # argmin over the n_codes candidates: min(struct(d2, code))
+        # ties break to the smallest code — identical to an
+        # (asc d2, asc code) ranking window, but map-combinable; sv is
+        # constant within the (id, sub) group
+        return (
+            subs.join(F.broadcast(cb), "sub")
+            .withColumn("__d2", d2)
+            .groupBy("id", "sub")
+            .agg(
+                F.min(F.struct(F.col("__d2"), F.col("code"))).alias("__b"),
+                F.first("sv").alias("sv"),
+            )
+            .select("id", "sub", "sv", F.col("__b.code").alias("code"))
+        )
+
+    assigned = _assign(cents)
     for _ in range(iters):
         dims = assigned.select(
             "sub", "code", F.posexplode("sv").alias("dim", "x")
@@ -877,13 +893,7 @@ def pq_encode(
                 F.transform(F.col("p"), lambda s: s["c"]).alias("cv"),
             )
         )
-        assigned = (
-            subs.join(F.broadcast(cents), "sub")
-            .withColumn("__d2", d2)
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .select("id", "sub", "sv", "code")
-        )
+        assigned = _assign(cents)
     return cents, assigned.select("id", "sub", "code")
 
 

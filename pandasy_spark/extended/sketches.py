@@ -44,9 +44,16 @@ __all__ = [
     "portable_hash56",
     "hll_sketch",
     "hll_estimate",
+    "hll_merge",
     "kmv_kth_hash",
     "kmv_estimate",
+    "cms_sketch",
+    "cms_point_estimate",
 ]
+
+#: Mersenne prime 2^31 - 1 — modulus of the pairwise hash family used
+#: by the count-min rows (h_d(x) = ((h·48271^(d+1) + d) mod P) mod w).
+_P31 = 2147483647
 
 
 def portable_hash31(col: Column) -> Column:
@@ -256,4 +263,122 @@ def kmv_estimate(
         F.expr(
             f"(CAST({k - 1} AS BIGINT) * {1 << 56}) div kth_hash"
         ).cast("long"),
+    )
+
+
+def hll_merge(
+    regs: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge HLL register tables by ``max(rho)`` per bucket — THE
+    property that makes HLL the 100 TB distinct counter: sketches
+    built independently (per partition, per day, per engine, per run)
+    union losslessly into the sketch of the combined corpus without
+    touching the raw keys again.  Feed the result to the same
+    estimator as a directly-built sketch.
+
+    ``group_cols`` are the key columns to KEEP; any sketch column not
+    named (e.g. a source/day column) is merged away.  One map-combined
+    aggregate over ``groups × m`` keys.
+    """
+    return regs.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+
+
+def _cms_cells(key: Column, depth: int, width: int) -> Column:
+    """array<struct<d, cell>> of the depth row/cell coordinates for a
+    key: ``cell_d = ((h · 48271^(d+1) + d) mod (2^31-1)) mod width``
+    with ``h`` the portable 31-bit hash — products stay under 2^62,
+    and the identical arithmetic is one SQL expression per row."""
+    h = portable_hash31(key)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("d"),
+                (
+                    ((h * F.lit(pow(48271, d + 1, _P31)) + F.lit(d)) % F.lit(_P31))
+                    % F.lit(width)
+                )
+                .cast("int")
+                .alias("cell"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch per group: occupied registers
+    ``(group..., d, cell, cnt)`` — the fixed-size frequency summary
+    for heavy-hitter queries over unbounded key spaces (Cormode &
+    Muthukrishnan 2005).
+
+    ONE aggregate whose key space is ``groups × depth × width``
+    however large the input: map-side combine collapses each
+    partition to at most that many cells before the shuffle — the
+    same sketch-sized-shuffle story as :func:`hll_sketch`.  Sketches
+    from disjoint corpora merge by cell-wise SUM of ``cnt``; point
+    estimates never underestimate (each row's cell ≥ the true count),
+    so ``min`` over rows is a certified upper-biased estimate.
+    """
+    if not 1 <= depth <= 8:
+        raise ValueError("depth must be in [1, 8]")
+    if width < 2:
+        raise ValueError("width must be >= 2")
+    return (
+        df.select(
+            *group_cols,
+            F.explode(_cms_cells(F.col(key_col), depth, width)).alias("dc"),
+        )
+        .select(
+            *group_cols, F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell")
+        )
+        .groupBy(*group_cols, "d", "cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_point_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimate for each probe key against a
+    :func:`cms_sketch` table (same depth/width): ``min`` over the
+    depth rows of the probed cell's count, absent cells counting 0.
+
+    The probe table is expected to be small (a candidate/watchlist
+    set): its exploded ``(group, d, cell)`` coordinates equi-join the
+    sketch — broadcast when tiny — and one ``min`` aggregate per
+    probe returns the estimate.  Deterministic one-sided error:
+    ``est >= exact`` always, ``est <= exact + εN`` with the usual CMS
+    probability over the hash family.
+    """
+    pcells = probes.select(
+        *group_cols,
+        F.col(key_col),
+        F.explode(_cms_cells(F.col(key_col), depth, width)).alias("dc"),
+    ).select(
+        *group_cols,
+        key_col,
+        F.col("dc.d").alias("d"),
+        F.col("dc.cell").alias("cell"),
+    )
+    return (
+        pcells.join(sketch, [*group_cols, "d", "cell"], "left")
+        .groupBy(*group_cols, key_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est")
+        )
     )

@@ -1359,3 +1359,136 @@ def rake_keywords(
         .orderBy(F.col("score").desc(), F.col("phrase"))
         .limit(top_k)
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    grid: int = 10_000,
+) -> DataFrame:
+    """Disjunctive BM25-ranked retrieval (Robertson-Sparck Jones) over
+    an in-plan inverted index, with the whole score kept EXACT until
+    one final division.
+
+    With ``k1 = 6/5`` and ``b = 3/4`` as exact rationals and the idf
+    log replaced by its raw odds ratio ``(N - df + ½)/(df + ½)`` (the
+    same monotone ranking — the tficf trade), each term's score
+
+        ``idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``
+
+    reduces to the integer ratio
+    ``22·T·tf·(2N-2df+1) / ((2df+1)·(10·T·tf + 3·T + 9·dl·N))``
+    (T = corpus token count, N = doc count, dl = doc length).  Each
+    term contributes ``floor(ratio · grid)`` — a BIGINT floor
+    division — summed exactly per doc; only the displayed score pays
+    one double division by ``grid``.  Two engines therefore agree
+    bit-for-bit; no float accumulates across terms.
+
+    int64 headroom: the numerator is ``22·T·tf·(2N+1)·grid`` —
+    safe through ~10⁵ docs × 10⁷ tokens at the default grid; at
+    larger corpora drop ``grid`` (each factor of 10 buys one order)
+    or switch the scoring to plain doubles and give up value-hash
+    determinism (ranking is unaffected at realistic magnitudes).
+
+    Scale shape: index build is a corpus pass (explode + map-combined
+    (token, doc) aggregate); the query touches only |terms| posting
+    lists (token filter pushes to a bucketed index's scan); N/T and
+    per-term df are 1-row / |terms|-row broadcasts; the only
+    data-sized shuffle keys on the doc id.
+
+    Output: ``(id, n_terms, score)`` for docs matching ANY term.
+    """
+    if not terms:
+        raise ValueError("search needs at least one term")
+    idx = build_inverted_index(df, text_col, id_col)
+    dl = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    )
+    hits = idx.filter(F.col("token").isin(list(terms)))
+    dfreq = hits.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    # integer floor division of the exact numerator/denominator (both
+    # positive BIGINT products)
+    term_grid = F.expr(
+        "CAST(22 AS BIGINT) * t_tokens * tf * (2*n_docs - 2*df + 1) * "
+        f"{grid} div ((2*df + 1) * (10 * t_tokens * tf + 3 * t_tokens"
+        " + 9 * dl * n_docs))"
+    )
+    return (
+        scored.select(F.col(id_col), term_grid.cast("long").alias("sg"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("sg").cast("long").alias("score_grid"),
+        )
+        .select(
+            id_col,
+            "n_terms",
+            (F.col("score_grid").cast("double") / F.lit(float(grid))).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode-script mix per document — the companion to stopword
+    language ID for corpora where the SCRIPT itself is the router
+    (Latin vs Cyrillic vs CJK vs Greek): per-script character counts
+    and the dominant script under a fixed precedence tie-break
+    (latin > cyrillic > cjk > greek > other).
+
+    Counting is ``length(text) - length(regexp_replace(text, class,
+    ''))`` with EXPLICIT code-point ranges (U+0400-04FF Cyrillic,
+    U+4E00-9FFF CJK unified, U+0370-03FF Greek) so Java regex and RE2
+    state the identical class — no \\p{Script} name-table drift
+    between engines.  Pure codegen narrow map: profiling 100 TB of
+    text fuses into the scan, and the only aggregate downstream is
+    whatever the caller groups by.
+    """
+
+    def n_of(cls: str):
+        return (
+            F.length(text_col)
+            - F.length(F.regexp_replace(F.col(text_col), cls, ""))
+        ).cast("long")
+
+    n_latin = n_of("[A-Za-z]")
+    n_cyr = n_of("[Ѐ-ӿ]")
+    n_cjk = n_of("[一-鿿]")
+    n_greek = n_of("[Ͱ-Ͽ]")
+    n_digit = n_of("[0-9]")
+    dom = (
+        F.when(
+            (n_latin >= n_cyr) & (n_latin >= n_cjk) & (n_latin >= n_greek)
+            & (n_latin > 0),
+            "latin",
+        )
+        .when((n_cyr >= n_cjk) & (n_cyr >= n_greek) & (n_cyr > 0), "cyrillic")
+        .when((n_cjk >= n_greek) & (n_cjk > 0), "cjk")
+        .when(n_greek > 0, "greek")
+        .otherwise("other")
+    )
+    return df.select(
+        F.col(id_col),
+        n_latin.alias("n_latin"),
+        n_cyr.alias("n_cyrillic"),
+        n_cjk.alias("n_cjk"),
+        n_greek.alias("n_greek"),
+        n_digit.alias("n_digit"),
+        dom.alias("dominant"),
+    )

@@ -8020,3 +8020,426 @@ def sketch_kmv(spark, sf_dir):
         (F.abs(F.col("est") - F.col("exact")) * 100 <= 35 * F.col("exact"))
         .alias("ok"),
     )
+
+
+@query(
+    "graph_bfs",
+    # bounded multi-source BFS, stated as a recursive CTE: min hop
+    # distance from any source (partkeys divisible by 97) out to 3
+    """
+    WITH RECURSIVE i AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS x FROM lineitem
+    ), e AS (
+      SELECT a.x AS x, b.x AS y
+      FROM i a JOIN i b ON a.g = b.g AND a.x < b.x
+      GROUP BY a.x, b.x HAVING COUNT(*) >= 2
+    ), sym AS (
+      SELECT x AS u, y AS v FROM e UNION SELECT y AS u, x AS v FROM e
+    ), src AS (
+      SELECT DISTINCT u AS node FROM sym WHERE u % 97 = 0
+    ), walk(node, dist) AS (
+      SELECT node, 0 FROM src
+      UNION
+      SELECT s.v, w.dist + 1
+      FROM walk w JOIN sym s ON s.u = w.node WHERE w.dist < 3
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(MIN(dist) AS INT) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def graph_bfs(spark, sf_dir):
+    """Multi-source BFS hop distance (extended/graph.py bfs_hops) on
+    the part co-occurrence graph: every node within 3 hops of a seed
+    set (partkeys ≡ 0 mod 97), stamped with its MINIMUM hop count —
+    the Pregel frontier pattern stated as per-round
+    join+distinct+anti-join, with per-round work proportional to the
+    frontier's out-edges rather than the graph.  The oracle states the
+    identical result as a depth-bounded recursive CTE."""
+    from .extended.graph import bfs_hops, cooccurrence_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    nodes = (
+        e.select(F.col("x").alias("node"))
+        .union(e.select(F.col("y").alias("node")))
+        .distinct()
+    )
+    src = filter_df(nodes, F.col("node") % 97 == 0)
+    return bfs_hops(e, src, max_hops=3)
+
+
+@query(
+    "events_markov",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ), pairs AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+      FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n,
+           CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS prob
+    FROM pairs p JOIN tot t USING (from_type)
+    """,
+)
+def events_markov(spark, sf_dir):
+    """First-order Markov transition matrix (extended/events.py
+    transition_matrix): adjacent event-type pairs per user with exact
+    counts and a row-normalized probability from ONE BIGINT/BIGINT
+    double division.  The lead window is user-partitioned (bounded
+    per-partition state — never a global sort); pair and row-total
+    aggregates are map-combined and tiny (|types|² keys)."""
+    from .extended.events import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(ev)
+
+
+@query(
+    "sketch_cms",
+    # count-min registers rebuilt rule-for-rule: 31-bit md5 hash,
+    # depth-3 pairwise family h_d = ((h*48271^(d+1) + d) mod (2^31-1))
+    # mod 256; point estimates = min over rows, absent cells = 0.
+    # ok certifies the deterministic one-sided CMS error (est >= exact)
+    """
+    WITH h AS (
+      SELECT l_returnflag AS g, l_partkey AS k,
+             ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT
+               % 2147483648 AS h
+      FROM lineitem
+    ), fam(d, a) AS (
+      VALUES (0, 48271), (1, 182605794), (2, 1291394886)
+    ), cells AS (
+      SELECT g, d, ((h * a + d) % 2147483647) % 256 AS cell,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM h, fam GROUP BY 1, 2, 3
+    ), pk AS (
+      SELECT g, CAST(r.range AS BIGINT) AS k
+      FROM (SELECT DISTINCT g FROM h), range(1, 21) r
+    ), pcell AS (
+      SELECT g, k, d,
+             (((('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT
+                % 2147483648) * a + d) % 2147483647) % 256 AS cell
+      FROM pk, fam
+    ), est AS (
+      SELECT p.g, p.k, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+      FROM pcell p LEFT JOIN cells c
+        ON c.g = p.g AND c.d = p.d AND c.cell = p.cell
+      GROUP BY p.g, p.k
+    ), ex AS (
+      SELECT l_returnflag AS g, l_partkey AS k,
+             CAST(COUNT(*) AS BIGINT) AS exact
+      FROM lineitem WHERE l_partkey BETWEEN 1 AND 20 GROUP BY 1, 2
+    )
+    SELECT e.g AS l_returnflag, e.k AS probe_key, e.est,
+           CAST(COALESCE(x.exact, 0) AS BIGINT) AS exact,
+           e.est >= COALESCE(x.exact, 0) AS ok
+    FROM est e LEFT JOIN ex x ON x.g = e.g AND x.k = e.k
+    """,
+)
+def sketch_cms(spark, sf_dir):
+    """Count-Min frequency sketch, register-matched
+    (extended/sketches.py cms_sketch / cms_point_estimate): ONE
+    map-combined aggregate over a groups × depth × width key space
+    however large the input (the sketch-sized-shuffle story), probed
+    for partkeys 1-20 per returnflag with the exact counts as twin
+    and the deterministic one-sided guarantee (est >= exact, absent
+    cells = 0) as a self-certifying boolean.  The DuckDB oracle
+    rebuilds the registers and the min-over-rows estimate
+    rule-for-rule."""
+    li = _t(spark, sf_dir, "lineitem")
+    sk = X_sk.cms_sketch(
+        li.select(
+            F.col("l_returnflag").alias("g"), F.col("l_partkey").alias("k")
+        ),
+        ["g"],
+        "k",
+    )
+    probes = (
+        li.select(F.col("l_returnflag").alias("g"))
+        .distinct()
+        .crossJoin(spark.range(1, 21).select(F.col("id").alias("k")))
+    )
+    est = X_sk.cms_point_estimate(sk, probes, ["g"], "k")
+    ex = agg(
+        filter_df(li, F.col("l_partkey").between(1, 20)),
+        ["l_returnflag", "l_partkey"],
+        {"exact": F.count(F.lit(1)).cast("long")},
+    ).select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_partkey").alias("k"),
+        "exact",
+    )
+    return est.join(ex, ["g", "k"], "left").select(
+        F.col("g").alias("l_returnflag"),
+        F.col("k").alias("probe_key"),
+        "est",
+        F.coalesce(F.col("exact"), F.lit(0)).cast("long").alias("exact"),
+        (F.col("est") >= F.coalesce(F.col("exact"), F.lit(0))).alias("ok"),
+    )
+
+
+@query(
+    "sketch_hll_merge",
+    # mergeability witness: per-source register tables max-merged must
+    # equal the whole-corpus registers; the oracle states the direct
+    # whole-corpus build with agrees=TRUE, so any merge defect flips
+    # the boolean (or the register values) and breaks the hash
+    """
+    WITH h AS (
+      SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2147483648 AS h
+      FROM documents
+    ), regs AS (
+      SELECT h % 64 AS bucket,
+             MAX(CASE WHEN h // 64 = 0 THEN 26
+                      ELSE 26 - length(bin(h // 64)) END) AS rho
+      FROM h GROUP BY 1
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(rho AS INT) AS rho,
+           TRUE AS agrees
+    FROM regs
+    """,
+)
+def sketch_hll_merge(spark, sf_dir):
+    """HLL merge associativity, driver-witnessed (extended/sketches.py
+    hll_merge): registers sketched INDEPENDENTLY per source column are
+    max-merged into corpus registers and compared bucket-by-bucket
+    against a direct whole-corpus sketch — the persist-and-union
+    property that lets 100 TB be sketched per partition/day/engine and
+    combined without revisiting raw keys.  ``agrees`` is computed by
+    an actual full-outer register comparison on the Spark side; the
+    oracle pins the direct registers with agrees=TRUE."""
+    docs = _t(spark, sf_dir, "documents")
+    per_source = X_sk.hll_sketch(docs, ["source"], "doc_id", p=6)
+    merged = X_sk.hll_merge(per_source, [])
+    whole = X_sk.hll_sketch(docs, [], "doc_id", p=6).withColumnRenamed(
+        "rho", "rho_direct"
+    )
+    return merged.join(whole, "bucket", "full").select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("rho").cast("int").alias("rho"),
+        (
+            F.col("rho").isNotNull()
+            & F.col("rho_direct").isNotNull()
+            & (F.col("rho") == F.col("rho_direct"))
+        ).alias("agrees"),
+    )
+
+
+@query(
+    "text_bm25",
+    # BM25 with k1=6/5, b=3/4 and odds-ratio idf, reduced to ONE exact
+    # BIGINT ratio per (term, doc) floored onto a 1e4 grid — the score
+    # is integer until the final /1e4 display division, so it hashes
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> len(x) > 0)) AS token
+      FROM documents
+    ), tf AS (
+      SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY token, doc_id
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS t_tokens
+      FROM dl
+    ), dfreq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+      FROM tf WHERE token IN ('data', 'spark', 'query') GROUP BY token
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(22 AS BIGINT) * s.t_tokens * t.tf
+               * (2*s.n_docs - 2*f.df + 1) * 10000
+               // ((2*f.df + 1) * (10 * s.t_tokens * t.tf + 3 * s.t_tokens
+                                   + 9 * d.dl * s.n_docs)) AS sg
+      FROM tf t
+      JOIN dfreq f USING (token)
+      JOIN dl d USING (doc_id), stats s
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(sg) AS DOUBLE) / 1e4 AS score
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (extended/text.py bm25_search) with the
+    score EXACT end-to-end: rational k1/b and odds-ratio idf reduce
+    each term's contribution to one BIGINT ratio floored onto a 1e4
+    grid, summed per doc as integers, divided once for display — so
+    the DuckDB oracle hashes bit-for-bit (no float accumulation, the
+    same discipline as basket lift / markov prob).  Disjunctive over
+    3 terms; only those posting lists are touched after the index
+    build."""
+    docs = _t(spark, sf_dir, "documents")
+    return X_text.bm25_search(docs, ["data", "spark", "query"])
+
+
+@query(
+    "multimodal_sniff",
+    # format mix by construction: doc_id % 6 picks the encoder, so the
+    # sniffed distribution and per-format id checksum are closed form
+    """
+    SELECT CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                           WHEN 2 THEN 'gif' WHEN 3 THEN 'tiff'
+                           WHEN 4 THEN 'wav' ELSE 'ppm' END AS format,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents WHERE doc_id < 600
+    GROUP BY 1
+    """,
+)
+def multimodal_sniff(spark, sf_dir):
+    """Magic-byte container sniffing (extended/multimodal.py
+    sniff_format): six REAL encoders (PNG/BMP/GIF/TIFF/WAV/PPM) write
+    payloads chosen by doc_id mod 6, and the detector — a pure-codegen
+    hex-prefix expression that fuses into the scan, no UDF — must
+    route every one correctly for the per-format count and id checksum
+    to match the construction's closed form.  The ingest triage step
+    at 100 TB: one narrow map, then a 6-key map-combined aggregate."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 600
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.audio import encode_wav
+        from pandasy_spark.extended.gif import encode_gif
+        from pandasy_spark.extended.multimodal import (
+            encode_bmp,
+            encode_png,
+            encode_tiff,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w = d % 3 + 1, d % 4 + 1
+                arr = np.full((h, w, 3), (d * 37) % 256, np.uint8)
+                kind = d % 6
+                if kind == 0:
+                    payloads.append(encode_png(arr))
+                elif kind == 1:
+                    payloads.append(encode_bmp(arr))
+                elif kind == 2:
+                    payloads.append(encode_gif(arr))
+                elif kind == 3:
+                    payloads.append(encode_tiff(arr))
+                elif kind == 4:
+                    payloads.append(
+                        encode_wav(((np.arange(8) * d) % 256).astype(np.int16))
+                    )
+                else:
+                    payloads.append(
+                        b"P6 %d %d 255\n" % (w, h) + arr.tobytes()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_payload = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    return (
+        with_payload.select(
+            "doc_id", X_mm.sniff_format(F.col("payload")).alias("format")
+        )
+        .groupBy("format")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+    )
+
+
+@query(
+    "text_script",
+    # literal code-point ranges (U+0400-04FF, U+4E00-9FFF, U+0370-03FF)
+    # so Java regex and RE2 state the identical class; DuckDB needs the
+    # 'g' flag Spark applies implicitly
+    """
+    WITH mixed AS (
+      SELECT doc_id,
+             text || repeat('я', doc_id % 7) || repeat('中', doc_id % 5)
+                  || repeat('α', doc_id % 3) AS text
+      FROM documents WHERE doc_id < 800
+    ), c AS (
+      SELECT doc_id,
+        CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        CAST(length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS BIGINT) AS n_cjk,
+        CAST(length(text) - length(regexp_replace(text, '[Ͱ-Ͽ]', '', 'g')) AS BIGINT) AS n_greek,
+        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+      FROM mixed
+    )
+    SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_greek, n_digit,
+           CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+                     AND n_latin >= n_greek AND n_latin > 0 THEN 'latin'
+                WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_greek
+                     AND n_cyrillic > 0 THEN 'cyrillic'
+                WHEN n_cjk >= n_greek AND n_cjk > 0 THEN 'cjk'
+                WHEN n_greek > 0 THEN 'greek'
+                ELSE 'other' END AS dominant
+    FROM c
+    """,
+)
+def text_script(spark, sf_dir):
+    """Unicode-script profiling (extended/text.py script_profile):
+    per-script character counts from explicit code-point-range regexp
+    classes (no engine-specific \\p{Script} tables) and a fixed
+    precedence dominant-script pick.  The gate mixes Cyrillic/CJK/
+    Greek runs into the Latin corpus by doc_id so every branch of the
+    precedence CASE is exercised.  Pure codegen narrow map — fuses
+    into the scan."""
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 800)
+    mixed = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(F.lit("я"), (F.col("doc_id") % 7).cast("int")),
+            F.repeat(F.lit("中"), (F.col("doc_id") % 5).cast("int")),
+            F.repeat(F.lit("α"), (F.col("doc_id") % 3).cast("int")),
+        ).alias("text"),
+    )
+    return X_text.script_profile(mixed)
+
+
+@query(
+    "sample_weighted",
+    f"""
+    WITH p AS (
+      SELECT lang, doc_id,
+             -ln(({_fold_sql('CAST(doc_id AS VARCHAR)')} + 1) / 2147483648.0)
+               / CAST(n_chars AS DOUBLE) AS pr
+      FROM documents
+    ), r AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pr, doc_id) AS rk
+      FROM p
+    )
+    SELECT lang, doc_id FROM r WHERE rk <= 7
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """WEIGHTED deterministic reservoir (extended/sampling.py
+    reservoir_per_group with weight_col): A-Res priorities
+    ``-ln(u)/w`` (Efraimidis-Spirakis 2006) with the portable id hash
+    as u — longer documents proportionally likelier to survive, same
+    k smallest-priority rule, reproducible across engines/reruns.
+    The ln is the only float op and feeds ORDERING only (priorities
+    are well-separated, so a last-ulp disagreement cannot flip the
+    rank); the oracle recomputes the identical priorities."""
+    docs = _t(spark, sf_dir, "documents")
+    return X_samp.reservoir_per_group(
+        docs, ["lang"], "doc_id", k=7, weight_col="n_chars"
+    ).select("lang", "doc_id")

@@ -1,0 +1,223 @@
+"""Round-6 operators: multi-source BFS, Markov transitions, count-min
+sketch, HLL merge, BM25 retrieval, magic-byte sniffing, script
+profiling — semantics unit tests plus the plan shapes that matter."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pandasy_spark.extended.graph import bfs_hops
+from pandasy_spark.extended.sketches import (
+    cms_point_estimate,
+    cms_sketch,
+    hll_merge,
+    hll_sketch,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "x long, y long")
+
+
+def test_bfs_multi_source_min_distance(spark):
+    # path 1-2-3-4-5 plus island 10-11; sources {1, 5}
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)])
+    src = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_hops(e, src, max_hops=2).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+    # island unreachable: absent, not NULL
+
+
+def test_bfs_zero_hops_and_validation(spark):
+    e = _edges(spark, [(1, 2)])
+    src = spark.createDataFrame([(2,)], "node long")
+    got = bfs_hops(e, src, max_hops=0).collect()
+    assert [(r["node"], r["dist"]) for r in got] == [(2, 0)]
+    with pytest.raises(ValueError):
+        bfs_hops(e, src, max_hops=-1)
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from pandasy_spark.extended.events import transition_matrix
+
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b (ts tie broken by id)
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),
+        (2, 4, "a"), (2, 5, "b"),
+    ]
+    df = spark.createDataFrame(
+        [(u, i, t) for u, i, t in rows], "user_id long, event_id long, event_type string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id") * 60))
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in transition_matrix(df).collect()
+    }
+    assert out[("a", "b")] == (2, 1.0)
+    assert out[("b", "a")] == (1, 1.0)
+    assert ("b", None) not in out and len(out) == 2
+
+
+def test_cms_one_sided_and_exact_when_wide(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("k"), F.lit("g").alias("g")
+    )
+    sk = cms_sketch(df, ["g"], "k", depth=3, width=4096)
+    probes = spark.range(12).select(
+        F.col("id").alias("k"), F.lit("g").alias("g")
+    )
+    est = {
+        r["k"]: r["est"]
+        for r in cms_point_estimate(sk, probes, ["g"], "k", width=4096).collect()
+    }
+    # 10 distinct keys in 3x4096 cells: collisions essentially absent,
+    # so the one-sided estimate is exact; absent keys estimate 0
+    for k in range(10):
+        assert est[k] == 100
+    assert est[10] == 0 and est[11] == 0
+
+
+def test_cms_merges_by_cell_sum(spark):
+    df = spark.range(400).select(
+        (F.col("id") % 7).alias("k"), F.lit("g").alias("g")
+    )
+    a = cms_sketch(df.filter(F.col("id") < 150), ["g"], "k")
+    b = cms_sketch(df.filter(F.col("id") >= 150), ["g"], "k")
+    merged = (
+        a.unionByName(b)
+        .groupBy("g", "d", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_sketch(df, ["g"], "k")
+    assert (
+        merged.exceptAll(whole).count() == 0
+        and whole.exceptAll(merged).count() == 0
+    )
+
+
+def test_cms_validation(spark):
+    df = spark.range(4).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        cms_sketch(df, [], "k", depth=0)
+    with pytest.raises(ValueError):
+        cms_sketch(df, [], "k", width=1)
+
+
+def test_hll_merge_equals_direct(spark):
+    df = spark.range(3000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("part")
+    )
+    per = hll_sketch(df, ["part"], "k", p=6)
+    merged = hll_merge(per, [])
+    direct = hll_sketch(df, [], "k", p=6)
+    assert (
+        merged.exceptAll(direct).count() == 0
+        and direct.exceptAll(merged).count() == 0
+    )
+
+
+def test_bm25_ranking_and_validation(spark):
+    from pandasy_spark.extended.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana"),
+            (2, "apple banana banana"),
+            (3, "cherry cherry cherry cherry"),
+            (4, "apple"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25_search(docs, ["apple"]).collect()}
+    assert set(out) == {1, 2, 4}
+    # higher tf, same length band: doc 1 outranks doc 2
+    assert out[1]["score"] > out[2]["score"]
+    # shorter doc with same tf=1 outranks longer (length normalization)
+    assert out[4]["score"] > out[2]["score"]
+    assert all(r["n_terms"] == 1 for r in out.values())
+    with pytest.raises(ValueError):
+        bm25_search(docs, [])
+
+
+def test_sniff_format_routes_every_codec(spark):
+    from pandasy_spark.extended.audio import encode_wav
+    from pandasy_spark.extended.gif import encode_gif
+    from pandasy_spark.extended.jpeg import encode_jpeg
+    from pandasy_spark.extended.multimodal import (
+        encode_bmp,
+        encode_png,
+        encode_tiff,
+        sniff_format,
+    )
+    from pandasy_spark.extended.webp import encode_webp_lossless
+
+    arr = np.full((2, 3, 3), 99, np.uint8)
+    rows = [
+        (encode_png(arr), "png"),
+        (encode_bmp(arr), "bmp"),
+        (encode_gif(arr), "gif"),
+        (encode_tiff(arr), "tiff"),
+        (encode_jpeg(arr), "jpeg"),
+        (encode_webp_lossless(arr), "webp"),
+        (encode_wav(np.zeros(4, np.int16)), "wav"),
+        (b"P6 3 2 255\n" + arr.tobytes(), "ppm"),
+        (b"\x00\x01garbage", "unknown"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(bytearray(p) if p is not None else None, w) for p, w in rows],
+        "payload binary, want string",
+    )
+    got = df.select(
+        sniff_format(F.col("payload")).alias("got"), "want"
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"], (r["got"], r["want"])
+
+
+def test_script_profile_counts_and_dominance(spark):
+    from pandasy_spark.extended.text import script_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello мир"),          # latin 5, cyrillic 3 -> latin
+            (2, "яяя ab"),             # cyrillic 3 > latin 2 -> cyrillic
+            (3, "中中中中"),            # cjk
+            (4, "αβγ"),                # greek
+            (5, "123 !!"),             # none -> other
+            (6, ""),                   # empty -> other
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert out[1]["n_latin"] == 5 and out[1]["n_cyrillic"] == 3
+    assert out[1]["dominant"] == "latin"
+    assert out[2]["dominant"] == "cyrillic"
+    assert out[3]["dominant"] == "cjk" and out[3]["n_cjk"] == 4
+    assert out[4]["dominant"] == "greek"
+    assert out[5]["dominant"] == "other" and out[5]["n_digit"] == 3
+    assert out[6]["dominant"] == "other"
+
+
+def test_new_gates_plan_shapes(spark, sf_dir):
+    """The scale-shape pins: sniff/script/bm25/markov stay Python-free
+    (sniff's encoder stage is the one declared mapInPandas), and the
+    CMS estimate broadcasts the probe side."""
+    from pandasy_spark.workload import QUERIES
+
+    for name in ["text_script", "text_bm25", "events_markov"]:
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+    cms = (
+        QUERIES["sketch_cms"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in cms
+    assert "CartesianProduct" not in cms
