@@ -118,6 +118,7 @@ _R6_NEW: list[str] = [
     "multimodal_sniff",
     "text_script",
     "sample_weighted",
+    "sketch_kmv_union",
 ]
 
 

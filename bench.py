@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "multimodal_sniff",
     "text_script",
     "sample_weighted",
+    "sketch_kmv_union",
 ]
 
 

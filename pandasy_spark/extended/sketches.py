@@ -46,7 +46,9 @@ __all__ = [
     "hll_estimate",
     "hll_merge",
     "kmv_kth_hash",
+    "kmv_bottom",
     "kmv_estimate",
+    "kmv_union_estimate",
     "cms_sketch",
     "cms_point_estimate",
 ]
@@ -208,6 +210,33 @@ def kmv_kth_hash(
     Groups with fewer than ``k`` distinct keys are dropped (the
     statistic is undefined).  Output: ``(group..., kth_hash)``.
     """
+    return (
+        kmv_bottom(df, group_cols, key_col, k, coarse_bits)
+        .filter(F.col("rk") == k)
+        .select(*group_cols, F.col("h").alias("kth_hash"))
+    )
+
+
+def kmv_bottom(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    k: int = 64,
+    coarse_bits: int = 12,
+) -> DataFrame:
+    """The full bottom-k sketch per group — the ``k`` smallest
+    distinct portable hashes, ranked: ``(group..., h, rk)`` with
+    ``rk ∈ [1, k]``.  This IS the persistable KMV synopsis: bottom-k
+    sets from disjoint corpora (or per-group sets) union into the
+    bottom-k of the combined key set by re-ranking the merged rows —
+    see :func:`kmv_union_estimate`.
+
+    Same two-pass shape as :func:`kmv_kth_hash` (which takes this
+    sketch's last row): coarse ``count_distinct`` histogram locates
+    the k-th hash's cell, only that sliver is distinct-ed and ranked.
+    Groups with fewer than ``k`` distinct keys return all their
+    hashes (rk < k rows only).
+    """
     from pyspark.sql.window import Window
 
     if k < 2:
@@ -231,16 +260,73 @@ def kmv_kth_hash(
         if not group_cols
         else hashed.join(F.broadcast(located), list(group_cols))
     )
-    sliver = (
+    return (
         joined
         .filter(F.col("h") < (F.col("kcell") + 1) * F.lit(shift))
         .select(*group_cols, "h")
         .distinct()
         .withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") == k)
-        .select(*group_cols, F.col("h").alias("kth_hash"))
+        .filter(F.col("rk") <= k)
     )
-    return sliver
+
+
+def kmv_union_estimate(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+    coarse_bits: int = 12,
+) -> DataFrame:
+    """Distinct-count estimate of the UNION of every unordered group
+    pair, from the groups' bottom-k sketches alone — the KMV set
+    operation (Beyer et al. 2007): the k smallest hashes of A ∪ B are
+    all contained in bottom-k(A) ∪ bottom-k(B), so merging two k-row
+    synopses and re-ranking yields the EXACT k-th minimum of the union
+    without revisiting either corpus.  With per-group estimates this
+    gives inclusion-exclusion intersection/Jaccard estimates for free.
+
+    Scale shape: the per-group sketches cost the one corpus pass of
+    :func:`kmv_bottom`; everything after runs on ``groups × k`` rows —
+    the pair join is broadcast-tiny however large the data was.
+
+    Output: one row per pair ``(g1 < g2)``:
+    ``(g1, g2, kth_hash, est)`` with the same integer-exact
+    ``(k-1)·2^56 div u_k`` estimator as :func:`kmv_estimate`.
+    Pairs whose union has fewer than ``k`` distinct keys are dropped.
+    """
+    from pyspark.sql.window import Window
+
+    if not 2 <= k <= 127:
+        raise ValueError("k must be in [2, 127] for the int64 estimator")
+    bottom = kmv_bottom(df, [group_col], key_col, k, coarse_bits).select(
+        F.col(group_col).alias("__g"), "h"
+    )
+    gs = bottom.select("__g").distinct()
+    pairs = (
+        gs.select(F.col("__g").alias("g1"))
+        .crossJoin(gs.select(F.col("__g").alias("g2")))
+        .filter(F.col("g1") < F.col("g2"))
+    )
+    side_a = pairs.join(bottom, F.col("g1") == F.col("__g")).select(
+        "g1", "g2", "h"
+    )
+    side_b = pairs.join(bottom, F.col("g2") == F.col("__g")).select(
+        "g1", "g2", "h"
+    )
+    merged = side_a.union(side_b).distinct()
+    wr = Window.partitionBy("g1", "g2").orderBy("h")
+    return (
+        merged.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == k)
+        .select(
+            "g1",
+            "g2",
+            F.col("h").alias("kth_hash"),
+            F.expr(f"(CAST({k - 1} AS BIGINT) * {1 << 56}) div h")
+            .cast("long")
+            .alias("est"),
+        )
+    )
 
 
 def kmv_estimate(

@@ -8443,3 +8443,72 @@ def sample_weighted(spark, sf_dir):
     return X_samp.reservoir_per_group(
         docs, ["lang"], "doc_id", k=7, weight_col="n_chars"
     ).select("lang", "doc_id")
+
+
+@query(
+    "sketch_kmv_union",
+    # bottom-k union: kth smallest distinct hash of each lang pair's
+    # merged key set, exact in both engines; est bit-identical BIGINT
+    # division; exact twin + ok self-certify the accuracy contract
+    # (k=32: stderr ~19%, bound 2.4x that)
+    """
+    WITH h AS (
+      SELECT DISTINCT lang AS g,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS h
+      FROM documents
+    ), pairs AS (
+      SELECT a.g AS g1, b.g AS g2
+      FROM (SELECT DISTINCT g FROM h) a, (SELECT DISTINCT g FROM h) b
+      WHERE a.g < b.g
+    ), u AS (
+      SELECT DISTINCT p.g1, p.g2, x.h
+      FROM pairs p JOIN h x ON x.g = p.g1 OR x.g = p.g2
+    ), r AS (
+      SELECT g1, g2, h,
+             ROW_NUMBER() OVER (PARTITION BY g1, g2 ORDER BY h) AS rk
+      FROM u
+    ), kth AS (
+      SELECT g1, g2, h AS kth_hash,
+             CAST((CAST(31 AS BIGINT) * 72057594037927936) // h AS BIGINT) AS est
+      FROM r WHERE rk = 32
+    ), ex AS (
+      SELECT p.g1, p.g2,
+             CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS exact
+      FROM pairs p JOIN documents d ON d.lang = p.g1 OR d.lang = p.g2
+      GROUP BY p.g1, p.g2
+    )
+    SELECT k.g1, k.g2, k.kth_hash, k.est, x.exact,
+           abs(k.est - x.exact) * 100 <= 45 * x.exact AS ok
+    FROM kth k JOIN ex x ON x.g1 = k.g1 AND x.g2 = k.g2
+    """,
+)
+def sketch_kmv_union(spark, sf_dir):
+    """KMV set-operation estimates (extended/sketches.py kmv_bottom /
+    kmv_union_estimate): per lang pair, the union's distinct count
+    estimated from the two bottom-32 sketches ALONE — the merged
+    synopses re-ranked give the EXACT k-th minimum of the union
+    without revisiting the corpus (the sketch-algebra property that
+    lets 100 TB per-partition synopses answer cross-partition set
+    questions).  Exact twin + ok bound self-certify; the oracle
+    restates the rank rule on the full distinct hash set, which the
+    bottom-k merge must equal exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    est = X_sk.kmv_union_estimate(docs, "lang", "doc_id", k=32)
+    pairs_exact = (
+        docs.select(F.col("lang").alias("g1"))
+        .distinct()
+        .crossJoin(docs.select(F.col("lang").alias("g2")).distinct())
+        .filter(F.col("g1") < F.col("g2"))
+        .join(docs.select("lang", "doc_id"), F.expr("lang = g1 OR lang = g2"))
+        .groupBy("g1", "g2")
+        .agg(F.count_distinct("doc_id").cast("long").alias("exact"))
+    )
+    return est.join(pairs_exact, ["g1", "g2"]).select(
+        "g1",
+        "g2",
+        "kth_hash",
+        "est",
+        "exact",
+        (F.abs(F.col("est") - F.col("exact")) * 100 <= 45 * F.col("exact"))
+        .alias("ok"),
+    )

@@ -395,11 +395,146 @@ def bpe50k() -> None:
     )
 
 
+
+
+def probe_r6() -> None:
+    """sf1.0 probes for the round-5/6 operators over the FULL scaled
+    tables (the gates bound rows for the oracle; the probe measures
+    the operator at 10x): BFS frontier expansion, k-core peeling,
+    Markov transitions, CMS + HLL + KMV sketch builds, BM25 retrieval,
+    RAKE extraction, paragraph dedup, script profiling, and the PQ
+    index build over an inline-replicated embeddings table."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pandasy_spark.session import get_spark
+
+    spark = get_spark("pandasy-scale-probe-r6")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def emb(sf_dir):
+        e = spark.read.parquet(f"{SRC}/embeddings.parquet")
+        if sf_dir == DST:
+            reps = spark.range(10).select(F.col("id").alias("__rep"))
+            e = e.crossJoin(F.broadcast(reps)).select(
+                (F.col("vec_id") * 10 + F.col("__rep")).alias("vec_id"),
+                "embedding",
+            )
+        return e
+
+    def cooc(sf_dir):
+        from pandasy_spark.extended.graph import cooccurrence_edges
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+
+    def bfs_probe(sf_dir):
+        from pandasy_spark.extended.graph import bfs_hops
+
+        e = cooc(sf_dir)
+        nodes = (
+            e.select(F.col("x").alias("node"))
+            .union(e.select(F.col("y").alias("node")))
+            .distinct()
+        )
+        return bfs_hops(e, nodes.filter(F.col("node") % 97 == 0), max_hops=3)
+
+    def kcore_probe(sf_dir):
+        from pandasy_spark.extended.graph import kcore
+
+        return kcore(cooc(sf_dir), k=3, rounds=3)
+
+    def markov_probe(sf_dir):
+        from pandasy_spark.extended.events import transition_matrix
+
+        return transition_matrix(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+    def cms_probe(sf_dir):
+        from pandasy_spark.extended.sketches import cms_sketch
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return cms_sketch(
+            li.select(F.col("l_returnflag").alias("g"), F.col("l_partkey").alias("k")),
+            ["g"],
+            "k",
+        )
+
+    def hll_probe(sf_dir):
+        from pandasy_spark.extended.sketches import hll_estimate
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return hll_estimate(li, ["l_returnflag"], "l_partkey")
+
+    def kmv_probe(sf_dir):
+        from pandasy_spark.extended.sketches import kmv_estimate
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return kmv_estimate(li, ["l_returnflag"], "l_partkey", k=64)
+
+    def bm25_probe(sf_dir):
+        from pandasy_spark.extended.text import bm25_search
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return bm25_search(docs, ["data", "spark", "query"])
+
+    def rake_probe(sf_dir):
+        from pandasy_spark.extended.text import rake_keywords
+
+        return rake_keywords(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+    def paragraph_probe(sf_dir):
+        from pandasy_spark.extended.dedup import paragraph_dedup
+
+        return paragraph_dedup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+    def script_probe(sf_dir):
+        from pandasy_spark.extended.text import script_profile
+
+        return script_profile(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+    def pq_probe(sf_dir):
+        from pandasy_spark.extended.similarity import pq_encode
+
+        _, codes = pq_encode(emb(sf_dir), m=4, n_codes=8, iters=2)
+        return codes
+
+    probes = {
+        "bfs_full_lineitem": bfs_probe,
+        "kcore_full_lineitem": kcore_probe,
+        "markov_full_events": markov_probe,
+        "cms_full_lineitem": cms_probe,
+        "hll_full_lineitem": hll_probe,
+        "kmv_full_lineitem": kmv_probe,
+        "bm25_full_docs": bm25_probe,
+        "rake_full_docs": rake_probe,
+        "paragraph_dedup_full_docs": paragraph_probe,
+        "script_profile_full_docs": script_probe,
+        "pq_encode_10x_embeddings": pq_probe,
+    }
+    results: dict[str, dict[str, float]] = {}
+    for name, fn in probes.items():
+        results[name] = {}
+        for label, sf_dir in [("sf0.1", SRC), ("sf1.0", DST)]:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            results[name][label] = round(best, 2)
+        results[name]["ratio"] = round(
+            results[name]["sf1.0"] / max(results[name]["sf0.1"], 1e-9), 2
+        )
+        print(name, results[name], flush=True)
+    print(json.dumps({"r6_probes": results}))
+
+
 if __name__ == "__main__":
     {
         "build": build,
         "bench": bench,
         "probe": probe,
         "probe_r5": probe_r5,
+        "probe_r6": probe_r6,
         "bpe50k": bpe50k,
     }[sys.argv[1]]()

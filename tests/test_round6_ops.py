@@ -221,3 +221,49 @@ def test_new_gates_plan_shapes(spark, sf_dir):
     )
     assert "Python" not in cms
     assert "CartesianProduct" not in cms
+
+
+def test_kmv_bottom_and_union(spark):
+    from pandasy_spark.extended.sketches import (
+        kmv_bottom,
+        kmv_union_estimate,
+        portable_hash56,
+    )
+
+    df = spark.range(600).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 400, "a").otherwise("b").alias("g"),
+    )
+    # bottom-k is exactly the k smallest distinct hashes per group
+    bot = kmv_bottom(df, ["g"], "k", k=8)
+    truth = (
+        df.select("g", portable_hash56(F.col("k")).alias("h"))
+        .distinct()
+        .orderBy("g", "h")
+        .collect()
+    )
+    want = {}
+    for r in truth:
+        want.setdefault(r["g"], []).append(r["h"])
+    got = {}
+    for r in bot.orderBy("g", "rk").collect():
+        got.setdefault(r["g"], []).append(r["h"])
+    assert got["a"] == want["a"][:8] and got["b"] == want["b"][:8]
+    # union kth from merged sketches equals kth of the full union set
+    uni = kmv_union_estimate(df, "g", "k", k=8).collect()
+    assert len(uni) == 1
+    all_h = sorted(set(want["a"] + want["b"]))
+    assert uni[0]["kth_hash"] == all_h[7]
+    assert uni[0]["est"] == (7 * (1 << 56)) // all_h[7]
+
+
+def test_kmv_union_validation(spark):
+    from pandasy_spark.extended.sketches import kmv_union_estimate
+
+    df = spark.range(10).select(F.col("id").alias("k"), F.lit("a").alias("g"))
+    with pytest.raises(ValueError):
+        kmv_union_estimate(df, "g", "k", k=1)
+    with pytest.raises(ValueError):
+        kmv_union_estimate(df, "g", "k", k=128)
+    # single group: no pairs
+    assert kmv_union_estimate(df, "g", "k", k=4).count() == 0
