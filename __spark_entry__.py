@@ -119,6 +119,8 @@ _R6_NEW: list[str] = [
     "text_script",
     "sample_weighted",
     "sketch_kmv_union",
+    "knn_ivfpq",
+    "streaming_hll",
 ]
 
 

@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "text_script",
     "sample_weighted",
     "sketch_kmv_union",
+    "knn_ivfpq",
+    "streaming_hll",
 ]
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "ivf_topk",
     "pq_encode",
     "pq_topk",
+    "ivfpq_topk",
     "semantic_contamination",
     "pca_moments",
     "embedding_pca",
@@ -964,6 +965,213 @@ def pq_topk(
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("id"))
     return (
         codes.join(F.broadcast(dtab), ["sub", "code"])
+        .groupBy("query_id", "id")
+        .agg(F.sum("__d2").alias("adc_d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "id", "adc_d2", "rk")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_clusters: int = 8,
+    nprobe: int = 3,
+    m: int = 4,
+    n_codes: int = 8,
+    coarse_iters: int = 1,
+    pq_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-PQ: the production billion-vector ANN index shape (Jégou
+    et al. 2011), composed from this module's two primitives — a
+    coarse quantizer routes each vector to one of ``n_clusters``
+    inverted lists, and the RESIDUAL (vector − its centroid) is
+    product-quantized to ``m`` integer codes.  A query probes its
+    ``nprobe`` nearest lists and scores ONLY their members by
+    asymmetric distance over a per-(query, probed-list) lookup table
+    — candidate volume ≈ corpus × nprobe/n_clusters, per-candidate
+    cost m table lookups instead of d float ops, memory m bytes-ish
+    per vector instead of 4d.
+
+    Everything lives on the BIGINT lattice (grid quantization, exact
+    pmod floor-division centroid means, integer distances), so
+    index, codes and every ADC score are bit-identical across
+    engines/reruns — the same determinism contract as
+    :func:`kmeans_exact` / :func:`pq_encode`.
+
+    Scale shape: coarse train/assign = per-round broadcast of
+    n_clusters rows + map-combined min(struct) argmin (corpus never
+    shuffled); PQ train = the same over m×n_codes rows; query =
+    broadcast of the (queries × nprobe × m × n_codes) distance table
+    onto a cluster-key equi-join of the codes table; final top-k is a
+    per-query window over ≤ corpus × nprobe/n_clusters candidates.
+
+    Output: ``(query_id, id, adc_d2, rk)``, ``rk ≤ k`` per query.
+    """
+    from pyspark.sql.window import Window
+
+    if min(k, n_clusters, nprobe, m, n_codes) < 1:
+        raise ValueError("k, n_clusters, nprobe, m, n_codes must be >= 1")
+    if coarse_iters < 0 or pq_iters < 0:
+        raise ValueError("iters must be >= 0")
+
+    def _qz(c):
+        return F.transform(
+            c,
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+
+    d2_qv_cv = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    q = corpus.select(F.col(id_col).alias("id"), _qz(F.col(vec_col)).alias("qv"))
+    q = q.localCheckpoint(eager=False)
+
+    # --- coarse quantizer: seeds = n_clusters smallest ids ---
+    cents = (
+        q.orderBy("id")
+        .limit(n_clusters)
+        .select(F.col("id").alias("cluster"), F.col("qv").alias("cv"))
+    )
+
+    def _coarse_assign(cb):
+        return (
+            q.join(F.broadcast(cb), F.lit(True))
+            .withColumn("__d2", d2_qv_cv)
+            .groupBy("id")
+            .agg(
+                F.min(F.struct(F.col("__d2"), F.col("cluster"))).alias("__b"),
+                F.first("qv").alias("qv"),
+            )
+            .select("id", "qv", F.col("__b.cluster").alias("cluster"))
+        )
+
+    for _ in range(coarse_iters):
+        assigned = _coarse_assign(cents)
+        dims = assigned.select("cluster", F.posexplode("qv").alias("dim", "x"))
+        cents = (
+            dims.groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .select(
+                "cluster",
+                "dim",
+                F.expr("(__s - pmod(__s, __n)) div __n").alias("c"),
+            )
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("p"))
+            .select(
+                "cluster", F.transform(F.col("p"), lambda s: s["c"]).alias("cv")
+            )
+        )
+    assigned = _coarse_assign(cents)
+
+    # --- residuals, split into m subvectors ---
+    res = assigned.join(F.broadcast(cents), "cluster").select(
+        "id",
+        "cluster",
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a - b).alias("rv"),
+    )
+    subs = (
+        res.withColumn("dsub", F.expr(f"size(rv) div {m}"))
+        .select(
+            "id",
+            "cluster",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.expr("slice(rv, sub * (size(rv) div " + str(m) + ") + 1, "
+                   "size(rv) div " + str(m) + ")").alias("sv"),
+        )
+    )
+    subs = subs.localCheckpoint(eager=False)
+
+    d2_sv_cv = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # --- PQ codebooks over residual subvectors: seeds = smallest ids ---
+    seed = q.orderBy("id").limit(n_codes).select("id")
+    books = subs.join(F.broadcast(seed), "id").select(
+        "sub", F.col("id").alias("code"), F.col("sv").alias("cv")
+    )
+
+    def _pq_assign(cb):
+        return (
+            subs.join(F.broadcast(cb), "sub")
+            .withColumn("__d2", d2_sv_cv)
+            .groupBy("id", "sub")
+            .agg(
+                F.min(F.struct(F.col("__d2"), F.col("code"))).alias("__b"),
+                F.first("sv").alias("sv"),
+                F.first("cluster").alias("cluster"),
+            )
+            .select("id", "cluster", "sub", "sv", F.col("__b.code").alias("code"))
+        )
+
+    for _ in range(pq_iters):
+        pq_assigned = _pq_assign(books)
+        pdims = pq_assigned.select(
+            "sub", "code", F.posexplode("sv").alias("dim", "x")
+        )
+        books = (
+            pdims.groupBy("sub", "code", "dim")
+            .agg(F.sum("x").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .select(
+                "sub",
+                "code",
+                "dim",
+                F.expr("(__s - pmod(__s, __n)) div __n").alias("c"),
+            )
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("p"))
+            .select(
+                "sub", "code", F.transform(F.col("p"), lambda s: s["c"]).alias("cv")
+            )
+        )
+    codes = _pq_assign(books).select("id", "cluster", "sub", "code")
+
+    # --- query side: probe nprobe lists, tabulate residual ADC ---
+    qq = queries.select(
+        F.col(query_id_col).alias("query_id"), _qz(F.col(vec_col)).alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("__d2"), F.asc("cluster"))
+    probes = (
+        qq.join(F.broadcast(cents), F.lit(True))
+        .withColumn("__d2", d2_qv_cv)
+        .withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= nprobe)
+        .select(
+            "query_id",
+            "cluster",
+            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a - b).alias(
+                "rqv"
+            ),
+        )
+    )
+    qsubs = probes.select(
+        "query_id",
+        "cluster",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.expr("slice(rqv, sub * (size(rqv) div " + str(m) + ") + 1, "
+               "size(rqv) div " + str(m) + ")").alias("sv"),
+    )
+    dtab = (
+        qsubs.join(F.broadcast(books), "sub")
+        .withColumn("__d2", d2_sv_cv)
+        .select("query_id", "cluster", "sub", "code", "__d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("id"))
+    return (
+        codes.join(F.broadcast(dtab), ["cluster", "sub", "code"])
         .groupBy("query_id", "id")
         .agg(F.sum("__d2").alias("adc_d2"))
         .withColumn("rk", F.row_number().over(w))

@@ -8512,3 +8512,174 @@ def sketch_kmv_union(spark, sf_dir):
         (F.abs(F.col("est") - F.col("exact")) * 100 <= 45 * F.col("exact"))
         .alias("ok"),
     )
+
+
+@query(
+    "knn_ivfpq",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(5 AS INT) AS k,
+           TRUE AS recall_ok,
+           TRUE AS bounded_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def knn_ivfpq(spark, sf_dir):
+    """IVF-PQ composed index (extended/similarity.py ivfpq_topk) —
+    the production billion-vector ANN shape: a grid-exact coarse
+    quantizer routes vectors to inverted lists, RESIDUALS are
+    product-quantized to m integer codes, and queries score only
+    their nprobe probed lists via a broadcast per-(query, list) ADC
+    table — candidate volume ~ corpus x nprobe/n_clusters AND
+    per-candidate cost m lookups.  SELF-CERTIFYING like knn_ivf /
+    knn_pq: the same plan runs the composed index and exact
+    integer-grid L2 top-5, emitting recall_ok = recall@5 >= 0.25
+    (floor for nprobe=3/8 + m=32/16 codes on UNIFORM-random vectors —
+    measured 0.34-0.42 across sf0.001/0.01/0.1, near the 3/8 IVF
+    probe ceiling; planted-cluster recall 1.0 pinned in
+    tests/test_round6_ops.py) and bounded_ok = at most k rows per
+    query.  Every number BIGINT-lattice, so the booleans are
+    deterministic."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = filter_df(emb, F.col("vec_id") >= 10)
+    queries_df = filter_df(emb, F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = X_sim.ivfpq_topk(
+        corpus,
+        queries_df,
+        k=5,
+        n_clusters=8,
+        nprobe=3,
+        m=32,
+        n_codes=16,
+        coarse_iters=1,
+        pq_iters=1,
+    )
+
+    def _qz(c):
+        return F.transform(
+            c, lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long")
+        )
+
+    c = corpus.select(F.col("vec_id").alias("id"), _qz(F.col("embedding")).alias("v"))
+    q = queries_df.select("query_id", _qz(F.col("embedding")).alias("qv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("id"))
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("d2", d2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "id")
+    )
+    hits = approx.select("query_id", "id").join(exact, ["query_id", "id"])
+    per_q = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ret"))
+    stats = (
+        queries_df.select("query_id")
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+            "query_id",
+            "left",
+        )
+        .join(per_q, "query_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(F.coalesce(F.col("n_hits"), F.lit(0))).alias("total_hits"),
+            F.max(F.coalesce(F.col("n_ret"), F.lit(0))).alias("max_ret"),
+        )
+    )
+    return stats.select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.lit(5).cast("int").alias("k"),
+        (
+            F.col("total_hits").cast("double")
+            >= F.lit(0.25) * F.lit(5.0) * F.col("n_queries").cast("double")
+        ).alias("recall_ok"),
+        (F.col("max_ret") <= F.lit(5)).alias("bounded_ok"),
+    )
+
+
+@query(
+    "streaming_hll",
+    # the oracle rebuilds the hourly HLL registers and the reduced
+    # integer estimator on the batch table — the stream's complete-mode
+    # register state must equal the batch registers exactly
+    """
+    WITH h AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2147483648 AS h
+      FROM events
+    ), regs AS (
+      SELECT bucket_ts, h % 64 AS bucket,
+             MAX(CASE WHEN h // 64 = 0 THEN 26
+                      ELSE 26 - length(bin(h // 64)) END) AS rho
+      FROM h GROUP BY 1, 2
+    ), s AS (
+      SELECT bucket_ts,
+             CAST(COUNT(*) AS BIGINT) AS nonzero,
+             CAST(SUM(CAST(1 AS BIGINT) << (32 - rho))
+                  + (64 - COUNT(*)) * 4294967296 AS BIGINT) AS s
+      FROM regs GROUP BY bucket_ts
+    )
+    SELECT bucket_ts, nonzero, s,
+           CAST((CAST(709 AS BIGINT) * 34359738368) // (125 * (s // 64))
+                AS BIGINT) AS est
+    FROM s
+    """,
+)
+def streaming_hll(spark, sf_dir):
+    """STREAMING approximate distinct users per hour — the sketch ×
+    streaming composition that makes continuous distinct counting
+    viable at 100 TB/day: the stream's aggregation state is the HLL
+    register table (windows × 64 rows), NOT the distinct key set, so
+    state is bounded however many users flow through.  Registers are
+    computed by the same portable md5 hash/rho rules as the batch
+    sketch (extended/sketches.py hll_sketch), drained complete-mode
+    to a memory sink, and the batch-side estimator (reduced BIGINT
+    form) runs on the sunk registers; the oracle rebuilds registers +
+    estimate from the batch table — stream state must equal batch
+    registers bit-for-bit."""
+    from .extended.sketches import _rho, portable_hash31
+    from .streaming import run_stream_to_memory, stream_table
+
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_hll_gate_{_STREAM_GATE_SEQ[0]}"
+    ev = stream_table(spark, sf_dir, "events")
+    h = portable_hash31(F.col("user_id"))
+    src = ev.select(
+        "ts",
+        (h % F.lit(64)).alias("bucket"),
+        _rho(F.floor(h / F.lit(64)).cast("long"), 25).cast("int").alias("r"),
+    )
+    regs = src.groupBy(F.window("ts", "1 hour").alias("w"), "bucket").agg(
+        F.max("r").alias("rho")
+    )
+    q = run_stream_to_memory(regs, name, output_mode="complete")
+    q.stop()
+    sunk = spark.table(name).select(
+        F.col("w.start").alias("bucket_ts"), "bucket", "rho"
+    )
+    agg_s = sunk.groupBy("bucket_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("nonzero"),
+        F.expr(
+            "CAST(SUM(shiftleft(CAST(1 AS BIGINT), 32 - rho)) AS BIGINT)"
+        ).alias("__sp"),
+    )
+    return agg_s.select(
+        "bucket_ts",
+        "nonzero",
+        F.expr(f"CAST(__sp + (64 - nonzero) * {1 << 32} AS BIGINT)").alias("s"),
+    ).withColumn(
+        "est",
+        F.expr(
+            f"(CAST(709 AS BIGINT) * {1 << 35}) div (125 * (s div 64))"
+        ).cast("long"),
+    )

@@ -267,3 +267,66 @@ def test_kmv_union_validation(spark):
         kmv_union_estimate(df, "g", "k", k=128)
     # single group: no pairs
     assert kmv_union_estimate(df, "g", "k", k=4).count() == 0
+
+
+def test_ivfpq_planted_clusters_recall(spark):
+    """On well-separated planted clusters the composed IVF-PQ index
+    must recover the true neighbors: the coarse quantizer routes each
+    query to its own cluster, and residual-PQ distances preserve
+    within-cluster order well enough for recall 1.0 at k=3."""
+    import numpy as np
+
+    from pandasy_spark.extended.similarity import ivfpq_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.uniform(-10, 10, size=(4, 16))
+    rows = []
+    vid = 0
+    for ci in range(4):
+        for _ in range(25):
+            v = centers[ci] + rng.uniform(-0.05, 0.05, 16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qrows = [
+        (100 + ci, [float(x) for x in centers[ci] + 0.01]) for ci in range(4)
+    ]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, embedding array<float>"
+    )
+    out = ivfpq_topk(
+        corpus,
+        queries,
+        k=3,
+        n_clusters=4,
+        nprobe=1,
+        m=4,
+        n_codes=8,
+        coarse_iters=2,
+        pq_iters=1,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["id"])
+    assert set(by_q) == {100, 101, 102, 103}
+    for ci in range(4):
+        ids = by_q[100 + ci]
+        assert len(ids) == 3
+        # every returned neighbor comes from the query's own planted
+        # cluster (ids ci*25 .. ci*25+24)
+        assert all(ci * 25 <= i < (ci + 1) * 25 for i in ids), (ci, ids)
+
+
+def test_ivfpq_validation(spark):
+    from pandasy_spark.extended.similarity import ivfpq_topk
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame(
+        [(9, [0.0, 1.0])], "query_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        ivfpq_topk(df, q, k=0)
+    with pytest.raises(ValueError):
+        ivfpq_topk(df, q, k=1, coarse_iters=-1)
