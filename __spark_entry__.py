@@ -121,6 +121,7 @@ _R6_NEW: list[str] = [
     "sketch_kmv_union",
     "knn_ivfpq",
     "streaming_hll",
+    "text_normalize",
 ]
 
 

@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "sketch_kmv_union",
     "knn_ivfpq",
     "streaming_hll",
+    "text_normalize",
 ]
 
 

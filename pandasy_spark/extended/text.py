@@ -1492,3 +1492,38 @@ def script_profile(
         n_digit.alias("n_digit"),
         dom.alias("dominant"),
     )
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Canonical text normalization — the first pass of every corpus
+    pipeline, so exact dedup catches typographic variants of the same
+    document: lowercase; curly quotes/apostrophes -> straight; en/em
+    dashes and minus -> hyphen; ellipsis char -> three dots;
+    zero-width characters and BOM removed; unicode spaces (NBSP,
+    en/em/thin space) and control characters collapsed to single
+    spaces; trimmed.
+
+    Pure codegen (translate + regexp_replace + lower) — a narrow map
+    that fuses into the scan; normalizing 100 TB costs one corpus
+    pass, no shuffle, no UDF.  Every mapping is an explicit
+    code-point list, so any engine states the identical rules.
+    """
+    c = F.col(text_col)
+    # typographic map: curly double/single quotes, dashes, minus
+    c = F.translate(
+        c,
+        "\u201c\u201d\u201e\u2018\u2019\u201a\u2013\u2014\u2212",
+        chr(34) * 3 + chr(39) * 3 + chr(45) * 3,
+    )
+    # ellipsis expands (1 -> 3 chars): regexp, not translate
+    c = F.regexp_replace(c, "\u2026", "...")
+    # drop zero-width chars and BOM
+    c = F.regexp_replace(c, "[\u200b\u200c\u200d\ufeff]", "")
+    # unicode spaces + control chars -> space
+    c = F.regexp_replace(
+        c, "[\u00a0\u2000-\u200a\u202f\u205f\u3000\x00-\x1f\x7f]", " "
+    )
+    c = F.regexp_replace(c, "  +", " ")
+    return df.withColumn(out_col, F.lower(F.trim(c)))

@@ -8683,3 +8683,35 @@ def streaming_hll(spark, sf_dir):
             f"(CAST(709 AS BIGINT) * {1 << 35}) div (125 * (s div 64))"
         ).cast("long"),
     )
+
+
+@query(
+    "text_normalize",
+    '\n    WITH messy AS (\n      SELECT doc_id,\n             \'“\' || substr(text, 1, 40) || \'”\' || \'\xa0\' || \'—\' ||\n             substr(text, 50, 30) || \'…\' || \'\u200b\' || \'It’s DONE \' AS text\n      FROM documents WHERE doc_id < 700\n    ), t AS (\n      SELECT doc_id,\n             regexp_replace(regexp_replace(regexp_replace(regexp_replace(\n               translate(text,\n                         \'“”„‘’‚–—−\',\n                         \'"""\'\'\'\'\'\'---\'),\n               \'…\', \'...\', \'g\'),\n               \'[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]\', \'\', \'g\'),\n               \'[\\x{00a0}\\x{2000}-\\x{200a}\\x{202f}\\x{205f}\\x{3000}\\x{0000}-\\x{001f}\\x{007f}]\', \' \', \'g\'),\n               \'  +\', \' \', \'g\') AS n\n      FROM messy\n    )\n    SELECT doc_id, lower(trim(n)) AS norm_text, md5(lower(trim(n))) AS fp\n    FROM t\n    ',
+)
+def text_normalize(spark, sf_dir):
+    """Canonical text normalization (extended/text.py normalize_text):
+    typographic quotes/dashes/ellipsis straightened, zero-width chars
+    dropped, unicode spaces and control chars collapsed, lowercased -
+    the pass that makes exact dedup catch typographic variants.  The
+    gate injects every special into the corpus deterministically and
+    pins the normalized text AND its md5 fingerprint; rules are
+    explicit code-point lists stated identically in both engines.
+    Pure codegen narrow map - fuses into the scan."""
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 700)
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("\u201c"),
+            F.expr("substr(text, 1, 40)"),
+            F.lit("\u201d\u00a0\u2014"),
+            F.expr("substr(text, 50, 30)"),
+            F.lit("\u2026\u200bIt\u2019s DONE "),
+        ).alias("text"),
+    )
+    out = X_text.normalize_text(messy)
+    return out.select(
+        "doc_id",
+        "norm_text",
+        F.md5(F.col("norm_text")).alias("fp"),
+    )

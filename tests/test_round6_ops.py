@@ -330,3 +330,20 @@ def test_ivfpq_validation(spark):
         ivfpq_topk(df, q, k=0)
     with pytest.raises(ValueError):
         ivfpq_topk(df, q, k=1, coarse_iters=-1)
+
+
+def test_normalize_text_rules(spark):
+    from pandasy_spark.extended.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "\u201cHello\u201d\u00a0\u2014 It\u2019s\u200b FINE\u2026"),
+            (2, "a\u2013b\u2212c  and\tmore\x00ctl"),
+            (3, "  already clean  "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["norm_text"] for r in normalize_text(df).collect()}
+    assert out[1] == '"hello" - it\'s fine...'
+    assert out[2] == "a-b-c and more ctl"
+    assert out[3] == "already clean"
