@@ -122,6 +122,7 @@ _R6_NEW: list[str] = [
     "knn_ivfpq",
     "streaming_hll",
     "text_normalize",
+    "events_attribution_linear",
 ]
 
 

@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "knn_ivfpq",
     "streaming_hll",
     "text_normalize",
+    "events_attribution_linear",
 ]
 
 

@@ -21,6 +21,7 @@ __all__ = [
     "last_touch_attribution",
     "rfm_segments",
     "transition_matrix",
+    "linear_attribution",
 ]
 
 
@@ -400,4 +401,70 @@ def transition_matrix(
         (F.col("n").cast("double") / F.col("tot").cast("double")).alias(
             "prob"
         ),
+    )
+
+
+def linear_attribution(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conversion: str = "purchase",
+    touches: tuple = ("click", "signup", "view"),
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """LINEAR multi-touch attribution: every touch between two
+    conversions shares the following conversion's credit equally
+    (1/n each) — the position-agnostic complement to
+    :func:`last_touch_attribution`.
+
+    Each event is stamped with its user's NEXT conversion id via ONE
+    forward-looking ``first(…, ignorenulls)`` window (no self-join,
+    no per-user collect); touches group by (user, next conversion)
+    for the share count.  Per-touch credit is ``grid div n`` — a
+    BIGINT floor — summed exactly per touch type; only the displayed
+    credit pays one double division, so engines agree bit-for-bit.
+
+    Output: ``(touch_type, n_touches, credit)``.
+
+    Scale: one user-key window shuffle + two map-combined aggregates
+    over (users × conversions) then (touch types) keys.
+    """
+    from pyspark.sql.window import Window
+
+    w_fwd = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    conv_id = F.when(F.col(type_col) == conversion, F.col(id_col))
+    ev = df.withColumn(
+        "__nc", F.first(conv_id, ignorenulls=True).over(w_fwd)
+    )
+    t = ev.filter(
+        F.col(type_col).isin(*touches) & F.col("__nc").isNotNull()
+    ).select(user_col, "__nc", type_col)
+    n = t.groupBy(user_col, "__nc").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per = t.groupBy(user_col, "__nc", type_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return (
+        per.join(n, [user_col, "__nc"])
+        .groupBy(type_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_touches"),
+            F.sum(
+                F.col("cnt") * F.expr(f"CAST({grid} AS BIGINT) div n")
+            ).cast("long").alias("__cm"),
+        )
+        .select(
+            F.col(type_col).alias("touch_type"),
+            "n_touches",
+            (F.col("__cm").cast("double") / F.lit(float(grid))).alias(
+                "credit"
+            ),
+        )
     )

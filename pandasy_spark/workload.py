@@ -8715,3 +8715,42 @@ def text_normalize(spark, sf_dir):
         "norm_text",
         F.md5(F.col("norm_text")).alias("fp"),
     )
+
+
+@query(
+    "events_attribution_linear",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc
+      FROM events
+    ), t AS (
+      SELECT user_id, nc, event_type FROM ev
+      WHERE event_type IN ('click', 'signup', 'view') AND nc IS NOT NULL
+    ), n AS (
+      SELECT user_id, nc, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1, 2
+    ), per AS (
+      SELECT user_id, nc, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM t GROUP BY 1, 2, 3
+    )
+    SELECT per.event_type AS touch_type,
+           CAST(SUM(cnt) AS BIGINT) AS n_touches,
+           CAST(SUM(cnt * (1000000 // n.n)) AS DOUBLE) / 1e6 AS credit
+    FROM per JOIN n USING (user_id, nc) GROUP BY 1
+    """,
+)
+def events_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution (extended/events.py
+    linear_attribution): every touch between two conversions shares
+    the following conversion's credit 1/n — stamped by ONE forward
+    first(ignorenulls) window on the user key (no self-join), shares
+    floored onto a 1e6 integer grid and summed exactly, one display
+    division.  The position-agnostic complement to the last-touch
+    gate; same value-hash discipline as bm25/markov."""
+    from .extended.events import linear_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return linear_attribution(ev)

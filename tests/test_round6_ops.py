@@ -347,3 +347,26 @@ def test_normalize_text_rules(spark):
     assert out[1] == '"hello" - it\'s fine...'
     assert out[2] == "a-b-c and more ctl"
     assert out[3] == "already clean"
+
+
+def test_linear_attribution_shares(spark):
+    from pandasy_spark.extended.events import linear_attribution
+
+    rows = [
+        # user 1: click, view, purchase -> each touch gets 1/2
+        (1, 1, "click"), (1, 2, "view"), (1, 3, "purchase"),
+        # user 1 after conversion: orphan click (no later conv) -> dropped
+        (1, 4, "click"),
+        # user 2: single signup then purchase -> full credit
+        (2, 5, "signup"), (2, 6, "purchase"),
+        # user 3: touch with no conversion at all -> dropped
+        (3, 7, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id") * 60))
+    out = {r["touch_type"]: r for r in linear_attribution(df).collect()}
+    assert set(out) == {"click", "view", "signup"}
+    assert out["click"]["n_touches"] == 1 and out["click"]["credit"] == 0.5
+    assert out["view"]["n_touches"] == 1 and out["view"]["credit"] == 0.5
+    assert out["signup"]["n_touches"] == 1 and out["signup"]["credit"] == 1.0
