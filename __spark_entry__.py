@@ -123,6 +123,7 @@ _R6_NEW: list[str] = [
     "streaming_hll",
     "text_normalize",
     "events_attribution_linear",
+    "agg_median_twopass",
 ]
 
 

@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "streaming_hll",
     "text_normalize",
     "events_attribution_linear",
+    "agg_median_twopass",
 ]
 
 

@@ -595,3 +595,127 @@ def band_by_thresholds(
     if descending:
         return (F.lit(len(thresholds) + 1) - exceeded).cast("int")
     return (F.lit(1) + exceeded).cast("int")
+
+
+def quantile_disc_twopass(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    q_milli: int = 500,
+    coarse_cells: int = 4096,
+) -> DataFrame:
+    """EXACT discrete quantile per group WITHOUT a global sort — the
+    distributed order-statistic pattern that replaces
+    ``percentile_disc`` (a per-group full sort) at 100 TB, for BIGINT
+    values (cents, counts, grid-quantized doubles).
+
+    ``q_milli`` is the quantile in thousandths; the answer is the
+    value at 1-indexed rank ``ceil(q·n)`` of the sorted multiset —
+    ``percentile_disc`` semantics, duplicates counted individually.
+
+    Three map-combined aggregates, no sort of the data:
+
+    1. per-group ``min/max/count`` → cell width
+       ``step = ceil(range / coarse_cells)``;
+    2. histogram: row count per (group, ``(v - min) div step``) —
+       ≤ ``coarse_cells`` cells per group, partial-aggregated; a
+       bounded per-group running sum locates the cell containing the
+       target rank and how many rows precede it;
+    3. refine: ONLY the located cell's rows (expected
+       ``n / coarse_cells`` + ties) are aggregated per distinct
+       value, and a bounded cumulative count picks the value whose
+       cumulative reach covers the remaining rank.
+
+    Output: ``(group..., n, q_value)``.  Empty groups are absent.
+    """
+    from pyspark.sql.window import Window
+
+    if not 0 < q_milli <= 1000:
+        raise ValueError("q_milli must be in (0, 1000]")
+    if coarse_cells < 2:
+        raise ValueError("coarse_cells must be >= 2")
+    v = F.col(value_col).cast("long")
+    vals = df.select(*group_cols, v.alias("__v"))
+    stats = vals.groupBy(*group_cols).agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    # rank = ceil(q*n/1000), exact in BIGINT
+    stats = stats.withColumn(
+        "__rank", F.expr(f"({q_milli} * n + 999) div 1000")
+    ).withColumn(
+        "__step",
+        F.expr(
+            f"greatest((__hi - __lo + {coarse_cells}) div {coarse_cells}, "
+            "CAST(1 AS BIGINT))"
+        ),
+    )
+    joined = (
+        vals.crossJoin(F.broadcast(stats))
+        if not group_cols
+        else vals.join(F.broadcast(stats), list(group_cols))
+    )
+    hist = joined.groupBy(
+        *group_cols, F.expr("(__v - __lo) div __step").alias("__cell")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    wc = Window.partitionBy(*group_cols).orderBy("__cell")
+    located = (
+        hist.withColumn("__cum", F.sum("__c").over(wc))
+        .join(F.broadcast(stats.select(*group_cols, "__rank")), list(group_cols))
+        if group_cols
+        else hist.withColumn("__cum", F.sum("__c").over(wc)).crossJoin(
+            F.broadcast(stats.select("__rank"))
+        )
+    )
+    kcell = (
+        located.filter(F.col("__cum") >= F.col("__rank"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min(F.struct(F.col("__cell"), F.col("__cum"), F.col("__c"))).alias(
+                "__k"
+            )
+        )
+        .select(
+            *group_cols,
+            F.col("__k.__cell").alias("__kcell"),
+            (F.col("__k.__cum") - F.col("__k.__c")).alias("__before"),
+        )
+    )
+    pick = (
+        joined.join(F.broadcast(kcell), list(group_cols))
+        if group_cols
+        else joined.crossJoin(F.broadcast(kcell))
+    )
+    sliver = (
+        pick.filter(F.expr("(__v - __lo) div __step") == F.col("__kcell"))
+        .groupBy(*group_cols, "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__vc"))
+    )
+    wv = Window.partitionBy(*group_cols).orderBy("__v")
+    res = (
+        sliver.withColumn("__vcum", F.sum("__vc").over(wv))
+        .join(
+            F.broadcast(
+                kcell.join(stats.select(*group_cols, "n", "__rank"), list(group_cols))
+                if group_cols
+                else kcell.crossJoin(stats.select("n", "__rank"))
+            ),
+            list(group_cols) if group_cols else [],
+            "inner" if group_cols else "cross",
+        )
+        if group_cols
+        else sliver.withColumn("__vcum", F.sum("__vc").over(wv)).crossJoin(
+            F.broadcast(kcell.crossJoin(stats.select("n", "__rank")))
+        )
+    )
+    return (
+        res.filter(F.col("__before") + F.col("__vcum") >= F.col("__rank"))
+        .groupBy(*group_cols)
+        .agg(F.min(F.struct(F.col("__v"), F.col("n"))).alias("__a"))
+        .select(
+            *group_cols,
+            F.col("__a.n").alias("n"),
+            F.col("__a.__v").alias("q_value"),
+        )
+    )

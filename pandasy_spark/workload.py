@@ -8754,3 +8754,60 @@ def events_attribution_linear(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return linear_attribution(ev)
+
+
+@query(
+    "agg_median_twopass",
+    """
+    WITH src AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ), g AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS q250,
+             CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY cents) AS BIGINT) AS q500,
+             CAST(percentile_disc(0.9)  WITHIN GROUP (ORDER BY cents) AS BIGINT) AS q900
+      FROM src GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(250 AS INT) AS q_milli, n, q250 AS q_value FROM g
+    UNION ALL
+    SELECT l_returnflag, CAST(500 AS INT) AS q_milli, n, q500 AS q_value FROM g
+    UNION ALL
+    SELECT l_returnflag, CAST(900 AS INT) AS q_milli, n, q900 AS q_value FROM g
+    """,
+)
+def agg_median_twopass(spark, sf_dir):
+    """EXACT distributed quantiles WITHOUT a global sort
+    (extended/profile.py quantile_disc_twopass): per-group
+    min/max/count -> 4096-cell histogram (map-combined) locates the
+    target rank's cell -> only that ~n/4096-row sliver is aggregated
+    per value and scanned cumulatively.  percentile_disc semantics
+    (rank ceil(q*n), duplicates counted), BIGINT-exact, three
+    quantiles per returnflag.  The plan the engine's sort-based
+    percentile cannot ship at 100 TB: no range partitioning, no
+    data-sized sort — pinned in tests/test_round6_ops.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    from .extended.profile import quantile_disc_twopass
+
+    parts = []
+    for q in (250, 500, 900):
+        parts.append(
+            quantile_disc_twopass(src, ["l_returnflag"], "cents", q_milli=q)
+            .select(
+                "l_returnflag",
+                F.lit(q).cast("int").alias("q_milli"),
+                "n",
+                "q_value",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -370,3 +370,45 @@ def test_linear_attribution_shares(spark):
     assert out["click"]["n_touches"] == 1 and out["click"]["credit"] == 0.5
     assert out["view"]["n_touches"] == 1 and out["view"]["credit"] == 0.5
     assert out["signup"]["n_touches"] == 1 and out["signup"]["credit"] == 1.0
+
+
+def test_quantile_twopass_exact_and_edge(spark):
+    from pandasy_spark.extended.profile import quantile_disc_twopass
+
+    df = spark.createDataFrame(
+        [(g, v) for g in ("a", "b") for v in range(1, 101)]
+        + [("a", 50)] * 40,  # heavy ties in one group
+        "g string, v long",
+    )
+    # a: 140 values (1..100 + forty 50s); rank(0.5) = 70 -> sorted
+    # multiset position 70 is 50; b: rank 50 -> 50
+    out = {(r["g"]): r for r in
+           quantile_disc_twopass(df, ["g"], "v", q_milli=500).collect()}
+    assert out["a"]["n"] == 140 and out["a"]["q_value"] == 50
+    assert out["b"]["n"] == 100 and out["b"]["q_value"] == 50
+    # q=1000 -> max; q tiny -> min
+    hi = {r["g"]: r["q_value"] for r in
+          quantile_disc_twopass(df, ["g"], "v", q_milli=1000).collect()}
+    lo = {r["g"]: r["q_value"] for r in
+          quantile_disc_twopass(df, ["g"], "v", q_milli=1).collect()}
+    assert hi == {"a": 100, "b": 100} and lo == {"a": 1, "b": 1}
+    # constant column (range 0, step clamps to 1)
+    const = spark.createDataFrame([("a", 7)] * 5, "g string, v long")
+    r = quantile_disc_twopass(const, ["g"], "v", q_milli=500).collect()[0]
+    assert r["q_value"] == 7 and r["n"] == 5
+    with pytest.raises(ValueError):
+        quantile_disc_twopass(df, ["g"], "v", q_milli=0)
+
+
+def test_quantile_twopass_no_global_sort_plan(spark, sf_dir):
+    from pandasy_spark.workload import QUERIES
+
+    plan = (
+        QUERIES["agg_median_twopass"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the whole point: no data-sized range-partitioned sort anywhere
+    assert "rangepartitioning" not in plan.lower()
+    assert "Python" not in plan
