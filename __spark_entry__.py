@@ -124,6 +124,8 @@ _R6_NEW: list[str] = [
     "text_normalize",
     "events_attribution_linear",
     "agg_median_twopass",
+    "streaming_topk",
+    "pipeline_triage",
 ]
 
 

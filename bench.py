@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "text_normalize",
     "events_attribution_linear",
     "agg_median_twopass",
+    "streaming_topk",
+    "pipeline_triage",
 ]
 
 

@@ -8811,3 +8811,120 @@ def agg_median_twopass(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "streaming_topk",
+    """
+    WITH c AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT bucket_ts, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY bucket_ts
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT bucket_ts, event_type, n, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def streaming_topk(spark, sf_dir):
+    """STREAMING windowed top-k — the continuous leaderboard: the
+    stream maintains complete-mode (window × event_type) counts —
+    state bounded by the key grid, NOT the event volume — and the
+    top-3 per hour is ranked on the sunk counts with a deterministic
+    (count desc, type asc) tie-break.  The oracle computes the same
+    leaderboard from the batch table: stream counts must equal batch
+    counts exactly, complete mode's replay guarantee."""
+    from pyspark.sql.window import Window
+
+    from .streaming import run_stream_to_memory, stream_table
+
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_topk_gate_{_STREAM_GATE_SEQ[0]}"
+    ev = stream_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    q = run_stream_to_memory(counts, name, output_mode="complete")
+    q.stop()
+    sunk = spark.table(name).select(
+        F.col("w.start").alias("bucket_ts"), "event_type", "n"
+    )
+    wr = Window.partitionBy("bucket_ts").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        sunk.withColumn("rk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("bucket_ts", "event_type", "n", "rk")
+    )
+
+
+@query(
+    "pipeline_triage",
+    # one-pass corpus triage: text stats/quality + script mix -> a
+    # (lang, dominant script, quality band) report; all stages narrow
+    # until the final tiny aggregate
+    f"""
+    WITH t AS (SELECT * FROM ({_TEXT_STATS_SQL}) z), sc AS (
+      SELECT doc_id,
+        CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        CAST(length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS BIGINT) AS n_cjk,
+        CAST(length(text) - length(regexp_replace(text, '[Ͱ-Ͽ]', '', 'g')) AS BIGINT) AS n_greek
+      FROM documents
+    ), j AS (
+      SELECT d.lang,
+             CASE WHEN sc.n_latin >= sc.n_cyrillic AND sc.n_latin >= sc.n_cjk
+                       AND sc.n_latin >= sc.n_greek AND sc.n_latin > 0 THEN 'latin'
+                  WHEN sc.n_cyrillic >= sc.n_cjk AND sc.n_cyrillic >= sc.n_greek
+                       AND sc.n_cyrillic > 0 THEN 'cyrillic'
+                  WHEN sc.n_cjk >= sc.n_greek AND sc.n_cjk > 0 THEN 'cjk'
+                  WHEN sc.n_greek > 0 THEN 'greek'
+                  ELSE 'other' END AS dominant,
+             CAST(LEAST(FLOOR(t.quality * 4), 3) AS INT) AS band,
+             t.n_tokens
+      FROM t JOIN sc USING (doc_id) JOIN documents d USING (doc_id)
+    )
+    SELECT lang, dominant, band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM j GROUP BY 1, 2, 3
+    """,
+)
+def pipeline_triage(spark, sf_dir):
+    """One-pass corpus triage report in ONE composed plan: token/
+    quality stats (with_text_stats), unicode-script profiling
+    (script_profile) and quality banding fuse into a single corpus
+    scan — every stage is a narrow codegen map, and the only shuffle
+    is the final (lang × script × band) aggregate, dozens of keys at
+    any corpus size.  The routing report every ingest run starts
+    with; the oracle replays each stage as a CTE chain."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = X_text.with_text_stats(docs).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    script = X_text.script_profile(docs).select("doc_id", "dominant")
+    j = (
+        stats.join(script, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "lang",
+            "dominant",
+            F.least(F.floor(F.col("quality") * 4), F.lit(3))
+            .cast("int")
+            .alias("band"),
+            "n_tokens",
+        )
+    )
+    return agg(
+        j,
+        ["lang", "dominant", "band"],
+        {
+            "n_docs": F.count(F.lit(1)).cast("long"),
+            "total_tokens": F.sum("n_tokens").cast("long"),
+        },
+    )
