@@ -126,6 +126,8 @@ _R6_NEW: list[str] = [
     "agg_median_twopass",
     "streaming_topk",
     "pipeline_triage",
+    "profile_chisq",
+    "sketch_cms_join_size",
 ]
 
 

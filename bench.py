@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "agg_median_twopass",
     "streaming_topk",
     "pipeline_triage",
+    "profile_chisq",
+    "sketch_cms_join_size",
 ]
 
 

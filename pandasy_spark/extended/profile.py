@@ -719,3 +719,66 @@ def quantile_disc_twopass(
             F.col("__a.__v").alias("q_value"),
         )
     )
+
+
+def chi_square(
+    df: DataFrame, col_a: str, col_b: str, grid: int = 10_000
+) -> DataFrame:
+    """Pearson chi-square statistic of independence for two
+    categorical columns — the DQ screen for "did this attribute's
+    distribution shift with that one" (segment × outcome,
+    source × label).
+
+    ``chi2 = Σ_cells (o-e)²/e`` with ``e = row·col/N``.  Exactness
+    discipline: per OBSERVED cell the term is the integer ratio
+    ``(o·N − ra·cb)² / (ra·cb·N)``, floored onto a 1e4 grid in
+    DECIMAL(38) (the squared numerator passes int64 around 10⁵ rows
+    per category, well inside this function's design range), and
+    SUMMED EXACTLY; the unobserved cells contribute
+    ``Σ_missing e = N − S/N`` with ``S = Σ_observed ra·cb`` (exact
+    BIGINT) — no dense cross join materialized, no float accumulating
+    across cells.  The display value pays two exact-operand double
+    divisions in a fixed expression, so engines agree; rounded 4dp.
+
+    ONE map-combined contingency aggregate (cells = |A|×|B|) + two
+    marginal re-aggregates of that tiny table.  Output: one row
+    ``(n, n_a, n_b, dof, chi2)``.
+    """
+    o = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__o"))
+    ra = o.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    cb = o.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    tot = o.agg(F.sum("__o").alias("__n"))
+    cells = (
+        o.join(F.broadcast(ra), "__a")
+        .join(F.broadcast(cb), "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    # exact per-cell grid term in DECIMAL(38,0)
+    term = F.expr(
+        f"CAST((CAST(__o AS DECIMAL(20,0)) * __n - CAST(__ra AS DECIMAL(20,0)) * __cb) AS DECIMAL(19,0))"
+        f" * CAST((CAST(__o AS DECIMAL(20,0)) * __n - CAST(__ra AS DECIMAL(20,0)) * __cb) AS DECIMAL(19,0))"
+        f" * {grid} div (CAST(__ra AS DECIMAL(20,0)) * __cb * __n)"
+    )
+    agg_row = cells.agg(
+        F.max("__n").alias("n"),
+        F.count_distinct("__a").cast("long").alias("n_a"),
+        F.count_distinct("__b").cast("long").alias("n_b"),
+        F.sum(term).alias("__t"),
+        F.sum(F.col("__ra") * F.col("__cb")).cast("long").alias("__s"),
+    )
+    chi2 = (
+        F.col("__t").cast("double") / F.lit(float(grid))
+        + (
+            F.col("n") * F.col("n") - F.col("__s")
+        ).cast("double")
+        / F.col("n").cast("double")
+    )
+    return agg_row.select(
+        F.col("n").cast("long").alias("n"),
+        "n_a",
+        "n_b",
+        ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("long").alias("dof"),
+        (F.floor(chi2 * grid + F.lit(0.5)) / grid).alias("chi2"),
+    )

@@ -51,6 +51,7 @@ __all__ = [
     "kmv_union_estimate",
     "cms_sketch",
     "cms_point_estimate",
+    "cms_inner_product",
 ]
 
 #: Mersenne prime 2^31 - 1 — modulus of the pairwise hash family used
@@ -467,4 +468,35 @@ def cms_point_estimate(
             .cast("long")
             .alias("est")
         )
+    )
+
+
+def cms_inner_product(
+    sk_a: DataFrame, sk_b: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Equi-join CARDINALITY estimate from two Count-Min sketches
+    (Cormode & Muthukrishnan 2005): |A ⋈_k B| = Σ_k cntA(k)·cntB(k)
+    is estimated by the per-row inner product of the two register
+    tables, minimized over the depth rows.  Deterministically
+    one-sided (est ≥ exact — collisions only ADD), within εN·M with
+    the usual CMS probability.
+
+    This is the 100 TB join PRE-FLIGHT: the sketches cost one
+    map-combined pass per side, and the estimate — computed on
+    depth × width rows, broadcast scale — tells the planner whether
+    the join explodes (skewed key) BEFORE paying its shuffle.  The
+    same estimate against a sketch of itself bounds self-join size,
+    the classic skew diagnostic.
+
+    Both sketches must share (depth, width, group cols).  Output:
+    ``(group..., est)``.
+    """
+    a = sk_a.select(*group_cols, "d", "cell", F.col("cnt").alias("__ca"))
+    b = sk_b.select(*group_cols, "d", "cell", F.col("cnt").alias("__cb"))
+    j = a.join(b, [*group_cols, "d", "cell"])
+    per_d = j.groupBy(*group_cols, "d").agg(
+        F.sum(F.col("__ca") * F.col("__cb")).cast("long").alias("__ip")
+    )
+    return per_d.groupBy(*group_cols).agg(
+        F.min("__ip").cast("long").alias("est")
     )

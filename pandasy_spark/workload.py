@@ -8928,3 +8928,127 @@ def pipeline_triage(spark, sf_dir):
             "total_tokens": F.sum("n_tokens").cast("long"),
         },
     )
+
+
+@query(
+    "profile_chisq",
+    # exact per-cell grid terms in int128 (HUGEINT / DECIMAL(38)):
+    # (o*n - ra*cb)^2 * 1e4 // (ra*cb*n), summed exactly; unobserved
+    # cells contribute (n^2 - S)/n in closed form
+    """
+    WITH o AS (
+      SELECT event_type AS a, user_id % 4 AS b,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ), ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM o GROUP BY a),
+    cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM o GROUP BY b),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o),
+    cells AS (
+      SELECT o.o, ra.ra, cb.cb, tot.n FROM o
+      JOIN ra USING (a) JOIN cb USING (b), tot
+    ), s AS (
+      SELECT MAX(n) AS n,
+             CAST((SELECT COUNT(*) FROM ra) AS BIGINT) AS n_a,
+             CAST((SELECT COUNT(*) FROM cb) AS BIGINT) AS n_b,
+             SUM(CAST(o * n - ra * cb AS HUGEINT)
+                 * CAST(o * n - ra * cb AS HUGEINT) * 10000
+                 // (CAST(ra AS HUGEINT) * cb * n)) AS t,
+             CAST(SUM(ra * cb) AS BIGINT) AS sm
+      FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n, n_a, n_b,
+           CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+           FLOOR((CAST(t AS DOUBLE) / 1e4
+                  + CAST(n * n - sm AS DOUBLE) / CAST(n AS DOUBLE))
+                 * 1e4 + 0.5) / 1e4 AS chi2
+    FROM s
+    """,
+)
+def profile_chisq(spark, sf_dir):
+    """Chi-square independence screen (extended/profile.py
+    chi_square) between event_type and a user cohort bucket: exact
+    BIGINT contingency counts, per-cell terms as int128 integer
+    ratios floored to a 1e4 grid and summed EXACTLY (no float
+    accumulation across cells — the order-dependence that makes naive
+    chi-square value-drift between engines), unobserved cells in
+    closed form without a dense cross join.  One tiny-table
+    aggregate chain after a single map-combined contingency pass."""
+    from .extended.profile import chi_square
+
+    ev = _t(spark, sf_dir, "events")
+    return chi_square(
+        ev.withColumn("ub", F.col("user_id") % 4), "event_type", "ub"
+    )
+
+
+@query(
+    "sketch_cms_join_size",
+    # self-join size preflight: registers rebuilt rule-for-rule, inner
+    # product per depth row, min over rows; exact twin = sum of
+    # per-key squared counts; ok = the deterministic one-sided bound
+    """
+    WITH h AS (
+      SELECT l_returnflag AS g,
+             ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT
+               % 2147483648 AS h
+      FROM lineitem
+    ), fam(d, a) AS (
+      VALUES (0, 48271), (1, 182605794), (2, 1291394886)
+    ), cells AS (
+      SELECT g, d, ((h * a + d) % 2147483647) % 256 AS cell,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM h, fam GROUP BY 1, 2, 3
+    ), ip AS (
+      SELECT g, d, CAST(SUM(cnt * cnt) AS BIGINT) AS ipd
+      FROM cells GROUP BY g, d
+    ), est AS (
+      SELECT g, CAST(MIN(ipd) AS BIGINT) AS est FROM ip GROUP BY g
+    ), ex AS (
+      SELECT g, CAST(SUM(c * c) AS BIGINT) AS exact FROM (
+        SELECT l_returnflag AS g, l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+      ) GROUP BY g
+    )
+    SELECT e.g AS l_returnflag, e.est, x.exact,
+           e.est >= x.exact AS ok,
+           FLOOR(CAST(e.est AS DOUBLE) / CAST(x.exact AS DOUBLE) * 1e4 + 0.5)
+             / 1e4 AS blowup
+    FROM est e JOIN ex x USING (g)
+    """,
+)
+def sketch_cms_join_size(spark, sf_dir):
+    """Join-size pre-flight from CMS sketches (extended/sketches.py
+    cms_inner_product): the self-join cardinality of lineitem on
+    l_partkey per returnflag — the skew diagnostic — estimated from
+    the register inner product WITHOUT running the join; the exact
+    Σ cnt² twin and the deterministic one-sided bound (est ≥ exact)
+    self-certify, and the blowup ratio shows the collision
+    overshoot.  At 100 TB the sketches are one pass per side and the
+    estimate runs on depth × width rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), F.col("l_partkey").alias("k")
+    )
+    sk = X_sk.cms_sketch(li, ["g"], "k")
+    est = X_sk.cms_inner_product(sk, sk, ["g"])
+    ex = (
+        li.groupBy("g", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("g")
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact"))
+    )
+    return est.join(ex, "g").select(
+        F.col("g").alias("l_returnflag"),
+        "est",
+        "exact",
+        (F.col("est") >= F.col("exact")).alias("ok"),
+        (
+            F.floor(
+                F.col("est").cast("double")
+                / F.col("exact").cast("double")
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("blowup"),
+    )

@@ -412,3 +412,31 @@ def test_quantile_twopass_no_global_sort_plan(spark, sf_dir):
     # the whole point: no data-sized range-partitioned sort anywhere
     assert "rangepartitioning" not in plan.lower()
     assert "Python" not in plan
+
+
+def test_chi_square_known_value(spark):
+    from pandasy_spark.extended.profile import chi_square
+
+    # 2x2 with perfect independence -> chi2 == 0
+    rows = [("x", 0)] * 10 + [("x", 1)] * 10 + [("y", 0)] * 30 + [("y", 1)] * 30
+    df = spark.createDataFrame(rows, "a string, b long")
+    r = chi_square(df, "a", "b").collect()[0]
+    assert r["n"] == 80 and r["dof"] == 1 and r["chi2"] == 0.0
+    # fully dependent 2x2 -> chi2 == n
+    rows2 = [("x", 0)] * 20 + [("y", 1)] * 20
+    r2 = chi_square(spark.createDataFrame(rows2, "a string, b long"), "a", "b").collect()[0]
+    assert abs(r2["chi2"] - 40.0) < 0.01
+
+
+def test_cms_inner_product_one_sided(spark):
+    from pandasy_spark.extended.sketches import cms_inner_product, cms_sketch
+
+    df = spark.range(2000).select(
+        (F.col("id") % 50).alias("k"), F.lit("g").alias("g")
+    )
+    sk = cms_sketch(df, ["g"], "k", width=4096)
+    est = cms_inner_product(sk, sk, ["g"]).collect()[0]["est"]
+    # exact self-join size: 50 keys x 40 occurrences -> 50 * 1600
+    assert est >= 50 * 1600
+    # wide sketch, 50 keys: collisions essentially absent
+    assert est == 50 * 1600
