@@ -128,6 +128,7 @@ _R6_NEW: list[str] = [
     "pipeline_triage",
     "profile_chisq",
     "sketch_cms_join_size",
+    "multimodal_tga",
 ]
 
 

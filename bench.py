@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "pipeline_triage",
     "profile_chisq",
     "sketch_cms_join_size",
+    "multimodal_tga",
 ]
 
 

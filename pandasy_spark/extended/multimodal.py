@@ -46,6 +46,7 @@ __all__ = [
     "image_phash",
     "phash_dup_pairs",
     "sniff_format",
+    "encode_tga",
 ]
 
 # typed metadata produced by the (fake) feature extractor
@@ -452,11 +453,15 @@ def decode_image(payload: bytes) -> "object":
         # for lossy VP8/VP8X); alpha dropped for the RGB stats surface
         return decode_webp(payload)[:, :, :3]
 
+    # TGA has no header magic: detect by the TGA 2.0 footer signature
+    if len(payload) >= 44 and payload[-18:] == b"TRUEVISION-XFILE.\x00":
+        return _decode_tga(payload)
+
     raise NotImplementedError(
         "lossy WebP (VP8) / AVIF require an external codec, not "
         "installed; PPM (P6), 24-bit BMP, baseline PNG, GIF, lossless "
-        "WebP (VP8L), baseline TIFF, and baseline/progressive JPEG decode "
-        "natively"
+        "WebP (VP8L), baseline TIFF, TGA 2.0, and baseline/progressive "
+        "JPEG decode natively"
     )
 
 
@@ -891,6 +896,144 @@ def sniff_format(payload) -> "object":
             "wav",
         )
         .when(F.substring(head, 1, 4) == "5036", "ppm")
+        .when(
+            # TGA has no header magic: TGA 2.0 footer signature
+            F.hex(F.substring(payload, -18, 18))
+            == "54525545564953494F4E2D5846494C452E00",
+            "tga",
+        )
         .when(payload.isNull(), F.lit(None).cast("string"))
         .otherwise("unknown")
     )
+
+
+TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
+
+
+def encode_tga(arr: "object", rle: bool = False) -> bytes:
+    """Encode ``(h, w, 3) uint8`` as a Truevision TGA (public TGA 2.0
+    spec): 24-bit truecolor, TOP-DOWN row order (descriptor bit 5),
+    BGR pixel order, type 2 (uncompressed) or type 10 (RLE packets —
+    maximal runs, raw packets for the remainder), with the TGA 2.0
+    footer so payloads are self-identifying (the format has no header
+    magic)."""
+    import struct
+
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    bgr = a[:, :, ::-1]
+    header = struct.pack(
+        "<BBBHHBHHHHBB",
+        0,              # id length
+        0,              # no color map
+        10 if rle else 2,
+        0, 0, 0,        # color map spec
+        0, 0,           # x/y origin
+        w, h,
+        24,
+        0x20,           # top-down, no alpha bits
+    )
+    if not rle:
+        body = bgr.tobytes()
+    else:
+        out = bytearray()
+        for y in range(h):
+            row = bgr[y]
+            x = 0
+            while x < w:
+                # measure run of identical pixels
+                run = 1
+                while (
+                    x + run < w
+                    and run < 128
+                    and (row[x + run] == row[x]).all()
+                ):
+                    run += 1
+                if run >= 2:
+                    out.append(0x80 | (run - 1))
+                    out.extend(row[x].tobytes())
+                    x += run
+                else:
+                    # raw packet: until next run of >= 2 or 128 pixels
+                    start = x
+                    x += 1
+                    while (
+                        x < w
+                        and x - start < 128
+                        and not (
+                            x + 1 < w and (row[x + 1] == row[x]).all()
+                        )
+                    ):
+                        x += 1
+                    out.append((x - start) - 1)
+                    out.extend(row[start:x].tobytes())
+        body = bytes(out)
+    # TGA 2.0 footer: ext/dev offsets 0 + signature
+    footer = struct.pack("<II", 0, 0) + TGA_FOOTER
+    return header + body + footer
+
+
+def _decode_tga(payload: bytes) -> "object":
+    """Decode Truevision TGA to ``(h, w, 3) uint8``: types 2/10
+    (truecolor ± RLE) and 3/11 (grayscale ± RLE), 8/24/32-bit
+    depths, both vertical orders and the right-to-left flag;
+    colormapped (1/9) and 15/16-bit quarantined via
+    NotImplementedError.  RLE packets (header bit 7) may cross row
+    boundaries per the spec."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 18:
+        raise ValueError("truncated TGA header")
+    (
+        id_len, cmap_type, img_type,
+        _cm_first, cm_len, _cm_size,
+        _xo, _yo, w, h, depth, desc,
+    ) = struct.unpack("<BBBHHBHHHHBB", payload[:18])
+    if cmap_type != 0 or img_type in (1, 9) or cm_len:
+        raise NotImplementedError("colormapped TGA not supported")
+    if img_type not in (2, 3, 10, 11):
+        raise NotImplementedError(f"TGA image type {img_type} not supported")
+    if depth not in (8, 24, 32):
+        raise NotImplementedError(f"TGA depth {depth} not supported")
+    bpp = depth // 8
+    if img_type in (3, 11) and bpp != 1:
+        raise ValueError("grayscale TGA must be 8-bit")
+    pos = 18 + id_len
+    n_px = w * h
+    if img_type in (2, 3):
+        raw = np.frombuffer(payload, np.uint8, count=n_px * bpp, offset=pos)
+        px = raw.reshape(n_px, bpp)
+    else:
+        out = np.empty((n_px, bpp), np.uint8)
+        filled = 0
+        while filled < n_px:
+            head = payload[pos]
+            pos += 1
+            count = (head & 0x7F) + 1
+            if head & 0x80:
+                pix = np.frombuffer(payload, np.uint8, count=bpp, offset=pos)
+                pos += bpp
+                out[filled : filled + count] = pix
+            else:
+                chunk = np.frombuffer(
+                    payload, np.uint8, count=count * bpp, offset=pos
+                )
+                pos += count * bpp
+                out[filled : filled + count] = chunk.reshape(count, bpp)
+            filled += count
+        if filled != n_px:
+            raise ValueError("TGA RLE stream overran the pixel count")
+        px = out
+    px = px.reshape(h, w, bpp)
+    if not desc & 0x20:      # bottom-up (the default) -> flip
+        px = px[::-1]
+    if desc & 0x10:          # right-to-left
+        px = px[:, ::-1]
+    if bpp == 1:
+        return np.repeat(px, 3, axis=2)
+    # BGR(A) -> RGB
+    return np.ascontiguousarray(px[:, :, 2::-1])

@@ -9052,3 +9052,68 @@ def sketch_cms_join_size(spark, sf_dir):
             / 1e4
         ).alias("blowup"),
     )
+
+
+@query(
+    "multimodal_tga",
+    # TGA RLE is lossless: the checkerboard round-trips exactly (same
+    # closed form as bmp/gif; distinct dims/colors so codec dispatch
+    # mix-ups cannot silently pass)
+    """
+    WITH p AS (
+      SELECT doc_id,
+             (doc_id % 5) + 1 AS w, (doc_id % 3) + 1 AS h,
+             ((doc_id % 3) + 2) // 2 * (((doc_id % 5) + 2) // 2)
+               + ((doc_id % 3) + 1) // 2 * (((doc_id % 5) + 1) // 2) AS na
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(na * ((doc_id*67) % 256) + (w*h - na) * ((doc_id*71) % 256)
+                AS DOUBLE) / (w*h) AS mean_r,
+           CAST(na * ((doc_id*73) % 256) + (w*h - na) * ((doc_id*79) % 256)
+                AS DOUBLE) / (w*h) AS mean_g,
+           CAST(na * ((doc_id*83) % 256) + (w*h - na) * ((doc_id*89) % 256)
+                AS DOUBLE) / (w*h) AS mean_b
+    FROM p
+    """,
+)
+def multimodal_tga(spark, sf_dir):
+    """REAL TGA pipeline, end-to-end: encode a two-color checkerboard
+    as a TYPE-10 RLE TGA per document (extended/multimodal.py
+    encode_tga — top-down BGR, run/raw packets, TGA 2.0 footer), then
+    decode through image_stats' mapInPandas dispatcher, which
+    identifies TGA by the footer signature (the format has no header
+    magic).  RLE is lossless, so the oracle states dimensions and
+    exact channel means in closed form — a packet/row-order/BGR bug
+    breaks the hash.  Arrow-batched both ways; no shuffle."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.multimodal import encode_tga
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w = d % 3 + 1, d % 5 + 1
+                a = ((d * 67) % 256, (d * 73) % 256, (d * 83) % 256)
+                b = ((d * 71) % 256, (d * 79) % 256, (d * 89) % 256)
+                rr, cc = np.indices((h, w))
+                arr = np.where(
+                    ((rr + cc) % 2 == 0)[:, :, None],
+                    np.array(a, np.uint8),
+                    np.array(b, np.uint8),
+                ).astype(np.uint8)
+                payloads.append(encode_tga(arr, rle=True))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_tga = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    return X_mm.image_stats(with_tga)

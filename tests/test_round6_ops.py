@@ -145,6 +145,7 @@ def test_sniff_format_routes_every_codec(spark):
     from pandasy_spark.extended.multimodal import (
         encode_bmp,
         encode_png,
+        encode_tga,
         encode_tiff,
         sniff_format,
     )
@@ -160,6 +161,7 @@ def test_sniff_format_routes_every_codec(spark):
         (encode_webp_lossless(arr), "webp"),
         (encode_wav(np.zeros(4, np.int16)), "wav"),
         (b"P6 3 2 255\n" + arr.tobytes(), "ppm"),
+        (encode_tga(arr), "tga"),
         (b"\x00\x01garbage", "unknown"),
         (None, None),
     ]
