@@ -499,8 +499,56 @@ def probe_r6() -> None:
         _, codes = pq_encode(emb(sf_dir), m=4, n_codes=8, iters=2)
         return codes
 
+    def quantile_probe(sf_dir):
+        from pandasy_spark.extended.profile import quantile_disc_twopass
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        return quantile_disc_twopass(li, ["l_returnflag"], "cents", 500)
+
+    def chisq_probe(sf_dir):
+        from pandasy_spark.extended.profile import chi_square
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return chi_square(
+            ev.withColumn("ub", F.col("user_id") % 4), "event_type", "ub"
+        )
+
+    def join_size_probe(sf_dir):
+        from pandasy_spark.extended.sketches import (
+            cms_inner_product,
+            cms_sketch,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            F.col("l_returnflag").alias("g"), F.col("l_partkey").alias("k")
+        )
+        sk = cms_sketch(li, ["g"], "k")
+        return cms_inner_product(sk, sk, ["g"])
+
+    def normalize_probe(sf_dir):
+        from pandasy_spark.extended.text import normalize_text
+
+        return normalize_text(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+
+    def attribution_linear_probe(sf_dir):
+        from pandasy_spark.extended.events import linear_attribution
+
+        return linear_attribution(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
     probes = {
         "bfs_full_lineitem": bfs_probe,
+        "quantile_twopass_full_lineitem": quantile_probe,
+        "chisq_full_events": chisq_probe,
+        "cms_join_size_full_lineitem": join_size_probe,
+        "normalize_full_docs": normalize_probe,
+        "attribution_linear_full_events": attribution_linear_probe,
         "kcore_full_lineitem": kcore_probe,
         "markov_full_events": markov_probe,
         "cms_full_lineitem": cms_probe,
