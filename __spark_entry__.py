@@ -129,6 +129,12 @@ _R6_NEW: list[str] = [
     "profile_chisq",
     "sketch_cms_join_size",
     "multimodal_tga",
+    "cdc_apply",
+    "events_resample",
+    "dedup_weighted_jaccard",
+    "sketch_kmv_intersect",
+    "graph_sssp",
+    "spatial_radius_join",
 ]
 
 

@@ -67,6 +67,9 @@ __all__ = [
     "bloom_decontaminate",
     "containment_pairs",
     "paragraph_dedup",
+    "token_weight_rows",
+    "weighted_minhash_signatures",
+    "weighted_jaccard_pairs",
 ]
 
 
@@ -1166,4 +1169,150 @@ def paragraph_dedup(
         .cast("long")
         .alias("n_paragraphs"),
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+def token_weight_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap: int = 8,
+) -> DataFrame:
+    """Per-document capped token multiset: ``(id, tok, cnt)`` with
+    whitespace tokenization, lowercasing, and counts clipped at
+    ``cap`` — the weighted-Jaccard input representation.  The cap
+    bounds both the replication factor of the weighted minhash and
+    the influence of boilerplate repetition (the same reason tf is
+    log-damped in BM25)."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    ).select("id", F.lower(F.col("tok")).alias("tok"))
+    return toks.groupBy("id", "tok").agg(
+        F.least(F.count(F.lit(1)), F.lit(cap)).cast("long").alias("cnt")
+    )
+
+
+def weighted_minhash_signatures(
+    counts: DataFrame,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Weighted MinHash over integer-weight token multisets, EXACT for
+    integer weights: a token with count c contributes the c distinct
+    elements (tok, 1)..(tok, c), so plain set-minhash over the
+    replicated elements IS the weighted Jaccard estimator
+    (collision probability = Σ min(c1,c2) / Σ max(c1,c2)) — no
+    rejection sampling, no real-valued ICWS machinery, and every hash
+    stays on the engine-portable MINSTD int64 lattice.
+
+    Input: ``(id, tok, cnt)`` from :func:`token_weight_rows`.
+    Output: ``(id, signature)`` like :func:`minhash_signatures`, so
+    the banded-LSH machinery (:func:`lsh_candidate_pairs`) composes
+    unchanged.
+
+    Scale shape: replication multiplies the exploded row count by the
+    mean capped count (≤ cap); the signature aggregate is map-side
+    combined to |docs| × num_hashes exactly as unweighted minhash.
+    """
+    reps = counts.select(
+        "id",
+        "tok",
+        F.explode(F.sequence(F.lit(1), F.col("cnt"))).alias("rep"),
+    )
+    h0 = char_poly_hash(F.col("tok"))
+    # distinct element hash per (token, replica): one extra affine mix
+    # in the replica index keeps everything inside int64
+    hr = (
+        h0 * F.lit(48271) + F.col("rep") * F.lit(1103515245) + F.lit(12345)
+    ) % F.lit(_P31)
+    hashed = reps.withColumn("__h", hr)
+    mins = [
+        F.min(
+            (F.col("__h") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]))
+            % F.lit(_P31)
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = hashed.groupBy("id").agg(*mins)
+    return agg.select(
+        "id",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias(
+            "signature"
+        ),
+    )
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    cap: int = 8,
+    threshold_milli: int = 300,
+) -> DataFrame:
+    """Weighted near-duplicate pairs: weighted-minhash banded LSH
+    generates candidates, then each candidate is VERIFIED with the
+    exact weighted Jaccard ``Σ min(c1,c2) / Σ max(c1,c2)`` over the
+    capped token counts — the repetition-aware upgrade of
+    :func:`minhash_dedup_pairs` (plain Jaccard treats "spam spam spam
+    spam" and "spam" as identical; weighted Jaccard does not).
+
+    The threshold compares on the exact integer lattice
+    (``inter * 1000 >= threshold_milli * union``); the reported
+    ``wjaccard`` pays one deterministic double division.
+
+    Output: ``(id1, id2, inter_w, union_w, wjaccard)``.
+
+    Scale shape: candidates come from the banded equi-join (never
+    all-pairs); verification joins the candidate pairs back to the
+    token-count table on (id, tok) — per-pair cost is the shared-token
+    count, and the per-id totals come from one map-combined aggregate.
+    """
+    counts = token_weight_rows(df, id_col, text_col, cap)
+    sigs = weighted_minhash_signatures(counts, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands)
+    totals = counts.groupBy("id").agg(F.sum("cnt").alias("tot"))
+    t1 = counts.select(
+        F.col("id").alias("id1"), "tok", F.col("cnt").alias("c1")
+    )
+    t2 = counts.select(
+        F.col("id").alias("id2"), "tok", F.col("cnt").alias("c2")
+    )
+    inter = (
+        cands.join(t1, "id1")
+        .join(t2, ["id2", "tok"])
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.least(F.col("c1"), F.col("c2"))).alias("inter_w"))
+    )
+    out = (
+        inter.join(
+            totals.select(F.col("id").alias("id1"), F.col("tot").alias("tot1")),
+            "id1",
+        )
+        .join(
+            totals.select(F.col("id").alias("id2"), F.col("tot").alias("tot2")),
+            "id2",
+        )
+        .select(
+            "id1",
+            "id2",
+            F.col("inter_w").cast("long").alias("inter_w"),
+            (F.col("tot1") + F.col("tot2") - F.col("inter_w"))
+            .cast("long")
+            .alias("union_w"),
+        )
+    )
+    return out.filter(
+        F.col("inter_w") * 1000 >= F.lit(threshold_milli) * F.col("union_w")
+    ).withColumn(
+        "wjaccard",
+        F.col("inter_w").cast("double") / F.col("union_w").cast("double"),
     )

@@ -22,6 +22,7 @@ __all__ = [
     "rfm_segments",
     "transition_matrix",
     "linear_attribution",
+    "resample_locf",
 ]
 
 
@@ -467,4 +468,81 @@ def linear_attribution(
                 "credit"
             ),
         )
+    )
+
+
+def resample_locf(
+    df,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    step_seconds: int = 3600,
+    decimals: int = 4,
+):
+    """Resample an irregular per-key timeseries onto a fixed time grid
+    with last-observation-carried-forward gap filling — the
+    feature-store / monitoring primitive ("hourly value per key, holes
+    filled from the last reading") that SQL engines have no native
+    operator for.
+
+    Per key: buckets span from the key's first to its last
+    observation; each bucket takes the LATEST observation inside it
+    (order: ts, then ``id_col`` — deterministic under timestamp ties),
+    empty buckets inherit the previous bucket's value (``is_observed``
+    marks which).  Values are snapped to the ``decimals`` grid so the
+    carried values are exact and engine-portable.
+
+    Output: ``(key, bucket_ts, value, is_observed)``.
+
+    Scale shape: the latest-per-bucket reduction and the forward fill
+    are key-partitioned windows (bounded per-partition state, never a
+    global sort); the grid generation is one per-key min/max aggregate
+    followed by a narrow ``sequence``/``explode`` — grid rows stream
+    out of the generator without materializing per-key arrays bigger
+    than the bucket span.  For keys spanning years at second
+    resolution, chunk the sequence (see pack_chunks for the pattern);
+    at the default hourly step a decade is ~90k rows per key.
+    """
+    from pyspark.sql.window import Window
+
+    step_us = step_seconds * 1_000_000
+    p = float(10**decimals)
+    obs = df.select(
+        F.col(key_col).alias("k"),
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(step_us)).alias("b"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        F.col(id_col).alias("__id"),
+        F.floor(F.col(value_col) * p + F.lit(0.5)).cast("long").alias("__v"),
+    )
+    w_last = Window.partitionBy("k", "b").orderBy(
+        F.col("__us").desc(), F.col("__id").desc()
+    )
+    latest = (
+        obs.withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .select("k", "b", F.col("__v").alias("v_obs"))
+    )
+    bounds = obs.groupBy("k").agg(
+        F.min("b").alias("lo"), F.max("b").alias("hi")
+    )
+    grid = bounds.select(
+        "k", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("b")
+    )
+    w_fill = (
+        Window.partitionBy("k")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = grid.join(latest, ["k", "b"], "left").select(
+        "k",
+        "b",
+        F.last("v_obs", ignorenulls=True).over(w_fill).alias("__vf"),
+        F.col("v_obs").isNotNull().alias("is_observed"),
+    )
+    return filled.select(
+        F.col("k").alias(key_col),
+        F.timestamp_micros(F.col("b") * F.lit(step_us)).alias("bucket_ts"),
+        (F.col("__vf").cast("double") / F.lit(p)).alias("value"),
+        "is_observed",
     )

@@ -397,3 +397,72 @@ def bfs_hops(
         F.col("node").cast("long").alias("node"),
         F.col("dist").cast("int").alias("dist"),
     )
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "x",
+    dst_col: str = "y",
+    weight_col: str = "w",
+    node_col: str = "node",
+    rounds: int = 3,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths over an undirected edge
+    list, bounded to paths of at most ``rounds`` edges — distributed
+    Bellman-Ford as pure relational rounds: round h joins the current
+    distance table to the edge list, proposes ``dist + w`` to every
+    neighbor, and min-aggregates proposals against the standing
+    distances.  The hop bound makes the result exact for the
+    "cost within a bounded radius" question (routing tiers, influence
+    cost, contamination spread with weighted links) and keeps the
+    oracle expressible as a depth-bounded recursive CTE.
+
+    Weights must be non-negative integers (BIGINT lattice — exact in
+    any engine).  Output: ``(node, dist)`` — the cheapest cost from
+    any source using at most ``rounds`` edges; unreached nodes are
+    absent.
+
+    Scale shape: per round one equi-join (distance table × edges on
+    the source endpoint, shuffle on the node key) and one map-side-
+    combined min aggregate; ``localCheckpoint`` bounds lineage.
+    Unlike BFS there is no frontier shrinkage guarantee — the
+    distance table is the full reached set each round — but each
+    round's join work is |reached ⋈ edges|, proportional to the
+    reached neighborhood, not the graph.
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    e = edges.select(
+        F.col(src_col).alias("u"),
+        F.col(dst_col).alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).groupBy("u", "v").agg(F.min("w").alias("w"))
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    if rounds > 0:
+        sym = sym.localCheckpoint(eager=False)
+    dist = sources.select(
+        F.col(node_col).alias("node"), F.lit(0).cast("long").alias("dist")
+    ).distinct()
+    for h in range(1, rounds + 1):
+        proposals = (
+            sym.join(dist.withColumnRenamed("node", "u"), "u")
+            .select(
+                F.col("v").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(proposals)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if checkpoint_every and h % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=False)
+    return dist.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("long").alias("dist"),
+    )

@@ -500,3 +500,93 @@ def cms_inner_product(
     return per_d.groupBy(*group_cols).agg(
         F.min("__ip").cast("long").alias("est")
     )
+
+
+def kmv_intersect_estimate(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+    coarse_bits: int = 12,
+) -> DataFrame:
+    """Intersection / Jaccard estimates for every unordered group pair
+    from bottom-k sketches alone — the full KMV set algebra (Beyer et
+    al. 2007, §4): with ``K = bottom-k(A ∪ B)`` (exact from the merged
+    synopses, see :func:`kmv_union_estimate`), the fraction of K's
+    members present in BOTH sketches estimates the Jaccard
+    coefficient, and ``est_inter = (|K∩| · est_union) div k`` the
+    intersection size.  Every quantity stays on the BIGINT lattice
+    (counts, the (k-1)·2^56 div u_k estimator, one integer product /
+    floor-div), so engines agree bit-for-bit.
+
+    Output per pair ``(g1 < g2)``: ``(g1, g2, kth_hash, est_union,
+    k_common, est_inter, jaccard_milli)``; pairs whose union has
+    fewer than ``k`` distinct keys are dropped (use exact counting
+    there — the sketch regime starts above k).
+
+    Scale shape: identical to :func:`kmv_union_estimate` — one corpus
+    pass builds the per-group sketches; all pair algebra runs on
+    ``groups × k`` rows.
+    """
+    from pyspark.sql.window import Window
+
+    if not 2 <= k <= 127:
+        raise ValueError("k must be in [2, 127] for the int64 estimator")
+    bottom = kmv_bottom(df, [group_col], key_col, k, coarse_bits).select(
+        F.col(group_col).alias("__g"), "h"
+    )
+    gs = bottom.select("__g").distinct()
+    pairs = (
+        gs.select(F.col("__g").alias("g1"))
+        .crossJoin(gs.select(F.col("__g").alias("g2")))
+        .filter(F.col("g1") < F.col("g2"))
+    )
+    side_a = pairs.join(bottom, F.col("g1") == F.col("__g")).select(
+        "g1", "g2", "h", F.lit(1).alias("in_a")
+    )
+    side_b = pairs.join(bottom, F.col("g2") == F.col("__g")).select(
+        "g1", "g2", "h", F.lit(1).alias("in_b")
+    )
+    merged = (
+        side_a.select("g1", "g2", "h", "in_a", F.lit(0).alias("in_b"))
+        .unionByName(
+            side_b.select("g1", "g2", "h", F.lit(0).alias("in_a"), "in_b")
+        )
+        .groupBy("g1", "g2", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wr = Window.partitionBy("g1", "g2").orderBy("h")
+    ranked = merged.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= k
+    )
+    return (
+        ranked.groupBy("g1", "g2")
+        .agg(
+            F.max(F.when(F.col("rk") == k, F.col("h"))).alias("kth_hash"),
+            F.sum((F.col("in_a") * F.col("in_b"))).cast("long").alias(
+                "k_common"
+            ),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") == k)
+        .select(
+            "g1",
+            "g2",
+            "kth_hash",
+            F.expr(f"(CAST({k - 1} AS BIGINT) * {1 << 56}) div kth_hash")
+            .cast("long")
+            .alias("est_union"),
+            "k_common",
+        )
+        .withColumn(
+            "est_inter",
+            F.expr(
+                f"(k_common * ((CAST({k - 1} AS BIGINT) * {1 << 56})"
+                f" div kth_hash)) div {k}"
+            ).cast("long"),
+        )
+        .withColumn(
+            "jaccard_milli",
+            F.expr(f"(k_common * 1000) div {k}").cast("long"),
+        )
+    )

@@ -1,0 +1,120 @@
+"""Planar spatial operators: grid-bucketed radius (distance) joins.
+
+No counterpart in the reference (its surface is stateless frame ops —
+SURVEY.md §2.9) and none in Spark: a naive ``dx*dx + dy*dy <= r*r``
+theta-join plans as a Cartesian product.  The scale-safe shape is the
+classic spatial-grid decomposition (the same pigeonhole idea as the
+tolerance join in operators/rangejoin.py, in two dimensions): bucket
+points into r-sized cells, have each left point probe its 3×3 cell
+neighborhood, equi-join on the cell key, then filter exactly.  Any
+pair within distance r differs by at most one cell per axis, so the
+probe set is complete; each right point lives in exactly one cell, so
+no pair is emitted twice.
+
+All arithmetic is int64 (coordinates on a caller-chosen integer grid,
+squared distances), so results value-hash across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["radius_join", "radius_pairs"]
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: int,
+    id_cols: tuple[str, str] = ("id_l", "id_r"),
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """All (left, right) point pairs within Euclidean distance
+    ``radius`` (inclusive), on integer planar coordinates.
+
+    ``left`` / ``right`` carry ``(id, x, y)`` with the id column named
+    per ``id_cols``; coordinates are int64 on whatever grid the caller
+    scaled to (meters, milli-degrees, embedding cells...).
+
+    Output: ``(id_l, id_r, dist_sq)`` — squared distance, exact
+    BIGINT (no sqrt: comparisons and ranking never need it, and the
+    lattice keeps engines bit-identical).
+
+    Scale shape: ONE equi-join on (cell_x, cell_y) after a 9-way
+    left-side probe explode — shuffle partitioned by cell, never a
+    Cartesian product.  Cell population bounds the per-key fan-out;
+    for heavily skewed point sets (urban clusters) AQE's skew split
+    applies as with any hot equi-join key.  Cost scales with the
+    number of NEARBY pairs, which is the output size — the optimum
+    for any radius join.
+    """
+    if radius <= 0:
+        raise ValueError("radius must be a positive integer")
+    id_l, id_r = id_cols
+    r2 = radius * radius
+    cell = lambda c: F.floor(c / F.lit(radius))  # noqa: E731
+
+    rb = right.select(
+        F.col(id_r),
+        F.col(x_col).cast("long").alias("__rx"),
+        F.col(y_col).cast("long").alias("__ry"),
+    ).withColumns(
+        {
+            "__cx": cell(F.col("__rx")),
+            "__cy": cell(F.col("__ry")),
+        }
+    )
+    offsets = F.expr(
+        "array(-1, 0, 1)"
+    )
+    lb = (
+        left.select(
+            F.col(id_l),
+            F.col(x_col).cast("long").alias("__lx"),
+            F.col(y_col).cast("long").alias("__ly"),
+        )
+        .withColumn("__dx", F.explode(offsets))
+        .withColumn("__dy", F.explode(offsets))
+        .withColumns(
+            {
+                "__cx": cell(F.col("__lx")) + F.col("__dx"),
+                "__cy": cell(F.col("__ly")) + F.col("__dy"),
+            }
+        )
+    )
+    d2 = (F.col("__lx") - F.col("__rx")) * (
+        F.col("__lx") - F.col("__rx")
+    ) + (F.col("__ly") - F.col("__ry")) * (F.col("__ly") - F.col("__ry"))
+    return (
+        lb.join(rb, ["__cx", "__cy"])
+        .withColumn("dist_sq", d2)
+        .filter(F.col("dist_sq") <= F.lit(r2))
+        .select(id_l, id_r, F.col("dist_sq").cast("long").alias("dist_sq"))
+    )
+
+
+def radius_pairs(
+    points: DataFrame,
+    radius: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Self radius join: unordered pairs (``id1 < id2``) of distinct
+    points within ``radius`` — the spatial-clustering / neighbor-graph
+    primitive (DBSCAN's epsilon neighborhood, store-proximity dedup).
+
+    Same grid plan as :func:`radius_join`; the ``id1 < id2`` filter
+    rides the exact-distance filter, after the equi-join, so each
+    unordered pair still survives from exactly one probed cell.
+    """
+    l = points.select(
+        F.col(id_col).alias("id1"), F.col(x_col), F.col(y_col)
+    )
+    r = points.select(
+        F.col(id_col).alias("id2"), F.col(x_col), F.col(y_col)
+    )
+    joined = radius_join(l, r, radius, ("id1", "id2"), x_col, y_col)
+    return joined.filter(F.col("id1") < F.col("id2"))

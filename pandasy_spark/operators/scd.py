@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_apply", "merge_upsert", "snapshot_diff"]
+__all__ = ["scd2_apply", "merge_upsert", "snapshot_diff", "cdc_apply"]
 
 
 def _assert_unique_keys(df: DataFrame, keys: list[str], side: str) -> DataFrame:
@@ -289,3 +289,72 @@ def snapshot_diff(
     if include_unchanged:
         return out
     return out.filter(F.col("change_type") != "unchanged")
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    payload: list[str] | None = None,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply an ordered change-data-capture log to a snapshot — the
+    replication primitive behind Debezium/binlog ingestion: ``changes``
+    carries (keys..., payload..., ``seq_col``, ``op_col``) where op is
+    an upsert (any value but ``delete_op``) or a delete; for each key
+    only the change with the HIGHEST sequence number counts, and the
+    new snapshot is
+
+    - base row, when the key has no change;
+    - the latest change's payload, when its op is an upsert (covers
+      both UPDATE of an existing key and INSERT of a new one);
+    - nothing, when the latest op is a delete (idempotent: deleting an
+      absent key is a no-op).
+
+    PRECONDITION: ``seq_col`` is unique per key (any CDC source with a
+    log offset satisfies this); ties would make "latest" ambiguous.
+
+    Scale shape: the last-wins reduction is a window over the
+    CHANGELOG ONLY, partitioned by key (the delta is the small side;
+    per-key change runs are bounded by construction), then ONE
+    null-safe full-outer equi-join against the snapshot on the key —
+    broadcast when the delta is small, shuffle-hash otherwise.  The
+    snapshot itself is never windowed or re-sorted; with both sides
+    bucketed on the key the nightly apply is shuffle-free.
+    """
+    if payload is None:
+        payload = [c for c in base.columns if c not in keys]
+    for c in (*keys, *payload):
+        if c not in base.columns or c not in changes.columns:
+            raise ValueError(f"column {c!r} missing from base or changes")
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(seq_col).desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *[F.col(k) for k in keys],
+            *[F.col(c).alias(f"__new_{c}") for c in payload],
+            F.col(op_col).alias("__op"),
+        )
+    )
+    b = base.select(*keys, *payload).withColumn("__in_base", F.lit(True)).alias("b")
+    c_ = latest.withColumn("__in_chg", F.lit(True)).alias("c")
+    cond = None
+    for k in keys:
+        e = F.col(f"b.{k}").eqNullSafe(F.col(f"c.{k}"))
+        cond = e if cond is None else cond & e
+    joined = b.join(c_, cond, "full_outer")
+    has_chg = F.col("c.__in_chg").isNotNull()
+    survives = ~has_chg | (F.col("c.__op") != F.lit(delete_op))
+    out_cols = [
+        F.coalesce(F.col(f"b.{k}"), F.col(f"c.{k}")).alias(k) for k in keys
+    ]
+    out_cols += [
+        F.when(has_chg, F.col(f"__new_{c}")).otherwise(F.col(f"b.{c}")).alias(c)
+        for c in payload
+    ]
+    return joined.filter(survives).select(*out_cols)

@@ -9117,3 +9117,375 @@ def multimodal_tga(spark, sf_dir):
 
     with_tga = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
     return X_mm.image_stats(with_tga)
+
+
+@query(
+    "cdc_apply",
+    """
+    WITH base AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY user_id
+    ), chg AS (
+      SELECT user_id, event_id AS seq,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             CAST(user_id % 100 AS BIGINT) AS n_events,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS total_cents
+      FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+    ), latest AS (
+      SELECT user_id, op, n_events, total_cents FROM (
+        SELECT c.*, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY seq DESC) AS rn
+        FROM chg c
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.user_id, l.user_id) AS user_id,
+           CASE WHEN l.user_id IS NOT NULL THEN l.n_events
+                ELSE b.n_events END AS n_events,
+           CASE WHEN l.user_id IS NOT NULL THEN l.total_cents
+                ELSE b.total_cents END AS total_cents
+    FROM base b FULL OUTER JOIN latest l ON b.user_id = l.user_id
+    WHERE l.user_id IS NULL OR l.op <> 'D'
+    """,
+)
+def warehouse_cdc(spark, sf_dir):
+    """Change-data-capture apply (operators/scd.py cdc_apply): a
+    per-user snapshot built from the first 19 days of events, then the
+    remaining days replayed as a CDC log (event_id = log offset,
+    'error' events = deletes, everything else = upserts carrying a
+    deterministic payload).  Last-wins per key via a changelog-only
+    window, then ONE null-safe full-outer join against the snapshot —
+    the snapshot itself is never windowed; deletes of absent keys are
+    no-ops.  The oracle restates the identical ROW_NUMBER + outer-join
+    plan in SQL."""
+    from .operators.scd import cdc_apply
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    base = (
+        filter_df(ev, F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("total_cents"),
+        )
+    )
+    chg = filter_df(ev, F.col("ts") >= cutoff).select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        (F.col("user_id") % 100).cast("long").alias("n_events"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "total_cents"
+        ),
+    )
+    return cdc_apply(
+        base, chg, ["user_id"], ["n_events", "total_cents"],
+        seq_col="seq", op_col="op",
+    )
+
+
+@query(
+    "events_resample",
+    """
+    WITH obs AS (
+      SELECT event_type AS k,
+             CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS b,
+             epoch_us(ts) AS us, event_id AS id,
+             CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), latest AS (
+      SELECT k, b, v FROM (
+        SELECT k, b, v, ROW_NUMBER() OVER (
+          PARTITION BY k, b ORDER BY us DESC, id DESC) AS rn
+        FROM obs
+      ) WHERE rn = 1
+    ), bounds AS (
+      SELECT k, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY k
+    ), grid AS (
+      SELECT k, unnest(generate_series(lo, hi)) AS b FROM bounds
+    ), filled AS (
+      SELECT g.k, g.b,
+             LAST_VALUE(l.v IGNORE NULLS) OVER (
+               PARTITION BY g.k ORDER BY g.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf,
+             l.v IS NOT NULL AS is_observed
+      FROM grid g LEFT JOIN latest l ON l.k = g.k AND l.b = g.b
+    )
+    SELECT k AS event_type,
+           make_timestamp(b * 3600000000) AS bucket_ts,
+           CAST(vf AS DOUBLE) / 10000.0 AS value,
+           is_observed
+    FROM filled
+    """,
+)
+def events_resample(spark, sf_dir):
+    """Fixed-grid timeseries resampling with last-observation-carried-
+    forward gap fill (extended/events.py resample_locf): hourly
+    buckets per event type, each taking its latest in-bucket reading
+    (ts then event_id — deterministic under ties), holes inheriting
+    the previous value.  Both the per-bucket reduction and the LOCF
+    are KEY-partitioned windows (bounded state, no global sort); the
+    grid comes from one min/max aggregate + sequence/explode.  Values
+    ride the 1e4 integer grid so carried values hash-match."""
+    from .extended.events import resample_locf
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_locf(
+        ev, key_col="event_type", ts_col="ts", value_col="value",
+        id_col="event_id", step_seconds=3600, decimals=4,
+    )
+
+
+@query(
+    "dedup_weighted_jaccard",
+    rf"""
+    WITH tk AS (
+      SELECT doc_id,
+             lower(unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> length(x) > 0))) AS tok
+      FROM documents WHERE doc_id < 200
+    ), tc AS (
+      SELECT doc_id, tok, least(CAST(COUNT(*) AS BIGINT), 8) AS cnt
+      FROM tk GROUP BY doc_id, tok
+    ), reps AS (
+      SELECT doc_id, tok, cnt,
+             unnest(range(1, CAST(cnt AS INT) + 1)) AS rep
+      FROM tc
+    ), hr AS (
+      SELECT doc_id,
+             ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                        [ord(substring(tok, i, 1))
+                                         for i in range(1, len(tok)+1)]),
+                           (acc, c) -> (acc * 257 + c) % 9007199254740992)
+               % 2147483647)
+              * 48271 + rep * 1103515245 + 12345) % 2147483647 AS h
+      FROM reps
+    ), hs AS (
+      SELECT doc_id, list(h) AS hl FROM hr GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL} AS sg FROM hs
+    ), banded AS (
+      SELECT doc_id, b,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                      list_slice(sg, 4*b + 1, 4*b + 4)),
+                         (acc, v) -> (acc * 48271 + v) % 2147483647) AS bucket
+      FROM sig, range(0, 8) bb(b)
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      FROM banded l JOIN banded r
+        ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS tot FROM tc GROUP BY doc_id
+    ), inter AS (
+      SELECT c.id1, c.id2,
+             CAST(SUM(LEAST(a.cnt, b.cnt)) AS BIGINT) AS inter_w
+      FROM cand c
+      JOIN tc a ON a.doc_id = c.id1
+      JOIN tc b ON b.doc_id = c.id2 AND b.tok = a.tok
+      GROUP BY c.id1, c.id2
+    )
+    SELECT i.id1, i.id2, i.inter_w,
+           CAST(ta.tot + tb.tot - i.inter_w AS BIGINT) AS union_w,
+           CAST(i.inter_w AS DOUBLE)
+             / CAST(ta.tot + tb.tot - i.inter_w AS DOUBLE) AS wjaccard
+    FROM inter i
+    JOIN tot ta ON ta.doc_id = i.id1
+    JOIN tot tb ON tb.doc_id = i.id2
+    WHERE i.inter_w * 1000 >= 300 * (ta.tot + tb.tot - i.inter_w)
+    """,
+)
+def dedup_weighted_jaccard(spark, sf_dir):
+    """Weighted near-dup detection (extended/dedup.py
+    weighted_jaccard_pairs): capped token counts -> EXACT weighted
+    minhash for integer weights (count-c tokens become c distinct
+    (tok, replica) elements, so plain set-minhash estimates
+    Σmin/Σmax), banded LSH candidates, then exact weighted-Jaccard
+    verification on the integer lattice.  The repetition-aware twin of
+    dedup_minhash — "spam spam spam" no longer equals "spam".  The
+    oracle rebuilds signatures, bands and the verification
+    arithmetic."""
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 200)
+    return X_dedup.weighted_jaccard_pairs(
+        docs, num_hashes=32, bands=8, cap=8, threshold_milli=300
+    )
+
+
+@query(
+    "sketch_kmv_intersect",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type AS g,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT AS h,
+             user_id
+      FROM events
+    ), gs AS (SELECT DISTINCT g FROM h),
+    pairs AS (
+      SELECT a.g AS g1, b.g AS g2 FROM gs a, gs b WHERE a.g < b.g
+    ), u AS (
+      SELECT p.g1, p.g2, x.h,
+             MAX(CASE WHEN x.g = p.g1 THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN x.g = p.g2 THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN h x ON x.g = p.g1 OR x.g = p.g2
+      GROUP BY p.g1, p.g2, x.h
+    ), r AS (
+      SELECT g1, g2, h, in_a, in_b,
+             ROW_NUMBER() OVER (PARTITION BY g1, g2 ORDER BY h) AS rk
+      FROM u
+    ), agg AS (
+      SELECT g1, g2,
+             MAX(CASE WHEN rk = 32 THEN h END) AS kth_hash,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS k_common,
+             COUNT(*) AS n
+      FROM r WHERE rk <= 32 GROUP BY g1, g2
+    ), est AS (
+      SELECT g1, g2, kth_hash,
+             CAST((CAST(31 AS BIGINT) * 72057594037927936) // kth_hash
+                  AS BIGINT) AS est_union,
+             k_common
+      FROM agg WHERE n = 32
+    ), ex AS (
+      SELECT p.g1, p.g2,
+             CAST(COUNT(*) AS BIGINT) AS exact_inter
+      FROM pairs p JOIN (
+        SELECT g1.g AS ga, g2.g AS gb, a.user_id
+        FROM (SELECT DISTINCT g, user_id FROM h) a
+        JOIN (SELECT DISTINCT g, user_id FROM h) b
+          ON a.user_id = b.user_id AND a.g < b.g,
+        LATERAL (SELECT a.g AS g) g1, LATERAL (SELECT b.g AS g) g2
+      ) j ON j.ga = p.g1 AND j.gb = p.g2
+      GROUP BY p.g1, p.g2
+    )
+    SELECT e.g1, e.g2, e.kth_hash, e.est_union, e.k_common,
+           CAST((e.k_common * e.est_union) // 32 AS BIGINT) AS est_inter,
+           CAST((e.k_common * 1000) // 32 AS BIGINT) AS jaccard_milli,
+           COALESCE(x.exact_inter, 0) AS exact_inter
+    FROM est e LEFT JOIN ex x ON x.g1 = e.g1 AND x.g2 = e.g2
+    """,
+)
+def sketch_kmv_intersect(spark, sf_dir):
+    """KMV intersection/Jaccard estimates (extended/sketches.py
+    kmv_intersect_estimate) over the event-type × user-id incidence:
+    any hash among the union's bottom-k that belongs to a set is
+    necessarily in that set's own bottom-k sketch, so membership
+    flags on the merged synopses give |K∩| — and with it Jaccard and
+    intersection estimates — WITHOUT revisiting the corpus.  Every
+    quantity is BIGINT-lattice; the oracle rebuilds the registers
+    from the full hash sets (provably identical on the top-k prefix)
+    plus an exact-intersection twin column for calibration."""
+    ev = _t(spark, sf_dir, "events")
+    est = X_sk.kmv_intersect_estimate(ev, "event_type", "user_id", k=32)
+    a = ev.select(F.col("event_type").alias("g1"), "user_id").distinct()
+    b = ev.select(F.col("event_type").alias("g2"), "user_id").distinct()
+    exact = (
+        a.join(b, ["user_id"])
+        .filter(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    return est.join(exact, ["g1", "g2"], "left").select(
+        "g1", "g2", "kth_hash", "est_union", "k_common", "est_inter",
+        "jaccard_milli",
+        F.coalesce(F.col("exact_inter"), F.lit(0).cast("long")).alias(
+            "exact_inter"
+        ),
+    )
+
+
+@query(
+    "graph_sssp",
+    """
+    WITH RECURSIVE i AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS x FROM lineitem
+    ), e AS (
+      SELECT a.x AS x, b.x AS y
+      FROM i a JOIN i b ON a.g = b.g AND a.x < b.x
+      GROUP BY a.x, b.x HAVING COUNT(*) >= 2
+    ), ew AS (
+      SELECT x, y, 1 + (x + y) % 7 AS w FROM e
+    ), sym AS (
+      SELECT x AS u, y AS v, w FROM ew
+      UNION SELECT y AS u, x AS v, w FROM ew
+    ), src AS (
+      SELECT DISTINCT u AS node FROM sym WHERE u % 97 = 0
+    ), walk(node, dist, depth) AS (
+      SELECT node, CAST(0 AS BIGINT), 0 FROM src
+      UNION
+      SELECT s.v, w.dist + s.w, w.depth + 1
+      FROM walk w JOIN sym s ON s.u = w.node WHERE w.depth < 3
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def graph_sssp(spark, sf_dir):
+    """Bounded weighted shortest paths (extended/graph.py sssp):
+    Bellman-Ford relaxation rounds — join the distance table to the
+    weighted co-occurrence edges, min-aggregate proposals — out to 3
+    edges from the seed set (partkeys ≡ 0 mod 97), with deterministic
+    integer weights ``1 + (x+y) mod 7``.  The weighted upgrade of
+    graph_bfs: same frontier-relational shape, but distances carry
+    edge costs, so the oracle's recursive CTE tracks (node, dist,
+    depth) tuples and takes the per-node MIN."""
+    from .extended.graph import cooccurrence_edges, sssp
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    ew = e.select(
+        "x", "y", (F.lit(1) + (F.col("x") + F.col("y")) % 7).alias("w")
+    )
+    nodes = (
+        e.select(F.col("x").alias("node"))
+        .union(e.select(F.col("y").alias("node")))
+        .distinct()
+    )
+    src = filter_df(nodes, F.col("node") % 97 == 0)
+    return sssp(ew, src, rounds=3)
+
+
+@query(
+    "spatial_radius_join",
+    """
+    WITH p AS (
+      SELECT vec_id AS id,
+             CAST(FLOOR(CAST(embedding AS DOUBLE[])[1] * 1000) AS BIGINT) AS x,
+             CAST(FLOOR(CAST(embedding AS DOUBLE[])[2] * 1000) AS BIGINT) AS y
+      FROM embeddings
+    )
+    SELECT a.id AS id1, b.id AS id2,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+    FROM p a JOIN p b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 3600
+    """,
+)
+def spatial_radius_join(spark, sf_dir):
+    """Grid-bucketed planar radius join (extended/spatial.py
+    radius_pairs): every embedding projected to an integer 2-D grid
+    (first two dims × 1000), all pairs within Euclidean distance 60.
+    The Spark plan is the pigeonhole decomposition — r-sized cells,
+    3×3 neighbor probes, ONE equi-join on the cell key, exact BIGINT
+    distance filter — never a Cartesian product; the oracle states
+    the same result as the brute-force theta-join DuckDB can afford
+    at gate scale."""
+    from .extended.spatial import radius_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.floor(
+            F.element_at(F.col("embedding").cast("array<double>"), 1)
+            * 1000
+        ).cast("long").alias("x"),
+        F.floor(
+            F.element_at(F.col("embedding").cast("array<double>"), 2)
+            * 1000
+        ).cast("long").alias("y"),
+    )
+    return radius_pairs(pts, radius=60)
