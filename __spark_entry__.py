@@ -135,6 +135,9 @@ _R6_NEW: list[str] = [
     "sketch_kmv_intersect",
     "graph_sssp",
     "spatial_radius_join",
+    "knn_beam",
+    "events_ewma",
+    "streaming_enrich",
 ]
 
 

@@ -162,6 +162,9 @@ BENCH_QUERIES = [
     "sketch_kmv_intersect",
     "graph_sssp",
     "spatial_radius_join",
+    "knn_beam",
+    "events_ewma",
+    "streaming_enrich",
 ]
 
 

@@ -23,6 +23,7 @@ __all__ = [
     "transition_matrix",
     "linear_attribution",
     "resample_locf",
+    "ewma_per_key",
 ]
 
 
@@ -545,4 +546,71 @@ def resample_locf(
         F.timestamp_micros(F.col("b") * F.lit(step_us)).alias("bucket_ts"),
         (F.col("__vf").cast("double") / F.lit(p)).alias("value"),
         "is_observed",
+    )
+
+
+def ewma_per_key(
+    df,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    a: int = 1,
+    b: int = 4,
+    decimals: int = 2,
+):
+    """Per-key exponentially-weighted moving average as an ORDERED
+    integer fold: ``v_0 = x_0``, ``v_t = floor((a·x_t + (b-a)·v_{t-1})
+    / b)`` with rational smoothing ``α = a/b`` — the smoothed-metric
+    primitive (load averages, latency trend, spend velocity) that no
+    built-in window aggregate expresses, because the recurrence is
+    neither associative nor commutative.
+
+    Values ride the ``decimals`` integer grid and every step is one
+    integer multiply-add plus a floor division, so the fold is exact
+    and engine-portable (DuckDB: ``list_reduce`` over
+    ``list(x ORDER BY ts, id)``).  Event order inside a key is
+    (``ts_col``, ``id_col``) — deterministic under timestamp ties.
+
+    Output: ``(key, ewma_cents, ewma, n)``.
+
+    Scale shape: ONE map-combined... no — collect_list is a real
+    per-key materialization: the fold is inherently sequential, so
+    each key's ordered history must assemble in one place (the same
+    constraint any stateful-stream EWMA has).  Per-key state = the
+    key's event count; for keys whose history exceeds executor memory,
+    fold bounded SEGMENTS and carry (v, weight) checkpoints instead —
+    at the default event-table shape (≤ millions of rows per key)
+    the direct fold is the right plan.
+    """
+    if not (0 < a < b):
+        raise ValueError("need 0 < a < b (alpha = a/b in (0,1))")
+    p = float(10**decimals)
+    s = df.select(
+        F.col(key_col).alias("k"),
+        F.struct(
+            F.unix_micros(F.col(ts_col)).alias("us"),
+            F.col(id_col).alias("id"),
+            F.floor(F.col(value_col) * p + F.lit(0.5)).cast("long").alias("x"),
+        ).alias("s"),
+    )
+    per = s.groupBy("k").agg(
+        F.array_sort(F.collect_list("s")).alias("seq")
+    )
+    init = F.element_at(F.col("seq"), 1)["x"]
+    rest = F.slice(
+        F.col("seq"), 2, F.greatest(F.size("seq") - 1, F.lit(0))
+    )
+    fold = F.aggregate(
+        rest,
+        init,
+        lambda acc, e: F.floor(
+            (F.lit(a) * e["x"] + F.lit(b - a) * acc) / F.lit(b)
+        ).cast("long"),
+    )
+    return per.select(
+        F.col("k").alias(key_col),
+        fold.alias("ewma_cents"),
+        (fold.cast("double") / F.lit(p)).alias("ewma"),
+        F.size("seq").cast("long").alias("n"),
     )

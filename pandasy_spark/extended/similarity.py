@@ -41,6 +41,9 @@ __all__ = [
     "semantic_contamination",
     "pca_moments",
     "embedding_pca",
+    "int_grid_vec",
+    "knn_graph",
+    "beam_topk",
 ]
 
 
@@ -1177,4 +1180,178 @@ def ivfpq_topk(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "id", "adc_d2", "rk")
+    )
+
+
+def int_grid_vec(col: Column, scale: int = 1000) -> Column:
+    """Vector snapped to an integer lattice: ``floor(x * scale)`` per
+    dimension, as ``array<long>``.  Distances on the lattice are exact
+    BIGINT sums — deterministic in any engine — which is what lets
+    graph-ANN rankings (and their ties) reproduce bit-for-bit."""
+    return F.transform(
+        as_double_vec(col), lambda x: F.floor(x * F.lit(float(scale)))
+    )
+
+
+def _grid_d2(a: Column, b: Column) -> Column:
+    """Exact squared L2 distance between two int-lattice vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    m: int = 8,
+    planes: int = 4,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Approximate k-NN graph over a vector corpus — the navigable
+    neighbor structure graph-ANN search (HNSW-family) walks: candidate
+    edges come from multi-table hyperplane-LSH co-bucketing (only
+    same-bucket pairs are scored — never all-pairs), each node keeps
+    its ``m`` nearest by exact int-lattice L2 (ties broken by neighbor
+    id, so the graph is deterministic and engine-reproducible).
+
+    Output: ``(node, nbr, d2)`` — directed, ``m`` rows per node at
+    most (fewer for nodes isolated in all their buckets).
+
+    Scale shape: per (table, bucket) self-equi-join — fan-out bounded
+    by bucket population (raise ``planes`` as the corpus grows to
+    keep buckets bounded; the standard LSH-forest tuning), then one
+    per-node top-m window on the candidate edge set.  Corpus vectors
+    never cross-join.
+    """
+    iv = corpus.select(
+        F.col(id_col).alias("node"),
+        int_grid_vec(F.col(vec_col), scale).alias("nv"),
+    )
+    parts = []
+    for t in range(tables):
+        parts.append(
+            corpus.select(
+                F.col(id_col).alias("node"),
+                F.lit(t).alias("t"),
+                hyperplane_bucket(
+                    as_double_vec(F.col(vec_col)), planes, t
+                ).alias("bucket"),
+            )
+        )
+    b = parts[0]
+    for p in parts[1:]:
+        b = b.unionByName(p)
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.node") != F.col("r.node")),
+        )
+        .select(F.col("l.node").alias("node"), F.col("r.node").alias("nbr"))
+        .distinct()
+    )
+    scored = (
+        cand.join(iv.withColumnRenamed("node", "nbr").withColumnRenamed(
+            "nv", "bv"
+        ), "nbr")
+        .join(iv, "node")
+        .select("node", "nbr", _grid_d2(F.col("nv"), F.col("bv")).alias("d2"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("node").orderBy(F.asc("d2"), F.asc("nbr"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= m)
+        .select("node", "nbr", "d2")
+    )
+
+
+def beam_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    beam_width: int = 32,
+    rounds: int = 3,
+    n_entry: int = 8,
+    planes: int = 4,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 1000,
+    graph: DataFrame | None = None,
+) -> DataFrame:
+    """Graph-based beam-search ANN — the HNSW-style search pattern
+    stated relationally: every query starts a beam at a fixed entry
+    set (the ``n_entry`` smallest corpus ids — deterministic), and
+    each round expands the beam along the k-NN graph's edges, scores
+    the frontier with exact int-lattice L2, and keeps the best
+    ``beam_width`` candidates.  Greedy graph descent converges in a
+    few rounds when the graph is navigable; unlike IVF there is no
+    global partition — recall comes from edge locality.
+
+    Output: ``(query_id, id, d2, rk)``, top-``k`` per query.
+
+    Scale shape: per round ONE equi-join of the beam against the edge
+    list (|queries| × beam_width × m rows), one equi-join to fetch
+    candidate vectors, and a per-query top-``beam_width`` window —
+    queries broadcast; the corpus is touched only through its (node,
+    vector) table, never scanned per query.  ``localCheckpoint``
+    bounds the iterative lineage.  Build the graph ONCE and pass it
+    via ``graph`` to amortize across query batches — the index-build /
+    query-serve split every production ANN deploys.
+    """
+    if k < 1 or beam_width < k:
+        raise ValueError("need beam_width >= k >= 1")
+    from pyspark.sql.window import Window
+
+    if graph is None:
+        graph = knn_graph(corpus, m, planes, tables, id_col, vec_col, scale)
+    graph = graph.select("node", "nbr").localCheckpoint(eager=False)
+    iv = corpus.select(
+        F.col(id_col).alias("node"),
+        int_grid_vec(F.col(vec_col), scale).alias("nv"),
+    ).localCheckpoint(eager=False)
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        int_grid_vec(F.col(vec_col), scale).alias("qv"),
+    )
+    entries = (
+        corpus.select(F.col(id_col).alias("node"))
+        .orderBy("node")
+        .limit(n_entry)
+    )
+    beam = qv.select("query_id").crossJoin(F.broadcast(entries))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("node"))
+    for rnd in range(rounds + 1):
+        if rnd > 0:
+            expand = beam.join(graph, "node").select(
+                "query_id", F.col("nbr").alias("node")
+            )
+            beam = beam.select("query_id", "node").union(expand).distinct()
+        scored = (
+            beam.join(iv, "node")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id", "node", _grid_d2(F.col("nv"), F.col("qv")).alias("d2")
+            )
+        )
+        beam = (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= beam_width)
+            .select("query_id", "node", "d2")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        beam.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col("node").alias("id"), "d2", "rk")
     )

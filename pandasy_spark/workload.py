@@ -9489,3 +9489,162 @@ def spatial_radius_join(spark, sf_dir):
         ).cast("long").alias("y"),
     )
     return radius_pairs(pts, radius=60)
+
+
+@query(
+    "knn_beam",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(5 AS INT) AS k,
+           TRUE AS recall_ok,
+           TRUE AS bounded_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def knn_beam(spark, sf_dir):
+    """Graph-based beam-search ANN (extended/similarity.py knn_graph +
+    beam_topk) — the HNSW-style search pattern: an LSH-co-bucketed
+    k-NN graph (top-m exact int-lattice neighbors per node, never
+    all-pairs), then per query a beam walks the graph from a fixed
+    entry set, re-scoring the frontier exactly each round.  Recall
+    comes from edge locality, not a global partition — the
+    complementary third ANN family beside IVF(-PQ) and hyperplane LSH.
+    SELF-CERTIFYING like knn_ivf/knn_pq: the same plan computes exact
+    int-grid top-5 and emits recall_ok = recall@5 >= 0.3 (measured
+    0.54-0.74 across sf0.001/0.01/0.1 on UNIFORM vectors — the
+    hardest case for graph ANN; planted-cluster recall is pinned 1.0
+    in tests/test_round6b_ops.py) and bounded_ok = at most k rows per
+    query.  All ranking on the BIGINT lattice, so the booleans are
+    deterministic."""
+    from pyspark.sql.window import Window
+
+    from .extended.similarity import beam_topk, int_grid_vec
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = filter_df(emb, F.col("vec_id") >= 10)
+    queries_df = filter_df(emb, F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = beam_topk(
+        corpus, queries_df, k=5, m=8, beam_width=32, rounds=3, n_entry=8,
+        planes=4, tables=8,
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("id"), int_grid_vec(F.col("embedding")).alias("v")
+    )
+    q = queries_df.select(
+        "query_id", int_grid_vec(F.col("embedding")).alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("id"))
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("d2", d2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "id")
+    )
+    hits = approx.select("query_id", "id").join(exact, ["query_id", "id"])
+    per_q = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ret"))
+    stats = (
+        queries_df.select("query_id")
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+            "query_id",
+            "left",
+        )
+        .join(per_q, "query_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(F.coalesce(F.col("n_hits"), F.lit(0))).alias("total_hits"),
+            F.max(F.coalesce(F.col("n_ret"), F.lit(0))).alias("max_ret"),
+        )
+    )
+    return stats.select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.lit(5).cast("int").alias("k"),
+        (
+            F.col("total_hits").cast("double")
+            >= F.lit(0.3) * F.lit(5.0) * F.col("n_queries").cast("double")
+        ).alias("recall_ok"),
+        (F.col("max_ret") <= F.lit(5)).alias("bounded_ok"),
+    )
+
+
+@query(
+    "events_ewma",
+    """
+    WITH s AS (
+      SELECT event_type AS k, epoch_us(ts) AS us, event_id AS id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+      FROM events
+    ), seq AS (
+      SELECT k, list(x ORDER BY us, id) AS xs FROM s GROUP BY k
+    )
+    SELECT k AS event_type,
+           CAST(list_reduce(xs,
+                 (acc, x) -> CAST(FLOOR((1 * x + 3 * acc) / 4) AS BIGINT))
+                AS BIGINT) AS ewma_cents,
+           CAST(list_reduce(xs,
+                 (acc, x) -> CAST(FLOOR((1 * x + 3 * acc) / 4) AS BIGINT))
+                AS DOUBLE) / 100.0 AS ewma,
+           CAST(len(xs) AS BIGINT) AS n
+    FROM seq
+    """,
+)
+def events_ewma(spark, sf_dir):
+    """Per-key EWMA as an ordered integer fold (extended/events.py
+    ewma_per_key): v_t = floor((x_t + 3·v_{t-1})/4) over the cent
+    grid, events ordered by (ts, event_id) — the inherently-sequential
+    recurrence no window aggregate expresses, stated as
+    collect_list → array_sort → aggregate (the per-key fold pattern).
+    The oracle folds the identical list with DuckDB's list_reduce, so
+    every intermediate division hash-matches."""
+    from .extended.events import ewma_per_key
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma_per_key(ev, a=1, b=4, decimals=2)
+
+
+@query(
+    "streaming_enrich",
+    """
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def streaming_enrich(spark, sf_dir):
+    """STREAM-STATIC enrichment join — the canonical streaming lookup
+    pattern: the event stream joins a BROADCAST static dimension
+    (customer → nation) inside the micro-batch plan, then maintains
+    complete-mode per-nation counts/sums.  No state grows with the
+    stream beyond the (tiny) aggregate grid; the dimension is pinned
+    executor-side once per batch.  The oracle states the same join +
+    aggregate on the batch tables — stream results must equal batch
+    exactly."""
+    from .streaming import run_stream_to_memory, stream_table
+
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_enrich_gate_{_STREAM_GATE_SEQ[0]}"
+    ev = stream_table(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    joined = ev.join(F.broadcast(cust), "user_id")
+    agg_df = joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("total_cents"),
+    )
+    q = run_stream_to_memory(agg_df, name, output_mode="complete")
+    q.stop()
+    return spark.table(name).select("c_nationkey", "n_events", "total_cents")

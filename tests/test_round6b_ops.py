@@ -315,3 +315,98 @@ def test_radius_join_validates_radius(spark):
     p = _pts(spark, [(1, 0, 0)])
     with pytest.raises(ValueError):
         radius_pairs(p, radius=0)
+
+
+# ------------------------------------------------------- beam ANN
+
+
+def test_beam_topk_planted_clusters_recall(spark):
+    import numpy as np
+
+    from pandasy_spark.extended.similarity import beam_topk
+
+    # 4 tight clusters, queries at cluster centers: graph edges stay
+    # intra-cluster, beam must find exactly the planted neighbors
+    rng = np.random.RandomState(3)
+    centers = rng.uniform(-1, 1, size=(4, 8))
+    rows = []
+    for i in range(80):
+        c = i % 4
+        v = centers[c] + rng.uniform(-0.01, 0.01, 8)
+        rows.append((i + 100, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qrows = [(c, [float(x) for x in centers[c]]) for c in range(4)]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, embedding array<float>"
+    )
+    got = beam_topk(
+        corpus, queries, k=5, m=8, beam_width=24, rounds=3, n_entry=4,
+        query_id_col="query_id",
+    ).collect()
+    assert len(got) == 20
+    for r in got:
+        # every returned neighbor is from the query's own cluster
+        assert (r["id"] - 100) % 4 == r["query_id"]
+
+
+def test_knn_graph_is_topm_and_deterministic(spark):
+    from pandasy_spark.extended.similarity import knn_graph
+
+    rows = [(i, [float(i), 0.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    g1 = sorted(
+        (r["node"], r["nbr"], r["d2"]) for r in knn_graph(df, m=3).collect()
+    )
+    g2 = sorted(
+        (r["node"], r["nbr"], r["d2"]) for r in knn_graph(df, m=3).collect()
+    )
+    assert g1 == g2
+    from collections import Counter
+
+    per_node = Counter(n for n, _, _ in g1)
+    assert all(c <= 3 for c in per_node.values())
+
+
+def test_beam_validates_widths(spark):
+    from pandasy_spark.extended.similarity import beam_topk
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        beam_topk(df, df, k=5, beam_width=3)
+
+
+# ------------------------------------------------------------- EWMA
+
+
+def test_ewma_hand_computed(spark):
+    from pandasy_spark.extended.events import ewma_per_key
+
+    # x = [100, 200, 400] cents, alpha=1/4:
+    # v0=100; v1=floor((200+3*100)/4)=125; v2=floor((400+3*125)/4)=193
+    rows = [
+        (1, "2024-01-01 00:00:00", "a", 1.0),
+        (2, "2024-01-01 00:01:00", "a", 2.0),
+        (3, "2024-01-01 00:02:00", "a", 4.0),
+    ]
+    df = _series(spark, rows)
+    out = ewma_per_key(df, key_col="event_type").collect()
+    assert len(out) == 1
+    assert out[0]["ewma_cents"] == 193 and out[0]["n"] == 3
+    assert out[0]["ewma"] == 1.93
+
+
+def test_ewma_order_and_validation(spark):
+    from pandasy_spark.extended.events import ewma_per_key
+
+    # same values in reversed insertion order: fold must follow ts
+    rows = [
+        (3, "2024-01-01 00:02:00", "a", 4.0),
+        (1, "2024-01-01 00:00:00", "a", 1.0),
+        (2, "2024-01-01 00:01:00", "a", 2.0),
+    ]
+    out = ewma_per_key(_series(spark, rows), key_col="event_type").collect()
+    assert out[0]["ewma_cents"] == 193
+    with pytest.raises(ValueError):
+        ewma_per_key(_series(spark, rows), a=4, b=4)
