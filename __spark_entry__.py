@@ -138,6 +138,11 @@ _R6_NEW: list[str] = [
     "knn_beam",
     "events_ewma",
     "streaming_enrich",
+    "text_readability",
+    "profile_benford",
+    "graph_similarity",
+    "events_session_attribution",
+    "multimodal_pcx",
 ]
 
 

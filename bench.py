@@ -165,6 +165,11 @@ BENCH_QUERIES = [
     "knn_beam",
     "events_ewma",
     "streaming_enrich",
+    "text_readability",
+    "profile_benford",
+    "graph_similarity",
+    "events_session_attribution",
+    "multimodal_pcx",
 ]
 
 

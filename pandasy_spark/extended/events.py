@@ -24,6 +24,7 @@ __all__ = [
     "linear_attribution",
     "resample_locf",
     "ewma_per_key",
+    "sessionized_attribution",
 ]
 
 
@@ -613,4 +614,66 @@ def ewma_per_key(
         fold.alias("ewma_cents"),
         (fold.cast("double") / F.lit(p)).alias("ewma"),
         F.size("seq").cast("long").alias("n"),
+    )
+
+
+def sessionized_attribution(
+    df,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conversion: str = "purchase",
+    touches: tuple = ("click", "signup", "view"),
+    gap_seconds: int = 1800,
+):
+    """Session-scoped attribution: conversions are credited only to
+    touches inside the SAME session (inactivity gap > ``gap_seconds``
+    starts a new one) — the marketing-analytics upgrade of
+    :func:`last_touch_attribution`, which happily credits a touch from
+    last month.  Per conversion: its session index, the session's
+    FIRST preceding touch type (first-touch-in-session model) and the
+    number of touches seen so far in the session.
+
+    Output: ``(user, conversion_id, conversion_ts, session_idx,
+    first_touch_type, n_touches_before)`` — ``first_touch_type`` NULL
+    for organic conversions (no touch in session).
+
+    Scale shape: everything is TWO window passes over one shuffle on
+    the user key — the gap flag + running session index, then
+    first/count accumulations partitioned by (user, session).  Same
+    bounded-per-user state as any sessionization; no joins at all.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    gap_us = gap_seconds * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    is_new = (prev.isNull() | (us - prev > F.lit(gap_us))).cast("int")
+    with_sess = df.withColumn(
+        "__sess",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w2 = (
+        Window.partitionBy(user_col, "__sess")
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_type = F.when(F.col(type_col).isin(*touches), F.col(type_col))
+    out = with_sess.withColumn(
+        "first_touch_type", F.first(touch_type, ignorenulls=True).over(w2)
+    ).withColumn(
+        "n_touches_before",
+        F.sum(touch_type.isNotNull().cast("long")).over(w2),
+    )
+    return out.filter(F.col(type_col) == conversion).select(
+        F.col(user_col),
+        F.col(id_col).alias("conversion_id"),
+        F.col(ts_col).alias("conversion_ts"),
+        F.col("__sess").cast("long").alias("session_idx"),
+        "first_touch_type",
+        F.col("n_touches_before").cast("long").alias("n_touches_before"),
     )

@@ -466,3 +466,66 @@ def sssp(
         F.col("node").cast("long").alias("node"),
         F.col("dist").cast("long").alias("dist"),
     )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    src_col: str = "x",
+    dst_col: str = "y",
+    min_common: int = 1,
+) -> DataFrame:
+    """Structural node similarity: for every node pair sharing at
+    least ``min_common`` neighbors, the Jaccard coefficient of their
+    neighbor sets — the link-prediction / role-equivalence primitive
+    ("users who bought what you bought", co-purchase substitutes).
+
+    Output: ``(u1, u2, common, deg1, deg2, jaccard)`` with ``u1 < u2``
+    and ``jaccard`` one deterministic BIGINT/BIGINT double division.
+
+    Scale shape: candidate pairs come from the WEDGE join (adjacency
+    self-equi-joined on the shared neighbor, u1 < u2) — work is
+    Σ deg(v)², the number of wedges, never |V|²; hub-degree skew is
+    the usual wedge-count exposure (cap or sample hub adjacency
+    upstream if Σdeg² explodes).  Degrees are one map-combined
+    aggregate broadcast back onto the (much smaller) pair table.
+    """
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).distinct()
+    adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    a, b = adj.alias("a"), adj.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v")) & (F.col("a.u") < F.col("b.u")),
+        )
+        .groupBy(F.col("a.u").alias("u1"), F.col("b.u").alias("u2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    return (
+        common.join(
+            deg.select(F.col("u").alias("u1"), F.col("deg").alias("deg1")),
+            "u1",
+        )
+        .join(
+            deg.select(F.col("u").alias("u2"), F.col("deg").alias("deg2")),
+            "u2",
+        )
+        .select(
+            "u1",
+            "u2",
+            "common",
+            "deg1",
+            "deg2",
+            (
+                F.col("common").cast("double")
+                / (F.col("deg1") + F.col("deg2") - F.col("common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

@@ -453,6 +453,14 @@ def decode_image(payload: bytes) -> "object":
         # for lossy VP8/VP8X); alpha dropped for the RGB stats surface
         return decode_webp(payload)[:, :, :3]
 
+    if (
+        len(payload) >= 128
+        and payload[0] == 0x0A
+        and payload[2] == 1
+        and payload[1] in (0, 2, 3, 4, 5)
+    ):
+        return _decode_pcx(payload)
+
     # TGA has no header magic: detect by the TGA 2.0 footer signature
     if len(payload) >= 44 and payload[-18:] == b"TRUEVISION-XFILE.\x00":
         return _decode_tga(payload)
@@ -1037,3 +1045,119 @@ def _decode_tga(payload: bytes) -> "object":
         return np.repeat(px, 3, axis=2)
     # BGR(A) -> RGB
     return np.ascontiguousarray(px[:, :, 2::-1])
+
+
+def _pcx_rle(row_bytes: bytes) -> bytes:
+    """PCX RLE for one scanline: runs of up to 63 identical bytes
+    become ``0xC0|count, value``; any literal byte >= 0xC0 MUST be
+    wrapped as a count-1 run (the top two bits are the run marker)."""
+    out = bytearray()
+    i, n = 0, len(row_bytes)
+    while i < n:
+        v = row_bytes[i]
+        run = 1
+        while i + run < n and run < 63 and row_bytes[i + run] == v:
+            run += 1
+        if run > 1 or v >= 0xC0:
+            out.append(0xC0 | run)
+            out.append(v)
+        else:
+            out.append(v)
+        i += run
+    return bytes(out)
+
+
+def encode_pcx(arr: "object") -> bytes:
+    """Encode ``(h, w, 3) uint8`` as a ZSoft PCX (public PCX 5 spec):
+    version 5, RLE encoding, 8 bits per plane, 3 planes (R, G, B
+    plane rows interleaved per scanline), even bytes-per-line padding.
+    PCX is ALWAYS RLE-compressed — the format has no uncompressed
+    mode — so round-trips are lossless by construction."""
+    import struct
+
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    bpl = w + (w & 1)  # scanline bytes per plane, even per spec
+    header = struct.pack(
+        "<BBBBHHHHHH48sBBHHHH54s",
+        0x0A,          # manufacturer
+        5,             # version 5 (24-bit capable)
+        1,             # RLE encoding
+        8,             # bits per pixel per plane
+        0, 0, w - 1, h - 1,
+        72, 72,        # dpi
+        b"\x00" * 48,  # EGA palette (unused)
+        0,             # reserved
+        3,             # planes
+        bpl,
+        1,             # palette info: color
+        0, 0,          # screen size
+        b"\x00" * 54,
+    )
+    body = bytearray()
+    pad = bpl - w
+    for y in range(h):
+        for p in range(3):
+            row = a[y, :, p].tobytes() + b"\x00" * pad
+            body += _pcx_rle(row)
+    return header + bytes(body)
+
+
+def _decode_pcx(payload: bytes) -> "object":
+    """Decode PCX to ``(h, w, 3) uint8``: RLE, 8 bits/plane, 1 plane
+    (grayscale, or 256-color via the trailing VGA palette block) or
+    3 planes (RGB).  The RLE stream is decoded continuously per
+    scanline group (``planes × bytes_per_line``); runs may cross the
+    plane boundary inside a scanline, as real encoders emit."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 128:
+        raise ValueError("truncated PCX header")
+    (
+        man, version, encoding, bits,
+        xmin, ymin, xmax, ymax,
+    ) = struct.unpack("<BBBBHHHH", payload[:12])
+    planes = payload[65]
+    bpl = int.from_bytes(payload[66:68], "little")
+    if man != 0x0A:
+        raise ValueError("not a PCX payload")
+    if encoding != 1 or bits != 8 or planes not in (1, 3):
+        raise NotImplementedError(
+            f"only 8-bit RLE PCX with 1 or 3 planes supported "
+            f"(bits={bits}, encoding={encoding}, planes={planes})"
+        )
+    w = xmax - xmin + 1
+    h = ymax - ymin + 1
+    total = bpl * planes
+    rows = np.empty((h, total), np.uint8)
+    pos = 128
+    for y in range(h):
+        filled = 0
+        while filled < total:
+            v = payload[pos]
+            pos += 1
+            if v >= 0xC0:
+                count = v & 0x3F
+                val = payload[pos]
+                pos += 1
+            else:
+                count, val = 1, v
+            end = min(filled + count, total)
+            rows[y, filled:end] = val
+            filled = end
+    if planes == 3:
+        r = rows[:, 0:w]
+        g = rows[:, bpl : bpl + w]
+        b = rows[:, 2 * bpl : 2 * bpl + w]
+        return np.ascontiguousarray(np.stack([r, g, b], axis=2))
+    # single plane: 256-color VGA palette block (0x0C + 768 bytes)
+    # at the payload tail, else grayscale
+    idx = rows[:, :w]
+    if len(payload) - pos >= 769 and payload[-769] == 0x0C:
+        pal = np.frombuffer(payload, np.uint8, count=768, offset=len(payload) - 768)
+        return np.ascontiguousarray(pal.reshape(256, 3)[idx])
+    return np.repeat(idx[:, :, None], 3, axis=2)

@@ -782,3 +782,77 @@ def chi_square(
         ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("long").alias("dof"),
         (F.floor(chi2 * grid + F.lit(0.5)) / grid).alias("chi2"),
     )
+
+
+#: Benford's-law expected first-digit shares, log10(1 + 1/d).  The
+#: repr() literals below are embedded verbatim in oracle SQL too, so
+#: both engines parse the identical shortest-repr doubles.
+BENFORD_SHARES = {
+    d: float(repr(__import__("math").log10(1 + 1 / d))) for d in range(1, 10)
+}
+
+
+def benford_screen(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    decimals: int = 2,
+) -> DataFrame:
+    """Benford's-law first-digit screen — the classic fraud /
+    fabricated-data / unit-mixing detector: naturally-occurring
+    multi-magnitude quantities follow P(d) = log10(1+1/d); ledgers
+    that were invented, capped, or unit-mixed do not.
+
+    Values snap to the ``decimals`` integer grid; non-positive values
+    are excluded (Benford applies to positive magnitudes).  Per
+    (group, first digit): the exact count, observed share, expected
+    share and absolute deviation — the per-digit table a monitoring
+    rule aggregates (e.g. TVD = Σ|obs-exp|/2) or tests digit-by-digit.
+
+    Output: ``(group..., digit, n, obs_share, benford_share,
+    abs_dev)`` — shares/deviations quantized to the 1e-6 grid after
+    deterministic BIGINT/BIGINT divisions.
+
+    Scale shape: one narrow map (grid snap + first digit via string
+    head — no log10 at runtime, the expected shares are literals) and
+    one map-combined count over ≤ 9 digits × groups; the group-total
+    join is broadcast-tiny.
+    """
+    p = float(10**decimals)
+    g = list(group_cols)
+    cents = F.floor(F.col(value_col) * p + F.lit(0.5)).cast("long")
+    rows = (
+        df.select(*g, cents.alias("__c"))
+        .filter(F.col("__c") > 0)
+        .select(
+            *g,
+            F.substring(F.col("__c").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit"),
+        )
+    )
+    counts = rows.groupBy(*g, "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = rows.groupBy(*g).agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    joined = (
+        counts.join(F.broadcast(totals), g)
+        if g
+        else counts.crossJoin(F.broadcast(totals))
+    )
+    share = F.col("n").cast("double") / F.col("__t").cast("double")
+    bshare = F.element_at(
+        F.array(*[F.lit(BENFORD_SHARES[d]) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(  # noqa: E731
+        1000000.0
+    )
+    return joined.select(
+        *g,
+        "digit",
+        "n",
+        q6(share).alias("obs_share"),
+        q6(bshare).alias("benford_share"),
+        q6(F.abs(share - bshare)).alias("abs_dev"),
+    )

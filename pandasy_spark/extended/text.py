@@ -53,6 +53,7 @@ __all__ = [
     "RAKE_STOPWORDS",
     "PII_PATTERNS",
     "TRACKING_PARAMS",
+    "readability",
 ]
 
 #: query parameters stripped by URL canonicalization — the standard
@@ -1527,3 +1528,50 @@ def normalize_text(
     )
     c = F.regexp_replace(c, "  +", " ")
     return df.withColumn(out_col, F.lower(F.trim(c)))
+
+
+def readability(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade-level scores from
+    pure-regexp counts — the corpus-difficulty profile a curriculum /
+    quality pipeline bands documents by.
+
+    Classic formulas on the classic approximations: sentences =
+    ``[.!?]+`` runs (min 1), words = whitespace tokens (min 1),
+    syllables = vowel-GROUP runs ``[aeiouyAEIOUY]+`` (min 1 —
+    the standard cheap estimator; consistent everywhere, which is
+    what matters for banding).  All three counts are exact BIGINTs and
+    the scores are fixed sequences of IEEE double ops on them, so any
+    engine reproduces the values bit-for-bit (results are additionally
+    quantized to the 1e-4 grid for display).
+
+    Output: ``(id, n_sentences, n_words, n_syllables, flesch,
+    fk_grade)`` — one narrow codegen map, no shuffle, no UDF.
+    """
+    s = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    w = F.greatest(token_count(F.col(text_col)), F.lit(1).cast("long"))
+    syl = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[aeiouyAEIOUY]+")).cast(
+            "long"
+        ),
+        F.lit(1).cast("long"),
+    )
+    wps = w.cast("double") / s.cast("double")
+    spw = syl.cast("double") / w.cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    q4 = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    return df.select(
+        F.col(id_col),
+        s.alias("n_sentences"),
+        w.alias("n_words"),
+        syl.alias("n_syllables"),
+        q4(flesch).alias("flesch"),
+        q4(fk).alias("fk_grade"),
+    )

@@ -9648,3 +9648,231 @@ def streaming_enrich(spark, sf_dir):
     q = run_stream_to_memory(agg_df, name, output_mode="complete")
     q.stop()
     return spark.table(name).select("c_nationkey", "n_events", "total_cents")
+
+
+@query(
+    "text_readability",
+    r"""
+    SELECT doc_id,
+           GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                    1) AS n_sentences,
+           GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT),
+                    1) AS n_words,
+           GREATEST(CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                         AS BIGINT), 1) AS n_syllables,
+           FLOOR((206.835
+                  - 1.015 * (CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE)
+                             / CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+                  - 84.6 * (CAST(GREATEST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1) AS DOUBLE)
+                            / CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE)))
+                 * 10000 + 0.5) / 10000 AS flesch,
+           FLOOR((0.39 * (CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE)
+                          / CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+                  + 11.8 * (CAST(GREATEST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1) AS DOUBLE)
+                            / CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE))
+                  - 15.59)
+                 * 10000 + 0.5) / 10000 AS fk_grade
+    FROM documents
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch / Flesch-Kincaid readability (extended/text.py
+    readability): sentence, word and vowel-group syllable counts via
+    pure-regexp codegen, then the classic score formulas as fixed
+    IEEE double sequences on exact BIGINTs — deterministic across
+    engines, quantized to 1e-4 for display.  One narrow map, no
+    shuffle, no UDF."""
+    docs = X_ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    return X_text.readability(docs)
+
+
+@query(
+    "profile_benford",
+    """
+    WITH r AS (
+      SELECT l_returnflag AS g,
+             CAST(substring(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                      AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM lineitem
+      WHERE CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) > 0
+    ), counts AS (
+      SELECT g, digit, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1, 2
+    ), tot AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS t FROM r GROUP BY g
+    ), b(digit, p) AS (
+      VALUES (1, 0.3010299956639812e0), (2, 0.17609125905568124e0), (3, 0.12493873660829992e0), (4, 0.09691001300805642e0), (5, 0.07918124604762482e0), (6, 0.06694678963061322e0), (7, 0.05799194697768673e0), (8, 0.05115252244738129e0), (9, 0.04575749056067514e0)
+    )
+    SELECT c.g AS l_returnflag, c.digit, c.n,
+           FLOOR((CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE)) * 1000000
+                 + 0.5) / 1000000 AS obs_share,
+           FLOOR(b.p * 1000000 + 0.5) / 1000000 AS benford_share,
+           FLOOR(abs(CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) - b.p)
+                 * 1000000 + 0.5) / 1000000 AS abs_dev
+    FROM counts c JOIN tot t ON t.g = c.g JOIN b ON b.digit = c.digit
+    """,
+)
+def profile_benford(spark, sf_dir):
+    """Benford's-law first-digit screen (extended/profile.py
+    benford_screen) over lineitem prices per return flag — the
+    fabricated-data / unit-mixing detector.  First digits come from a
+    string head on the cent-grid BIGINT (no runtime log10 — the
+    expected shares are shortest-repr double LITERALS embedded
+    identically in both engines); counts are exact, shares one
+    deterministic division, everything quantized to 1e-6."""
+    li = _t(spark, sf_dir, "lineitem")
+    from .extended.profile import benford_screen
+
+    return benford_screen(li, "l_extendedprice", ["l_returnflag"])
+
+
+@query(
+    "graph_similarity",
+    """
+    WITH i AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS x FROM lineitem
+    ), e AS (
+      SELECT a.x AS x, b.x AS y
+      FROM i a JOIN i b ON a.g = b.g AND a.x < b.x
+      GROUP BY a.x, b.x HAVING COUNT(*) >= 2
+    ), adj AS (
+      SELECT x AS u, y AS v FROM e UNION SELECT y AS u, x AS v FROM e
+    ), common AS (
+      SELECT a.u AS u1, b.u AS u2, CAST(COUNT(*) AS BIGINT) AS common
+      FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+      GROUP BY a.u, b.u HAVING COUNT(*) >= 2
+    ), deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY u
+    )
+    SELECT c.u1, c.u2, c.common, d1.deg AS deg1, d2.deg AS deg2,
+           CAST(c.common AS DOUBLE)
+             / CAST(d1.deg + d2.deg - c.common AS DOUBLE) AS jaccard
+    FROM common c JOIN deg d1 ON d1.u = c.u1 JOIN deg d2 ON d2.u = c.u2
+    """,
+)
+def graph_similarity(spark, sf_dir):
+    """Neighbor-set Jaccard similarity (extended/graph.py
+    neighbor_jaccard) on the part co-occurrence graph: candidate pairs
+    from the WEDGE equi-join (work = wedge count, never |V|²), exact
+    common-neighbor counts, one BIGINT/BIGINT division for the
+    coefficient — the link-prediction primitive."""
+    from .extended.graph import cooccurrence_edges, neighbor_jaccard
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return neighbor_jaccard(e, min_common=2)
+
+
+@query(
+    "events_session_attribution",
+    """
+    WITH w1 AS (
+      SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), s AS (
+      SELECT *, SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                         THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess
+      FROM w1
+    ), t AS (
+      SELECT *, CASE WHEN event_type IN ('click', 'signup', 'view')
+                     THEN event_type END AS tt
+      FROM s
+    ), acc AS (
+      SELECT *,
+             FIRST_VALUE(tt IGNORE NULLS) OVER (
+               PARTITION BY user_id, sess ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS first_touch_type,
+             SUM(CASE WHEN tt IS NOT NULL THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id, sess ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_touches_before
+      FROM t
+    )
+    SELECT user_id, event_id AS conversion_id, ts AS conversion_ts,
+           CAST(sess AS BIGINT) AS session_idx, first_touch_type,
+           CAST(n_touches_before AS BIGINT) AS n_touches_before
+    FROM acc WHERE event_type = 'purchase'
+    """,
+)
+def events_session_attribution(spark, sf_dir):
+    """Session-scoped first-touch attribution (extended/events.py
+    sessionized_attribution): 30-minute-gap sessionization and the
+    in-session first-touch credit computed in TWO window passes over
+    ONE user-key shuffle — no joins; conversions outside any touch
+    session come back organic (NULL touch type).  The oracle chains
+    the identical LAG/SUM/FIRST_VALUE windows."""
+    from .extended.events import sessionized_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionized_attribution(ev)
+
+
+@query(
+    "multimodal_pcx",
+    # PCX is always-RLE and lossless: the checkerboard round-trips
+    # exactly (closed form as bmp/gif/tga; distinct dims/color
+    # multipliers so codec dispatch mix-ups cannot silently pass)
+    """
+    WITH p AS (
+      SELECT doc_id,
+             (doc_id % 6) + 1 AS w, (doc_id % 4) + 1 AS h,
+             (((doc_id % 4) + 2) // 2) * (((doc_id % 6) + 2) // 2)
+               + (((doc_id % 4) + 1) // 2) * (((doc_id % 6) + 1) // 2) AS na
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(na * ((doc_id*97) % 256) + (w*h - na) * ((doc_id*107) % 256)
+                AS DOUBLE) / (w*h) AS mean_r,
+           CAST(na * ((doc_id*101) % 256) + (w*h - na) * ((doc_id*109) % 256)
+                AS DOUBLE) / (w*h) AS mean_g,
+           CAST(na * ((doc_id*103) % 256) + (w*h - na) * ((doc_id*113) % 256)
+                AS DOUBLE) / (w*h) AS mean_b
+    FROM p
+    """,
+)
+def multimodal_pcx(spark, sf_dir):
+    """REAL PCX pipeline, end-to-end: encode a two-color checkerboard
+    as a 3-plane RLE PCX per document (extended/multimodal.py
+    encode_pcx — PCX has no uncompressed mode, so the RLE coder is
+    always exercised), then decode through image_stats' mapInPandas
+    dispatcher (header-magic dispatch: 0x0A manufacturer + RLE flag).
+    Lossless round-trip, so the oracle states dimensions and exact
+    channel means in closed form — a run/plane/padding bug breaks the
+    hash.  Arrow-batched both ways; no shuffle."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.multimodal import encode_pcx
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w = d % 4 + 1, d % 6 + 1
+                a = ((d * 97) % 256, (d * 101) % 256, (d * 103) % 256)
+                b = ((d * 107) % 256, (d * 109) % 256, (d * 113) % 256)
+                rr, cc = np.indices((h, w))
+                arr = np.where(
+                    ((rr + cc) % 2 == 0)[:, :, None],
+                    np.array(a, np.uint8),
+                    np.array(b, np.uint8),
+                ).astype(np.uint8)
+                payloads.append(encode_pcx(arr))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_pcx = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    return X_mm.image_stats(with_pcx)

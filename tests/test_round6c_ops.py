@@ -1,0 +1,191 @@
+"""Round-6 third batch: readability scores, Benford screen, neighbor
+Jaccard, session-scoped attribution, PCX codec."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pandasy_spark.extended.events import sessionized_attribution
+from pandasy_spark.extended.graph import neighbor_jaccard
+from pandasy_spark.extended.multimodal import (
+    _decode_pcx,
+    decode_image,
+    encode_pcx,
+)
+from pandasy_spark.extended.profile import BENFORD_SHARES, benford_screen
+from pandasy_spark.extended.text import readability
+
+
+# -------------------------------------------------------- readability
+
+
+def test_readability_hand_computed(spark):
+    # 2 sentences, 6 words, syllable groups: "the cat sat. the dog ran."
+    # vowel groups: e,a,a,e,o,a -> 6
+    df = spark.createDataFrame(
+        [(1, "the cat sat. the dog ran.")], "doc_id long, text string"
+    )
+    r = readability(df).collect()[0]
+    assert r["n_sentences"] == 2
+    assert r["n_words"] == 6
+    assert r["n_syllables"] == 6
+    # flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert abs(r["flesch"] - 119.19) < 1e-9
+    # fk = 0.39*3 + 11.8*1 - 15.59 = -2.62
+    assert abs(r["fk_grade"] - (-2.62)) < 1e-9
+
+
+def test_readability_empty_and_no_punct(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "word word word")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in readability(df).collect()}
+    # floors: everything >= 1, scores defined (no NULL/NaN/div0)
+    assert rows[1]["n_sentences"] == 1 and rows[1]["n_words"] == 1
+    assert rows[2]["n_sentences"] == 1 and rows[2]["n_words"] == 3
+    assert rows[1]["flesch"] is not None
+
+
+# ------------------------------------------------------------ Benford
+
+
+def test_benford_shares_sum_to_one():
+    assert abs(sum(BENFORD_SHARES.values()) - 1.0) < 1e-12
+
+
+def test_benford_screen_counts_and_shares(spark):
+    # values 1..9 once each (in cents: 0.01..0.09): uniform digits
+    rows = [(float(d) / 100,) for d in range(1, 10)]
+    df = spark.createDataFrame(rows, "v double")
+    got = {r["digit"]: r for r in benford_screen(df, "v").collect()}
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        assert got[d]["n"] == 1
+        assert abs(got[d]["obs_share"] - round(1 / 9, 6)) < 2e-6
+        assert (
+            abs(got[d]["benford_share"] - round(BENFORD_SHARES[d], 6)) < 2e-6
+        )
+    # non-positive values are excluded
+    df2 = spark.createDataFrame([(0.0,), (-3.0,), (1.0,)], "v double")
+    got2 = benford_screen(df2, "v").collect()
+    assert len(got2) == 1 and got2[0]["n"] == 1
+
+
+# --------------------------------------------------- neighbor Jaccard
+
+
+def test_neighbor_jaccard_hand_computed(spark):
+    # star: 1-2, 1-3, 2-3 (triangle) plus 4-1
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 1)], "x long, y long"
+    )
+    got = {
+        (r["u1"], r["u2"]): r for r in neighbor_jaccard(e).collect()
+    }
+    # nbrs: 1:{2,3,4} 2:{1,3} 3:{1,2} 4:{1}
+    # pair (2,3): common={1}, jac = 1/(2+2-1)=1/3
+    assert got[(2, 3)]["common"] == 1
+    assert abs(got[(2, 3)]["jaccard"] - 1 / 3) < 1e-12
+    # pair (2,4): common={1}, jac = 1/(2+1-1) = 0.5
+    assert got[(2, 4)]["jaccard"] == 0.5
+    # (1,2) share neighbor 3 -> present; min_common=2 drops all
+    assert (1, 2) in got
+    assert neighbor_jaccard(e, min_common=2).count() == 0
+
+
+# --------------------------------------- session-scoped attribution
+
+
+def test_sessionized_attribution_scopes_to_session(spark):
+    rows = [
+        # session 1: click then purchase (same session, 10 min apart)
+        (1, "2024-01-01 10:00:00", "u", "click", 0.0),
+        (2, "2024-01-01 10:10:00", "u", "purchase", 5.0),
+        # > 30 min gap -> session 2: organic purchase (no touch)
+        (3, "2024-01-01 12:00:00", "u", "purchase", 7.0),
+        # session 3: view, click, purchase -> first touch = view, 2 touches
+        (4, "2024-01-01 15:00:00", "u", "view", 0.0),
+        (5, "2024-01-01 15:05:00", "u", "click", 0.0),
+        (6, "2024-01-01 15:20:00", "u", "purchase", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id string, event_type string,"
+        " value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["conversion_id"]: r for r in sessionized_attribution(df).collect()
+    }
+    assert got[2]["session_idx"] == 1
+    assert got[2]["first_touch_type"] == "click"
+    assert got[2]["n_touches_before"] == 1
+    assert got[3]["session_idx"] == 2
+    assert got[3]["first_touch_type"] is None
+    assert got[3]["n_touches_before"] == 0
+    assert got[6]["session_idx"] == 3
+    assert got[6]["first_touch_type"] == "view"
+    assert got[6]["n_touches_before"] == 2
+
+
+# ---------------------------------------------------------------- PCX
+
+
+def test_pcx_roundtrip_shapes_and_values():
+    rng = np.random.RandomState(1)
+    for h, w in [(1, 1), (2, 3), (5, 4), (9, 7), (16, 16)]:
+        a = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_image(encode_pcx(a)) == a).all()
+
+
+def test_pcx_rle_marker_bytes_and_long_runs():
+    # literals >= 0xC0 must be run-wrapped; 100-wide solid row makes
+    # runs longer than the 63-count cap
+    a = np.full((2, 100, 3), 0xC5, np.uint8)
+    a[0, 50] = [1, 2, 3]
+    assert (decode_image(encode_pcx(a)) == a).all()
+
+
+def test_pcx_odd_width_padding():
+    # odd widths pad bytes-per-line to even: padding must not leak
+    a = np.arange(3 * 5 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    assert (decode_image(encode_pcx(a)) == a).all()
+
+
+def test_pcx_grayscale_and_palette_paths():
+    import struct
+
+    hdr = struct.pack(
+        "<BBBBHHHHHH48sBBHHHH54s",
+        0x0A, 5, 1, 8, 0, 0, 2, 1, 72, 72, b"\x00" * 48,
+        0, 1, 4, 1, 0, 0, b"\x00" * 54,
+    )
+    body = bytes([10, 20, 30, 0, 40, 50, 60, 0])
+    g = _decode_pcx(hdr + body)
+    assert g.shape == (2, 3, 3) and tuple(g[1, 2]) == (60, 60, 60)
+    pal = b"".join(
+        bytes([i, 255 - i, i // 2]) for i in range(256)
+    )
+    p = _decode_pcx(hdr + body + b"\x0c" + pal)
+    assert tuple(p[0, 1]) == (20, 235, 10)
+
+
+def test_pcx_quarantines_unsupported():
+    import struct
+
+    hdr = struct.pack(
+        "<BBBBHHHHHH48sBBHHHH54s",
+        0x0A, 5, 1, 4, 0, 0, 2, 1, 72, 72, b"\x00" * 48,
+        0, 1, 4, 1, 0, 0, b"\x00" * 54,
+    )
+    with pytest.raises(NotImplementedError):
+        _decode_pcx(hdr + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        _decode_pcx(b"\x0b" + b"\x00" * 127 + b"\x00" * 8)
+
+
+def test_pcx_dispatch_does_not_shadow_other_codecs():
+    from pandasy_spark.extended.multimodal import encode_bmp, encode_tga
+
+    a = np.full((2, 2, 3), 77, np.uint8)
+    assert (decode_image(encode_bmp(a)) == a).all()
+    assert (decode_image(encode_tga(a, rle=True)) == a).all()
