@@ -143,6 +143,10 @@ _R6_NEW: list[str] = [
     "graph_similarity",
     "events_session_attribution",
     "multimodal_pcx",
+    "events_interval_join",
+    "events_funnel_windowed",
+    "sketch_bloom_union",
+    "streaming_upsert",
 ]
 
 

@@ -170,6 +170,10 @@ BENCH_QUERIES = [
     "graph_similarity",
     "events_session_attribution",
     "multimodal_pcx",
+    "events_interval_join",
+    "events_funnel_windowed",
+    "sketch_bloom_union",
+    "streaming_upsert",
 ]
 
 

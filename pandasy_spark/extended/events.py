@@ -34,6 +34,7 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    window_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: for each user, the earliest time of
     step 0, then the earliest step-1 event STRICTLY AFTER it, and so
@@ -43,6 +44,11 @@ def funnel(
     Output: one row per user who completed step 0, with columns
     ``t_0 .. t_{k-1}`` (NULL from the first uncompleted step on) and
     ``steps_completed``.
+
+    With ``window_seconds`` set, every later step must also land
+    within that window of the user's step-0 time — the "converted
+    within 7 days" funnel definition (an unbounded funnel counts a
+    purchase two years after signup).
 
     Scale shape: one filtered aggregate per step over ONLY that
     step's events (each a small fraction of the corpus, filter pushed
@@ -59,16 +65,25 @@ def funnel(
         .agg(F.min(ts_col).alias("t_0"))
     )
     stages = [cur]
+    prev = cur.withColumn("__t0", F.col("t_0"))
     for i, step in enumerate(steps[1:], start=1):
-        prev = stages[-1]
-        nxt = (
+        matched = (
             df.filter(F.col(type_col) == step)
-            .join(prev.select(user_col, f"t_{i-1}"), user_col)
+            .join(prev.select(user_col, f"t_{i-1}", "__t0"), user_col)
             .filter(F.col(ts_col) > F.col(f"t_{i-1}"))
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias(f"t_{i}"))
         )
-        stages.append(nxt)
+        if window_seconds is not None:
+            # the whole funnel must complete within the window of entry
+            matched = matched.filter(
+                F.unix_micros(F.col(ts_col))
+                - F.unix_micros(F.col("__t0"))
+                <= F.lit(window_seconds * 1_000_000)
+            )
+        prev = matched.groupBy(user_col).agg(
+            F.min(ts_col).alias(f"t_{i}"),
+            F.min("__t0").alias("__t0"),
+        )
+        stages.append(prev.select(user_col, f"t_{i}"))
     out = stages[0]
     for i in range(1, len(stages)):
         out = out.join(stages[i], user_col, "left")

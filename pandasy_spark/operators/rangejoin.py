@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tolerance_join"]
+__all__ = ["tolerance_join", "interval_join"]
 
 
 def tolerance_join(
@@ -58,3 +58,74 @@ def tolerance_join(
     # a pair can match in at most one of the probed buckets (the
     # right row's own bucket), so no dedup is needed
     return joined.drop("__bucket", "__lus", "__rus")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval OVERLAP join (``l.start <= r.end AND r.start <=
+    l.end``, inclusive) — the genomics/billing/sessions-vs-outages
+    operator Spark would otherwise plan as a nested loop.
+
+    Both sides explode onto a ``bucket_seconds`` grid over the buckets
+    their interval SPANS, equi-join on (keys, bucket), and filter the
+    exact overlap predicate.  Overlapping pairs share every bucket in
+    ``[max(start buckets), min(end buckets)]``; keeping only the
+    instance where ``bucket == greatest(start buckets)`` — the first
+    shared bucket — emits each pair EXACTLY once with no distinct
+    shuffle (the same trick as the tolerance join's single-bucket
+    guarantee, generalized to spans).
+
+    Pick ``bucket_seconds`` near the typical interval length: the
+    explode fan-out is ``span/bucket + 1`` per row, the join fan-out
+    is per-bucket population — both bounded when buckets track the
+    data's scale.  Intervals must satisfy start <= end (checked
+    in-plan: bad rows would silently vanish otherwise).
+    """
+    clash = (set(left.columns) & set(right.columns)) - set(on)
+    if clash:
+        raise ValueError(f"rename right-side columns before joining: {clash}")
+    b_us = bucket_seconds * 1_000_000
+
+    def spanned(df, start, end, side):
+        s = F.unix_micros(F.col(start))
+        e = F.unix_micros(F.col(end))
+        guard = F.when(
+            s <= e, s
+        ).otherwise(
+            F.raise_error(
+                F.lit(f"interval_join: {side} interval with start > end")
+            ).cast("long")
+        )
+        return df.withColumn(f"__{side}s", guard).withColumn(
+            f"__{side}e", e
+        ).withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"__{side}s DIV {b_us}"),
+                    F.expr(f"__{side}e DIV {b_us}"),
+                )
+            ),
+        )
+
+    lb = spanned(left, left_start, left_end, "l")
+    rb = spanned(right, right_start, right_end, "r")
+    joined = lb.join(rb, on=on + ["__bucket"]).filter(
+        (F.col("__ls") <= F.col("__re"))
+        & (F.col("__rs") <= F.col("__le"))
+        & (
+            F.col("__bucket")
+            == F.greatest(
+                F.expr(f"__ls DIV {b_us}"), F.expr(f"__rs DIV {b_us}")
+            )
+        )
+    )
+    return joined.drop("__bucket", "__ls", "__le", "__rs", "__re")

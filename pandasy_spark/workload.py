@@ -9876,3 +9876,223 @@ def multimodal_pcx(spark, sf_dir):
 
     with_pcx = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
     return X_mm.image_stats(with_pcx)
+
+
+@query(
+    "events_interval_join",
+    """
+    WITH l AS (
+      SELECT user_id, event_id AS left_id, epoch_us(ts) AS ls,
+             epoch_us(ts) + ((user_id % 7) + 1) * 60000000 AS le
+      FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT user_id, event_id AS right_id, epoch_us(ts) AS rs,
+             epoch_us(ts) + 300000000 AS re
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.user_id, left_id, right_id,
+           CAST(LEAST(le, re) - GREATEST(ls, rs) AS BIGINT) AS overlap_us
+    FROM l JOIN r ON l.user_id = r.user_id AND ls <= re AND rs <= le
+    """,
+)
+def events_interval_join(spark, sf_dir):
+    """Interval OVERLAP join (operators/rangejoin.py interval_join):
+    click activity windows (user-dependent 1-7 min) against purchase
+    windows (5 min) per user.  The plan is the span-bucket
+    decomposition — both sides explode onto a 5-minute grid, ONE
+    equi-join on (user, bucket), exact overlap filter, and the
+    first-shared-bucket rule emits each pair exactly once with NO
+    distinct shuffle; the oracle is the brute-force theta join DuckDB
+    can afford at gate scale."""
+    from .operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    end_us = lambda mins: F.timestamp_micros(  # noqa: E731
+        F.unix_micros(F.col("ts")) + mins * 60_000_000
+    )
+    left = filter_df(ev, F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("left_id"),
+        F.col("ts").alias("l_start"),
+        end_us((F.col("user_id") % 7) + 1).alias("l_end"),
+    )
+    right = filter_df(ev, F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("right_id"),
+        F.col("ts").alias("r_start"),
+        end_us(F.lit(5)).alias("r_end"),
+    )
+    j = interval_join(
+        left, right, ["user_id"], "l_start", "l_end", "r_start", "r_end",
+        bucket_seconds=300,
+    )
+    overlap = F.least(
+        F.unix_micros("l_end"), F.unix_micros("r_end")
+    ) - F.greatest(F.unix_micros("l_start"), F.unix_micros("r_start"))
+    return j.select(
+        "user_id", "left_id", "right_id",
+        overlap.cast("long").alias("overlap_us"),
+    )
+
+
+@query(
+    "events_funnel_windowed",
+    """
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS t_0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s1 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_1 FROM events e
+      JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s0.t_0
+        AND epoch_us(e.ts) - epoch_us(s0.t_0) <= 604800000000
+      GROUP BY e.user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_2 FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'error' AND e.ts > s1.t_1
+        AND epoch_us(e.ts) - epoch_us(s0.t_0) <= 604800000000
+      GROUP BY e.user_id
+    )
+    SELECT s0.user_id, s0.t_0, s1.t_1, s2.t_2,
+           CAST(1 + (CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END) AS INT)
+             AS steps_completed
+    FROM s0
+    LEFT JOIN s1 ON s0.user_id = s1.user_id
+    LEFT JOIN s2 ON s0.user_id = s2.user_id
+    """,
+)
+def events_funnel_windowed(spark, sf_dir):
+    """Conversion-window funnel (extended/events.py funnel with
+    ``window_seconds``): signup → purchase → error where every later
+    step must land within 7 DAYS of the user's signup — the
+    "converted within N days" definition (an unbounded funnel counts
+    a purchase years later).  Same join/aggregate chain as
+    events_funnel with the entry time carried through each stage; the
+    oracle restates the window predicate in each CTE."""
+    from .extended.events import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(
+        ev, ["signup", "purchase", "error"], window_seconds=7 * 86400
+    )
+
+
+@query(
+    "sketch_bloom_union",
+    """
+    SELECT CAST(1024 AS INT) AS n_words,
+           TRUE AS merge_equals_rebuild,
+           TRUE AS no_false_negatives
+    """,
+)
+def sketch_bloom_union(spark, sf_dir):
+    """Bloom-filter set algebra, SELF-CERTIFYING: the word-wise OR of
+    two partition blooms must equal — bit for bit — the bloom built
+    over the union (OR-merge is exact for bloom filters: the registry
+    property that lets 100 TB shards build blooms independently and
+    combine them driver-side), and the merged filter must admit every
+    member of the union (no false negatives, the bloom contract).
+    Both properties are computed IN-PLAN over the documents corpus
+    split by doc_id parity and emitted as deterministic booleans the
+    oracle pins; completes the sketch-algebra family (hll_merge,
+    kmv_union/intersect, cms inner product)."""
+    docs = _t(spark, sf_dir, "documents")
+    a = filter_df(docs, F.col("doc_id") % 2 == 0)
+    b = filter_df(docs, F.col("doc_id") % 2 == 1)
+    ba = X_dedup.bloom_build(a, "text").select(F.col("bloom").alias("ba"))
+    bb = X_dedup.bloom_build(b, "text").select(F.col("bloom").alias("bb"))
+    bu = X_dedup.bloom_build(docs, "text").select(F.col("bloom").alias("bu"))
+    merged = (
+        ba.crossJoin(bb)
+        .select(
+            F.zip_with(
+                "ba", "bb", lambda x, y: x.bitwiseOR(y)
+            ).alias("bm")
+        )
+        .crossJoin(bu)
+    )
+    fn = docs.crossJoin(F.broadcast(merged.select("bm"))).agg(
+        F.sum(
+            (
+                ~X_dedup.bloom_might_contain(F.col("bm"), F.col("text"))
+            ).cast("long")
+        ).alias("n_missed")
+    )
+    return (
+        merged.select((F.col("bm") == F.col("bu")).alias("merge_equals_rebuild"))
+        .crossJoin(F.broadcast(fn))
+        .select(
+            F.lit(1024).cast("int").alias("n_words"),
+            "merge_equals_rebuild",
+            (F.col("n_missed") == 0).alias("no_false_negatives"),
+        )
+    )
+
+
+@query(
+    "streaming_upsert",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM (SELECT * FROM events ORDER BY event_id LIMIT 50000) events
+    GROUP BY user_id
+    """,
+)
+def streaming_upsert(spark, sf_dir):
+    """Streaming incremental-aggregate maintenance via foreachBatch —
+    the Delta-style "stream into a maintained table" pattern: a staged
+    2-batch replay of the (bounded, deterministic) first-50k event
+    slice; each micro-batch's foreachBatch writes its PARTIAL per-user
+    aggregate (count, cent sum) as an appended parquet part, and the
+    maintained result is the spool compacted by summing partials —
+    algebraic aggregate-state merge across micro-batches, fully
+    distributed (the foreachBatch body never collects).  Must equal
+    the batch aggregate exactly; a lost or double-applied batch breaks
+    the hash."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .streaming import foreach_batch, staged_file_stream
+
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_upsert_gate_{_STREAM_GATE_SEQ[0]}"
+    real = (
+        _t(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(50_000)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .toPandas()
+    )
+    half = len(real) // 2
+    stream = staged_file_stream(spark, [real.iloc[:half], real.iloc[half:]])
+    spool = tempfile.mkdtemp(prefix="pandasy_upsert_spool_")
+    atexit.register(shutil.rmtree, spool, ignore_errors=True)
+
+    def _apply(batch_df, _batch_id):
+        (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).cast("long").alias("total_cents"),
+            )
+            .write.mode("append")
+            .parquet(spool)
+        )
+
+    q = foreach_batch(stream, _apply, name)
+    q.stop()
+    return (
+        spark.read.parquet(spool)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+        )
+    )

@@ -189,3 +189,113 @@ def test_pcx_dispatch_does_not_shadow_other_codecs():
     a = np.full((2, 2, 3), 77, np.uint8)
     assert (decode_image(encode_bmp(a)) == a).all()
     assert (decode_image(encode_tga(a, rle=True)) == a).all()
+
+
+# ------------------------------------------------------ interval join
+
+
+def test_interval_join_matches_brute_force(spark):
+    import itertools
+    import random
+
+    from pandasy_spark.operators.rangejoin import interval_join
+
+    rng = random.Random(11)
+    base = 1_700_000_000
+    lrows, rrows = [], []
+    for i in range(60):
+        s = base + rng.randrange(0, 7200)
+        lrows.append((1, i, s, s + rng.randrange(0, 900)))
+    for j in range(60):
+        s = base + rng.randrange(0, 7200)
+        rrows.append((1, 1000 + j, s, s + rng.randrange(0, 900)))
+    want = {
+        (li, rj)
+        for (_, li, ls, le), (_, rj, rs, re) in itertools.product(
+            lrows, rrows
+        )
+        if ls <= re and rs <= le
+    }
+
+    def df(rows, ids):
+        d = spark.createDataFrame(rows, f"k long, {ids} long, s long, e long")
+        return d.select(
+            "k", ids,
+            F.timestamp_micros(F.col("s") * 1_000_000).alias(f"{ids}_s"),
+            F.timestamp_micros(F.col("e") * 1_000_000).alias(f"{ids}_e"),
+        )
+
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            df(lrows, "lid"), df(rrows, "rid"), ["k"],
+            "lid_s", "lid_e", "rid_s", "rid_e", bucket_seconds=300,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_interval_join_emits_pairs_once_and_validates(spark):
+    from pandasy_spark.operators.rangejoin import interval_join
+
+    # long intervals spanning many buckets must still emit ONE row
+    mk = lambda rows, ids: spark.createDataFrame(  # noqa: E731
+        rows, f"k long, {ids} long, s long, e long"
+    ).select(
+        "k", ids,
+        F.timestamp_micros(F.col("s") * 1_000_000).alias(f"{ids}_s"),
+        F.timestamp_micros(F.col("e") * 1_000_000).alias(f"{ids}_e"),
+    )
+    l = mk([(1, 1, 0, 100_000)], "lid")
+    r = mk([(1, 2, 50_000, 60_000)], "rid")
+    out = interval_join(
+        l, r, ["k"], "lid_s", "lid_e", "rid_s", "rid_e", bucket_seconds=60
+    ).collect()
+    assert len(out) == 1
+    # inverted interval fails the in-plan guard
+    bad = mk([(1, 3, 100, 50)], "lid")
+    with pytest.raises(Exception, match="start > end"):
+        interval_join(
+            bad, r, ["k"], "lid_s", "lid_e", "rid_s", "rid_e"
+        ).collect()
+
+
+def test_funnel_window_cuts_late_conversions(spark):
+    from pandasy_spark.extended.events import funnel
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "u1", "signup", 0.0),
+        (2, "2024-01-02 00:00:00", "u1", "purchase", 1.0),  # in window
+        (3, "2024-01-01 00:00:00", "u2", "signup", 0.0),
+        (4, "2024-03-01 00:00:00", "u2", "purchase", 1.0),  # too late
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id string, event_type string,"
+        " value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(
+            df, ["signup", "purchase"], window_seconds=7 * 86400
+        ).collect()
+    }
+    assert got == {"u1": 2, "u2": 1}
+    # unbounded funnel counts the late conversion
+    got2 = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(df, ["signup", "purchase"]).collect()
+    }
+    assert got2 == {"u1": 2, "u2": 2}
+
+
+def test_bloom_or_merge_equals_union_bloom(spark):
+    from pandasy_spark.extended.dedup import bloom_build
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(50)], "t string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(25, 80)], "t string")
+    u = spark.createDataFrame([(f"k{i}",) for i in range(80)], "t string")
+    ba = bloom_build(a, "t", num_words=64).collect()[0]["bloom"]
+    bb = bloom_build(b, "t", num_words=64).collect()[0]["bloom"]
+    bu = bloom_build(u, "t", num_words=64).collect()[0]["bloom"]
+    assert [x | y for x, y in zip(ba, bb)] == list(bu)
