@@ -174,6 +174,18 @@ BENCH_QUERIES = [
     "events_funnel_windowed",
     "sketch_bloom_union",
     "streaming_upsert",
+    "profile_ks",
+    "events_ab_test",
+    "source_binary_files",
+    "source_csv",
+    "source_jsonl",
+    "source_orc",
+    "source_partitioned",
+    "source_bucketed_join",
+    "profile_mannwhitney",
+    "graph_scc",
+    "layout_row_ids",
+    "source_dpp",
 ]
 
 

@@ -25,6 +25,7 @@ __all__ = [
     "resample_locf",
     "ewma_per_key",
     "sessionized_attribution",
+    "ab_test",
 ]
 
 
@@ -691,4 +692,76 @@ def sessionized_attribution(
         F.col("__sess").cast("long").alias("session_idx"),
         "first_touch_type",
         F.col("n_touches_before").cast("long").alias("n_touches_before"),
+    )
+
+
+def ab_test(
+    df,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    conversion: str = "purchase",
+    variant_expr=None,
+):
+    """Two-proportion A/B conversion analysis: users split into
+    variants (default: deterministic ``user_id % 2`` — swap in the
+    real assignment column via ``variant_expr``), per-variant distinct
+    users and converting users, conversion rates, absolute lift, and
+    the pooled two-proportion ``z²`` statistic (z² ~ χ²(1): compare
+    against 3.84 for the usual 5% two-sided test — reporting z²
+    instead of a p-value keeps the plan free of transcendental CDFs,
+    so engines agree bit-for-bit).
+
+    Output: one row ``(n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+    lift, z_sq)``; rates/lift/z² are fixed IEEE double sequences on
+    exact BIGINTs, floored to the 1e6 grid.
+
+    Scale shape: one distinct over (user, variant, converted) — the
+    only shuffle, on the user key — then a two-row aggregate.
+    """
+    variant = (
+        variant_expr
+        if variant_expr is not None
+        else (F.col(user_col) % 2 == 0)
+    )
+    per_user = (
+        df.select(
+            F.col(user_col).alias("u"),
+            variant.alias("is_a"),
+            (F.col(type_col) == conversion).cast("int").alias("c"),
+        )
+        .groupBy("u", "is_a")
+        .agg(F.max("c").alias("converted"))
+    )
+    agg_row = per_user.agg(
+        F.sum(F.col("is_a").cast("long")).alias("n_a"),
+        F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(  # noqa: E731
+        1000000.0
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    rb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z_sq = ((ra - rb) * (ra - rb)) / (
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return agg_row.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        q6(ra).alias("rate_a"),
+        q6(rb).alias("rate_b"),
+        q6(ra - rb).alias("lift"),
+        q6(z_sq).alias("z_sq"),
     )

@@ -26,6 +26,7 @@ __all__ = [
     "label_propagation",
     "kcore",
     "bfs_hops",
+    "scc",
 ]
 
 #: rank scale: 1.0 == 10^9 nano-units.
@@ -528,4 +529,156 @@ def neighbor_jaccard(
                 )
             ).alias("jaccard"),
         )
+    )
+
+
+def scc(
+    edges: DataFrame,
+    src_col: str = "u",
+    dst_col: str = "v",
+    rounds: int = 8,
+    outer_rounds: int = 4,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED edge list via
+    forward-backward coloring (the classic distributed FW-BW / Orzan
+    coloring scheme, public algorithm) — the directed counterpart to
+    the undirected connected-components operator in
+    ``extended.dedup``.
+
+    Per outer round, over the residual graph:
+
+    1. FORWARD coloring: ``color(v) = max node id that reaches v``,
+       computed as ``rounds`` max-label propagation steps (one
+       edge-join + max-aggregate each — O(|E|) relational rounds, a
+       single BIGINT label per node, never a reachability pair set).
+    2. Roots: nodes with ``color(v) = v``.  For any node v with color
+       c, c reaches v; if additionally v reaches c they are mutually
+       reachable, and every intermediate node on the return path
+       provably carries the same color — so
+    3. BACKWARD confirmation restricted to SAME-COLOR edges (one
+       boolean per node, seeded at the roots, ``rounds`` steps along
+       reversed edges) marks exactly ``SCC(c)`` for every root c.
+    4. Members of confirmed SCCs settle with ``scc_id = color`` and
+       leave the residual; because every higher-id upstream node
+       settles in an earlier outer round, the settled label is the
+       MAX member id of the SCC — canonical across partitionings.
+
+    ``rounds`` must be >= the forward diameter of the graph and
+    ``outer_rounds`` >= the longest root-chain in the condensation;
+    both are plan-shape bounds, not data-dependent loops.  An IN-PLAN
+    ``raise_error`` guard fires if any node is still unsettled at the
+    end, so an under-provisioned bound can never silently return a
+    wrong partition (the merge-uniqueness-guard pattern).
+
+    Scale shape: every step is an equi-join on a node key plus a
+    map-side-combined max/any aggregate; ``localCheckpoint`` bounds
+    lineage per outer round.  Work per outer round is
+    O(rounds * |residual edges|).
+
+    Output: ``(node, scc_id)`` — scc_id = max node id in the
+    component.
+    """
+    if rounds < 1 or outer_rounds < 1:
+        raise ValueError("rounds and outer_rounds must be >= 1")
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("u"),
+            F.col(dst_col).cast("long").alias("v"),
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e = e.localCheckpoint(eager=False)
+    settled = None
+    for _ in range(outer_rounds):
+        colors = nodes.select("node", F.col("node").alias("color"))
+        for h in range(rounds):
+            prop = (
+                e.join(
+                    colors.select(
+                        F.col("node").alias("u"), F.col("color").alias("cu")
+                    ),
+                    "u",
+                )
+                .select(F.col("v").alias("node"), F.col("cu").alias("color"))
+            )
+            colors = (
+                colors.unionByName(prop)
+                .groupBy("node")
+                .agg(F.max("color").alias("color"))
+            )
+            if h % 3 == 2:
+                colors = colors.localCheckpoint(eager=False)
+        colors = colors.localCheckpoint(eager=False)
+        same = (
+            e.join(
+                colors.select(
+                    F.col("node").alias("u"), F.col("color").alias("cu")
+                ),
+                "u",
+            )
+            .join(
+                colors.select(
+                    F.col("node").alias("v"), F.col("color").alias("cv")
+                ),
+                "v",
+            )
+            .filter(F.col("cu") == F.col("cv"))
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        marked = colors.filter(F.col("node") == F.col("color")).select(
+            "node", F.col("color").alias("scc_id")
+        )
+        for h in range(rounds):
+            prop = (
+                same.join(
+                    marked.select(
+                        F.col("node").alias("v"), "scc_id"
+                    ),
+                    "v",
+                )
+                .select(F.col("u").alias("node"), "scc_id")
+            )
+            marked = (
+                marked.unionByName(prop)
+                .groupBy("node")
+                .agg(F.max("scc_id").alias("scc_id"))
+            )
+            if h % 3 == 2:
+                marked = marked.localCheckpoint(eager=False)
+        marked = marked.localCheckpoint(eager=False)
+        settled = (
+            marked if settled is None else settled.unionByName(marked)
+        ).localCheckpoint(eager=False)
+        nodes = nodes.join(
+            marked.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=False)
+        e = (
+            e.join(marked.select(F.col("node").alias("u")), "u", "left_anti")
+            .join(marked.select(F.col("node").alias("v")), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    leftover = nodes.select(
+        "node", F.lit(None).cast("long").alias("scc_id")
+    )
+    out = settled.unionByName(leftover)
+    guarded = F.when(
+        F.col("scc_id").isNull(),
+        F.raise_error(
+            F.lit(
+                "scc: unsettled nodes remain — raise rounds/outer_rounds"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("scc_id"))
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        guarded.cast("long").alias("scc_id"),
     )

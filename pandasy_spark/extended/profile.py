@@ -41,6 +41,9 @@ __all__ = [
     "column_entropy",
     "quantile_thresholds",
     "band_by_thresholds",
+    "benford_screen",
+    "ks_statistic",
+    "mann_whitney",
 ]
 
 _NUMERIC = (
@@ -855,4 +858,175 @@ def benford_screen(
         q6(share).alias("obs_share"),
         q6(bshare).alias("benford_share"),
         q6(F.abs(share - bshare)).alias("abs_dev"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    decimals: int = 2,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic — the
+    distribution-shift test with a real critical-value theory behind
+    it (unlike ad-hoc TVD thresholds): ``D = max_v |F_a(v) - F_b(v)|``
+    over the pooled value domain.
+
+    Exactness discipline: values snap to the ``decimals`` grid; per
+    distinct value one conditional count aggregate gives (c_a, c_b);
+    running totals give the ECDF numerators, and the max runs over
+    ``|cum_a·n_b − cum_b·n_a|`` in DECIMAL(38,0) — no float ECDFs, so
+    the argmax cannot flip on rounding.  Display D pays one exact
+    division, floored to 1e6.
+
+    The ordered scan is over the DISTINCT VALUE DOMAIN, not the rows:
+    on a 2-decimal grid that is bounded (≤ 10^2·range values) however
+    many rows feed it — the same domain-not-data justification as the
+    two-pass exact quantiles.  Output: one row ``(n_a, n_b,
+    n_values, d)``.
+    """
+    from pyspark.sql.window import Window
+
+    p = float(10**decimals)
+    g = df.select(
+        F.col(group_col).alias("__g"),
+        F.floor(F.col(value_col) * p + F.lit(0.5)).cast("long").alias("__v"),
+    ).filter(F.col("__g").isin(group_a, group_b) & F.col("__v").isNotNull())
+    per_v = g.groupBy("__v").agg(
+        F.sum((F.col("__g") == group_a).cast("long")).alias("c_a"),
+        F.sum((F.col("__g") == group_b).cast("long")).alias("c_b"),
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cums = per_v.select(
+        F.sum("c_a").over(w).alias("cum_a"),
+        F.sum("c_b").over(w).alias("cum_b"),
+    )
+    tot = g.agg(
+        F.sum((F.col("__g") == group_a).cast("long")).alias("n_a"),
+        F.sum((F.col("__g") == group_b).cast("long")).alias("n_b"),
+        F.count_distinct("__v").cast("long").alias("n_values"),
+    )
+    diff = F.abs(
+        F.expr("CAST(cum_a AS DECIMAL(20,0)) * n_b")
+        - F.expr("CAST(cum_b AS DECIMAL(20,0)) * n_a")
+    )
+    return (
+        cums.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max("n_values").alias("n_values"),
+            F.max(diff).alias("__dnum"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "n_values",
+            (
+                F.floor(
+                    F.col("__dnum").cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("d"),
+        )
+    )
+
+
+def mann_whitney(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    decimals: int = 2,
+) -> DataFrame:
+    """EXACT two-sample Mann-Whitney (Wilcoxon rank-sum) test — the
+    rank-based location-shift companion to ``ks_statistic``: robust to
+    outliers and monotone transforms where the mean-based z-test is
+    not.
+
+    Exactness discipline: values snap to the ``decimals`` grid; per
+    distinct value one conditional count aggregate gives (c_a, c_b);
+    with C = rows strictly below v and t = c_a + c_b tied at v, the
+    tie-averaged rank is C + (t+1)/2, so DOUBLED rank sums stay on the
+    BIGINT lattice: 2R_a = Σ c_a·(2C + t + 1), 2U_a = 2R_a −
+    n_a(n_a+1).  The tie-corrected normal-approximation statistic is
+    the exact rational
+
+        z² = (2U_a − n_a·n_b)² · 3n(n−1)
+             / (n_a·n_b · (n(n−1)(n+1) − Σ(t³−t)))
+
+    evaluated as ONE fixed IEEE sequence on exact BIGINT factors
+    (z² ~ χ²(1): compare against 3.84 — no transcendental CDF, so
+    engines agree bit-for-bit), floored to the 1e6 grid.
+
+    The ordered scan runs over the DISTINCT VALUE DOMAIN, not the rows
+    (same domain-not-data justification as ``ks_statistic`` / the
+    exact two-pass quantiles).  Output: one row ``(n_a, n_b, u_a_x2,
+    tie_term, z_sq)``.
+    """
+    from pyspark.sql.window import Window
+
+    p = float(10**decimals)
+    g = df.select(
+        F.col(group_col).alias("__g"),
+        F.floor(F.col(value_col) * p + F.lit(0.5)).cast("long").alias("__v"),
+    ).filter(F.col("__g").isin(group_a, group_b) & F.col("__v").isNotNull())
+    per_v = g.groupBy("__v").agg(
+        F.sum((F.col("__g") == group_a).cast("long")).alias("c_a"),
+        F.sum((F.col("__g") == group_b).cast("long")).alias("c_b"),
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = F.col("c_a") + F.col("c_b")
+    ranked = per_v.select(
+        "c_a",
+        t.alias("t"),
+        (F.sum(t).over(w) - t).alias("c_below"),
+    )
+    stats = ranked.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum(F.col("t") - F.col("c_a")).cast("long").alias("n_b"),
+        F.sum(
+            F.col("c_a")
+            * (F.lit(2) * F.col("c_below") + F.col("t") + F.lit(1))
+        )
+        .cast("long")
+        .alias("r_a_x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    u2 = (
+        F.col("r_a_x2") - F.col("n_a") * (F.col("n_a") + F.lit(1))
+    ).alias("u_a_x2")
+    n = F.col("n_a") + F.col("n_b")
+    d2 = (F.col("u_a_x2") - F.col("n_a") * F.col("n_b")).cast("double")
+    bracket = (n * (n - F.lit(1)) * (n + F.lit(1)) - F.col("tie_term")).cast(
+        "double"
+    )
+    z_sq = (
+        d2
+        * d2
+        * (F.lit(3) * n * (n - F.lit(1))).cast("double")
+        / ((F.col("n_a") * F.col("n_b")).cast("double") * bracket)
+    )
+    return (
+        stats.select("n_a", "n_b", u2, "tie_term")
+        .select(
+            "n_a",
+            "n_b",
+            "u_a_x2",
+            "tie_term",
+            (F.floor(z_sq * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0))
+            .alias("z_sq"),
+        )
     )

@@ -15,7 +15,7 @@ from .asof import asof_join
 from .scd import merge_upsert, scd2_apply
 from .rangejoin import tolerance_join
 from .skew import adaptive_salted_join, salted_join
-from .sort import limit, order_by, top_k
+from .sort import limit, order_by, stable_row_ids, top_k
 from .relational import (
     drop_duplicates,
     except_df,
@@ -44,6 +44,7 @@ __all__ = [
     "join",
     "limit",
     "order_by",
+    "stable_row_ids",
     "top_k",
     "parse_join_type",
     "rollup",

@@ -55,7 +55,27 @@ def write_bucketed_table(
 ) -> None:
     """Persist as a bucketed managed table (session catalog).  Joins
     between tables bucketed on the same keys/count skip the shuffle
-    entirely; sort_by additionally enables merge-join without sorting."""
+    entirely; sort_by additionally enables merge-join without sorting.
+
+    Stale-location handling: the default (in-memory) catalog forgets
+    managed tables between sessions while their warehouse directories
+    persist, so a fresh session's CREATE hits LOCATION_ALREADY_EXISTS.
+    When overwriting and the table is absent from the catalog, the
+    orphaned location is removed first — the write is the source of
+    truth, the leftover directory never is."""
+    if mode == "overwrite" and not df.sparkSession.catalog.tableExists(table):
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(
+            df.sparkSession.conf.get("spark.sql.warehouse.dir")
+        ).path
+        if wh:
+            import os
+
+            shutil.rmtree(
+                os.path.join(wh, table.lower()), ignore_errors=True
+            )
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
     if sort_by:
         w = w.sortBy(*sort_by)

@@ -10096,3 +10096,659 @@ def streaming_upsert(spark, sf_dir):
             F.sum("total_cents").cast("long").alias("total_cents"),
         )
     )
+
+
+@query(
+    "profile_ks",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS gg,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ), per_v AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN gg = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN gg = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      FROM g GROUP BY v
+    ), cums AS (
+      SELECT SUM(c_a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_a,
+             SUM(c_b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_b
+      FROM per_v
+    ), tot AS (
+      SELECT CAST(SUM(CASE WHEN gg = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN gg = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(COUNT(DISTINCT v) AS BIGINT) AS n_values
+      FROM g
+    )
+    SELECT t.n_a, t.n_b, t.n_values,
+           FLOOR(CAST(MAX(ABS(CAST(c.cum_a AS HUGEINT) * t.n_b
+                               - CAST(c.cum_b AS HUGEINT) * t.n_a))
+                      AS DOUBLE)
+                 / CAST(t.n_a * t.n_b AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS d
+    FROM cums c, tot t
+    GROUP BY t.n_a, t.n_b, t.n_values
+    """,
+)
+def profile_ks(spark, sf_dir):
+    """EXACT two-sample Kolmogorov-Smirnov statistic
+    (extended/profile.py ks_statistic) between the 'A' and 'R' return
+    flags' price distributions: ECDF numerators as running BIGINT
+    sums over the DISTINCT cent-grid value domain (domain-bounded, not
+    data-bounded — the same justification as the exact two-pass
+    quantiles), the max over |cum_a·n_b − cum_b·n_a| in DECIMAL so the
+    argmax cannot flip on float rounding, one exact display division.
+    The real distribution-shift test beside the TVD monitor."""
+    from .extended.profile import ks_statistic
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ks_statistic(li, "l_extendedprice", "l_returnflag", "A", "R")
+
+
+@query(
+    "events_ab_test",
+    """
+    WITH pu AS (
+      SELECT user_id AS u, (user_id % 2 = 0) AS is_a,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1, 2
+    ), a AS (
+      SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN is_a THEN converted ELSE 0 END) AS BIGINT)
+               AS conv_a,
+             CAST(SUM(CASE WHEN NOT is_a THEN converted ELSE 0 END) AS BIGINT)
+               AS conv_b
+      FROM pu
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           FLOOR((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) * 1000000
+                 + 0.5) / 1000000 AS rate_a,
+           FLOOR((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1000000
+                 + 0.5) / 1000000 AS rate_b,
+           FLOOR((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1000000
+                 + 0.5) / 1000000 AS lift,
+           FLOOR(((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  * (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                 / (CAST(conv_a + conv_b AS DOUBLE)
+                    / CAST(n_a + n_b AS DOUBLE)
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                             / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / CAST(n_a AS DOUBLE)
+                       + 1.0 / CAST(n_b AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS z_sq
+    FROM a
+    """,
+)
+def events_ab_test(spark, sf_dir):
+    """Two-proportion A/B conversion analysis (extended/events.py
+    ab_test): deterministic variant split (user_id parity stands in
+    for the assignment column), per-variant distinct converting
+    users, rates, lift, and the pooled z² statistic (z² ~ χ²(1) —
+    no transcendental CDF in the plan, so engines agree bit-for-bit).
+    One user-key shuffle + a two-row aggregate."""
+    from .extended.events import ab_test
+
+    ev = _t(spark, sf_dir, "events")
+    return ab_test(ev)
+
+
+@query(
+    "source_binary_files",
+    # binaryFile source over 60 PCX files staged once per (sf, gate):
+    # same closed-form checkerboard as multimodal_pcx but dims
+    # (d%3)+2 x (d%5)+3 so a staging/dispatch mix-up cannot pass
+    """
+    WITH p AS (
+      SELECT doc_id,
+             (doc_id % 5) + 3 AS w, (doc_id % 3) + 2 AS h,
+             (((doc_id % 3) + 3) // 2) * (((doc_id % 5) + 4) // 2)
+               + (((doc_id % 3) + 2) // 2) * (((doc_id % 5) + 3) // 2) AS na
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(na * ((doc_id*97) % 256) + (w*h - na) * ((doc_id*107) % 256)
+                AS DOUBLE) / (w*h) AS mean_r,
+           CAST(na * ((doc_id*101) % 256) + (w*h - na) * ((doc_id*109) % 256)
+                AS DOUBLE) / (w*h) AS mean_g,
+           CAST(na * ((doc_id*103) % 256) + (w*h - na) * ((doc_id*113) % 256)
+                AS DOUBLE) / (w*h) AS mean_b
+    FROM p
+    """,
+)
+def source_binary_files(spark, sf_dir):
+    """Spark's ``binaryFile`` SOURCE driven end-to-end — the
+    production shape for multimodal corpora (a directory of media
+    files, not parquet-embedded blobs): 60 RLE PCX files staged once
+    into a deterministic per-sf directory, read back via
+    ``format("binaryFile")`` (path/length/content columns), ids
+    recovered from filenames with regexp_extract, payloads decoded
+    through the image_stats mapInPandas dispatcher.  The oracle
+    states the checkerboard closed form — a staging, listing,
+    filename-parse, or content-read bug breaks the hash."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from .extended.multimodal import encode_pcx
+
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    stage = os.path.join(tempfile.gettempdir(), f"pandasy_binfiles_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    for d in range(60):
+        path = os.path.join(stage, f"pcx_{d:04d}.pcx")
+        if os.path.exists(path):
+            continue
+        h, w = d % 3 + 2, d % 5 + 3
+        a = ((d * 97) % 256, (d * 101) % 256, (d * 103) % 256)
+        b = ((d * 107) % 256, (d * 109) % 256, (d * 113) % 256)
+        rr, cc = np.indices((h, w))
+        arr = np.where(
+            ((rr + cc) % 2 == 0)[:, :, None],
+            np.array(a, np.uint8),
+            np.array(b, np.uint8),
+        ).astype(np.uint8)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_pcx(arr))
+        os.replace(tmp, path)
+    bf = spark.read.format("binaryFile").load(stage)
+    payloads = bf.select(
+        F.regexp_extract(F.col("path"), r"pcx_(\d+)\.pcx$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return X_mm.image_stats(payloads)
+
+
+def _stage_once(name: str, sf_dir: str, write_fn) -> str:
+    """Stage a derived on-disk dataset ONCE per (gate, sf): gates that
+    prove a SOURCE path (csv/jsonl/orc/partitioned-dir) first write the
+    staged form of a parquet table, then read it back through the
+    source under test.  A marker file makes re-runs (driver gate,
+    best-of-3 bench) reuse the staged copy; a missing marker wipes and
+    rewrites so a partially-written stage can never be read."""
+    import os
+    import shutil
+    import tempfile
+
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    stage = os.path.join(tempfile.gettempdir(), f"pandasy_{name}_{tag}")
+    marker = stage + ".done"
+    if not os.path.exists(marker):
+        shutil.rmtree(stage, ignore_errors=True)
+        write_fn(stage)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return stage
+
+
+@query(
+    "source_csv",
+    """
+    WITH s AS (
+      SELECT NULLIF(l_returnflag, 'N') AS l_returnflag,
+             l_quantity, l_extendedprice,
+             CAST(l_shipdate AS DATE) AS d
+      FROM lineitem WHERE l_orderkey % 7 = 0
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS qty_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(MIN(d) AS VARCHAR) AS min_ship,
+           CAST(MAX(d) AS VARCHAR) AS max_ship
+    FROM s GROUP BY l_returnflag
+    """,
+)
+def source_csv(spark, sf_dir):
+    """CSV SOURCE round trip driver-witnessed end to end: a lineitem
+    subset is staged once as Spark-written CSV (header, empty-string
+    nulls — a NULLIF-injected null group proves nullValue handling),
+    read back via sources.read_csv with an EXPLICIT schema (bigint,
+    double, string, date — production posture: never infer), and
+    aggregated on the cent grid.  The oracle states the same aggregate
+    from the parquet table directly, so any value-fidelity loss in the
+    write-parse cycle (double shortest-repr, ISO dates, null
+    encoding) breaks the hash."""
+    from .sources import read_csv, write_csv
+
+    li = _t(spark, sf_dir, "lineitem")
+    subset = li.filter(F.col("l_orderkey") % 7 == 0).select(
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+        F.expr("nullif(l_returnflag, 'N')").alias("l_returnflag"),
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+    )
+    stage = _stage_once("srccsv", sf_dir, lambda p: write_csv(subset, p))
+    back = read_csv(
+        spark,
+        stage,
+        schema=(
+            "l_orderkey:long,l_quantity:double,l_extendedprice:double,"
+            "l_returnflag:str,l_shipdate:date"
+        ),
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("qty_cents"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("price_cents"),
+        F.min("l_shipdate").cast("string").alias("min_ship"),
+        F.max("l_shipdate").cast("string").alias("max_ship"),
+    )
+
+
+@query(
+    "source_jsonl",
+    """
+    SELECT event_type AS t,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(SUM(user_id) AS BIGINT) AS user_sum,
+           CAST(SUM(event_id) AS BIGINT) AS event_sum
+    FROM events WHERE event_id % 5 = 0
+    GROUP BY event_type
+    """,
+)
+def source_jsonl(spark, sf_dir):
+    """JSON-lines SOURCE with NESTED types driver-witnessed: an events
+    subset is staged once as Spark-written JSONL where the measure is
+    a struct payload and the ids ride an array column, read back via
+    sources.read_jsonl with an explicit NESTED schema
+    (struct<t,cents> + array<long> — the web-crawl/API-dump shape),
+    re-flattened, and aggregated.  The oracle computes the same
+    aggregate from the parquet table, so struct/array JSON encode →
+    parse fidelity is what the hash certifies."""
+    from pyspark.sql import types as T
+
+    from .sources import read_jsonl, write_jsonl
+
+    ev = _t(spark, sf_dir, "events")
+    subset = ev.filter(F.col("event_id") % 5 == 0).select(
+        F.col("event_id"),
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        ).alias("payload"),
+        F.array(F.col("user_id"), F.col("event_id")).alias("ids"),
+    )
+    stage = _stage_once("srcjsonl", sf_dir, lambda p: write_jsonl(subset, p))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField(
+                "payload",
+                T.StructType(
+                    [
+                        T.StructField("t", T.StringType()),
+                        T.StructField("cents", T.LongType()),
+                    ]
+                ),
+            ),
+            T.StructField("ids", T.ArrayType(T.LongType())),
+        ]
+    )
+    back = read_jsonl(spark, stage, schema=schema)
+    return back.groupBy(F.col("payload.t").alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("payload.cents").cast("long").alias("cents"),
+        F.sum(F.element_at("ids", 1)).cast("long").alias("user_sum"),
+        F.sum(F.element_at("ids", 2)).cast("long").alias("event_sum"),
+    )
+
+
+@query(
+    "source_orc",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(MIN(epoch_us(o_orderdate)) AS BIGINT) AS min_date_us,
+           CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS max_date_us
+    FROM orders WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def source_orc(spark, sf_dir):
+    """ORC SOURCE round trip driver-witnessed (the other columnar
+    format a warehouse migration actually encounters): an orders
+    subset staged once as Spark-written ORC, read back via
+    sources.read_orc, aggregated with timestamps compared on the
+    exact epoch-microsecond lattice (unix_micros / epoch_us — no
+    string formatting in the hash).  Proves the ORC writer/reader
+    preserve longs, doubles, strings, and microsecond timestamps
+    bit-for-bit under the UTC session."""
+    from .sources import read_orc, write_orc
+
+    od = _t(spark, sf_dir, "orders")
+    subset = od.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderdate",
+    )
+    stage = _stage_once("srcorc", sf_dir, lambda p: write_orc(subset, p))
+    back = read_orc(spark, stage)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("price_cents"),
+        F.min(F.unix_micros("o_orderdate")).cast("long").alias("min_date_us"),
+        F.max(F.unix_micros("o_orderdate")).cast("long").alias("max_date_us"),
+    )
+
+
+@query(
+    "source_partitioned",
+    """
+    SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+             AS month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def source_partitioned(spark, sf_dir):
+    """Hive-style PARTITIONED directory layout driver-witnessed:
+    orders staged once via ``partitionBy("o_orderpriority")`` parquet
+    (the layout every production lake uses for its coarse filter
+    column), read back through the directory scan, filtered to ONE
+    priority — Spark prunes to that partition's directory, no I/O on
+    the other four (the plan's PartitionFilters carry the predicate;
+    asserted in tests/test_round6d_ops.py) — and aggregated by month.
+    The partition column itself round-trips as a string directory
+    key."""
+    od = _t(spark, sf_dir, "orders")
+
+    def _write(p):
+        od.write.partitionBy("o_orderpriority").parquet(p)
+
+    stage = _stage_once("srcpart", sf_dir, _write)
+    back = spark.read.parquet(stage)
+    return (
+        back.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .cast("string")
+            .alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+
+
+@query(
+    "source_bucketed_join",
+    """
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def source_bucketed_join(spark, sf_dir):
+    """BUCKETED-TABLE co-located join driver-witnessed — the
+    pre-shuffle-once-join-forever pattern that matters most at 100 TB:
+    orders and customer are staged ONCE as managed tables bucketed 8
+    ways on the customer key (sources.write_bucketed_table); the join
+    then reads bucket i against bucket i with NO exchange on either
+    side (asserted on the plan in tests/test_round6d_ops.py — this
+    gate certifies the VALUES through the bucketed read path).  The
+    oracle is the plain parquet join."""
+    from .sources import write_bucketed_table
+
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_").replace(".", "_")
+    t_o, t_c = f"src_bkt_orders_{tag}", f"src_bkt_customer_{tag}"
+    if not spark.catalog.tableExists(t_o):
+        write_bucketed_table(
+            _t(spark, sf_dir, "orders"), t_o, ["o_custkey"], 8,
+            sort_by=["o_custkey"],
+        )
+    if not spark.catalog.tableExists(t_c):
+        write_bucketed_table(
+            _t(spark, sf_dir, "customer"), t_c, ["c_custkey"], 8,
+            sort_by=["c_custkey"],
+        )
+    o = spark.table(t_o)
+    c = spark.table(t_c)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+
+
+@query(
+    "profile_mannwhitney",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS gg,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ), per_v AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN gg = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN gg = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      FROM g GROUP BY v
+    ), ranked AS (
+      SELECT c_a, c_a + c_b AS t,
+             SUM(c_a + c_b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW)
+               - (c_a + c_b) AS c_below
+      FROM per_v
+    ), s AS (
+      SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+             CAST(SUM(t - c_a) AS BIGINT) AS n_b,
+             CAST(SUM(c_a * (2 * c_below + t + 1)) AS BIGINT) AS r_a_x2,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+      FROM ranked
+    )
+    SELECT n_a, n_b,
+           CAST(r_a_x2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2,
+           tie_term,
+           FLOOR(
+             CAST(r_a_x2 - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+             * CAST(r_a_x2 - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+             * CAST(3 * (n_a + n_b) * ((n_a + n_b) - 1) AS DOUBLE)
+             / (CAST(n_a * n_b AS DOUBLE)
+                * CAST((n_a + n_b) * ((n_a + n_b) - 1) * ((n_a + n_b) + 1)
+                       - tie_term AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS z_sq
+    FROM s
+    """,
+)
+def profile_mannwhitney(spark, sf_dir):
+    """EXACT two-sample Mann-Whitney rank-sum test
+    (extended/profile.py mann_whitney) between the 'A' and 'R'
+    return flags' price distributions — the rank-based
+    location-shift companion to profile_ks: doubled tie-averaged rank
+    sums stay on the BIGINT lattice, the tie-corrected z² statistic is
+    one fixed IEEE sequence on exact integer factors (z² ~ χ²(1), no
+    transcendental CDF).  The ordered scan runs over the distinct
+    cent-grid value DOMAIN, not the rows."""
+    from .extended.profile import mann_whitney
+
+    li = _t(spark, sf_dir, "lineitem")
+    return mann_whitney(li, "l_extendedprice", "l_returnflag", "A", "R")
+
+
+@query(
+    "graph_scc",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT l_suppkey AS u, (l_partkey % 100) + 1 AS v
+      FROM lineitem WHERE l_quantity >= 48
+    ), nodes AS (
+      SELECT u AS id FROM e UNION SELECT v FROM e
+    ), reach(a, b) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b
+    ), mutual AS (
+      SELECT r1.a AS x, r1.b AS y
+      FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+    )
+    SELECT CAST(n.id AS BIGINT) AS node,
+           CAST(GREATEST(n.id, COALESCE(MAX(m.y), n.id)) AS BIGINT)
+             AS scc_id
+    FROM nodes n LEFT JOIN mutual m ON m.x = n.id
+    GROUP BY n.id
+    """,
+)
+def graph_scc(spark, sf_dir):
+    """Strongly connected components (extended/graph.py scc) of the
+    directed supplier→part-slot flow graph (high-quantity line items;
+    part keys folded onto the 1..100 slot domain so the graph has both
+    a dense core and pure-source fringe nodes).  Forward max-label
+    coloring + same-color backward confirmation settles each
+    component with scc_id = its max member id; the in-plan
+    raise_error guard proves the round bounds sufficed.  The oracle
+    states ground truth via the full recursive-CTE mutual-reachability
+    closure — fine at gate scale, which is exactly why the distributed
+    side must NOT be built that way."""
+    from .extended.graph import scc
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_quantity") >= 48).select(
+        F.col("l_suppkey").alias("u"),
+        (F.col("l_partkey") % 100 + 1).alias("v"),
+    )
+    return scc(edges, "u", "v", rounds=8, outer_rounds=4)
+
+
+@query(
+    "layout_row_ids",
+    """
+    WITH k AS (
+      SELECT l_orderkey * 10 + l_linenumber AS k
+      FROM lineitem WHERE l_orderkey % 11 = 0
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(ROW_NUMBER() OVER (ORDER BY k) - 1 AS BIGINT) AS row_id
+    FROM k
+    """,
+)
+def layout_row_ids(spark, sf_dir):
+    """Dense global row ids WITHOUT a global sort
+    (operators/sort.py stable_row_ids): range-repartition on the key,
+    per-partition counts → prefix-sum offsets via ONE window over the
+    #partitions-row count table (bounded by cluster width), broadcast
+    the offsets back, add the partition-LOCAL row_number.  The oracle
+    is the thing the operator replaces — ``ROW_NUMBER() OVER (ORDER
+    BY k)`` — stated over a unique key so the assignment is fully
+    deterministic; matching it proves the distributed prefix-sum
+    produces exact global ranks while the plan never moves the table
+    through one task (asserted on the plan in
+    tests/test_round6d_ops.py)."""
+    from .operators.sort import stable_row_ids
+
+    li = _t(spark, sf_dir, "lineitem")
+    keyed = li.filter(F.col("l_orderkey") % 11 == 0).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("k")
+    )
+    return stable_row_ids(keyed, ["k"]).select("k", "row_id")
+
+
+@query(
+    "source_dpp",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders o
+    JOIN (SELECT DISTINCT o_orderpriority AS p FROM orders
+          WHERE o_custkey % 700 = 7) d
+      ON o.o_orderpriority = d.p
+    GROUP BY o.o_orderpriority
+    """,
+)
+def source_dpp(spark, sf_dir):
+    """DYNAMIC partition pruning driver-witnessed — the join-time
+    analogue of static pruning: the fact side is the staged
+    priority-partitioned orders directory (shared with
+    source_partitioned); the dim side's priority list is selected by
+    a filter on a NON-partition column (a customer-key slice), so the
+    surviving priorities are only known at runtime — Catalyst cannot
+    constant-fold them into a static PartitionFilter (a literal
+    priority filter WOULD be folded, by constraint propagation) and
+    instead broadcasts the dim result into the fact SCAN as a
+    dynamicpruningexpression subquery, skipping every directory the
+    dim does not name (plan asserted in tests/test_round6d_ops.py —
+    this gate certifies the values through the DPP'd read).  At
+    100 TB this is the difference between scanning the partitions the
+    dim selects and scanning all of them."""
+    od = _t(spark, sf_dir, "orders")
+
+    def _write(p):
+        od.write.partitionBy("o_orderpriority").parquet(p)
+
+    stage = _stage_once("srcpart", sf_dir, _write)
+    fact = spark.read.parquet(stage)
+    dim = (
+        od.filter(F.col("o_custkey") % 700 == 7)
+        .select(F.col("o_orderpriority").alias("p"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact["o_orderpriority"] == dim["p"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )

@@ -577,6 +577,280 @@ def probe_r6() -> None:
     print(json.dumps({"r6_probes": results}))
 
 
+
+def probe_r6b() -> None:
+    """sf1.0 probes for the round-6 continuation operators over FULL
+    scaled tables: CDC apply, resample/LOCF, weighted-minhash dedup,
+    weighted SSSP, radius join (tiled 10x embeddings so density — and
+    with it the intrinsic pair count — stays fixed), beam ANN over a
+    10x corpus, wedge-join node similarity, interval join, EWMA fold,
+    sessionized attribution, Benford screen, readability."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pandasy_spark.session import get_spark
+
+    spark = get_spark("pandasy-scale-probe-r6b")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def emb(sf_dir):
+        e = spark.read.parquet(f"{SRC}/embeddings.parquet")
+        if sf_dir == DST:
+            reps = spark.range(10).select(F.col("id").alias("__rep"))
+            e = e.crossJoin(F.broadcast(reps)).select(
+                (F.col("vec_id") * 10 + F.col("__rep")).alias("vec_id"),
+                "embedding",
+                F.col("__rep"),
+            )
+        else:
+            e = e.withColumn("__rep", F.lit(0))
+        return e
+
+    def ev(sf_dir):
+        return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def cdc_probe(sf_dir):
+        from pandasy_spark.operators.scd import cdc_apply
+
+        e = ev(sf_dir)
+        cutoff = F.lit("2024-01-15").cast("timestamp")
+        base = e.filter(F.col("ts") < cutoff).groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long").alias("cents"),
+        )
+        chg = e.filter(F.col("ts") >= cutoff).select(
+            "user_id", F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+            (F.col("user_id") % 100).cast("long").alias("n"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        return cdc_apply(base, chg, ["user_id"], ["n", "cents"])
+
+    def resample_probe(sf_dir):
+        from pandasy_spark.extended.events import resample_locf
+
+        return resample_locf(ev(sf_dir), key_col="event_type")
+
+    def wjaccard_probe(sf_dir):
+        from pandasy_spark.extended.dedup import weighted_jaccard_pairs
+
+        return weighted_jaccard_pairs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            threshold_milli=300,
+        )
+
+    def sssp_probe(sf_dir):
+        from pandasy_spark.extended.graph import cooccurrence_edges, sssp
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        e = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+        ew = e.select("x", "y", (F.lit(1) + (F.col("x") + F.col("y")) % 7).alias("w"))
+        nodes = e.select(F.col("x").alias("node")).union(
+            e.select(F.col("y").alias("node"))
+        ).distinct()
+        return sssp(ew, nodes.filter(F.col("node") % 97 == 0), rounds=3)
+
+    def radius_probe(sf_dir):
+        from pandasy_spark.extended.spatial import radius_pairs
+
+        # tile replicas so point DENSITY (and the intrinsic pair
+        # count per point) stays fixed while rows go 10x
+        pts = emb(sf_dir).select(
+            F.col("vec_id").alias("id"),
+            (
+                F.floor(F.element_at(F.col("embedding").cast("array<double>"), 1) * 1000)
+                + (F.col("__rep") % 4) * 1200
+            ).cast("long").alias("x"),
+            (
+                F.floor(F.element_at(F.col("embedding").cast("array<double>"), 2) * 1000)
+                + (F.col("__rep") / 4).cast("long") * 1500
+            ).cast("long").alias("y"),
+        )
+        return radius_pairs(pts, radius=60)
+
+    def beam_probe(sf_dir):
+        from pandasy_spark.extended.similarity import beam_topk
+
+        e = emb(sf_dir)
+        corpus = e.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+        qs = e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return beam_topk(corpus, qs, k=5, m=8, beam_width=32, rounds=3)
+
+    def njaccard_probe(sf_dir):
+        from pandasy_spark.extended.graph import (
+            cooccurrence_edges,
+            neighbor_jaccard,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        e = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+        return neighbor_jaccard(e, min_common=2)
+
+    def interval_probe(sf_dir):
+        from pandasy_spark.operators.rangejoin import interval_join
+
+        e = ev(sf_dir)
+        end_us = lambda mins: F.timestamp_micros(  # noqa: E731
+            F.unix_micros(F.col("ts")) + mins * 60_000_000
+        )
+        left = e.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("lid"),
+            F.col("ts").alias("ls"), end_us((F.col("user_id") % 7) + 1).alias("le"),
+        )
+        right = e.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("rid"),
+            F.col("ts").alias("rs"), end_us(F.lit(5)).alias("re"),
+        )
+        return interval_join(
+            left, right, ["user_id"], "ls", "le", "rs", "re", bucket_seconds=300
+        )
+
+    def ewma_probe(sf_dir):
+        from pandasy_spark.extended.events import ewma_per_key
+
+        return ewma_per_key(ev(sf_dir))
+
+    def session_attr_probe(sf_dir):
+        from pandasy_spark.extended.events import sessionized_attribution
+
+        return sessionized_attribution(ev(sf_dir))
+
+    def benford_probe(sf_dir):
+        from pandasy_spark.extended.profile import benford_screen
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return benford_screen(li, "l_extendedprice", ["l_returnflag"])
+
+    def readability_probe(sf_dir):
+        from pandasy_spark.extended.text import readability
+
+        return readability(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+    probes = {
+        "cdc_full_events": cdc_probe,
+        "resample_full_events": resample_probe,
+        "wjaccard_full_docs": wjaccard_probe,
+        "sssp_full_lineitem": sssp_probe,
+        "radius_tiled_10x_embeddings": radius_probe,
+        "beam_10x_embeddings": beam_probe,
+        "neighbor_jaccard_full_lineitem": njaccard_probe,
+        "interval_join_full_events": interval_probe,
+        "ewma_full_events": ewma_probe,
+        "session_attr_full_events": session_attr_probe,
+        "benford_full_lineitem": benford_probe,
+        "readability_full_docs": readability_probe,
+    }
+    results: dict[str, dict[str, float]] = {}
+    import time as _t
+
+    for name, fn in probes.items():
+        results[name] = {}
+        for label, sf_dir in [("sf0.1", SRC), ("sf1.0", DST)]:
+            best = float("inf")
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                fn(sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, _t.perf_counter() - t0)
+            results[name][label] = round(best, 2)
+        results[name]["ratio"] = round(
+            results[name]["sf1.0"] / max(results[name]["sf0.1"], 1e-9), 2
+        )
+        print(name, results[name], flush=True)
+    print(json.dumps({"r6b_probes": results}))
+
+
+def probe_r6c() -> None:
+    """sf1.0 probes for the batch-F operators over FULL scaled
+    tables: exact KS and Mann-Whitney (distinct-value-domain window
+    scans — the probe proves the domain, not the rows, pays the
+    ordered pass), SCC over the full high-quantity flow graph, and
+    the staged-source paths (CSV and partitioned parquet) end to end
+    at 10x the bytes."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pandasy_spark.session import get_spark
+
+    spark = get_spark("pandasy-scale-probe-r6c")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def li(sf_dir):
+        return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def ks_probe(sf_dir):
+        from pandasy_spark.extended.profile import ks_statistic
+
+        return ks_statistic(li(sf_dir), "l_extendedprice", "l_returnflag", "A", "R")
+
+    def mw_probe(sf_dir):
+        from pandasy_spark.extended.profile import mann_whitney
+
+        return mann_whitney(li(sf_dir), "l_extendedprice", "l_returnflag", "A", "R")
+
+    def scc_probe(sf_dir):
+        from pandasy_spark.extended.graph import scc
+
+        edges = li(sf_dir).filter(F.col("l_quantity") >= 48).select(
+            F.col("l_suppkey").alias("u"),
+            (F.col("l_partkey") % 100 + 1).alias("v"),
+        )
+        return scc(edges, "u", "v", rounds=8, outer_rounds=4)
+
+    def csv_probe(sf_dir):
+        # staged write + explicit-schema read + aggregate, 10x bytes
+        from pandasy_spark.sources import read_csv, write_csv
+
+        stage = tempfile.mkdtemp(prefix="probe_csv_")
+        subset = li(sf_dir).select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+        )
+        write_csv(subset, stage)
+        back = read_csv(
+            spark, stage,
+            schema="l_orderkey:long,l_quantity:double,"
+                   "l_extendedprice:double,l_returnflag:str",
+        )
+        out = back.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))).alias("c"),
+        )
+        out._probe_cleanup = stage  # noqa: SLF001
+        return out
+
+    probes = {
+        "ks_full_lineitem": ks_probe,
+        "mannwhitney_full_lineitem": mw_probe,
+        "scc_full_lineitem": scc_probe,
+        "csv_roundtrip_full_lineitem": csv_probe,
+    }
+    results: dict[str, dict[str, float]] = {}
+    for name, fn in probes.items():
+        results[name] = {}
+        for label, sf_dir in [("sf0.1", SRC), ("sf1.0", DST)]:
+            best = float("inf")
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                df = fn(sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, _t.perf_counter() - t0)
+                stage = getattr(df, "_probe_cleanup", None)
+                if stage:
+                    shutil.rmtree(stage, ignore_errors=True)
+            results[name][label] = round(best, 2)
+        results[name]["ratio"] = round(
+            results[name]["sf1.0"] / max(results[name]["sf0.1"], 1e-9), 2
+        )
+        print(name, results[name], flush=True)
+    print(json.dumps({"r6c_probes": results}))
+
+
 if __name__ == "__main__":
     {
         "build": build,
@@ -584,5 +858,7 @@ if __name__ == "__main__":
         "probe": probe,
         "probe_r5": probe_r5,
         "probe_r6": probe_r6,
+        "probe_r6b": probe_r6b,
+        "probe_r6c": probe_r6c,
         "bpe50k": bpe50k,
     }[sys.argv[1]]()

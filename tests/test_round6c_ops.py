@@ -299,3 +299,72 @@ def test_bloom_or_merge_equals_union_bloom(spark):
     bb = bloom_build(b, "t", num_words=64).collect()[0]["bloom"]
     bu = bloom_build(u, "t", num_words=64).collect()[0]["bloom"]
     assert [x | y for x, y in zip(ba, bb)] == list(bu)
+
+
+# ------------------------------------------------------------ KS test
+
+
+def test_ks_identical_and_disjoint(spark):
+    from pandasy_spark.extended.profile import ks_statistic
+
+    rows = [("a", float(v)) for v in range(100)] + [
+        ("b", float(v)) for v in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_statistic(df, "v", "g", "a", "b").collect()[0]
+    assert r["d"] == 0.0 and r["n_a"] == 100 and r["n_values"] == 100
+    # fully separated supports: D = 1
+    rows2 = [("a", float(v)) for v in range(50)] + [
+        ("b", float(v + 1000)) for v in range(50)
+    ]
+    r2 = ks_statistic(
+        spark.createDataFrame(rows2, "g string, v double"), "v", "g", "a", "b"
+    ).collect()[0]
+    assert r2["d"] == 1.0
+
+
+def test_ks_hand_computed(spark):
+    from pandasy_spark.extended.profile import ks_statistic
+
+    # a = {1,2}, b = {2,3}: ECDFs at v=1: 0.5 vs 0 (D=0.5); v=2: 1 vs
+    # 0.5 (0.5); v=3: 1 vs 1 -> D = 0.5
+    rows = [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+    r = ks_statistic(
+        spark.createDataFrame(rows, "g string, v double"), "v", "g", "a", "b"
+    ).collect()[0]
+    assert r["d"] == 0.5
+
+
+# ------------------------------------------------------------ A/B test
+
+
+def test_ab_test_known_rates(spark):
+    from pandasy_spark.extended.events import ab_test
+
+    # users 0..9: evens = A, odds = B; conversions: users 0,2 (A), 1 (B)
+    rows = []
+    for u in range(10):
+        rows.append((u, "view"))
+    for u in (0, 2, 1):
+        rows.append((u, "purchase"))
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = ab_test(df).collect()[0]
+    assert r["n_a"] == 5 and r["n_b"] == 5
+    assert r["conv_a"] == 2 and r["conv_b"] == 1
+    assert r["rate_a"] == 0.4 and r["rate_b"] == 0.2
+    assert abs(r["lift"] - 0.2) < 2e-6
+    # z² = (0.2)² / (0.3*0.7*(0.4)) = 0.04/0.084
+    assert abs(r["z_sq"] - 0.04 / 0.084) < 1e-4
+
+
+def test_ab_test_no_conversions_either_side(spark):
+    from pandasy_spark.extended.events import ab_test
+
+    df = spark.createDataFrame(
+        [(u, "view") for u in range(6)], "user_id long, event_type string"
+    )
+    r = ab_test(df).collect()[0]
+    # pooled p = 0 -> z² divides by zero -> NULL/NaN is acceptable;
+    # rates must be exact zeros and counts exact
+    assert r["conv_a"] == 0 and r["conv_b"] == 0
+    assert r["rate_a"] == 0.0 and r["rate_b"] == 0.0
