@@ -565,10 +565,14 @@ def scc(
 
     ``rounds`` must be >= the forward diameter of the graph and
     ``outer_rounds`` >= the longest root-chain in the condensation;
-    both are plan-shape bounds, not data-dependent loops.  An IN-PLAN
-    ``raise_error`` guard fires if any node is still unsettled at the
-    end, so an under-provisioned bound can never silently return a
-    wrong partition (the merge-uniqueness-guard pattern).
+    both are UPPER bounds — max-label propagation is monotone (labels
+    only grow), so a one-row ``sum(label)`` checksum per step detects
+    the fixpoint exactly and exits early (the bounded-collect
+    convergence pattern from connected components: the driver sees a
+    single BIGINT per round, never data).  An IN-PLAN ``raise_error``
+    guard fires if any node is still unsettled at the end, so an
+    under-provisioned bound can never silently return a wrong
+    partition (the merge-uniqueness-guard pattern).
 
     Scale shape: every step is an equi-join on a node key plus a
     map-side-combined max/any aggregate; ``localCheckpoint`` bounds
@@ -598,6 +602,7 @@ def scc(
     settled = None
     for _ in range(outer_rounds):
         colors = nodes.select("node", F.col("node").alias("color"))
+        prev_sum = None
         for h in range(rounds):
             prop = (
                 e.join(
@@ -612,10 +617,12 @@ def scc(
                 colors.unionByName(prop)
                 .groupBy("node")
                 .agg(F.max("color").alias("color"))
+                .localCheckpoint(eager=False)
             )
-            if h % 3 == 2:
-                colors = colors.localCheckpoint(eager=False)
-        colors = colors.localCheckpoint(eager=False)
+            cur = colors.agg(F.sum("color")).first()[0]
+            if cur == prev_sum:
+                break
+            prev_sum = cur
         same = (
             e.join(
                 colors.select(
@@ -636,6 +643,7 @@ def scc(
         marked = colors.filter(F.col("node") == F.col("color")).select(
             "node", F.col("color").alias("scc_id")
         )
+        prev_mark = None
         for h in range(rounds):
             prop = (
                 same.join(
@@ -650,16 +658,24 @@ def scc(
                 marked.unionByName(prop)
                 .groupBy("node")
                 .agg(F.max("scc_id").alias("scc_id"))
+                .localCheckpoint(eager=False)
             )
-            if h % 3 == 2:
-                marked = marked.localCheckpoint(eager=False)
-        marked = marked.localCheckpoint(eager=False)
+            cur = tuple(
+                marked.agg(
+                    F.count("*"), F.sum("scc_id")
+                ).first()
+            )
+            if cur == prev_mark:
+                break
+            prev_mark = cur
         settled = (
             marked if settled is None else settled.unionByName(marked)
         ).localCheckpoint(eager=False)
         nodes = nodes.join(
             marked.select("node"), "node", "left_anti"
         ).localCheckpoint(eager=False)
+        if nodes.isEmpty():
+            break
         e = (
             e.join(marked.select(F.col("node").alias("u")), "u", "left_anti")
             .join(marked.select(F.col("node").alias("v")), "v", "left_anti")
@@ -669,7 +685,9 @@ def scc(
     leftover = nodes.select(
         "node", F.lit(None).cast("long").alias("scc_id")
     )
-    out = settled.unionByName(leftover)
+    out = (
+        settled.unionByName(leftover) if settled is not None else leftover
+    )
     guarded = F.when(
         F.col("scc_id").isNull(),
         F.raise_error(
