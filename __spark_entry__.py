@@ -159,6 +159,13 @@ _R6_NEW: list[str] = [
     "graph_scc",
     "layout_row_ids",
     "source_dpp",
+    "events_streaks",
+    "agg_quantile_cont",
+    "profile_gini",
+    "sample_bootstrap",
+    "text_phrase",
+    "sql_correlated",
+    "multimodal_resample",
 ]
 
 

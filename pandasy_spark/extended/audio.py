@@ -29,6 +29,9 @@ __all__ = [
     "WAV_FEATURE_COLS",
     "spectral_features",
     "SPECTRAL_COLS",
+    "resample_linear",
+    "wav_resample_features",
+    "RESAMPLE_COLS",
 ]
 
 
@@ -256,3 +259,98 @@ def spectral_features(
     return df.select(id_col, payload_col).mapInPandas(
         _extract, schema=SPECTRAL_COLS
     )
+
+
+def resample_linear(x: "object", up: int, down: int) -> "object":
+    """EXACT integer linear-interpolation resampling of int16 PCM by
+    the rational factor ``up/down`` (pure numpy, no floats).
+
+    Output sample ``j`` sits at source position ``j*down/up``; with
+    ``k = (j*down) div up`` and ``f = (j*down) mod up`` the value is
+    the lattice-exact lerp ``(x[k]*(up-f) + x[k+1]*f) div up``.  The
+    output length is the count of positions that land inside the
+    source, ``(n-1)*up div down + 1``.  Linear interpolation is the
+    deterministic baseline (a windowed-sinc polyphase filter is the
+    audiophile path and needs float taps); exactness here is what
+    makes resampled features oracle-checkable.
+    """
+    import numpy as np
+
+    if up < 1 or down < 1:
+        raise ValueError("up and down must be >= 1")
+    a = np.asarray(x, np.int64)
+    n = a.shape[0]
+    if n == 0:
+        return a.astype(np.int16)
+    n_out = (n - 1) * up // down + 1
+    j = np.arange(n_out, dtype=np.int64)
+    num = j * down
+    k = num // up
+    f = num - k * up
+    k1 = np.minimum(k + 1, n - 1)
+    out = (a[k] * (up - f) + a[k1] * f) // up
+    return out.astype(np.int16)
+
+
+RESAMPLE_COLS = (
+    "doc_id long, n_in long, n_out long, sum_out long, peak_out int, "
+    "last_out int"
+)
+
+
+def wav_resample_features(
+    df: DataFrame,
+    up: int,
+    down: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode WAV payloads, resample channel 0 by ``up/down`` with
+    :func:`resample_linear`, and emit integer-exact features of the
+    RESAMPLED signal (sum, peak, last sample) — the audio analogue of
+    the image resize pipeline: per-payload CPU inside Arrow-batched
+    ``mapInPandas``, narrow plan, no shuffle.  Non-decodable payloads
+    drop (quarantine contract)."""
+    import numpy as np
+
+    from .multimodal import DECODE_ERRORS
+
+    id_name, payload_name = id_col, payload_col
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_name], pdf[payload_name]):
+                try:
+                    a, _rate = decode_wav(bytes(p))
+                except DECODE_ERRORS:
+                    continue
+                x = a[:, 0]
+                if len(x) == 0:
+                    continue
+                y = resample_linear(x, up, down).astype(np.int64)
+                rows.append(
+                    (
+                        int(did),
+                        len(x),
+                        len(y),
+                        int(y.sum()),
+                        int(np.abs(y).max()),
+                        int(y[-1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_in", "n_out", "sum_out", "peak_out",
+                    "last_out",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "n_in": "int64", "n_out": "int64",
+                    "sum_out": "int64", "peak_out": "int32",
+                    "last_out": "int32",
+                }
+            )
+
+    return df.mapInPandas(_extract, schema=RESAMPLE_COLS)

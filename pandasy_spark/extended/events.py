@@ -26,6 +26,7 @@ __all__ = [
     "ewma_per_key",
     "sessionized_attribution",
     "ab_test",
+    "activity_streaks",
 ]
 
 
@@ -764,4 +765,50 @@ def ab_test(
         q6(rb).alias("rate_b"),
         q6(ra - rb).alias("lift"),
         q6(z_sq).alias("z_sq"),
+    )
+
+
+def activity_streaks(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per
+    user (the classic streak query — retention / engagement-quality
+    feature for training-data user sampling).
+
+    The island trick stays fully key-partitioned at scale: distinct
+    (user, day) pairs -> per-USER ``row_number`` ordered by day ->
+    ``day - row_number`` is constant within a consecutive run (the
+    island id) -> group by (user, island) for run lengths -> max per
+    user.  Every window and aggregate is partitioned by the user key,
+    so a 100 TB event log shuffles twice on user_id and never sees a
+    single-partition sort; per-user state is bounded by that user's
+    distinct active days.
+
+    Output: ``(user_col, n_active_days, longest_streak, n_streaks)``.
+    """
+    from pyspark.sql.window import Window
+
+    days = (
+        df.select(
+            F.col(user_col),
+            F.to_date(F.col(ts_col)).alias("__day"),
+        )
+        .filter(F.col(user_col).isNotNull() & F.col("__day").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(user_col).orderBy("__day")
+    islands = days.withColumn(
+        "__island",
+        F.datediff(F.col("__day"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    runs = islands.groupBy(user_col, "__island").agg(
+        F.count(F.lit(1)).cast("long").alias("__len")
+    )
+    return runs.groupBy(user_col).agg(
+        F.sum("__len").cast("long").alias("n_active_days"),
+        F.max("__len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
     )

@@ -44,6 +44,8 @@ __all__ = [
     "benford_screen",
     "ks_statistic",
     "mann_whitney",
+    "quantile_cont_twopass",
+    "gini_concentration",
 ]
 
 _NUMERIC = (
@@ -1029,4 +1031,166 @@ def mann_whitney(
             (F.floor(z_sq * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0))
             .alias("z_sq"),
         )
+    )
+
+
+def quantile_cont_twopass(
+    df: DataFrame,
+    value_col: str,
+    p_milli: int = 500,
+    coarse_cells: int = 4096,
+) -> DataFrame:
+    """EXACT interpolated (``percentile_cont``) quantile of a BIGINT
+    column WITHOUT a global sort, scaled onto an integer lattice so
+    the answer is engine-portable.
+
+    ``percentile_cont(p)`` interpolates between the order statistics
+    at 0-based positions ``floor((n-1)*p)`` and the next one:
+    ``v_lo*(1-f) + v_hi*f`` with ``f = frac((n-1)*p)``.  With
+    ``p = p_milli/1000`` the fraction has denominator 1000, so the
+    output ``q_scaled = v_lo*(1000-rem) + v_hi*rem`` (``rem =
+    (n-1)*p_milli mod 1000``) is the exact quantile times 1000 — all
+    BIGINT, no IEEE division anywhere.
+
+    Same two-pass order-statistic shape as
+    :func:`quantile_disc_twopass` (histogram locates the cells, a
+    refine pass scans only those cells), extended to pick BOTH
+    neighbor ranks in one refine: the ranks differ by 1, so the first
+    cells reaching cumulative counts ``r_lo`` and ``r_lo+1`` bound a
+    sliver of at most two non-empty cells.  Three map-combined
+    aggregates over the data; the only windows run over the bounded
+    histogram/sliver domains.
+
+    Output: one row ``(n, q_scaled)``.
+    """
+    if not 0 <= p_milli <= 1000:
+        raise ValueError("p_milli must be in [0, 1000]")
+    if coarse_cells < 2:
+        raise ValueError("coarse_cells must be >= 2")
+    vals = df.select(F.col(value_col).cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    stats = vals.agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    # 0-based position*1000 = (n-1)*p_milli; lo rank (1-indexed) and
+    # the interpolation remainder are exact BIGINT arithmetic
+    stats = (
+        stats.withColumn("__pos_milli", (F.col("n") - 1) * F.lit(p_milli))
+        .withColumn("__rlo", F.expr("__pos_milli div 1000") + 1)
+        .withColumn("__rem", F.expr("__pos_milli % 1000"))
+        .withColumn(
+            "__rhi", F.least(F.col("__rlo") + 1, F.col("n"))
+        )
+        .withColumn(
+            "__step",
+            F.expr(
+                f"greatest((__hi - __lo + {coarse_cells}) div {coarse_cells},"
+                " CAST(1 AS BIGINT))"
+            ),
+        )
+    )
+    joined = vals.crossJoin(F.broadcast(stats))
+    hist = joined.groupBy(
+        F.expr("(__v - __lo) div __step").alias("__cell")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    wc = Window.orderBy("__cell")
+    cum = hist.withColumn("__cum", F.sum("__c").over(wc)).crossJoin(
+        F.broadcast(stats.select("__rlo", "__rhi"))
+    )
+    kcells = (
+        cum.agg(
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.col("__rlo"),
+                    F.struct("__cell", "__cum", "__c"),
+                )
+            ).alias("__klo"),
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.col("__rhi"),
+                    F.struct("__cell", "__cum", "__c"),
+                )
+            ).alias("__khi"),
+        )
+        .select(
+            F.col("__klo.__cell").alias("__cell_lo"),
+            (F.col("__klo.__cum") - F.col("__klo.__c")).alias("__before"),
+            F.col("__khi.__cell").alias("__cell_hi"),
+        )
+    )
+    sliver = (
+        joined.crossJoin(F.broadcast(kcells))
+        .filter(
+            (F.expr("(__v - __lo) div __step") >= F.col("__cell_lo"))
+            & (F.expr("(__v - __lo) div __step") <= F.col("__cell_hi"))
+        )
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__vc"))
+    )
+    wv = Window.orderBy("__v")
+    res = (
+        sliver.withColumn("__vcum", F.sum("__vc").over(wv))
+        .crossJoin(F.broadcast(kcells.select("__before")))
+        .crossJoin(F.broadcast(stats.select("n", "__rlo", "__rhi", "__rem")))
+    )
+    return res.agg(
+        F.min(F.col("n")).alias("n"),
+        (
+            F.min(
+                F.when(
+                    F.col("__before") + F.col("__vcum") >= F.col("__rlo"),
+                    F.col("__v"),
+                )
+            )
+            * (F.lit(1000) - F.min("__rem"))
+            + F.min(
+                F.when(
+                    F.col("__before") + F.col("__vcum") >= F.col("__rhi"),
+                    F.col("__v"),
+                )
+            )
+            * F.min("__rem")
+        ).cast("long").alias("q_scaled"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """EXACT Gini concentration coefficient of a per-key value
+    distribution ("what share of revenue do the top customers hold"),
+    entirely on the BIGINT lattice.
+
+    Aggregates ``value_col`` (already integer-grid, e.g. cents) per
+    key, assigns dense ascending ranks with
+    :func:`...operators.sort.stable_row_ids` — the ONE-range-exchange
+    distributed prefix-sum, never a single-partition ``row_number``
+    window — and folds the classic rank formula
+
+        G = (2*Σ(rank_i * x_i) − (n+1)*Σx_i) / (n*Σx_i)
+
+    into integer numerator/denominator plus a floor-scaled
+    ``gini_milli`` (thousandths).  Ranks are made deterministic by
+    ordering on (value, key...).
+
+    Output: one row ``(n, total, gini_milli)``.
+    """
+    from ..operators.sort import stable_row_ids
+
+    spend = df.groupBy(*key_cols).agg(
+        F.sum(F.col(value_col).cast("long")).alias("__x")
+    )
+    ranked = stable_row_ids(spend, ["__x", *key_cols], id_col="__r")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("total"),
+        F.expr(
+            "CAST((2 * sum((__r + 1) * __x) - (count(1) + 1) * sum(__x))"
+            " * 1000 div (count(1) * sum(__x)) AS BIGINT)"
+        ).alias("gini_milli"),
     )

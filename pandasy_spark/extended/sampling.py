@@ -62,6 +62,8 @@ __all__ = [
     "mixture_weights",
     "reservoir_per_group",
     "pack_manifest",
+    "bootstrap_counts",
+    "bootstrap_resample",
 ]
 
 _BUCKETS = 10_000
@@ -552,4 +554,58 @@ def pack_manifest(
             F.col("n_tokens").cast("long").alias("n_tokens"),
             "segments",
         )
+    )
+
+
+# cumulative Poisson(1) inverse-CDF thresholds on the [0, 2^31-1)
+# lattice: t_k = floor(P(X <= k) * (2^31-1)); draws >= 5 are folded
+# into count 5 (tail mass 0.00366) so the replicate explode is bounded
+_POISSON1_T = [
+    790015083,   # P(X<=0) = 0.36787944117
+    1580030167,  # P(X<=1) = 0.73575888234
+    1975037709,  # P(X<=2) = 0.91969860293
+    2106706890,  # P(X<=3) = 0.98101184313
+    2139624185,  # P(X<=4) = 0.99634015317
+]
+
+
+def bootstrap_counts(id_col: Column, salt: int = 0) -> Column:
+    """Deterministic bootstrap replicate count per row: an
+    engine-portable stand-in for Poisson(1) draws (the standard
+    distributed approximation of sampling-with-replacement, since
+    Binomial(n, 1/n) -> Poisson(1)).
+
+    The row id hashes through two affine MINSTD steps to a uniform
+    value on [0, 2^31-1); the count is how many cumulative-probability
+    thresholds the value clears — the inverse-CDF table above, capped
+    at 5.  Pure BIGINT comparisons: the identical expression runs in
+    any SQL engine, so resamples are reproducible across engines and
+    across partitionings (no RNG state, no ``rand()``).
+    """
+    h = char_poly_hash(id_col.cast("string"))
+    u = ((h * F.lit(48271) + F.lit(salt)) % F.lit(_P31) * F.lit(16807)) % F.lit(
+        _P31
+    )
+    cnt: Column = F.lit(0)
+    for t in _POISSON1_T:
+        cnt = cnt + (u >= F.lit(t)).cast("int")
+    return cnt.cast("int")
+
+
+def bootstrap_resample(
+    df: DataFrame, id_col: str, salt: int = 0
+) -> DataFrame:
+    """Bootstrap resample of a frame (deterministic, shuffle-free):
+    each row appears ``bootstrap_counts(id)`` times — 0 to 5 copies,
+    expectation 1 — via one narrow ``explode(sequence)``; no shuffle,
+    no collect, stable under repartitioning.  Different ``salt``
+    values give independent resamples for confidence-interval
+    estimation over aggregate statistics.
+    """
+    n = bootstrap_counts(F.col(id_col), salt)
+    return (
+        df.withColumn("__reps", n)
+        .filter(F.col("__reps") > 0)
+        .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__reps"))))
+        .drop("__reps", "__i")
     )

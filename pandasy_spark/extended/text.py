@@ -54,6 +54,7 @@ __all__ = [
     "PII_PATTERNS",
     "TRACKING_PARAMS",
     "readability",
+    "phrase_search",
 ]
 
 #: query parameters stripped by URL canonicalization — the standard
@@ -1574,4 +1575,43 @@ def readability(
         syl.alias("n_syllables"),
         q4(flesch).alias("flesch"),
         q4(fk).alias("fk_grade"),
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase search via positional posting lists: documents
+    where the phrase tokens appear CONSECUTIVELY, with the match
+    count — the positional extension of :func:`search_index` (which is
+    bag-of-words AND).
+
+    Shape: ``posexplode`` of the whitespace token array gives
+    (doc, position, token); each phrase term selects its posting list
+    (a pushdown-able token filter — bucket-pruned when the index is a
+    token-bucketed table) and the lists equi-join on
+    ``(doc, position - offset)``, so adjacency is a pure hash join,
+    never a string scan or regex over the corpus.  At 100 TB each join
+    moves only the phrase terms' posting lists.
+
+    Output: ``(id_col, n_matches)`` for documents with >= 1 match.
+    """
+    terms = [t for t in phrase if t]
+    if len(terms) < 2:
+        raise ValueError("phrase must have at least 2 tokens")
+    base = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    cur = base.filter(F.col("token") == terms[0]).select(id_col, "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = base.filter(F.col("token") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("pos")
+        )
+        cur = cur.join(nxt, [id_col, "pos"])
+    return cur.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
     )

@@ -10752,3 +10752,299 @@ def source_dpp(spark, sf_dir):
             .alias("price_cents"),
         )
     )
+
+
+# =====================================================================
+# Round-6 batch H: streaks, exact cont-quantiles, gini, bootstrap,
+# phrase search, correlated subqueries, audio resampling
+# =====================================================================
+
+
+@query(
+    "events_streaks",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), i AS (
+      SELECT user_id, day,
+             CAST(day - DATE '1970-01-01' AS BIGINT)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM d
+    ), r AS (
+      SELECT user_id, island, COUNT(*) AS len FROM i
+      GROUP BY user_id, island
+    )
+    SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM r GROUP BY user_id
+    """,
+)
+def events_streaks(spark, sf_dir):
+    """Gaps-and-islands: longest consecutive-day activity streak per
+    user (extended/events.py activity_streaks).  The island id
+    ``day - row_number`` is constant within a consecutive run; every
+    window and aggregate is partitioned by the USER key, so the 100 TB
+    shape is two user-keyed shuffles — no global sort anywhere (the
+    single-partition trap this repo's stable_row_ids exists to
+    avoid is absent by construction here)."""
+    from .extended.events import activity_streaks
+
+    ev = _t(spark, sf_dir, "events")
+    return activity_streaks(ev, "user_id", "ts")
+
+
+@query(
+    "agg_quantile_cont",
+    """
+    WITH v AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS val
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), o AS (
+      SELECT val, ROW_NUMBER() OVER (ORDER BY val) AS r FROM v
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             ((COUNT(*) - 1) * 900) // 1000 + 1 AS rlo,
+             ((COUNT(*) - 1) * 900) % 1000 AS rem
+      FROM v
+    )
+    SELECT CAST(s.n AS BIGINT) AS n,
+           CAST((SELECT val FROM o WHERE r = s.rlo) * (1000 - s.rem)
+              + (SELECT val FROM o WHERE r = LEAST(s.rlo + 1, s.n))
+                * s.rem AS BIGINT) AS q_scaled
+    FROM s
+    """,
+)
+def agg_quantile_cont(spark, sf_dir):
+    """EXACT interpolated percentile_cont(0.9) of the price-cent
+    column WITHOUT a global sort (extended/profile.py
+    quantile_cont_twopass): histogram pass locates the two neighbor
+    order statistics' cells, a refine pass scans only that sliver, and
+    the interpolation runs on the x1000 integer lattice so the result
+    value-hashes cross-engine.  The oracle is the global-sort
+    ROW_NUMBER definition the operator replaces."""
+    from .extended.profile import quantile_cont_twopass
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    return quantile_cont_twopass(cents, "cents", p_milli=900)
+
+
+@query(
+    "profile_gini",
+    """
+    WITH s AS (
+      SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+      FROM orders GROUP BY o_custkey
+    ), r AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rk FROM s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS total,
+           CAST((2 * SUM(rk * x) - (COUNT(*) + 1) * SUM(x))
+                // ((COUNT(*) * SUM(x)) // 1000) AS BIGINT) AS gini_milli
+    FROM r
+    """,
+)
+def profile_gini(spark, sf_dir):
+    """EXACT Gini concentration of customer spend (extended/profile.py
+    gini_concentration): per-customer cent totals ranked by
+    stable_row_ids — the ONE-range-exchange distributed prefix-sum,
+    never a single-partition row_number window — then the rank formula
+    on the BIGINT lattice (the denominator is pre-scaled by 1000 so
+    the x1000 numerator cannot overflow int64 at large n; both engines
+    state the identical floor-div chain)."""
+    from .extended.profile import gini_concentration
+
+    od = _t(spark, sf_dir, "orders")
+    cents = od.select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return gini_concentration(cents, ["o_custkey"], "cents")
+
+
+_BOOT_FOLD = (
+    "(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "[ord(substring(CAST(o_orderkey AS VARCHAR), i, 1)) "
+    "for i in range(1, len(CAST(o_orderkey AS VARCHAR))+1)]), "
+    "(acc, c) -> (acc * 257 + c) % 9007199254740992) % 2147483647)"
+)
+
+_BOOT_T = "[790015083, 1580030167, 1975037709, 2106706890, 2139624185]"
+
+
+@query(
+    "sample_bootstrap",
+    f"""
+    WITH h AS (
+      SELECT o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             ((({_BOOT_FOLD} * 48271 + 7) % 2147483647) * 16807)
+               % 2147483647 AS u
+      FROM orders
+    ), c AS (
+      SELECT o_orderpriority, cents,
+             len(list_filter({_BOOT_T}, t -> u >= t)) AS reps
+      FROM h
+    )
+    SELECT o_orderpriority,
+           CAST(SUM(reps) AS BIGINT) AS n,
+           CAST(SUM(reps * cents) AS BIGINT) AS cents_total
+    FROM c GROUP BY o_orderpriority
+    """,
+)
+def sample_bootstrap(spark, sf_dir):
+    """Deterministic bootstrap resample (extended/sampling.py
+    bootstrap_resample): engine-portable Poisson(1) replicate counts
+    from a two-step MINSTD hash against inverse-CDF thresholds on the
+    2^31 lattice, then one narrow explode — sampling WITH replacement
+    with no RNG state, reproducible across engines and partitionings.
+    The gate aggregates the resample per priority; the oracle rebuilds
+    hash, thresholds and replicate weights rule-for-rule."""
+    from .extended.sampling import bootstrap_resample
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    boot = bootstrap_resample(od, "o_orderkey", salt=7)
+    return boot.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents_total"),
+    )
+
+
+@query(
+    "text_phrase",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, unnest(arr) AS token,
+             generate_subscripts(arr, 1) AS pos
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> len(x) > 0) AS arr
+            FROM documents)
+    )
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.token = 'fast' AND b.token = 'spark'
+    GROUP BY a.doc_id
+    """,
+)
+def text_phrase(spark, sf_dir):
+    """Exact-phrase search via positional posting lists
+    (extended/text.py phrase_search): posexplode gives (doc, pos,
+    token); each phrase term's posting list joins on
+    (doc, pos - offset), so adjacency is a hash join over only the
+    phrase terms' postings — never a regex scan of the corpus.  Spark
+    positions are 0-based and DuckDB subscripts 1-based; adjacency
+    (pos+1) is representation-independent."""
+    from .extended.text import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(docs, ["fast", "spark"])
+
+
+_SQL_CORRELATED = """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM customer c
+    WHERE c.c_custkey IN (SELECT o_custkey FROM orders
+                          WHERE o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F'
+                        AND o.o_totalprice < 5e2)
+      AND (SELECT COUNT(*) FROM orders o3
+           WHERE o3.o_custkey = c.c_custkey) >= 2
+    GROUP BY c.c_mktsegment
+"""
+
+
+@query("sql_correlated", _SQL_CORRELATED)
+def sql_correlated(spark, sf_dir):
+    """Correlated-subquery surface through the SQL front door: IN,
+    correlated NOT EXISTS, and a correlated scalar COUNT in one query,
+    the same text on both engines.  Catalyst decorrelates all three
+    into joins (semi, anti, and aggregate-then-join) — witnessed by
+    the plan test asserting no CartesianProduct and no per-row
+    subquery execution — which is exactly how the 100 TB plan must
+    run: three user-keyed joins, not a nested loop."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_CORRELATED)
+
+
+@query(
+    "multimodal_resample",
+    # ramp wave x[i] = a*i: linear interp of a linear signal is exact,
+    # out[j] = (a*j*down) div up — the whole decode+resample path in
+    # closed form
+    """
+    WITH p AS (
+      SELECT doc_id,
+             1 + doc_id % 5 AS a,
+             100 + doc_id % 30 AS n
+      FROM documents WHERE doc_id < 250
+    ), f AS (
+      SELECT doc_id, a, n, (n - 1) * 3 // 2 + 1 AS nout FROM p
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_in,
+           CAST(nout AS BIGINT) AS n_out,
+           CAST(list_sum(list_transform(generate_series(0, nout - 1),
+                                        j -> (a * j * 2) // 3))
+                AS BIGINT) AS sum_out,
+           CAST((a * (nout - 1) * 2) // 3 AS INT) AS peak_out,
+           CAST((a * (nout - 1) * 2) // 3 AS INT) AS last_out
+    FROM f
+    """,
+)
+def multimodal_resample(spark, sf_dir):
+    """REAL audio resampling end-to-end (extended/audio.py
+    resample_linear + wav_resample_features): encode a deterministic
+    int16 ramp per document through the RIFF/WAVE writer, decode +
+    resample 3:2 inside Arrow-batched mapInPandas with EXACT integer
+    linear interpolation (``(x[k]*(up-f) + x[k+1]*f) div up`` — no
+    float taps), and emit integer features of the resampled signal.
+    Ramps make every output sample closed-form (lerp of a linear
+    signal is the signal), so the oracle pins decode, index
+    arithmetic, and the interpolation lattice in one hash."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 250
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.audio import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                a, n = 1 + d % 5, 100 + d % 30
+                x = (a * np.arange(n)).astype(np.int16)
+                payloads.append(encode_wav(x, 8000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_wav = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    from pandasy_spark.extended.audio import wav_resample_features
+
+    return wav_resample_features(with_wav, up=3, down=2)
