@@ -166,6 +166,11 @@ _R6_NEW: list[str] = [
     "text_phrase",
     "sql_correlated",
     "multimodal_resample",
+    "events_concurrency",
+    "profile_kanon",
+    "pareto_frontier",
+    "source_fixed_width",
+    "udf_scalar_arrow",
 ]
 
 

@@ -193,6 +193,11 @@ BENCH_QUERIES = [
     "text_phrase",
     "sql_correlated",
     "multimodal_resample",
+    "events_concurrency",
+    "profile_kanon",
+    "pareto_frontier",
+    "source_fixed_width",
+    "udf_scalar_arrow",
 ]
 
 

@@ -27,6 +27,7 @@ __all__ = [
     "sessionized_attribution",
     "ab_test",
     "activity_streaks",
+    "interval_concurrency",
 ]
 
 
@@ -811,4 +812,49 @@ def activity_streaks(
         F.sum("__len").cast("long").alias("n_active_days"),
         F.max("__len").cast("long").alias("longest_streak"),
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
+def interval_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Maximum number of simultaneously-open intervals (peak
+    concurrency) and the first instant it is reached — the sweep-line
+    query behind "peak concurrent sessions/connections/jobs".
+
+    Intervals are half-open ``[start, end)`` over any orderable
+    numeric domain (pass epoch micros for timestamps).  Each interval
+    contributes a +1 delta at start and a -1 at end; the running sum
+    of deltas in (t, delta) order — ends sort before starts at the
+    same instant — is the concurrency curve.  The running sum is a
+    distributed prefix scan (operators/sort.ordered_prefix_scan):
+    range exchange + partition-local windows + a bounded carry-in
+    table, never a single-partition global window.  The peak value and
+    its first time are order-deterministic even with tied instants
+    (within a +1 block the running values are the same multiset under
+    any intra-block order).
+
+    Output: one row ``(max_concurrent, at_t)``.
+    """
+    from ..operators.sort import ordered_prefix_scan
+
+    starts = df.select(
+        F.col(start_col).cast("long").alias("t"), F.lit(1).alias("d")
+    )
+    ends = df.select(
+        F.col(end_col).cast("long").alias("t"), F.lit(-1).alias("d")
+    )
+    deltas = starts.unionByName(ends).filter(F.col("t").isNotNull())
+    scanned = ordered_prefix_scan(
+        deltas, ["t", "d"], "d", agg="sum", out_col="c"
+    )
+    peak = scanned.agg(F.max("c").alias("max_concurrent"))
+    return (
+        scanned.join(F.broadcast(peak), F.col("c") == F.col("max_concurrent"))
+        .agg(
+            F.min("max_concurrent").cast("long").alias("max_concurrent"),
+            F.min("t").cast("long").alias("at_t"),
+        )
     )

@@ -46,6 +46,7 @@ __all__ = [
     "mann_whitney",
     "quantile_cont_twopass",
     "gini_concentration",
+    "k_anonymity",
 ]
 
 _NUMERIC = (
@@ -1193,4 +1194,50 @@ def gini_concentration(
             "CAST((2 * sum((__r + 1) * __x) - (count(1) + 1) * sum(__x))"
             " * 1000 div (count(1) * sum(__x)) AS BIGINT)"
         ).alias("gini_milli"),
+    )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+    sensitive_col: str | None = None,
+    l_diversity: int | None = None,
+) -> DataFrame:
+    """Privacy-risk screen: quasi-identifier groups that violate
+    k-anonymity (fewer than ``k`` records share the combination) and —
+    with ``sensitive_col``/``l_diversity`` — l-diversity (fewer than
+    ``l`` distinct sensitive values in the group), the standard checks
+    before releasing or training on tabular data.
+
+    One hash aggregate keyed by the quasi-identifier grid; the
+    distinct-sensitive count rides the same aggregate.  Output: the
+    violating groups ``(quasi..., n, [n_sensitive,] violation)`` with
+    ``violation`` ∈ {'k', 'l', 'k+l'}.  An empty result certifies the
+    release.  NULL quasi values form their own group (SQL GROUP BY
+    semantics — stated identically in oracles).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if (sensitive_col is None) != (l_diversity is None):
+        raise ValueError(
+            "sensitive_col and l_diversity must be set together"
+        )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col))
+            .cast("long")
+            .alias("n_sensitive")
+        )
+    g = df.groupBy(*quasi_cols).agg(*aggs)
+    k_bad = F.col("n") < F.lit(k)
+    if sensitive_col is None:
+        return g.filter(k_bad).withColumn("violation", F.lit("k"))
+    l_bad = F.col("n_sensitive") < F.lit(l_diversity)
+    return g.filter(k_bad | l_bad).withColumn(
+        "violation",
+        F.when(k_bad & l_bad, F.lit("k+l"))
+        .when(k_bad, F.lit("k"))
+        .otherwise(F.lit("l")),
     )

@@ -19,7 +19,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["order_by", "limit", "top_k", "stable_row_ids"]
+__all__ = [
+    "order_by",
+    "limit",
+    "top_k",
+    "stable_row_ids",
+    "ordered_prefix_scan",
+    "skyline_2d",
+]
 
 
 def _sort_cols(
@@ -123,4 +130,127 @@ def stable_row_ids(
             id_col, (F.col("__off") + F.col("__local")).cast("long")
         )
         .drop("__pid", "__off", "__local")
+    )
+
+
+def ordered_prefix_scan(
+    df: DataFrame,
+    order_by: Sequence[str],
+    value_col: str,
+    agg: str = "sum",
+    out_col: str = "scan",
+    strict: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed prefix scan (running ``sum``/``min``/``max`` in the
+    total order of ``order_by``) WITHOUT a global single-partition
+    window — the generalization of :func:`stable_row_ids` to
+    order-dependent accumulation (sweep-line interval counting,
+    skyline prefix minima, cumulative distributions).
+
+    Two-level decomposition: range-repartition on the order key (so
+    partition p holds a contiguous key range; ``localCheckpoint`` pins
+    the layout), run the scan WITHIN each partition (a window
+    partitioned by the physical partition id — every partition's rows
+    stay together, nothing global), aggregate one summary row per
+    partition, turn the ≤ #partitions summaries into strict-prefix
+    carry-ins with one bounded window, and broadcast the carry-ins
+    back.  Both exchanges move the data once; no stage ever sees more
+    than one partition's rows in one task.
+
+    ``strict=True`` excludes the current row (the value BEFORE this
+    row in the total order — NULL/identity for the first row:
+    0 for sum, NULL for min/max).  Rows with equal ``order_by`` keys
+    are ordered arbitrarily among themselves (same contract as a SQL
+    running aggregate over a non-unique key); pass a unique tiebreaker
+    in ``order_by`` for full determinism.
+    """
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    if agg not in ("sum", "min", "max"):
+        raise ValueError("agg must be one of sum/min/max")
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    d = (
+        df.repartitionByRange(int(n), *[F.col(c) for c in order_by])
+        .localCheckpoint(eager=False)
+    )
+    mid = F.monotonically_increasing_id()
+    d = d.select(
+        "*",
+        F.shiftrightunsigned(mid, 33).cast("int").alias("__pid"),
+        (mid % F.lit(1 << 33)).cast("long").alias("__local"),
+    )
+    fn = {"sum": F.sum, "min": F.min, "max": F.max}[agg]
+    end = -1 if strict else 0
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c) for c in order_by], F.col("__local"))
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    d = d.withColumn("__within", fn(F.col(value_col)).over(w_in))
+    totals = d.groupBy("__pid").agg(fn(F.col(value_col)).alias("__tot"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = totals.select(
+        "__pid", fn(F.col("__tot")).over(w_off).alias("__carry")
+    )
+    d = d.join(F.broadcast(carry), "__pid")
+    if agg == "sum":
+        combined = F.coalesce(F.col("__carry"), F.lit(0)) + F.coalesce(
+            F.col("__within"), F.lit(0)
+        )
+        # strict first row of the whole frame: 0 (sum identity)
+    else:
+        cmb = F.least if agg == "min" else F.greatest
+        combined = cmb(
+            F.coalesce(F.col("__carry"), F.col("__within")),
+            F.coalesce(F.col("__within"), F.col("__carry")),
+        )
+    return d.withColumn(out_col, combined).drop(
+        "__pid", "__local", "__within", "__carry"
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    count_col: str = "n_points",
+) -> DataFrame:
+    """Exact 2-D Pareto frontier (skyline), both dimensions MINIMIZED:
+    the points no other point beats on both axes (strictly on at least
+    one) — "cheapest for its size" style queries.
+
+    Fully distributed: one groupBy collapses duplicates of ``x`` to
+    the per-``x`` minimum ``y`` (a dominated row can never have
+    y > its own x-group's min), then :func:`ordered_prefix_scan`
+    computes the STRICT prefix minimum of y over x-ascending order —
+    a point survives iff its y is strictly below every smaller-x
+    point's y.  No global sort, no quadratic dominance join; the
+    oracle states the NOT EXISTS definition directly.
+
+    Output: ``(x_col, y_col, count_col)`` — frontier points with the
+    number of input rows at that exact (x, y).
+    """
+    per_x = df.groupBy(x_col).agg(
+        F.min(F.col(y_col)).alias(y_col),
+        F.count(F.lit(1)).cast("long").alias("__nx"),
+    )
+    scanned = ordered_prefix_scan(
+        per_x, [x_col], y_col, agg="min", out_col="__pm", strict=True
+    )
+    frontier = scanned.filter(
+        F.col("__pm").isNull() | (F.col(y_col) < F.col("__pm"))
+    ).select(x_col, y_col)
+    # recover the multiplicity of rows AT the frontier point (the
+    # x-group count includes dominated same-x rows, so re-count); the
+    # frontier is usually tiny but CAN be O(distinct x) — leave the
+    # join strategy to AQE rather than forcing a broadcast
+    return (
+        df.join(frontier, [x_col, y_col])
+        .groupBy(x_col, y_col)
+        .agg(F.count(F.lit(1)).cast("long").alias(count_col))
     )

@@ -11048,3 +11048,239 @@ def multimodal_resample(spark, sf_dir):
     from pandasy_spark.extended.audio import wav_resample_features
 
     return wav_resample_features(with_wav, up=3, down=2)
+
+
+# =====================================================================
+# Round-6 batch I: sweep-line concurrency, k-anonymity, skyline,
+# fixed-width source, vectorized scalar UDF surface
+# =====================================================================
+
+
+@query(
+    "events_concurrency",
+    """
+    WITH iv AS (
+      SELECT epoch_us(ts) AS s,
+             epoch_us(ts)
+               + GREATEST(1, CAST(FLOOR(value * 60) AS BIGINT)) * 1000000
+               AS e
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), d AS (
+      SELECT s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT e AS t, -1 AS d FROM iv
+    ), c AS (
+      SELECT t, SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
+      FROM d
+    ), m AS (SELECT MAX(c) AS mc FROM c)
+    SELECT CAST(m.mc AS BIGINT) AS max_concurrent,
+           CAST(MIN(c.t) AS BIGINT) AS at_t
+    FROM c, m WHERE c.c = m.mc GROUP BY m.mc
+    """,
+)
+def events_concurrency(spark, sf_dir):
+    """Peak concurrent open intervals via sweep line
+    (extended/events.py interval_concurrency): each event opens a
+    session of ~value minutes; +1/-1 deltas in (t, delta) order run
+    through the distributed prefix scan
+    (operators/sort.ordered_prefix_scan — range exchange +
+    partition-local windows + a bounded carry-in table), so the 100 TB
+    concurrency curve never moves through a single-partition window.
+    The oracle IS the global-window definition the scan replaces."""
+    from .extended.events import interval_concurrency
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    iv = ev.select(
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.greatest(
+                F.lit(1), F.floor(F.col("value") * 60).cast("long")
+            )
+            * F.lit(1_000_000)
+        ).alias("e"),
+    )
+    return interval_concurrency(iv, "s", "e")
+
+
+@query(
+    "profile_kanon",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1e3) AS BIGINT))
+                  AS BIGINT) AS n_sensitive
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, n, n_sensitive,
+           CASE WHEN n < 10 AND n_sensitive < 6 THEN 'k+l'
+                WHEN n < 10 THEN 'k' ELSE 'l' END AS violation
+    FROM g WHERE n < 10 OR n_sensitive < 6
+    """,
+)
+def profile_kanon(spark, sf_dir):
+    """k-anonymity + l-diversity screen (extended/profile.py
+    k_anonymity): quasi-identifier groups with fewer than k=10 members
+    or fewer than l=6 distinct sensitive buckets — the release gate a
+    tabular training set passes before leaving the enclave.  ONE hash
+    aggregate keyed by the QI grid carries both counts; at 100 TB the
+    group count is bounded by the QI domain, not the data."""
+    from .extended.profile import k_anonymity
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1e3))
+        .cast("long")
+        .alias("bal_band"),
+    )
+    return k_anonymity(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        k=10,
+        sensitive_col="bal_band",
+        l_diversity=6,
+    )
+
+
+@query(
+    "pareto_frontier",
+    """
+    WITH pt AS (
+      SELECT p_size AS x,
+             CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS y
+      FROM part
+    )
+    SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM pt p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pt q
+      WHERE q.x <= p.x AND q.y <= p.y AND (q.x < p.x OR q.y < p.y)
+    )
+    GROUP BY x, y
+    """,
+)
+def pareto_frontier(spark, sf_dir):
+    """Exact 2-D Pareto frontier (operators/sort.skyline_2d):
+    smallest-and-cheapest parts, both axes minimized.  One per-x
+    min-aggregate then a STRICT distributed prefix-min over
+    x-ascending order (the same two-level scan as
+    ordered_prefix_scan) — no quadratic dominance self-join, no global
+    sort; the oracle states the NOT EXISTS dominance definition the
+    operator replaces."""
+    from .operators.sort import skyline_2d
+
+    pt = _t(spark, sf_dir, "part").select(
+        F.col("p_size").alias("x"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    return skyline_2d(pt, "x", "y")
+
+
+@query(
+    "source_fixed_width",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents_total,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def source_fixed_width(spark, sf_dir):
+    """Fixed-width text SOURCE round trip (the mainframe/COBOL export
+    format): orders render to 25-char records (12-digit zero-padded
+    key, 1-char status, 12-digit cents), stage once as Spark-written
+    text, read back via spark.read.text and parsed with pure
+    substring/cast codegen — no regex, no UDF.  The oracle aggregates
+    the parquet table directly, so any padding/parse/width error
+    breaks the hash."""
+    li = _t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+            F.col("o_orderstatus"),
+            F.lpad(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+                12,
+                "0",
+            ),
+        ).alias("value")
+    )
+    stage = _stage_once(
+        "srcfixed",
+        sf_dir,
+        lambda p: li.write.mode("overwrite").text(p),
+    )
+    back = spark.read.text(stage)
+    parsed = back.select(
+        F.substring("value", 1, 12).cast("long").alias("o_orderkey"),
+        F.substring("value", 13, 1).alias("o_orderstatus"),
+        F.substring("value", 14, 12).cast("long").alias("cents"),
+    )
+    return parsed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents_total"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
+
+
+@query(
+    "udf_scalar_arrow",
+    """
+    WITH d AS (
+      SELECT list_sum([CAST(substring(CAST(o_orderkey AS VARCHAR), i, 1)
+                            AS INT)
+                       for i in range(1, len(CAST(o_orderkey AS VARCHAR))
+                                         + 1)]) AS digit_sum,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(digit_sum AS INT) AS digit_sum,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
+    FROM d GROUP BY digit_sum
+    """,
+)
+def udf_scalar_arrow(spark, sf_dir):
+    """The vectorized scalar-UDF surface driver-witnessed: a
+    ``pandas_udf`` (Arrow-batched, NEVER row-at-a-time
+    ``BatchEvalPython`` — plan-asserted in tests) computes a decimal
+    digit sum per order key, and the result aggregates per digit-sum
+    bucket.  This is the sanctioned escape hatch for business logic
+    Spark functions cannot express; everything around the UDF (filter,
+    shuffle, aggregate) stays JVM-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def digit_sum(s: pd.Series) -> pd.Series:
+        return (
+            s.astype("int64")
+            .astype(str)
+            .map(lambda t: sum(int(ch) for ch in t))
+            .astype("int32")
+        )
+
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.select(
+            digit_sum(F.col("o_orderkey")).alias("digit_sum"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("digit_sum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents_total"),
+        )
+    )
