@@ -171,6 +171,10 @@ _R6_NEW: list[str] = [
     "pareto_frontier",
     "source_fixed_width",
     "udf_scalar_arrow",
+    "spatial_geofence",
+    "events_coalesce",
+    "agg_weighted_median",
+    "profile_cramers",
 ]
 
 

@@ -198,6 +198,10 @@ BENCH_QUERIES = [
     "pareto_frontier",
     "source_fixed_width",
     "udf_scalar_arrow",
+    "spatial_geofence",
+    "events_coalesce",
+    "agg_weighted_median",
+    "profile_cramers",
 ]
 
 

@@ -28,6 +28,7 @@ __all__ = [
     "ab_test",
     "activity_streaks",
     "interval_concurrency",
+    "coalesce_intervals",
 ]
 
 
@@ -858,3 +859,46 @@ def interval_concurrency(
             F.min("t").cast("long").alias("at_t"),
         )
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping-or-touching intervals per key into maximal
+    spans (the validity-interval "coalesce" every bitemporal warehouse
+    needs: session stitching, coverage spans, outage windows).
+
+    Per-key windows only — scale-safe like every sessionization here:
+    order the key's intervals by (start, end); an interval starts a
+    NEW span iff its start exceeds the running maximum end of all
+    earlier intervals (strictly — touching spans merge); the island id
+    is the running count of new-span flags; one aggregate per
+    (key, island) emits the span.  Intervals are half-open or closed
+    alike as long as both engines state the same strict comparison.
+
+    Output: ``(key..., span_start, span_end, n_merged)``.
+    """
+    from pyspark.sql.window import Window
+
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    w = Window.partitionBy(*key_cols).orderBy(start_col, end_col)
+    prev_max = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "__new",
+        (prev_max.isNull() | (F.col(start_col) > prev_max)).cast("int"),
+    )
+    islands = flagged.withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy(*key_cols, "__island").agg(
+        F.min(F.col(start_col)).alias("span_start"),
+        F.max(F.col(end_col)).alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+    ).drop("__island")

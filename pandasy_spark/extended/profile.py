@@ -47,6 +47,8 @@ __all__ = [
     "quantile_cont_twopass",
     "gini_concentration",
     "k_anonymity",
+    "weighted_quantile_twopass",
+    "cramers_v",
 ]
 
 _NUMERIC = (
@@ -1240,4 +1242,114 @@ def k_anonymity(
         F.when(k_bad & l_bad, F.lit("k+l"))
         .when(k_bad, F.lit("k"))
         .otherwise(F.lit("l")),
+    )
+
+
+def weighted_quantile_twopass(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    q_milli: int = 500,
+    coarse_cells: int = 4096,
+) -> DataFrame:
+    """EXACT weighted discrete quantile WITHOUT a global sort: the
+    smallest value whose cumulative WEIGHT reaches ``q_milli/1000`` of
+    the total weight (weighted-median shipping cost, token-weighted
+    document length, etc.).  Integer weights only — the rank target
+    ``ceil(q·W)`` and every cumulative sum stay on the BIGINT lattice.
+
+    Same two-pass order-statistic shape as
+    :func:`quantile_disc_twopass`, with row counts replaced by weight
+    sums: one stats pass (min/max/ΣW), one weight histogram over
+    ≤ ``coarse_cells`` cells locating the target cell, one refine pass
+    over ONLY that cell's rows.  Three map-combined aggregates; the
+    bounded windows run over the histogram/sliver domains, never the
+    data.
+
+    Output: one row ``(w_total, q_value)``.  Rows with NULL or
+    non-positive weight are ignored.
+    """
+    if not 0 < q_milli <= 1000:
+        raise ValueError("q_milli must be in (0, 1000]")
+    if coarse_cells < 2:
+        raise ValueError("coarse_cells must be >= 2")
+    vals = df.select(
+        F.col(value_col).cast("long").alias("__v"),
+        F.col(weight_col).cast("long").alias("__w"),
+    ).filter(
+        F.col("__v").isNotNull()
+        & F.col("__w").isNotNull()
+        & (F.col("__w") > 0)
+    )
+    stats = vals.agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.sum("__w").alias("w_total"),
+    )
+    stats = stats.withColumn(
+        "__rank", F.expr(f"({q_milli} * w_total + 999) div 1000")
+    ).withColumn(
+        "__step",
+        F.expr(
+            f"greatest((__hi - __lo + {coarse_cells}) div {coarse_cells},"
+            " CAST(1 AS BIGINT))"
+        ),
+    )
+    joined = vals.crossJoin(F.broadcast(stats))
+    hist = joined.groupBy(
+        F.expr("(__v - __lo) div __step").alias("__cell")
+    ).agg(F.sum("__w").alias("__c"))
+    wc = Window.orderBy("__cell")
+    located = hist.withColumn("__cum", F.sum("__c").over(wc)).crossJoin(
+        F.broadcast(stats.select("__rank"))
+    )
+    kcell = (
+        located.filter(F.col("__cum") >= F.col("__rank"))
+        .agg(
+            F.min(
+                F.struct(F.col("__cell"), F.col("__cum"), F.col("__c"))
+            ).alias("__k")
+        )
+        .select(
+            F.col("__k.__cell").alias("__kcell"),
+            (F.col("__k.__cum") - F.col("__k.__c")).alias("__before"),
+        )
+    )
+    sliver = (
+        joined.crossJoin(F.broadcast(kcell))
+        .filter(F.expr("(__v - __lo) div __step") == F.col("__kcell"))
+        .groupBy("__v")
+        .agg(F.sum("__w").alias("__vc"))
+    )
+    wv = Window.orderBy("__v")
+    res = (
+        sliver.withColumn("__vcum", F.sum("__vc").over(wv))
+        .crossJoin(F.broadcast(kcell.select("__before")))
+        .crossJoin(F.broadcast(stats.select("w_total", "__rank")))
+    )
+    return (
+        res.filter(F.col("__before") + F.col("__vcum") >= F.col("__rank"))
+        .agg(F.min(F.struct(F.col("__v"), F.col("w_total"))).alias("__a"))
+        .select(
+            F.col("__a.w_total").cast("long").alias("w_total"),
+            F.col("__a.__v").cast("long").alias("q_value"),
+        )
+    )
+
+
+def cramers_v(
+    df: DataFrame, col_a: str, col_b: str, grid: int = 10_000
+) -> DataFrame:
+    """Cramér's V effect size on top of :func:`chi_square` —
+    ``V² = χ² / (n · (min(r,c) − 1))``, the [0,1]-normalized
+    association strength that makes chi-square comparable across
+    tables of different size.  One extra fixed IEEE expression on the
+    chi_square output row (the operands are already exact/rounded
+    deterministically), floored to a 1e6 grid.  Output: the chi_square
+    row plus ``v2_micro`` (V² in millionths, BIGINT)."""
+    base = chi_square(df, col_a, col_b, grid)
+    k = (F.least(F.col("n_a"), F.col("n_b")) - 1).cast("double")
+    v2 = F.col("chi2") / (F.col("n").cast("double") * k)
+    return base.withColumn(
+        "v2_micro", F.floor(v2 * F.lit(1e6) + F.lit(0.5)).cast("long")
     )

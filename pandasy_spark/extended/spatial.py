@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["radius_join", "radius_pairs"]
+__all__ = ["radius_join", "radius_pairs", "point_in_polygon"]
 
 
 def radius_join(
@@ -118,3 +118,54 @@ def radius_pairs(
     )
     joined = radius_join(l, r, radius, ("id1", "id2"), x_col, y_col)
     return joined.filter(F.col("id1") < F.col("id2"))
+
+
+def point_in_polygon(
+    df: DataFrame,
+    polygon: "list[tuple[int, int]]",
+    x_col: str = "x",
+    y_col: str = "y",
+    flag_col: str = "inside",
+) -> DataFrame:
+    """Point-in-polygon test against ONE literal polygon (geofence
+    filtering: "keep events inside this region") via the standard
+    crossing-number (ray-casting) rule, evaluated as pure int64
+    codegen per row — the polygon unrolls into one boolean expression
+    per edge, so at 100 TB this is a narrow map fused into the scan,
+    no join, no UDF.
+
+    For each directed edge A→B, the upward-crossing half-open rule:
+    the ray from (x, y) to +∞ in x crosses the edge iff
+    ``Ay <= y < By`` (upward) with the point strictly LEFT of the
+    edge — ``cross = (Bx-Ax)*(y-Ay) - (x-Ax)*(By-Ay) > 0`` — or
+    symmetrically for downward edges (``By <= y < Ay``, cross < 0).
+    Odd crossing count = inside.  Integer coordinates keep every
+    product exact, so the predicate value-hashes in any engine; the
+    half-open vertex rule makes points AT a vertex or on an edge
+    deterministic (counted by the same rule on both engines), not
+    well-defined "inside" in the geometric sense — quantize the grid
+    so boundary cases cannot matter if that distinction does.
+
+    Non-convex and self-intersecting polygons follow the even-odd
+    rule.  ``polygon`` must have >= 3 vertices.
+    """
+    if len(polygon) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    crossings: "F.Column | None" = None
+    n = len(polygon)
+    for i in range(n):
+        ax, ay = polygon[i]
+        bx, by = polygon[(i + 1) % n]
+        cross = (F.lit(int(bx - ax)) * (y - F.lit(int(ay)))) - (
+            (x - F.lit(int(ax))) * F.lit(int(by - ay))
+        )
+        up = (
+            (F.lit(int(ay)) <= y) & (y < F.lit(int(by))) & (cross > 0)
+        )
+        down = (
+            (F.lit(int(by)) <= y) & (y < F.lit(int(ay))) & (cross < 0)
+        )
+        c = (up | down).cast("int")
+        crossings = c if crossings is None else crossings + c
+    return df.withColumn(flag_col, (crossings % 2 == 1))

@@ -11284,3 +11284,232 @@ def udf_scalar_arrow(spark, sf_dir):
             F.sum("cents").cast("long").alias("cents_total"),
         )
     )
+
+
+# =====================================================================
+# Round-6 batch J: geofencing, interval coalesce, weighted quantiles,
+# Cramér's V
+# =====================================================================
+
+
+@query(
+    "spatial_geofence",
+    # pentagon with a concave notch; crossing-number rule per edge:
+    # upward Ay<=y<By and cross>0, downward By<=y<Ay and cross<0
+    """
+    WITH pts AS (
+      SELECT s_suppkey,
+             CAST(s_suppkey * 17 % 100 AS BIGINT) AS x,
+             CAST(s_suppkey * 31 % 100 AS BIGINT) AS y
+      FROM supplier
+    ), poly(i, ax, ay, bx, by) AS (
+      VALUES (0, 10, 10, 90, 20), (1, 90, 20, 80, 90),
+             (2, 80, 90, 50, 45), (3, 50, 45, 20, 80),
+             (4, 20, 80, 10, 10)
+    ), crossings AS (
+      SELECT p.s_suppkey, p.x, p.y,
+             SUM(CASE WHEN (e.ay <= p.y AND p.y < e.by
+                            AND (e.bx - e.ax) * (p.y - e.ay)
+                                - (p.x - e.ax) * (e.by - e.ay) > 0)
+                        OR (e.by <= p.y AND p.y < e.ay
+                            AND (e.bx - e.ax) * (p.y - e.ay)
+                                - (p.x - e.ax) * (e.by - e.ay) < 0)
+                      THEN 1 ELSE 0 END) AS c
+      FROM pts p, poly e
+      GROUP BY p.s_suppkey, p.x, p.y
+    )
+    SELECT CAST(c % 2 = 1 AS BOOLEAN) AS inside,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sum_x,
+           CAST(SUM(y) AS BIGINT) AS sum_y
+    FROM crossings GROUP BY inside
+    """,
+)
+def spatial_geofence(spark, sf_dir):
+    """Geofence filter (extended/spatial.py point_in_polygon):
+    suppliers mapped onto a 100x100 integer grid tested against a
+    concave pentagon by the crossing-number rule — the polygon unrolls
+    into per-edge int64 comparisons, one narrow map fused into the
+    scan (no join, no UDF; the oracle evaluates the identical rule as
+    an edge-table join because SQL cannot unroll).  Aggregated
+    inside/outside so the driver hash pins every edge case on the
+    grid, including points exactly on edges/vertices (deterministic
+    half-open rule)."""
+    from .extended.spatial import point_in_polygon
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") * 17 % 100).cast("long").alias("x"),
+        (F.col("s_suppkey") * 31 % 100).cast("long").alias("y"),
+    )
+    poly = [(10, 10), (90, 20), (80, 90), (50, 45), (20, 80)]
+    flagged = point_in_polygon(sup, poly, "x", "y")
+    return flagged.groupBy("inside").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )
+
+
+@query(
+    "events_coalesce",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts)
+               + GREATEST(1, CAST(FLOOR(value * 60) AS BIGINT)) * 1000000
+               AS e
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND user_id IS NOT NULL
+    ), f AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) IS NULL
+                       OR s > MAX(e) OVER (PARTITION BY user_id
+                                           ORDER BY s, e
+                                           ROWS BETWEEN UNBOUNDED
+                                           PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS nw
+      FROM iv
+    ), isl AS (
+      SELECT user_id, s, e,
+             SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM f
+    ), spans AS (
+      SELECT user_id, island, MIN(s) AS span_start, MAX(e) AS span_end,
+             CAST(COUNT(*) AS BIGINT) AS n_merged
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_end - span_start) AS BIGINT) AS covered_us,
+           CAST(MAX(n_merged) AS BIGINT) AS max_merged
+    FROM spans GROUP BY user_id
+    """,
+)
+def events_coalesce(spark, sf_dir):
+    """Validity-interval coalesce (extended/events.py
+    coalesce_intervals): each event opens a ~value-minute session;
+    overlapping-or-touching sessions per user merge into maximal
+    spans via the per-KEY running-max-end island rule — every window
+    is user-partitioned, so the 100 TB shape is one user-keyed
+    shuffle; no global sort.  The gate reports per-user span counts
+    and covered time; the oracle replays the same windows."""
+    from .extended.events import coalesce_intervals
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    iv = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.greatest(
+                F.lit(1), F.floor(F.col("value") * 60).cast("long")
+            )
+            * F.lit(1_000_000)
+        ).alias("e"),
+    )
+    spans = coalesce_intervals(iv, ["user_id"], "s", "e")
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start"))
+        .cast("long")
+        .alias("covered_us"),
+        F.max("n_merged").cast("long").alias("max_merged"),
+    )
+
+
+@query(
+    "agg_weighted_median",
+    """
+    WITH v AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS val,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_quantity > 0
+    ), o AS (
+      SELECT val, SUM(w) AS wv FROM v GROUP BY val
+    ), c AS (
+      SELECT val, SUM(wv) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING)
+               AS cw
+      FROM o
+    ), t AS (SELECT SUM(w) AS w_total, (500 * SUM(w) + 999) // 1000
+                      AS rank FROM v)
+    SELECT CAST(t.w_total AS BIGINT) AS w_total,
+           CAST(MIN(c.val) AS BIGINT) AS q_value
+    FROM c, t WHERE c.cw >= t.rank GROUP BY t.w_total
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """EXACT weighted median (extended/profile.py
+    weighted_quantile_twopass): the smallest price whose cumulative
+    QUANTITY weight reaches half the total — two-pass order statistics
+    over weight sums, no global sort, all ranks on the BIGINT
+    lattice.  The oracle is the cumulative-weight window definition
+    the operator replaces."""
+    from .extended.profile import weighted_quantile_twopass
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_quantile_twopass(li, "cents", "qty", q_milli=500)
+
+
+@query(
+    "profile_cramers",
+    """
+    WITH o AS (
+      SELECT l_returnflag AS a, l_linestatus AS b,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM lineitem GROUP BY 1, 2
+    ), ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM o GROUP BY a),
+    cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM o GROUP BY b),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o),
+    cells AS (
+      SELECT o.o, ra.ra, cb.cb, tot.n FROM o
+      JOIN ra USING (a) JOIN cb USING (b), tot
+    ), s AS (
+      SELECT MAX(n) AS n,
+             CAST((SELECT COUNT(*) FROM ra) AS BIGINT) AS n_a,
+             CAST((SELECT COUNT(*) FROM cb) AS BIGINT) AS n_b,
+             SUM(CAST(o * n - ra * cb AS HUGEINT)
+                 * CAST(o * n - ra * cb AS HUGEINT) * 10000
+                 // (CAST(ra AS HUGEINT) * cb * n)) AS t,
+             CAST(SUM(ra * cb) AS BIGINT) AS sm
+      FROM cells
+    ), fin AS (
+      SELECT CAST(n AS BIGINT) AS n, n_a, n_b,
+             CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+             FLOOR((CAST(t AS DOUBLE) / 1e4
+                    + CAST(n * n - sm AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 1e4 + 0.5) / 1e4 AS chi2
+      FROM s
+    )
+    SELECT n, n_a, n_b, dof, chi2,
+           CAST(FLOOR(chi2 / (CAST(n AS DOUBLE)
+                              * CAST(LEAST(n_a, n_b) - 1 AS DOUBLE))
+                      * 1e6 + 0.5) AS BIGINT) AS v2_micro
+    FROM fin
+    """,
+)
+def profile_cramers(spark, sf_dir):
+    """Cramér's V effect size (extended/profile.py cramers_v) between
+    return flag and line status: the chi-square machinery (int128-
+    exact cell terms) plus the normalized V² on a 1e6 grid — the
+    association measure that stays comparable as the table grows,
+    which raw chi-square does not."""
+    from .extended.profile import cramers_v
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cramers_v(li, "l_returnflag", "l_linestatus")
