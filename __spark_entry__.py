@@ -175,6 +175,10 @@ _R6_NEW: list[str] = [
     "events_coalesce",
     "agg_weighted_median",
     "profile_cramers",
+    "sample_negatives",
+    "text_vocab_growth",
+    "text_oov",
+    "events_sliding_distinct",
 ]
 
 

@@ -202,6 +202,10 @@ BENCH_QUERIES = [
     "events_coalesce",
     "agg_weighted_median",
     "profile_cramers",
+    "sample_negatives",
+    "text_vocab_growth",
+    "text_oov",
+    "events_sliding_distinct",
 ]
 
 

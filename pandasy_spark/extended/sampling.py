@@ -64,6 +64,7 @@ __all__ = [
     "pack_manifest",
     "bootstrap_counts",
     "bootstrap_resample",
+    "negative_pairs",
 ]
 
 _BUCKETS = 10_000
@@ -608,4 +609,60 @@ def bootstrap_resample(
         .filter(F.col("__reps") > 0)
         .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__reps"))))
         .drop("__reps", "__i")
+    )
+
+
+def negative_pairs(
+    df: DataFrame, id_col: str, k: int = 3, salt: int = 0
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor id, ``k`` pseudo-random OTHER ids from the same
+    corpus — (anchor, negative) pairs with no RNG state and no cross
+    join.
+
+    The corpus ids get dense ranks 0..N-1 via
+    :func:`...operators.sort.stable_row_ids` (ONE range exchange);
+    each anchor derives ``k`` MINSTD-hashed positions on [0, N) and
+    equi-joins back to the rank table to translate position → id.
+    Self-pairs (an anchor drawing its own rank) are dropped, so an
+    anchor can yield fewer than ``k`` pairs — the standard price of
+    rejection-free deterministic draws; collisions among a given
+    anchor's negatives are likewise possible and kept (document-level
+    dedup is one distinct away if the training recipe needs it).
+
+    Output: ``(anchor, negative, draw)`` with draw in [0, k).
+    """
+    from ..operators.sort import stable_row_ids
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ids = df.select(F.col(id_col).cast("long").alias("__id")).filter(
+        F.col("__id").isNotNull()
+    ).distinct()
+    ranked = stable_row_ids(ids, ["__id"], id_col="__rank")
+    n_row = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    anchors = (
+        ranked.select(F.col("__id").alias("anchor"))
+        .crossJoin(F.broadcast(n_row))
+        .withColumn("draw", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    )
+    u = (
+        (
+            (F.col("anchor") * F.lit(48271) + F.col("draw") * F.lit(12345)
+             + F.lit(salt))
+            % F.lit(_P31)
+        )
+        * F.lit(16807)
+    ) % F.lit(_P31)
+    probes = anchors.withColumn("__pos", u % F.col("__n")).drop("__n")
+    return (
+        probes.join(
+            ranked.select(
+                F.col("__rank").alias("__pos"),
+                F.col("__id").alias("negative"),
+            ),
+            "__pos",
+        )
+        .filter(F.col("negative") != F.col("anchor"))
+        .select("anchor", "negative", F.col("draw").cast("int").alias("draw"))
     )

@@ -55,6 +55,8 @@ __all__ = [
     "TRACKING_PARAMS",
     "readability",
     "phrase_search",
+    "vocab_growth",
+    "oov_rate",
 ]
 
 #: query parameters stripped by URL canonicalization — the standard
@@ -1614,4 +1616,98 @@ def phrase_search(
         cur = cur.join(nxt, [id_col, "pos"])
     return cur.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_matches")
+    )
+
+
+def vocab_growth(
+    df: DataFrame,
+    quarters: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-growth curve (Heaps'-law profile): distinct token
+    count among the first i/``quarters`` of the corpus (by id order),
+    for i = 1..quarters — the dataset-size diagnostic for "is more
+    data still adding new vocabulary".
+
+    One explode + ONE aggregate per token (its FIRST document id),
+    then a bounded comparison against the quarter thresholds — the
+    cumulative-distinct answer without re-scanning the corpus per
+    checkpoint and without any distinct-over-growing-prefix shuffle
+    chain.  Output: ``(quarter, n_docs, vocab)``.
+    """
+    if quarters < 1:
+        raise ValueError("quarters must be >= 1")
+    firsts = (
+        df.select(
+            F.col(id_col).cast("long").alias("__id"),
+            F.explode(tokens(F.col(text_col))).alias("__tok"),
+        )
+        .groupBy("__tok")
+        .agg(F.min("__id").alias("__first"))
+    )
+    hi = df.agg(
+        (F.max(F.col(id_col).cast("long")) + 1).alias("__hi")
+    )
+    qs = (
+        hi.withColumn(
+            "quarter", F.explode(F.sequence(F.lit(1), F.lit(quarters)))
+        )
+        .withColumn(
+            "n_docs", F.expr(f"__hi * quarter div {quarters}")
+        )
+        .select("quarter", "n_docs")
+    )
+    return (
+        firsts.crossJoin(F.broadcast(qs))
+        .filter(F.col("__first") < F.col("n_docs"))
+        .groupBy("quarter", "n_docs")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+        .select(
+            F.col("quarter").cast("int").alias("quarter"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "vocab",
+        )
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    min_count: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = "lang",
+) -> DataFrame:
+    """Out-of-vocabulary rate against a frequency-derived vocabulary:
+    the vocabulary is every token with corpus frequency >=
+    ``min_count`` (a deterministic threshold rule — top-k-by-frequency
+    needs a tie-break contract; a count floor does not), and the OOV
+    rate is the share of token OCCURRENCES outside it — the tokenizer/
+    coverage health metric for corpus intake.
+
+    Two aggregates over one exploded token stream: corpus frequency
+    per token, joined back to the stream (the frequency table is
+    small — vocabulary-sized — and broadcastable), then per-group
+    occurrence counts.  Output: ``(group, total_tokens, oov_tokens,
+    oov_permille)`` (permille floored — exact integer arithmetic).
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    gcols = [group_col] if group_col else []
+    stream = df.select(
+        *gcols, F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    freq = stream.groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__f")
+    )
+    joined = stream.join(F.broadcast(freq), "__tok")
+    agg = joined.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("total_tokens"),
+        F.sum((F.col("__f") < min_count).cast("long"))
+        .cast("long")
+        .alias("oov_tokens"),
+    )
+    return agg.withColumn(
+        "oov_permille",
+        F.expr("oov_tokens * 1000 div total_tokens").cast("long"),
     )

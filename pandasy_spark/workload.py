@@ -11513,3 +11513,159 @@ def profile_cramers(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     return cramers_v(li, "l_returnflag", "l_linestatus")
+
+
+# =====================================================================
+# Round-6 batch K: contrastive negative sampling, vocabulary growth,
+# OOV coverage, sliding distinct users
+# =====================================================================
+
+
+@query(
+    "sample_negatives",
+    """
+    WITH ids AS (
+      SELECT DISTINCT CAST(doc_id AS BIGINT) AS id FROM documents
+      WHERE doc_id IS NOT NULL
+    ), ranked AS (
+      SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS rank FROM ids
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+    probes AS (
+      SELECT r.id AS anchor, t.draw,
+             (((r.id * 48271 + t.draw * 12345 + 11) % 2147483647)
+              * 16807) % 2147483647 % n.n AS pos
+      FROM ranked r, n, (SELECT unnest([0, 1, 2]) AS draw) t
+    )
+    SELECT p.anchor, r2.id AS negative, CAST(p.draw AS INT) AS draw
+    FROM probes p JOIN ranked r2 ON r2.rank = p.pos
+    WHERE r2.id <> p.anchor
+    """,
+)
+def sample_negatives(spark, sf_dir):
+    """Deterministic contrastive negative sampling
+    (extended/sampling.py negative_pairs): k=3 pseudo-random negatives
+    per anchor via MINSTD positions on the dense-rank table built with
+    stable_row_ids (ONE range exchange), translated back to ids by an
+    equi-join — no RNG state, no cross join, reproducible across
+    engines and partitionings.  Self-draws drop (an anchor can carry
+    < k pairs — stated identically in the oracle)."""
+    from .extended.sampling import negative_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return negative_pairs(docs, "doc_id", k=3, salt=11)
+
+
+@query(
+    "text_vocab_growth",
+    r"""
+    WITH firsts AS (
+      SELECT token, MIN(doc_id) AS first_doc FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> len(x) > 0)) AS token
+        FROM documents
+      ) GROUP BY token
+    ), hi AS (
+      SELECT MAX(CAST(doc_id AS BIGINT)) + 1 AS hi FROM documents
+    ), qs AS (
+      SELECT q AS quarter, hi.hi * q // 4 AS n_docs
+      FROM hi, (SELECT unnest([1, 2, 3, 4]) AS q)
+    )
+    SELECT CAST(quarter AS INT) AS quarter,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS vocab
+    FROM firsts, qs WHERE first_doc < n_docs
+    GROUP BY quarter, n_docs
+    """,
+)
+def text_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve (extended/text.py
+    vocab_growth): distinct tokens among the first quarter, half,
+    three quarters and all of the corpus — computed as ONE
+    first-document-per-token aggregate compared against broadcast
+    thresholds, not four separate distinct scans.  The cumulative
+    distinct at every checkpoint costs one corpus pass total."""
+    from .extended.text import vocab_growth
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_growth(docs, quarters=4)
+
+
+@query(
+    "text_oov",
+    r"""
+    WITH stream AS (
+      SELECT lang,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> len(x) > 0)) AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, COUNT(*) AS f FROM stream GROUP BY token
+    ), j AS (
+      SELECT s.lang, f.f FROM stream s JOIN freq f USING (token)
+    ), agg AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN f < 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_tokens
+      FROM j GROUP BY lang
+    )
+    SELECT lang, total_tokens, oov_tokens,
+           CAST(oov_tokens * 1000 // total_tokens AS BIGINT)
+             AS oov_permille
+    FROM agg
+    """,
+)
+def text_oov(spark, sf_dir):
+    """Vocabulary-coverage / OOV-rate screen (extended/text.py
+    oov_rate): the vocabulary is every token with corpus frequency
+    >= 20 (a deterministic count floor — top-k needs a tie-break
+    contract, a threshold does not); the per-language OOV rate is the
+    share of token OCCURRENCES outside it.  Two aggregates over one
+    exploded stream; the frequency table is vocabulary-sized and
+    broadcast back."""
+    from .extended.text import oov_rate
+
+    docs = _t(spark, sf_dir, "documents")
+    return oov_rate(docs, min_count=20)
+
+
+@query(
+    "events_sliding_distinct",
+    """
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+      WHERE ts IS NOT NULL
+    ), x AS (
+      SELECT user_id, (us // 300000000 - k) * 300000000 AS ws
+      FROM b, UNNEST([0, 1]) AS t(k)
+    )
+    SELECT make_timestamp(ws) AS window_start,
+           make_timestamp(ws + 600000000) AS window_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM x GROUP BY ws
+    """,
+)
+def events_sliding_distinct(spark, sf_dir):
+    """Sliding-window DISTINCT users (10-minute windows hopping every
+    5): the native ``F.window`` hopping assignment with an exact
+    count-distinct per window — the uniques-over-time panel every
+    events warehouse draws.  Each event lands in exactly 2 windows
+    (explode factor = size/hop, bounded); the distinct state is
+    per-window bounded by the user population."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = F.window(F.col("ts"), "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_users",
+            "n_events",
+        )
+    )

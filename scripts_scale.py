@@ -851,6 +851,156 @@ def probe_r6c() -> None:
     print(json.dumps({"r6c_probes": results}))
 
 
+def probe_r6d() -> None:
+    """sf1.0 probes for the batch H/I/J operators over full scaled
+    tables: the prefix-scan family (concurrency sweep line, skyline,
+    gini ranks), the two-pass quantile family (cont + weighted), the
+    streak islands, bootstrap explode, phrase-search posting joins,
+    and the geofence narrow map."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pandasy_spark.session import get_spark
+
+    spark = get_spark("pandasy-scale-probe-r6d")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def t(sf_dir, name):
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    def streaks_probe(sf_dir):
+        from pandasy_spark.extended.events import activity_streaks
+
+        return activity_streaks(t(sf_dir, "events"), "user_id", "ts")
+
+    def concurrency_probe(sf_dir):
+        from pandasy_spark.extended.events import interval_concurrency
+
+        ev = t(sf_dir, "events").filter(
+            F.col("ts").isNotNull() & F.col("value").isNotNull()
+        )
+        iv = ev.select(
+            F.unix_micros(F.col("ts")).alias("s"),
+            (
+                F.unix_micros(F.col("ts"))
+                + F.greatest(
+                    F.lit(1), F.floor(F.col("value") * 60).cast("long")
+                )
+                * F.lit(1_000_000)
+            ).alias("e"),
+        )
+        return interval_concurrency(iv, "s", "e")
+
+    def qcont_probe(sf_dir):
+        from pandasy_spark.extended.profile import quantile_cont_twopass
+
+        cents = t(sf_dir, "lineitem").select(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents")
+        )
+        return quantile_cont_twopass(cents, "cents", p_milli=900)
+
+    def wmedian_probe(sf_dir):
+        from pandasy_spark.extended.profile import weighted_quantile_twopass
+
+        li = t(sf_dir, "lineitem").select(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        return weighted_quantile_twopass(li, "cents", "qty", q_milli=500)
+
+    def gini_probe(sf_dir):
+        from pandasy_spark.extended.profile import gini_concentration
+
+        od = t(sf_dir, "orders").select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        return gini_concentration(od, ["o_custkey"], "cents")
+
+    def bootstrap_probe(sf_dir):
+        from pandasy_spark.extended.sampling import bootstrap_resample
+
+        od = t(sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        return bootstrap_resample(od, "o_orderkey", salt=7).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+
+    def phrase_probe(sf_dir):
+        from pandasy_spark.extended.text import phrase_search
+
+        return phrase_search(t(sf_dir, "documents"), ["fast", "spark"])
+
+    def geofence_probe(sf_dir):
+        from pandasy_spark.extended.spatial import point_in_polygon
+
+        li = t(sf_dir, "lineitem").select(
+            (F.col("l_partkey") * 17 % 100).cast("long").alias("x"),
+            (F.col("l_suppkey") * 31 % 100).cast("long").alias("y"),
+        )
+        poly = [(10, 10), (90, 20), (80, 90), (50, 45), (20, 80)]
+        return point_in_polygon(li, poly, "x", "y").groupBy("inside").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    def coalesce_probe(sf_dir):
+        from pandasy_spark.extended.events import coalesce_intervals
+
+        ev = t(sf_dir, "events").filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        iv = ev.select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("s"),
+            (F.unix_micros(F.col("ts")) + F.lit(60_000_000)).alias("e"),
+        )
+        return coalesce_intervals(iv, ["user_id"], "s", "e").groupBy(
+            "user_id"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    probes = {
+        "streaks_events": streaks_probe,
+        "concurrency_events": concurrency_probe,
+        "quantile_cont_lineitem": qcont_probe,
+        "weighted_median_lineitem": wmedian_probe,
+        "gini_orders": gini_probe,
+        "bootstrap_orders": bootstrap_probe,
+        "phrase_documents": phrase_probe,
+        "geofence_lineitem": geofence_probe,
+        "coalesce_events": coalesce_probe,
+    }
+    results: dict[str, dict[str, float]] = {}
+    for name, fn in probes.items():
+        results[name] = {}
+        for label, sf_dir in [("sf0.1", SRC), ("sf1.0", DST)]:
+            best = float("inf")
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                fn(sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, _t.perf_counter() - t0)
+            results[name][label] = round(best, 2)
+        results[name]["ratio"] = round(
+            results[name]["sf1.0"] / max(results[name]["sf0.1"], 1e-9), 2
+        )
+        print(name, results[name], flush=True)
+    print(json.dumps({"r6d_probes": results}))
+
+
+
 if __name__ == "__main__":
     {
         "build": build,
@@ -860,5 +1010,6 @@ if __name__ == "__main__":
         "probe_r6": probe_r6,
         "probe_r6b": probe_r6b,
         "probe_r6c": probe_r6c,
+        "probe_r6d": probe_r6d,
         "bpe50k": bpe50k,
     }[sys.argv[1]]()
