@@ -867,7 +867,11 @@ def probe_r6d() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     def t(sf_dir, name):
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # the catalog loader, not a raw read: .bench_sf1 parquet stores
+        # naive micros that would otherwise surface as TIMESTAMP_NTZ
+        from pandasy_spark.sources import load_table
+
+        return load_table(spark, sf_dir, name)
 
     def streaks_probe(sf_dir):
         from pandasy_spark.extended.events import activity_streaks
