@@ -179,6 +179,9 @@ _R6_NEW: list[str] = [
     "text_vocab_growth",
     "text_oov",
     "events_sliding_distinct",
+    "events_interarrival",
+    "profile_key_skew",
+    "events_seasonal",
 ]
 
 

@@ -206,6 +206,9 @@ BENCH_QUERIES = [
     "text_vocab_growth",
     "text_oov",
     "events_sliding_distinct",
+    "events_interarrival",
+    "profile_key_skew",
+    "events_seasonal",
 ]
 
 

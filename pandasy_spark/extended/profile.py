@@ -49,6 +49,7 @@ __all__ = [
     "k_anonymity",
     "weighted_quantile_twopass",
     "cramers_v",
+    "key_skew_report",
 ]
 
 _NUMERIC = (
@@ -1353,3 +1354,41 @@ def cramers_v(
     return base.withColumn(
         "v2_micro", F.floor(v2 * F.lit(1e6) + F.lit(0.5)).cast("long")
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Join-key skew pre-flight: the per-key multiplicity profile that
+    predicts whether a shuffle join on ``key_col`` will see straggler
+    partitions — run it BEFORE the join and decide between plain
+    shuffle, broadcast, or salting (operators/skew.py).
+
+    One hash aggregate per key (map-side combined), then one tiny
+    aggregate over the counts table plus exact p50/p99 multiplicities
+    via :func:`quantile_disc_twopass` on the BIGINT count domain — no
+    global sort anywhere.  NULL keys are profiled as their own key
+    (they hash-collide into one partition too — exactly the skew this
+    report exists to surface).
+
+    Output: one row ``(n_keys, n_rows, max_count, top1_permille,
+    p50_count, p99_count)``.
+    """
+    # three consumers (head stats + two quantile passes) — pin the
+    # per-key counts so the fact-table aggregate runs ONCE
+    counts = df.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    ).localCheckpoint(eager=False)
+    head = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.max("__c").cast("long").alias("max_count"),
+    ).withColumn(
+        "top1_permille",
+        F.expr("max_count * 1000 div n_rows").cast("long"),
+    )
+    p50 = quantile_disc_twopass(counts, [], "__c", q_milli=500).select(
+        F.col("q_value").alias("p50_count")
+    )
+    p99 = quantile_disc_twopass(counts, [], "__c", q_milli=990).select(
+        F.col("q_value").alias("p99_count")
+    )
+    return head.crossJoin(F.broadcast(p50)).crossJoin(F.broadcast(p99))

@@ -11669,3 +11669,158 @@ def events_sliding_distinct(spark, sf_dir):
             "n_events",
         )
     )
+
+
+# =====================================================================
+# Round-6 batch L: inter-arrival medians, join-key skew pre-flight,
+# seasonal hour-of-day profile
+# =====================================================================
+
+
+@query(
+    "events_interarrival",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS gap_us
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), f AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)
+                AS BIGINT) AS q_value
+    FROM f GROUP BY event_type
+    """,
+)
+def events_interarrival(spark, sf_dir):
+    """EXACT median inter-arrival time per event type: per-(user,
+    type) lag gaps — a KEY-partitioned window, bounded per-user state
+    — then the grouped two-pass order statistic
+    (extended/profile.py quantile_disc_twopass) over the BIGINT gap
+    domain, no global sort.  The cadence profile behind rate alerts
+    and bot screening."""
+    from pyspark.sql.window import Window
+
+    from .extended.profile import quantile_disc_twopass
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = (
+        ev.select(
+            "event_type",
+            (
+                F.unix_micros(F.col("ts"))
+                - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        # the two-pass quantile scans its input three times (stats,
+        # histogram, sliver) — pin the window-derived gaps so the
+        # user-keyed lag shuffle runs ONCE
+        .localCheckpoint(eager=False)
+    )
+    return quantile_disc_twopass(gaps, ["event_type"], "gap_us", q_milli=500)
+
+
+@query(
+    "profile_key_skew",
+    """
+    WITH c AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_partkey
+    ), head AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(MAX(c) AS BIGINT) AS max_count,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+                  AS BIGINT) AS p50_count,
+             CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c)
+                  AS BIGINT) AS p99_count
+      FROM c
+    )
+    SELECT n_keys, n_rows, max_count,
+           CAST(max_count * 1000 // n_rows AS BIGINT) AS top1_permille,
+           p50_count, p99_count
+    FROM head
+    """,
+)
+def profile_key_skew(spark, sf_dir):
+    """Join-key skew pre-flight (extended/profile.py
+    key_skew_report) on the lineitem part key: per-key multiplicities
+    (one map-combined aggregate), then max/top-share plus exact
+    p50/p99 multiplicities via the two-pass order statistic — the
+    report that decides broadcast vs salt vs plain shuffle BEFORE a
+    100 TB join, costing one pass over the fact table."""
+    from .extended.profile import key_skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_report(li, "l_partkey")
+
+
+@query(
+    "events_seasonal",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), per AS (
+      SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vc) AS BIGINT) AS s
+      FROM h GROUP BY event_type, hod
+    ), tot AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_all,
+             CAST(SUM(s) AS BIGINT) AS s_all
+      FROM per GROUP BY event_type
+    )
+    SELECT p.event_type, p.hod, p.n, p.s AS value_cents,
+           CAST(abs(5 * p.s * t.n_all - 5 * t.s_all * p.n)
+                > t.s_all * p.n AS BOOLEAN) AS seasonal_flag
+    FROM per p JOIN tot t USING (event_type)
+    """,
+)
+def events_seasonal(spark, sf_dir):
+    """Hour-of-day seasonal profile per event type with an exact
+    deviation screen: hours whose mean value deviates > 20% from the
+    type's overall mean, decided by the cross-multiplied BIGINT
+    inequality |5·S_h·N − 5·S·n_h| > S·n_h — no float division, no
+    ratio drift.  Two map-combined aggregates over a (type × 24)
+    grid; the overall means ride a broadcast join."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    per = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    tot = per.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("s").cast("long").alias("s_all"),
+    )
+    return (
+        per.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "hod",
+            "n",
+            F.col("s").alias("value_cents"),
+            (
+                F.abs(
+                    F.lit(5) * F.col("s") * F.col("n_all")
+                    - F.lit(5) * F.col("s_all") * F.col("n")
+                )
+                > F.col("s_all") * F.col("n")
+            ).alias("seasonal_flag"),
+        )
+    )
