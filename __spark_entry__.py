@@ -182,6 +182,10 @@ _R6_NEW: list[str] = [
     "events_interarrival",
     "profile_key_skew",
     "events_seasonal",
+    "sketch_bitmap",
+    "window_nth_value",
+    "setop_union_byname",
+    "events_wow",
 ]
 
 

@@ -209,6 +209,10 @@ BENCH_QUERIES = [
     "events_interarrival",
     "profile_key_skew",
     "events_seasonal",
+    "sketch_bitmap",
+    "window_nth_value",
+    "setop_union_byname",
+    "events_wow",
 ]
 
 

@@ -11824,3 +11824,214 @@ def events_seasonal(spark, sf_dir):
             ).alias("seasonal_flag"),
         )
     )
+
+
+# =====================================================================
+# Round-6 batch M: exact bitmap distinct, nth_value windows,
+# union-by-name, week-over-week deltas
+# =====================================================================
+
+
+@query(
+    "sketch_bitmap",
+    """
+    WITH b AS (
+      SELECT event_type AS g, event_id % 4 AS s,
+             user_id // 62 AS w,
+             (CAST(1 AS BIGINT) << CAST(user_id % 62 AS INT)) AS bit
+      FROM events
+    ), ps AS (
+      SELECT g, s, w, bit_or(bit) AS bm FROM b GROUP BY g, s, w
+    ), m AS (
+      SELECT g, w, bit_or(bm) AS bm FROM ps GROUP BY g, w
+    ), sk AS (
+      SELECT g AS event_type,
+             CAST(SUM(bit_count(bm)) AS BIGINT) AS n_distinct
+      FROM m GROUP BY g
+    ), ex AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT sk.event_type, sk.n_distinct, ex.n_exact,
+           CAST(sk.n_distinct = ex.n_exact AS BOOLEAN) AS exact_ok
+    FROM sk JOIN ex USING (event_type)
+    """,
+)
+def sketch_bitmap(spark, sf_dir):
+    """EXACT bitmap-distinct sketch (extended/sketches.py
+    bitmap_distinct): dense bounded ids OR into 62-bit words — at most
+    domain/62 rows per group survive the map side no matter how many
+    occurrences — built per SHARD and OR-merged (the same
+    incremental-fold algebra as the bloom/HLL/KMV gates, but exact),
+    then compared in-plan against COUNT(DISTINCT); the in-plan
+    raise_error guard rejects ids outside the declared domain."""
+    from .extended.sketches import bitmap_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    sk = bitmap_distinct(
+        ev, "event_type", "user_id", domain=2048,
+        shard_col=F.col("event_id") % 4,
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return sk.join(ex, "event_type").select(
+        "event_type",
+        "n_distinct",
+        "n_exact",
+        (F.col("n_distinct") == F.col("n_exact")).alias("exact_ok"),
+    )
+
+
+@query(
+    "window_nth_value",
+    """
+    WITH w AS (
+      SELECT o_custkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT)
+             AS first_cents,
+           CAST(MAX(CASE WHEN rn = 2 THEN cents END) AS BIGINT)
+             AS second_cents,
+           CAST(MAX(CASE WHEN rn = n THEN cents END) AS BIGINT)
+             AS last_cents
+    FROM w WHERE n >= 3 GROUP BY o_custkey
+    """,
+)
+def window_nth_value(spark, sf_dir):
+    """nth_value / first / last over an explicit full frame — the
+    order-statistic window trio (first order's price, second order's
+    price, latest price per customer).  The oracle states the
+    ROW_NUMBER definition those functions abbreviate, so any frame or
+    null-handling drift in the window path breaks the hash.  All
+    windows customer-partitioned."""
+    from pyspark.sql.window import Window
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    wfull = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wcnt = Window.partitionBy("o_custkey")
+    return (
+        od.select(
+            "o_custkey",
+            F.first("cents").over(wfull).alias("first_cents"),
+            F.nth_value("cents", 2).over(wfull).alias("second_cents"),
+            F.last("cents").over(wfull).alias("last_cents"),
+            F.count(F.lit(1)).over(wcnt).alias("__n"),
+        )
+        .filter(F.col("__n") >= 3)
+        .drop("__n")
+        .distinct()
+    )
+
+
+@query(
+    "setop_union_byname",
+    """
+    WITH u AS (
+      SELECT o_orderkey AS k,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS a
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL BY NAME
+      SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS b
+      FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_a,
+           CAST(SUM(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_b,
+           CAST(SUM(COALESCE(a, 0)) AS BIGINT) AS sum_a,
+           CAST(SUM(COALESCE(b, 0)) AS BIGINT) AS sum_b
+    FROM u
+    """,
+)
+def setop_union_byname(spark, sf_dir):
+    """Schema-evolving union: two projections with DIFFERENT column
+    sets combine by NAME with missing columns null-filled
+    (unionByName(allowMissingColumns=True)) — the append path when a
+    new ingestion batch gains a column.  The reference's union is
+    positional (operators/relational.py union, gate setop_union);
+    this is the Spark-first extension for evolving schemas, and the
+    oracle is DuckDB's UNION ALL BY NAME."""
+    od = _t(spark, sf_dir, "orders")
+    a = od.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("a"),
+    )
+    b = od.filter(F.col("o_orderkey") % 3 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").cast("long").alias("b"),
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a").isNull().cast("long")).cast("long").alias("null_a"),
+        F.sum(F.col("b").isNull().cast("long")).cast("long").alias("null_b"),
+        F.sum(F.coalesce(F.col("a"), F.lit(0))).cast("long").alias("sum_a"),
+        F.sum(F.coalesce(F.col("b"), F.lit(0))).cast("long").alias("sum_b"),
+    )
+
+
+@query(
+    "events_wow",
+    """
+    WITH wk AS (
+      SELECT event_type, date_trunc('week', ts) AS week,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, week, n,
+           LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS prev,
+           CAST(n * 1000 // LAG(n) OVER (PARTITION BY event_type
+                                         ORDER BY week) - 1000
+                AS BIGINT) AS change_permille
+    FROM wk
+    """,
+)
+def events_wow(spark, sf_dir):
+    """Week-over-week growth per event type: weekly counts (one
+    map-combined aggregate onto the tiny type x week grid), a lag over
+    that bounded grid, and the permille change stated as
+    ``n*1000 div prev − 1000`` — a POSITIVE integer division on both
+    sides, because floor (DuckDB //) and truncate (Spark div) disagree
+    on negative numerators and a naive (n−prev)*1000/prev would
+    value-drift on every shrinking week."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    from pyspark.sql.window import Window
+
+    wk = ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    lagged = wk.select(
+        "event_type", "week", "n", F.lag("n").over(w).alias("prev")
+    )
+    return lagged.select(
+        "event_type",
+        "week",
+        "n",
+        "prev",
+        F.expr("CAST(n * 1000 div prev - 1000 AS BIGINT)").alias(
+            "change_permille"
+        ),
+    )
