@@ -186,6 +186,9 @@ _R6_NEW: list[str] = [
     "window_nth_value",
     "setop_union_byname",
     "events_wow",
+    "profile_linreg",
+    "graph_degrees",
+    "events_forecast",
 ]
 
 

@@ -213,6 +213,9 @@ BENCH_QUERIES = [
     "window_nth_value",
     "setop_union_byname",
     "events_wow",
+    "profile_linreg",
+    "graph_degrees",
+    "events_forecast",
 ]
 
 

@@ -12035,3 +12035,172 @@ def events_wow(spark, sf_dir):
             "change_permille"
         ),
     )
+
+
+# =====================================================================
+# Round-6 batch N: exact OLS trend, degree distribution, naive
+# forecast backtest
+# =====================================================================
+
+
+@query(
+    "profile_linreg",
+    """
+    WITH v AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM v
+    )
+    SELECT n, sx, sy,
+           CAST((n * sxy - sx * sy) * 1000
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_milli,
+           CAST((sy - ((n * sxy - sx * sy) * 1000
+                       // (n * sxx - sx * sx)) * sx / 1e3)
+                  * 1000 // n AS BIGINT) AS intercept_milli
+    FROM s
+    """,
+)
+def profile_linreg(spark, sf_dir):
+    """Exact simple linear regression (OLS trend: price cents vs
+    quantity) from ONE moment aggregate — the closed-form normal
+    equations on the BIGINT lattice: slope = (n·Sxy − Sx·Sy) /
+    (n·Sxx − Sx²) floored to milli-units, intercept from the slope.
+    The grid-exact trend-fit primitive (same family as the moment
+    PCA and grid-exact k-means): no MLlib, no iterations, one
+    map-combined pass at any scale."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    v = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    s = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)"
+            " AS BIGINT)"
+        ).alias("slope_milli"),
+        F.expr(
+            "CAST(FLOOR((sy - ((n * sxy - sx * sy) * 1000"
+            " div (n * sxx - sx * sx)) * sx / 1e3) * 1000 / n)"
+            " AS BIGINT)"
+        ).alias("intercept_milli"),
+    )
+
+
+@query(
+    "graph_degrees",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS u, l_partkey AS v
+      FROM lineitem WHERE l_quantity >= 45
+    ), deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u
+    ), b AS (
+      SELECT CAST(FLOOR(LOG2(d)) AS BIGINT) AS bucket, d FROM deg
+    )
+    SELECT bucket,
+           CAST(POW(2, bucket) AS BIGINT) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(d) AS BIGINT) AS total_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree
+    FROM b GROUP BY bucket
+    """,
+)
+def graph_degrees(spark, sf_dir):
+    """Out-degree distribution on power-of-two buckets — the
+    degree-histogram diagnostic behind skew-aware graph planning
+    (this repo's triangle orientation and salted joins exist because
+    of exactly this shape).  Distinct edges -> one degree aggregate
+    -> log2 bucketing: two map-combined aggregates; LOG2/POW on
+    exact powers of two are IEEE-exact in both engines for the BIGINT
+    range involved."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.filter(F.col("l_quantity") >= 45)
+        .select(
+            F.col("l_suppkey").alias("u"), F.col("l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    b = deg.select(
+        F.floor(F.log2("d")).cast("long").alias("bucket"), F.col("d")
+    )
+    return b.groupBy("bucket").agg(
+        F.pow(F.lit(2.0), F.col("bucket")).cast("long").alias("bucket_lo"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("d").cast("long").alias("total_degree"),
+        F.max("d").cast("long").alias("max_degree"),
+    ).select("bucket", "bucket_lo", "n_nodes", "total_degree", "max_degree")
+
+
+@query(
+    "events_forecast",
+    """
+    WITH wk AS (
+      SELECT event_type, date_trunc('week', ts) AS week,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), l AS (
+      SELECT event_type, week, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS pred
+      FROM wk
+    )
+    SELECT event_type,
+           CAST(COUNT(pred) AS BIGINT) AS n_backtests,
+           CAST(SUM(abs(n - pred)) AS BIGINT) AS abs_err_total,
+           CAST(SUM(abs(n - pred)) * 1000 // SUM(n) AS BIGINT)
+             AS mae_permille
+    FROM l WHERE pred IS NOT NULL GROUP BY event_type
+    """,
+)
+def events_forecast(spark, sf_dir):
+    """Naive-forecast backtest (persistence model: next week = this
+    week) with exact MAE per event type — the baseline every real
+    forecaster must beat, and the backtest harness shape (lag as the
+    prediction, integer absolute error, permille MAE on positive
+    division).  One aggregate onto the type x week grid + one bounded
+    lag window."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    wk = ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    lagged = wk.select(
+        "event_type", "n", F.lag("n").over(w).alias("pred")
+    ).filter(F.col("pred").isNotNull())
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_backtests"),
+        F.sum(F.abs(F.col("n") - F.col("pred")))
+        .cast("long")
+        .alias("abs_err_total"),
+        F.expr(
+            "CAST(sum(abs(n - pred)) * 1000 div sum(n) AS BIGINT)"
+        ).alias("mae_permille"),
+    )
