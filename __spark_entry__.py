@@ -189,6 +189,10 @@ _R6_NEW: list[str] = [
     "profile_linreg",
     "graph_degrees",
     "events_forecast",
+    "expr_decimal_exact",
+    "expr_levenshtein",
+    "explode_outer_nulls",
+    "text_length_quantiles",
 ]
 
 

@@ -216,6 +216,10 @@ BENCH_QUERIES = [
     "profile_linreg",
     "graph_degrees",
     "events_forecast",
+    "expr_decimal_exact",
+    "expr_levenshtein",
+    "explode_outer_nulls",
+    "text_length_quantiles",
 ]
 
 

@@ -12204,3 +12204,190 @@ def events_forecast(spark, sf_dir):
             "CAST(sum(abs(n - pred)) * 1000 div sum(n) AS BIGINT)"
         ).alias("mae_permille"),
     )
+
+
+# =====================================================================
+# Round-6 batch O: decimal arithmetic, built-in edit distance,
+# explode_outer semantics, token-length quantiles
+# =====================================================================
+
+
+@query(
+    "expr_decimal_exact",
+    """
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), d AS (
+      SELECT o_orderpriority,
+             CAST(CAST(cents // 100 AS VARCHAR) || '.' ||
+                  lpad(CAST(cents % 100 AS VARCHAR), 2, '0')
+                  AS DECIMAL(18,2)) AS amt
+      FROM c
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(amt) AS DOUBLE) AS total,
+           CAST(SUM(amt) * 3 AS DOUBLE) AS tripled
+    FROM d GROUP BY o_orderpriority
+    """,
+)
+def expr_decimal_exact(spark, sf_dir):
+    """DECIMAL arithmetic surface: string -> DECIMAL(18,2) parse (the
+    one decimal construction that is bit-identical in every engine —
+    double->decimal casts round differently), exact decimal SUM and
+    integer multiply, one final deterministic cast to DOUBLE for
+    comparison.  The money-math path a finance workload runs where
+    float summation is not acceptable."""
+    od = _t(spark, sf_dir, "orders")
+    c = od.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    d = c.select(
+        "o_orderpriority",
+        F.concat(
+            F.expr("CAST(cents div 100 AS STRING)"),
+            F.lit("."),
+            F.lpad(F.expr("CAST(cents % 100 AS STRING)"), 2, "0"),
+        )
+        .cast("decimal(18,2)")
+        .alias("amt"),
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("amt").cast("double").alias("total"),
+        (F.sum("amt") * 3).cast("double").alias("tripled"),
+    )
+
+
+@query(
+    "expr_levenshtein",
+    """
+    SELECT levenshtein(substring(p_name, 1, 10),
+                       substring(reverse(p_name), 1, 10)) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM part GROUP BY dist
+    """,
+)
+def expr_levenshtein(spark, sf_dir):
+    """Built-in edit distance (F.levenshtein — JVM codegen, the fast
+    path the custom blocked-Levenshtein dedup falls back to for
+    in-block verification): distance histogram between each part
+    name's prefix and its reversed prefix.  Both engines implement
+    the same Wagner-Fischer distance, so the histogram value-hashes."""
+    pt = _t(spark, sf_dir, "part")
+    d = pt.select(
+        F.levenshtein(
+            F.substring("p_name", 1, 10),
+            F.substring(F.reverse(F.col("p_name")), 1, 10),
+        ).alias("dist")
+    )
+    return d.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@query(
+    "explode_outer_nulls",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(
+                 substring(text, 1, CAST(doc_id % 3 AS INT)), '\s+'),
+                 x -> len(x) > 0) AS arr
+      FROM documents
+    ), x AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(arr) = 0 THEN [NULL] ELSE arr END)
+               AS token
+      FROM d
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN token IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM x
+    """,
+)
+def explode_outer_nulls(spark, sf_dir):
+    """``explode_outer`` semantics driver-witnessed: documents whose
+    derived token array is EMPTY survive as a single NULL-token row
+    (plain explode silently drops them — the row-loss bug class
+    paragraph_dedup fixed in r5).  The oracle states the outer rule
+    explicitly as CASE-to-[NULL]; every document must appear."""
+    from .extended.text import tokens as _tok
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        _tok(
+            F.substring(F.col("text"), 1, F.expr("CAST(doc_id % 3 AS INT)"))
+        ).alias("arr"),
+    )
+    x = d.select("doc_id", F.explode_outer("arr").alias("token"))
+    return x.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("token").isNull().cast("long"))
+        .cast("long")
+        .alias("n_null_rows"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
+@query(
+    "text_length_quantiles",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> len(x) > 0)) AS BIGINT) AS n_tok
+      FROM documents
+    ), g AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tok)
+                  AS BIGINT) AS q250,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tok)
+                  AS BIGINT) AS q500,
+             CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_tok)
+                  AS BIGINT) AS q900
+      FROM t GROUP BY lang
+    )
+    SELECT lang, CAST(250 AS INT) AS q_milli, n, q250 AS q_value FROM g
+    UNION ALL
+    SELECT lang, CAST(500 AS INT) AS q_milli, n, q500 AS q_value FROM g
+    UNION ALL
+    SELECT lang, CAST(900 AS INT) AS q_milli, n, q900 AS q_value FROM g
+    """,
+)
+def text_length_quantiles(spark, sf_dir):
+    """Token-length distribution per language (the sequence-length
+    planning input for packing budgets): exact p25/p50/p90 via the
+    grouped two-pass order statistic — the token counting is one
+    narrow codegen map, pinned once so the three quantile passes
+    share it."""
+    from .extended.profile import quantile_disc_twopass
+    from .extended.text import tokens as _tok
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(_tok(F.col("text"))).cast("long").alias("n_tok"),
+    ).localCheckpoint(eager=False)
+    parts = []
+    for qm in (250, 500, 900):
+        parts.append(
+            quantile_disc_twopass(t, ["lang"], "n_tok", q_milli=qm).select(
+                "lang",
+                F.lit(qm).cast("int").alias("q_milli"),
+                "n",
+                "q_value",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
