@@ -193,6 +193,9 @@ _R6_NEW: list[str] = [
     "expr_levenshtein",
     "explode_outer_nulls",
     "text_length_quantiles",
+    "ml_target_encode",
+    "profile_winsorize",
+    "agg_retractable",
 ]
 
 

@@ -220,6 +220,9 @@ BENCH_QUERIES = [
     "expr_levenshtein",
     "explode_outer_nulls",
     "text_length_quantiles",
+    "ml_target_encode",
+    "profile_winsorize",
+    "agg_retractable",
 ]
 
 

@@ -12391,3 +12391,216 @@ def text_length_quantiles(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# =====================================================================
+# Round-6 batch P: target encoding, winsorization, retractable
+# aggregate maintenance
+# =====================================================================
+
+
+@query(
+    "ml_target_encode",
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS cat, o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders
+    ), g AS (
+      SELECT cat, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s
+      FROM c GROUP BY cat
+    ), enc AS (
+      SELECT c.cat, c.o_orderkey,
+             CAST((g.s - c.y) * 1000 // (g.n - 1) AS BIGINT)
+               AS loo_milli
+      FROM c JOIN g USING (cat) WHERE g.n > 1
+    )
+    SELECT cat,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(loo_milli) AS BIGINT) AS min_enc,
+           CAST(MAX(loo_milli) AS BIGINT) AS max_enc,
+           CAST(SUM(loo_milli) AS BIGINT) AS sum_enc
+    FROM enc GROUP BY cat
+    """,
+)
+def ml_target_encode(spark, sf_dir):
+    """Leave-one-out target encoding (the leakage-safe categorical
+    feature: each row's category is encoded by the target mean of the
+    OTHER rows in its category, ``(S_g − y_i)/(n_g − 1)``): one
+    per-category aggregate broadcast back onto the rows, LOO
+    arithmetic on the BIGINT milli grid.  The standard tabular-ML
+    preprocessing op; a naive non-LOO mean leaks the row's own
+    label."""
+    od = _t(spark, sf_dir, "orders")
+    c = od.select(
+        F.col("o_orderpriority").alias("cat"),
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    g = c.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    enc = (
+        c.join(F.broadcast(g), "cat")
+        .filter(F.col("n") > 1)
+        .select(
+            "cat",
+            F.expr("CAST((s - y) * 1000 div (n - 1) AS BIGINT)").alias(
+                "loo_milli"
+            ),
+        )
+    )
+    return enc.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("loo_milli").cast("long").alias("min_enc"),
+        F.max("loo_milli").cast("long").alias("max_enc"),
+        F.sum("loo_milli").cast("long").alias("sum_enc"),
+    )
+
+
+@query(
+    "profile_winsorize",
+    """
+    WITH v AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+    ), t AS (
+      SELECT CAST(quantile_disc(c, 0.05) AS BIGINT) AS lo,
+             CAST(quantile_disc(c, 0.95) AS BIGINT) AS hi
+      FROM v
+    )
+    SELECT t.lo AS p05, t.hi AS p95,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN c < t.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(SUM(CASE WHEN c > t.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi,
+           CAST(SUM(LEAST(GREATEST(c, t.lo), t.hi)) AS BIGINT)
+             AS winsorized_sum
+    FROM v, t GROUP BY t.lo, t.hi
+    """,
+)
+def profile_winsorize(spark, sf_dir):
+    """Winsorization (outlier clipping at exact p05/p95): thresholds
+    from ONE distributed percentile aggregate
+    (extended/profile.quantile_thresholds machinery — percentile_disc,
+    map-side value->count buffers), broadcast back, clip as pure
+    codegen LEAST/GREATEST.  The preprocessing step that tames heavy
+    tails before statistics that assume bounded moments; reported
+    clipped counts make the tail mass auditable."""
+    from .extended.profile import quantile_thresholds
+
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c")
+    )
+    thr = quantile_thresholds(v, ["c"], buckets=20).select(
+        F.col("c_t1").alias("p05"), F.col("c_t19").alias("p95")
+    )
+    j = v.crossJoin(F.broadcast(thr))
+    return j.groupBy("p05", "p95").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("c") < F.col("p05")).cast("long"))
+        .cast("long")
+        .alias("n_clipped_lo"),
+        F.sum((F.col("c") > F.col("p95")).cast("long"))
+        .cast("long")
+        .alias("n_clipped_hi"),
+        F.sum(F.least(F.greatest(F.col("c"), F.col("p05")), F.col("p95")))
+        .cast("long")
+        .alias("winsorized_sum"),
+    ).select("p05", "p95", "n", "n_clipped_lo", "n_clipped_hi",
+             "winsorized_sum")
+
+
+@query(
+    "agg_retractable",
+    """
+    WITH log AS (
+      SELECT o_orderpriority AS k,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'I' END AS op,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders
+    ), maintained AS (
+      SELECT k,
+             CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE -1 END) AS BIGINT)
+               AS n,
+             CAST(SUM(CASE WHEN op = 'I' THEN v ELSE -v END) AS BIGINT)
+               AS s
+      FROM log GROUP BY k
+    ), direct AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s
+      FROM log WHERE op = 'I' GROUP BY k
+    ), deletes AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(v) AS BIGINT) AS sd
+      FROM log WHERE op = 'D' GROUP BY k
+    )
+    SELECT m.k, m.n, m.s,
+           CAST(m.n = d.n - COALESCE(x.nd, 0)
+                AND m.s = d.s - COALESCE(x.sd, 0) AS BOOLEAN) AS ok
+    FROM maintained m JOIN direct d USING (k)
+    LEFT JOIN deletes x USING (k)
+    """,
+)
+def agg_retractable(spark, sf_dir):
+    """Retractable aggregate maintenance — the changelog algebra
+    behind incremental materialized views: inserts contribute
+    (+1, +v), deletes (−1, −v), and ONE signed aggregate maintains
+    COUNT/SUM under mixed traffic without replaying history.  The
+    in-plan ok flag proves maintained state equals
+    recompute-from-scratch; the oracle replays both sides."""
+    od = _t(spark, sf_dir, "orders")
+    log = od.select(
+        F.col("o_orderpriority").alias("k"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("D"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    sign = F.when(F.col("op") == "I", F.lit(1)).otherwise(F.lit(-1))
+    maintained = log.groupBy("k").agg(
+        F.sum(sign).cast("long").alias("n"),
+        F.sum(sign * F.col("v")).cast("long").alias("s"),
+    )
+    direct = (
+        log.filter(F.col("op") == "I")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dn"),
+            F.sum("v").cast("long").alias("ds"),
+        )
+    )
+    deletes = (
+        log.filter(F.col("op") == "D")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("xn"),
+            F.sum("v").cast("long").alias("xs"),
+        )
+    )
+    return (
+        maintained.join(direct, "k")
+        .join(deletes, "k", "left")
+        .select(
+            "k",
+            "n",
+            "s",
+            (
+                (F.col("n") == F.col("dn") - F.coalesce(F.col("xn"), F.lit(0)))
+                & (
+                    F.col("s")
+                    == F.col("ds") - F.coalesce(F.col("xs"), F.lit(0))
+                )
+            ).alias("ok"),
+        )
+    )

@@ -1,0 +1,53 @@
+"""Round-6 thirteenth batch: target encoding, winsorization,
+retractable aggregates."""
+
+from pyspark.sql import functions as F
+
+
+def test_target_encode_loo_excludes_self(spark, sf_dir):
+    from pandasy_spark.workload import QUERIES
+
+    rows = QUERIES["ml_target_encode"](spark, sf_dir).collect()
+    assert rows
+    # LOO encodings differ within a category unless all targets equal:
+    # min < max for every real category here
+    for r in rows:
+        assert r["min_enc"] <= r["max_enc"]
+        assert r["n"] > 1
+
+
+def test_winsorize_bounds(spark, sf_dir):
+    from pandasy_spark.workload import QUERIES
+
+    r = QUERIES["profile_winsorize"](spark, sf_dir).first()
+    assert r["p05"] < r["p95"]
+    # percentile_disc(0.05): at most 5% strictly below the threshold,
+    # at most 95%... -> clipped-lo < 5%+slack, clipped-hi <= 5%
+    assert r["n_clipped_lo"] <= r["n"] * 5 // 100 + 1
+    assert r["n_clipped_hi"] <= r["n"] * 5 // 100 + 1
+    assert r["winsorized_sum"] > 0
+
+
+def test_retractable_ok_everywhere(spark, sf_dir):
+    from pandasy_spark.workload import QUERIES
+
+    rows = QUERIES["agg_retractable"](spark, sf_dir).collect()
+    assert rows and all(r["ok"] for r in rows)
+
+
+def test_retractable_handles_full_deletion(spark):
+    log = spark.createDataFrame(
+        [("a", "I", 10), ("a", "D", 10), ("b", "I", 5)],
+        "k string, op string, v long",
+    )
+    sign = F.when(F.col("op") == "I", F.lit(1)).otherwise(F.lit(-1))
+    m = {
+        r["k"]: (r["n"], r["s"])
+        for r in log.groupBy("k")
+        .agg(
+            F.sum(sign).cast("long").alias("n"),
+            F.sum(sign * F.col("v")).cast("long").alias("s"),
+        )
+        .collect()
+    }
+    assert m == {"a": (0, 0), "b": (1, 5)}
