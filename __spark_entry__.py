@@ -196,6 +196,8 @@ _R6_NEW: list[str] = [
     "ml_target_encode",
     "profile_winsorize",
     "agg_retractable",
+    "sql_recursive",
+    "sql_lateral",
 ]
 
 

@@ -223,6 +223,8 @@ BENCH_QUERIES = [
     "ml_target_encode",
     "profile_winsorize",
     "agg_retractable",
+    "sql_recursive",
+    "sql_lateral",
 ]
 
 

@@ -12604,3 +12604,66 @@ def agg_retractable(spark, sf_dir):
             ).alias("ok"),
         )
     )
+
+
+# =====================================================================
+# Round-6 batch Q: recursive CTEs and LATERAL subqueries (shared text)
+# =====================================================================
+
+_SQL_RECURSIVE = """
+    WITH RECURSIVE up AS (
+      SELECT s_suppkey AS start, s_suppkey AS cur, 0 AS depth
+      FROM supplier
+      UNION ALL
+      SELECT start, CAST(FLOOR(cur / 2e0) AS BIGINT) AS cur,
+             depth + 1 AS depth
+      FROM up WHERE cur > 0
+    )
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(start) AS BIGINT) AS sum_start
+    FROM up GROUP BY depth
+"""
+
+
+@query("sql_recursive", _SQL_RECURSIVE)
+def sql_recursive(spark, sf_dir):
+    """RECURSIVE CTE driver-witnessed (Spark 4's WITH RECURSIVE): every
+    supplier walks its binary-ancestor chain (halving) to the root,
+    and the per-depth census aggregates the full closure — the same
+    query text runs on both engines (integer-safe FLOOR(x/2e0)
+    halving, no engine-specific div operator).  The iterative-CTE
+    answer the distributed graph operators (BFS/SSSP/SCC) replace at
+    100 TB; here the recursion engine ITSELF is the surface under
+    test."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_RECURSIVE)
+
+
+_SQL_LATERAL = """
+    SELECT c.c_custkey, o.o_orderkey, o.cents
+    FROM customer c, LATERAL (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) o
+    WHERE c.c_custkey % 3 = 0
+"""
+
+
+@query("sql_lateral", _SQL_LATERAL)
+def sql_lateral(spark, sf_dir):
+    """LATERAL correlated subquery (top-2 orders per customer) with
+    the same text on both engines — the SQL spelling of
+    top_k_per_group, tie-broken deterministically.  Catalyst
+    decorrelates the LATERAL into a ranked window/join plan rather
+    than a per-row re-execution; the DSL twin (operators/
+    top_k_per_group, gate topk_per_group) is the 100 TB-preferred
+    form, and this gate proves the SQL front door reaches the same
+    answers."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL)

@@ -51,3 +51,30 @@ def test_retractable_handles_full_deletion(spark):
         .collect()
     }
     assert m == {"a": (0, 0), "b": (1, 5)}
+
+
+def test_sql_recursive_depth_census(spark, sf_dir):
+    from pandasy_spark.workload import QUERIES
+
+    rows = {r["depth"]: r["n"] for r in QUERIES["sql_recursive"](spark, sf_dir).collect()}
+    # every supplier appears at depth 0; counts never grow with depth
+    assert rows[0] == max(rows.values())
+    depths = sorted(rows)
+    assert all(rows[a] >= rows[b] for a, b in zip(depths, depths[1:]))
+
+
+def test_sql_lateral_topk_per_customer(spark, sf_dir):
+    from pandasy_spark.workload import QUERIES
+
+    rows = QUERIES["sql_lateral"](spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["c_custkey"], []).append(r["cents"])
+    assert all(len(v) <= 2 for v in per.values())
+    plan = (
+        QUERIES["sql_lateral"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
