@@ -198,6 +198,8 @@ _R6_NEW: list[str] = [
     "agg_retractable",
     "sql_recursive",
     "sql_lateral",
+    "join_null_safe_eq",
+    "expr_try_arith",
 ]
 
 

@@ -225,6 +225,8 @@ BENCH_QUERIES = [
     "agg_retractable",
     "sql_recursive",
     "sql_lateral",
+    "join_null_safe_eq",
+    "expr_try_arith",
 ]
 
 

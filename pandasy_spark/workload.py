@@ -12667,3 +12667,121 @@ def sql_lateral(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_LATERAL)
+
+
+# =====================================================================
+# Round-6 batch S: null-safe join keys, try_* arithmetic
+# =====================================================================
+
+
+@query(
+    "join_null_safe_eq",
+    """
+    WITH a AS (
+      SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE o_custkey % 50 END AS k,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), b AS (
+      SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                  ELSE o_custkey % 50 END AS k,
+             CAST(o_orderkey AS BIGINT) AS okey
+      FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 100 < 4
+    )
+    SELECT a.k, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a.cents) AS BIGINT) AS cents_total,
+           CAST(COUNT(DISTINCT b.okey) AS BIGINT) AS n_right
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    """,
+)
+def join_null_safe_eq(spark, sf_dir):
+    """NULL-SAFE equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics a plain
+    equi-join silently loses rows to.  Crucially this still plans as a
+    HASH join (NULL is just another key value under null-safe
+    equality), not the nested-loop a general condition would force —
+    the 100 TB reason to reach for <=> instead of
+    COALESCE-to-sentinel tricks that corrupt real values."""
+    od = _t(spark, sf_dir, "orders")
+    a = od.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey") % 50)
+        .alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    b = od.filter(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 100 < 4)
+    ).select(
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey") % 50)
+        .alias("k"),
+        F.col("o_orderkey").cast("long").alias("okey"),
+    )
+    j = a.join(b, a["k"].eqNullSafe(b["k"]))
+    return j.groupBy(a["k"].alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents_total"),
+        F.countDistinct("okey").cast("long").alias("n_right"),
+    )
+
+
+@query(
+    "expr_try_arith",
+    """
+    WITH v AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(o_orderkey % 7 AS BIGINT) AS d
+      FROM orders
+    ), t AS (
+      SELECT CASE WHEN d = 0 THEN NULL ELSE cents // d END AS q,
+             CASE WHEN cents > 46116860
+                  THEN NULL ELSE cents * 200000000000 END AS big
+      FROM v
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_null,
+           CAST(SUM(COALESCE(q, 0)) AS BIGINT) AS q_total,
+           CAST(SUM(CASE WHEN big IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ovf_null
+    FROM t
+    """,
+)
+def expr_try_arith(spark, sf_dir):
+    """``try_divide`` / ``try_multiply`` under ANSI mode: failures
+    yield NULL instead of killing the job — the per-row error-handling
+    contract a 100 TB pipeline wants for dirty-data arithmetic (one
+    bad row must not fail a 10-hour stage).  Division by zero and
+    int64-overflow multiplication both surface as countable NULLs; the
+    oracle states the guard conditions explicitly (DuckDB's integer
+    ops error rather than wrap, same as ANSI Spark).  try_divide on
+    BIGINTs returns DOUBLE, so the gate floors it back onto the
+    integer grid before summing."""
+    od = _t(spark, sf_dir, "orders")
+    v = od.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        (F.col("o_orderkey") % 7).cast("long").alias("d"),
+    )
+    t = v.select(
+        F.floor(F.try_divide(F.col("cents"), F.col("d")))
+        .cast("long")
+        .alias("q"),
+        F.try_multiply(
+            F.col("cents"), F.lit(200_000_000_000).cast("long")
+        ).alias("big"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("q").isNull().cast("long"))
+        .cast("long")
+        .alias("n_div_null"),
+        F.sum(F.coalesce(F.col("q"), F.lit(0))).cast("long").alias("q_total"),
+        F.sum(F.col("big").isNull().cast("long"))
+        .cast("long")
+        .alias("n_ovf_null"),
+    )

@@ -78,3 +78,26 @@ def test_sql_lateral_topk_per_customer(spark, sf_dir):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_null_safe_join_matches_nulls(spark):
+    a = spark.createDataFrame([(None, 1), (5, 2)], "k int, v int")
+    b = spark.createDataFrame([(None, 10), (5, 20), (7, 30)], "k int, w int")
+    j = a.join(b, a["k"].eqNullSafe(b["k"]))
+    got = sorted((r["v"], r["w"]) for r in j.collect())
+    assert got == [(1, 10), (2, 20)]
+    # stays a hash join, not nested loop
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_try_arith_null_on_failure(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(10, 0), (10, 3)], "a long, b long")
+    rows = df.select(
+        F.try_divide("a", "b").alias("q"),
+        F.try_multiply(F.lit(2**62).cast("long"), F.lit(4).cast("long")).alias("m"),
+    ).collect()
+    assert rows[0]["q"] is None and rows[1]["q"] is not None
+    assert all(r["m"] is None for r in rows)
