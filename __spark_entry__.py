@@ -200,6 +200,7 @@ _R6_NEW: list[str] = [
     "sql_lateral",
     "join_null_safe_eq",
     "expr_try_arith",
+    "events_cusum",
 ]
 
 

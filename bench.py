@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "sql_lateral",
     "join_null_safe_eq",
     "expr_try_arith",
+    "events_cusum",
 ]
 
 

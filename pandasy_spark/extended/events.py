@@ -29,6 +29,7 @@ __all__ = [
     "activity_streaks",
     "interval_concurrency",
     "coalesce_intervals",
+    "cusum_per_key",
 ]
 
 
@@ -902,3 +903,52 @@ def coalesce_intervals(
         F.max(F.col(end_col)).alias("span_end"),
         F.count(F.lit(1)).cast("long").alias("n_merged"),
     ).drop("__island")
+
+
+def cusum_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    threshold: int,
+) -> DataFrame:
+    """Per-key CUSUM changepoint screen, windows-only: the classic
+    recurrence ``S_t = max(0, S_{t-1} + y_t)`` over integer deviations
+    ``y`` has the closed form ``S_t = P_t − min(0, min_{j≤t} P_j)``
+    with ``P`` the running prefix sum — so the inherently-sequential
+    fold becomes two KEY-partitioned windows (prefix sum + running
+    min), exact on the BIGINT lattice, no collect, no UDF (contrast
+    :func:`ewma_per_key`, whose rational smoothing admits no such
+    prefix form and pays an ordered fold).
+
+    Alarms count the instants where ``S_t`` exceeds ``threshold``.
+
+    Output: ``(key, n, max_cusum, n_alarms, final_cusum)``.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(key_col).alias("k"),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("long").alias("__y"),
+    )
+    wk = Window.partitionBy("k").orderBy(*[F.col(c) for c in order_cols])
+    runf = wk.rowsBetween(Window.unboundedPreceding, 0)
+    withp = base.withColumn("__p", F.sum("__y").over(runf))
+    scanned = withp.withColumn(
+        "__s",
+        F.col("__p")
+        - F.least(F.lit(0).cast("long"), F.min("__p").over(runf)),
+    )
+    # final state needs no order-dependent picker: S_n = ΣY − min(0, min P)
+    return scanned.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("__s").cast("long").alias("max_cusum"),
+        F.sum((F.col("__s") > threshold).cast("long"))
+        .cast("long")
+        .alias("n_alarms"),
+        (
+            F.sum("__y")
+            - F.least(F.lit(0).cast("long"), F.min("__p"))
+        ).cast("long").alias("final_cusum"),
+    ).withColumnRenamed("k", key_col)

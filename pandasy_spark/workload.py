@@ -12785,3 +12785,63 @@ def expr_try_arith(spark, sf_dir):
         .cast("long")
         .alias("n_ovf_null"),
     )
+
+
+@query(
+    "events_cusum",
+    """
+    WITH b AS (
+      SELECT event_type AS k, ts, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) - 1000 AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), p0 AS (
+      SELECT k, y, ts, event_id,
+             SUM(y) OVER (PARTITION BY k ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS pp
+      FROM b
+    ), p AS (
+      SELECT k, y, pp,
+             MIN(pp) OVER (PARTITION BY k ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS runmin
+      FROM p0
+    ), s AS (
+      SELECT k, y, pp,
+             pp - LEAST(CAST(0 AS BIGINT), runmin) AS s
+      FROM p
+    )
+    SELECT k AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(s) AS BIGINT) AS max_cusum,
+           CAST(SUM(CASE WHEN s > 50000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms,
+           CAST(SUM(y) - LEAST(CAST(0 AS BIGINT), MIN(pp)) AS BIGINT)
+             AS final_cusum
+    FROM s GROUP BY k
+    """,
+)
+def events_cusum(spark, sf_dir):
+    """Per-key CUSUM changepoint screen (extended/events.py
+    cusum_per_key): the sequential recurrence ``S_t = max(0, S_{t-1} +
+    y_t)`` rewritten to its closed form ``S_t = P_t − min(0, min P)``
+    — two KEY-partitioned windows instead of an ordered fold, exact
+    BIGINT, no collect_list (the same de-sequentialization move as the
+    island trick: find the prefix-expressible form before reaching for
+    a stateful kernel).  Deviations are value cents minus a 10.00
+    allowance; alarms count S above 500.00."""
+    from .extended.events import cusum_per_key
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    b = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            - F.lit(1000)
+        ).alias("y"),
+    )
+    return cusum_per_key(
+        b, "event_type", ["ts", "event_id"], "y", threshold=50_000
+    )

@@ -101,3 +101,22 @@ def test_try_arith_null_on_failure(spark):
     ).collect()
     assert rows[0]["q"] is None and rows[1]["q"] is not None
     assert all(r["m"] is None for r in rows)
+
+
+def test_cusum_closed_form_matches_recurrence(spark):
+    from pandasy_spark.extended.events import cusum_per_key
+
+    ys = [5, -3, 10, -20, 7, 7, -1, 30]
+    df = spark.createDataFrame(
+        [("k", i, y) for i, y in enumerate(ys)], "k string, i long, y long"
+    )
+    r = cusum_per_key(df, "k", ["i"], "y", threshold=12).first()
+    s, mx, alarms = 0, 0, 0
+    for y in ys:
+        s = max(0, s + y)
+        mx = max(mx, s)
+        alarms += s > 12
+    assert r["max_cusum"] == mx
+    assert r["n_alarms"] == alarms
+    assert r["final_cusum"] == s
+    assert r["n"] == len(ys)
