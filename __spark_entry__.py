@@ -201,6 +201,8 @@ _R6_NEW: list[str] = [
     "join_null_safe_eq",
     "expr_try_arith",
     "events_cusum",
+    "sample_bootstrap_ci",
+    "sample_kfold",
 ]
 
 

@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "join_null_safe_eq",
     "expr_try_arith",
     "events_cusum",
+    "sample_bootstrap_ci",
+    "sample_kfold",
 ]
 
 

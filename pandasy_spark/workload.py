@@ -12845,3 +12845,118 @@ def events_cusum(spark, sf_dir):
     return cusum_per_key(
         b, "event_type", ["ts", "event_id"], "y", threshold=50_000
     )
+
+
+# =====================================================================
+# Round-6 batch T: bootstrap confidence intervals, k-fold CV folds
+# =====================================================================
+
+_BOOT_CI_FOLD = (
+    "(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "[ord(substring(CAST(o_orderkey AS VARCHAR), i, 1)) "
+    "for i in range(1, len(CAST(o_orderkey AS VARCHAR))+1)]), "
+    "(acc, c) -> (acc * 257 + c) % 9007199254740992) % 2147483647)"
+)
+
+
+@query(
+    "sample_bootstrap_ci",
+    f"""
+    WITH r AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             {_BOOT_CI_FOLD} AS h
+      FROM orders
+    ), drawn AS (
+      SELECT t.salt, cents,
+             len(list_filter([790015083, 1580030167, 1975037709,
+                              2106706890, 2139624185],
+                 t2 -> (((h * 48271 + t.salt) % 2147483647) * 16807)
+                        % 2147483647 >= t2)) AS reps
+      FROM r, (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS salt) t
+    ), means AS (
+      SELECT salt,
+             CAST(SUM(reps * cents) // SUM(reps) AS BIGINT) AS mean_cents
+      FROM drawn GROUP BY salt HAVING SUM(reps) > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_resamples,
+           CAST(MIN(mean_cents) AS BIGINT) AS mean_lo,
+           CAST(MAX(mean_cents) AS BIGINT) AS mean_hi,
+           CAST(MAX(mean_cents) - MIN(mean_cents) AS BIGINT) AS spread
+    FROM means
+    """,
+)
+def sample_bootstrap_ci(spark, sf_dir):
+    """Bootstrap confidence interval for a mean, all resamples in ONE
+    plan: each row draws its Poisson(1) replicate count under 8
+    different salts (an 8-way literal explode — narrow, deterministic,
+    no RNG state), per-salt weighted means reduce map-side, and the
+    envelope (min/max of the 8 resample means) is the CI.  The
+    uncertainty-quantification companion to sample_bootstrap: at
+    100 TB the whole thing is one corpus pass wide and 8 rows
+    tall."""
+    from .extended.sampling import bootstrap_counts
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    drawn = od.withColumn(
+        "salt", F.explode(F.sequence(F.lit(1), F.lit(8)))
+    ).select(
+        "salt",
+        "cents",
+        bootstrap_counts(F.col("o_orderkey"), F.col("salt")).alias("reps"),
+    )
+    means = (
+        drawn.groupBy("salt")
+        .agg(
+            F.sum(F.col("reps") * F.col("cents")).alias("__s"),
+            F.sum("reps").alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+        .select(F.expr("CAST(__s div __n AS BIGINT)").alias("mean_cents"))
+    )
+    return means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_resamples"),
+        F.min("mean_cents").cast("long").alias("mean_lo"),
+        F.max("mean_cents").cast("long").alias("mean_hi"),
+        (F.max("mean_cents") - F.min("mean_cents"))
+        .cast("long")
+        .alias("spread"),
+    )
+
+
+@query(
+    "sample_kfold",
+    f"""
+    WITH b AS (
+      SELECT o_orderpriority,
+             (({_BOOT_CI_FOLD.replace('o_orderkey', 'o_orderkey')}
+               * 48271 + 0) % 2147483647) % 10000 AS bucket
+      FROM orders
+    )
+    SELECT o_orderpriority, CAST(bucket % 5 AS INT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY o_orderpriority, bucket % 5
+    """,
+)
+def sample_kfold(spark, sf_dir):
+    """Stratified k-fold cross-validation assignment (k=5): the
+    portable id-hash bucket reduced mod k, so folds are stable under
+    corpus growth and re-partitioning (the hash_split contract
+    extended to CV) and every (stratum, fold) cell count is
+    driver-checked.  Pure narrow map — fold membership never needs a
+    shuffle, and leave-fold-out training reads are plain filters."""
+    from .extended.sampling import split_bucket
+
+    od = _t(spark, sf_dir, "orders")
+    b = od.select(
+        "o_orderpriority",
+        (split_bucket(F.col("o_orderkey")) % 5).cast("int").alias("fold"),
+    )
+    return b.groupBy("o_orderpriority", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

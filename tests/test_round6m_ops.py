@@ -120,3 +120,27 @@ def test_cusum_closed_form_matches_recurrence(spark):
     assert r["n_alarms"] == alarms
     assert r["final_cusum"] == s
     assert r["n"] == len(ys)
+
+
+def test_bootstrap_ci_envelope(spark, sf_dir):
+    from pandasy_spark.workload import QUERIES
+
+    r = QUERIES["sample_bootstrap_ci"](spark, sf_dir).first()
+    assert r["n_resamples"] == 8
+    assert r["mean_lo"] <= r["mean_hi"]
+    # resample means cluster near the true mean: spread < 5%
+    assert r["spread"] * 20 < r["mean_hi"]
+
+
+def test_kfold_covers_all_and_balanced(spark, sf_dir):
+    from pandasy_spark.workload import QUERIES
+
+    rows = QUERIES["sample_kfold"](spark, sf_dir).collect()
+    folds = {}
+    for r in rows:
+        assert 0 <= r["fold"] < 5
+        folds[r["fold"]] = folds.get(r["fold"], 0) + r["n"]
+    assert set(folds) == set(range(5))
+    total = sum(folds.values())
+    for n in folds.values():
+        assert abs(n - total / 5) < total * 0.05
