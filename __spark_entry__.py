@@ -203,6 +203,7 @@ _R6_NEW: list[str] = [
     "events_cusum",
     "sample_bootstrap_ci",
     "sample_kfold",
+    "events_churn_labels",
 ]
 
 

@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "events_cusum",
     "sample_bootstrap_ci",
     "sample_kfold",
+    "events_churn_labels",
 ]
 
 

@@ -12960,3 +12960,70 @@ def sample_kfold(spark, sf_dir):
     return b.groupBy("o_orderpriority", "fold").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+@query(
+    "events_churn_labels",
+    """
+    WITH w AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), l AS (
+      SELECT user_id, week,
+             LEAD(week) OVER (PARTITION BY user_id ORDER BY week)
+               AS next_week
+      FROM w
+    ), lab AS (
+      SELECT week,
+             CASE WHEN next_week IS NULL
+                       OR epoch_us(next_week) - epoch_us(week)
+                          > CAST(14 AS BIGINT) * 86400 * 1000000
+                  THEN 1 ELSE 0 END AS churned
+      FROM l
+    )
+    SELECT week,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(churned) AS BIGINT) AS n_churned,
+           CAST(SUM(churned) * 1000 // COUNT(*) AS BIGINT)
+             AS churn_permille
+    FROM lab GROUP BY week
+    """,
+)
+def events_churn_labels(spark, sf_dir):
+    """Churn-label builder — the supervised-learning label a retention
+    model trains on: a user-week is CHURNED if the user has no
+    activity in the following two weeks (their next active week is
+    absent or > 14 days out).  One distinct onto the (user, week)
+    grid, one per-USER lead window, one week-keyed census — at 100 TB
+    the label generation is two user-keyed shuffles, and the trailing
+    weeks' right-censoring is deterministic (stated identically in the
+    oracle) rather than silently dropped."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    win = Window.partitionBy("user_id").orderBy("week")
+    lab = w.select(
+        "week",
+        (
+            F.lead("week").over(win).isNull()
+            | (
+                F.unix_micros(F.lead("week").over(win))
+                - F.unix_micros(F.col("week"))
+                > F.lit(14 * 86400 * 1_000_000)
+            )
+        )
+        .cast("int")
+        .alias("churned"),
+    )
+    return lab.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum("churned").cast("long").alias("n_churned"),
+        F.expr("CAST(sum(churned) * 1000 div count(1) AS BIGINT)").alias(
+            "churn_permille"
+        ),
+    )

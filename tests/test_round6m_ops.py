@@ -144,3 +144,13 @@ def test_kfold_covers_all_and_balanced(spark, sf_dir):
     total = sum(folds.values())
     for n in folds.values():
         assert abs(n - total / 5) < total * 0.05
+
+
+def test_churn_labels_cover_weeks(spark, sf_dir):
+    from pandasy_spark.workload import QUERIES
+
+    rows = QUERIES["events_churn_labels"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_churned"] <= r["n_active"]
+        assert r["churn_permille"] == r["n_churned"] * 1000 // r["n_active"]
