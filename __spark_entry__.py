@@ -204,6 +204,7 @@ _R6_NEW: list[str] = [
     "sample_bootstrap_ci",
     "sample_kfold",
     "events_churn_labels",
+    "multimodal_motion",
 ]
 
 

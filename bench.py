@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "sample_bootstrap_ci",
     "sample_kfold",
     "events_churn_labels",
+    "multimodal_motion",
 ]
 
 

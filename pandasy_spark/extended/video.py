@@ -23,7 +23,12 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["encode_mjpeg_avi", "decode_mjpeg_frames", "video_frame_stats"]
+__all__ = [
+    "encode_mjpeg_avi",
+    "decode_mjpeg_frames",
+    "video_frame_stats",
+    "video_motion_stats",
+]
 
 
 def encode_mjpeg_avi(
@@ -159,5 +164,72 @@ def video_frame_stats(
         schema=(
             "doc_id long, frame_idx int, width int, height int, "
             "mean_r double, mean_g double, mean_b double"
+        ),
+    )
+
+
+def video_motion_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-video MOTION features: the sum of absolute pixel
+    differences between consecutive frames (channel 0) — the
+    scene-change / static-content screen a video-corpus intake runs
+    to drop slideshows and test patterns before expensive sampling.
+
+    One row per video: ``(doc_id, n_frames, width, height,
+    motion_total, max_pair_diff)`` with all sums in int64 — exact, so
+    a synthetic-frame oracle can pin decode + differencing end to end.
+    Arrow-batched mapInPandas, narrow, no shuffle; non-decodable
+    payloads drop (quarantine contract)."""
+    import numpy as np
+
+    from .multimodal import DECODE_ERRORS
+
+    id_name, payload_name = id_col, payload_col
+
+    def _motion(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_name], pdf[payload_name]):
+                try:
+                    frames = decode_mjpeg_frames(bytes(p))
+                except DECODE_ERRORS:
+                    continue
+                if not frames:
+                    continue
+                h, w = frames[0].shape[:2]
+                total = 0
+                mx = 0
+                for a, b in zip(frames, frames[1:]):
+                    d = int(
+                        np.abs(
+                            a[:, :, 0].astype(np.int64)
+                            - b[:, :, 0].astype(np.int64)
+                        ).sum()
+                    )
+                    total += d
+                    mx = max(mx, d)
+                rows.append((int(did), len(frames), w, h, total, mx))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "width", "height",
+                    "motion_total", "max_pair_diff",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "n_frames": "int32",
+                    "width": "int32", "height": "int32",
+                    "motion_total": "int64", "max_pair_diff": "int64",
+                }
+            )
+
+    return df.mapInPandas(
+        _motion,
+        schema=(
+            "doc_id long, n_frames int, width int, height int, "
+            "motion_total long, max_pair_diff long"
         ),
     )

@@ -13027,3 +13027,75 @@ def events_churn_labels(spark, sf_dir):
             "churn_permille"
         ),
     )
+
+
+@query(
+    "multimodal_motion",
+    # g(v) = the Q90 luma DC closed form from multimodal_video; frame
+    # f of doc d is solid (d*31 + 17*f) % 256, so each pair diff is
+    # |g(v_f) - g(v_{f-1})| * w * h exactly
+    """
+    WITH p AS (
+      SELECT doc_id, (doc_id % 9) + 1 AS w, (doc_id % 7) + 1 AS h
+      FROM documents WHERE doc_id < 120
+    ), g AS (
+      SELECT doc_id, w, h, f,
+             CAST(LEAST(255, GREATEST(0,
+                 FLOOR(FLOOR(8 * (((doc_id * 31 + 17 * f) % 256) - 128)
+                             / 3.0 + 0.5) * 3 / 8.0 + 128.5)))
+               AS BIGINT) AS gray
+      FROM p, (SELECT unnest([0, 1, 2]) AS f)
+    ), d AS (
+      SELECT a.doc_id, a.w, a.h,
+             abs(b.gray - a.gray) * a.w * a.h AS pair_diff
+      FROM g a JOIN g b
+        ON b.doc_id = a.doc_id AND b.f = a.f + 1
+    )
+    SELECT doc_id,
+           CAST(3 AS INT) AS n_frames,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(SUM(pair_diff) AS BIGINT) AS motion_total,
+           CAST(MAX(pair_diff) AS BIGINT) AS max_pair_diff
+    FROM d GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_motion(spark, sf_dir):
+    """Video MOTION screen end to end (extended/video.py
+    video_motion_stats): 3-frame MJPEG-AVI clips of solid grays
+    decode through the real container+JPEG codecs and the consecutive
+    frame differences aggregate to exact int64 motion totals — the
+    slideshow/static-content filter a video intake runs.  Solid
+    frames give every pair diff a closed form through the Q90 luma
+    quantizer, so the oracle pins container walk, frame order, decode
+    and differencing in one hash."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 120
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.video import encode_mjpeg_avi
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                frames = [
+                    np.full(
+                        (d % 7 + 1, d % 9 + 1, 3),
+                        (d * 31 + 17 * f) % 256,
+                        np.uint8,
+                    )
+                    for f in range(3)
+                ]
+                payloads.append(encode_mjpeg_avi(frames, quality=90))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_avi = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    from pandasy_spark.extended.video import video_motion_stats
+
+    return video_motion_stats(with_avi)

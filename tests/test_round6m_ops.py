@@ -154,3 +154,36 @@ def test_churn_labels_cover_weeks(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_churned"] <= r["n_active"]
         assert r["churn_permille"] == r["n_churned"] * 1000 // r["n_active"]
+
+
+def test_video_motion_exact(spark):
+    import numpy as np
+
+    from pandasy_spark.extended.video import (
+        decode_mjpeg_frames,
+        encode_mjpeg_avi,
+        video_motion_stats,
+    )
+
+    frames = [
+        np.full((4, 6, 3), v, np.uint8) for v in (10, 200, 10)
+    ]
+    payload = encode_mjpeg_avi(frames, quality=90)
+    # expected from the REAL decoded frames (codec is lossy)
+    dec = decode_mjpeg_frames(payload)
+    diffs = [
+        int(np.abs(a[:, :, 0].astype(np.int64) - b[:, :, 0].astype(np.int64)).sum())
+        for a, b in zip(dec, dec[1:])
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    r = video_motion_stats(df).first()
+    assert r["n_frames"] == 3
+    assert r["motion_total"] == sum(diffs)
+    assert r["max_pair_diff"] == max(diffs)
+    # corrupt payloads drop
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"nope"))], "doc_id long, payload binary"
+    )
+    assert video_motion_stats(bad).count() == 0
