@@ -205,6 +205,10 @@ _R6_NEW: list[str] = [
     "sample_kfold",
     "events_churn_labels",
     "multimodal_motion",
+    "streaming_cdc",
+    "q_yoy_growth",
+    "warehouse_forget",
+    "graph_neighbor_agg",
 ]
 
 

@@ -232,6 +232,10 @@ BENCH_QUERIES = [
     "sample_kfold",
     "events_churn_labels",
     "multimodal_motion",
+    "streaming_cdc",
+    "q_yoy_growth",
+    "warehouse_forget",
+    "graph_neighbor_agg",
 ]
 
 

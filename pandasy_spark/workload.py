@@ -13099,3 +13099,308 @@ def multimodal_motion(spark, sf_dir):
     from pandasy_spark.extended.video import video_motion_stats
 
     return video_motion_stats(with_avi)
+
+
+# =====================================================================
+# Round-6 batch W: streaming CDC maintenance, YoY growth, GDPR forget
+# flow, GNN-style neighbor aggregation
+# =====================================================================
+
+
+@query(
+    "streaming_cdc",
+    """
+    WITH base AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY user_id
+    ), chg AS (
+      SELECT user_id, event_id AS seq,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             CAST(user_id % 100 AS BIGINT) AS n_events,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS total_cents
+      FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+      ORDER BY event_id LIMIT 40000
+    ), latest AS (
+      SELECT user_id, op, n_events, total_cents FROM (
+        SELECT c.*, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY seq DESC) AS rn
+        FROM chg c
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.user_id, l.user_id) AS user_id,
+           CASE WHEN l.user_id IS NOT NULL THEN l.n_events
+                ELSE b.n_events END AS n_events,
+           CASE WHEN l.user_id IS NOT NULL THEN l.total_cents
+                ELSE b.total_cents END AS total_cents
+    FROM base b FULL OUTER JOIN latest l ON b.user_id = l.user_id
+    WHERE l.user_id IS NULL OR l.op <> 'D'
+    """,
+)
+def streaming_cdc(spark, sf_dir):
+    """STREAMING CDC maintenance — the incremental-materialization
+    twin of the batch cdc_apply gate: the changelog replays in two
+    seq-ordered micro-batches and foreachBatch applies each batch to
+    the CURRENT snapshot (operators/scd.cdc_apply), writing the new
+    snapshot generation; because every batch-2 sequence number exceeds
+    batch 1's, staged application composes to exactly the one-shot
+    apply the oracle states.  A lost batch, double-apply, or
+    seq-ordering break changes the hash."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .operators.scd import cdc_apply
+    from .streaming import foreach_batch, staged_file_stream
+
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_cdc_gate_{_STREAM_GATE_SEQ[0]}"
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    base = (
+        filter_df(ev, F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("total_cents"),
+        )
+    )
+    chg_pdf = (
+        filter_df(ev, F.col("ts") >= cutoff)
+        .select(
+            "user_id",
+            "ts",  # staged_file_stream stages on the event-time column
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            (F.col("user_id") % 100).cast("long").alias("n_events"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("seq")
+        .limit(40_000)
+        .toPandas()
+    )
+    half = len(chg_pdf) // 2
+    stream = staged_file_stream(
+        spark, [chg_pdf.iloc[:half], chg_pdf.iloc[half:]]
+    )
+    spool = tempfile.mkdtemp(prefix="pandasy_cdc_snap_")
+    atexit.register(shutil.rmtree, spool, ignore_errors=True)
+    base.write.mode("overwrite").parquet(f"{spool}/snap_init")
+    state = {"cur": f"{spool}/snap_init"}
+
+    def _apply(batch_df, batch_id):
+        snap = spark.read.parquet(state["cur"])
+        nxt = f"{spool}/snap_{batch_id}"
+        cdc_apply(
+            snap, batch_df, ["user_id"], ["n_events", "total_cents"],
+            seq_col="seq", op_col="op",
+        ).write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+
+    q = foreach_batch(stream, _apply, name)
+    q.stop()
+    return spark.read.parquet(state["cur"])
+
+
+@query(
+    "q_yoy_growth",
+    """
+    WITH y AS (
+      SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey, year(o_orderdate)
+    ), g AS (
+      SELECT cur.yr,
+             CAST(cur.cents * 1000 // prev.cents - 1000 AS BIGINT)
+               AS growth_permille
+      FROM y cur JOIN y prev
+        ON prev.o_custkey = cur.o_custkey AND prev.yr = cur.yr - 1
+    )
+    SELECT yr,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN growth_permille > 200 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_grew_20pct,
+           CAST(SUM(CASE WHEN growth_permille < -200 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shrank_20pct
+    FROM g GROUP BY yr
+    """,
+)
+def q_yoy_growth(spark, sf_dir):
+    """Year-over-year customer spend growth — the fact-table
+    self-comparison OLAP shape (TPC-DS style): per (customer, year)
+    cent totals, a self equi-join on (customer, year−1), and growth
+    classified on the permille grid with POSITIVE-only integer
+    division (the events_wow drift-proof rule).  Both shuffles are on
+    the customer key; the year grid is tiny."""
+    od = _t(spark, sf_dir, "orders")
+    y = od.groupBy(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("cents")
+    )
+    cur, prev = y.alias("cur"), y.alias("prev")
+    g = cur.join(
+        prev,
+        (F.col("prev.o_custkey") == F.col("cur.o_custkey"))
+        & (F.col("prev.yr") == F.col("cur.yr") - 1),
+    ).select(
+        F.col("cur.yr").alias("yr"),
+        F.expr("CAST(cur.cents * 1000 div prev.cents - 1000 AS BIGINT)")
+        .alias("growth_permille"),
+    )
+    return g.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("growth_permille") > 200).cast("long"))
+        .cast("long")
+        .alias("n_grew_20pct"),
+        F.sum((F.col("growth_permille") < -200).cast("long"))
+        .cast("long")
+        .alias("n_shrank_20pct"),
+    )
+
+
+@query(
+    "warehouse_forget",
+    """
+    WITH forget AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 3
+    ), ev AS (
+      SELECT 'events' AS table_name,
+             CAST(COUNT(*) AS BIGINT) AS rows_before,
+             CAST(SUM(CASE WHEN user_id % 97 = 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS rows_removed
+      FROM events
+    ), cu AS (
+      SELECT 'customer' AS table_name,
+             CAST(COUNT(*) AS BIGINT) AS rows_before,
+             CAST(SUM(CASE WHEN c_custkey IN (SELECT user_id FROM forget)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS rows_removed
+      FROM customer
+    )
+    SELECT table_name, rows_before, rows_removed,
+           rows_before - rows_removed AS rows_after
+    FROM ev UNION ALL
+    SELECT table_name, rows_before, rows_removed,
+           rows_before - rows_removed AS rows_after
+    FROM cu
+    """,
+)
+def warehouse_forget(spark, sf_dir):
+    """Right-to-be-forgotten propagation: a forget-list of user ids
+    anti-joins out of every table that carries them (events directly,
+    customer via the shared id domain), and the AUDIT — rows before /
+    removed / after per table — is what compliance actually signs.
+    The scrub is broadcast-anti-join shaped: the forget-list is tiny,
+    the facts never shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    forget = (
+        ev.filter(F.col("user_id") % 97 == 3)
+        .select("user_id")
+        .distinct()
+    )
+    ev_scrub = ev.join(
+        F.broadcast(forget), ev["user_id"] == forget["user_id"], "left_anti"
+    )
+    cu_scrub = cust.join(
+        F.broadcast(forget),
+        cust["c_custkey"] == forget["user_id"],
+        "left_anti",
+    )
+    def audit(name, before_df, after_df):
+        b = before_df.agg(F.count(F.lit(1)).cast("long").alias("rows_before"))
+        a = after_df.agg(F.count(F.lit(1)).cast("long").alias("rows_after"))
+        return b.crossJoin(a).select(
+            F.lit(name).alias("table_name"),
+            "rows_before",
+            (F.col("rows_before") - F.col("rows_after"))
+            .cast("long")
+            .alias("rows_removed"),
+            "rows_after",
+        )
+
+    return audit("events", ev, ev_scrub).unionByName(
+        audit("customer", cust, cu_scrub)
+    )
+
+
+@query(
+    "graph_neighbor_agg",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS u, (l_partkey % 100) + 1 AS slot
+      FROM lineitem WHERE l_quantity >= 45
+    ), hop2 AS (
+      SELECT DISTINCT a.u, b.u AS w
+      FROM e a JOIN e b ON b.slot = a.slot AND b.u <> a.u
+    ), feat AS (
+      SELECT s_suppkey,
+             CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS f
+      FROM supplier
+    )
+    SELECT h.u AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(SUM(f.f) AS BIGINT) AS feat_sum,
+           CAST(SUM(f.f) * 1000 // COUNT(*) AS BIGINT)
+             AS feat_mean_milli
+    FROM hop2 h JOIN feat f ON f.s_suppkey = h.w
+    GROUP BY h.u
+    """,
+)
+def graph_neighbor_agg(spark, sf_dir):
+    """GNN-style message passing, one layer: every supplier aggregates
+    the mean account-balance feature of its DISTINCT 2-hop neighbors
+    (suppliers sharing a part slot) — the neighborhood-aggregation
+    primitive under GraphSAGE-mean, expressed as two equi-joins and a
+    map-combined aggregate.  At 100 TB the slot join is the usual
+    bipartite expansion: bounded here by the slot domain, and the
+    production guard is the same degree diagnostics graph_degrees
+    reports (cap or sample super-node neighborhoods before the
+    expansion, not after)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    e = (
+        li.filter(F.col("l_quantity") >= 45)
+        .select(
+            F.col("l_suppkey").alias("u"),
+            (F.col("l_partkey") % 100 + 1).alias("slot"),
+        )
+        .distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    hop2 = (
+        a.join(
+            b,
+            (F.col("b.slot") == F.col("a.slot"))
+            & (F.col("b.u") != F.col("a.u")),
+        )
+        .select(F.col("a.u").alias("u"), F.col("b.u").alias("w"))
+        .distinct()
+    )
+    feat = sup.select(
+        F.col("s_suppkey"),
+        F.floor(F.col("s_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("f"),
+    )
+    return (
+        hop2.join(feat, hop2["w"] == feat["s_suppkey"])
+        .groupBy(F.col("u").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.sum("f").cast("long").alias("feat_sum"),
+            F.expr("CAST(sum(f) * 1000 div count(1) AS BIGINT)").alias(
+                "feat_mean_milli"
+            ),
+        )
+    )

@@ -1,0 +1,80 @@
+"""Round-6 batch W: streaming CDC, YoY growth, forget flow, neighbor
+aggregation."""
+
+from pyspark.sql import functions as F
+
+
+def test_streaming_cdc_equals_batch_apply(spark, sf_dir):
+    from pandasy_spark.workload import QUERIES
+
+    inc = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in QUERIES["streaming_cdc"](spark, sf_dir).collect()
+    }
+    assert inc
+    # one-shot apply over the same bounded changelog must agree
+    from pandasy_spark.operators.scd import cdc_apply
+    from pandasy_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    base = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+    chg = (
+        ev.filter(F.col("ts") >= cutoff)
+        .select(
+            "user_id",
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            (F.col("user_id") % 100).cast("long").alias("n_events"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("seq")
+        .limit(40_000)
+    )
+    once = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in cdc_apply(
+            base, chg, ["user_id"], ["n_events", "total_cents"]
+        ).collect()
+    }
+    assert inc == once
+
+
+def test_forget_flow_removes_every_target(spark, sf_dir):
+    from pandasy_spark.workload import QUERIES
+
+    rows = {r["table_name"]: r for r in QUERIES["warehouse_forget"](spark, sf_dir).collect()}
+    assert rows["events"]["rows_removed"] > 0
+    for r in rows.values():
+        assert r["rows_after"] == r["rows_before"] - r["rows_removed"]
+
+
+def test_neighbor_agg_mean_definition(spark, sf_dir):
+    from pandasy_spark.workload import QUERIES
+
+    rows = QUERIES["graph_neighbor_agg"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["feat_mean_milli"] == r["feat_sum"] * 1000 // r["n_neighbors"]
+
+
+def test_yoy_growth_pairs_bounded(spark, sf_dir):
+    from pandasy_spark.workload import QUERIES
+
+    rows = QUERIES["q_yoy_growth"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_grew_20pct"] + r["n_shrank_20pct"] <= r["n_pairs"]
