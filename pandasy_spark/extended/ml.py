@@ -1,0 +1,117 @@
+"""Tabular-ML preprocessing operators (exact, engine-portable).
+
+The feature-engineering companions to the corpus operators in
+``sampling``/``text``: leakage-safe target encoding, closed-form
+linear trend fitting, and stable cross-validation folds — each a pure
+DataFrame expression chain on the BIGINT lattice so the driver's
+DuckDB oracle can value-hash the outputs (gates ml_target_encode,
+profile_linreg, sample_kfold).
+
+No counterpart in the reference (SURVEY.md §2.9 posture); these are
+the operators a tabular training pipeline runs between the warehouse
+and the trainer.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["target_encode_loo", "ols_simple", "kfold_assign"]
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    out_col: str = "loo_milli",
+) -> DataFrame:
+    """Leave-one-out target encoding: each row's category is encoded
+    by the target mean of the OTHER rows in its category,
+    ``(S_g − y_i) / (n_g − 1)`` on the milli grid — the leakage-safe
+    form (a plain category mean leaks the row's own label into its
+    feature).  ``target_col`` must already be integer-grid (cents).
+
+    One per-category aggregate broadcast back onto the rows; rows in
+    singleton categories are dropped (their LOO mean is undefined).
+    Output: the input columns plus ``out_col`` (BIGINT).
+    """
+    g = df.groupBy(cat_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col(target_col).cast("long")).alias("__s"),
+    )
+    return (
+        df.join(F.broadcast(g), cat_col)
+        .filter(F.col("__n") > 1)
+        .withColumn(
+            out_col,
+            F.expr(
+                f"CAST((__s - {target_col}) * 1000 div (__n - 1) AS BIGINT)"
+            ),
+        )
+        .drop("__n", "__s")
+    )
+
+
+def ols_simple(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Exact simple linear regression from ONE moment aggregate — the
+    closed-form normal equations ``slope = (n·Sxy − Sx·Sy) /
+    (n·Sxx − Sx²)`` floored onto the milli grid, intercept from the
+    slope.  Both columns must be integer-grid.  Output: one row
+    ``(n, sx, sy, slope_milli, intercept_milli)``.
+
+    The grid-exact trend-fit primitive (same family as the moment PCA
+    and grid-exact k-means): no MLlib, no iterations, one
+    map-combined pass at any scale.
+    """
+    v = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    s = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)"
+            " AS BIGINT)"
+        ).alias("slope_milli"),
+        F.expr(
+            "CAST(FLOOR((sy - ((n * sxy - sx * sy) * 1000"
+            " div (n * sxx - sx * sx)) * sx / 1e3) * 1000 / n)"
+            " AS BIGINT)"
+        ).alias("intercept_milli"),
+    )
+
+
+def kfold_assign(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    salt: int = 0,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Stable k-fold cross-validation assignment: the portable id-hash
+    bucket reduced mod ``k`` (the hash_split contract extended to CV),
+    so fold membership survives corpus growth, re-partitioning, and
+    re-runs, and leave-fold-out training reads are plain filters.
+    Pure narrow map — no shuffle, no RNG.
+    """
+    from .sampling import split_bucket
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return df.withColumn(
+        fold_col, (split_bucket(F.col(id_col), salt) % k).cast("int")
+    )

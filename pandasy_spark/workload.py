@@ -12076,37 +12076,16 @@ def profile_linreg(spark, sf_dir):
     The grid-exact trend-fit primitive (same family as the moment
     PCA and grid-exact k-means): no MLlib, no iterations, one
     map-combined pass at any scale."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_quantity").isNotNull()
-        & F.col("l_extendedprice").isNotNull()
-    )
+    from .extended.ml import ols_simple
+
+    li = _t(spark, sf_dir, "lineitem")
     v = li.select(
         F.col("l_quantity").cast("long").alias("x"),
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
         .cast("long")
         .alias("y"),
     )
-    s = v.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-    )
-    return s.select(
-        "n",
-        "sx",
-        "sy",
-        F.expr(
-            "CAST((n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)"
-            " AS BIGINT)"
-        ).alias("slope_milli"),
-        F.expr(
-            "CAST(FLOOR((sy - ((n * sxy - sx * sy) * 1000"
-            " div (n * sxx - sx * sx)) * sx / 1e3) * 1000 / n)"
-            " AS BIGINT)"
-        ).alias("intercept_milli"),
-    )
+    return ols_simple(v, "x", "y")
 
 
 @query(
@@ -12432,6 +12411,8 @@ def ml_target_encode(spark, sf_dir):
     arithmetic on the BIGINT milli grid.  The standard tabular-ML
     preprocessing op; a naive non-LOO mean leaks the row's own
     label."""
+    from .extended.ml import target_encode_loo
+
     od = _t(spark, sf_dir, "orders")
     c = od.select(
         F.col("o_orderpriority").alias("cat"),
@@ -12440,20 +12421,7 @@ def ml_target_encode(spark, sf_dir):
         .cast("long")
         .alias("y"),
     )
-    g = c.groupBy("cat").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("long").alias("s"),
-    )
-    enc = (
-        c.join(F.broadcast(g), "cat")
-        .filter(F.col("n") > 1)
-        .select(
-            "cat",
-            F.expr("CAST((s - y) * 1000 div (n - 1) AS BIGINT)").alias(
-                "loo_milli"
-            ),
-        )
-    )
+    enc = target_encode_loo(c, "cat", "y")
     return enc.groupBy("cat").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.min("loo_milli").cast("long").alias("min_enc"),
@@ -12950,13 +12918,10 @@ def sample_kfold(spark, sf_dir):
     extended to CV) and every (stratum, fold) cell count is
     driver-checked.  Pure narrow map — fold membership never needs a
     shuffle, and leave-fold-out training reads are plain filters."""
-    from .extended.sampling import split_bucket
+    from .extended.ml import kfold_assign
 
     od = _t(spark, sf_dir, "orders")
-    b = od.select(
-        "o_orderpriority",
-        (split_bucket(F.col("o_orderkey")) % 5).cast("int").alias("fold"),
-    )
+    b = kfold_assign(od, "o_orderkey", k=5)
     return b.groupBy("o_orderpriority", "fold").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )

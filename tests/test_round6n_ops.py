@@ -78,3 +78,32 @@ def test_yoy_growth_pairs_bounded(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["n_grew_20pct"] + r["n_shrank_20pct"] <= r["n_pairs"]
+
+
+def test_ml_library_functions_direct(spark):
+    from pandasy_spark.extended.ml import kfold_assign, ols_simple, target_encode_loo
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 30), ("b", 5)], "cat string, y long"
+    )
+    enc = {
+        (r["cat"], r["y"]): r["loo_milli"]
+        for r in target_encode_loo(df, "cat", "y").collect()
+    }
+    # LOO for ("a",10) = mean(20,30)*1000 = 25000; singleton "b" drops
+    assert enc[("a", 10)] == 25000
+    assert enc[("a", 30)] == 15000
+    assert not any(k[0] == "b" for k in enc)
+
+    line = spark.createDataFrame(
+        [(x, 7 * x + 3) for x in range(1, 20)], "x long, y long"
+    )
+    r = ols_simple(line, "x", "y").first()
+    assert r["slope_milli"] == 7000 and r["intercept_milli"] == 3000
+
+    ids = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    folds = kfold_assign(ids, "id", k=4).groupBy("fold").count().collect()
+    assert {r["fold"] for r in folds} == {0, 1, 2, 3}
+    with _pt.raises(ValueError):
+        kfold_assign(ids, "id", k=1)
