@@ -209,6 +209,7 @@ _R6_NEW: list[str] = [
     "q_yoy_growth",
     "warehouse_forget",
     "graph_neighbor_agg",
+    "streaming_outer_join",
 ]
 
 

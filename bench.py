@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "q_yoy_growth",
     "warehouse_forget",
     "graph_neighbor_agg",
+    "streaming_outer_join",
 ]
 
 

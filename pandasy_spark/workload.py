@@ -13369,3 +13369,100 @@ def graph_neighbor_agg(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "streaming_outer_join",
+    """
+    WITH ev AS (
+      SELECT * FROM events ORDER BY event_id LIMIT 50000
+    ), err AS (
+      SELECT user_id, event_id AS err_id, ts AS err_ts
+      FROM ev WHERE event_type = 'error'
+    ), buy AS (
+      SELECT user_id, event_id AS buy_id, ts AS buy_ts
+      FROM ev WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT e.err_id, b.buy_id
+      FROM err e JOIN buy b
+        ON b.user_id = e.user_id
+       AND b.buy_ts BETWEEN e.err_ts - INTERVAL 600 SECONDS
+                        AND e.err_ts + INTERVAL 600 SECONDS
+    ), nulls AS (
+      SELECT e.err_id, CAST(NULL AS BIGINT) AS buy_id
+      FROM err e
+      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.err_id = e.err_id)
+    )
+    SELECT err_id, buy_id FROM m
+    UNION ALL
+    SELECT err_id, buy_id FROM nulls
+    """,
+)
+def streaming_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER tolerance join driver-witnessed: an
+    error with no same-user purchase within ±10 min emits with NULL
+    buy columns once the watermark passes its horizon (state eviction
+    == result finalization) — semantics only a LATER micro-batch can
+    produce, so the staged replay is [events, sentinel, sentinel]:
+    the FIRST far-future sentinel advances the watermark past every
+    real event, and the SECOND makes that watermark active so the
+    engine flushes ALL remaining unmatched state.  With full
+    finalization forced, the drained stream equals the plain batch
+    left join the oracle states — matched pairs plus one NULL row per
+    unmatched error."""
+    from .streaming import staged_file_stream
+    from .streaming.ops import (
+        run_stream_to_memory,
+        stream_stream_tolerance_join,
+    )
+
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_outer_gate_{_STREAM_GATE_SEQ[0]}"
+    ev_pdf = (
+        _t(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(50_000)
+        .select("event_id", "ts", "user_id", "event_type")
+        .toPandas()
+    )
+    # the join filters each side by event_type, so a sentinel only
+    # advances a side's watermark if it PASSES that side's filter —
+    # stage one far-future 'error' AND one 'purchase' per sentinel
+    # batch (ids < 0 so they filter out of the drained result; 2000s
+    # apart so the sentinels cannot match each other), and a second
+    # sentinel batch so the advanced watermark becomes active and
+    # flushes every remaining unmatched left row
+    def _sentinels(day_offset, base_id):
+        sp = ev_pdf.head(2).copy().reset_index(drop=True)
+        sp["user_id"] = -1
+        sp["event_id"] = [base_id, base_id - 1]
+        sp["event_type"] = ["error", "purchase"]
+        sp["ts"] = [
+            ev_pdf["ts"].max() + pd.Timedelta(days=day_offset),
+            ev_pdf["ts"].max()
+            + pd.Timedelta(days=day_offset, seconds=2000),
+        ]
+        return sp
+
+    stream = staged_file_stream(
+        spark, [ev_pdf, _sentinels(30, -1), _sentinels(31, -3)]
+    )
+    sl = stream.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    sr = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+    )
+    joined = stream_stream_tolerance_join(
+        sl, sr, on=["user_id"], left_time="err_ts", right_time="buy_ts",
+        tolerance_seconds=600, watermark="0 seconds", how="left_outer",
+    ).select("err_id", "buy_id", "err_ts")
+    q = run_stream_to_memory(joined, name, output_mode="append")
+    q.stop()
+    return spark.table(name).filter(F.col("err_id") >= 0).select(
+        "err_id", F.col("buy_id").cast("long").alias("buy_id")
+    )

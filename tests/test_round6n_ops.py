@@ -107,3 +107,20 @@ def test_ml_library_functions_direct(spark):
     assert {r["fold"] for r in folds} == {0, 1, 2, 3}
     with _pt.raises(ValueError):
         kfold_assign(ids, "id", k=1)
+
+
+def test_streaming_outer_join_matches_batch(spark, sf_dir):
+    from pandasy_spark.workload import QUERIES
+    from pandasy_spark.sources import load_table
+
+    out = QUERIES["streaming_outer_join"](spark, sf_dir)
+    rows = out.collect()
+    errs = {r["err_id"] for r in rows}
+    ev = load_table(spark, sf_dir, "events")
+    n_err = ev.filter(F.col("event_type") == "error").count()
+    # EVERY error appears exactly once-or-more (matched multiplicity),
+    # and unmatched ones appear exactly once with NULL
+    assert len(errs) == n_err
+    nulls = [r for r in rows if r["buy_id"] is None]
+    assert len(nulls) == len({r["err_id"] for r in nulls})
+    assert all(r["err_id"] >= 0 for r in rows)
