@@ -13375,7 +13375,7 @@ def graph_neighbor_agg(spark, sf_dir):
     "streaming_outer_join",
     """
     WITH ev AS (
-      SELECT * FROM events ORDER BY event_id LIMIT 50000
+      SELECT * FROM events ORDER BY event_id LIMIT 20000
     ), err AS (
       SELECT user_id, event_id AS err_id, ts AS err_ts
       FROM ev WHERE event_type = 'error'
@@ -13421,7 +13421,7 @@ def streaming_outer_join(spark, sf_dir):
     ev_pdf = (
         _t(spark, sf_dir, "events")
         .orderBy("event_id")
-        .limit(50_000)
+        .limit(20_000)
         .select("event_id", "ts", "user_id", "event_type")
         .toPandas()
     )
