@@ -210,6 +210,7 @@ _R6_NEW: list[str] = [
     "warehouse_forget",
     "graph_neighbor_agg",
     "streaming_outer_join",
+    "embedding_drift",
 ]
 
 

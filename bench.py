@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "warehouse_forget",
     "graph_neighbor_agg",
     "streaming_outer_join",
+    "embedding_drift",
 ]
 
 

@@ -13466,3 +13466,72 @@ def streaming_outer_join(spark, sf_dir):
     return spark.table(name).filter(F.col("err_id") >= 0).select(
         "err_id", F.col("buy_id").cast("long").alias("buy_id")
     )
+
+
+@query(
+    "embedding_drift",
+    """
+    WITH q AS (
+      SELECT vec_id % 2 AS half,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(FLOOR(unnest(embedding) * 1000000 + 0.5) AS BIGINT)
+               AS xi
+      FROM embeddings
+    ), m AS (
+      SELECT half, dim, CAST(SUM(xi) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q GROUP BY half, dim
+    ), d AS (
+      SELECT a.dim,
+             a.s * b.n - b.s * a.n AS num,
+             a.n * b.n AS den
+      FROM m a JOIN m b ON b.dim = a.dim AND a.half = 0 AND b.half = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(abs(num) // den) AS BIGINT) AS l1_micro,
+           CAST(MAX(abs(num) // den) AS BIGINT) AS max_dim_micro
+    FROM d
+    """,
+)
+def embedding_drift(spark, sf_dir):
+    """Embedding-distribution drift monitor: the per-dimension mean
+    shift between two corpus halves, exactly — each component
+    quantizes onto the 1e-6 grid BEFORE summation (float sums are
+    order-dependent across engines; integer sums are not), and the
+    mean difference avoids division order by cross-multiplying counts.
+    The centroid-shift alarm an embedding pipeline runs when the
+    encoder or the corpus changes; one posexplode + two bounded
+    aggregates (the per-(half, dim) grid is 2 x d rows)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    ).select(
+        "half",
+        "dim",
+        F.floor(F.col("x") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("xi"),
+    )
+    m = q.groupBy("half", "dim").agg(
+        F.sum("xi").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = m.filter(F.col("half") == 0).select(
+        "dim", F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    b = m.filter(F.col("half") == 1).select(
+        "dim", F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    d = a.join(b, "dim").select(
+        "dim",
+        (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).alias("num"),
+        (F.col("na") * F.col("nb")).alias("den"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.sum(F.expr("abs(num) div den")).cast("long").alias("l1_micro"),
+        F.max(F.expr("abs(num) div den")).cast("long").alias(
+            "max_dim_micro"
+        ),
+    )

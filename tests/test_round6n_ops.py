@@ -124,3 +124,28 @@ def test_streaming_outer_join_matches_batch(spark, sf_dir):
     nulls = [r for r in rows if r["buy_id"] is None]
     assert len(nulls) == len({r["err_id"] for r in nulls})
     assert all(r["err_id"] >= 0 for r in rows)
+
+
+def test_embedding_drift_zero_for_identical_halves(spark):
+    from pandasy_spark.workload import QUERIES  # noqa: F401  (style parity)
+    from pyspark.sql import functions as F2
+
+    # identical vectors in both halves -> zero drift
+    rows = [(i, [0.5, -0.25, 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.select(
+        (F2.col("vec_id") % 2).alias("half"),
+        F2.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "half", "dim",
+        F2.floor(F2.col("x") * 1_000_000 + F2.lit(0.5)).cast("long").alias("xi"),
+    )
+    m = q.groupBy("half", "dim").agg(
+        F2.sum("xi").alias("s"), F2.count(F2.lit(1)).alias("n")
+    )
+    a = m.filter(F2.col("half") == 0).select("dim", F2.col("s").alias("sa"), F2.col("n").alias("na"))
+    b = m.filter(F2.col("half") == 1).select("dim", F2.col("s").alias("sb"), F2.col("n").alias("nb"))
+    d = a.join(b, "dim").select(
+        (F2.col("sa") * F2.col("nb") - F2.col("sb") * F2.col("na")).alias("num")
+    )
+    assert all(r["num"] == 0 for r in d.collect())
