@@ -211,6 +211,7 @@ _R6_NEW: list[str] = [
     "graph_neighbor_agg",
     "streaming_outer_join",
     "embedding_drift",
+    "events_attribution_markov",
 ]
 
 

@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "graph_neighbor_agg",
     "streaming_outer_join",
     "embedding_drift",
+    "events_attribution_markov",
 ]
 
 

@@ -30,6 +30,7 @@ __all__ = [
     "interval_concurrency",
     "coalesce_intervals",
     "cusum_per_key",
+    "markov_removal_effects",
 ]
 
 
@@ -952,3 +953,149 @@ def cusum_per_key(
             - F.least(F.lit(0).cast("long"), F.min("__p"))
         ).cast("long").alias("final_cusum"),
     ).withColumnRenamed("k", key_col)
+
+
+def markov_removal_effects(
+    df: DataFrame,
+    channels: Sequence[str],
+    conv_state: str,
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+    iterations: int = 6,
+) -> DataFrame:
+    """Markov removal-effect attribution — the data-driven channel
+    attribution model: build the journey transition chain (START →
+    ... → conversion | END, each user truncated at first conversion),
+    then for every channel re-run the chain WITH THAT STATE REMOVED
+    (transitions into it divert to END) and measure how much
+    conversion probability disappears.  Removal effect is the
+    principled alternative to last-touch/linear heuristics.
+
+    Exactness discipline: probabilities live in nano-units
+    (``count·1e9 div out_total``) and conversion values propagate by
+    ``iterations`` rounds of integer value iteration
+    ``v'(s) = Σ p(s,t)·v(t) div 1e9`` — a FIXED plan both engines
+    state identically (per-term products ≤ 1e18, sums bounded by the
+    probability simplex, so int64 never overflows).  ``iterations``
+    bounds the journey length credited; longer paths add ≤ the
+    leftover simplex mass.
+
+    All tables after the one corpus pass are (variants × states)
+    sized — the iteration is driver-composed joins over broadcast-tiny
+    frames.  Output: one row per variant (``base`` + one per removed
+    channel): ``(variant, conv_nano, removal_permille)`` where
+    ``removal_permille = (base − removed)·1000 div base`` and 0 for
+    the base row.
+    """
+    from pyspark.sql.window import Window
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    spark = df.sparkSession
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(order_col).cast("long").alias("o"),
+        F.col(type_col).alias("t"),
+    ).filter(F.col("u").isNotNull() & F.col("o").isNotNull())
+    fp = (
+        ev.filter(F.col("t") == conv_state)
+        .groupBy("u")
+        .agg(F.min("o").alias("__fp"))
+    )
+    trunc = ev.join(fp, "u", "left").filter(
+        F.col("__fp").isNull() | (F.col("o") <= F.col("__fp"))
+    )
+    w = Window.partitionBy("u").orderBy("o")
+    seq = trunc.withColumn("__nxt", F.lead("t").over(w)).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    steps = seq.select(
+        F.col("t").alias("src"),
+        F.coalesce(
+            F.col("__nxt"),
+            F.when(F.col("t") == conv_state, F.lit(None)).otherwise(
+                F.lit("END")
+            ),
+        ).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    starts = seq.filter(F.col("__rn") == 1).select(
+        F.lit("START").alias("src"), F.col("t").alias("dst")
+    )
+    counts = (
+        steps.unionByName(starts)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    variants = spark.createDataFrame(
+        [("base", None)] + [(f"no_{c}", c) for c in channels],
+        "variant string, removed string",
+    ).coalesce(1)
+    vt = (
+        counts.crossJoin(F.broadcast(variants))
+        .filter(
+            F.col("removed").isNull() | (F.col("src") != F.col("removed"))
+        )
+        .select(
+            "variant",
+            "src",
+            F.when(
+                F.col("removed").isNotNull()
+                & (F.col("dst") == F.col("removed")),
+                F.lit("END"),
+            )
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "c",
+        )
+        .groupBy("variant", "src", "dst")
+        .agg(F.sum("c").alias("c"))
+    )
+    tot = vt.groupBy("variant", "src").agg(F.sum("c").alias("tot"))
+    p = (
+        vt.join(tot, ["variant", "src"])
+        .select(
+            "variant",
+            "src",
+            "dst",
+            F.expr("CAST(c * 1000000000 div tot AS BIGINT)").alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    NANO = 1_000_000_000
+    absorbing = spark.createDataFrame(
+        [(conv_state, NANO), ("END", 0)], "state string, v long"
+    ).coalesce(1)
+    per_variant_absorbing = variants.select("variant").crossJoin(absorbing)
+    v = per_variant_absorbing
+    for _ in range(iterations):
+        stepped = (
+            p.join(
+                v.withColumnRenamed("state", "dst"),
+                ["variant", "dst"],
+            )
+            .groupBy("variant", "src")
+            .agg(
+                F.expr(f"CAST(sum(p * v) div {NANO} AS BIGINT)").alias("v")
+            )
+            .select("variant", F.col("src").alias("state"), "v")
+        )
+        # absorbing states keep their fixed values in every variant
+        v = stepped.filter(
+            ~F.col("state").isin(conv_state, "END")
+        ).unionByName(per_variant_absorbing)
+    conv = v.filter(F.col("state") == "START").select(
+        "variant", F.col("v").alias("conv_nano")
+    )
+    base = conv.filter(F.col("variant") == "base").select(
+        F.col("conv_nano").alias("__b")
+    )
+    return conv.crossJoin(F.broadcast(base)).select(
+        "variant",
+        "conv_nano",
+        F.expr(
+            "CAST(CASE WHEN variant = 'base' THEN 0"
+            " ELSE (__b - conv_nano) * 1000 div __b END AS BIGINT)"
+        ).alias("removal_permille"),
+    )

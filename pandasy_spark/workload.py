@@ -13535,3 +13535,138 @@ def embedding_drift(spark, sf_dir):
             "max_dim_micro"
         ),
     )
+
+
+@query(
+    "events_attribution_markov",
+    """
+    WITH ev AS (
+      SELECT user_id AS u, event_id AS o, event_type AS t FROM events
+      WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+    ), fp AS (
+      SELECT u, MIN(o) AS fo FROM ev WHERE t = 'purchase' GROUP BY u
+    ), tr AS (
+      SELECT e.u, e.o, e.t FROM ev e LEFT JOIN fp ON fp.u = e.u
+      WHERE fp.fo IS NULL OR e.o <= fp.fo
+    ), seq AS (
+      SELECT u, o, t,
+             LEAD(t) OVER (PARTITION BY u ORDER BY o) AS nxt,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY o) AS rn
+      FROM tr
+    ), steps AS (
+      SELECT t AS src,
+             COALESCE(nxt, CASE WHEN t = 'purchase' THEN NULL
+                                ELSE 'END' END) AS dst
+      FROM seq
+      UNION ALL
+      SELECT 'START' AS src, t AS dst FROM seq WHERE rn = 1
+    ), counts AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c FROM steps
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    ), vr(variant, removed) AS (
+      VALUES ('base', CAST(NULL AS VARCHAR)), ('no_click', 'click'), ('no_view', 'view'), ('no_signup', 'signup'), ('no_error', 'error')
+    ), vt AS (
+      SELECT variant, src,
+             CASE WHEN removed IS NOT NULL AND dst = removed
+                  THEN 'END' ELSE dst END AS dst,
+             CAST(SUM(c) AS BIGINT) AS c
+      FROM counts, vr WHERE removed IS NULL OR src <> removed
+      GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT variant, src, CAST(SUM(c) AS BIGINT) AS tot FROM vt
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT vt.variant, vt.src, vt.dst,
+             CAST(vt.c * 1000000000 // tt.tot AS BIGINT) AS p
+      FROM vt JOIN tot tt
+        ON tt.variant = vt.variant AND tt.src = vt.src
+    ), va AS (
+      SELECT variant, state, v FROM vr,
+             (VALUES ('purchase', CAST(1000000000 AS BIGINT)),
+                     ('END', CAST(0 AS BIGINT))) a(state, v)
+    ), v0 AS (SELECT variant, state, v FROM va),
+    v1 AS (
+      SELECT p.variant, p.src AS state,
+             CAST(SUM(p.p * v0.v) // 1000000000 AS BIGINT) AS v
+      FROM p JOIN v0
+        ON v0.variant = p.variant AND v0.state = p.dst
+      WHERE p.src NOT IN ('purchase', 'END')
+      GROUP BY p.variant, p.src
+      UNION ALL
+      SELECT variant, state, v FROM va
+    ),
+    v2 AS (
+      SELECT p.variant, p.src AS state,
+             CAST(SUM(p.p * v1.v) // 1000000000 AS BIGINT) AS v
+      FROM p JOIN v1
+        ON v1.variant = p.variant AND v1.state = p.dst
+      WHERE p.src NOT IN ('purchase', 'END')
+      GROUP BY p.variant, p.src
+      UNION ALL
+      SELECT variant, state, v FROM va
+    ),
+    v3 AS (
+      SELECT p.variant, p.src AS state,
+             CAST(SUM(p.p * v2.v) // 1000000000 AS BIGINT) AS v
+      FROM p JOIN v2
+        ON v2.variant = p.variant AND v2.state = p.dst
+      WHERE p.src NOT IN ('purchase', 'END')
+      GROUP BY p.variant, p.src
+      UNION ALL
+      SELECT variant, state, v FROM va
+    ),
+    v4 AS (
+      SELECT p.variant, p.src AS state,
+             CAST(SUM(p.p * v3.v) // 1000000000 AS BIGINT) AS v
+      FROM p JOIN v3
+        ON v3.variant = p.variant AND v3.state = p.dst
+      WHERE p.src NOT IN ('purchase', 'END')
+      GROUP BY p.variant, p.src
+      UNION ALL
+      SELECT variant, state, v FROM va
+    ),
+    v5 AS (
+      SELECT p.variant, p.src AS state,
+             CAST(SUM(p.p * v4.v) // 1000000000 AS BIGINT) AS v
+      FROM p JOIN v4
+        ON v4.variant = p.variant AND v4.state = p.dst
+      WHERE p.src NOT IN ('purchase', 'END')
+      GROUP BY p.variant, p.src
+      UNION ALL
+      SELECT variant, state, v FROM va
+    ),
+    v6 AS (
+      SELECT p.variant, p.src AS state,
+             CAST(SUM(p.p * v5.v) // 1000000000 AS BIGINT) AS v
+      FROM p JOIN v5
+        ON v5.variant = p.variant AND v5.state = p.dst
+      WHERE p.src NOT IN ('purchase', 'END')
+      GROUP BY p.variant, p.src
+      UNION ALL
+      SELECT variant, state, v FROM va
+    )
+    SELECT f.variant, f.v AS conv_nano,
+           CAST(CASE WHEN f.variant = 'base' THEN 0
+                ELSE (b.v - f.v) * 1000 // b.v END AS BIGINT)
+             AS removal_permille
+    FROM v6 f, (SELECT v FROM v6 WHERE variant = 'base'
+                AND state = 'START') b
+    WHERE f.state = 'START'
+""",
+)
+def events_attribution_markov(spark, sf_dir):
+    """Markov removal-effect attribution (extended/events.py
+    markov_removal_effects): journeys truncate at first purchase,
+    the START->...->purchase|END transition chain builds from ONE
+    corpus pass, and every channel's removal variant re-runs SIX
+    rounds of integer value iteration over the broadcast-tiny
+    (variant x state) grid — the data-driven attribution model that
+    replaces last-touch heuristics, with nano-unit probabilities so
+    the oracle can unroll the identical six rounds as CTEs."""
+    from .extended.events import markov_removal_effects
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_removal_effects(
+        ev, ["click", "view", "signup", "error"], "purchase",
+        iterations=6,
+    )

@@ -149,3 +149,42 @@ def test_embedding_drift_zero_for_identical_halves(spark):
         (F2.col("sa") * F2.col("nb") - F2.col("sb") * F2.col("na")).alias("num")
     )
     assert all(r["num"] == 0 for r in d.collect())
+
+
+def test_markov_removal_effect_semantics(spark):
+    from pandasy_spark.extended.events import markov_removal_effects
+
+    # user 1: A -> B -> P; user 2: A -> END; user 3: B -> P
+    rows = [
+        (1, 0, "A"), (1, 1, "B"), (1, 2, "P"),
+        (2, 0, "A"),
+        (3, 0, "B"), (3, 1, "P"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string"
+    )
+    out = {
+        r["variant"]: (r["conv_nano"], r["removal_permille"])
+        for r in markov_removal_effects(df, ["A", "B"], "P").collect()
+    }
+    # base conversion = P(START->A)*P(A->B)*1 + P(START->B)*1 = 2/3*1/2 + 1/3
+    assert abs(out["base"][0] - 666_666_666) < 5
+    # removing B severs every path to P
+    assert out["no_B"] == (0, 1000)
+    # removing A leaves only START->B->P = 1/3
+    assert abs(out["no_A"][0] - 333_333_333) < 5
+    assert out["no_A"][1] in (499, 500)
+
+
+def test_markov_attribution_gate_rows(spark, sf_dir):
+    from pandasy_spark.workload import QUERIES
+
+    rows = {
+        r["variant"]: r
+        for r in QUERIES["events_attribution_markov"](spark, sf_dir).collect()
+    }
+    assert rows["base"]["removal_permille"] == 0
+    for v, r in rows.items():
+        if v != "base":
+            assert 0 <= r["removal_permille"] <= 1000
+            assert r["conv_nano"] <= rows["base"]["conv_nano"]
