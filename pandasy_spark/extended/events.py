@@ -1026,7 +1026,7 @@ def markov_removal_effects(
         steps.unionByName(starts)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     variants = spark.createDataFrame(
         [("base", None)] + [(f"no_{c}", c) for c in channels],
@@ -1061,13 +1061,22 @@ def markov_removal_effects(
             "dst",
             F.expr("CAST(c * 1000000000 div tot AS BIGINT)").alias("p"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     NANO = 1_000_000_000
-    absorbing = spark.createDataFrame(
-        [(conv_state, NANO), ("END", 0)], "state string, v long"
-    ).coalesce(1)
-    per_variant_absorbing = variants.select("variant").crossJoin(absorbing)
+    # literal (variant, state, v) rows built driver-side: a crossJoin
+    # of two literal frames re-executes its broadcast in EVERY
+    # iteration round (~8s each of pure broadcast setup at local
+    # scale); a plain literal frame costs nothing
+    variant_names = ["base"] + [f"no_{c}" for c in channels]
+    per_variant_absorbing = spark.createDataFrame(
+        [
+            (vn, st, val)
+            for vn in variant_names
+            for st, val in ((conv_state, NANO), ("END", 0))
+        ],
+        "variant string, state string, v long",
+    ).localCheckpoint(eager=True)
     v = per_variant_absorbing
     for _ in range(iterations):
         stepped = (
@@ -1081,10 +1090,15 @@ def markov_removal_effects(
             )
             .select("variant", F.col("src").alias("state"), "v")
         )
-        # absorbing states keep their fixed values in every variant
-        v = stepped.filter(
-            ~F.col("state").isin(conv_state, "END")
-        ).unionByName(per_variant_absorbing)
+        # absorbing states keep their fixed values in every variant;
+        # pin each round eagerly — the frames are (variants x states)
+        # tiny, and without the pin six nested join rounds compound
+        # into dozens of shuffle stages of pure scheduler overhead
+        v = (
+            stepped.filter(~F.col("state").isin(conv_state, "END"))
+            .unionByName(per_variant_absorbing)
+            .localCheckpoint(eager=True)
+        )
     conv = v.filter(F.col("state") == "START").select(
         "variant", F.col("v").alias("conv_nano")
     )
