@@ -212,6 +212,8 @@ _R6_NEW: list[str] = [
     "streaming_outer_join",
     "embedding_drift",
     "events_attribution_markov",
+    "agg_quantile_cont_grouped",
+    "streaming_bitmap",
 ]
 
 

@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     "streaming_outer_join",
     "embedding_drift",
     "events_attribution_markov",
+    "agg_quantile_cont_grouped",
+    "streaming_bitmap",
 ]
 
 

@@ -1043,10 +1043,11 @@ def quantile_cont_twopass(
     value_col: str,
     p_milli: int = 500,
     coarse_cells: int = 4096,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """EXACT interpolated (``percentile_cont``) quantile of a BIGINT
     column WITHOUT a global sort, scaled onto an integer lattice so
-    the answer is engine-portable.
+    the answer is engine-portable — optionally per group.
 
     ``percentile_cont(p)`` interpolates between the order statistics
     at 0-based positions ``floor((n-1)*p)`` and the next one:
@@ -1061,20 +1062,29 @@ def quantile_cont_twopass(
     refine pass scans only those cells), extended to pick BOTH
     neighbor ranks in one refine: the ranks differ by 1, so the first
     cells reaching cumulative counts ``r_lo`` and ``r_lo+1`` bound a
-    sliver of at most two non-empty cells.  Three map-combined
-    aggregates over the data; the only windows run over the bounded
-    histogram/sliver domains.
+    sliver of at most two non-empty cells per group.  Three
+    map-combined aggregates over the data; the only windows run over
+    the bounded (per-group) histogram/sliver domains.
 
-    Output: one row ``(n, q_scaled)``.
+    Output: one row per group ``(group..., n, q_scaled)``.
     """
     if not 0 <= p_milli <= 1000:
         raise ValueError("p_milli must be in [0, 1000]")
     if coarse_cells < 2:
         raise ValueError("coarse_cells must be >= 2")
-    vals = df.select(F.col(value_col).cast("long").alias("__v")).filter(
-        F.col("__v").isNotNull()
-    )
-    stats = vals.agg(
+    g = list(group_cols)
+
+    def _attach(left: DataFrame, right: DataFrame) -> DataFrame:
+        return (
+            left.join(F.broadcast(right), g)
+            if g
+            else left.crossJoin(F.broadcast(right))
+        )
+
+    vals = df.select(
+        *g, F.col(value_col).cast("long").alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    stats = vals.groupBy(*g).agg(
         F.min("__v").alias("__lo"),
         F.max("__v").alias("__hi"),
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1085,9 +1095,7 @@ def quantile_cont_twopass(
         stats.withColumn("__pos_milli", (F.col("n") - 1) * F.lit(p_milli))
         .withColumn("__rlo", F.expr("__pos_milli div 1000") + 1)
         .withColumn("__rem", F.expr("__pos_milli % 1000"))
-        .withColumn(
-            "__rhi", F.least(F.col("__rlo") + 1, F.col("n"))
-        )
+        .withColumn("__rhi", F.least(F.col("__rlo") + 1, F.col("n")))
         .withColumn(
             "__step",
             F.expr(
@@ -1096,51 +1104,60 @@ def quantile_cont_twopass(
             ),
         )
     )
-    joined = vals.crossJoin(F.broadcast(stats))
+    joined = _attach(vals, stats)
     hist = joined.groupBy(
-        F.expr("(__v - __lo) div __step").alias("__cell")
+        *g, F.expr("(__v - __lo) div __step").alias("__cell")
     ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
-    wc = Window.orderBy("__cell")
-    cum = hist.withColumn("__cum", F.sum("__c").over(wc)).crossJoin(
-        F.broadcast(stats.select("__rlo", "__rhi"))
+    wc = (
+        Window.partitionBy(*g).orderBy("__cell")
+        if g
+        else Window.orderBy("__cell")
     )
-    kcells = (
-        cum.agg(
-            F.min(
-                F.when(
-                    F.col("__cum") >= F.col("__rlo"),
-                    F.struct("__cell", "__cum", "__c"),
-                )
-            ).alias("__klo"),
-            F.min(
-                F.when(
-                    F.col("__cum") >= F.col("__rhi"),
-                    F.struct("__cell", "__cum", "__c"),
-                )
-            ).alias("__khi"),
-        )
-        .select(
-            F.col("__klo.__cell").alias("__cell_lo"),
-            (F.col("__klo.__cum") - F.col("__klo.__c")).alias("__before"),
-            F.col("__khi.__cell").alias("__cell_hi"),
-        )
+    cum = _attach(
+        hist.withColumn("__cum", F.sum("__c").over(wc)),
+        stats.select(*g, "__rlo", "__rhi"),
+    )
+    kcells = cum.groupBy(*g).agg(
+        F.min(
+            F.when(
+                F.col("__cum") >= F.col("__rlo"),
+                F.struct("__cell", "__cum", "__c"),
+            )
+        ).alias("__klo"),
+        F.min(
+            F.when(
+                F.col("__cum") >= F.col("__rhi"),
+                F.struct("__cell", "__cum", "__c"),
+            )
+        ).alias("__khi"),
+    ).select(
+        *g,
+        F.col("__klo.__cell").alias("__cell_lo"),
+        (F.col("__klo.__cum") - F.col("__klo.__c")).alias("__before"),
+        F.col("__khi.__cell").alias("__cell_hi"),
     )
     sliver = (
-        joined.crossJoin(F.broadcast(kcells))
+        _attach(joined, kcells)
         .filter(
             (F.expr("(__v - __lo) div __step") >= F.col("__cell_lo"))
             & (F.expr("(__v - __lo) div __step") <= F.col("__cell_hi"))
         )
-        .groupBy("__v")
+        .groupBy(*g, "__v")
         .agg(F.count(F.lit(1)).cast("long").alias("__vc"))
     )
-    wv = Window.orderBy("__v")
-    res = (
-        sliver.withColumn("__vcum", F.sum("__vc").over(wv))
-        .crossJoin(F.broadcast(kcells.select("__before")))
-        .crossJoin(F.broadcast(stats.select("n", "__rlo", "__rhi", "__rem")))
+    wv = (
+        Window.partitionBy(*g).orderBy("__v")
+        if g
+        else Window.orderBy("__v")
     )
-    return res.agg(
+    res = _attach(
+        _attach(
+            sliver.withColumn("__vcum", F.sum("__vc").over(wv)),
+            kcells.select(*g, "__before"),
+        ),
+        stats.select(*g, "n", "__rlo", "__rhi", "__rem"),
+    )
+    return res.groupBy(*g).agg(
         F.min(F.col("n")).alias("n"),
         (
             F.min(

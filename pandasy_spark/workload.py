@@ -13670,3 +13670,146 @@ def events_attribution_markov(spark, sf_dir):
         ev, ["click", "view", "signup", "error"], "purchase",
         iterations=6,
     )
+
+
+@query(
+    "agg_quantile_cont_grouped",
+    """
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS val
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), o AS (
+      SELECT l_returnflag, val,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY val) AS r
+      FROM v
+    ), s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             ((COUNT(*) - 1) * 750) // 1000 + 1 AS rlo,
+             ((COUNT(*) - 1) * 750) % 1000 AS rem
+      FROM v GROUP BY l_returnflag
+    )
+    SELECT s.l_returnflag, CAST(s.n AS BIGINT) AS n,
+           CAST((SELECT val FROM o WHERE o.l_returnflag = s.l_returnflag
+                 AND r = s.rlo) * (1000 - s.rem)
+              + (SELECT val FROM o WHERE o.l_returnflag = s.l_returnflag
+                 AND r = LEAST(s.rlo + 1, s.n)) * s.rem
+                AS BIGINT) AS q_scaled
+    FROM s
+    """,
+)
+def agg_quantile_cont_grouped(spark, sf_dir):
+    """GROUPED exact interpolated quantiles (percentile_cont(0.75)
+    per return flag) via the generalized two-pass order statistic
+    (extended/profile.py quantile_cont_twopass with group_cols) — the
+    per-segment form: every join keys on the group, every window runs
+    over the bounded per-group histogram domain, and the interpolated
+    value stays on the x1000 BIGINT lattice."""
+    from .extended.profile import quantile_cont_twopass
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return quantile_cont_twopass(
+        cents, "cents", p_milli=750, group_cols=["l_returnflag"]
+    )
+
+
+@query(
+    "streaming_bitmap",
+    """
+    WITH ev AS (
+      SELECT * FROM events ORDER BY event_id LIMIT 50000
+    ), b AS (
+      SELECT event_type AS g, user_id // 62 AS w,
+             (CAST(1 AS BIGINT) << CAST(user_id % 62 AS INT)) AS bit
+      FROM ev
+    ), m AS (
+      SELECT g, w, bit_or(bit) AS bm FROM b GROUP BY g, w
+    ), sk AS (
+      SELECT g AS event_type,
+             CAST(SUM(bit_count(bm)) AS BIGINT) AS n_distinct
+      FROM m GROUP BY g
+    ), ex AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM ev GROUP BY event_type
+    )
+    SELECT sk.event_type, sk.n_distinct, ex.n_exact,
+           CAST(sk.n_distinct = ex.n_exact AS BOOLEAN) AS exact_ok
+    FROM sk JOIN ex USING (event_type)
+    """,
+)
+def streaming_bitmap(spark, sf_dir):
+    """STREAMING exact distinct via bitmap OR-merge — the incremental
+    twin of sketch_bitmap: each micro-batch's foreachBatch appends its
+    per-(group, word) bitmap PARTIALS (bounded by the id domain, never
+    the traffic), and the maintained result is the spool OR-merged —
+    the algebra is associative/commutative/idempotent, so replays and
+    batch boundaries cannot change it.  Exactness proven in-plan
+    against COUNT(DISTINCT); contrast streaming_hll, which accepts
+    approximation for UNBOUNDED id domains."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .streaming import foreach_batch, staged_file_stream
+
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_bitmap_gate_{_STREAM_GATE_SEQ[0]}"
+    real = (
+        _t(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(50_000)
+        .select("event_id", "ts", "user_id", "event_type")
+        .toPandas()
+    )
+    half = len(real) // 2
+    stream = staged_file_stream(spark, [real.iloc[:half], real.iloc[half:]])
+    spool = tempfile.mkdtemp(prefix="pandasy_bitmap_spool_")
+    atexit.register(shutil.rmtree, spool, ignore_errors=True)
+
+    def _apply(batch_df, _batch_id):
+        (
+            batch_df.select(
+                F.col("event_type").alias("g"),
+                F.expr("user_id div 62").alias("w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(user_id % 62 AS INT))"
+                ).alias("bit"),
+            )
+            .groupBy("g", "w")
+            .agg(F.bit_or("bit").alias("bm"))
+            .write.mode("append")
+            .parquet(spool)
+        )
+
+    q = foreach_batch(stream, _apply, name)
+    q.stop()
+    merged = (
+        spark.read.parquet(spool)
+        .groupBy("g", "w")
+        .agg(F.bit_or("bm").alias("bm"))
+        .groupBy("g")
+        .agg(F.sum(F.bit_count("bm")).cast("long").alias("n_distinct"))
+        .select(F.col("g").alias("event_type"), "n_distinct")
+    )
+    exact = (
+        _t(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(50_000)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_distinct",
+        "n_exact",
+        (F.col("n_distinct") == F.col("n_exact")).alias("exact_ok"),
+    )

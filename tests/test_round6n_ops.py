@@ -188,3 +188,30 @@ def test_markov_attribution_gate_rows(spark, sf_dir):
         if v != "base":
             assert 0 <= r["removal_permille"] <= 1000
             assert r["conv_nano"] <= rows["base"]["conv_nano"]
+
+
+def test_grouped_cont_quantile_matches_numpy(spark):
+    import numpy as np
+
+    from pandasy_spark.extended.profile import quantile_cont_twopass
+
+    rows = [("a", v) for v in [1, 3, 5, 7, 11]] + [
+        ("b", v) for v in [10, 20, 30, 40]
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        r["g"]: r["q_scaled"]
+        for r in quantile_cont_twopass(
+            df, "v", p_milli=750, group_cols=["g"]
+        ).collect()
+    }
+    for grp, vals in (("a", [1, 3, 5, 7, 11]), ("b", [10, 20, 30, 40])):
+        expect = np.percentile(np.array(vals, float), 75.0) * 1000
+        assert out[grp] == int(round(expect)), grp
+
+
+def test_streaming_bitmap_exact(spark, sf_dir):
+    from pandasy_spark.workload import QUERIES
+
+    rows = QUERIES["streaming_bitmap"](spark, sf_dir).collect()
+    assert rows and all(r["exact_ok"] for r in rows)
