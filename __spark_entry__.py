@@ -214,6 +214,7 @@ _R6_NEW: list[str] = [
     "events_attribution_markov",
     "agg_quantile_cont_grouped",
     "streaming_bitmap",
+    "multimodal_ico",
 ]
 
 

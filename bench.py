@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "events_attribution_markov",
     "agg_quantile_cont_grouped",
     "streaming_bitmap",
+    "multimodal_ico",
 ]
 
 

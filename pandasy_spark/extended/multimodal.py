@@ -410,6 +410,11 @@ def decode_image(payload: bytes) -> "object":
         arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
         return arr.reshape(h, w, 3)
 
+    if payload[:4] == b"\x00\x00\x01\x00":
+        from .ico import decode_ico
+
+        return decode_ico(payload)
+
     if payload[:2] == b"BM":
         data_offset = int.from_bytes(payload[10:14], "little")
         w = int.from_bytes(payload[18:22], "little", signed=True)

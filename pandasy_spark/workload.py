@@ -13813,3 +13813,51 @@ def streaming_bitmap(spark, sf_dir):
         "n_exact",
         (F.col("n_distinct") == F.col("n_exact")).alias("exact_ok"),
     )
+
+
+@query(
+    "multimodal_ico",
+    """
+    SELECT doc_id,
+           CAST((doc_id % 5) + 2 AS INT) AS width,
+           CAST((doc_id % 4) + 1 AS INT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 11) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 29) % 256 AS DOUBLE) AS mean_b
+    FROM documents WHERE doc_id < 150
+    """,
+)
+def multimodal_ico(spark, sf_dir):
+    """ICO container codec end to end (extended/ico.py): each document
+    gets a TWO-entry icon (a 1x1 thumbnail plus the real solid-color
+    image, both PNG-compressed entries); ``decode_image`` dispatches
+    on the ICONDIR signature, picks the LARGEST entry and routes its
+    PNG stream through the in-repo PNG decoder.  Solid colors pin the
+    container walk, entry selection, and the nested decode in closed
+    form; the legacy doubled-height DIB path is pinned by crafted
+    payloads in pytest."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 150
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.ico import encode_ico
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                # width >= 2 so the real image is STRICTLY larger
+                # than the 1x1 thumbnail (ties pick the first entry)
+                big = np.zeros((d % 4 + 1, d % 5 + 2, 3), np.uint8)
+                big[:, :] = (d % 256, (d * 11) % 256, (d * 29) % 256)
+                thumb = np.zeros((1, 1, 3), np.uint8)
+                payloads.append(encode_ico([thumb, big]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_ico = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    return X_mm.image_stats(with_ico)
