@@ -215,6 +215,7 @@ _R6_NEW: list[str] = [
     "agg_quantile_cont_grouped",
     "streaming_bitmap",
     "multimodal_ico",
+    "source_parquet_codecs",
 ]
 
 

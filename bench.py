@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "agg_quantile_cont_grouped",
     "streaming_bitmap",
     "multimodal_ico",
+    "source_parquet_codecs",
 ]
 
 
