@@ -216,6 +216,7 @@ _R6_NEW: list[str] = [
     "streaming_bitmap",
     "multimodal_ico",
     "source_parquet_codecs",
+    "pipeline_multimodal",
 ]
 
 

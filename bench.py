@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "streaming_bitmap",
     "multimodal_ico",
     "source_parquet_codecs",
+    "pipeline_multimodal",
 ]
 
 

@@ -13931,3 +13931,88 @@ def source_parquet_codecs(spark, sf_dir):
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+@query(
+    "pipeline_multimodal",
+    # lossless formats (PNG/GIF/BMP/ICO) preserve solid colors exactly
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                             WHEN 2 THEN 'bmp' ELSE 'ico' END AS fmt,
+             (doc_id % 4) + 2 AS w, (doc_id % 3) + 1 AS h,
+             doc_id % 256 AS r, (doc_id * 3) % 256 AS g,
+             (doc_id * 5) % 256 AS b
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_decoded,
+           CAST(SUM(w * h) AS BIGINT) AS total_pixels,
+           CAST(SUM(r * w * h) AS BIGINT) AS r_weighted,
+           CAST(SUM(CASE WHEN r + g + b >= 300 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bright
+    FROM p GROUP BY fmt
+    """,
+)
+def pipeline_multimodal(spark, sf_dir):
+    """Mixed-format image intake in ONE pipeline: a single binary
+    column carries PNG, GIF, BMP and ICO payloads interleaved — the
+    real shape of a crawled corpus — and ``decode_image``'s
+    signature dispatch routes each to its codec inside one
+    Arrow-batched pass; per-format decode census, pixel volumes and a
+    brightness screen aggregate behind it.  Every format is lossless
+    for solid colors, so the oracle states the whole heterogeneous
+    decode in closed form; a dispatch or codec regression in ANY
+    branch breaks the hash."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.gif import encode_gif
+        from pandasy_spark.extended.ico import encode_ico
+        from pandasy_spark.extended.multimodal import encode_bmp, encode_png
+
+        encs = [
+            ("png", encode_png),
+            ("gif", encode_gif),
+            ("bmp", encode_bmp),
+            ("ico", lambda a: encode_ico([a])),
+        ]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                fmt, enc = encs[d % 4]
+                arr = np.zeros((d % 3 + 1, d % 4 + 2, 3), np.uint8)
+                arr[:, :] = (d % 256, (d * 3) % 256, (d * 5) % 256)
+                rows.append((d, fmt, enc(arr)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "payload"]
+            )
+
+    with_img = docs.mapInPandas(
+        _enc, schema="doc_id long, fmt string, payload binary"
+    )
+    stats = X_mm.image_stats(with_img)
+    j = stats.join(with_img.select("doc_id", "fmt"), "doc_id")
+    return j.groupBy("fmt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_decoded"),
+        F.sum(F.col("width").cast("long") * F.col("height"))
+        .cast("long")
+        .alias("total_pixels"),
+        F.sum(
+            F.col("mean_r").cast("long")
+            * F.col("width")
+            * F.col("height")
+        ).cast("long").alias("r_weighted"),
+        F.sum(
+            (
+                F.col("mean_r") + F.col("mean_g") + F.col("mean_b")
+                >= 300
+            ).cast("long")
+        ).cast("long").alias("n_bright"),
+    )
