@@ -217,6 +217,8 @@ _R6_NEW: list[str] = [
     "multimodal_ico",
     "source_parquet_codecs",
     "pipeline_multimodal",
+    "graph_ppr",
+    "events_ltv",
 ]
 
 

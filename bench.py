@@ -244,6 +244,8 @@ BENCH_QUERIES = [
     "multimodal_ico",
     "source_parquet_codecs",
     "pipeline_multimodal",
+    "graph_ppr",
+    "events_ltv",
 ]
 
 

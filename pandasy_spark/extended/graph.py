@@ -27,6 +27,7 @@ __all__ = [
     "kcore",
     "bfs_hops",
     "scc",
+    "personalized_pagerank",
 ]
 
 #: rank scale: 1.0 == 10^9 nano-units.
@@ -700,3 +701,85 @@ def scc(
         F.col("node").cast("long").alias("node"),
         guarded.cast("long").alias("scc_id"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Personalized PageRank: random walks restart at the SEED set
+    instead of uniformly, so rank measures proximity TO the seeds —
+    the "similar to these" primitive behind seed-expanded audiences,
+    related-item discovery and local community scoring.
+
+    Same integer nano-unit discipline and join+agg rounds as
+    :func:`pagerank`, with the restart vector supported on seeds
+    only: ``r_0 = SCALE·[v ∈ S]`` and each round
+    ``r' = restart(v) + (damping · incoming) div 100`` where
+    ``restart`` is ``SCALE·(100−damping)/100`` on seeds and 0
+    elsewhere (unnormalized — ranks scale with |S|, orderings do
+    not).  The seed table joins broadcast; everything else is the
+    pagerank shape: k rounds of one edge equi-join + one
+    map-combined sum.
+
+    Output: ``(node, rank_nano)`` for every node reachable in the
+    edge list's vertex set.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    if iterations > 1:
+        e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    base = (100 - damping_pct) * SCALE // 100
+    seeded = nodes.join(
+        F.broadcast(sd.withColumn("__seed", F.lit(1))), "node", "left"
+    ).select(
+        "node",
+        F.coalesce(F.col("__seed"), F.lit(0)).alias("__seed"),
+    ).localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = seeded.select(
+        "node",
+        (F.col("__seed") * F.lit(SCALE)).cast("long").alias("rank_nano"),
+    )
+    for i in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_nano div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        ranks = (
+            seeded.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("__seed") * F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(incoming, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank_nano"),
+            )
+        )
+        if (i + 1) % 2 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -14016,3 +14016,173 @@ def pipeline_multimodal(spark, sf_dir):
             ).cast("long")
         ).cast("long").alias("n_bright"),
     )
+
+
+@query(
+    "graph_ppr",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst
+      FROM lineitem
+    ), nd0 AS (
+      SELECT DISTINCT src AS node FROM e
+      UNION SELECT DISTINCT dst AS node FROM e
+    ), nd AS (
+      SELECT node,
+             CASE WHEN node >= 1000000 AND (node - 1000000) % 100 = 1
+                  THEN 1 ELSE 0 END AS seed
+      FROM nd0
+    ), dg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST(seed * 1000000000 AS BIGINT) AS r FROM nd
+    )    , c1 AS (
+      SELECT e.dst AS node, CAST(SUM(r0.r // dg.outdeg) AS BIGINT) AS inc
+      FROM e JOIN r0 ON e.src = r0.node JOIN dg ON e.src = dg.src
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT nd.node,
+             CAST(nd.seed * 150000000
+                  + (85 * COALESCE(c1.inc, 0)) // 100 AS BIGINT) AS r
+      FROM nd LEFT JOIN c1 ON nd.node = c1.node
+    )    , c2 AS (
+      SELECT e.dst AS node, CAST(SUM(r1.r // dg.outdeg) AS BIGINT) AS inc
+      FROM e JOIN r1 ON e.src = r1.node JOIN dg ON e.src = dg.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT nd.node,
+             CAST(nd.seed * 150000000
+                  + (85 * COALESCE(c2.inc, 0)) // 100 AS BIGINT) AS r
+      FROM nd LEFT JOIN c2 ON nd.node = c2.node
+    )    , c3 AS (
+      SELECT e.dst AS node, CAST(SUM(r2.r // dg.outdeg) AS BIGINT) AS inc
+      FROM e JOIN r2 ON e.src = r2.node JOIN dg ON e.src = dg.src
+      GROUP BY e.dst
+    ), r3 AS (
+      SELECT nd.node,
+             CAST(nd.seed * 150000000
+                  + (85 * COALESCE(c3.inc, 0)) // 100 AS BIGINT) AS r
+      FROM nd LEFT JOIN c3 ON nd.node = c3.node
+    )
+    SELECT node, r AS rank_nano FROM r3
+""",
+)
+def graph_ppr(spark, sf_dir):
+    """Personalized PageRank (extended/graph.py personalized_pagerank)
+    on the symmetrized part-supplier graph, seeded at every 100th
+    supplier: restart mass lands ONLY on the seed set, so rank is
+    proximity to the seeds — the seed-expansion primitive behind
+    related-item discovery and audience lookalikes.  Same nano-unit
+    join+agg rounds as graph_pagerank; the oracle unrolls the
+    identical three seeded rounds."""
+    from .extended.graph import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        li.filter(F.col("l_suppkey") % 100 == 1)
+        .select((F.col("l_suppkey") + 1_000_000).alias("node"))
+        .distinct()
+    )
+    return personalized_pagerank(edges, seeds, iterations=3)
+
+
+@query(
+    "events_ltv",
+    """
+    WITH w AS (
+      SELECT user_id, date_trunc('week', ts) AS wk,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL
+    ), coh AS (
+      SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY user_id
+    ), sz AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM coh GROUP BY cohort
+    ), act AS (
+      SELECT c.cohort,
+             CAST((epoch_us(w.wk) - epoch_us(c.cohort))
+                  // (CAST(7 AS BIGINT) * 86400 * 1000000) AS BIGINT)
+               AS age_weeks,
+             CAST(SUM(w.cents) AS BIGINT) AS cents
+      FROM w JOIN coh c ON c.user_id = w.user_id
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT cohort, age_weeks,
+             SUM(cents) OVER (PARTITION BY cohort ORDER BY age_weeks
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents
+      FROM act
+    )
+    SELECT c.cohort, c.age_weeks,
+           CAST(c.cum_cents AS BIGINT) AS cum_cents,
+           CAST(c.cum_cents // s.cohort_size AS BIGINT)
+             AS ltv_per_user_cents
+    FROM cum c JOIN sz s USING (cohort)
+    """,
+)
+def events_ltv(spark, sf_dir):
+    """Cohort LTV curve — cumulative revenue per user by cohort age,
+    the growth chart every subscription/commerce review starts with:
+    one cohort aggregate (min week per user), one (cohort, age)
+    revenue grid (both user-keyed shuffles), then a running sum over
+    the BOUNDED cohort x age grid — the window never sees event-level
+    data.  LTV-per-user divides by the cohort census on the integer
+    grid."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    w = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    coh = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    sz = coh.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    act = (
+        w.join(coh, "user_id")
+        .select(
+            "cohort",
+            (
+                (
+                    F.unix_micros(F.col("wk"))
+                    - F.unix_micros(F.col("cohort"))
+                )
+                / F.lit(7 * 86400 * 1_000_000)
+            )
+            .cast("long")
+            .alias("age_weeks"),
+            "cents",
+        )
+        .groupBy("cohort", "age_weeks")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    win = Window.partitionBy("cohort").orderBy("age_weeks").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = act.withColumn("cum_cents", F.sum("cents").over(win))
+    return cum.join(sz, "cohort").select(
+        "cohort",
+        "age_weeks",
+        F.col("cum_cents").cast("long").alias("cum_cents"),
+        F.expr("CAST(cum_cents div cohort_size AS BIGINT)").alias(
+            "ltv_per_user_cents"
+        ),
+    )

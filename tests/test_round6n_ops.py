@@ -215,3 +215,41 @@ def test_streaming_bitmap_exact(spark, sf_dir):
 
     rows = QUERIES["streaming_bitmap"](spark, sf_dir).collect()
     assert rows and all(r["exact_ok"] for r in rows)
+
+
+def test_ppr_seeds_dominate(spark, sf_dir):
+    from pandasy_spark.workload import QUERIES
+
+    rows = QUERIES["graph_ppr"](spark, sf_dir).collect()
+    seeds = [
+        r["rank_nano"]
+        for r in rows
+        if r["node"] >= 1_000_000 and (r["node"] - 1_000_000) % 100 == 1
+    ]
+    others = [
+        r["rank_nano"]
+        for r in rows
+        if not (r["node"] >= 1_000_000 and (r["node"] - 1_000_000) % 100 == 1)
+    ]
+    assert seeds and others
+    # restart mass keeps seeds above the typical non-seed
+    import statistics
+
+    assert min(seeds) > statistics.median(others)
+    # nodes with zero proximity to seeds score exactly 0
+    assert min(others) >= 0
+
+
+def test_ltv_curve_monotone(spark, sf_dir):
+    from pandasy_spark.workload import QUERIES
+
+    rows = QUERIES["events_ltv"](spark, sf_dir).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append(
+            (r["age_weeks"], r["cum_cents"])
+        )
+    for cohort, pts in by_cohort.items():
+        pts.sort()
+        vals = [v for _, v in pts]
+        assert vals == sorted(vals), cohort  # cumulative is monotone
