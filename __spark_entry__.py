@@ -219,6 +219,7 @@ _R6_NEW: list[str] = [
     "pipeline_multimodal",
     "graph_ppr",
     "events_ltv",
+    "dedup_cluster_sizes",
 ]
 
 

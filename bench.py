@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "pipeline_multimodal",
     "graph_ppr",
     "events_ltv",
+    "dedup_cluster_sizes",
 ]
 
 

@@ -14186,3 +14186,42 @@ def events_ltv(spark, sf_dir):
             "ltv_per_user_cents"
         ),
     )
+
+
+@query(
+    "dedup_cluster_sizes",
+    """
+    WITH c AS (
+      SELECT md5(substring(text, 1, 24)) AS fp,
+             CAST(COUNT(*) AS BIGINT) AS sz
+      FROM documents GROUP BY md5(substring(text, 1, 24))
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+    FROM c GROUP BY sz
+    """,
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size histogram — the corpus-health report
+    that decides whether dedup is worth a pass at all: exact-content
+    fingerprint clusters bucketed by size, with the removable-copy
+    count (size − 1 per cluster) that predicts the corpus shrink.
+    Two map-combined aggregates; the md5 fingerprint is the same
+    exact-dedup key the dedup_exact operator removes by, so this
+    report IS its pre-flight."""
+    docs = _t(spark, sf_dir, "documents")
+    # prefix fingerprint: the near-dup chunk key (full-text md5 is the
+    # dedup_exact key; the 24-char prefix is what the span/chunk dedup
+    # family blocks on, and the synthetic corpus collides on it)
+    c = docs.groupBy(
+        F.md5(F.substring(F.col("text"), 1, 24)).alias("fp")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return c.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("long").alias("n_removable"),
+    )
