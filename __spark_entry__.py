@@ -220,6 +220,7 @@ _R6_NEW: list[str] = [
     "graph_ppr",
     "events_ltv",
     "dedup_cluster_sizes",
+    "layout_hilbert",
 ]
 
 

@@ -18,236 +18,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pandasy_spark.session import get_spark  # noqa: E402
 from pandasy_spark.workload import QUERIES  # noqa: E402
 
-BENCH_QUERIES = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "filter_truthy",
-    "join_full",
-    "expr_casts",
-    "groupby_apply",
-    "window_rank",
-    "window_running",
-    "agg_rollup",
-    "agg_distinct",
-    "topk_per_group",
-    "text_stats",
-    "text_langid",
-    "dedup_exact",
-    "dedup_minhash",
-    "knn_cosine",
-    "multimodal_features",
-    "events_window",
-    "events_sessionize",
-    "events_asof",
-    "events_tolerance_join",
-    "q18_large_orders",
-    "pivot_status_by_priority",
-    "unpivot_measures",
-    "agg_percentiles",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q10_returned_items",
-    "q21_waiting_supplier",
-    "multimodal_frames",
-    "map_functions",
-    "dedup_blocked",
-    "sample_split",
-    "pack_chunks",
-    "pack_greedy",
-    "pipeline_pretraining",
-    "dedup_components",
-    "text_bpe_pairs",
-    "text_repetition",
-    "agg_mode_argmax",
-    "profile_histogram",
-    "sample_curriculum",
-    "dedup_span",
-    "text_lm_score",
-    "text_tficf",
-    "sample_domain_cap",
-    "events_hopping",
-    "layout_zorder",
-    "sample_mixture",
-    "events_session_window",
-    "events_range_window",
-    "window_distribution",
-    "agg_bitwise",
-    "multimodal_png",
-    "multimodal_jpeg",
-    "text_chunking",
-    "text_collocations",
-    "decontaminate_bloom",
-    "sample_reservoir",
-    "text_tokenize",
-    "profile_heavy_hitters",
-    "embedding_pca",
-    "events_funnel",
-    "events_retention",
-    "streaming_window",
-    "join_salted",
-    "streaming_sessionize",
-    "dedup_containment",
-    "text_search",
-    "pipeline_rag",
-    "events_asof_directions",
-    "profile_dq",
-    "scd2_merge",
-    "pack_manifest",
-    "sample_temporal_split",
-    "events_sequences",
-    "agg_incremental",
-    "profile_corr",
-    "graph_pagerank",
-    "events_anomaly",
-    "multimodal_gif",
-    "streaming_join",
-    "profile_drift",
-    "multimodal_phash",
-    "multimodal_wav",
-    "multimodal_video",
-    "multimodal_spectral",
-    "merge_upsert",
-    "basket_affinity",
-    "graph_triangles",
-    "text_textrank",
-    # --- round-4 operators (first baselined in BENCH_r05) ---
-    "embedding_kmeans",
-    "dedup_url",
-    "q2_min_cost_supplier",
-    "multimodal_webp",
-    "multimodal_bmp",
-    "streaming_late_data",
-    "streaming_dedup",
-    "events_attribution",
-    "events_rfm",
-    "graph_label_prop",
-    "text_quality_classifier",
-    "text_hash_features",
-    "profile_entropy",
-    # --- round-5 operators ---
-    "text_quality_train",
-    "dedup_paragraph",
-    "graph_kcore",
-    "snapshot_diff",
-    "text_rake",
-    "multimodal_tiff",
-    "knn_pq",
-    "pipeline_near_dedup",
-    "sketch_hll",
-    "sketch_kmv",
-    # --- round-6 operators ---
-    "graph_bfs",
-    "events_markov",
-    "sketch_cms",
-    "sketch_hll_merge",
-    "text_bm25",
-    "multimodal_sniff",
-    "text_script",
-    "sample_weighted",
-    "sketch_kmv_union",
-    "knn_ivfpq",
-    "streaming_hll",
-    "text_normalize",
-    "events_attribution_linear",
-    "agg_median_twopass",
-    "streaming_topk",
-    "pipeline_triage",
-    "profile_chisq",
-    "sketch_cms_join_size",
-    "multimodal_tga",
-    "cdc_apply",
-    "events_resample",
-    "dedup_weighted_jaccard",
-    "sketch_kmv_intersect",
-    "graph_sssp",
-    "spatial_radius_join",
-    "knn_beam",
-    "events_ewma",
-    "streaming_enrich",
-    "text_readability",
-    "profile_benford",
-    "graph_similarity",
-    "events_session_attribution",
-    "multimodal_pcx",
-    "events_interval_join",
-    "events_funnel_windowed",
-    "sketch_bloom_union",
-    "streaming_upsert",
-    "profile_ks",
-    "events_ab_test",
-    "source_binary_files",
-    "source_csv",
-    "source_jsonl",
-    "source_orc",
-    "source_partitioned",
-    "source_bucketed_join",
-    "profile_mannwhitney",
-    "graph_scc",
-    "layout_row_ids",
-    "source_dpp",
-    "events_streaks",
-    "agg_quantile_cont",
-    "profile_gini",
-    "sample_bootstrap",
-    "text_phrase",
-    "sql_correlated",
-    "multimodal_resample",
-    "events_concurrency",
-    "profile_kanon",
-    "pareto_frontier",
-    "source_fixed_width",
-    "udf_scalar_arrow",
-    "spatial_geofence",
-    "events_coalesce",
-    "agg_weighted_median",
-    "profile_cramers",
-    "sample_negatives",
-    "text_vocab_growth",
-    "text_oov",
-    "events_sliding_distinct",
-    "events_interarrival",
-    "profile_key_skew",
-    "events_seasonal",
-    "sketch_bitmap",
-    "window_nth_value",
-    "setop_union_byname",
-    "events_wow",
-    "profile_linreg",
-    "graph_degrees",
-    "events_forecast",
-    "expr_decimal_exact",
-    "expr_levenshtein",
-    "explode_outer_nulls",
-    "text_length_quantiles",
-    "ml_target_encode",
-    "profile_winsorize",
-    "agg_retractable",
-    "sql_recursive",
-    "sql_lateral",
-    "join_null_safe_eq",
-    "expr_try_arith",
-    "events_cusum",
-    "sample_bootstrap_ci",
-    "sample_kfold",
-    "events_churn_labels",
-    "multimodal_motion",
-    "streaming_cdc",
-    "q_yoy_growth",
-    "warehouse_forget",
-    "graph_neighbor_agg",
-    "streaming_outer_join",
-    "embedding_drift",
-    "events_attribution_markov",
-    "agg_quantile_cont_grouped",
-    "streaming_bitmap",
-    "multimodal_ico",
-    "source_parquet_codecs",
-    "pipeline_multimodal",
-    "graph_ppr",
-    "events_ltv",
-    "dedup_cluster_sizes",
-]
+# Every registry query gets a bench row: derive the list from the
+# registry itself so a new operator can never ship without sf0.1
+# timing evidence (r4 verdict item #1 — 14 queries once had none).
+# BENCH_EXCLUDE documents the only legitimate reason to skip one:
+# a query whose gate form cannot run at sf0.1 (none currently).
+BENCH_EXCLUDE: set[str] = set()
+
+BENCH_QUERIES = [q for q in QUERIES if q not in BENCH_EXCLUDE]
 
 
 def main() -> None:
@@ -272,27 +50,38 @@ def main() -> None:
     # round-over-round comparisons (single runs on this host vary up to
     # ~1.5x run-to-run with identical code) without changing what is
     # measured
+    # One failing query must NEVER null the whole bench file (BENCH_r05
+    # `parsed: null` — a staged-stream row-cap trip at sf0.1 aborted the
+    # run before a single timing was printed): record the error and
+    # keep measuring the rest.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in bench_queries:
         best = float("inf")
-        for _ in range(3):
-            start = time.perf_counter()
-            df = QUERIES[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
+        try:
+            for _ in range(3):
+                start = time.perf_counter()
+                df = QUERIES[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
+        except Exception as exc:  # noqa: BLE001 — survive, report, move on
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+            continue
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    full = json.dumps(
-        {
-            "metric": "workload_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": times,
-            "sf": sf_val,
-        }
-    )
+    payload = {
+        "metric": "workload_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    if errors:
+        payload["errors"] = errors
+    full = json.dumps(payload)
     # The driver records only the last ~2 KB of stdout and JSON-parses
     # the final line; with 90+ per-query entries the single line
     # overflows that window and the headline total becomes unparseable
@@ -312,6 +101,7 @@ def main() -> None:
             "unit": "sec",
             "sf": sf_val,
             "queries_total": len(times),
+            "errors_total": len(errors),
             "queries": compact_q,
         }
         for name, t in sorted(times.items(), key=lambda kv: -kv[1]):

@@ -14225,3 +14225,77 @@ def dedup_cluster_sizes(spark, sf_dir):
         F.sum("sz").cast("long").alias("n_docs"),
         F.sum(F.col("sz") - 1).cast("long").alias("n_removable"),
     )
+
+
+def _hilbert_sql_ctes(bits: int, id_col: str) -> str:
+    """Chained per-level CTEs mirroring with_hilbert's state machine
+    (one CTE per bit level, MSB first): same 2-bit state, same quad
+    digit table, same XOR state update — term-for-term the plan the
+    Spark side unrolls."""
+    parts = []
+    prev = "h0"
+    for i, b in enumerate(range(bits - 1, -1, -1), start=1):
+        xb = f"((xn >> {b}) & 1)"
+        yb = f"((yn >> {b}) & 1)"
+        c = "(st // 2)"
+        s = "(st % 2)"
+        rx = f"(CASE WHEN {s} = 1 THEN xor({yb}, {c}) ELSE xor({xb}, {c}) END)"
+        ry = f"(CASE WHEN {s} = 1 THEN xor({xb}, {c}) ELSE xor({yb}, {c}) END)"
+        q = f"(2 * {rx} + {ry})"
+        digit = f"(CASE WHEN {q} = 3 THEN 2 WHEN {q} = 2 THEN 3 ELSE {q} END)"
+        st2 = (
+            f"((CASE WHEN {ry} = 0 AND {rx} = 1 THEN xor({c}, 1) ELSE {c} END)"
+            f" * 2 + (CASE WHEN {ry} = 0 THEN xor({s}, 1) ELSE {s} END))"
+        )
+        hv2 = f"(hv + CAST({digit} AS BIGINT) * {4 ** b})"
+        parts.append(
+            f"h{i} AS (SELECT {id_col}, xn, yn, CAST({st2} AS BIGINT) AS st,"
+            f" CAST({hv2} AS BIGINT) AS hv FROM {prev})"
+        )
+        prev = f"h{i}"
+    return ",\n    ".join(parts)
+
+
+@query(
+    "layout_hilbert",
+    f"""
+    WITH m AS (
+      SELECT CAST(MIN(o_custkey) AS DOUBLE) AS xa,
+             CAST(MAX(o_custkey) AS DOUBLE) AS xb,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS ya,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS yb
+      FROM orders
+    ), n AS (
+      SELECT o_orderkey,
+             CASE WHEN xb = xa THEN 0 ELSE CAST(FLOOR(
+               (CAST(o_custkey AS DOUBLE) - xa) * 65535.0 / (xb - xa)
+             ) AS BIGINT) END AS xn,
+             CASE WHEN yb = ya THEN 0 ELSE CAST(FLOOR(
+               (CAST(o_totalprice AS DOUBLE) - ya) * 65535.0 / (yb - ya)
+             ) AS BIGINT) END AS yn
+      FROM orders, m
+    ), h0 AS (
+      SELECT o_orderkey, xn, yn, CAST(0 AS BIGINT) AS st,
+             CAST(0 AS BIGINT) AS hv
+      FROM n
+    ),
+    {_hilbert_sql_ctes(16, "o_orderkey")}
+    SELECT o_orderkey, hv AS hval FROM h16
+    """,
+)
+def layout_hilbert(spark, sf_dir):
+    """Hilbert-curve clustering key over (o_custkey, o_totalprice)
+    (sources/sinks.py with_hilbert): min-max-normalized 16-bit ranks
+    fed through the unrolled 4-state Hilbert state machine — pure
+    integer CASE/XOR/shift codegen, no UDF, no shuffle (bounds
+    broadcast back onto the scan).  Hilbert's locality strictly beats
+    Z-order for file bounding boxes (consecutive keys are always grid
+    neighbors); ``write_hilbert`` sorts by this key.  Exhaustive
+    equivalence to the textbook xy2d recursion and the
+    every-step-is-a-grid-neighbor property are pinned in
+    tests/test_sinks.py; the oracle unrolls the identical 16 levels."""
+    from .sources import with_hilbert
+
+    orders = _t(spark, sf_dir, "orders")
+    h = with_hilbert(orders, ["o_custkey", "o_totalprice"], bits=16)
+    return h.select("o_orderkey", F.col("__h").alias("hval"))
