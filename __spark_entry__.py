@@ -221,6 +221,7 @@ _R6_NEW: list[str] = [
     "events_ltv",
     "dedup_cluster_sizes",
     "layout_hilbert",
+    "multimodal_qoi",
 ]
 
 

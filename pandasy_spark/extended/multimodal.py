@@ -451,6 +451,11 @@ def decode_image(payload: bytes) -> "object":
     if payload[:2] in (b"II", b"MM") and len(payload) >= 4 and payload[2:4] in (b"*\x00", b"\x00*"):
         return _decode_tiff(payload)
 
+    if payload[:4] == b"qoif":
+        from .qoi import decode_qoi
+
+        return decode_qoi(payload)
+
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from .webp import decode_webp
 
@@ -886,8 +891,8 @@ def sniff_format(payload) -> "object":
     fuses into the scan.
 
     Detects: jpeg (FF D8 FF), png, gif (87a/89a), bmp, tiff (II/MM),
-    webp (RIFF....WEBP), wav (RIFF....WAVE), ppm (``P6``), else
-    ``'unknown'``.  NULL payloads sniff to NULL.
+    webp (RIFF....WEBP), wav (RIFF....WAVE), ppm (``P6``), qoi
+    (``qoif``), else ``'unknown'``.  NULL payloads sniff to NULL.
     """
     head = F.hex(F.substring(payload, 1, 16))
     p4 = F.substring(head, 1, 8)
@@ -909,6 +914,7 @@ def sniff_format(payload) -> "object":
             "wav",
         )
         .when(F.substring(head, 1, 4) == "5036", "ppm")
+        .when(p4 == "716F6966", "qoi")
         .when(
             # TGA has no header magic: TGA 2.0 footer signature
             F.hex(F.substring(payload, -18, 18))

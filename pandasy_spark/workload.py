@@ -14299,3 +14299,59 @@ def layout_hilbert(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     h = with_hilbert(orders, ["o_custkey", "o_totalprice"], bits=16)
     return h.select("o_orderkey", F.col("__h").alias("hval"))
+
+
+@query(
+    "multimodal_qoi",
+    # QOI is lossless: the per-doc row-constant gradient round-trips
+    # exactly, so dims and channel means have closed forms.  delta =
+    # doc_id % 4 spans every op class: 0 -> RUN-only body, 1 -> DIFF,
+    # 2/3 -> LUMA, row restarts -> INDEX recalls of pixel (0,0)
+    """
+    SELECT doc_id,
+           CAST((doc_id % 6) + 2 AS INT) AS width,
+           CAST((doc_id % 4) + 1 AS INT) AS height,
+           (doc_id*97) % 200 + (doc_id % 4) * ((doc_id % 6) + 1) / 2.0
+             AS mean_r,
+           (doc_id*101) % 200 + (doc_id % 4) * ((doc_id % 6) + 1) / 2.0
+             AS mean_g,
+           (doc_id*103) % 200 + (doc_id % 4) * ((doc_id % 6) + 1) / 2.0
+             AS mean_b
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_qoi(spark, sf_dir):
+    """REAL QOI pipeline, end-to-end (extended/qoi.py, implemented
+    from the public qoiformat.org spec): encode a per-document
+    row-constant gradient (base + delta*col per channel, delta =
+    doc_id % 4) with the reference encoder, decode through
+    image_stats' magic-byte dispatcher.  The gradient family sweeps
+    every QOI op class — delta 0 is RUN-coded, delta 1 DIFF, delta 2/3
+    LUMA, and each row restart recalls pixel (0,0) through the 64-slot
+    INDEX — so the closed-form oracle pins the whole decoder, not one
+    path.  Per-payload CPU in Arrow-batched mapInPandas; no shuffle."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.qoi import encode_qoi
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h, delta = d % 6 + 2, d % 4 + 1, d % 4
+                base = ((d * 97) % 200, (d * 101) % 200, (d * 103) % 200)
+                col = np.arange(w, dtype=np.int64) * delta
+                row = np.stack([b + col for b in base], axis=-1)
+                arr = np.broadcast_to(row, (h, w, 3)).astype(np.uint8)
+                payloads.append(encode_qoi(arr))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_qoi = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    return X_mm.image_stats(with_qoi)
