@@ -222,6 +222,7 @@ _R6_NEW: list[str] = [
     "dedup_cluster_sizes",
     "layout_hilbert",
     "multimodal_qoi",
+    "graph_hits",
 ]
 
 

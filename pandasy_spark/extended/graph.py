@@ -28,6 +28,7 @@ __all__ = [
     "bfs_hops",
     "scc",
     "personalized_pagerank",
+    "hits",
 ]
 
 #: rank scale: 1.0 == 10^9 nano-units.
@@ -783,3 +784,65 @@ def personalized_pagerank(
         if (i + 1) % 2 == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999), INTEGER-EXACT: the
+    unnormalized power iteration ``a = Aᵀh; h = A a`` with all-ones
+    start, emitting raw BIGINT scores after ``iterations`` full
+    rounds.  Classic HITS L2-normalizes each step — a cosmetic rescale
+    that never changes orderings — so the integer form is the same
+    ranking with none of the cross-engine float drift; callers who
+    want [0,1] scores divide by the max in one extra aggregate.
+
+    Scores grow like (σ_max)² per round: two rounds on a graph with
+    max degree d bound scores by d⁴ — int64-safe for any realistic
+    degree (d ≤ 30k even at 100 TB-scale catalogs).  For larger
+    ``iterations`` rescale between rounds (divide both vectors by
+    their max — ordering-preserving) before overflow.
+
+    Scale shape: per round, TWO edge equi-joins + map-combined sums —
+    identical to :func:`pagerank`'s plan, with the edge list
+    checkpointed once and reused by every round.
+
+    Output: ``(node, hub, auth)`` over the full vertex set.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hub = nodes.select("node", F.lit(1).cast("long").alias("hub"))
+    auth = None
+    for i in range(iterations):
+        a = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("__a"))
+        )
+        auth = nodes.join(a, "node", "left").select(
+            "node", F.coalesce(F.col("__a"), F.lit(0)).cast("long").alias("auth")
+        )
+        h = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("__h"))
+        )
+        hub = nodes.join(h, "node", "left").select(
+            "node", F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("hub")
+        )
+        if (i + 1) % 2 == 0:
+            hub = hub.localCheckpoint(eager=False)
+            auth = auth.localCheckpoint(eager=False)
+    return hub.join(auth, "node")

@@ -14355,3 +14355,67 @@ def multimodal_qoi(spark, sf_dir):
 
     with_qoi = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
     return X_mm.image_stats(with_qoi)
+
+
+@query(
+    "graph_hits",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT l_suppkey + 1000000 AS src, l_orderkey + 2000000 AS dst
+      FROM lineitem
+    ), nd AS (
+      SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+    ), h0 AS (
+      SELECT node, CAST(1 AS BIGINT) AS hub FROM nd
+    ), s1 AS (
+      SELECT e.dst AS node, CAST(SUM(h0.hub) AS BIGINT) AS a
+      FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst
+    ), auth1 AS (
+      SELECT nd.node, CAST(COALESCE(s1.a, 0) AS BIGINT) AS auth
+      FROM nd LEFT JOIN s1 ON nd.node = s1.node
+    ), t1 AS (
+      SELECT e.src AS node, CAST(SUM(auth1.auth) AS BIGINT) AS h
+      FROM e JOIN auth1 ON e.dst = auth1.node GROUP BY e.src
+    ), hub1 AS (
+      SELECT nd.node, CAST(COALESCE(t1.h, 0) AS BIGINT) AS hub
+      FROM nd LEFT JOIN t1 ON nd.node = t1.node
+    ), s2 AS (
+      SELECT e.dst AS node, CAST(SUM(hub1.hub) AS BIGINT) AS a
+      FROM e JOIN hub1 ON e.src = hub1.node GROUP BY e.dst
+    ), auth2 AS (
+      SELECT nd.node, CAST(COALESCE(s2.a, 0) AS BIGINT) AS auth
+      FROM nd LEFT JOIN s2 ON nd.node = s2.node
+    ), t2 AS (
+      SELECT e.src AS node, CAST(SUM(auth2.auth) AS BIGINT) AS h
+      FROM e JOIN auth2 ON e.dst = auth2.node GROUP BY e.src
+    ), hub2 AS (
+      SELECT nd.node, CAST(COALESCE(t2.h, 0) AS BIGINT) AS hub
+      FROM nd LEFT JOIN t2 ON nd.node = t2.node
+    )
+    SELECT hub2.node, hub2.hub, auth2.auth
+    FROM hub2 JOIN auth2 ON hub2.node = auth2.node
+    """,
+)
+def graph_hits(spark, sf_dir):
+    """HITS hubs & authorities (extended/graph.py hits) on the
+    directed part -> supplier -> order DAG from lineitem: parts are
+    pure hubs, orders pure authorities, suppliers both — good-part
+    discovery by who supplies into many large orders.  Integer-exact
+    unnormalized power iteration, two full rounds; per round TWO edge
+    equi-joins + map-combined sums (the pagerank plan), edge list
+    checkpointed once.  The oracle unrolls the identical rounds."""
+    from .extended.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    e1 = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    )
+    e2 = li.select(
+        (F.col("l_suppkey") + 1_000_000).alias("src"),
+        (F.col("l_orderkey") + 2_000_000).alias("dst"),
+    )
+    return hits(e1.unionByName(e2), iterations=2)

@@ -1,0 +1,90 @@
+"""Round-6 (second session) operators: Hilbert layout (see
+test_sinks.py), HITS, QOI gate plumbing."""
+
+from pyspark.sql import functions as F
+
+
+def test_hits_hand_computed_two_rounds(spark):
+    """1->3, 2->3, 3->4: after two unnormalized rounds
+    hub = {1:4, 2:4, 3:1, 4:0}, auth = {3:4, 4:1, 1:0, 2:0}."""
+    from pandasy_spark.extended.graph import hits
+
+    e = spark.createDataFrame([(1, 3), (2, 3), (3, 4)], ["src", "dst"])
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(e).collect()}
+    assert got == {1: (4, 0), 2: (4, 0), 3: (1, 4), 4: (0, 1)}
+
+
+def test_hits_duplicate_edges_collapse(spark):
+    """Parallel edges count once (the edge list is distinct-ed)."""
+    from pandasy_spark.extended.graph import hits
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 2)], ["src", "dst"]
+    )
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(e).collect()}
+    assert got == {1: (1, 0), 2: (0, 1)}
+
+
+def test_hits_rejects_zero_iterations(spark):
+    import pytest
+
+    from pandasy_spark.extended.graph import hits
+
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        hits(e, iterations=0)
+
+
+def test_hits_matches_float_reference_ordering(spark):
+    """The integer unnormalized scores order identically to the
+    classically normalized float HITS on a random-ish digraph."""
+    import numpy as np
+
+    from pandasy_spark.extended.graph import hits
+
+    edges = [(a, (a * 7 + b) % 23) for a in range(23) for b in (1, 3, 5)]
+    edges = [(s, d) for s, d in edges if s != d]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(e, iterations=2).collect()}
+
+    nodes = sorted({n for sd in edges for n in sd})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in set(edges):
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(len(nodes))
+    for _ in range(2):
+        a = A.T @ h
+        h = A @ a
+    for n in nodes:
+        assert got[n][0] == int(round(h[idx[n]]))
+        assert got[n][1] == int(round((A.T @ (A @ (A.T @ np.ones(len(nodes)))))[idx[n]]))
+
+
+def test_qoi_gate_payloads_exercise_all_op_classes(spark):
+    """The multimodal_qoi gate family (delta = doc_id % 4) produces
+    streams containing RUN, DIFF, LUMA and INDEX tags across docs."""
+    import numpy as np
+
+    from pandasy_spark.extended.qoi import encode_qoi
+
+    seen = set()
+    for d in range(8):
+        w, h, delta = d % 6 + 2, d % 4 + 1, d % 4
+        base = ((d * 97) % 200, (d * 101) % 200, (d * 103) % 200)
+        col = np.arange(w, dtype=np.int64) * delta
+        row = np.stack([b + col for b in base], axis=-1)
+        arr = np.broadcast_to(row, (h, w, 3)).astype(np.uint8)
+        enc = encode_qoi(arr)
+        body, pos = enc[14:-8], 0
+        while pos < len(body):
+            tag = body[pos]
+            if tag == 0xFE:
+                seen.add("rgb")
+                pos += 4
+            elif tag == 0xFF:
+                pos += 5
+            else:
+                seen.add({0: "index", 1: "diff", 2: "luma", 3: "run"}[tag >> 6])
+                pos += 2 if (tag >> 6) == 2 else 1
+    assert {"rgb", "index", "diff", "luma", "run"} <= seen, seen
