@@ -223,6 +223,8 @@ _R6_NEW: list[str] = [
     "layout_hilbert",
     "multimodal_qoi",
     "graph_hits",
+    "profile_psi",
+    "sample_class_balance",
 ]
 
 

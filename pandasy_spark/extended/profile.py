@@ -50,6 +50,7 @@ __all__ = [
     "weighted_quantile_twopass",
     "cramers_v",
     "key_skew_report",
+    "psi_drift",
 ]
 
 _NUMERIC = (
@@ -1409,3 +1410,95 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
         F.col("q_value").alias("p99_count")
     )
     return head.crossJoin(F.broadcast(p50)).crossJoin(F.broadcast(p99))
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    is_baseline: Column,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a baseline slice and the
+    rest of the table — THE industry-standard retraining trigger
+    (credit-risk lineage): ``PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i)``
+    with < 0.1 read as stable, 0.1–0.25 drifting, > 0.25 shifted.
+    Complements :func:`distribution_drift` (TVD): PSI weights tail
+    bins logarithmically, TVD is transcendental-free.
+
+    Bin edges are equi-width over the BASELINE slice's min/max (the
+    textbook convention — the monitor is "did current move against
+    the reference grid"); current-slice values outside the reference
+    range clamp into the edge bins.  Every bin participates via a
+    generated bin spine (missing bins count 0), and both
+    distributions take +1 Laplace smoothing — ``p_i = (a_i+1)/(n_a+
+    bins)`` — so empty bins contribute finite, deterministic terms.
+
+    Scale shape: one bounds aggregate over the scan (broadcast back),
+    one map-combined count aggregate keyed by bin (shuffle volume =
+    ``bins`` rows), one ``bins``-row spine join — the corpus is
+    scanned twice and never shuffled.
+
+    Output (one row): ``(n_base, n_cur, n_bins, psi)``.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    v = F.col(value_col).cast("double")
+    flagged = df.select(
+        v.alias("__v"), F.when(is_baseline, 1).otherwise(0).alias("__a")
+    ).filter(F.col("__v").isNotNull())
+    bounds = flagged.filter(F.col("__a") == 1).agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    binned = (
+        flagged.crossJoin(F.broadcast(bounds))
+        .select(
+            "__a",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("__v") - F.col("__lo"))
+                            * F.lit(float(bins))
+                            / (F.col("__hi") - F.col("__lo"))
+                        ).cast("int"),
+                    ),
+                )
+            )
+            .alias("__bin"),
+        )
+        .groupBy("__bin")
+        .agg(
+            F.sum("__a").cast("long").alias("a_i"),
+            F.sum(F.lit(1) - F.col("__a")).cast("long").alias("b_i"),
+        )
+    )
+    spine = df.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("__bin")
+    )
+    full = spine.join(binned, "__bin", "left").select(
+        "__bin",
+        F.coalesce("a_i", F.lit(0)).alias("a_i"),
+        F.coalesce("b_i", F.lit(0)).alias("b_i"),
+    )
+    totals = full.agg(
+        F.sum("a_i").cast("long").alias("n_base"),
+        F.sum("b_i").cast("long").alias("n_cur"),
+    )
+    pv = (F.col("a_i") + 1).cast("double") / (
+        F.col("n_base") + F.lit(bins)
+    ).cast("double")
+    qv = (F.col("b_i") + 1).cast("double") / (
+        F.col("n_cur") + F.lit(bins)
+    ).cast("double")
+    terms = full.crossJoin(F.broadcast(totals)).select(
+        "n_base",
+        "n_cur",
+        ((pv - qv) * F.log(pv / qv)).alias("__term"),
+    )
+    return terms.groupBy("n_base", "n_cur").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("__term").alias("psi"),
+    ).select("n_base", "n_cur", "n_bins", "psi")

@@ -65,6 +65,7 @@ __all__ = [
     "bootstrap_counts",
     "bootstrap_resample",
     "negative_pairs",
+    "class_balance",
 ]
 
 _BUCKETS = 10_000
@@ -665,4 +666,48 @@ def negative_pairs(
         )
         .filter(F.col("negative") != F.col("anchor"))
         .select("anchor", "negative", F.col("draw").cast("int").alias("draw"))
+    )
+
+
+def class_balance(
+    df: DataFrame, class_col: str, id_col: str
+) -> DataFrame:
+    """Deterministic downsample-to-minority: every class keeps exactly
+    as many rows as the SMALLEST class has — the classic rebalancing
+    step before training a classifier on skewed labels (fraud, churn,
+    error events).
+
+    Scale-safe selection WITHOUT a per-class global sort: the kept set
+    is ``{rows : h(id) ≤ kth-smallest distinct hash in the class}``
+    with ``h`` the engine-portable 56-bit md5 hash and the threshold
+    located by the KMV coarse-histogram two-pass
+    (extended/sketches.py kmv_kth_hash) — a ``row_number`` over each
+    full class would funnel the majority class through ONE task, the
+    exact single-partition-sort anti-pattern; here only the O(k +
+    n/4096) sliver below the located cell is ever ranked, and the
+    final keep is a broadcast-join + narrow filter.  Selection is a
+    uniform random sample of each class (md5 is avalanche-uniform),
+    reproducible across engines and runs.
+
+    ``id_col`` must be unique per row (hash ties would otherwise keep
+    slightly more than k).  NULL classes are dropped.  The minority
+    count is read with one 1-row scalar action (bounded by
+    construction).  Output: the input rows that survive, with the
+    selection hash as ``__h``.
+    """
+    from .sketches import kmv_kth_hash, portable_hash56
+
+    base = df.filter(F.col(class_col).isNotNull())
+    k = base.groupBy(class_col).count().agg(F.min("count")).first()[0]
+    if k is None:
+        raise ValueError("class_balance needs at least one non-null class")
+    k = int(k)
+    if k < 2:
+        raise ValueError("minority class must have >= 2 rows")
+    th = kmv_kth_hash(base, [class_col], id_col, k=k)
+    return (
+        base.withColumn("__h", portable_hash56(F.col(id_col)))
+        .join(F.broadcast(th), class_col)
+        .filter(F.col("__h") <= F.col("kth_hash"))
+        .drop("kth_hash")
     )

@@ -14419,3 +14419,102 @@ def graph_hits(spark, sf_dir):
         (F.col("l_orderkey") + 2_000_000).alias("dst"),
     )
     return hits(e1.unionByName(e2), iterations=2)
+
+
+@query(
+    "profile_psi",
+    """
+    WITH f AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END AS a
+      FROM events WHERE value IS NOT NULL
+    ), m AS (
+      SELECT MIN(v) AS lo, MAX(v) AS hi FROM f WHERE a = 1
+    ), c AS (
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(9, GREATEST(0,
+                    CAST(FLOOR((v - lo) * 10.0 / (hi - lo)) AS INT))) END
+               AS bin,
+             CAST(SUM(a) AS BIGINT) AS a_i,
+             CAST(SUM(1 - a) AS BIGINT) AS b_i
+      FROM f, m GROUP BY 1
+    ), spine AS (
+      SELECT CAST(range AS INT) AS bin FROM range(10)
+    ), fb AS (
+      SELECT spine.bin, COALESCE(a_i, 0) AS a_i, COALESCE(b_i, 0) AS b_i
+      FROM spine LEFT JOIN c ON spine.bin = c.bin
+    ), t AS (
+      SELECT CAST(SUM(a_i) AS BIGINT) AS n_base,
+             CAST(SUM(b_i) AS BIGINT) AS n_cur
+      FROM fb
+    )
+    SELECT n_base, n_cur, CAST(COUNT(*) AS BIGINT) AS n_bins,
+           FLOOR(SUM(
+             ((a_i + 1) / CAST(n_base + 10 AS DOUBLE)
+              - (b_i + 1) / CAST(n_cur + 10 AS DOUBLE))
+             * ln(((a_i + 1) / CAST(n_base + 10 AS DOUBLE))
+                  / ((b_i + 1) / CAST(n_cur + 10 AS DOUBLE)))
+           ) * 1000000 + 0.5) / 1000000 AS psi
+    FROM fb, t GROUP BY n_base, n_cur
+    """,
+)
+def profile_psi(spark, sf_dir):
+    """Population Stability Index (extended/profile.py psi_drift) of
+    the event value distribution, early window (< 2024-01-20) as the
+    reference grid vs everything after — the standard "retrain or
+    not" monitor.  Equi-width bins over the reference min/max, +1
+    Laplace smoothing, full bin spine so empty bins contribute
+    deterministically.  One bounds aggregate + one 10-row count
+    aggregate; the corpus never shuffles.  Complements the
+    transcendental-free TVD gate (profile_drift)."""
+    from .extended.profile import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    out = psi_drift(
+        ev,
+        "value",
+        F.col("ts") < F.lit("2024-01-20").cast("timestamp"),
+        bins=10,
+    )
+    return out.select("n_base", "n_cur", "n_bins", qr(F.col("psi"), 6).alias("psi"))
+
+
+@query(
+    "sample_class_balance",
+    """
+    WITH b AS (
+      SELECT event_id, event_type,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 14)
+                  AS BIGINT) AS hh
+      FROM events WHERE event_type IS NOT NULL
+    ), n AS (
+      SELECT MIN(cnt) AS k FROM (
+        SELECT event_type, COUNT(*) AS cnt FROM b GROUP BY event_type
+      )
+    ), rk AS (
+      SELECT event_type, hh,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS r
+      FROM (SELECT DISTINCT event_type, hh FROM b)
+    ), th AS (
+      SELECT event_type, hh AS kth FROM rk, n WHERE rk.r = n.k
+    )
+    SELECT b.event_type, b.event_id, b.hh AS sel_hash
+    FROM b JOIN th ON b.event_type = th.event_type AND b.hh <= th.kth
+    """,
+)
+def sample_class_balance(spark, sf_dir):
+    """Downsample-to-minority class rebalancing (extended/sampling.py
+    class_balance): every event_type keeps exactly min-class-count
+    rows, selected by the portable 56-bit hash threshold located with
+    the KMV coarse-histogram two-pass — NO per-class global sort (a
+    row_number over the majority class would be the single-task
+    anti-pattern); the keep itself is a broadcast join + narrow
+    filter.  The oracle states the identical threshold rule (it may
+    sort — it is the spec, not the plan)."""
+    from .extended.sampling import class_balance
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    out = class_balance(ev, "event_type", "event_id")
+    return out.select(
+        "event_type", "event_id", F.col("__h").alias("sel_hash")
+    )

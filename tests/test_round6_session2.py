@@ -88,3 +88,59 @@ def test_qoi_gate_payloads_exercise_all_op_classes(spark):
                 seen.add({0: "index", 1: "diff", 2: "luma", 3: "run"}[tag >> 6])
                 pos += 2 if (tag >> 6) == 2 else 1
     assert {"rgb", "index", "diff", "luma", "run"} <= seen, seen
+
+
+def test_class_balance_equalizes_counts(spark, sf_dir):
+    from pandasy_spark.extended.sampling import class_balance
+    from pandasy_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    out = class_balance(ev, "event_type", "event_id")
+    got = {
+        r["event_type"]: r["n"]
+        for r in out.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    k = min(
+        r["n"]
+        for r in ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert set(got.values()) == {k}, got
+    # kept rows are a subset of the input
+    assert out.count() == k * len(got)
+
+
+def test_psi_zero_for_identical_halves(spark):
+    """PSI of a distribution against itself is ~0 (smoothing only)."""
+    from pandasy_spark.extended.profile import psi_drift
+
+    # halves interleave by 50-cycle so both see every value equally
+    # (i % 2 would correlate parity of v with the split — not identical)
+    rows = [(float(i % 50), (i // 50) % 2 == 0) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["v", "base"])
+    r = psi_drift(df, "v", F.col("base"), bins=10).first()
+    assert r["n_base"] == 1000 and r["n_cur"] == 1000 and r["n_bins"] == 10
+    assert abs(r["psi"]) < 1e-9
+
+
+def test_psi_detects_shift(spark):
+    from pandasy_spark.extended.profile import psi_drift
+
+    rows = [(float(i % 50), True) for i in range(1000)] + [
+        (float(40 + i % 50), False) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, ["v", "base"])
+    r = psi_drift(df, "v", F.col("base"), bins=10).first()
+    assert r["psi"] > 0.25, r["psi"]
+
+
+def test_psi_rejects_degenerate_bins(spark):
+    import pytest
+
+    from pandasy_spark.extended.profile import psi_drift
+
+    df = spark.createDataFrame([(1.0, True)], ["v", "base"])
+    with pytest.raises(ValueError):
+        psi_drift(df, "v", F.col("base"), bins=1)
