@@ -225,6 +225,7 @@ _R6_NEW: list[str] = [
     "graph_hits",
     "profile_psi",
     "sample_class_balance",
+    "multimodal_g711",
 ]
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 __all__ = [
     "decode_wav",
     "encode_wav",
+    "encode_wav_g711",
     "wav_features",
     "WAV_FEATURE_COLS",
     "spectral_features",
@@ -59,9 +60,11 @@ def encode_wav(samples: "object", sample_rate: int = 16000) -> bytes:
 
 def decode_wav(payload: bytes) -> "tuple":
     """Decode a RIFF/WAVE payload to ``(samples int16 (n, ch),
-    sample_rate)``.  Walks chunks (LIST/INFO etc. are skipped), PCM
-    format 1 with 16-bit depth only; anything else raises
-    NotImplementedError (compressed / float audio needs a library)."""
+    sample_rate)``.  Walks chunks (LIST/INFO etc. are skipped); PCM
+    format 1 at 16-bit and ITU-T G.711 formats 6/7 (A-law / mu-law,
+    8-bit, expanded to linear int16) decode natively; anything else
+    raises NotImplementedError (compressed / float audio needs a
+    library)."""
     import struct
 
     import numpy as np
@@ -89,16 +92,52 @@ def decode_wav(payload: bytes) -> "tuple":
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, ch, rate, _bps, _block, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError(
-            f"only PCM16 WAV decodes natively (format={audio_format}, "
-            f"bits={bits}); compressed/float audio needs a codec library"
-        )
     if ch < 1:
         raise ValueError("WAV with zero channels")
-    usable = (len(data) // (2 * ch)) * ch
-    a = np.frombuffer(data, "<i2", count=usable).reshape(-1, ch)
-    return a, rate
+    if audio_format == 1 and bits == 16:
+        usable = (len(data) // (2 * ch)) * ch
+        a = np.frombuffer(data, "<i2", count=usable).reshape(-1, ch)
+        return a, rate
+    if audio_format in (6, 7) and bits == 8:
+        # G.711 companded telephony audio (ITU-T G.711: A-law fmt 6,
+        # mu-law fmt 7) — 8-bit codes expanded to linear int16 via the
+        # 256-entry tables the spec defines; voicemail/call-center
+        # corpora are full of these
+        table = _alaw_table() if audio_format == 6 else _mulaw_table()
+        usable = (len(data) // ch) * ch
+        codes = np.frombuffer(data, np.uint8, count=usable)
+        a = table[codes].reshape(-1, ch)
+        return a, rate
+    raise NotImplementedError(
+        f"only PCM16 and G.711 (A-law/mu-law) WAV decode natively "
+        f"(format={audio_format}, bits={bits}); other compressed/float "
+        f"audio needs a codec library"
+    )
+
+
+def _mulaw_table() -> "object":
+    """ITU-T G.711 mu-law expansion table (Sun g711.c reference
+    algorithm): invert the code, rebuild the biased mantissa/segment,
+    strip the bias.  Pure integer closed form — the gate oracle states
+    the identical arithmetic in SQL."""
+    import numpy as np
+
+    u = 255 - np.arange(256, dtype=np.int64)  # ~code & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _alaw_table() -> "object":
+    """ITU-T G.711 A-law expansion table (Sun g711.c reference
+    algorithm): XOR 0x55, segment 0 is linear, higher segments shift a
+    0x108-biased mantissa.  Sign bit SET means positive in A-law."""
+    import numpy as np
+
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
 
 
 WAV_FEATURE_COLS = (
@@ -354,3 +393,21 @@ def wav_resample_features(
             )
 
     return df.mapInPandas(_extract, schema=RESAMPLE_COLS)
+
+
+def encode_wav_g711(codes: bytes, sample_rate: int = 8000, law: str = "mu") -> bytes:
+    """Wrap raw G.711 code bytes in a RIFF/WAVE container (format 7
+    mu-law / format 6 A-law, 8-bit mono) — the gate/test writer for
+    the companded-telephony decode path."""
+    import struct
+
+    if law not in ("mu", "a"):
+        raise ValueError("law must be 'mu' or 'a'")
+    data = bytes(codes)
+    fmt = struct.pack(
+        "<HHIIHH", 7 if law == "mu" else 6, 1, sample_rate, sample_rate, 1, 8
+    )
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+    out += b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out

@@ -14518,3 +14518,92 @@ def sample_class_balance(spark, sf_dir):
     return out.select(
         "event_type", "event_id", F.col("__h").alias("sel_hash")
     )
+
+
+@query(
+    "multimodal_g711",
+    # mu-law expansion is a pure-integer closed form (ITU-T G.711 /
+    # Sun g711.c): u = 255 - code; t = ((u%16)*8 + 132) << ((u//16)%8);
+    # sample = 132 - t if u >= 128 else t - 132.  Codes 127/255 (which
+    # decode to 0) are remapped down 1 so the sign sequence is
+    # zero-free and zero_crossings is a plain lag comparison.
+    """
+    WITH p AS (
+      SELECT doc_id, 10 + doc_id % 50 AS n
+      FROM documents WHERE doc_id < 200
+    ), s AS (
+      SELECT doc_id, n, unnest(range(n)) AS i FROM p
+    ), c AS (
+      SELECT doc_id, n, i,
+             CASE WHEN (doc_id*13 + i*7) % 256 IN (127, 255)
+                  THEN (doc_id*13 + i*7) % 256 - 1
+                  ELSE (doc_id*13 + i*7) % 256 END AS code
+      FROM s
+    ), u AS (
+      SELECT doc_id, n, i, 255 - code AS uv FROM c
+    ), d AS (
+      SELECT doc_id, n, i,
+             CASE WHEN uv >= 128
+                  THEN 132 - (((uv % 16) * 8 + 132) << ((uv // 16) % 8))
+                  ELSE (((uv % 16) * 8 + 132) << ((uv // 16) % 8)) - 132
+             END AS smp
+      FROM u
+    ), g AS (
+      SELECT doc_id, n, i, smp,
+             CASE WHEN smp > 0 THEN 1 ELSE -1 END AS sgn,
+             LAG(CASE WHEN smp > 0 THEN 1 ELSE -1 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(MAX(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(MAX(ABS(smp)) AS INT) AS peak,
+           FLOOR(SQRT(CAST(SUM(smp*smp) AS DOUBLE) / MAX(n)) * 1000000
+                 + 0.5) / 1000000 AS rms,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND prev != sgn
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM g GROUP BY doc_id
+    """,
+)
+def multimodal_g711(spark, sf_dir):
+    """REAL companded-telephony audio pipeline (extended/audio.py):
+    per document, wrap a deterministic G.711 mu-law code sequence in a
+    RIFF/WAVE container (format 7, 8-bit mono), decode through
+    wav_features' chunk walk + 256-entry expansion table, and feature-
+    extract.  The mu-law expansion is pure integer arithmetic, so the
+    oracle recomputes every SAMPLE in SQL and aggregates the identical
+    features — any table or fmt-dispatch bug breaks the hash.  The
+    A-law twin table is pinned against the same reference algorithm in
+    tests/test_audio.py.  Arrow-batched mapInPandas; no shuffle."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def _enc(batches):
+        from pandasy_spark.extended.audio import encode_wav_g711
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 10 + d % 50
+                codes = bytearray()
+                for i in range(n):
+                    c = (d * 13 + i * 7) % 256
+                    codes.append(c - 1 if c in (127, 255) else c)
+                payloads.append(encode_wav_g711(bytes(codes), 8000, "mu"))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_wav = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    from pandasy_spark.extended.audio import wav_features
+
+    out = wav_features(with_wav)
+    return out.select(
+        "doc_id", "sample_rate", "n_channels", "n_samples", "duration_ms",
+        "peak", qr(F.col("rms"), 6).alias("rms"), "zero_crossings",
+    )

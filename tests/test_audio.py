@@ -117,3 +117,81 @@ def test_spectral_silence_handled(spark):
     )
     r = spectral_features(df).collect()[0]
     assert r["parseval_ok"] is True  # zero-energy special case
+
+
+def test_g711_tables_match_reference_algorithm():
+    """Both expansion tables pinned against the ITU-T G.711 / Sun
+    g711.c scalar reference, all 256 codes."""
+    from pandasy_spark.extended.audio import _alaw_table, _mulaw_table
+
+    def ulaw_ref(c):
+        u = ~c & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    def alaw_ref(c):
+        a = c ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t += 0x108
+            t <<= seg - 1
+        return t if (a & 0x80) else -t
+
+    mt, at = _mulaw_table(), _alaw_table()
+    assert [int(v) for v in mt] == [ulaw_ref(c) for c in range(256)]
+    assert [int(v) for v in at] == [alaw_ref(c) for c in range(256)]
+    # spec anchors: both zero codes; A-law +/-8 around the XOR pivot
+    assert mt[0xFF] == 0 and mt[0x7F] == 0
+    assert at[0xD5] == 8 and at[0x55] == -8
+    # mu-law peak magnitude at the 16-bit scale (Sun g711.c
+    # convention, 8031 << 2) at codes 0x00/0x80
+    assert mt[0x00] == -32124 and mt[0x80] == 32124
+
+
+def test_g711_wav_roundtrip_and_dispatch():
+    from pandasy_spark.extended.audio import (
+        _alaw_table,
+        _mulaw_table,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    codes = bytes(range(256))
+    a, rate = decode_wav(encode_wav_g711(codes, 8000, "mu"))
+    assert rate == 8000 and a.shape == (256, 1)
+    assert (a[:, 0] == _mulaw_table()).all()
+    a, _ = decode_wav(encode_wav_g711(codes, 8000, "a"))
+    assert (a[:, 0] == _alaw_table()).all()
+
+
+def test_g711_unsupported_law_raises():
+    import pytest
+
+    from pandasy_spark.extended.audio import encode_wav_g711
+
+    with pytest.raises(ValueError):
+        encode_wav_g711(b"\x00", law="pcm")
+
+
+def test_non_g711_compressed_still_raises():
+    import struct
+
+    import pytest
+
+    from pandasy_spark.extended.audio import decode_wav
+
+    # format 2 (ADPCM) must keep raising NotImplementedError
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 8)
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4)
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00\x01\x02\x03"
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(payload)
