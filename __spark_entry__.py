@@ -226,6 +226,7 @@ _R6_NEW: list[str] = [
     "profile_psi",
     "sample_class_balance",
     "multimodal_g711",
+    "multimodal_exif",
 ]
 
 

@@ -46,6 +46,10 @@ __all__ = [
     "image_phash",
     "phash_dup_pairs",
     "sniff_format",
+    "build_exif_app1",
+    "parse_exif",
+    "exif_features",
+    "EXIF_SCHEMA",
     "encode_tga",
 ]
 
@@ -1172,3 +1176,208 @@ def _decode_pcx(payload: bytes) -> "object":
         pal = np.frombuffer(payload, np.uint8, count=768, offset=len(payload) - 768)
         return np.ascontiguousarray(pal.reshape(256, 3)[idx])
     return np.repeat(idx[:, :, None], 3, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata (JPEG APP1 / TIFF IFD structure — public EXIF 2.x and
+# TIFF 6.0 specs).  Metadata triage is the FIRST pass of an image
+# intake pipeline: orientation fixes, capture-time windows, device
+# mix, claimed-vs-actual dimension checks — all read from the APP1
+# segment without entropy-decoding a single MCU, so the scan costs
+# header bytes, not pixels.
+# ---------------------------------------------------------------------------
+
+_EXIF_TAGS_IFD0 = {271: "make", 272: "model", 274: "orientation", 306: "datetime"}
+_EXIF_TAGS_SUB = {36867: "datetime_original", 40962: "pixel_w", 40963: "pixel_h"}
+_EXIF_POINTER = 34665
+
+
+def build_exif_app1(
+    make: str = "",
+    model: str = "",
+    orientation: int = 1,
+    datetime: str = "",
+    datetime_original: str = "",
+    pixel_w: int = 0,
+    pixel_h: int = 0,
+) -> bytes:
+    """Build a JPEG APP1 segment (``FF E1 len 'Exif\\0\\0'`` + a
+    little-endian TIFF block with IFD0 and the Exif sub-IFD) — the
+    writer half used by gates/tests; production metadata comes from
+    cameras."""
+    import struct
+
+    def _entries(tags: list) -> tuple:
+        # returns (entry_bytes, data_bytes, data_offset_base_updater)
+        return tags
+
+    # layout: TIFF header (8) | IFD0 count+entries+next (2+12n+4) |
+    # sub-IFD count+entries+next | string data area
+    ifd0 = [
+        (271, make + "\x00"),
+        (272, model + "\x00"),
+        (274, orientation),
+        (306, datetime + "\x00"),
+        (_EXIF_POINTER, None),  # pointer patched below
+    ]
+    sub = [
+        (36867, datetime_original + "\x00"),
+        (40962, pixel_w),
+        (40963, pixel_h),
+    ]
+    ifd0_off = 8
+    sub_off = ifd0_off + 2 + 12 * len(ifd0) + 4
+    data_off = sub_off + 2 + 12 * len(sub) + 4
+    data = bytearray()
+
+    def _entry(tag, val, sub_ifd_off):
+        nonlocal data
+        if tag == _EXIF_POINTER:
+            return struct.pack("<HHI", tag, 4, 1) + struct.pack("<I", sub_ifd_off)
+        if isinstance(val, int):
+            typ = 3 if tag == 274 else 4
+            if typ == 3:
+                return struct.pack("<HHI", tag, 3, 1) + struct.pack("<HH", val, 0)
+            return struct.pack("<HHI", tag, 4, 1) + struct.pack("<I", val)
+        raw = val.encode("ascii")
+        if len(raw) <= 4:
+            return struct.pack("<HHI", tag, 2, len(raw)) + raw.ljust(4, b"\x00")
+        off = data_off + len(data)
+        data += raw
+        return struct.pack("<HHI", tag, 2, len(raw)) + struct.pack("<I", off)
+
+    ifd0_b = struct.pack("<H", len(ifd0))
+    for tag, val in ifd0:
+        ifd0_b += _entry(tag, val, sub_off)
+    ifd0_b += struct.pack("<I", 0)
+    sub_b = struct.pack("<H", len(sub))
+    for tag, val in sub:
+        sub_b += _entry(tag, val, sub_off)
+    sub_b += struct.pack("<I", 0)
+    tiff = b"II*\x00" + struct.pack("<I", ifd0_off) + ifd0_b + sub_b + bytes(data)
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def parse_exif(payload: bytes) -> dict:
+    """Parse EXIF metadata from a JPEG payload: walk the marker
+    segments (skipping entropy-coded data is unnecessary — APP
+    segments precede the first SOS), find the ``Exif\\0\\0`` APP1,
+    and read IFD0 + the Exif sub-IFD.  Returns a dict with any of
+    make/model/orientation/datetime/datetime_original/pixel_w/pixel_h
+    present; empty dict when the payload has no EXIF.  Both byte
+    orders (II/MM) supported; ASCII/SHORT/LONG tag types only (the
+    triage fields are all of those types)."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos, n = 2, len(payload)
+    tiff = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xDA:  # SOS: metadata segments are all behind us
+            break
+        (size,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            tiff = body[6:]
+            break
+        pos += 2 + size
+    if tiff is None:
+        return {}
+    if tiff[:2] == b"II":
+        bo = "<"
+    elif tiff[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("bad EXIF TIFF byte order")
+    (ifd_off,) = struct.unpack(bo + "I", tiff[4:8])
+    out: dict = {}
+
+    def _read_ifd(off: int, names: dict) -> None:
+        (cnt,) = struct.unpack(bo + "H", tiff[off : off + 2])
+        for k in range(cnt):
+            e = off + 2 + 12 * k
+            tag, typ, num = struct.unpack(bo + "HHI", tiff[e : e + 8])
+            val_raw = tiff[e + 8 : e + 12]
+            if tag == _EXIF_POINTER and typ == 4:
+                (sub,) = struct.unpack(bo + "I", val_raw)
+                _read_ifd(sub, _EXIF_TAGS_SUB)
+                continue
+            if tag not in names:
+                continue
+            if typ == 2:  # ASCII, NUL-terminated
+                if num <= 4:
+                    raw = val_raw[:num]
+                else:
+                    (voff,) = struct.unpack(bo + "I", val_raw)
+                    raw = tiff[voff : voff + num]
+                out[names[tag]] = raw.rstrip(b"\x00").decode("ascii", "replace")
+            elif typ == 3:  # SHORT
+                out[names[tag]] = struct.unpack(bo + "H", val_raw[:2])[0]
+            elif typ == 4:  # LONG
+                out[names[tag]] = struct.unpack(bo + "I", val_raw)[0]
+
+    _read_ifd(ifd_off, _EXIF_TAGS_IFD0)
+    return out
+
+
+EXIF_SCHEMA = (
+    "doc_id long, make string, model string, orientation int, "
+    "datetime string, datetime_original string, pixel_w long, pixel_h long"
+)
+
+
+def exif_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """EXIF triage over Arrow-batched ``mapInPandas``: one row per
+    decodable JPEG with its APP1 metadata fields (NULL where a field
+    is absent); payloads without EXIF or that are not JPEGs are
+    dropped (quarantine contract, as image_stats).  Header-bytes-only
+    CPU — no entropy decode — so the 100 TB pass is scan-bound."""
+
+    def _extract(batches):
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    meta = parse_exif(bytes(p))
+                except DECODE_ERRORS:
+                    continue
+                if not meta:
+                    continue
+                rows.append(
+                    (
+                        int(did),
+                        meta.get("make"),
+                        meta.get("model"),
+                        meta.get("orientation"),
+                        meta.get("datetime"),
+                        meta.get("datetime_original"),
+                        meta.get("pixel_w"),
+                        meta.get("pixel_h"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "make", "model", "orientation",
+                    "datetime", "datetime_original", "pixel_w", "pixel_h",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "orientation": "Int32",
+                    "pixel_w": "Int64", "pixel_h": "Int64",
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _extract, schema=EXIF_SCHEMA
+    )

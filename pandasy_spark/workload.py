@@ -14607,3 +14607,66 @@ def multimodal_g711(spark, sf_dir):
         "doc_id", "sample_rate", "n_channels", "n_samples", "duration_ms",
         "peak", qr(F.col("rms"), 6).alias("rms"), "zero_crossings",
     )
+
+
+@query(
+    "multimodal_exif",
+    """
+    SELECT doc_id,
+           'Maker' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           'M-' || CAST(doc_id % 11 AS VARCHAR) AS model,
+           CAST(doc_id % 8 + 1 AS INT) AS orientation,
+           '2024:' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+             || ':15 12:00:00' AS datetime,
+           '2024:' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+             || ':' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || ' 08:30:00' AS datetime_original,
+           CAST(doc_id % 100 + 1 AS BIGINT) AS pixel_w,
+           CAST(doc_id % 50 + 1 AS BIGINT) AS pixel_h
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_exif(spark, sf_dir):
+    """EXIF metadata triage (extended/multimodal.py parse_exif /
+    exif_features): per document, a REAL baseline JPEG (extended/
+    jpeg.py encoder) gets a spliced APP1 Exif segment (build_exif_app1
+    — little-endian TIFF block, IFD0 + Exif sub-IFD), and the
+    extractor walks the marker stream and both IFDs WITHOUT entropy-
+    decoding any pixel data — orientation fixes, capture-time windows
+    and device mix from header bytes only.  The closed-form oracle
+    pins every field; a marker-walk or IFD-offset bug breaks the
+    hash.  Arrow-batched mapInPandas; no shuffle."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.jpeg import encode_jpeg
+        from pandasy_spark.extended.multimodal import build_exif_app1
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                arr = np.full((2, 2, 3), (d * 37) % 256, dtype=np.uint8)
+                jpg = encode_jpeg(arr)
+                app1 = build_exif_app1(
+                    make=f"Maker{d % 5}",
+                    model=f"M-{d % 11}",
+                    orientation=d % 8 + 1,
+                    datetime=f"2024:{d % 12 + 1:02d}:15 12:00:00",
+                    datetime_original=(
+                        f"2024:{d % 12 + 1:02d}:{d % 28 + 1:02d} 08:30:00"
+                    ),
+                    pixel_w=d % 100 + 1,
+                    pixel_h=d % 50 + 1,
+                )
+                payloads.append(jpg[:2] + app1 + jpg[2:])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_jpg = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    return X_mm.exif_features(with_jpg)

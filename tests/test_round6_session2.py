@@ -144,3 +144,57 @@ def test_psi_rejects_degenerate_bins(spark):
     df = spark.createDataFrame([(1.0, True)], ["v", "base"])
     with pytest.raises(ValueError):
         psi_drift(df, "v", F.col("base"), bins=1)
+
+
+def test_exif_roundtrip_both_byte_orders_and_edges():
+    import struct
+
+    from pandasy_spark.extended.multimodal import build_exif_app1, parse_exif
+
+    app1 = build_exif_app1(
+        make="A", model="LongModelName-12345", orientation=6,
+        datetime="2023:12:31 23:59:59",
+        datetime_original="2023:01:01 00:00:00", pixel_w=4032, pixel_h=3024,
+    )
+    payload = b"\xff\xd8" + app1 + b"\xff\xd9"
+    m = parse_exif(payload)
+    # short ASCII (<= 4 bytes, stored inline) and long (offset area)
+    assert m["make"] == "A" and m["model"] == "LongModelName-12345"
+    assert m["orientation"] == 6 and m["pixel_w"] == 4032
+    # big-endian TIFF block: flip the writer's output header + fields
+    # by hand for the minimal MM case (orientation only)
+    tiff = (
+        b"MM\x00*" + struct.pack(">I", 8)
+        + struct.pack(">H", 1)
+        + struct.pack(">HHI", 274, 3, 1) + struct.pack(">HH", 5, 0)
+        + struct.pack(">I", 0)
+    )
+    body = b"Exif\x00\x00" + tiff
+    payload = (
+        b"\xff\xd8" + b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+        + b"\xff\xd9"
+    )
+    assert parse_exif(payload) == {"orientation": 5}
+
+
+def test_exif_absent_and_non_jpeg():
+    import pytest
+
+    from pandasy_spark.extended.multimodal import parse_exif
+
+    assert parse_exif(b"\xff\xd8\xff\xd9") == {}
+    with pytest.raises(ValueError):
+        parse_exif(b"\x89PNG")
+
+
+def test_exif_stops_at_sos():
+    """APP1 after SOS must NOT be read (EXIF lives before scan data;
+    bytes after SOS are entropy-coded and can alias markers)."""
+    import struct
+
+    from pandasy_spark.extended.multimodal import build_exif_app1, parse_exif
+
+    app1 = build_exif_app1(make="X", orientation=3)
+    sos = b"\xff\xda" + struct.pack(">H", 2)
+    payload = b"\xff\xd8" + sos + app1 + b"\xff\xd9"
+    assert parse_exif(payload) == {}
