@@ -1146,11 +1146,24 @@ def dedup_exact(spark, sf_dir):
 @query(
     "dedup_ngram_jaccard",
     """
-    WITH d AS (
+    WITH d0 AS (
       SELECT lang, CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bucket, doc_id,
              list_distinct([substring(text, i, 3)
                             for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS sh
       FROM documents
+    ), ex AS (
+      SELECT lang, len_bucket, doc_id, unnest(sh) AS s FROM d0
+    ), hb AS (
+      SELECT lang, len_bucket, doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                      [ord(substring(s, i, 1))
+                                       for i in range(1, len(s)+1)]),
+                         (acc, c) -> (acc * 257 + c) % 9007199254740992)
+             % 2147483647 AS h
+      FROM ex
+    ), d AS (
+      SELECT lang, len_bucket, doc_id, list_distinct(list(h)) AS sh
+      FROM hb GROUP BY 1, 2, 3
     ), p AS (
       SELECT a.lang, a.len_bucket, a.doc_id AS id1, b.doc_id AS id2,
              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -1173,7 +1186,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
         "len_bucket", F.floor(F.col("n_chars") / 100).cast("long")
     )
     return X_dedup.blocked_jaccard_pairs(
-        docs, ["lang", "len_bucket"], n=3, threshold=0.6
+        docs, ["lang", "len_bucket"], n=3, threshold=0.6, hashed=True
     )
 
 
