@@ -227,6 +227,7 @@ _R6_NEW: list[str] = [
     "sample_class_balance",
     "multimodal_g711",
     "multimodal_exif",
+    "warehouse_golden_record",
 ]
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_apply", "merge_upsert", "snapshot_diff", "cdc_apply"]
+__all__ = ["scd2_apply", "merge_upsert", "snapshot_diff", "cdc_apply", "golden_records"]
 
 
 def _assert_unique_keys(df: DataFrame, keys: list[str], side: str) -> DataFrame:
@@ -358,3 +358,83 @@ def cdc_apply(
         for c in payload
     ]
     return joined.filter(survives).select(*out_cols)
+
+
+def golden_records(
+    df: DataFrame,
+    cluster_col: str,
+    rules: dict[str, tuple[str, str | None]],
+    recency_col: str | None = None,
+) -> DataFrame:
+    """Field-level SURVIVORSHIP merge — the "golden record" step of
+    master-data management: after entity resolution clusters records
+    (exact_dedup / blocked_jaccard_pairs + connected_components own
+    the matching), each cluster collapses to ONE canonical row with a
+    per-field rule:
+
+    - ``("max", None)`` / ``("min", None)`` / ``("sum", None)``:
+      plain aggregates (sum callers wanting exactness pre-scale to an
+      integer grid).
+    - ``("latest", None)`` / ``("earliest", None)``: value from the
+      most/least recent record by ``recency_col`` (``max_by`` /
+      ``min_by`` — ties resolved by Spark's first-encountered; pass a
+      unique recency key for determinism).
+    - ``("latest_non_null", None)``: most recent NON-NULL value — the
+      standard phone/email rule; rows whose value is NULL are ignored
+      because their ordering key is masked to NULL (``max_by`` skips
+      NULL ordering keys).
+    - ``("mode", None)``: most frequent value, ties to the SMALLEST
+      value (deterministic, engine-portable).
+
+    Output: one row per cluster: ``(cluster, <field per rule>,
+    n_records)``.  Scale shape: ONE map-combined hash aggregate keyed
+    by cluster — survivorship never shuffles more than (clusters x
+    fields); the mode rule alone needs a per-(cluster, value) count
+    first, done as a self-contained pre-aggregate joined back in
+    (still bounded by distinct values per cluster)."""
+    if recency_col is None and any(
+        r[0] in ("latest", "earliest", "latest_non_null")
+        for r in rules.values()
+    ):
+        raise ValueError("recency-based rules need recency_col")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_records")]
+    mode_cols = [c for c, (rule, _) in rules.items() if rule == "mode"]
+    for col, (rule, _arg) in rules.items():
+        c = F.col(col)
+        if rule == "max":
+            aggs.append(F.max(c).alias(col))
+        elif rule == "min":
+            aggs.append(F.min(c).alias(col))
+        elif rule == "sum":
+            aggs.append(F.sum(c).alias(col))
+        elif rule == "latest":
+            aggs.append(F.max_by(c, F.col(recency_col)).alias(col))
+        elif rule == "earliest":
+            aggs.append(F.min_by(c, F.col(recency_col)).alias(col))
+        elif rule == "latest_non_null":
+            aggs.append(
+                F.max_by(
+                    c, F.when(c.isNotNull(), F.col(recency_col))
+                ).alias(col)
+            )
+        elif rule == "mode":
+            continue  # handled via the count pre-aggregate below
+        else:
+            raise ValueError(f"unknown survivorship rule {rule!r}")
+    out = df.groupBy(F.col(cluster_col).alias("__cluster")).agg(*aggs)
+    for col in mode_cols:
+        counts = (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(F.col(cluster_col).alias("__cluster"), F.col(col))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .groupBy("__cluster")
+            .agg(
+                # most frequent; ties -> smallest value: max over
+                # (count, reversed-value) via min_by on (-count, value)
+                F.min_by(
+                    F.col(col), F.struct((-F.col("__n")).alias("a"), F.col(col).alias("b"))
+                ).alias(col)
+            )
+        )
+        out = out.join(counts, "__cluster", "left")
+    return out.withColumnRenamed("__cluster", cluster_col)

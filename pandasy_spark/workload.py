@@ -14683,3 +14683,122 @@ def multimodal_exif(spark, sf_dir):
 
     with_jpg = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
     return X_mm.exif_features(with_jpg)
+
+
+@query(
+    "warehouse_golden_record",
+    """
+    WITH recs AS (
+      SELECT c_custkey AS cluster, v,
+             c_name || CASE WHEN v = 0 THEN '' ELSE ' v' || CAST(v AS VARCHAR) END
+               AS name,
+             CASE WHEN (c_custkey + v) % 3 = 0 THEN NULL
+                  ELSE '1-' || CAST((c_custkey * 7) % 900 + 100 AS VARCHAR)
+                       || '-' || CAST(v AS VARCHAR) END AS phone,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + v * 17 AS bal_cents,
+             CASE WHEN v = 2 THEN 'ALTSEG' ELSE c_mktsegment END AS seg
+      FROM customer, (SELECT unnest(range(3)) AS v)
+      WHERE v <= c_custkey % 3
+    ), base AS (
+      SELECT cluster,
+             CAST(COUNT(*) AS BIGINT) AS n_records,
+             CAST(MAX(bal_cents) AS BIGINT) AS best_bal_cents,
+             CAST(SUM(bal_cents) AS BIGINT) AS total_cents
+      FROM recs GROUP BY cluster
+    ), nm AS (
+      SELECT cluster, name FROM (
+        SELECT cluster, name,
+               ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY v DESC) AS rk
+        FROM recs
+      ) WHERE rk = 1
+    ), ph AS (
+      SELECT cluster, phone FROM (
+        SELECT cluster, phone,
+               ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY v DESC) AS rk
+        FROM recs WHERE phone IS NOT NULL
+      ) WHERE rk = 1
+    ), sg AS (
+      SELECT cluster, seg FROM (
+        SELECT cluster, seg,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cluster ORDER BY COUNT(*) DESC, seg ASC
+               ) AS rk
+        FROM recs GROUP BY cluster, seg
+      ) WHERE rk = 1
+    )
+    SELECT base.cluster AS c_custkey, n_records, nm.name AS name,
+           ph.phone AS phone, best_bal_cents, total_cents, sg.seg AS seg
+    FROM base
+    JOIN nm ON base.cluster = nm.cluster
+    LEFT JOIN ph ON base.cluster = ph.cluster
+    JOIN sg ON base.cluster = sg.cluster
+    """,
+)
+def warehouse_golden_record(spark, sf_dir):
+    """Field-level survivorship merge (operators/scd.py
+    golden_records) — the MDM "golden record" step after entity
+    resolution: deterministic multi-variant customer records (1-3 per
+    customer: suffixed names, some NULL phones, drifted balances, a
+    conflicting segment) collapse to one canonical row per cluster
+    with per-field rules — latest name, latest NON-NULL phone, max
+    balance, integer-grid sum, mode segment with smallest-value tie
+    break.  ONE map-combined aggregate keyed by cluster (+ a bounded
+    per-(cluster,value) pre-aggregate for the mode rule); the oracle
+    states each rule with windows — spec, not plan."""
+    from .operators.scd import golden_records
+
+    cust = _t(spark, sf_dir, "customer")
+    recs = cust.select(
+        F.col("c_custkey").alias("cluster"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("c_custkey") % 3).cast("int"))
+        ).alias("v"),
+        "c_name", "c_acctbal", "c_mktsegment",
+    ).select(
+        "cluster",
+        "v",
+        F.concat(
+            F.col("c_name"),
+            F.when(F.col("v") == 0, F.lit("")).otherwise(
+                F.concat(F.lit(" v"), F.col("v").cast("string"))
+            ),
+        ).alias("name"),
+        F.when((F.col("cluster") + F.col("v")) % 3 == 0, F.lit(None)).otherwise(
+            F.concat(
+                F.lit("1-"),
+                ((F.col("cluster") * 7) % 900 + 100).cast("string"),
+                F.lit("-"),
+                F.col("v").cast("string"),
+            )
+        ).alias("phone"),
+        (
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+            + F.col("v") * 17
+        ).alias("bal_cents"),
+        F.when(F.col("v") == 2, F.lit("ALTSEG"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    out = golden_records(
+        recs,
+        "cluster",
+        {
+            "name": ("latest", None),
+            "phone": ("latest_non_null", None),
+            "bal_cents": ("max", None),
+            "seg": ("mode", None),
+        },
+        recency_col="v",
+    )
+    totals = recs.groupBy("cluster").agg(
+        F.sum("bal_cents").cast("long").alias("total_cents")
+    )
+    return out.join(totals, "cluster").select(
+        F.col("cluster").alias("c_custkey"),
+        "n_records",
+        "name",
+        "phone",
+        F.col("bal_cents").cast("long").alias("best_bal_cents"),
+        "total_cents",
+        "seg",
+    )

@@ -1005,6 +1005,201 @@ def probe_r6d() -> None:
 
 
 
+
+def probe_r6e() -> None:
+    """sf1.0 probes for the session-2 operators over FULL scaled
+    tables (gates bound rows for the oracle; probes measure 10x):
+    Hilbert key + clustered write path, HITS rounds, PSI drift, the
+    KMV-thresholded class balance, the fixed winnowing pass, and the
+    per-payload codec CPU of QOI / G.711 / EXIF over all documents.
+    blocked_jaccard_pairs is deliberately NOT probed at 10x: blocks
+    scale with the corpus so its pair loop is Σ|block|² BY SEMANTICS
+    (~100x at 10x rows) — the documented scale path for near-dup at
+    100 TB is the MinHash/LSH family, which IS probed (r2/r6)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pandasy_spark.session import get_spark
+
+    spark = get_spark("pandasy-scale-probe-r6e")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def t(sf_dir, name):
+        from pandasy_spark.sources import load_table
+
+        return load_table(spark, sf_dir, name)
+
+    def hilbert_probe(sf_dir):
+        from pandasy_spark.sources import with_hilbert
+
+        return with_hilbert(
+            t(sf_dir, "orders"), ["o_custkey", "o_totalprice"], bits=16
+        ).select("o_orderkey", "__h")
+
+    def hits_probe(sf_dir):
+        from pandasy_spark.extended.graph import hits
+
+        li = t(sf_dir, "lineitem")
+        e1 = li.select(
+            F.col("l_partkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        e2 = li.select(
+            (F.col("l_suppkey") + 1_000_000).alias("src"),
+            (F.col("l_orderkey") + 2_000_000).alias("dst"),
+        )
+        return hits(e1.unionByName(e2), iterations=2)
+
+    def psi_probe(sf_dir):
+        from pandasy_spark.extended.profile import psi_drift
+
+        return psi_drift(
+            t(sf_dir, "events"),
+            "value",
+            F.col("ts") < F.lit("2024-01-20").cast("timestamp"),
+            bins=10,
+        )
+
+    def balance_probe(sf_dir):
+        from pandasy_spark.extended.sampling import class_balance
+
+        ev = t(sf_dir, "events").select("event_id", "event_type")
+        return class_balance(ev, "event_type", "event_id")
+
+    def winnow_probe(sf_dir):
+        from pandasy_spark.extended.dedup import winnow_fingerprints
+
+        # modulo slice (NOT an id-range filter — replication shifts
+        # ids, so a fixed range selects equal rows at both scales):
+        # ~500 docs at sf0.1, 5000 at sf1.0.  Winnowing costs ~15 ms
+        # per 300-char doc in interpreted HOFs, so the full 50k-doc
+        # probe would dominate the whole probe batch.
+        docs = t(sf_dir, "documents").filter(F.pmod(F.col("doc_id"), 10) == 0)
+        return winnow_fingerprints(docs, k=5, w=4)
+
+    def qoi_probe(sf_dir):
+        import numpy as np
+        import pandas as pd
+
+        docs = t(sf_dir, "documents").select("doc_id")
+
+        def _enc(batches):
+            from pandasy_spark.extended.qoi import encode_qoi
+
+            for pdf in batches:
+                payloads = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    w, h, delta = d % 6 + 2, d % 4 + 1, d % 4
+                    base = ((d * 97) % 200, (d * 101) % 200, (d * 103) % 200)
+                    col = np.arange(w, dtype=np.int64) * delta
+                    row = np.stack([b + col for b in base], axis=-1)
+                    arr = np.broadcast_to(row, (h, w, 3)).astype(np.uint8)
+                    payloads.append(encode_qoi(arr))
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+                )
+
+        from pandasy_spark.extended.multimodal import image_stats
+
+        return image_stats(
+            docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+        )
+
+    def g711_probe(sf_dir):
+        import pandas as pd
+
+        docs = t(sf_dir, "documents").select("doc_id")
+
+        def _enc(batches):
+            from pandasy_spark.extended.audio import encode_wav_g711
+
+            for pdf in batches:
+                payloads = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    n = 10 + d % 50
+                    codes = bytearray(
+                        (d * 13 + i * 7) % 256 for i in range(n)
+                    )
+                    payloads.append(encode_wav_g711(bytes(codes), 8000, "mu"))
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+                )
+
+        from pandasy_spark.extended.audio import wav_features
+
+        return wav_features(
+            docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+        )
+
+    def exif_probe(sf_dir):
+        import numpy as np
+        import pandas as pd
+
+        docs = t(sf_dir, "documents").select("doc_id")
+
+        def _enc(batches):
+            from pandasy_spark.extended.jpeg import encode_jpeg
+            from pandasy_spark.extended.multimodal import build_exif_app1
+
+            for pdf in batches:
+                payloads = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    arr = np.full((2, 2, 3), (d * 37) % 256, dtype=np.uint8)
+                    jpg = encode_jpeg(arr)
+                    app1 = build_exif_app1(
+                        make=f"Maker{d % 5}", model=f"M-{d % 11}",
+                        orientation=d % 8 + 1,
+                        datetime=f"2024:{d % 12 + 1:02d}:15 12:00:00",
+                        datetime_original=(
+                            f"2024:{d % 12 + 1:02d}:{d % 28 + 1:02d} 08:30:00"
+                        ),
+                        pixel_w=d % 100 + 1, pixel_h=d % 50 + 1,
+                    )
+                    payloads.append(jpg[:2] + app1 + jpg[2:])
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+                )
+
+        from pandasy_spark.extended.multimodal import exif_features
+
+        return exif_features(
+            docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+        )
+
+    probes = {
+        "hilbert_orders": hilbert_probe,
+        "hits_lineitem": hits_probe,
+        "psi_events": psi_probe,
+        "class_balance_events": balance_probe,
+        "winnow_documents": winnow_probe,
+        "qoi_documents": qoi_probe,
+        "g711_documents": g711_probe,
+        "exif_documents": exif_probe,
+    }
+    subset = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    results: dict[str, dict[str, float]] = {}
+    for name, fn in probes.items():
+        if subset and name not in subset:
+            continue
+        results[name] = {}
+        for label, sf_dir in [("sf0.1", SRC), ("sf1.0", DST)]:
+            best = float("inf")
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                fn(sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, _t.perf_counter() - t0)
+            results[name][label] = round(best, 2)
+        results[name]["ratio"] = round(
+            results[name]["sf1.0"] / max(results[name]["sf0.1"], 1e-9), 2
+        )
+        print(name, results[name], flush=True)
+    print(json.dumps({"r6e_probes": results}))
+
+
 if __name__ == "__main__":
     {
         "build": build,
@@ -1015,5 +1210,6 @@ if __name__ == "__main__":
         "probe_r6b": probe_r6b,
         "probe_r6c": probe_r6c,
         "probe_r6d": probe_r6d,
+        "probe_r6e": probe_r6e,
         "bpe50k": bpe50k,
     }[sys.argv[1]]()
