@@ -198,3 +198,55 @@ def test_exif_stops_at_sos():
     sos = b"\xff\xda" + struct.pack(">H", 2)
     payload = b"\xff\xd8" + sos + app1 + b"\xff\xd9"
     assert parse_exif(payload) == {}
+
+
+def test_golden_records_rules(spark):
+    from pandasy_spark.operators.scd import golden_records
+
+    rows = [
+        # cluster 1: phones null on latest -> latest_non_null picks v=1
+        (1, 0, "a0", "p0", 10, "X"),
+        (1, 1, "a1", "p1", 5, "Y"),
+        (1, 2, "a2", None, 7, "X"),
+        # cluster 2: ALL phones null -> NULL survives
+        (2, 0, "b0", None, 1, "Z"),
+        # cluster 3: mode tie (W vs V once each) -> smallest value V
+        (3, 0, "c0", "q0", 3, "W"),
+        (3, 1, "c1", "q1", 4, "V"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["cluster", "v", "name", "phone", "bal", "seg"]
+    )
+    out = {
+        r["cluster"]: r
+        for r in golden_records(
+            df,
+            "cluster",
+            {
+                "name": ("latest", None),
+                "phone": ("latest_non_null", None),
+                "bal": ("max", None),
+                "seg": ("mode", None),
+            },
+            recency_col="v",
+        ).collect()
+    }
+    assert out[1]["name"] == "a2" and out[1]["phone"] == "p1"
+    assert out[1]["bal"] == 10 and out[1]["seg"] == "X"
+    assert out[1]["n_records"] == 3
+    assert out[2]["phone"] is None and out[2]["seg"] == "Z"
+    assert out[3]["seg"] == "V" and out[3]["name"] == "c1"
+
+
+def test_golden_records_requires_recency_for_latest(spark):
+    import pytest
+
+    from pandasy_spark.operators.scd import golden_records
+
+    df = spark.createDataFrame([(1, "a")], ["cluster", "name"])
+    with pytest.raises(ValueError):
+        golden_records(df, "cluster", {"name": ("latest", None)})
+    with pytest.raises(ValueError):
+        golden_records(
+            df, "cluster", {"name": ("shiniest", None)}, recency_col="cluster"
+        )
