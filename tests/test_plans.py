@@ -205,3 +205,40 @@ def test_q2_part_filter_pruned_early(spark, sf_dir):
     # the printed (top-down) tree
     top_down = plan
     assert top_down.index("LeftSemi") > top_down.index("partial_min")
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Spark's AQE runtime-filter pass injects a BloomFilter
+    might-contain predicate on the FACT side of a selective dim-filter
+    join — at 100 TB this prunes lineitem rows before the shuffle
+    instead of after the join.  The size thresholds are tuned here
+    because the sf0.1 files sit under the production defaults; the
+    point pinned is that our plain declarative join SHAPE is eligible
+    for injection (no manual semi-join needed)."""
+    from pyspark.sql import functions as F
+
+    from pandasy_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 500000
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
