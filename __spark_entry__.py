@@ -228,6 +228,7 @@ _R6_NEW: list[str] = [
     "multimodal_g711",
     "multimodal_exif",
     "warehouse_golden_record",
+    "events_survival",
 ]
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "kaplan_meier",
     "funnel",
     "retention_cohorts",
     "sequence_ngrams",
@@ -1112,4 +1113,84 @@ def markov_removal_effects(
             "CAST(CASE WHEN variant = 'base' THEN 0"
             " ELSE (__b - conv_nano) * 1000 div __b END AS BIGINT)"
         ).alias("removal_permille"),
+    )
+
+
+def kaplan_meier(
+    durations: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "churned",
+) -> DataFrame:
+    """Kaplan-Meier survival estimator — the standard churn/retention
+    curve under right-censoring: ``S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)``
+    where ``d_i`` counts events (churns) AT duration ``t_i`` and
+    ``n_i`` counts subjects still AT RISK (duration ≥ t_i); censored
+    subjects (still active at observation end) leave the risk set
+    without counting as events — the correction naive "percent
+    retained" curves get wrong.
+
+    Input: one row per subject: ``(duration, churned)`` with
+    ``churned`` false meaning censored.  Output: one row per distinct
+    EVENT time: ``(t, n_risk, n_events, n_censored, survival)``.
+
+    Exactness/scale: the subject table collapses to ONE map-combined
+    aggregate keyed by duration (d_i, c_i per t) — shuffle volume =
+    #distinct durations, bounded by the observation window in days,
+    not by subjects.  ``n_risk`` is a suffix sum and ``survival`` a
+    cumulative product, both over that tiny aggregate via ordered
+    windows (``exp(Σ ln(1 − d/n))`` — the ordered window fixes the
+    summation order, so engines agree bit-for-bit before the final
+    rounding).  All counts BIGINT-exact.
+    """
+    from pyspark.sql.window import Window
+
+    per_t = (
+        durations.select(
+            F.col(duration_col).cast("long").alias("t"),
+            F.when(F.col(event_col), 1).otherwise(0).alias("__e"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(
+            F.sum("__e").cast("long").alias("n_events"),
+            F.sum(F.lit(1) - F.col("__e")).cast("long").alias("n_censored"),
+        )
+    )
+    # suffix sum over the (bounded) duration grid: subjects at risk at
+    # t = all with duration >= t
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = per_t.withColumn(
+        "n_risk",
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_desc),
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # a step where EVERYONE at risk churns (d == n) makes the factor
+    # exactly 0 — engines disagree on ln(0) (Spark NULL, not -inf), so
+    # zero factors are masked out of the log sum and tracked with a
+    # flag that pins survival to exactly 0.0 from that step on
+    full_churn = F.when(
+        F.col("n_events") == F.col("n_risk"), F.lit(1)
+    ).otherwise(F.lit(0))
+    log_term = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.log(
+            F.lit(1.0)
+            - F.col("n_events").cast("double")
+            / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    surv = at_risk.withColumn(
+        "__zf", F.max(full_churn).over(w_asc)
+    ).withColumn(
+        "survival",
+        F.when(F.col("__zf") == 1, F.lit(0.0)).otherwise(
+            F.exp(F.sum(log_term).over(w_asc))
+        ),
+    )
+    return surv.filter(F.col("n_events") > 0).select(
+        "t", "n_risk", "n_events", "n_censored", "survival"
     )

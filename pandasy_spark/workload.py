@@ -14802,3 +14802,87 @@ def warehouse_golden_record(spark, sf_dir):
         "total_cents",
         "seg",
     )
+
+
+@query(
+    "events_survival",
+    """
+    WITH u AS (
+      SELECT user_id, MIN(ts) AS f,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
+    ), g AS (
+      SELECT MAX(ts) AS mx FROM events WHERE ts IS NOT NULL
+    ), d AS (
+      SELECT CASE WHEN p IS NOT NULL
+                  THEN CAST(date_diff('day', CAST(f AS DATE), CAST(p AS DATE))
+                            AS BIGINT)
+                  ELSE CAST(date_diff('day', CAST(f AS DATE), CAST(mx AS DATE))
+                            AS BIGINT) END AS t,
+             CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS e
+      FROM u, g
+    ), per AS (
+      SELECT t, CAST(SUM(e) AS BIGINT) AS d_i,
+             CAST(SUM(1 - e) AS BIGINT) AS c_i
+      FROM d GROUP BY t
+    ), r AS (
+      SELECT t, d_i, c_i,
+             SUM(d_i + c_i) OVER (ORDER BY t DESC) AS n_risk
+      FROM per
+    ), s AS (
+      SELECT t, d_i, c_i, n_risk,
+             MAX(CASE WHEN d_i = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t) AS zf,
+             SUM(CASE WHEN d_i < n_risk
+                      THEN ln(1 - CAST(d_i AS DOUBLE) / n_risk)
+                      ELSE 0e0 END)
+               OVER (ORDER BY t) AS ls
+      FROM r
+    )
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d_i AS n_events,
+           c_i AS n_censored,
+           FLOOR((CASE WHEN zf = 1 THEN 0e0 ELSE exp(ls) END) * 1000000
+                 + 0.5) / 1000000 AS survival
+    FROM s WHERE d_i > 0
+    """,
+)
+def events_survival(spark, sf_dir):
+    """Kaplan-Meier time-to-conversion curve (extended/events.py
+    kaplan_meier): per user, days from first event to FIRST PURCHASE;
+    users who never purchase by the end of the observation window are
+    right-CENSORED at the window edge (the correction naive
+    conversion-rate-by-day curves omit).  Subjects collapse to ONE
+    map-combined aggregate keyed by duration; the risk suffix-sum and
+    survival cumulative product run as ordered windows over that
+    day-grid aggregate (bounded by the observation window -- dozens of
+    rows however many users), with zero factors masked (engines
+    disagree on ln(0)) and survival pinned to exact 0.0 after a
+    full-conversion step."""
+    from .extended.events import kaplan_meier
+
+    ev = filter_df(
+        _t(spark, sf_dir, "events"),
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull(),
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").alias("f"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p"),
+    )
+    mx = ev.agg(F.max("ts").alias("mx"))
+    durations = spans.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("p").isNotNull(), F.datediff(F.col("p"), F.col("f"))
+        )
+        .otherwise(F.datediff(F.col("mx"), F.col("f")))
+        .cast("long")
+        .alias("duration"),
+        F.col("p").isNotNull().alias("churned"),
+    )
+    out = kaplan_meier(durations, "duration", "churned")
+    return out.select(
+        "t", "n_risk", "n_events", "n_censored",
+        qr(F.col("survival"), 6).alias("survival"),
+    )

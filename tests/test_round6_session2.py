@@ -250,3 +250,21 @@ def test_golden_records_requires_recency_for_latest(spark):
         golden_records(
             df, "cluster", {"name": ("shiniest", None)}, recency_col="cluster"
         )
+
+
+def test_kaplan_meier_textbook_with_censoring_and_zero_pin(spark):
+    """(1,e)(2,c)(3,e)(3,e)(4,c)(5,e): S = 5/6 at t=1, 5/12 at t=3,
+    exactly 0.0 at t=5 (full-churn step must not go through ln(0))."""
+    from pandasy_spark.extended.events import kaplan_meier
+
+    rows = [(1, True), (2, False), (3, True), (3, True), (4, False), (5, True)]
+    df = spark.createDataFrame(rows, ["duration", "churned"])
+    out = {r["t"]: r for r in kaplan_meier(df).collect()}
+    assert set(out) == {1, 3, 5}
+    assert out[1]["n_risk"] == 6 and out[1]["n_events"] == 1
+    assert abs(out[1]["survival"] - 5 / 6) < 1e-12
+    assert out[3]["n_risk"] == 4 and out[3]["n_events"] == 2
+    assert abs(out[3]["survival"] - 5 / 12) < 1e-12
+    assert out[5]["n_risk"] == 1 and out[5]["survival"] == 0.0
+    # censored rows never appear as event rows but reduce the risk set
+    assert out[3]["n_censored"] == 0 and out[1]["n_censored"] == 0
