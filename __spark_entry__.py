@@ -229,6 +229,7 @@ _R6_NEW: list[str] = [
     "multimodal_exif",
     "warehouse_golden_record",
     "events_survival",
+    "text_gopher_rules",
 ]
 
 

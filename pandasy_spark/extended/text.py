@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..functions.kernels import qround
 
 __all__ = [
+    "gopher_quality_flags",
     "token_count",
     "avg_token_len",
     "punct_ratio",
@@ -1711,3 +1712,104 @@ def oov_rate(
         "oov_permille",
         F.expr("oov_tokens * 1000 div total_tokens").cast("long"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher document-quality rule battery (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", App. A1.1 — the published
+    heuristics behind MassiveWeb and most later web-corpus filters),
+    each rule as its own boolean so downstream can tune rather than
+    re-scan:
+
+    - ``ok_word_count``: 50 <= words <= 100,000
+    - ``ok_mean_word_len``: mean word length in [3, 10]
+    - ``ok_symbol_ratio``: (# '#' or '...' occurrences) / words < 0.1
+    - ``ok_bullet_lines``: < 90% of lines start with a bullet
+    - ``ok_ellipsis_lines``: < 30% of lines end with '...'
+    - ``ok_alpha_words``: >= 80% of words contain a letter
+    - ``ok_stopwords``: >= 2 DISTINCT Gopher stop words present
+    - ``keep`` = all of the above
+
+    Pure-codegen narrow map (token/line arrays staged as NAMED columns
+    once — see SCALING.md on interpreted-HOF re-evaluation); at 100 TB
+    this fuses into the scan like every other quality screen here.
+    """
+    staged = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__toks"),
+        F.filter(
+            F.split(F.col(text_col), r"\n"),
+            lambda ln: F.length(F.trim(ln)) > 0,
+        ).alias("__lines"),
+        (
+            F.size(F.split(F.col(text_col), r"#", -1))
+            - 1
+            + F.size(F.split(F.col(text_col), r"\.\.\.", -1))
+            - 1
+        ).alias("__symbols"),
+    )
+    toks = F.col("__toks")
+    lines = F.col("__lines")
+    words = F.size(toks)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    mean_wl = F.when(
+        words > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).cast("double")
+        / words,
+    )
+    alpha_ratio = F.when(
+        words > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / words,
+    )
+    bullet_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).rlike(r"^[-*•]"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$")))
+        .cast("double")
+        / n_lines
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = staged.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        ((words >= 50) & (words <= 100_000)).alias("ok_word_count"),
+        ((mean_wl >= 3.0) & (mean_wl <= 10.0)).alias("ok_mean_word_len"),
+        (
+            F.when(words > 0, F.col("__symbols").cast("double") / words)
+            < 0.1
+        ).alias("ok_symbol_ratio"),
+        (bullet_ratio < 0.9).alias("ok_bullet_lines"),
+        (ellipsis_ratio < 0.3).alias("ok_ellipsis_lines"),
+        (alpha_ratio >= 0.8).alias("ok_alpha_words"),
+        (stop_hits >= 2).alias("ok_stopwords"),
+    )
+    keep = (
+        F.coalesce(F.col("ok_word_count"), F.lit(False))
+        & F.coalesce(F.col("ok_mean_word_len"), F.lit(False))
+        & F.coalesce(F.col("ok_symbol_ratio"), F.lit(False))
+        & F.col("ok_bullet_lines")
+        & F.col("ok_ellipsis_lines")
+        & F.coalesce(F.col("ok_alpha_words"), F.lit(False))
+        & F.col("ok_stopwords")
+    )
+    return flags.withColumn("keep", keep)

@@ -14886,3 +14886,71 @@ def events_survival(spark, sf_dir):
         "t", "n_risk", "n_events", "n_censored",
         qr(F.col("survival"), 6).alias("survival"),
     )
+
+
+@query(
+    "text_gopher_rules",
+    r"""
+    WITH staged AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> len(x) > 0) AS toks,
+             list_filter(regexp_split_to_array(text, '\n'),
+                         x -> len(trim(x)) > 0) AS lines,
+             (len(text) - len(replace(text, '#', '')))
+               + (len(text) - len(replace(text, '...', ''))) / 3 AS symbols
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                 / len(toks) END AS mean_wl,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(toks,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                 / len(toks) END AS alpha_ratio,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(symbols AS DOUBLE) / len(toks) END AS sym_ratio,
+             CAST(len(list_filter(lines,
+                  x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE)
+               / GREATEST(len(lines), 1) AS bullet_ratio,
+             CAST(len(list_filter(lines,
+                  x -> regexp_matches(trim(x), '\.\.\.$'))) AS DOUBLE)
+               / GREATEST(len(lines), 1) AS ellipsis_ratio,
+             len(list_intersect(list_transform(toks, x -> lower(x)),
+                 ['the','be','to','of','and','that','have','with']))
+               AS stop_hits
+      FROM staged
+    )
+    SELECT doc_id, n_words,
+           n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+           mean_wl >= 3.0 AND mean_wl <= 10.0 AS ok_mean_word_len,
+           sym_ratio < 0.1 AS ok_symbol_ratio,
+           bullet_ratio < 0.9 AS ok_bullet_lines,
+           ellipsis_ratio < 0.3 AS ok_ellipsis_lines,
+           alpha_ratio >= 0.8 AS ok_alpha_words,
+           stop_hits >= 2 AS ok_stopwords,
+           COALESCE(n_words >= 50 AND n_words <= 100000, FALSE)
+             AND COALESCE(mean_wl >= 3.0 AND mean_wl <= 10.0, FALSE)
+             AND COALESCE(sym_ratio < 0.1, FALSE)
+             AND bullet_ratio < 0.9
+             AND ellipsis_ratio < 0.3
+             AND COALESCE(alpha_ratio >= 0.8, FALSE)
+             AND stop_hits >= 2 AS keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """The PUBLISHED Gopher quality-rule battery (Rae et al. 2021
+    App. A1.1 — the heuristics behind MassiveWeb and most later
+    web-corpus filters) as per-rule booleans plus the combined keep
+    flag (extended/text.py gopher_quality_flags): word-count bounds,
+    mean-word-length band, symbol ratio, bullet/ellipsis line ratios,
+    alphabetic-word share, distinct-stopword floor.  Pure-codegen
+    narrow map over staged token/line arrays — fuses into the scan at
+    100 TB, no shuffle."""
+    from .extended.text import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs)

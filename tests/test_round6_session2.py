@@ -268,3 +268,25 @@ def test_kaplan_meier_textbook_with_censoring_and_zero_pin(spark):
     assert out[5]["n_risk"] == 1 and out[5]["survival"] == 0.0
     # censored rows never appear as event rows but reduce the risk set
     assert out[3]["n_censored"] == 0 and out[1]["n_censored"] == 0
+
+
+def test_gopher_rules_crafted_documents(spark):
+    from pandasy_spark.extended.text import gopher_quality_flags
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with style and be"]
+        * 6
+    )
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    symbols = "# " * 60
+    short = "too short"
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, symbols), (4, short), (5, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert out[1]["keep"] is True, dict(out[1].asDict())
+    assert out[2]["ok_bullet_lines"] is False and out[2]["keep"] is False
+    assert out[3]["ok_symbol_ratio"] is False
+    assert out[4]["ok_word_count"] is False and out[4]["keep"] is False
+    assert out[5]["keep"] is False  # empty text: NULL ratios -> not kept
