@@ -230,6 +230,7 @@ _R6_NEW: list[str] = [
     "warehouse_golden_record",
     "events_survival",
     "text_gopher_rules",
+    "text_c4_clean",
 ]
 
 

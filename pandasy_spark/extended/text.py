@@ -20,6 +20,7 @@ from ..functions.kernels import qround
 
 __all__ = [
     "gopher_quality_flags",
+    "c4_clean",
     "token_count",
     "avg_token_len",
     "punct_ratio",
@@ -1813,3 +1814,69 @@ def gopher_quality_flags(
         & F.col("ok_stopwords")
     )
     return flags.withColumn("keep", keep)
+
+
+def c4_clean(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The C4 line-level cleaning pass (Raffel et al. 2020, §2.2 —
+    the published rules that built the C4 corpus), re-expressed as a
+    pure-codegen narrow map:
+
+    - keep only lines ending in terminal punctuation (``. ! ? "``)
+    - keep only lines with at least 5 words
+    - drop lines containing the word "javascript" (cookie/JS
+      boilerplate)
+    - page-level: drop pages containing "lorem ipsum" or a curly
+      brace (code), or with fewer than 3 surviving lines (the
+      paper's three-sentence floor, with terminal-punctuated lines
+      as the sentence proxy)
+
+    Output: ``(id, clean_text, n_lines, n_kept, keep_page)`` — the
+    cleaned text is rebuilt in original line order; rejected pages
+    still report their flags so the drop is auditable.  Line arrays
+    are staged as named columns (interpreted-HOF lesson, SCALING.md);
+    no shuffle — the 100 TB pass fuses into the scan."""
+    staged = df.select(
+        F.col(id_col),
+        F.lower(F.col(text_col)).contains("lorem ipsum").alias("__lorem"),
+        F.col(text_col).contains("{").alias("__brace"),
+        F.filter(
+            F.split(F.col(text_col), r"\n"),
+            lambda ln: F.length(F.trim(ln)) > 0,
+        ).alias("__lines"),
+    )
+    lines = F.col("__lines")
+    is_kept = (
+        lambda ln: F.trim(ln).rlike(r'[.!?"]$')
+        & (
+            F.size(
+                F.filter(
+                    F.split(F.trim(ln), r"\s+"),
+                    lambda w: F.length(w) > 0,
+                )
+            )
+            >= 5
+        )
+        & ~F.lower(ln).contains("javascript")
+    )
+    kept = staged.select(
+        F.col(id_col),
+        "__lorem",
+        "__brace",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.filter(lines, is_kept).alias("__kept"),
+    )
+    return kept.select(
+        F.col(id_col),
+        F.array_join(F.transform(F.col("__kept"), F.trim), "\n").alias(
+            "clean_text"
+        ),
+        "n_lines",
+        F.size("__kept").cast("long").alias("n_kept"),
+        (
+            ~F.col("__lorem")
+            & ~F.col("__brace")
+            & (F.size("__kept") >= 3)
+        ).alias("keep_page"),
+    )

@@ -14954,3 +14954,44 @@ def text_gopher_rules(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return gopher_quality_flags(docs)
+
+
+@query(
+    "text_c4_clean",
+    r"""
+    WITH staged AS (
+      SELECT doc_id,
+             contains(lower(text), 'lorem ipsum') AS lorem,
+             contains(text, '{') AS brace,
+             list_filter(regexp_split_to_array(text, '\n'),
+                         x -> len(trim(x)) > 0) AS lines
+      FROM documents
+    ), k AS (
+      SELECT doc_id, lorem, brace,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             list_filter(lines, ln ->
+               regexp_matches(trim(ln), '[.!?"]$')
+               AND len(list_filter(regexp_split_to_array(trim(ln), '\s+'),
+                                   w -> len(w) > 0)) >= 5
+               AND NOT contains(lower(ln), 'javascript')) AS kept
+      FROM staged
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(list_transform(kept, x -> trim(x)),
+                                    chr(10)), '') AS clean_text,
+           n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           NOT lorem AND NOT brace AND len(kept) >= 3 AS keep_page
+    FROM k
+    """,
+)
+def text_c4_clean(spark, sf_dir):
+    """The published C4 line-level cleaning pass (Raffel et al. 2020
+    §2.2; extended/text.py c4_clean): terminal-punctuation + 5-word
+    line retention, javascript-line drop, lorem-ipsum / curly-brace /
+    three-sentence page screens — rebuilt text in original line order
+    plus auditable flags.  Pure-codegen narrow map over staged line
+    arrays; fuses into the scan, no shuffle."""
+    from .extended.text import c4_clean
+
+    return c4_clean(_t(spark, sf_dir, "documents"))

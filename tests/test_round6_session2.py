@@ -290,3 +290,34 @@ def test_gopher_rules_crafted_documents(spark):
     assert out[3]["ok_symbol_ratio"] is False
     assert out[4]["ok_word_count"] is False and out[4]["keep"] is False
     assert out[5]["keep"] is False  # empty text: NULL ratios -> not kept
+
+
+def test_c4_clean_crafted_pages(spark):
+    from pandasy_spark.extended.text import c4_clean
+
+    good = "\n".join(
+        [
+            "This is a fine sentence with enough words.",
+            "Another proper sentence keeps the page alive!",
+            'A third line ends with a quote."',
+            "short line.",  # < 5 words -> dropped
+            "no terminal punctuation here at all",  # dropped
+            "Please enable javascript to continue reading.",  # dropped
+        ]
+    )
+    lorem = "Lorem ipsum dolor sit amet, consectetur adipiscing elit."
+    brace = "if (x) { return y; }. A sentence with five words."
+    two_lines = "Only one good sentence lives here.\nAnd a second one too!"
+    df = spark.createDataFrame(
+        [(1, good), (2, lorem), (3, brace), (4, two_lines)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in c4_clean(df).collect()}
+    assert out[1]["n_lines"] == 6 and out[1]["n_kept"] == 3
+    assert out[1]["keep_page"] is True
+    assert "javascript" not in out[1]["clean_text"]
+    assert out[1]["clean_text"].count("\n") == 2
+    assert out[2]["keep_page"] is False  # lorem ipsum page screen
+    assert out[3]["keep_page"] is False  # curly-brace page screen
+    assert out[4]["keep_page"] is False  # under the 3-sentence floor
+    assert out[4]["n_kept"] == 2
