@@ -231,6 +231,7 @@ _R6_NEW: list[str] = [
     "events_survival",
     "text_gopher_rules",
     "text_c4_clean",
+    "pipeline_entity_resolution",
 ]
 
 

@@ -14995,3 +14995,133 @@ def text_c4_clean(spark, sf_dir):
     from .extended.text import c4_clean
 
     return c4_clean(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipeline_entity_resolution",
+    f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, list_distinct([substring(text, i, 3)
+                     for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS sh
+      FROM documents WHERE doc_id < 200
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS s FROM d
+    ), hb AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), [ord(substring(s, i, 1))
+                                          for i in range(1, len(s)+1)]),
+                         (acc, c) -> (acc * 257 + c) % 9007199254740992)
+             % 2147483647 AS h
+      FROM ex
+    ), hs AS (
+      SELECT doc_id, list(h) AS hl FROM hb GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL} AS sg FROM hs
+    ), banded AS (
+      SELECT doc_id, b,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sg, 4*b + 1, 4*b + 4)),
+                         (acc, v) -> (acc * 48271 + v) % 2147483647) AS bucket
+      FROM sig, range(0, 8) bb(b)
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      FROM banded l JOIN banded r
+        ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), est AS (
+      SELECT id1, id2,
+             list_sum([CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END
+                       for i in range(1, 33)]) / 32e0 AS e
+      FROM cand JOIN sig a ON cand.id1 = a.doc_id
+                JOIN sig b ON cand.id2 = b.doc_id
+    ), p AS (
+      SELECT id1, id2 FROM est WHERE FLOOR(e * 10000 + 0.5) / 10000 >= 0.3
+    ), e AS (
+      SELECT id1 AS u, id2 AS v FROM p
+      UNION
+      SELECT id2 AS u, id1 AS v FROM p
+    ), r AS (
+      SELECT u, u AS comp FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.u, r.comp FROM e JOIN r ON e.v = r.u
+    ), c AS (
+      SELECT u, MIN(comp) AS component FROM r GROUP BY u
+    ), recs AS (
+      SELECT dd.doc_id, dd.lang, dd.source, dd.n_chars,
+             COALESCE(c.component, dd.doc_id) AS component
+      FROM (SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id < 200) dd
+      LEFT JOIN c ON dd.doc_id = c.u
+    ), base AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS n_records,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM recs GROUP BY component
+    ), lg AS (
+      SELECT component, lang FROM (
+        SELECT component, lang,
+               ROW_NUMBER() OVER (
+                 PARTITION BY component ORDER BY COUNT(*) DESC, lang ASC
+               ) AS rk
+        FROM recs GROUP BY component, lang
+      ) WHERE rk = 1
+    ), sr AS (
+      SELECT component, source FROM (
+        SELECT component, source,
+               ROW_NUMBER() OVER (
+                 PARTITION BY component ORDER BY doc_id DESC) AS rk
+        FROM recs
+      ) WHERE rk = 1
+    )
+    SELECT base.component AS cluster, n_records, total_chars,
+           lg.lang AS lang, sr.source AS source
+    FROM base JOIN lg ON base.component = lg.component
+              JOIN sr ON base.component = sr.component
+    """,
+)
+def pipeline_entity_resolution(spark, sf_dir):
+    """END-TO-END entity resolution in one composed plan: MinHash
+    signatures -> banded LSH candidates (equi-join, never all-pairs)
+    -> estimated-Jaccard match threshold -> distributed connected
+    components -> field-level SURVIVORSHIP (operators/scd.py
+    golden_records: mode lang with smallest tie break, latest source,
+    summed chars) producing ONE golden record per entity cluster.
+    This gate pins the full ER COMPOSITION — match, cluster, merge —
+    the pipeline_near_dedup gate stops at survivor counts.  Every
+    stage is an equi-join or map-combined aggregate; the oracle
+    replays signatures, banding, threshold, the transitive closure
+    (recursive CTE) and each survivorship rule."""
+    from .operators.scd import golden_records
+
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 200)
+    pairs = X_dedup.minhash_dedup_pairs(
+        docs, num_hashes=32, bands=8, threshold=0.3
+    ).select("id1", "id2")
+    comp = X_dedup.connected_components(pairs, "id1", "id2").withColumnRenamed(
+        "node", "doc_id"
+    )
+    recs = (
+        docs.select("doc_id", "lang", "source", "n_chars")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_chars").alias("total_chars"),
+            F.coalesce("component", "doc_id").alias("cluster"),
+        )
+    )
+    out = golden_records(
+        recs,
+        "cluster",
+        {
+            "lang": ("mode", None),
+            "source": ("latest", None),
+            "total_chars": ("sum", None),
+        },
+        recency_col="doc_id",
+    )
+    return out.select(
+        "cluster",
+        "n_records",
+        F.col("total_chars").cast("long").alias("total_chars"),
+        "lang",
+        "source",
+    )
