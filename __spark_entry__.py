@@ -232,6 +232,8 @@ _R6_NEW: list[str] = [
     "text_gopher_rules",
     "text_c4_clean",
     "pipeline_entity_resolution",
+    "pipeline_feature_assembly",
+    "ml_eval_binary",
 ]
 
 

@@ -19,7 +19,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["target_encode_loo", "ols_simple", "kfold_assign"]
+__all__ = ["target_encode_loo", "ols_simple", "kfold_assign", "binary_metrics"]
 
 
 def target_encode_loo(
@@ -114,4 +114,45 @@ def kfold_assign(
         raise ValueError("k must be >= 2")
     return df.withColumn(
         fold_col, (split_bucket(F.col(id_col), salt) % k).cast("int")
+    )
+
+
+def binary_metrics(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Binary-classification evaluation in ONE map-combined aggregate:
+    confusion counts (tp/fp/fn/tn over non-null label∧pred rows) plus
+    precision, recall, F1 and accuracy — the filter-quality report a
+    pipeline runs when a model-based screen (quality classifier,
+    toxicity filter) is validated against a rule-based or human
+    label.  Undefined ratios (zero denominators) are NULL, not 0 — a
+    filter that never fires has NO precision, and hiding that behind
+    0.0 misreads as "measured terrible".  Scale: one scan, four
+    conditional counts, no shuffle beyond the 1-row aggregate."""
+    lbl = F.col(label_col)
+    prd = F.col(pred_col)
+    base = df.filter(lbl.isNotNull() & prd.isNotNull())
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    agg = base.agg(
+        cnt(lbl & prd).alias("tp"),
+        cnt(~lbl & prd).alias("fp"),
+        cnt(lbl & ~prd).alias("fn"),
+        cnt(~lbl & ~prd).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    precision = F.when(tp + fp > 0, tp.cast("double") / (tp + fp))
+    recall = F.when(tp + fn > 0, tp.cast("double") / (tp + fn))
+    f1 = F.when(
+        (2 * tp + fp + fn) > 0, 2 * tp.cast("double") / (2 * tp + fp + fn)
+    )
+    acc = F.when(
+        (tp + fp + fn + tn) > 0,
+        (tp + tn).cast("double") / (tp + fp + fn + tn),
+    )
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+        acc.alias("accuracy"),
     )

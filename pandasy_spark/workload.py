@@ -15125,3 +15125,190 @@ def pipeline_entity_resolution(spark, sf_dir):
         "lang",
         "source",
     )
+
+
+@query(
+    "pipeline_feature_assembly",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    ), feat AS (
+      SELECT user_id, event_id, ts, event_type,
+             COUNT(*) OVER w AS f_n_events,
+             CAST(COALESCE(SUM(cents) OVER w, 0) AS BIGINT) AS f_cents,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1
+                                    ELSE 0 END) OVER w, 0) AS BIGINT)
+               AS f_n_errors
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS label_event_id, ts AS label_ts,
+           CAST(f_n_events AS BIGINT) AS f_n_events, f_cents, f_n_errors
+    FROM feat WHERE event_type = 'purchase'
+    """,
+)
+def pipeline_feature_assembly(spark, sf_dir):
+    """POINT-IN-TIME-correct training-set assembly — the
+    leakage-safety step every feature store exists for: each label
+    event (purchase) is paired with the user's feature state computed
+    STRICTLY BEFORE the label timestamp (running count, grid-exact
+    spend, error count over rows-unbounded-preceding-to-1-PRECEDING),
+    so the label's own row and anything after it can never leak into
+    its features.  ONE windowed pass per user key — no self-join, no
+    per-label scan; at 100 TB the cost is one shuffle on user_id.
+    Deterministic tie order (ts, event_id)."""
+    ev = filter_df(
+        _t(spark, sf_dir, "events"),
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull(),
+    ).select(
+        "user_id", "event_id", "ts", "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feat = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.count(F.lit(1)).over(w).cast("long").alias("f_n_events"),
+        F.coalesce(F.sum("cents").over(w), F.lit(0))
+        .cast("long")
+        .alias("f_cents"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("f_n_errors"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("label_event_id"),
+        F.col("ts").alias("label_ts"),
+        "f_n_events",
+        "f_cents",
+        "f_n_errors",
+    )
+
+
+@query(
+    "ml_eval_binary",
+    r"""
+    WITH staged AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> len(x) > 0) AS toks,
+             list_filter(regexp_split_to_array(text, '\n'),
+                         x -> len(trim(x)) > 0) AS lines,
+             (len(text) - len(replace(text, '#', '')))
+               + (len(text) - len(replace(text, '...', ''))) / 3 AS symbols
+      FROM documents
+    ), lab AS (
+      SELECT doc_id, text,
+             COALESCE(len(toks) >= 50 AND len(toks) <= 100000, FALSE)
+             AND COALESCE(CASE WHEN len(toks) > 0 THEN
+                   CAST(list_sum(list_transform(toks, x -> len(x)))
+                        AS DOUBLE) / len(toks) END >= 3.0
+                 AND CASE WHEN len(toks) > 0 THEN
+                   CAST(list_sum(list_transform(toks, x -> len(x)))
+                        AS DOUBLE) / len(toks) END <= 10.0, FALSE)
+             AND COALESCE(CASE WHEN len(toks) > 0 THEN
+                   CAST(symbols AS DOUBLE) / len(toks) END < 0.1, FALSE)
+             AND CAST(len(list_filter(lines,
+                   x -> regexp_matches(trim(x), '^[-*•]')))
+                   AS DOUBLE) / GREATEST(len(lines), 1) < 0.9
+             AND CAST(len(list_filter(lines,
+                   x -> regexp_matches(trim(x), '\.\.\.$')))
+                   AS DOUBLE) / GREATEST(len(lines), 1) < 0.3
+             AND COALESCE(CASE WHEN len(toks) > 0 THEN
+                   CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                     / len(toks) END >= 0.8, FALSE)
+             AND len(list_intersect(list_transform(toks, x -> lower(x)),
+                 ['the','be','to','of','and','that','have','with'])) >= 2
+               AS label
+      FROM staged
+    ), prd AS (
+      SELECT doc_id, label,
+             -1e0
+             + 2e0 * LEAST(CAST(len(regexp_extract_all(text, '\S+'))
+                                AS DOUBLE) / 1e2, 1e0)
+             + 1.5e0 * LEAST(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+                   THEN CAST(length(regexp_replace(text, '\s', '', 'g'))
+                             AS DOUBLE)
+                        / len(regexp_extract_all(text, '\S+'))
+                   ELSE 0e0 END / 1e1, 1e0)
+             + -3e0 * (CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '[^\w\s]'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0e0 END)
+             + 2.5e0 * (CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0e0 END) > 0 AS pred
+      FROM lab
+    ), c AS (
+      SELECT CAST(SUM(CASE WHEN label AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN NOT label AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN label AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN NOT label AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM prd
+    )
+    SELECT tp, fp, fn, tn,
+           FLOOR((CASE WHEN tp + fp > 0
+                  THEN CAST(tp AS DOUBLE) / (tp + fp) END) * 1e6 + 0.5) / 1e6
+             AS precision,
+           FLOOR((CASE WHEN tp + fn > 0
+                  THEN CAST(tp AS DOUBLE) / (tp + fn) END) * 1e6 + 0.5) / 1e6
+             AS recall,
+           FLOOR((CASE WHEN 2*tp + fp + fn > 0
+                  THEN 2 * CAST(tp AS DOUBLE) / (2*tp + fp + fn) END) * 1e6
+                 + 0.5) / 1e6 AS f1,
+           FLOOR((CASE WHEN tp + fp + fn + tn > 0
+                  THEN CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) END) * 1e6
+                 + 0.5) / 1e6 AS accuracy
+    FROM c
+    """,
+)
+def ml_eval_binary(spark, sf_dir):
+    """Classifier-vs-rules filter evaluation (extended/ml.py
+    binary_metrics): the fixed-weight logistic quality classifier
+    (text_quality_classifier's decision, exp-free) scored against the
+    published Gopher rule battery as the reference label — the
+    agreement report a pipeline runs before swapping a heuristic
+    screen for a model.  One scan, four conditional counts; undefined
+    ratios stay NULL.  The oracle restates label, prediction and all
+    four metrics."""
+    from .extended.ml import binary_metrics
+    from .extended.text import gopher_quality_flags, quality_logistic
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = gopher_quality_flags(docs).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    preds = quality_logistic(docs).select(
+        "doc_id", F.col("keep").alias("pred")
+    )
+    both = labels.join(preds, "doc_id")
+    out = binary_metrics(both, "label", "pred")
+    return out.select(
+        "tp", "fp", "fn", "tn",
+        qr(F.col("precision"), 6).alias("precision"),
+        qr(F.col("recall"), 6).alias("recall"),
+        qr(F.col("f1"), 6).alias("f1"),
+        qr(F.col("accuracy"), 6).alias("accuracy"),
+    )

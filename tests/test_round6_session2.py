@@ -321,3 +321,25 @@ def test_c4_clean_crafted_pages(spark):
     assert out[3]["keep_page"] is False  # curly-brace page screen
     assert out[4]["keep_page"] is False  # under the 3-sentence floor
     assert out[4]["n_kept"] == 2
+
+
+def test_binary_metrics_hand_counts_and_null_ratios(spark):
+    from pandasy_spark.extended.ml import binary_metrics
+
+    rows = [
+        (True, True), (True, True), (True, False),
+        (False, True), (False, False), (None, True),
+    ]
+    df = spark.createDataFrame(rows, ["label", "pred"])
+    r = binary_metrics(df, "label", "pred").first()
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 1, 1)
+    assert abs(r["precision"] - 2 / 3) < 1e-12
+    assert abs(r["recall"] - 2 / 3) < 1e-12
+    assert abs(r["f1"] - 2 / 3) < 1e-12
+    assert abs(r["accuracy"] - 3 / 5) < 1e-12
+    # a filter that never fires has NO precision (NULL, not 0.0)
+    df2 = spark.createDataFrame(
+        [(True, False), (False, False)], ["label", "pred"]
+    )
+    r2 = binary_metrics(df2, "label", "pred").first()
+    assert r2["precision"] is None and r2["recall"] is not None
