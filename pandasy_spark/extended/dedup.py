@@ -906,9 +906,16 @@ def span_dedup(
     At 100 TB this is 2 skew-proof shuffles of the chunk table; there
     is no all-pairs stage.
     """
-    words = F.split(F.col(text_col), " ")
+    # stage the word array as a NAMED column: captured inside the
+    # chunk lambda it would re-split the full text once per chunk —
+    # O(L²/span) chars per document (the interpreted-HOF class of
+    # defect fixed on winnow_fingerprints, see SCALING.md)
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__words")
+    )
+    words = F.col("__words")
     n_chunks = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
-    chunks = df.select(
+    chunks = staged.select(
         F.col(id_col),
         F.posexplode(
             F.transform(

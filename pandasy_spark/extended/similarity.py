@@ -122,12 +122,24 @@ def quantize_embeddings(
     deterministic IEEE/integer ops reproducible in any engine.
 
     Output: (id, codes array<tinyint>, scale double)."""
-    v = as_double_vec(F.col(vec_col))
-    scale = F.greatest(
-        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+    # the scale reduction is staged as a NAMED column: captured inside
+    # the codes lambda it would re-run the |x| max-reduction once PER
+    # DIMENSION (interpreted HOFs have no CSE — the winnow lesson,
+    # SCALING.md), a d× constant overhead on the quantization pass
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        as_double_vec(F.col(vec_col)).alias("__v"),
+    ).select(
+        "id",
+        "__v",
+        F.greatest(
+            F.array_max(F.transform(F.col("__v"), lambda x: F.abs(x))),
+            F.lit(1e-30),
+        ).alias("scale"),
     )
+    scale = F.col("scale")
     codes = F.transform(
-        v,
+        F.col("__v"),
         lambda x: F.greatest(
             F.lit(-127).cast("long"),
             F.least(
@@ -136,11 +148,7 @@ def quantize_embeddings(
             ),
         ).cast("byte"),
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        codes.alias("codes"),
-        scale.alias("scale"),
-    )
+    return staged.select("id", codes.alias("codes"), "scale")
 
 
 def quantized_cosine_topk(
