@@ -694,6 +694,14 @@ def class_balance(
     count is read with one 1-row scalar action (bounded by
     construction).  Output: the input rows that survive, with the
     selection hash as ``__h``.
+
+    Large-k regime: the exact k-th-hash pass ranks ~k + n/4096 rows
+    in one task per class — immaterial while k is sketch-to-
+    million-sized (sf1.0 probe: 2.98x at 10x rows), but if the
+    MINORITY class itself has billions of rows, swap the exact
+    threshold for ``approx_percentile`` over the hash at fraction
+    k/n (the keep count becomes k ± the rank error; the balancing
+    use-case tolerates that, the oracle-exact gate form does not).
     """
     from .sketches import kmv_kth_hash, portable_hash56
 
