@@ -54,16 +54,31 @@ def main() -> None:
     # `parsed: null` — a staged-stream row-cap trip at sf0.1 aborted the
     # run before a single timing was printed): record the error and
     # keep measuring the rest.
+    # Wall-budget guards: the registry-derived list is ~314 queries
+    # and the driver's bench window is finite — a timed-out bench
+    # records NOTHING (the BENCH_r05 failure class).  Two guards keep
+    # full coverage while bounding wall time: a query whose FIRST run
+    # exceeds 15 s is not re-run (best-of-1 for the few heavyweights
+    # costs a little jitter on queries where jitter is relatively
+    # smallest), and once total elapsed passes the soft budget every
+    # remaining query runs once.
+    soft_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1500"))
+    slow_cutoff = 15.0
+    t_begin = time.perf_counter()
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in bench_queries:
         best = float("inf")
         try:
-            for _ in range(3):
+            for run in range(3):
                 start = time.perf_counter()
                 df = QUERIES[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - start)
+                if best >= slow_cutoff:
+                    break
+                if time.perf_counter() - t_begin > soft_budget:
+                    break
         except Exception as exc:  # noqa: BLE001 — survive, report, move on
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
