@@ -234,6 +234,7 @@ _R6_NEW: list[str] = [
     "pipeline_entity_resolution",
     "pipeline_feature_assembly",
     "ml_eval_binary",
+    "profile_jsd",
 ]
 
 

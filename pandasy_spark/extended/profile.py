@@ -51,6 +51,7 @@ __all__ = [
     "cramers_v",
     "key_skew_report",
     "psi_drift",
+    "jsd_drift",
 ]
 
 _NUMERIC = (
@@ -1502,3 +1503,92 @@ def psi_drift(
         F.count(F.lit(1)).cast("long").alias("n_bins"),
         F.sum("__term").alias("psi"),
     ).select("n_base", "n_cur", "n_bins", "psi")
+
+
+def jsd_drift(
+    df: DataFrame,
+    value_col: str,
+    is_baseline: Column,
+    bins: int = 10,
+) -> DataFrame:
+    """Jensen-Shannon divergence between a baseline slice and the
+    rest — the BOUNDED drift metric (0 ≤ JSD ≤ ln 2, symmetric, no
+    blow-up on disjoint supports) that completes the monitor family:
+    TVD (:func:`distribution_drift`, transcendental-free), PSI
+    (:func:`psi_drift`, tail-weighted, unbounded), JSD (bounded,
+    information-theoretic).  ``JSD = H(m) − (H(p)+H(q))/2`` computed
+    directly as ``Σ [p·ln(p/m) + q·ln(q/m)] / 2`` with
+    ``m = (p+q)/2``; +1-smoothed full bin spine exactly as PSI, so
+    every term is finite and deterministic.
+
+    Same scale shape as PSI: one bounds aggregate over the scan
+    (reference grid from the baseline min/max), one map-combined
+    count aggregate keyed by bin, one ``bins``-row spine join.
+
+    Output (one row): ``(n_base, n_cur, n_bins, jsd)``.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    v = F.col(value_col).cast("double")
+    flagged = df.select(
+        v.alias("__v"), F.when(is_baseline, 1).otherwise(0).alias("__a")
+    ).filter(F.col("__v").isNotNull())
+    bounds = flagged.filter(F.col("__a") == 1).agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    binned = (
+        flagged.crossJoin(F.broadcast(bounds))
+        .select(
+            "__a",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("__v") - F.col("__lo"))
+                            * F.lit(float(bins))
+                            / (F.col("__hi") - F.col("__lo"))
+                        ).cast("int"),
+                    ),
+                )
+            )
+            .alias("__bin"),
+        )
+        .groupBy("__bin")
+        .agg(
+            F.sum("__a").cast("long").alias("a_i"),
+            F.sum(F.lit(1) - F.col("__a")).cast("long").alias("b_i"),
+        )
+    )
+    spine = df.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("__bin")
+    )
+    full = spine.join(binned, "__bin", "left").select(
+        "__bin",
+        F.coalesce("a_i", F.lit(0)).alias("a_i"),
+        F.coalesce("b_i", F.lit(0)).alias("b_i"),
+    )
+    totals = full.agg(
+        F.sum("a_i").cast("long").alias("n_base"),
+        F.sum("b_i").cast("long").alias("n_cur"),
+    )
+    pv = (F.col("a_i") + 1).cast("double") / (
+        F.col("n_base") + F.lit(bins)
+    ).cast("double")
+    qv = (F.col("b_i") + 1).cast("double") / (
+        F.col("n_cur") + F.lit(bins)
+    ).cast("double")
+    mv = (pv + qv) / F.lit(2.0)
+    terms = full.crossJoin(F.broadcast(totals)).select(
+        "n_base",
+        "n_cur",
+        ((pv * F.log(pv / mv) + qv * F.log(qv / mv)) / F.lit(2.0)).alias(
+            "__term"
+        ),
+    )
+    return terms.groupBy("n_base", "n_cur").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("__term").alias("jsd"),
+    ).select("n_base", "n_cur", "n_bins", "jsd")

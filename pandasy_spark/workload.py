@@ -15312,3 +15312,64 @@ def ml_eval_binary(spark, sf_dir):
         qr(F.col("f1"), 6).alias("f1"),
         qr(F.col("accuracy"), 6).alias("accuracy"),
     )
+
+
+@query(
+    "profile_jsd",
+    """
+    WITH f AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END AS a
+      FROM events WHERE value IS NOT NULL
+    ), m AS (
+      SELECT MIN(v) AS lo, MAX(v) AS hi FROM f WHERE a = 1
+    ), c AS (
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(9, GREATEST(0,
+                    CAST(FLOOR((v - lo) * 10.0 / (hi - lo)) AS INT))) END
+               AS bin,
+             CAST(SUM(a) AS BIGINT) AS a_i,
+             CAST(SUM(1 - a) AS BIGINT) AS b_i
+      FROM f, m GROUP BY 1
+    ), spine AS (
+      SELECT CAST(range AS INT) AS bin FROM range(10)
+    ), fb AS (
+      SELECT spine.bin, COALESCE(a_i, 0) AS a_i, COALESCE(b_i, 0) AS b_i
+      FROM spine LEFT JOIN c ON spine.bin = c.bin
+    ), t AS (
+      SELECT CAST(SUM(a_i) AS BIGINT) AS n_base,
+             CAST(SUM(b_i) AS BIGINT) AS n_cur
+      FROM fb
+    )
+    SELECT n_base, n_cur, CAST(COUNT(*) AS BIGINT) AS n_bins,
+           FLOOR(SUM(
+             ((a_i + 1) / CAST(n_base + 10 AS DOUBLE))
+               * ln(((a_i + 1) / CAST(n_base + 10 AS DOUBLE))
+                    / ((((a_i + 1) / CAST(n_base + 10 AS DOUBLE))
+                        + ((b_i + 1) / CAST(n_cur + 10 AS DOUBLE))) / 2))
+             + ((b_i + 1) / CAST(n_cur + 10 AS DOUBLE))
+               * ln(((b_i + 1) / CAST(n_cur + 10 AS DOUBLE))
+                    / ((((a_i + 1) / CAST(n_base + 10 AS DOUBLE))
+                        + ((b_i + 1) / CAST(n_cur + 10 AS DOUBLE))) / 2))
+           ) / 2 * 1000000 + 0.5) / 1000000 AS jsd
+    FROM fb, t GROUP BY n_base, n_cur
+    """,
+)
+def profile_jsd(spark, sf_dir):
+    """Jensen-Shannon drift (extended/profile.py jsd_drift) of the
+    event value distribution, early window as reference — the BOUNDED
+    symmetric member completing the monitor family (TVD
+    transcendental-free, PSI tail-weighted, JSD information-theoretic
+    in [0, ln 2]).  Same reference-grid bins, spine and smoothing as
+    profile_psi; same scale shape (one bounds aggregate + one 10-row
+    aggregate, corpus never shuffles)."""
+    from .extended.profile import jsd_drift
+
+    ev = _t(spark, sf_dir, "events")
+    out = jsd_drift(
+        ev,
+        "value",
+        F.col("ts") < F.lit("2024-01-20").cast("timestamp"),
+        bins=10,
+    )
+    return out.select("n_base", "n_cur", "n_bins", qr(F.col("jsd"), 6).alias("jsd"))

@@ -343,3 +343,40 @@ def test_binary_metrics_hand_counts_and_null_ratios(spark):
     )
     r2 = binary_metrics(df2, "label", "pred").first()
     assert r2["precision"] is None and r2["recall"] is not None
+
+
+def test_jsd_properties(spark):
+    """JSD is ~0 on identical halves, bounded by ln 2, and symmetric."""
+    import math
+
+    from pandasy_spark.extended.profile import jsd_drift
+
+    rows = [(float(i % 50), (i // 50) % 2 == 0) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["v", "base"])
+    r = jsd_drift(df, "v", F.col("base"), bins=10).first()
+    assert abs(r["jsd"]) < 1e-9
+
+    # fully disjoint supports: JSD near its ln 2 ceiling (smoothing
+    # keeps it strictly under), never the PSI-style blow-up
+    rows2 = [(float(i % 10), True) for i in range(1000)] + [
+        (1000.0 + i % 10, False) for i in range(1000)
+    ]
+    df2 = spark.createDataFrame(rows2, ["v", "base"])
+    r2 = jsd_drift(df2, "v", F.col("base"), bins=10).first()
+    assert 0.5 < r2["jsd"] <= math.log(2) + 1e-12
+
+    # symmetry: swapping the slices gives the same value
+    df3 = df2.withColumn("base", ~F.col("base"))
+    # reference grid changes with the baseline, so compare on data
+    # whose min/max are slice-independent
+    # both slices span exactly [0, 19] so the reference grid is
+    # slice-independent; the current slice is non-uniform (19 is
+    # over-weighted via the min clamp)
+    rows4 = [(float(i % 20), True) for i in range(1000)] + [
+        (float(min(i % 30, 19)), False) for i in range(1000)
+    ]
+    d4 = spark.createDataFrame(rows4, ["v", "base"])
+    d5 = d4.withColumn("base", ~F.col("base"))
+    j4 = jsd_drift(d4, "v", F.col("base"), bins=10).first()["jsd"]
+    j5 = jsd_drift(d5, "v", F.col("base"), bins=10).first()["jsd"]
+    assert abs(j4 - j5) < 1e-12
