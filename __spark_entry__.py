@@ -235,6 +235,7 @@ _R6_NEW: list[str] = [
     "pipeline_feature_assembly",
     "ml_eval_binary",
     "profile_jsd",
+    "text_zipf",
 ]
 
 

@@ -15373,3 +15373,100 @@ def profile_jsd(spark, sf_dir):
         bins=10,
     )
     return out.select("n_base", "n_cur", "n_bins", qr(F.col("jsd"), 6).alias("jsd"))
+
+
+@query(
+    "text_zipf",
+    r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                    x -> len(x) > 0)) AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY token
+    ), ranked AS (
+      SELECT token, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rk
+      FROM freq
+    ), grid AS (
+      SELECT CAST(FLOOR(ln(rk) * 1000 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(ln(cnt) * 1000 + 0.5) AS BIGINT) AS y
+      FROM ranked
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM grid
+    )
+    SELECT n AS n_vocab, sx, sy,
+           CAST(FLOOR((n * sxy - sx * sy) * 1000.0
+                      / (n * sxx - sx * sx)) AS BIGINT) AS slope_milli,
+           CAST(FLOOR((sy - (FLOOR((n * sxy - sx * sy) * 1000.0
+                                   / (n * sxx - sx * sx)) * sx) / 1000.0)
+                      * 1000.0 / n) AS BIGINT) AS intercept_milli
+    FROM s
+    """,
+)
+def text_zipf(spark, sf_dir):
+    """Zipf's-law fit of the corpus vocabulary — the rank-frequency
+    log-log OLS slope (natural text sits near −1; tabular boilerplate
+    and template spam drift far from it), the cheapest corpus-health
+    number after token counts.  Frequencies are one map-combined
+    aggregate; the rank window runs over the VOCABULARY (bounded by
+    distinct tokens, not corpus rows — the same bounded-window
+    argument as the BPE candidate rank); ln values land on a milli
+    grid so every OLS moment stays exact-in-double and the
+    closed-form normal equations (profile_linreg's library form,
+    extended/ml.py ols_simple) divide identically in any engine via
+    FLOOR on exact integer ratios — no div-vs-floor-division
+    truncation mismatch on the NEGATIVE slope."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(X_text.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ranked = freq.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        ),
+    )
+    grid = ranked.select(
+        F.floor(F.log(F.col("rk").cast("double")) * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    s = grid.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.floor(num.cast("double") * 1000.0 / den.cast("double"))
+    intercept = F.floor(
+        (
+            F.col("sy").cast("double")
+            - slope.cast("double") * F.col("sx").cast("double") / 1000.0
+        )
+        * 1000.0
+        / F.col("n").cast("double")
+    )
+    return s.select(
+        F.col("n").alias("n_vocab"),
+        "sx",
+        "sy",
+        slope.cast("long").alias("slope_milli"),
+        intercept.cast("long").alias("intercept_milli"),
+    )
