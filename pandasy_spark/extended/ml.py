@@ -67,6 +67,15 @@ def ols_simple(
     The grid-exact trend-fit primitive (same family as the moment PCA
     and grid-exact k-means): no MLlib, no iterations, one
     map-combined pass at any scale.
+
+    Engine-portability caveat: the milli-flooring uses integral
+    ``div``, which truncates TOWARD ZERO in Spark while DuckDB's
+    ``//`` floors — identical for the non-negative fits this is used
+    on (price-vs-quantity trends), off by one milli when a fit is
+    NEGATIVE.  For possibly-negative slopes use the text_zipf gate's
+    form: keep the moments small enough to be exact-in-double (milli
+    input grid) and FLOOR the double ratio — floor is floor in every
+    engine.
     """
     v = df.select(
         F.col(x_col).cast("long").alias("x"),
