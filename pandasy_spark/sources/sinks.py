@@ -26,6 +26,7 @@ __all__ = [
     "write_zordered",
     "with_hilbert",
     "write_hilbert",
+    "schema_diff",
     "compact_parquet",
     "read_parquet_merged_schema",
 ]
@@ -347,3 +348,50 @@ def read_parquet_merged_schema(spark: SparkSession, *paths: str) -> DataFrame:
     merging costs a pass over file metadata — turn it on per read, not
     globally)."""
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def schema_diff(spark: SparkSession, path_a: str, path_b: str) -> list[dict]:
+    """Schema-drift report between two parquet datasets — the check a
+    long-lived pipeline runs before a mergeSchema read or a snapshot
+    promotion: columns added, removed, or type-changed from A to B.
+
+    Footer metadata only (two `spark.read` schema resolutions — no
+    data scan, so the cost is file listing however large the data).
+    Returns a list of dicts ``{"column", "change", "from", "to"}``
+    with change ∈ {added, removed, type_changed}; empty means the
+    schemas agree.  Nested struct fields are compared by their full
+    dotted path."""
+
+    def flat(schema, prefix=""):
+        out = {}
+        for f in schema.fields:
+            name = f"{prefix}{f.name}"
+            dt = f.dataType
+            if dt.typeName() == "struct":
+                out.update(flat(dt, prefix=f"{name}."))
+            else:
+                out[name] = dt.simpleString()
+        return out
+
+    a = flat(spark.read.parquet(path_a).schema)
+    b = flat(spark.read.parquet(path_b).schema)
+    diff: list[dict] = []
+    for col in sorted(set(a) | set(b)):
+        if col not in b:
+            diff.append(
+                {"column": col, "change": "removed", "from": a[col], "to": None}
+            )
+        elif col not in a:
+            diff.append(
+                {"column": col, "change": "added", "from": None, "to": b[col]}
+            )
+        elif a[col] != b[col]:
+            diff.append(
+                {
+                    "column": col,
+                    "change": "type_changed",
+                    "from": a[col],
+                    "to": b[col],
+                }
+            )
+    return diff

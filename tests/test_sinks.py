@@ -428,3 +428,47 @@ def test_hilbert_rejects_non_2d(spark):
     df = spark.createDataFrame([(1, 2, 3)], ["a", "b", "c"])
     with _pytest.raises(ValueError):
         with_hilbert(df, ["a", "b", "c"])
+
+
+def test_schema_diff_reports_added_removed_and_type_changes(
+    spark, tmp_path
+):
+    from pandasy_spark.sources import schema_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.5)], ["id", "name", "score"]
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 2, True)], ["id", "name", "score", "flag"]
+    )
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    a.write.parquet(pa)
+    b.write.parquet(pb)
+    diff = {d["column"]: d for d in schema_diff(spark, pa, pb)}
+    assert diff["flag"]["change"] == "added" and diff["flag"]["to"] == "boolean"
+    assert diff["score"]["change"] == "type_changed"
+    assert diff["score"]["from"] == "double" and diff["score"]["to"] == "bigint"
+    assert "id" not in diff and "name" not in diff
+    # identical schemas -> empty report
+    assert schema_diff(spark, pa, pa) == []
+
+
+def test_schema_diff_nested_struct_paths(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pandasy_spark.sources import schema_diff
+
+    a = spark.range(1).select(
+        F.struct(F.lit(1).alias("x"), F.lit("s").alias("y")).alias("meta")
+    )
+    b = spark.range(1).select(
+        F.struct(F.lit(1).alias("x"), F.lit(2.0).alias("y"),
+                 F.lit(True).alias("z")).alias("meta")
+    )
+    pa, pb = str(tmp_path / "na"), str(tmp_path / "nb")
+    a.write.parquet(pa)
+    b.write.parquet(pb)
+    diff = {d["column"]: d for d in schema_diff(spark, pa, pb)}
+    assert diff["meta.z"]["change"] == "added"
+    assert diff["meta.y"]["change"] == "type_changed"
+    assert "meta.x" not in diff
