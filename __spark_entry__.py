@@ -24,10 +24,12 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Latest-witness tiers across CORRECTNESS_r01..r05 — every registry
-# query has a green driver row; the tier records WHICH round last
-# witnessed it, so each new round re-proves the stalest names first
-# inside the driver's 50-row recording window.
+# Latest-witness tiers across CORRECTNESS_r01..r06 — the tier records
+# WHICH round last witnessed a query, so each new round re-proves the
+# stalest names first inside the driver's 50-row recording window.
+# Round 6 added 126 queries into that 50-row window, leaving a 76-query
+# never-witnessed backlog (`_R6_NEW[50:]`); round 7 drains the first 50
+# of it and round 8 the remaining 26 (VERDICT r6 item #1).
 _WITNESSED_R5 = {
     "agg_cube", "agg_distinct", "agg_grouping_sets", "agg_percentiles",
     "agg_rollup", "agg_stats", "date_funcs", "dedup_exact",
@@ -100,15 +102,9 @@ _WITNESSED_R1R2 = {
     "window_distribution",
 }
 
-_CHECKED_UNION = (
-    _WITNESSED_R1R2 | _WITNESSED_R3 | _WITNESSED_R4 | _WITNESSED_R5
-)
-
-
-# Round-6 additions (never driver-witnessed) register FIRST; after
-# them, the stalest tiers (r1/r2 witness, then r3, r4, r5) fill the
-# driver's 50-row recording window so the least-recently-proven
-# queries are re-witnessed each round.
+# Round-6 additions: CORRECTNESS_r06 recorded exactly the first 50 of
+# this list (all green); positions 50..125 are the never-witnessed
+# backlog that registers FIRST for rounds 7-8.
 _R6_NEW: list[str] = [
     "graph_bfs",
     "events_markov",
@@ -239,13 +235,25 @@ _R6_NEW: list[str] = [
 ]
 
 
+_WITNESSED_R6 = set(_R6_NEW[:50])
+_BACKLOG = _R6_NEW[50:]  # 76 names, never driver-witnessed
+
+_CHECKED_UNION = (
+    _WITNESSED_R1R2 | _WITNESSED_R3 | _WITNESSED_R4 | _WITNESSED_R5
+    | _WITNESSED_R6
+)
+
+
 def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    front = {k: QUERIES[k] for k in _R6_NEW if k in QUERIES}
+    front = {k: QUERIES[k] for k in _BACKLOG if k in QUERIES}
     unproven = {
         k: v for k, v in QUERIES.items()
         if k not in _CHECKED_UNION and k not in front
     }
-    tiers = (_WITNESSED_R1R2, _WITNESSED_R3, _WITNESSED_R4, _WITNESSED_R5)
+    tiers = (
+        _WITNESSED_R1R2, _WITNESSED_R3, _WITNESSED_R4, _WITNESSED_R5,
+        _WITNESSED_R6,
+    )
     by_staleness = {
         k: QUERIES[k]
         for tier in tiers
