@@ -217,20 +217,26 @@ def minhash_signatures(
     duplicate-insensitive, so the values are identical to the set
     version while skipping a per-row ``array_distinct`` pass."""
     cnt = F.length(F.col(text_col)) - (n - 1)
-    grams = F.when(
-        cnt > 0,
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.substring(F.col(text_col), i, n),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("sh"))
-    # One Karp-Rabin char-fold per shingle, then k affine
+
+    # One Karp-Rabin char-fold per shingle POSITION (no n-gram string
+    # is ever materialized — same values as char_poly_hash over the
+    # substring, straight-line codegen arithmetic), then k affine
     # (universal-family) transforms mod the MINSTD prime — k integer
     # multiply-adds are far cheaper than k string hashes, with
     # equivalent minhash quality, and the whole construction is
     # reproducible in any SQL engine (DuckDB oracle-checkable).
-    sh = sh.withColumn("__h", char_poly_hash(F.col("sh"), n=n))
+    def sh_hash(i):
+        acc: Column = F.lit(0).cast("long")
+        for j in range(n):
+            acc = (
+                acc * F.lit(257) + F.ascii(F.substring(F.col(text_col), i + j, 1))
+            ) % F.lit(_ROLL_MOD)
+        return acc % F.lit(_P31)
+
+    grams = F.when(
+        cnt > 0, F.transform(F.sequence(F.lit(1), cnt), sh_hash)
+    ).otherwise(F.array().cast("array<long>"))
+    sh = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("__h"))
     mins = [
         F.min(
             (F.col("__h") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]))
@@ -319,6 +325,146 @@ def minhash_dedup_pairs(
         joined.withColumn("est_jaccard", qround(est, 4))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id1", "id2", "est_jaccard")
+    )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a too-coarsely-split input out to the cluster's parallelism.
+
+    Shingle hashing is CPU-heavy per input BYTE, so a small parquet
+    (one row group -> ONE split no matter what maxPartitionBytes says)
+    serializes the whole kernel on one core.  At real scale inputs
+    arrive in thousands of splits and this is a no-op — the guard keys
+    on the actual partition count, not data size, so no shuffle is
+    added where the scan is already parallel."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """LSH candidates -> EXACT Jaccard verification: the whole-corpus
+    near-dedup composition that stays linear in corpus size.
+
+    Candidate pairs come from banded MinHash LSH
+    (:func:`lsh_candidate_pairs` — one equi-join on uniform band
+    buckets), and only those pairs get the exact hashed-shingle Jaccard
+    (two id equi-joins against the shingle sets + one set intersection
+    per CANDIDATE, never per corpus pair).  Total work is
+    O(|corpus| x num_hashes + |candidates|); with 16 bands of width 2
+    over 32 hashes, a pair at the 0.6 threshold shares a band bucket
+    with p = 1-(1-0.6^2)^16 ~ 0.999, so recall at the threshold is
+    effectively exact while unrelated pairs almost never collide.
+
+    Contrast :func:`blocked_jaccard_pairs` (sum |block|^2 — superlinear
+    when blocks grow with the corpus) and :func:`ngram_jaccard_pairs`
+    (|corpus|^2, bounded-subset verification only).  Reference parity:
+    slide's dedup surface exposes exact + minhash paths; this is their
+    scale composition.
+
+    OUTPUT-BOUND CAVEAT: pair ENUMERATION is Omega(true pair count),
+    and a corpus with near-dup clusters of size m contains m^2/2 true
+    pairs — no candidate scheme beats that (measured: 5k docs with a
+    ~3.8k-doc near-dup cluster -> 11.6M candidate pairs).  When the
+    goal is dedup (not pair listing), use :func:`lsh_anchor_dedup`,
+    which stays linear by verifying each doc against per-bucket anchors
+    only.
+    """
+    df = _spread(df)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    cands = lsh_candidate_pairs(sigs, bands)
+    sets_ = df.select(
+        F.col(id_col).alias("id"),
+        hashed_shingles(F.col(text_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    joined = cands.join(
+        sets_.select(F.col("id").alias("id1"), F.col("sh").alias("s1")), "id1"
+    ).join(sets_.select(F.col("id").alias("id2"), F.col("sh").alias("s2")), "id2")
+    inter = F.size(F.array_intersect("s1", "s2")).cast("double")
+    uni = (F.size("s1") + F.size("s2")).cast("double") - inter
+    jac = inter / uni
+    return (
+        joined.withColumn("jaccard", qround(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def lsh_anchor_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Whole-corpus near-dedup with LINEAR work AND linear output:
+    LSH anchor (star) linking -> exact Jaccard verification -> per-doc
+    drop decision.
+
+    Each band bucket elects its minimum id as the anchor; every other
+    member is verified (exact hashed-shingle Jaccard) against its <=
+    ``bands`` anchors only — never against all bucket members.  A doc
+    verified >= ``threshold`` against any smaller-id anchor is a
+    duplicate; the row (id, dup_of = min such anchor, jaccard of that
+    anchor) is emitted.  Work is O(|corpus| x bands) candidates
+    regardless of cluster structure — the shape that survives a corpus
+    where one near-dup cluster holds most of the data (there, PAIR
+    enumeration is Omega(|cluster|^2) by output size alone; see
+    :func:`lsh_verified_pairs`).
+
+    The greedy anchor pass is the standard production near-dedup
+    compromise (cluster membership via bucket anchors, not full
+    transitive closure); compose with :func:`connected_components` on
+    the emitted (id, dup_of) edges when full-cluster transitivity is
+    required.  Every step (min ids, exact Jaccard, min-by tie-break)
+    is deterministic and engine-portable — the DuckDB oracle rebuilds
+    it bit-for-bit.
+    """
+    df = _spread(df)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    banded = banded_buckets(sigs, bands)
+    # 1 row per bucket: map-side-combined min, immune to bucket skew
+    anchors = banded.groupBy("band", "bucket").agg(F.min("id").alias("anchor"))
+    cands = (
+        banded.join(anchors, on=["band", "bucket"])
+        .filter(F.col("anchor") < F.col("id"))
+        .select("id", "anchor")
+        .distinct()
+    )
+    sets_ = df.select(
+        F.col(id_col).alias("__sid"),
+        hashed_shingles(F.col(text_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    joined = cands.join(
+        sets_.select(F.col("__sid").alias("id"), F.col("sh").alias("s1")), "id"
+    ).join(
+        sets_.select(F.col("__sid").alias("anchor"), F.col("sh").alias("s2")),
+        "anchor",
+    )
+    inter = F.size(F.array_intersect("s1", "s2")).cast("double")
+    uni = (F.size("s1") + F.size("s2")).cast("double") - inter
+    verified = joined.withColumn("jac", qround(inter / uni, 4)).filter(
+        F.col("jac") >= threshold
+    )
+    return (
+        verified.groupBy("id")
+        .agg(
+            F.min("anchor").alias("dup_of"),
+            F.min_by("jac", "anchor").alias("jaccard"),
+        )
+        .select(F.col("id").alias(id_col), "dup_of", "jaccard")
     )
 
 
