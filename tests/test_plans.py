@@ -242,3 +242,17 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ks_mannwhitney_cdf_not_single_partition(spark, sf_dir):
+    """The ECDF/rank prefix sums must run as the range-partitioned
+    two-pass scan (window partitioned by physical partition id), never
+    as an unpartitioned Window.orderBy over the value domain — a
+    cents-grid domain can reach 1e8 distinct values in one task at
+    100 TB (r6 verdict)."""
+    for name in ("profile_ks", "profile_mannwhitney"):
+        plan = _plan(spark, sf_dir, name)
+        # unpartitioned CDF window would order directly by __v
+        assert "windowspecdefinition(__v" not in plan, name
+        # the partition-local scan window is present instead
+        assert "windowspecdefinition(__pid" in plan, name
