@@ -82,6 +82,10 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — survive, report, move on
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+            # a flaky query that succeeded on an earlier run keeps its
+            # measured timing alongside the recorded error
+            if best != float("inf"):
+                times[name] = round(best, 3)
             continue
         times[name] = round(best, 3)
 
@@ -97,6 +101,20 @@ def main() -> None:
     if errors:
         payload["errors"] = errors
     full = json.dumps(payload)
+    # The driver's tail window keeps ~2 KB, so its BENCH_r{N}.json can
+    # hold only the slowest ~60 queries.  Persist the COMPLETE
+    # per-query map to a repo file (committed with the round) so the
+    # full-registry ratio table survives even when stdout is truncated.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL_LATEST.json"),
+            "w",
+        ) as fh:
+            fh.write(full + "\n")
+    except OSError as exc:
+        print(f"BENCH warning: could not persist full record: {exc}",
+              file=sys.stderr)
     # The driver records only the last ~2 KB of stdout and JSON-parses
     # the final line; with 90+ per-query entries the single line
     # overflows that window and the headline total becomes unparseable

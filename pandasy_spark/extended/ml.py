@@ -138,8 +138,11 @@ def binary_metrics(
     filter that never fires has NO precision, and hiding that behind
     0.0 misreads as "measured terrible".  Scale: one scan, four
     conditional counts, no shuffle beyond the 1-row aggregate."""
-    lbl = F.col(label_col)
-    prd = F.col(pred_col)
+    # accept boolean OR 0/1 numeric columns: without the cast, `~lbl`
+    # on an integer column is BITWISE negation (~1 == -2, truthy) and
+    # the confusion counts silently miscount (ADVICE r6)
+    lbl = F.col(label_col).cast("boolean")
+    prd = F.col(pred_col).cast("boolean")
     base = df.filter(lbl.isNotNull() & prd.isNotNull())
     cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")
     agg = base.agg(

@@ -1498,10 +1498,20 @@ def psi_drift(
         "n_cur",
         ((pv - qv) * F.log(pv / qv)).alias("__term"),
     )
+    # An empty baseline (or current) slice makes the metric
+    # meaningless — emit NULL, never a "stable"-reading ~0 PSI when
+    # the reference distribution is missing (ADVICE r6).
     return terms.groupBy("n_base", "n_cur").agg(
         F.count(F.lit(1)).cast("long").alias("n_bins"),
-        F.sum("__term").alias("psi"),
-    ).select("n_base", "n_cur", "n_bins", "psi")
+        F.sum("__term").alias("__psi"),
+    ).select(
+        "n_base",
+        "n_cur",
+        "n_bins",
+        F.when(
+            (F.col("n_base") > 0) & (F.col("n_cur") > 0), F.col("__psi")
+        ).alias("psi"),
+    )
 
 
 def jsd_drift(
@@ -1587,7 +1597,15 @@ def jsd_drift(
             "__term"
         ),
     )
+    # same missing-slice guard as psi_drift: NULL, not "stable" ~0
     return terms.groupBy("n_base", "n_cur").agg(
         F.count(F.lit(1)).cast("long").alias("n_bins"),
-        F.sum("__term").alias("jsd"),
-    ).select("n_base", "n_cur", "n_bins", "jsd")
+        F.sum("__term").alias("__jsd"),
+    ).select(
+        "n_base",
+        "n_cur",
+        "n_bins",
+        F.when(
+            (F.col("n_base") > 0) & (F.col("n_cur") > 0), F.col("__jsd")
+        ).alias("jsd"),
+    )

@@ -101,7 +101,7 @@ def decode_qoi(payload: bytes) -> "object":
     return out[:, :3].reshape(h, w, 3)
 
 
-def encode_qoi(arr: "object", channels: int = 3) -> bytes:
+def encode_qoi(arr: "object", channels: int | None = None) -> bytes:
     """Reference QOI encoder for an ``(h, w, 3)`` or ``(h, w, 4)``
     uint8 array — greedy per the spec's op priority (run, index, diff,
     luma, literal), byte-identical in spirit to the reference C
@@ -112,6 +112,15 @@ def encode_qoi(arr: "object", channels: int = 3) -> bytes:
     arr = np.asarray(arr, dtype=np.uint8)
     h, w = arr.shape[:2]
     px = arr.reshape(h * w, arr.shape[2])
+    # the header channels byte must describe the actual pixel layout:
+    # an RGBA array under a channels=3 header emits RGBA tags that
+    # spec-conformant third-party decoders misparse (ADVICE r6)
+    if channels is None:
+        channels = arr.shape[2]
+    elif channels != arr.shape[2]:
+        raise ValueError(
+            f"channels={channels} does not match array shape {arr.shape}"
+        )
     out = bytearray(_MAGIC)
     out += struct.pack(">II", w, h)
     out += bytes([channels, 0])

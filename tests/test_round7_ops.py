@@ -90,3 +90,59 @@ class TestSpread:
         docs = _docs(spark, sf_dir).repartition(par)
         # already at target parallelism: returned plan is the input
         assert D._spread(docs) is docs
+
+
+class TestAdviceR6Fixes:
+    def test_binary_metrics_integer_01_columns(self, spark):
+        """0/1 integer labels must count identically to booleans —
+        bitwise ~1 == -2 previously poisoned the confusion counts."""
+        from pandasy_spark.extended.ml import binary_metrics
+
+        rows = [(1, 1), (1, 0), (0, 1), (0, 0), (1, 1), (None, 1)]
+        ints = spark.createDataFrame(rows, "label int, pred int")
+        bools = spark.createDataFrame(
+            [(bool(a) if a is not None else None,
+              bool(b) if b is not None else None) for a, b in rows],
+            "label boolean, pred boolean",
+        )
+        ri = binary_metrics(ints, "label", "pred").collect()[0]
+        rb = binary_metrics(bools, "label", "pred").collect()[0]
+        assert (ri.tp, ri.fp, ri.fn, ri.tn) == (rb.tp, rb.fp, rb.fn, rb.tn)
+        assert (ri.tp, ri.fp, ri.fn, ri.tn) == (2, 1, 1, 1)
+
+    def test_qoi_header_channels_matches_array(self):
+        import numpy as np
+
+        from pandasy_spark.extended.qoi import encode_qoi
+
+        rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+        rgba[..., 3] = 200
+        enc = encode_qoi(rgba)
+        assert enc[12] == 4  # header channels byte reflects RGBA
+        rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+        assert encode_qoi(rgb)[12] == 3
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="channels"):
+            encode_qoi(rgb, channels=4)
+
+    def test_psi_jsd_null_on_empty_slice(self, spark):
+        """A missing baseline (or current) slice yields NULL, never a
+        'stable'-reading ~0 drift."""
+        from pyspark.sql import functions as F
+
+        from pandasy_spark.extended.profile import jsd_drift, psi_drift
+
+        df = spark.createDataFrame(
+            [(float(i), "cur") for i in range(20)], "v double, slice string"
+        )
+        r = psi_drift(df, "v", F.col("slice") == "base").collect()[0]
+        assert r.n_base == 0 and r.psi is None
+        r = jsd_drift(df, "v", F.col("slice") == "base").collect()[0]
+        assert r.n_base == 0 and r.jsd is None
+        # non-empty slices still produce a value
+        df2 = spark.createDataFrame(
+            [(float(i % 7), "base" if i % 2 else "cur") for i in range(40)],
+            "v double, slice string",
+        )
+        assert psi_drift(df2, "v", F.col("slice") == "base").collect()[0].psi is not None
