@@ -52,6 +52,7 @@ __all__ = [
     "key_skew_report",
     "psi_drift",
     "jsd_drift",
+    "equidepth_histogram",
 ]
 
 _NUMERIC = (
@@ -1608,4 +1609,70 @@ def jsd_drift(
         F.when(
             (F.col("n_base") > 0) & (F.col("n_cur") > 0), F.col("__jsd")
         ).alias("jsd"),
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 8,
+    exact: bool = False,
+    tie_col: str | None = None,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Equi-depth histogram (quantile buckets): ``buckets`` rows of
+    ``(bucket, n, lo, hi)`` with data-dependent edges — the
+    skew-revealing complement to a fixed-width histogram.
+
+    ``exact=False`` (the DEFAULT — the 100 TB path): bucket edges come
+    from one ``approx_percentile`` aggregate (GK sketch, map-combined,
+    no sort anywhere); rows are then assigned by comparing against the
+    broadcast (b-1)-edge array and re-aggregated.  Two scans, zero
+    global sorts, edge error bounded by ``accuracy`` (1/accuracy
+    rank error — raise it for tighter edges).
+
+    ``exact=True``: textbook ``NTILE`` semantics (equal row counts,
+    ties split by ``tie_col`` for determinism) — ONE GLOBAL SORT by
+    definition; the bounded oracle-checked reference form, not the
+    scale default (r6 verdict item #5).
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    v = F.col(value_col)
+    if exact:
+        from pyspark.sql.window import Window
+
+        order = [v] + ([F.col(tie_col)] if tie_col else [])
+        w = Window.orderBy(*order)
+        return (
+            df.filter(v.isNotNull())
+            .select(v.alias("__v"), F.ntile(buckets).over(w).alias("bucket"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("__v").alias("lo"),
+                F.max("__v").alias("hi"),
+            )
+        )
+    ps = [i / buckets for i in range(1, buckets)]
+    edges = df.filter(v.isNotNull()).agg(
+        F.percentile_approx(v, ps, accuracy).alias("__edges")
+    )
+    # bucket = 1 + #edges strictly below the value; b-1 comparisons
+    # per row against the broadcast edge array, no sort
+    assigned = (
+        df.filter(v.isNotNull())
+        .crossJoin(F.broadcast(edges))
+        .select(
+            v.alias("__v"),
+            (
+                F.lit(1)
+                + F.size(F.filter("__edges", lambda e: F.col("__v") > e))
+            ).alias("bucket"),
+        )
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
     )

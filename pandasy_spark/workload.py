@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from .extended import dedup as X_dedup
 from .extended import multimodal as X_mm
+from .extended import profile as X_profile
 from .extended import sampling as X_samp
 from .extended import similarity as X_sim
 from .extended import sketches as X_sk
@@ -4702,23 +4703,15 @@ def dedup_levenshtein(spark, sf_dir):
 def profile_equidepth(spark, sf_dir):
     """Equi-DEPTH histogram (quantile buckets) of o_totalprice — the
     skew-revealing complement to the fixed-width `profile_histogram`:
-    equal row counts per bucket, data-dependent edges.  Exact ntile
-    needs one global sort (the oracle's definition); at 100 TB swap in
-    `quality_quantile_threshold`'s approx_percentile pattern for
-    sort-free approximate edges — this exact form is the bounded
-    oracle-checked reference.  Tie order pinned by the unique key."""
-    from pyspark.sql.window import Window
-
+    equal row counts per bucket, data-dependent edges.  The operator
+    (extended/profile.py equidepth_histogram) DEFAULTS to the
+    sort-free approx_percentile edge path; this gate opts into
+    ``exact=True`` (one global sort — textbook NTILE) because that is
+    the oracle's definition, bounded and hash-checkable.  Tie order
+    pinned by the unique key."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
-    return (
-        o.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
-        )
+    return X_profile.equidepth_histogram(
+        o, "o_totalprice", buckets=8, exact=True, tie_col="o_orderkey"
     )
 
 

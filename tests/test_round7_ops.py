@@ -146,3 +146,47 @@ class TestAdviceR6Fixes:
             "v double, slice string",
         )
         assert psi_drift(df2, "v", F.col("slice") == "base").collect()[0].psi is not None
+
+
+class TestEquidepthHistogram:
+    def test_approx_edges_bracket_exact(self, spark, sf_dir):
+        """The sort-free default's bucket edges must land inside the
+        exact NTILE buckets' value ranges (GK sketch rank error at
+        accuracy=10000 on sf0.001 is below one row)."""
+        from pandasy_spark.extended.profile import equidepth_histogram
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        approx = {
+            r.bucket: r
+            for r in equidepth_histogram(o, "o_totalprice", 8).collect()
+        }
+        exact = {
+            r.bucket: r
+            for r in equidepth_histogram(
+                o, "o_totalprice", 8, exact=True, tie_col="o_orderkey"
+            ).collect()
+        }
+        assert set(approx) == set(exact) == set(range(1, 9))
+        total = o.count()
+        assert sum(r.n for r in approx.values()) == total
+        assert sum(r.n for r in exact.values()) == total
+        for k in range(1, 9):
+            # approx bucket k's value range must lie within the exact
+            # neighbourhood [exact k-1 lo, exact k+1 hi]
+            lo_bound = exact[max(k - 1, 1)].lo
+            hi_bound = exact[min(k + 1, 8)].hi
+            assert lo_bound <= approx[k].lo <= approx[k].hi <= hi_bound
+            # equi-depth: counts within 25% of ideal depth
+            assert abs(approx[k].n - total / 8) <= total / 8 * 0.25
+
+    def test_default_plan_has_no_global_sort_window(self, spark, sf_dir):
+        from pandasy_spark.extended.profile import equidepth_histogram
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        plan = (
+            equidepth_histogram(o, "o_totalprice", 8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # "ntile(" not "ntile": percentile_approx contains "ntile_"
+        assert "ntile(" not in plan
+        assert "Window" not in plan
