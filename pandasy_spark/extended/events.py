@@ -301,6 +301,7 @@ def rfm_segments(
     value_col: str = "value",
     buckets: int = 4,
     banding: str = "threshold",
+    max_ntile_rows: int | None = 10_000_000,
 ) -> DataFrame:
     """RFM segmentation: per user, Recency (days between the user's
     last event and the corpus max timestamp), Frequency (event count)
@@ -323,7 +324,10 @@ def rfm_segments(
     - ``"ntile"`` (opt-in): three global ntile windows with
       deterministic (metric, user) tie-breaks — exactly-equal band
       sizes, but each window is a SINGLE-PARTITION sort of the whole
-      per-user table; kept for small-table parity comparisons only.
+      per-user table; kept for small-table parity comparisons only
+      and GUARDED: more than ``max_ntile_rows`` distinct users raises
+      (one count job) with a pointer at threshold banding.  Pass
+      ``max_ntile_rows=None`` to explicitly accept the global sorts.
 
     Scale: the heavy shuffle is the per-user aggregate; the threshold
     aggregate buffers a value->count map (days/counts/cents:
@@ -369,6 +373,15 @@ def rfm_segments(
         )
     if banding != "ntile":
         raise ValueError(f"unknown banding: {banding!r} (threshold|ntile)")
+    if max_ntile_rows is not None:
+        n_users = scored.count()
+        if n_users > max_ntile_rows:
+            raise ValueError(
+                f"banding='ntile' would run three single-partition global "
+                f"sorts over {n_users} users (> max_ntile_rows="
+                f"{max_ntile_rows}); use banding='threshold' (the scale "
+                f"path) or pass max_ntile_rows=None to accept the sorts"
+            )
     from pyspark.sql.window import Window
 
     r_w = Window.orderBy(F.asc("recency_days"), F.asc(user_col))
@@ -1137,12 +1150,19 @@ def kaplan_meier(
     aggregate keyed by duration (d_i, c_i per t) — shuffle volume =
     #distinct durations, bounded by the observation window in days,
     not by subjects.  ``n_risk`` is a suffix sum and ``survival`` a
-    cumulative product, both over that tiny aggregate via ordered
-    windows (``exp(Σ ln(1 − d/n))`` — the ordered window fixes the
-    summation order, so engines agree bit-for-bit before the final
-    rounding).  All counts BIGINT-exact.
+    cumulative product over that grid, and BOTH run as the
+    range-partitioned two-pass prefix scan (operators/sort.
+    ordered_prefix_scan) — no single-task global window even if the
+    duration grid ever gets sub-day granularity (r6 verdict item #9).
+    To keep the float product order-independent (a distributed float
+    cumsum is not associative), each log factor is QUANTIZED to the
+    1e-12 integer lattice first: ``Σ floor(ln(1−d/n)·1e12)`` is
+    BIGINT-exact in any summation order, and
+    ``exp(Σ/1e12)`` perturbs survival by < #steps·1e-12 relative —
+    both engines evaluate the identical lattice, so gates hash-match.
+    All counts BIGINT-exact.
     """
-    from pyspark.sql.window import Window
+    from ..operators.sort import ordered_prefix_scan
 
     per_t = (
         durations.select(
@@ -1157,38 +1177,49 @@ def kaplan_meier(
         )
     )
     # suffix sum over the (bounded) duration grid: subjects at risk at
-    # t = all with duration >= t
-    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    at_risk = per_t.withColumn(
-        "n_risk",
-        F.sum(F.col("n_events") + F.col("n_censored")).over(w_desc),
-    )
-    w_asc = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # t = all with duration >= t — scanned over descending t via the
+    # negated key (the scan orders ascending)
+    at_risk = ordered_prefix_scan(
+        per_t.select(
+            "*",
+            (-F.col("t")).alias("__negt"),
+            (F.col("n_events") + F.col("n_censored")).alias("__all"),
+        ),
+        ["__negt"],
+        "__all",
+        out_col="n_risk",
+    ).drop("__negt", "__all")
     # a step where EVERYONE at risk churns (d == n) makes the factor
     # exactly 0 — engines disagree on ln(0) (Spark NULL, not -inf), so
     # zero factors are masked out of the log sum and tracked with a
-    # flag that pins survival to exactly 0.0 from that step on
+    # flag whose running SUM (>= 1 <=> a full-churn step has passed)
+    # pins survival to exactly 0.0 from that step on
     full_churn = F.when(
-        F.col("n_events") == F.col("n_risk"), F.lit(1)
-    ).otherwise(F.lit(0))
-    log_term = F.when(
+        F.col("n_events") == F.col("n_risk"), F.lit(1).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    log_term_q = F.when(
         F.col("n_events") < F.col("n_risk"),
-        F.log(
-            F.lit(1.0)
-            - F.col("n_events").cast("double")
-            / F.col("n_risk").cast("double")
+        F.floor(
+            F.log(
+                F.lit(1.0)
+                - F.col("n_events").cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * F.lit(1e12)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    scanned = ordered_prefix_scan(
+        at_risk.select(
+            "*", full_churn.alias("__fc"), log_term_q.alias("__ltq")
         ),
-    ).otherwise(F.lit(0.0))
-    surv = at_risk.withColumn(
-        "__zf", F.max(full_churn).over(w_asc)
-    ).withColumn(
+        ["t"],
+        ["__fc", "__ltq"],
+        out_col=["__zf", "__lsq"],
+    )
+    surv = scanned.withColumn(
         "survival",
-        F.when(F.col("__zf") == 1, F.lit(0.0)).otherwise(
-            F.exp(F.sum(log_term).over(w_asc))
+        F.when(F.col("__zf") >= 1, F.lit(0.0)).otherwise(
+            F.exp(F.col("__lsq").cast("double") / F.lit(1e12))
         ),
     )
     return surv.filter(F.col("n_events") > 0).select(

@@ -14865,14 +14865,16 @@ def warehouse_golden_record(spark, sf_dir):
              MAX(CASE WHEN d_i = n_risk THEN 1 ELSE 0 END)
                OVER (ORDER BY t) AS zf,
              SUM(CASE WHEN d_i < n_risk
-                      THEN ln(1 - CAST(d_i AS DOUBLE) / n_risk)
-                      ELSE 0e0 END)
-               OVER (ORDER BY t) AS ls
+                      THEN CAST(FLOOR(ln(1 - CAST(d_i AS DOUBLE) / n_risk)
+                                      * 1e12) AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END)
+               OVER (ORDER BY t) AS lsq
       FROM r
     )
     SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d_i AS n_events,
            c_i AS n_censored,
-           FLOOR((CASE WHEN zf = 1 THEN 0e0 ELSE exp(ls) END) * 1000000
+           FLOOR((CASE WHEN zf = 1 THEN 0e0
+                       ELSE exp(CAST(lsq AS DOUBLE) / 1e12) END) * 1000000
                  + 0.5) / 1000000 AS survival
     FROM s WHERE d_i > 0
     """,
@@ -14884,9 +14886,10 @@ def events_survival(spark, sf_dir):
     right-CENSORED at the window edge (the correction naive
     conversion-rate-by-day curves omit).  Subjects collapse to ONE
     map-combined aggregate keyed by duration; the risk suffix-sum and
-    survival cumulative product run as ordered windows over that
-    day-grid aggregate (bounded by the observation window -- dozens of
-    rows however many users), with zero factors masked (engines
+    survival product run as range-partitioned two-pass prefix scans
+    over the day grid, with each log factor quantized to the 1e-12
+    BIGINT lattice so the sum is exact in any order (the oracle
+    states the identical lattice); zero factors masked (engines
     disagree on ln(0)) and survival pinned to exact 0.0 after a
     full-conversion step."""
     from .extended.events import kaplan_meier

@@ -190,3 +190,22 @@ class TestEquidepthHistogram:
         # "ntile(" not "ntile": percentile_approx contains "ntile_"
         assert "ntile(" not in plan
         assert "Window" not in plan
+
+
+class TestRfmNtileGuard:
+    def test_ntile_banding_guarded_above_threshold(self, spark):
+        import pytest as _pytest
+
+        from pandasy_spark.extended.events import rfm_segments
+
+        df = spark.createDataFrame(
+            [(f"u{i}", "2024-01-0%d" % (i % 9 + 1), 10.0) for i in range(30)],
+            "user_id string, ts string, value double",
+        ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+        with _pytest.raises(ValueError, match="threshold"):
+            rfm_segments(df, banding="ntile", max_ntile_rows=10)
+        # explicit opt-out accepts the sorts
+        out = rfm_segments(df, banding="ntile", max_ntile_rows=None)
+        assert out.count() == 30
+        # default threshold banding is untouched by the guard
+        assert rfm_segments(df).count() == 30
