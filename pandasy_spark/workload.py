@@ -5255,6 +5255,83 @@ def streaming_sessionize(spark, sf_dir):
 
 
 @query(
+    "streaming_eviction",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us
+      FROM (SELECT * FROM events ORDER BY event_id LIMIT 50000)
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), s AS (
+      SELECT user_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                  OR us - LAG(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), g AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           make_timestamp(MIN(us)) AS session_start,
+           make_timestamp(MAX(us)) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def streaming_eviction(spark, sf_dir):
+    """CUSTOM stateful operator with event-time TIMEOUT EVICTION,
+    driver-witnessed (r6 verdict item #8 — previously pytest-only):
+    streaming/stateful.py ``stateful_sessions`` (applyInPandasWithState
+    + GroupStateTimeout.EventTimeTimeout) over a staged 3-micro-batch
+    replay: (1) the real events (bounded subset, restated in the
+    oracle); (2) a sentinel 30 days ahead advancing the watermark past
+    every real session; (3) a second sentinel — timeouts fire against
+    the watermark set by the PREVIOUS batch, so this hop flushes the
+    remaining held sessions.  The drained append-mode table (sentinel
+    user filtered out) must equal the BATCH gap-session result the
+    oracle computes: closed sessions emitted in-batch, held sessions
+    emitted exactly once by eviction, none fabricated, none lost.
+    Gap split is strict (> 30 min), session_end = last event time —
+    the operator's exact semantics, restated in the oracle."""
+    import pandas as pd
+
+    from .streaming import (
+        run_stream_to_memory,
+        staged_file_stream,
+        stateful_sessions,
+    )
+
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_eviction_gate_{_STREAM_GATE_SEQ[0]}"
+    real = (
+        _t(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(50_000)
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(F.col("user_id").cast("long").alias("user_id"), "ts")
+        .toPandas()
+    )
+    s1 = real.head(1).copy()
+    s1["user_id"] = -1
+    s1["ts"] = real["ts"].max() + pd.Timedelta(days=30)
+    s2 = real.head(1).copy()
+    s2["user_id"] = -1
+    s2["ts"] = real["ts"].max() + pd.Timedelta(days=30, minutes=5)
+    stream = staged_file_stream(spark, [real, s1, s2])
+    sessions = stateful_sessions(stream, gap_minutes=30)
+    q = run_stream_to_memory(sessions, name, output_mode="append")
+    q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+@query(
     "streaming_late_data",
     """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
