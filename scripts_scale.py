@@ -53,6 +53,10 @@ TOP5 = [
     "graph_pagerank",
     "profile_corr",
     "events_sequences",
+    # round-7: the re-composed whole-corpus anchor dedup (full
+    # documents scan; replicas are distinct docs, so clusters keep
+    # their size and multiply in count -> candidates scale ~10x)
+    "dedup_ngram_jaccard",
 ]
 COPY = [
     "region", "nation", "customer", "supplier", "part", "embeddings",
