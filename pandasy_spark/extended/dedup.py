@@ -212,10 +212,14 @@ def minhash_signatures(
     column-wise min.
 
     Map-side partial aggregation keeps the shuffle at
-    |docs| x num_hashes, independent of shingle counts.  Shingles are
+    |docs| x num_hashes, independent of shingle counts.  The intake is
+    ``_spread``: a small parquet arrives as ONE split (one row group)
+    and would pin the whole shingle-hash kernel to one core; the guard
+    is a no-op when the scan is already parallel.  Shingles are
     deliberately NOT deduplicated per document: column-wise min is
     duplicate-insensitive, so the values are identical to the set
     version while skipping a per-row ``array_distinct`` pass."""
+    df = _spread(df)
     cnt = F.length(F.col(text_col)) - (n - 1)
 
     # One Karp-Rabin char-fold per shingle POSITION (no n-gram string
@@ -333,15 +337,16 @@ def _spread(df: DataFrame) -> DataFrame:
 
     Shingle hashing is CPU-heavy per input BYTE, so a small parquet
     (one row group -> ONE split no matter what maxPartitionBytes says)
-    serializes the whole kernel on one core.  At real scale inputs
-    arrive in thousands of splits and this is a no-op — the guard keys
-    on the actual partition count, not data size, so no shuffle is
-    added where the scan is already parallel."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
-        return df.repartition(target)
-    return df
+    serializes the whole kernel on one core.  Delegates to
+    sources.catalog.ensure_min_partitions, which also installs the
+    localCheckpoint optimization barrier (Catalyst pushes
+    computed-column filters straight through a bare ``Repartition``,
+    landing the heavy expressions back in the single-task scan).  At
+    real scale inputs arrive in thousands of splits and this is a
+    metadata-only no-op."""
+    from ..sources.catalog import ensure_min_partitions
+
+    return ensure_min_partitions(df)
 
 
 def lsh_verified_pairs(
