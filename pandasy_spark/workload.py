@@ -1966,7 +1966,7 @@ def agg_approx(spark, sf_dir):
     and p55 (accuracy=10000 ⇒ rank error ≤ n/10000, far inside that
     window).  A sketch regression flips a boolean and fails the hash
     check; exact_parts/ct double as deterministic anchors."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = X_ensure_min_partitions(_t(spark, sf_dir, "lineitem"))
     a = agg(
         li,
         ["l_returnflag"],
@@ -14529,7 +14529,7 @@ def graph_hits(spark, sf_dir):
     checkpointed once.  The oracle unrolls the identical rounds."""
     from .extended.graph import hits
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = X_ensure_min_partitions(_t(spark, sf_dir, "lineitem"))
     e1 = li.select(
         F.col("l_partkey").alias("src"),
         (F.col("l_suppkey") + 1_000_000).alias("dst"),
