@@ -7863,7 +7863,7 @@ def knn_pq(spark, sf_dir):
     Every number integer, so the booleans are deterministic."""
     from pyspark.sql.window import Window
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = X_ensure_min_partitions(_t(spark, sf_dir, "embeddings"))
     corpus = filter_df(emb, F.col("vec_id") >= 10)
     queries_df = filter_df(emb, F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
