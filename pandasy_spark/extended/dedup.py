@@ -9,7 +9,12 @@ corpus dedup:
 - MinHash+LSH: shingle -> k hash functions -> per-doc signature ->
   banded bucket join.  Only documents sharing a band bucket are ever
   paired, so the candidate set is ~linear in corpus size instead of
-  O(n^2).  All hashing is ``xxhash64`` (JVM, codegen'd).
+  O(n^2).  All hashing is engine-portable MINSTD int64 arithmetic
+  (JVM, codegen'd; DuckDB oracles rebuild identical values).
+- LSH anchor dedup: per-bucket min-id anchors -> exact verification ->
+  per-doc drop decision — linear work AND output even when near-dup
+  clusters hold most of the corpus (pair LISTING is output-quadratic
+  there by definition).
 - n-gram Jaccard: exact verification kernel (array_intersect /
   array_union on distinct shingle sets) — used to verify LSH
   candidates, or brute-force on small bounded subsets.
