@@ -209,3 +209,37 @@ class TestRfmNtileGuard:
         assert out.count() == 30
         # default threshold banding is untouched by the guard
         assert rfm_segments(df).count() == 30
+
+
+class TestLshEdgeCases:
+    def test_all_identical_corpus(self, spark):
+        """Degenerate hot-cluster corpus: every doc identical -> every
+        non-anchor doc drops with jaccard 1.0 against the global min."""
+        df = spark.createDataFrame(
+            [(i, "the same exact document text") for i in range(40)],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in D.lsh_anchor_dedup(df).collect()}
+        assert set(out) == set(range(1, 40))
+        assert all(r.dup_of == 0 and r.jaccard == 1.0 for r in out.values())
+
+    def test_short_and_empty_texts_survive(self, spark):
+        """Texts shorter than the shingle width produce no signature and
+        are never dropped (nothing to compare) — and never crash."""
+        df = spark.createDataFrame(
+            [(0, ""), (1, "ab"), (2, "x"), (3, "a real document body"),
+             (4, "a real document body")],
+            "doc_id long, text string",
+        )
+        out = D.lsh_anchor_dedup(df).collect()
+        assert {r.doc_id for r in out} == {4}
+        assert out[0].dup_of == 3
+
+    def test_single_doc_and_empty_frame(self, spark):
+        one = spark.createDataFrame(
+            [(7, "only document")], "doc_id long, text string"
+        )
+        assert D.lsh_anchor_dedup(one).count() == 0
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert D.lsh_anchor_dedup(empty).count() == 0
+        assert D.lsh_verified_pairs(empty).count() == 0
