@@ -567,13 +567,27 @@ def cosine_dup_pairs(
                 "lsh_planes must be > 0; pass exact=True to opt into the "
                 "quadratic all-pairs path"
             )
-        pairs = None
-        for t in range(lsh_tables):
-            at = a.withColumn("__b", hyperplane_bucket(F.col("v1"), lsh_planes, t))
-            bt = b.withColumn("__b", hyperplane_bucket(F.col("v2"), lsh_planes, t))
-            cand = at.join(bt, on="__b").drop("__b").filter(F.col("id1") < F.col("id2"))
-            pairs = cand if pairs is None else pairs.unionByName(cand)
-        pairs = pairs.dropDuplicates(["id1", "id2"])
+        # all tables in ONE join: posexplode each side into
+        # (table, bucket) rows and equi-join on both — the same
+        # candidate set as unioning per-table joins (a pair collides
+        # in >= 1 table either way, deduplicated after), but one
+        # shuffle stage instead of lsh_tables of them
+        def buckets(v: Column) -> Column:
+            return F.array(
+                *[hyperplane_bucket(v, lsh_planes, t) for t in range(lsh_tables)]
+            )
+
+        at = a.select(
+            "id1", "v1", F.posexplode(buckets(F.col("v1"))).alias("__t", "__b")
+        )
+        bt = b.select(
+            "id2", "v2", F.posexplode(buckets(F.col("v2"))).alias("__t", "__b")
+        )
+        pairs = (
+            at.join(bt, on=["__t", "__b"])
+            .filter(F.col("id1") < F.col("id2"))
+            .dropDuplicates(["id1", "id2"])
+        )
     else:
         _guard_quadratic(df, exact_max_rows, "cosine_dup_pairs")
         pairs = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
