@@ -105,16 +105,19 @@ def main() -> None:
     # hold only the slowest ~60 queries.  Persist the COMPLETE
     # per-query map to a repo file (committed with the round) so the
     # full-registry ratio table survives even when stdout is truncated.
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_FULL_LATEST.json"),
-            "w",
-        ) as fh:
-            fh.write(full + "\n")
-    except OSError as exc:
-        print(f"BENCH warning: could not persist full record: {exc}",
-              file=sys.stderr)
+    # Subset spot-benches (SPARK_GRAFT_QUERIES) must NOT clobber the
+    # full-registry record — the driver auto-commits dirty files.
+    if not subset:
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL_LATEST.json"),
+                "w",
+            ) as fh:
+                fh.write(full + "\n")
+        except OSError as exc:
+            print(f"BENCH warning: could not persist full record: {exc}",
+                  file=sys.stderr)
     # The driver records only the last ~2 KB of stdout and JSON-parses
     # the final line; with 90+ per-query entries the single line
     # overflows that window and the headline total becomes unparseable
