@@ -24,12 +24,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Latest-witness tiers across CORRECTNESS_r01..r06 — the tier records
+# Latest-witness tiers across CORRECTNESS_r01..r07 — the tier records
 # WHICH round last witnessed a query, so each new round re-proves the
 # stalest names first inside the driver's 50-row recording window.
-# Round 6 added 126 queries into that 50-row window, leaving a 76-query
-# never-witnessed backlog (`_R6_NEW[50:]`); round 7 drains the first 50
-# of it and round 8 the remaining 26 (VERDICT r6 item #1).
+# Round 6 added 126 queries into that 50-row window; round 7 drained
+# the first 50 of the backlog; round 8 fronts the remaining 27
+# never-witnessed names + the 9 changed-after-witness gates, then
+# starts re-witnessing the stale r1/r2 tier (VERDICT r7 item #1).
 _WITNESSED_R5 = {
     "agg_cube", "agg_distinct", "agg_grouping_sets", "agg_percentiles",
     "agg_rollup", "agg_stats", "date_funcs", "dedup_exact",
@@ -236,29 +237,52 @@ _R6_NEW: list[str] = [
 
 
 _WITNESSED_R6 = set(_R6_NEW[:50])
-_BACKLOG = _R6_NEW[50:]  # 76 names, never driver-witnessed
+# CORRECTNESS_r07 recorded exactly _R6_NEW[50:100] (50/50 green).
+_WITNESSED_R7 = set(_R6_NEW[50:100])
+
+# Round-8 front, per VERDICT r7 item #1:
+#   (a) the 27 names never driver-witnessed in any round
+#       (_R6_NEW[100:] + streaming_eviction, registered in r7),
+#   (b) the 9 gates whose implementations changed in r7 AFTER their
+#       last driver witness (anchor-dedup recompose, positional
+#       minhash, single-join cosine LSH, prefix-scan KS/MW CDF,
+#       RFM ntile guard, equidepth operator API) — all re-verified
+#       MATCH at sf0.01 by the judge, but the ledger needs a
+#       post-change row,
+#   (c) the stalest _WITNESSED_R1R2 names fill the rest of the
+#       driver's 50-row recording window.
+_NEVER_WITNESSED: list[str] = _R6_NEW[100:] + ["streaming_eviction"]
+_CHANGED_AFTER_WITNESS: list[str] = [
+    "dedup_ngram_jaccard", "dedup_minhash", "dedup_semantic",
+    "dedup_embedding", "decontaminate_semantic", "profile_ks",
+    "profile_mannwhitney", "events_rfm", "profile_equidepth",
+]
 
 _CHECKED_UNION = (
     _WITNESSED_R1R2 | _WITNESSED_R3 | _WITNESSED_R4 | _WITNESSED_R5
-    | _WITNESSED_R6
+    | _WITNESSED_R6 | _WITNESSED_R7
 )
 
 
 def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    front = {k: QUERIES[k] for k in _BACKLOG if k in QUERIES}
+    front = {
+        k: QUERIES[k]
+        for k in (*_NEVER_WITNESSED, *_CHANGED_AFTER_WITNESS)
+        if k in QUERIES
+    }
     unproven = {
         k: v for k, v in QUERIES.items()
         if k not in _CHECKED_UNION and k not in front
     }
     tiers = (
         _WITNESSED_R1R2, _WITNESSED_R3, _WITNESSED_R4, _WITNESSED_R5,
-        _WITNESSED_R6,
+        _WITNESSED_R6, _WITNESSED_R7,
     )
     by_staleness = {
         k: QUERIES[k]
         for tier in tiers
-        for k in QUERIES
-        if k in tier
+        for k in sorted(tier)
+        if k in QUERIES and k not in front
     }
     return {**front, **unproven, **by_staleness}
 

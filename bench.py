@@ -67,6 +67,7 @@ def main() -> None:
     t_begin = time.perf_counter()
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    partial_times: dict[str, float] = {}
     for name in bench_queries:
         best = float("inf")
         try:
@@ -83,9 +84,11 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
             # a flaky query that succeeded on an earlier run keeps its
-            # measured timing alongside the recorded error
+            # measured timing, but OUTSIDE the headline sum — an
+            # errored name must never contribute to `value`, or the
+            # round-over-round total stops being comparable (ADVICE r7)
             if best != float("inf"):
-                times[name] = round(best, 3)
+                partial_times[name] = round(best, 3)
             continue
         times[name] = round(best, 3)
 
@@ -100,6 +103,8 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
+    if partial_times:
+        payload["partial_times"] = partial_times
     full = json.dumps(payload)
     # The driver's tail window keeps ~2 KB, so its BENCH_r{N}.json can
     # hold only the slowest ~60 queries.  Persist the COMPLETE

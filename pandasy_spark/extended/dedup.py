@@ -76,6 +76,8 @@ __all__ = [
     "token_weight_rows",
     "weighted_minhash_signatures",
     "weighted_jaccard_pairs",
+    "lsh_verified_pairs",
+    "lsh_anchor_dedup",
 ]
 
 

@@ -1161,6 +1161,18 @@ def kaplan_meier(
     ``exp(Σ/1e12)`` perturbs survival by < #steps·1e-12 relative —
     both engines evaluate the identical lattice, so gates hash-match.
     All counts BIGINT-exact.
+
+    Portability caveat (ADVICE r7): the lattice identity assumes the
+    JVM's ``Math.log`` and the oracle engine's ``ln`` agree to the
+    last bit on the shared input (``1 - d/n`` IS bit-identical — IEEE
+    division is exactly rounded; only the libm implementations can
+    differ).  Both are faithfully-rounded implementations and agree
+    on every value this operator has been run against, but a 1-ulp
+    disagreement landing exactly on a ×1e12 floor boundary would flip
+    one BIGINT term — "identical lattice" is an empirical contract,
+    not a proof.  The downstream gate additionally rounds survival to
+    1e-6, so a flipped terminal bit is observable only if the rounded
+    survival sits on a .5 boundary.
     """
     from ..operators.sort import ordered_prefix_scan
 

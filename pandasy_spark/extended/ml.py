@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["target_encode_loo", "ols_simple", "kfold_assign", "binary_metrics"]
@@ -138,11 +138,32 @@ def binary_metrics(
     filter that never fires has NO precision, and hiding that behind
     0.0 misreads as "measured terrible".  Scale: one scan, four
     conditional counts, no shuffle beyond the 1-row aggregate."""
-    # accept boolean OR 0/1 numeric columns: without the cast, `~lbl`
-    # on an integer column is BITWISE negation (~1 == -2, truthy) and
-    # the confusion counts silently miscount (ADVICE r6)
-    lbl = F.col(label_col).cast("boolean")
-    prd = F.col(pred_col).cast("boolean")
+    # Accept boolean OR integral 0/1 columns ONLY.  A float
+    # score/probability column is REJECTED rather than silently
+    # thresholded at != 0, and strings are rejected up front rather
+    # than left to throw mid-job under ANSI (ADVICE r7) — threshold
+    # scores explicitly before evaluating.
+    from pyspark.sql import types as _T
+
+    def _as_bool(name: str) -> Column:
+        dt = df.schema[name].dataType
+        if isinstance(dt, _T.BooleanType):
+            return F.col(name)
+        if isinstance(
+            dt, (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)
+        ):
+            # explicit comparison: `~col` on an integer column is
+            # BITWISE negation (~1 == -2, truthy), so build a real
+            # boolean (NULL-preserving) before the confusion counts
+            return F.when(F.col(name).isNotNull(), F.col(name) != 0)
+        raise TypeError(
+            f"binary_metrics: column {name!r} has type "
+            f"{dt.simpleString()}; expected boolean or integral 0/1 — "
+            "threshold float scores / parse string labels first"
+        )
+
+    lbl = _as_bool(label_col)
+    prd = _as_bool(pred_col)
     base = df.filter(lbl.isNotNull() & prd.isNotNull())
     cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")
     agg = base.agg(

@@ -638,6 +638,14 @@ def quantile_disc_twopass(
        value, and a bounded cumulative count picks the value whose
        cumulative reach covers the remaining rank.
 
+    Grouped calls run the two cumulative sums as per-group windows
+    (bounded per group); the no-group form runs them through the
+    range-partitioned distributed prefix scan
+    (operators/sort.ordered_prefix_scan) — a global window would
+    funnel the refine sliver (up to ``step`` distinct values, i.e.
+    unbounded for a concentrated distribution over a wide domain)
+    through one task.
+
     Output: ``(group..., n, q_value)``.  Empty groups are absent.
     """
     from pyspark.sql.window import Window
@@ -668,18 +676,25 @@ def quantile_disc_twopass(
         if not group_cols
         else vals.join(F.broadcast(stats), list(group_cols))
     )
+    from ..operators.sort import ordered_prefix_scan
+
     hist = joined.groupBy(
         *group_cols, F.expr("(__v - __lo) div __step").alias("__cell")
     ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
-    wc = Window.partitionBy(*group_cols).orderBy("__cell")
-    located = (
-        hist.withColumn("__cum", F.sum("__c").over(wc))
-        .join(F.broadcast(stats.select(*group_cols, "__rank")), list(group_cols))
-        if group_cols
-        else hist.withColumn("__cum", F.sum("__c").over(wc)).crossJoin(
-            F.broadcast(stats.select("__rank"))
+    if group_cols:
+        wc = Window.partitionBy(*group_cols).orderBy("__cell")
+        located = hist.withColumn("__cum", F.sum("__c").over(wc)).join(
+            F.broadcast(stats.select(*group_cols, "__rank")),
+            list(group_cols),
         )
-    )
+    else:
+        # no-group form: a Window.partitionBy() global window would
+        # funnel the histogram through one task — use the distributed
+        # range-partitioned prefix scan (same treatment as
+        # quantile_cont_twopass, VERDICT r7 item #3)
+        located = ordered_prefix_scan(
+            hist, ["__cell"], "__c", agg="sum", out_col="__cum"
+        ).crossJoin(F.broadcast(stats.select("__rank")))
     kcell = (
         located.filter(F.col("__cum") >= F.col("__rank"))
         .groupBy(*group_cols)
@@ -704,23 +719,23 @@ def quantile_disc_twopass(
         .groupBy(*group_cols, "__v")
         .agg(F.count(F.lit(1)).cast("long").alias("__vc"))
     )
-    wv = Window.partitionBy(*group_cols).orderBy("__v")
-    res = (
-        sliver.withColumn("__vcum", F.sum("__vc").over(wv))
-        .join(
+    if group_cols:
+        wv = Window.partitionBy(*group_cols).orderBy("__v")
+        res = sliver.withColumn("__vcum", F.sum("__vc").over(wv)).join(
             F.broadcast(
-                kcell.join(stats.select(*group_cols, "n", "__rank"), list(group_cols))
-                if group_cols
-                else kcell.crossJoin(stats.select("n", "__rank"))
+                kcell.join(
+                    stats.select(*group_cols, "n", "__rank"),
+                    list(group_cols),
+                )
             ),
-            list(group_cols) if group_cols else [],
-            "inner" if group_cols else "cross",
+            list(group_cols),
         )
-        if group_cols
-        else sliver.withColumn("__vcum", F.sum("__vc").over(wv)).crossJoin(
+    else:
+        res = ordered_prefix_scan(
+            sliver, ["__v"], "__vc", agg="sum", out_col="__vcum"
+        ).crossJoin(
             F.broadcast(kcell.crossJoin(stats.select("n", "__rank")))
         )
-    )
     return (
         res.filter(F.col("__before") + F.col("__vcum") >= F.col("__rank"))
         .groupBy(*group_cols)
@@ -1065,8 +1080,14 @@ def quantile_cont_twopass(
     neighbor ranks in one refine: the ranks differ by 1, so the first
     cells reaching cumulative counts ``r_lo`` and ``r_lo+1`` bound a
     sliver of at most two non-empty cells per group.  Three
-    map-combined aggregates over the data; the only windows run over
-    the bounded (per-group) histogram/sliver domains.
+    map-combined aggregates over the data; grouped calls run the
+    cumulative windows per group (bounded by ``coarse_cells`` /
+    sliver size per group), and the global (no-group) form uses the
+    range-partitioned distributed prefix scan
+    (operators/sort.ordered_prefix_scan) so no stage funnels the
+    histogram or the refine sliver through a single task — the
+    sliver's distinct-value count is bounded only by the densest
+    cell's width, which a concentrated distribution can blow up.
 
     Output: one row per group ``(group..., n, q_scaled)``.
     """
@@ -1106,19 +1127,25 @@ def quantile_cont_twopass(
             ),
         )
     )
+    from ..operators.sort import ordered_prefix_scan
+
     joined = _attach(vals, stats)
     hist = joined.groupBy(
         *g, F.expr("(__v - __lo) div __step").alias("__cell")
     ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
-    wc = (
-        Window.partitionBy(*g).orderBy("__cell")
-        if g
-        else Window.orderBy("__cell")
-    )
-    cum = _attach(
-        hist.withColumn("__cum", F.sum("__c").over(wc)),
-        stats.select(*g, "__rlo", "__rhi"),
-    )
+    if g:
+        # per-group windows: each partition holds one group's
+        # <= coarse_cells histogram rows — bounded, never global
+        wc = Window.partitionBy(*g).orderBy("__cell")
+        hist_cum = hist.withColumn("__cum", F.sum("__c").over(wc))
+    else:
+        # no group key to partition on: a bare Window.orderBy would
+        # funnel the rows through ONE task, so run the distributed
+        # range-partitioned prefix scan instead (VERDICT r7 item #3)
+        hist_cum = ordered_prefix_scan(
+            hist, ["__cell"], "__c", agg="sum", out_col="__cum"
+        )
+    cum = _attach(hist_cum, stats.select(*g, "__rlo", "__rhi"))
     kcells = cum.groupBy(*g).agg(
         F.min(
             F.when(
@@ -1147,16 +1174,19 @@ def quantile_cont_twopass(
         .groupBy(*g, "__v")
         .agg(F.count(F.lit(1)).cast("long").alias("__vc"))
     )
-    wv = (
-        Window.partitionBy(*g).orderBy("__v")
-        if g
-        else Window.orderBy("__v")
-    )
+    if g:
+        wv = Window.partitionBy(*g).orderBy("__v")
+        sliver_cum = sliver.withColumn("__vcum", F.sum("__vc").over(wv))
+    else:
+        # the sliver holds up to ~2*__step distinct values — bounded
+        # only by the densest cell, which a concentrated distribution
+        # can make arbitrarily large; prefix-scan it, never
+        # single-task it (VERDICT r7 item #3)
+        sliver_cum = ordered_prefix_scan(
+            sliver, ["__v"], "__vc", agg="sum", out_col="__vcum"
+        )
     res = _attach(
-        _attach(
-            sliver.withColumn("__vcum", F.sum("__vc").over(wv)),
-            kcells.select(*g, "__before"),
-        ),
+        _attach(sliver_cum, kcells.select(*g, "__before")),
         stats.select(*g, "n", "__rlo", "__rhi", "__rem"),
     )
     return res.groupBy(*g).agg(
@@ -1283,8 +1313,11 @@ def weighted_quantile_twopass(
     sums: one stats pass (min/max/ΣW), one weight histogram over
     ≤ ``coarse_cells`` cells locating the target cell, one refine pass
     over ONLY that cell's rows.  Three map-combined aggregates; the
-    bounded windows run over the histogram/sliver domains, never the
-    data.
+    histogram and refine-sliver cumulative sums run through the
+    range-partitioned distributed prefix scan
+    (operators/sort.ordered_prefix_scan), never a single-task global
+    window — the sliver can hold up to ``__step`` distinct values,
+    unbounded when one coarse cell concentrates the distribution.
 
     Output: one row ``(w_total, q_value)``.  Rows with NULL or
     non-positive weight are ignored.
@@ -1315,14 +1348,17 @@ def weighted_quantile_twopass(
             " CAST(1 AS BIGINT))"
         ),
     )
+    from ..operators.sort import ordered_prefix_scan
+
     joined = vals.crossJoin(F.broadcast(stats))
     hist = joined.groupBy(
         F.expr("(__v - __lo) div __step").alias("__cell")
     ).agg(F.sum("__w").alias("__c"))
-    wc = Window.orderBy("__cell")
-    located = hist.withColumn("__cum", F.sum("__c").over(wc)).crossJoin(
-        F.broadcast(stats.select("__rank"))
-    )
+    # range-partitioned prefix scan, never a bare Window.orderBy
+    # through one task (VERDICT r7 item #3)
+    located = ordered_prefix_scan(
+        hist, ["__cell"], "__c", agg="sum", out_col="__cum"
+    ).crossJoin(F.broadcast(stats.select("__rank")))
     kcell = (
         located.filter(F.col("__cum") >= F.col("__rank"))
         .agg(
@@ -1341,9 +1377,10 @@ def weighted_quantile_twopass(
         .groupBy("__v")
         .agg(F.sum("__w").alias("__vc"))
     )
-    wv = Window.orderBy("__v")
     res = (
-        sliver.withColumn("__vcum", F.sum("__vc").over(wv))
+        ordered_prefix_scan(
+            sliver, ["__v"], "__vc", agg="sum", out_col="__vcum"
+        )
         .crossJoin(F.broadcast(kcell.select("__before")))
         .crossJoin(F.broadcast(stats.select("w_total", "__rank")))
     )

@@ -69,6 +69,7 @@ def query(name: str, oracle: str | None = None):
             return fn(spark, sf_dir)
 
         wrapped.__name__ = name
+        wrapped.__wrapped__ = fn  # functools convention: inspect reaches the gate body
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
@@ -5314,6 +5315,16 @@ def streaming_eviction(spark, sf_dir):
         .select(F.col("user_id").cast("long").alias("user_id"), "ts")
         .toPandas()
     )
+    # Empty-slice guard (ADVICE r7): head(1) on an empty frame would
+    # stage empty/NaT sentinel batches — the stream would drain
+    # hang-free but held sessions would never flush, silently
+    # mismatching the oracle.  The slice is never empty for real
+    # testdata, so an empty one means a broken input: fail loudly.
+    if real.empty:
+        raise ValueError(
+            "streaming_eviction: the 50k-event slice is empty — "
+            "cannot stage watermark sentinels against no events"
+        )
     s1 = real.head(1).copy()
     s1["user_id"] = -1
     s1["ts"] = real["ts"].max() + pd.Timedelta(days=30)

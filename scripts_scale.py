@@ -1204,6 +1204,80 @@ def probe_r6e() -> None:
     print(json.dumps({"r6e_probes": results}))
 
 
+def probe_r8() -> None:
+    """sf1.0 probes for the round-8 prefix-scan quantile rewrite
+    (VERDICT r7 items #3/#8), on a DELIBERATELY pathological value
+    distribution: ~99.9% of rows dense in [0, 1e6) plus a handful of
+    4e12 outliers stretching the domain, so the coarse step is ~1e9
+    and the target cell holds up to a MILLION distinct values — the
+    refine sliver that the pre-rewrite global Window.orderBy funneled
+    through ONE task.  The probe proves the no-group two-pass
+    quantiles now scale flat-to-linear on exactly that shape."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pandasy_spark.session import get_spark
+
+    spark = get_spark("pandasy-scale-probe-r8")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def skewed(sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return li.select(
+            F.when(
+                F.col("l_orderkey") % 1000 == 0,
+                F.lit(4_000_000_000_000),
+            )
+            .otherwise(
+                (F.col("l_orderkey") * 7 + F.col("l_linenumber"))
+                % 1_000_000
+            )
+            .cast("long")
+            .alias("v"),
+            (F.col("l_quantity").cast("long") % 7 + 1).alias("w"),
+        )
+
+    def cont_probe(sf_dir):
+        from pandasy_spark.extended.profile import quantile_cont_twopass
+
+        return quantile_cont_twopass(skewed(sf_dir), "v", p_milli=500)
+
+    def weighted_probe(sf_dir):
+        from pandasy_spark.extended.profile import (
+            weighted_quantile_twopass,
+        )
+
+        return weighted_quantile_twopass(
+            skewed(sf_dir), "v", "w", q_milli=500
+        )
+
+    def disc_probe(sf_dir):
+        from pandasy_spark.extended.profile import quantile_disc_twopass
+
+        return quantile_disc_twopass(skewed(sf_dir), [], "v", q_milli=500)
+
+    results = {}
+    for name, fn in [
+        ("quantile_cont_skewed", cont_probe),
+        ("weighted_quantile_skewed", weighted_probe),
+        ("quantile_disc_skewed", disc_probe),
+    ]:
+        results[name] = {}
+        for label, sf_dir in [("sf0.1", SRC), ("sf1.0", DST)]:
+            best = float("inf")
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                fn(sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, _t.perf_counter() - t0)
+            results[name][label] = round(best, 2)
+        results[name]["ratio"] = round(
+            results[name]["sf1.0"] / max(results[name]["sf0.1"], 1e-9), 2
+        )
+        print(name, results[name], flush=True)
+    print(json.dumps({"r8_probes": results}))
+
+
 if __name__ == "__main__":
     {
         "build": build,
@@ -1215,5 +1289,6 @@ if __name__ == "__main__":
         "probe_r6c": probe_r6c,
         "probe_r6d": probe_r6d,
         "probe_r6e": probe_r6e,
+        "probe_r8": probe_r8,
         "bpe50k": bpe50k,
     }[sys.argv[1]]()

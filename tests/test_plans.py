@@ -256,3 +256,35 @@ def test_ks_mannwhitney_cdf_not_single_partition(spark, sf_dir):
         assert "windowspecdefinition(__v" not in plan, name
         # the partition-local scan window is present instead
         assert "windowspecdefinition(__pid" in plan, name
+
+
+def test_quantile_twopass_refine_not_single_partition(spark, sf_dir):
+    """The no-group two-pass quantile forms (interpolated, weighted,
+    and the discrete form inside profile_key_skew) must run their
+    histogram and refine-sliver cumulative sums through the
+    range-partitioned prefix scan, never a bare global Window.orderBy:
+    the sliver holds up to `step` distinct values — bounded only by
+    the densest coarse cell, which one dominant value can blow up to
+    the whole domain at 100 TB (r7 verdict item #3)."""
+    for name in ("agg_quantile_cont", "agg_weighted_median",
+                 "profile_key_skew"):
+        plan = _plan(spark, sf_dir, name)
+        # an unpartitioned cumulative window would order directly by
+        # the value / cell domain
+        assert "windowspecdefinition(__v#" not in plan, name
+        assert "windowspecdefinition(__v " not in plan, name
+        assert "windowspecdefinition(__cell" not in plan, name
+        # the partition-local scan window is present instead
+        assert "windowspecdefinition(__pid" in plan, name
+
+
+def test_quantile_twopass_grouped_windows_stay_per_group(spark, sf_dir):
+    """The grouped form keeps plain per-group cumulative windows (each
+    partition holds one group's <= coarse_cells histogram rows) — no
+    prefix-scan machinery, and crucially no empty-partitionBy global
+    window."""
+    plan = _plan(spark, sf_dir, "agg_quantile_cont_grouped")
+    assert "windowspecdefinition(l_returnflag" in plan
+    # a global (partition-less) spec would start with the order col
+    assert "windowspecdefinition(__cell" not in plan
+    assert "windowspecdefinition(__v#" not in plan
