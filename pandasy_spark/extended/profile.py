@@ -638,13 +638,13 @@ def quantile_disc_twopass(
        value, and a bounded cumulative count picks the value whose
        cumulative reach covers the remaining rank.
 
-    Grouped calls run the two cumulative sums as per-group windows
-    (bounded per group); the no-group form runs them through the
-    range-partitioned distributed prefix scan
-    (operators/sort.ordered_prefix_scan) — a global window would
-    funnel the refine sliver (up to ``step`` distinct values, i.e.
-    unbounded for a concentrated distribution over a wide domain)
-    through one task.
+    The histogram cumulative window is bounded by construction
+    (≤ ``coarse_cells`` rows per group) and stays a plain window;
+    the refine-sliver cumulative sum (up to ``step`` distinct values
+    — unbounded for a concentrated distribution over a wide domain)
+    runs per-group when grouped and through the range-partitioned
+    distributed prefix scan (operators/sort.ordered_prefix_scan) in
+    the no-group form, never a single-task global window.
 
     Output: ``(group..., n, q_value)``.  Empty groups are absent.
     """
@@ -681,20 +681,19 @@ def quantile_disc_twopass(
     hist = joined.groupBy(
         *group_cols, F.expr("(__v - __lo) div __step").alias("__cell")
     ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
-    if group_cols:
-        wc = Window.partitionBy(*group_cols).orderBy("__cell")
-        located = hist.withColumn("__cum", F.sum("__c").over(wc)).join(
+    # the histogram window is BOUNDED BY CONSTRUCTION (<= coarse_cells
+    # rows per group) — safe at any corpus size even with no group key
+    wc = Window.partitionBy(*group_cols).orderBy("__cell")
+    located = (
+        hist.withColumn("__cum", F.sum("__c").over(wc)).join(
             F.broadcast(stats.select(*group_cols, "__rank")),
             list(group_cols),
         )
-    else:
-        # no-group form: a Window.partitionBy() global window would
-        # funnel the histogram through one task — use the distributed
-        # range-partitioned prefix scan (same treatment as
-        # quantile_cont_twopass, VERDICT r7 item #3)
-        located = ordered_prefix_scan(
-            hist, ["__cell"], "__c", agg="sum", out_col="__cum"
-        ).crossJoin(F.broadcast(stats.select("__rank")))
+        if group_cols
+        else hist.withColumn("__cum", F.sum("__c").over(wc)).crossJoin(
+            F.broadcast(stats.select("__rank"))
+        )
+    )
     kcell = (
         located.filter(F.col("__cum") >= F.col("__rank"))
         .groupBy(*group_cols)
@@ -1080,14 +1079,15 @@ def quantile_cont_twopass(
     neighbor ranks in one refine: the ranks differ by 1, so the first
     cells reaching cumulative counts ``r_lo`` and ``r_lo+1`` bound a
     sliver of at most two non-empty cells per group.  Three
-    map-combined aggregates over the data; grouped calls run the
-    cumulative windows per group (bounded by ``coarse_cells`` /
-    sliver size per group), and the global (no-group) form uses the
-    range-partitioned distributed prefix scan
-    (operators/sort.ordered_prefix_scan) so no stage funnels the
-    histogram or the refine sliver through a single task — the
-    sliver's distinct-value count is bounded only by the densest
-    cell's width, which a concentrated distribution can blow up.
+    map-combined aggregates over the data.  The histogram cumulative
+    window is bounded BY CONSTRUCTION (≤ ``coarse_cells`` rows per
+    group) and stays a plain window; the refine SLIVER's cumulative
+    sum is bounded only by the densest cell's width — which a
+    concentrated distribution over a wide domain can blow up to ~the
+    whole corpus' distinct values — so the no-group form runs it
+    through the range-partitioned distributed prefix scan
+    (operators/sort.ordered_prefix_scan), never a single-task global
+    window (r7 verdict item #3; skew probe in BASELINE.md round-8).
 
     Output: one row per group ``(group..., n, q_scaled)``.
     """
@@ -1133,19 +1133,19 @@ def quantile_cont_twopass(
     hist = joined.groupBy(
         *g, F.expr("(__v - __lo) div __step").alias("__cell")
     ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
-    if g:
-        # per-group windows: each partition holds one group's
-        # <= coarse_cells histogram rows — bounded, never global
-        wc = Window.partitionBy(*g).orderBy("__cell")
-        hist_cum = hist.withColumn("__cum", F.sum("__c").over(wc))
-    else:
-        # no group key to partition on: a bare Window.orderBy would
-        # funnel the rows through ONE task, so run the distributed
-        # range-partitioned prefix scan instead (VERDICT r7 item #3)
-        hist_cum = ordered_prefix_scan(
-            hist, ["__cell"], "__c", agg="sum", out_col="__cum"
-        )
-    cum = _attach(hist_cum, stats.select(*g, "__rlo", "__rhi"))
+    # the histogram cumulative window is BOUNDED BY CONSTRUCTION
+    # (<= coarse_cells rows per group, 4096 default — same class as
+    # the <= #partitions carry window inside ordered_prefix_scan), so
+    # a plain window is safe at any corpus size
+    wc = (
+        Window.partitionBy(*g).orderBy("__cell")
+        if g
+        else Window.orderBy("__cell")
+    )
+    cum = _attach(
+        hist.withColumn("__cum", F.sum("__c").over(wc)),
+        stats.select(*g, "__rlo", "__rhi"),
+    )
     kcells = cum.groupBy(*g).agg(
         F.min(
             F.when(
@@ -1313,11 +1313,13 @@ def weighted_quantile_twopass(
     sums: one stats pass (min/max/ΣW), one weight histogram over
     ≤ ``coarse_cells`` cells locating the target cell, one refine pass
     over ONLY that cell's rows.  Three map-combined aggregates; the
-    histogram and refine-sliver cumulative sums run through the
+    histogram window is bounded by construction (≤ ``coarse_cells``
+    rows) and stays plain, while the refine-sliver cumulative sum —
+    up to ``step`` distinct values, unbounded when one coarse cell
+    concentrates the distribution — runs through the
     range-partitioned distributed prefix scan
     (operators/sort.ordered_prefix_scan), never a single-task global
-    window — the sliver can hold up to ``__step`` distinct values,
-    unbounded when one coarse cell concentrates the distribution.
+    window (r7 verdict item #3).
 
     Output: one row ``(w_total, q_value)``.  Rows with NULL or
     non-positive weight are ignored.
@@ -1354,11 +1356,13 @@ def weighted_quantile_twopass(
     hist = joined.groupBy(
         F.expr("(__v - __lo) div __step").alias("__cell")
     ).agg(F.sum("__w").alias("__c"))
-    # range-partitioned prefix scan, never a bare Window.orderBy
-    # through one task (VERDICT r7 item #3)
-    located = ordered_prefix_scan(
-        hist, ["__cell"], "__c", agg="sum", out_col="__cum"
-    ).crossJoin(F.broadcast(stats.select("__rank")))
+    # bounded-by-construction window (<= coarse_cells rows) — safe at
+    # any corpus size; only the refine sliver below needs the
+    # distributed prefix scan (VERDICT r7 item #3)
+    wc = Window.orderBy("__cell")
+    located = hist.withColumn("__cum", F.sum("__c").over(wc)).crossJoin(
+        F.broadcast(stats.select("__rank"))
+    )
     kcell = (
         located.filter(F.col("__cum") >= F.col("__rank"))
         .agg(

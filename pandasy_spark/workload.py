@@ -1230,6 +1230,70 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "dedup_lsh_pairs",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, list_distinct([substring(text, i, 3)
+                     for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS gl
+      FROM documents WHERE doc_id < 300
+    ), ex AS (
+      SELECT doc_id, unnest(gl) AS s FROM grams
+    ), hb AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                      [ord(substring(s, i, 1))
+                                       for i in range(1, len(s)+1)]),
+                         (acc, c) -> (acc * 257 + c) % 9007199254740992)
+             % 2147483647 AS h
+      FROM ex
+    ), mins AS (
+      SELECT doc_id, {_MINHASH_MIN_COLS_SQL} FROM hb GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {_MINHASH_SG_LIST_SQL} AS sg FROM mins
+    ), banded AS (
+      SELECT doc_id, b,
+             (sg[2*b + 1] * 48271 + sg[2*b + 2]) % 2147483647 AS bucket
+      FROM sig, range(0, 16) bb(b)
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      FROM banded l JOIN banded r
+        ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), sets_ AS (
+      SELECT doc_id, list_distinct(list(h)) AS sh FROM hb GROUP BY doc_id
+    ), p AS (
+      SELECT c.id1, c.id2, len(a.sh) AS n1, len(b.sh) AS n2,
+             len(list_intersect(a.sh, b.sh)) AS iv
+      FROM cand c JOIN sets_ a ON c.id1 = a.doc_id
+                  JOIN sets_ b ON c.id2 = b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    )
+    SELECT id1, id2,
+           FLOOR((CAST(iv AS DOUBLE) / (n1 + n2 - iv)) * 10000 + 0.5) / 10000
+             AS jaccard
+    FROM p
+    WHERE FLOOR((CAST(iv AS DOUBLE) / (n1 + n2 - iv)) * 10000 + 0.5) / 10000
+          >= 0.6
+    """,
+)
+def dedup_lsh_pairs(spark, sf_dir):
+    """Bounded LSH pair ENUMERATION (extended/dedup.py
+    lsh_verified_pairs) — banded MinHash candidates verified by exact
+    hashed-shingle Jaccard, the pair-listing counterpart to the
+    anchor-dedup headline (r7 verdict item #5: previously pytest-only).
+    Pair listing is Omega(true pair count) by output size — on a
+    dup-dense corpus that is quadratic in cluster size NO MATTER the
+    candidate scheme (BASELINE.md round-7 measurement), so the gate
+    runs the sanctioned bounded form (doc_id < 300, restated in the
+    oracle); whole-corpus callers want dedup_ngram_jaccard's anchor
+    composition instead.  The oracle rebuilds the identical MinHash
+    family, band fold, candidate self-join, and exact verification."""
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 300)
+    return X_dedup.lsh_verified_pairs(
+        docs, num_hashes=32, bands=16, n=3, threshold=0.6
+    )
+
+
+@query(
     "dedup_ngram_exact",
     """
     WITH d AS (
