@@ -15607,8 +15607,12 @@ def text_zipf(spark, sf_dir):
     closed-form normal equations (profile_linreg's library form,
     extended/ml.py ols_simple) divide identically in any engine via
     FLOOR on exact integer ratios — no div-vs-floor-division
-    truncation mismatch on the NEGATIVE slope."""
-    from pyspark.sql.window import Window
+    truncation mismatch on the NEGATIVE slope.  Ranks come from
+    stable_row_ids (the ONE-range-exchange distributed prefix sum) on
+    (-cnt, token), not a global ROW_NUMBER window: the vocabulary is
+    sublinear in corpus size but still reaches 1e8 n-gram types at
+    100 TB — too big for one task (r8 hygiene pass)."""
+    from .operators.sort import stable_row_ids
 
     docs = _t(spark, sf_dir, "documents")
     freq = (
@@ -15616,12 +15620,11 @@ def text_zipf(spark, sf_dir):
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    ranked = freq.withColumn(
-        "rk",
-        F.row_number().over(
-            Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-        ),
-    )
+    ranked = stable_row_ids(
+        freq.withColumn("__negcnt", -F.col("cnt")),
+        ["__negcnt", "token"],
+        id_col="__rid",
+    ).select("token", "cnt", (F.col("__rid") + 1).alias("rk"))
     grid = ranked.select(
         F.floor(F.log(F.col("rk").cast("double")) * 1000 + F.lit(0.5))
         .cast("long")
