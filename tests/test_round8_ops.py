@@ -130,3 +130,102 @@ class TestQuantileSliverPrefixScan:
         vals = sorted(v for (v,) in rows)
         rank = -(-900 * len(vals) // 1000)  # ceil, 1-indexed
         assert (r.n, r.q_value) == (len(vals), vals[rank - 1])
+
+
+class TestQuantileTwopassFuzz:
+    """Hypothesis fuzz of the two-pass quantiles vs exact Python
+    order statistics — small coarse_cells force real multi-cell
+    histograms + sliver refinement on tiny inputs, and the value
+    strategy mixes heavy duplication with extreme spread (the
+    concentrated-distribution shape the r8 rewrite targets)."""
+
+    @staticmethod
+    def _vals():
+        from hypothesis import strategies as st
+
+        base = st.one_of(
+            st.integers(-50, 50),
+            st.sampled_from([0, 0, 0, 7, 10**12, -(10**12)]),
+        )
+        return st.lists(base, min_size=1, max_size=40)
+
+    def test_cont_fuzz(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from pandasy_spark.extended.profile import quantile_cont_twopass
+
+        @given(vals=self._vals(), p=st.integers(0, 1000))
+        @settings(max_examples=10, deadline=None,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture])
+        def run(vals, p):
+            df = spark.createDataFrame([(v,) for v in vals], "v long")
+            r = quantile_cont_twopass(
+                df, "v", p_milli=p, coarse_cells=4
+            ).collect()[0]
+            s = sorted(vals)
+            pos = (len(s) - 1) * p  # position*1000
+            lo, rem = s[pos // 1000], pos % 1000
+            hi = s[min(pos // 1000 + 1, len(s) - 1)]
+            assert r.n == len(s)
+            assert r.q_scaled == lo * (1000 - rem) + hi * rem, (vals, p)
+
+        run()
+
+    def test_disc_fuzz(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from pandasy_spark.extended.profile import quantile_disc_twopass
+
+        @given(vals=self._vals(), q=st.integers(1, 1000))
+        @settings(max_examples=10, deadline=None,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture])
+        def run(vals, q):
+            df = spark.createDataFrame([(v,) for v in vals], "v long")
+            r = quantile_disc_twopass(
+                df, [], "v", q_milli=q, coarse_cells=4
+            ).collect()[0]
+            s = sorted(vals)
+            rank = -(-q * len(s) // 1000)  # ceil, 1-indexed
+            assert (r.n, r.q_value) == (len(s), s[rank - 1]), (vals, q)
+
+        run()
+
+    def test_weighted_fuzz(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from pandasy_spark.extended.profile import (
+            weighted_quantile_twopass,
+        )
+
+        @given(
+            rows=st.lists(
+                st.tuples(
+                    st.integers(-(10**9), 10**9), st.integers(1, 9)
+                ),
+                min_size=1,
+                max_size=30,
+            ),
+            q=st.integers(1, 1000),
+        )
+        @settings(max_examples=10, deadline=None,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture])
+        def run(rows, q):
+            df = spark.createDataFrame(rows, "v long, w long")
+            r = weighted_quantile_twopass(
+                df, "v", "w", q_milli=q, coarse_cells=4
+            ).collect()[0]
+            total = sum(w for _, w in rows)
+            rank = -(-q * total // 1000)
+            cum = 0
+            expect = None
+            for v, w in sorted(rows):
+                cum += w
+                if cum >= rank:
+                    expect = v
+                    break
+            assert (r.w_total, r.q_value) == (total, expect), (rows, q)
+
+        run()
