@@ -10,9 +10,12 @@ from .ops import (
     streaming_dedup_against_index,
     windowed_agg,
 )
+from .state import rocksdb_state_conf, use_rocksdb_state
 from .stateful import stateful_sessions, streaming_dedup
 
 __all__ = [
+    "rocksdb_state_conf",
+    "use_rocksdb_state",
     "foreach_batch",
     "run_stream_to_memory",
     "stream_table",
