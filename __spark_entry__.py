@@ -257,6 +257,10 @@ _CHANGED_AFTER_WITNESS: list[str] = [
     "dedup_embedding", "decontaminate_semantic", "profile_ks",
     "profile_mannwhitney", "events_rfm", "profile_equidepth",
 ]
+# Registered late in round 8 and DEFERRED past the witness window so
+# they cannot displace the stale-r1/r2 re-witness rows; front these in
+# round 9 (all scripts_check-verified MATCH at sf0.01 on registration).
+_R9_DEFER: list[str] = ["sample_token_budget", "sample_dsir"]
 
 _CHECKED_UNION = (
     _WITNESSED_R1R2 | _WITNESSED_R3 | _WITNESSED_R4 | _WITNESSED_R5
@@ -273,6 +277,7 @@ def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     unproven = {
         k: v for k, v in QUERIES.items()
         if k not in _CHECKED_UNION and k not in front
+        and k not in _R9_DEFER
     }
     tiers = (
         _WITNESSED_R1R2, _WITNESSED_R3, _WITNESSED_R4, _WITNESSED_R5,
@@ -284,7 +289,8 @@ def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for k in sorted(tier)
         if k in QUERIES and k not in front
     }
-    return {**front, **unproven, **by_staleness}
+    deferred = {k: QUERIES[k] for k in _R9_DEFER if k in QUERIES}
+    return {**front, **unproven, **by_staleness, **deferred}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -66,6 +66,8 @@ __all__ = [
     "bootstrap_resample",
     "negative_pairs",
     "class_balance",
+    "token_budget_sample",
+    "dsir_weights",
 ]
 
 _BUCKETS = 10_000
@@ -718,4 +720,163 @@ def class_balance(
         .join(F.broadcast(th), class_col)
         .filter(F.col("__h") <= F.col("kth_hash"))
         .drop("kth_hash")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: int = 0,
+) -> DataFrame:
+    """EXACT per-domain token budgeting — "give me ~N tokens from each
+    source", the corpus-mixture primitive behind recipes like "30%
+    code / 50% web / 20% books, 10B tokens total" (compose with
+    :func:`mixture_weights` for proportional budgets).
+
+    Documents are ordered inside each domain by a deterministic
+    portable hash priority (so the selection is an unbiased,
+    re-runnable sample — not id-order-biased) and taken while the
+    domain's cumulative token count BEFORE the document is under the
+    budget; the selected set therefore overshoots by at most one
+    document per domain and is identical on any engine/partitioning.
+
+    Scale shape: token counts are a narrow map; the per-domain running
+    total does NOT use a per-domain window (one domain's millions of
+    docs would land in ONE task) — instead ONE global
+    :func:`...operators.sort.ordered_prefix_scan` over
+    (domain, priority, id) gives strict global prefix sums, per-domain
+    totals reduce to a ≤ #domains summary whose strict-prefix offsets
+    come from one BOUNDED window (#domains is small by the same
+    corpus-mixture assumption as :func:`domain_cap` /
+    :func:`mixture_weights`), and per-domain prefix = global prefix −
+    broadcast offset.  One range exchange total.
+
+    Output: selected rows ``(domain, id, n_tok, tokens_before)``.
+    """
+    from ..operators.sort import ordered_prefix_scan
+    from .text import tokens as _tokens
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    toks = df.select(
+        F.col(domain_col).alias("__dom"),
+        F.col(id_col).alias("__id"),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("n_tok"),
+    )
+    pri = (
+        char_poly_hash(F.col("__id").cast("string")) * F.lit(48271)
+        + F.lit(salt)
+    ) % F.lit(_P31)
+    toks = toks.withColumn("__pri", pri)
+    scanned = ordered_prefix_scan(
+        toks,
+        ["__dom", "__pri", "__id"],
+        "n_tok",
+        agg="sum",
+        out_col="__gcum",
+        strict=True,
+    )
+    dom_tot = toks.groupBy("__dom").agg(F.sum("n_tok").alias("__t"))
+    w = Window.orderBy("__dom").rowsBetween(Window.unboundedPreceding, -1)
+    offs = dom_tot.select(
+        "__dom",
+        F.coalesce(F.sum("__t").over(w), F.lit(0)).cast("long").alias("__off"),
+    )
+    return (
+        scanned.join(F.broadcast(offs), "__dom")
+        .withColumn(
+            "tokens_before", (F.col("__gcum") - F.col("__off")).cast("long")
+        )
+        .filter(F.col("tokens_before") < budget_tokens)
+        .select(
+            F.col("__dom").alias(domain_col),
+            F.col("__id").alias(id_col),
+            "n_tok",
+            "tokens_before",
+        )
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """DSIR-style hashed importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw document by how much it resembles a small TARGET slice,
+    ``log p_target(doc) − p_raw(doc)`` under hashed-unigram bag
+    models — the data-selection step that upsamples target-like
+    pretraining data without training a classifier.
+
+    Both distributions live on the same ``num_buckets`` hashing-trick
+    feature space (:func:`...extended.text.hash_features`' portable
+    char-fold hash — no vocabulary pass, no global state) with +1
+    Laplace smoothing, so the per-bucket log ratio
+
+        lw(b) = ln( ((c_t(b)+1)/(N_t+B)) / ((c_r(b)+1)/(N_r+B)) )
+
+    is a broadcast-sized table.  A document's weight is the sum of
+    lw over its word instances.  To keep the distributed sum
+    order-independent (float addition is not associative), each
+    bucket's lw is QUANTIZED to a 1e9 integer lattice first — the
+    per-doc sum is then BIGINT-exact in any summation order (the
+    Kaplan-Meier lattice treatment; the ln-libm agreement caveat
+    stated there applies here too).
+
+    Scale shape: one explode + two map-combined aggregates (buckets,
+    then per-doc sums) + one broadcast join of the ≤ ``num_buckets``
+    score table.  The corpus shuffles only as (doc, bucket) word
+    rows combining to per-doc partials.
+
+    Output: one row per document with ≥ 1 word feature:
+    ``(id, n_feat, log_w_nano)`` — log importance weight × 1e9,
+    BIGINT.  Select by thresholding or top-k downstream.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.when(is_target, 1).otherwise(0).alias("__t"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("__w"),
+    )
+    b = words.select(
+        id_col,
+        "__t",
+        (char_poly_hash(F.col("__w")) % num_buckets).alias("__b"),
+    )
+    dist = b.groupBy("__b").agg(
+        F.sum("__t").cast("long").alias("c_t"),
+        F.count(F.lit(1)).cast("long").alias("c_r"),
+    )
+    tot = dist.agg(
+        F.sum("c_t").cast("long").alias("n_t"),
+        F.sum("c_r").cast("long").alias("n_r"),
+    )
+    lw = F.log(
+        (
+            (F.col("c_t") + 1).cast("double")
+            / (F.col("n_t") + F.lit(num_buckets)).cast("double")
+        )
+        / (
+            (F.col("c_r") + 1).cast("double")
+            / (F.col("n_r") + F.lit(num_buckets)).cast("double")
+        )
+    )
+    scored = dist.crossJoin(F.broadcast(tot)).select(
+        "__b",
+        F.floor(lw * F.lit(1e9)).cast("long").alias("__lwq"),
+    )
+    return (
+        b.join(F.broadcast(scored), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feat"),
+            F.sum("__lwq").cast("long").alias("log_w_nano"),
+        )
     )

@@ -15658,3 +15658,99 @@ def text_zipf(spark, sf_dir):
         slope.cast("long").alias("slope_milli"),
         intercept.cast("long").alias("intercept_milli"),
     )
+
+
+_PRI_FOLD_SQL = (
+    "(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "[ord(substring(CAST(doc_id AS VARCHAR), i, 1)) "
+    "for i in range(1, len(CAST(doc_id AS VARCHAR))+1)]), "
+    "(acc, c) -> (acc * 257 + c) % 9007199254740992) % 2147483647)"
+)
+
+
+@query(
+    "sample_token_budget",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+             (({_PRI_FOLD_SQL} * 48271 + 0) % 2147483647) AS pri
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tokens_before
+      FROM t
+    )
+    SELECT source, doc_id, n_tok, tokens_before
+    FROM c WHERE tokens_before < 800
+    """,
+)
+def sample_token_budget(spark, sf_dir):
+    """Per-domain exact token budgeting (extended/sampling.py
+    token_budget_sample): take hash-priority-ordered documents per
+    source while the cumulative token count before each stays under
+    the budget — the corpus-mixture primitive ("N tokens per source")
+    behind published data recipes.  The per-domain running total is
+    ONE global ordered_prefix_scan over (domain, priority, id) plus a
+    bounded #domains offset window — never a per-domain window that
+    would put a whole domain in one task.  The oracle restates the
+    identical portable hash priority and the strict-prefix window."""
+    docs = _t(spark, sf_dir, "documents")
+    return X_samp.token_budget_sample(
+        docs, budget_tokens=800, domain_col="source"
+    )
+
+
+@query(
+    "sample_dsir",
+    """
+    WITH w AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ), b AS (
+      SELECT doc_id, t,
+             (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 [ord(substring(word, i, 1))
+                  for i in range(1, len(word) + 1)]),
+                 (acc, c) -> (acc * 257 + c) % 9007199254740992)
+              % 2147483647) % 64 AS bucket
+      FROM w
+    ), dist AS (
+      SELECT bucket, CAST(SUM(t) AS BIGINT) AS c_t,
+             CAST(COUNT(*) AS BIGINT) AS c_r
+      FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+             CAST(SUM(c_r) AS BIGINT) AS n_r
+      FROM dist
+    ), scored AS (
+      SELECT bucket,
+             CAST(FLOOR(ln(
+               ((c_t + 1) / CAST(n_t + 64 AS DOUBLE))
+               / ((c_r + 1) / CAST(n_r + 64 AS DOUBLE))) * 1e9)
+               AS BIGINT) AS lwq
+      FROM dist, tot
+    )
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+           CAST(SUM(s.lwq) AS BIGINT) AS log_w_nano
+    FROM b JOIN scored s ON b.bucket = s.bucket
+    GROUP BY b.doc_id
+    """,
+)
+def sample_dsir(spark, sf_dir):
+    """DSIR-style importance weights (extended/sampling.py
+    dsir_weights; Xie et al. 2023): score every document by
+    log p_target/p_raw under hashed-unigram bag models — here target =
+    the English slice — the published data-selection step that
+    upsamples target-like pretraining data without a trained
+    classifier.  Per-bucket log ratios are quantized to a 1e9 BIGINT
+    lattice so the per-doc sums are summation-order-exact (the
+    Kaplan-Meier lattice treatment; same ln-libm caveat).  One
+    explode, two map-combined aggregates, one broadcast of the
+    64-bucket score table."""
+    docs = _t(spark, sf_dir, "documents")
+    return X_samp.dsir_weights(docs, F.col("lang") == "en")

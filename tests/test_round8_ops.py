@@ -229,3 +229,140 @@ class TestQuantileTwopassFuzz:
             assert (r.w_total, r.q_value) == (total, expect), (rows, q)
 
         run()
+
+
+class TestTokenBudgetSample:
+    def test_budget_semantics_exact(self, spark, sf_dir):
+        """Selected docs per domain: hash-priority order, cumulative
+        tokens BEFORE each < budget (overshoot <= 1 doc), verified
+        against a Python re-computation."""
+        from pandasy_spark.extended.dedup import _P31
+        from pandasy_spark.extended.sampling import token_budget_sample
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 400)
+        )
+        got = {
+            (r.source, r.doc_id): (r.n_tok, r.tokens_before)
+            for r in token_budget_sample(
+                docs, 300, domain_col="source"
+            ).collect()
+        }
+
+        def fold(s):
+            acc = 0
+            for ch in s:
+                acc = (acc * 257 + ord(ch)) % 9007199254740992
+            return acc % _P31
+
+        rows = docs.select("source", "doc_id", "text").collect()
+        by_dom: dict = {}
+        for r in rows:
+            pri = (fold(str(r.doc_id)) * 48271) % _P31
+            by_dom.setdefault(r.source, []).append(
+                (pri, r.doc_id, len(r.text.split()))
+            )
+        expect = {}
+        for dom, lst in by_dom.items():
+            cum = 0
+            for pri, did, nt in sorted(lst):
+                if cum < 300:
+                    expect[(dom, did)] = (nt, cum)
+                cum += nt
+        assert got == expect
+
+    def test_no_per_domain_data_window(self, spark, sf_dir):
+        """The per-domain running total must NOT be a per-domain
+        window over the data (one domain = one task); the scan's
+        partition-local window and the bounded #domains offset window
+        are the only specs allowed."""
+        from pandasy_spark.extended.sampling import token_budget_sample
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = (
+            token_budget_sample(docs, 800, domain_col="source")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "windowspecdefinition(__pid" in plan
+        # a data-path window PARTITIONED BY the domain would read
+        # windowspecdefinition(__dom#N, __pri...; the only allowed
+        # __dom spec is the bounded offsets table's ORDER BY __dom
+        import re
+
+        bad = re.findall(r"windowspecdefinition\(__dom#\d+, __pri", plan)
+        assert not bad, bad
+
+
+class TestDsirWeights:
+    def test_weights_match_python(self, spark, sf_dir):
+        """Per-doc summed 1e9-lattice log ratios vs an exact Python
+        recomputation of the same hashed distributions."""
+        import math
+
+        from pandasy_spark.extended.dedup import _P31
+        from pandasy_spark.extended.sampling import dsir_weights
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+        )
+        got = {
+            r.doc_id: (r.n_feat, r.log_w_nano)
+            for r in dsir_weights(docs, F.col("lang") == "en").collect()
+        }
+
+        def fold(s):
+            acc = 0
+            for ch in s:
+                acc = (acc * 257 + ord(ch)) % 9007199254740992
+            return acc % _P31
+
+        import re
+
+        rows = docs.select("doc_id", "lang", "text").collect()
+        c_t: dict = {}
+        c_r: dict = {}
+        feats = {}
+        for r in rows:
+            ws = re.findall(r"[a-z]+", r.text.lower())
+            bs = [fold(w) % 64 for w in ws]
+            feats[r.doc_id] = bs
+            for b in bs:
+                c_r[b] = c_r.get(b, 0) + 1
+                if r.lang == "en":
+                    c_t[b] = c_t.get(b, 0) + 1
+        n_t, n_r = sum(c_t.values()), sum(c_r.values())
+        lwq = {
+            b: math.floor(
+                math.log(
+                    ((c_t.get(b, 0) + 1) / (n_t + 64))
+                    / ((c_r[b] + 1) / (n_r + 64))
+                )
+                * 1e9
+            )
+            for b in c_r
+        }
+        expect = {
+            did: (len(bs), sum(lwq[b] for b in bs))
+            for did, bs in feats.items()
+            if bs
+        }
+        assert got == expect
+
+    def test_target_docs_score_higher_on_average(self, spark, sf_dir):
+        """Directional sanity: English docs should average a higher
+        importance weight than non-English under an English target."""
+        from pandasy_spark.extended.sampling import dsir_weights
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        w = dsir_weights(docs, F.col("lang") == "en").join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+        rows = w.groupBy(F.col("lang") == "en").agg(
+            F.avg(F.col("log_w_nano") / F.col("n_feat")).alias("m")
+        ).collect()
+        m = {r[0]: r.m for r in rows}
+        assert m[True] > m[False]
