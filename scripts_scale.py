@@ -1257,11 +1257,25 @@ def probe_r8() -> None:
 
         return quantile_disc_twopass(skewed(sf_dir), [], "v", q_milli=500)
 
+    def token_budget_probe(sf_dir):
+        from pandasy_spark.extended.sampling import token_budget_sample
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return token_budget_sample(docs, 800, domain_col="source")
+
+    def dsir_probe(sf_dir):
+        from pandasy_spark.extended.sampling import dsir_weights
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return dsir_weights(docs, F.col("lang") == "en")
+
     results = {}
     for name, fn in [
         ("quantile_cont_skewed", cont_probe),
         ("weighted_quantile_skewed", weighted_probe),
         ("quantile_disc_skewed", disc_probe),
+        ("sample_token_budget", token_budget_probe),
+        ("sample_dsir", dsir_probe),
     ]:
         results[name] = {}
         for label, sf_dir in [("sf0.1", SRC), ("sf1.0", DST)]:
