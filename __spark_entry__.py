@@ -260,7 +260,9 @@ _CHANGED_AFTER_WITNESS: list[str] = [
 # Registered late in round 8 and DEFERRED past the witness window so
 # they cannot displace the stale-r1/r2 re-witness rows; front these in
 # round 9 (all scripts_check-verified MATCH at sf0.01 on registration).
-_R9_DEFER: list[str] = ["sample_token_budget", "sample_dsir"]
+_R9_DEFER: list[str] = [
+    "sample_token_budget", "sample_dsir", "profile_fingerprint",
+]
 
 _CHECKED_UNION = (
     _WITNESSED_R1R2 | _WITNESSED_R3 | _WITNESSED_R4 | _WITNESSED_R5

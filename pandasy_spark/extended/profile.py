@@ -53,6 +53,7 @@ __all__ = [
     "psi_drift",
     "jsd_drift",
     "equidepth_histogram",
+    "table_fingerprint",
 ]
 
 _NUMERIC = (
@@ -1716,4 +1717,58 @@ def equidepth_histogram(
         F.count(F.lit(1)).alias("n"),
         F.min("__v").alias("lo"),
         F.max("__v").alias("hi"),
+    )
+
+
+def table_fingerprint(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    null_token: str = "\x00N",
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Order-insensitive whole-table fingerprint — the cheap first
+    stage of migration/copy validation at 100 TB: one map-combined
+    aggregate produces ``(n_rows, fingerprint)``; two tables with
+    equal fingerprints agree row-multiset-wise with overwhelming
+    probability, and a mismatch sends you to :func:`snapshot_diff`
+    (the row-level second stage) for the offending keys.
+
+    Each row is canonicalized as a ``sep``-joined string of its
+    columns (NULL → ``null_token``, so NULL and the empty string
+    differ and column shifts cannot alias), char-folded with the
+    engine-portable Karp-Rabin hash, re-mixed through one affine
+    MINSTD step, and SUMMED — the sum is commutative, so the result
+    is independent of partitioning and row order, and it runs as one
+    partial-aggregated scan with a single 1-row shuffle.  The sum
+    accumulates in DECIMAL(38,0) (exact, order-free, no int64
+    overflow at any row count) and reduces mod 2^61 for the output.
+
+    Float/timestamp columns must be grid-quantized / epoch-cast by
+    the caller first: their STRING renderings are not engine-portable
+    (shortest-round-trip vs Java formatting), and this operator's
+    contract is bit-identical fingerprints across engines on
+    identical logical data.  Integer, string, boolean and date
+    renderings are portable.
+    """
+    from .dedup import _P31, char_poly_hash
+
+    use = list(cols) if cols else list(df.columns)
+    canon = F.concat_ws(
+        sep,
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(null_token))
+            for c in use
+        ],
+    )
+    mixed = (char_poly_hash(canon) * F.lit(48271) + F.lit(12345)) % F.lit(
+        _P31
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (
+            F.sum(mixed.cast("decimal(38,0)"))
+            % F.lit(2305843009213693952).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("fingerprint"),
     )

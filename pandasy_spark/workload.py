@@ -15754,3 +15754,51 @@ def sample_dsir(spark, sf_dir):
     64-bucket score table."""
     docs = _t(spark, sf_dir, "documents")
     return X_samp.dsir_weights(docs, F.col("lang") == "en")
+
+
+@query(
+    "profile_fingerprint",
+    """
+    WITH canon AS (
+      SELECT concat_ws(chr(31),
+               COALESCE(CAST(l_orderkey AS VARCHAR), chr(0) || 'N'),
+               COALESCE(CAST(l_linenumber AS VARCHAR), chr(0) || 'N'),
+               COALESCE(l_returnflag, chr(0) || 'N'),
+               COALESCE(l_linestatus, chr(0) || 'N'),
+               COALESCE(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                             AS VARCHAR), chr(0) || 'N')) AS s
+      FROM lineitem
+    ), h AS (
+      SELECT ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 [ord(substring(s, i, 1)) for i in range(1, len(s)+1)]),
+                 (acc, c) -> (acc * 257 + c) % 9007199254740992)
+               % 2147483647) * 48271 + 12345) % 2147483647 AS m
+      FROM canon
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(m AS HUGEINT)) % 2305843009213693952 AS BIGINT)
+             AS fingerprint
+    FROM h
+    """,
+)
+def profile_fingerprint(spark, sf_dir):
+    """Order-insensitive table fingerprint (extended/profile.py
+    table_fingerprint) — the one-scan migration/copy validation
+    primitive: canonical row strings (NULL-token'd, separator-joined)
+    char-folded with the portable hash, affine-mixed, and SUMMED in
+    DECIMAL(38,0) mod 2^61 — commutative, so identical on any engine,
+    partitioning, or row order; a mismatch escalates to snapshot_diff
+    for row-level triage.  Float columns enter on the cents grid (the
+    repo's exactness discipline; raw double->string rendering is not
+    engine-portable).  The oracle rebuilds the identical fold, mix,
+    and modular sum."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("qty_cents"),
+    )
+    return X_profile.table_fingerprint(li)

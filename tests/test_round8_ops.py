@@ -366,3 +366,51 @@ class TestDsirWeights:
         ).collect()
         m = {r[0]: r.m for r in rows}
         assert m[True] > m[False]
+
+
+class TestTableFingerprint:
+    def test_order_and_partition_invariant(self, spark, sf_dir):
+        from pandasy_spark.extended.profile import table_fingerprint
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_returnflag"
+        )
+        a = table_fingerprint(li).collect()[0]
+        b = table_fingerprint(li.repartition(7)).collect()[0]
+        c = table_fingerprint(li.orderBy(F.desc("l_orderkey"))).collect()[0]
+        assert (a.n_rows, a.fingerprint) == (b.n_rows, b.fingerprint)
+        assert (a.n_rows, a.fingerprint) == (c.n_rows, c.fingerprint)
+
+    def test_detects_single_row_change_and_null_vs_empty(self, spark):
+        from pandasy_spark.extended.profile import table_fingerprint
+
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None)], "id int, s string"
+        )
+        changed = spark.createDataFrame(
+            [(1, "a"), (2, "B"), (3, None)], "id int, s string"
+        )
+        empty_not_null = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "")], "id int, s string"
+        )
+        fp = lambda d: table_fingerprint(d).collect()[0].fingerprint
+        assert fp(base) != fp(changed)
+        assert fp(base) != fp(empty_not_null)
+
+    def test_one_aggregate_no_shuffle_of_rows(self, spark, sf_dir):
+        """One partial-aggregated scan: the only exchange is the 1-row
+        final aggregation (SinglePartition), never a row shuffle."""
+        from pandasy_spark.extended.profile import table_fingerprint
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_returnflag"
+        )
+        plan = (
+            table_fingerprint(li)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "partial" in plan.lower()
+        assert plan.count("Exchange") == 1
+        assert "SinglePartition" in plan
