@@ -15802,3 +15802,71 @@ def profile_fingerprint(spark, sf_dir):
         .alias("qty_cents"),
     )
     return X_profile.table_fingerprint(li)
+
+
+@query(
+    "ml_auc",
+    r"""
+    WITH s AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonws,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_len
+      FROM documents
+    ), q AS (
+      SELECT lang,
+             0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (CASE WHEN COALESCE(CASE WHEN n_tokens > 0
+                         THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) >= 2.0
+                       AND COALESCE(CASE WHEN n_tokens > 0
+                         THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) <= 12.0
+                      THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (1.0 - LEAST((CASE WHEN n_len > 0
+                         THEN CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE)
+                         ELSE 0.0 END) * 5.0, 1.0)) AS qraw
+      FROM s
+    ), g AS (
+      SELECT CAST(FLOOR(FLOOR(qraw * 10000 + 0.5) / 10000 * 10000 + 0.5)
+                  AS BIGINT) AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM q
+    ), per_v AS (
+      SELECT v, CAST(SUM(pos) AS BIGINT) AS c_p,
+             CAST(COUNT(*) AS BIGINT) AS t
+      FROM g GROUP BY v
+    ), ranked AS (
+      SELECT c_p, t,
+             SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - t AS c_below
+      FROM per_v
+    ), st AS (
+      SELECT CAST(SUM(c_p) AS BIGINT) AS n_pos,
+             CAST(SUM(t - c_p) AS BIGINT) AS n_neg,
+             CAST(SUM(c_p * (2 * c_below + t + 1)) AS BIGINT) AS r2
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u_x2,
+           CAST((CAST(r2 - n_pos * (n_pos + 1) AS HUGEINT) * 500000)
+                // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS auc_micro
+    FROM st
+    """,
+)
+def ml_auc(spark, sf_dir):
+    """EXACT distributed ROC-AUC (extended/ml.py auc_exact): how well
+    the heuristic text-quality score separates English documents —
+    the threshold-free companion to ml_eval_binary, via the
+    Mann-Whitney U identity on the BIGINT rank lattice (tie-averaged
+    doubled rank sums, range-partitioned prefix scan for the
+    below-counts, one DECIMAL(38,0) floor division at the end).  No
+    sort of the data, no sampling.  The oracle rebuilds the quality
+    score, the snap-to-1e4 grid, the rank sums, and the floored
+    micro-AUC."""
+    from .extended.ml import auc_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = X_text.with_text_stats(docs).select(
+        "quality", (F.col("lang") == "en").alias("pos")
+    )
+    return auc_exact(scored, "quality", F.col("pos"), decimals=4)

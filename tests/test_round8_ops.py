@@ -414,3 +414,60 @@ class TestTableFingerprint:
         assert "partial" in plan.lower()
         assert plan.count("Exchange") == 1
         assert "SinglePartition" in plan
+
+
+class TestAucExact:
+    def test_matches_pair_counting(self, spark):
+        """AUC == (#(pos>neg) + 0.5*#ties) / (n_pos*n_neg), brute
+        force over a small score table with heavy ties."""
+        from pandasy_spark.extended.ml import auc_exact
+
+        rows = [
+            (0.9, True), (0.8, True), (0.8, False), (0.7, True),
+            (0.5, False), (0.5, True), (0.5, False), (0.3, False),
+            (0.1, False), (0.9, False),
+        ]
+        df = spark.createDataFrame(rows, "score double, y boolean")
+        r = auc_exact(df, "score", F.col("y"), decimals=3).collect()[0]
+        pos = [s for s, y in rows if y]
+        neg = [s for s, y in rows if not y]
+        num = sum(
+            1.0 if p > n else 0.5 if p == n else 0.0
+            for p in pos for n in neg
+        )
+        expect = num / (len(pos) * len(neg))
+        assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+        assert r.auc_micro == int(expect * 1_000_000)
+
+    def test_perfect_and_inverted(self, spark):
+        from pandasy_spark.extended.ml import auc_exact
+
+        perfect = spark.createDataFrame(
+            [(float(i), i >= 5) for i in range(10)], "score double, y boolean"
+        )
+        inverted = spark.createDataFrame(
+            [(float(i), i < 5) for i in range(10)], "score double, y boolean"
+        )
+        assert auc_exact(perfect, "score", F.col("y")).collect()[0].auc_micro == 1_000_000
+        assert auc_exact(inverted, "score", F.col("y")).collect()[0].auc_micro == 0
+
+    def test_degenerate_class_is_null(self, spark):
+        from pandasy_spark.extended.ml import auc_exact
+
+        allpos = spark.createDataFrame(
+            [(0.5, True), (0.7, True)], "score double, y boolean"
+        )
+        r = auc_exact(allpos, "score", F.col("y")).collect()[0]
+        assert r.auc_micro is None and r.n_neg == 0
+
+    def test_rank_scan_not_single_partition(self, spark, sf_dir):
+        from pandasy_spark.workload import QUERIES
+
+        plan = (
+            QUERIES["ml_auc"](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "windowspecdefinition(__v" not in plan
+        assert "windowspecdefinition(__pid" in plan
