@@ -262,7 +262,7 @@ _CHANGED_AFTER_WITNESS: list[str] = [
 # round 9 (all scripts_check-verified MATCH at sf0.01 on registration).
 _R9_DEFER: list[str] = [
     "sample_token_budget", "sample_dsir", "profile_fingerprint",
-    "ml_auc",
+    "ml_auc", "ml_calibration",
 ]
 
 _CHECKED_UNION = (

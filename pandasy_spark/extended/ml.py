@@ -25,6 +25,7 @@ __all__ = [
     "kfold_assign",
     "binary_metrics",
     "auc_exact",
+    "calibration_bins",
 ]
 
 
@@ -261,4 +262,55 @@ def auc_exact(
                 " AS BIGINT)"
             ),
         ).alias("auc_micro"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str,
+    is_positive: Column,
+    bins: int = 10,
+    decimals: int = 4,
+) -> DataFrame:
+    """Calibration (reliability) table — the third leg of the eval
+    triad beside :func:`binary_metrics` (thresholded) and
+    :func:`auc_exact` (ranking): per probability bin, how often the
+    positive class ACTUALLY occurs vs what the score promised.  A
+    well-calibrated screen has ``obs_rate ≈ mean_pred`` per bin; a
+    quality filter that is discriminative but badly calibrated will
+    silently mis-size a corpus when its scores are used as keep
+    probabilities.
+
+    Exact and engine-portable: probabilities snap to the ``decimals``
+    grid, ``bin = min(bins−1, floor(p·bins))`` (equal width, right
+    edge closed), and both per-bin means are integer floor divisions
+    of grid sums — no float accumulation.  ONE map-combined aggregate
+    keyed by bin; shuffle volume = ``bins`` rows.
+
+    Output: one row per non-empty bin ``(bin, n, n_pos,
+    mean_pred_micro, obs_rate_micro)``.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    p = 10**decimals
+    g = df.select(
+        F.floor(F.col(prob_col) * p + F.lit(0.5)).cast("long").alias("__q"),
+        F.when(is_positive, 1).otherwise(0).cast("long").alias("__pos"),
+    ).filter(F.col("__q").isNotNull())
+    binned = g.select(
+        F.least(
+            F.lit(bins - 1), F.expr(f"__q * {bins} div {p}")
+        ).cast("int").alias("bin"),
+        "__q",
+        "__pos",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.expr(f"CAST(sum(__q) * {10**6 // p} div count(1) AS BIGINT)").alias(
+            "mean_pred_micro"
+        ),
+        F.expr("CAST(sum(__pos) * 1000000 div count(1) AS BIGINT)").alias(
+            "obs_rate_micro"
+        ),
     )

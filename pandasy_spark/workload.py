@@ -15870,3 +15870,59 @@ def ml_auc(spark, sf_dir):
         "quality", (F.col("lang") == "en").alias("pos")
     )
     return auc_exact(scored, "quality", F.col("pos"), decimals=4)
+
+
+@query(
+    "ml_calibration",
+    r"""
+    WITH s AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonws,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_len
+      FROM documents
+    ), q AS (
+      SELECT lang,
+             0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (CASE WHEN COALESCE(CASE WHEN n_tokens > 0
+                         THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) >= 2.0
+                       AND COALESCE(CASE WHEN n_tokens > 0
+                         THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) <= 12.0
+                      THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (1.0 - LEAST((CASE WHEN n_len > 0
+                         THEN CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE)
+                         ELSE 0.0 END) * 5.0, 1.0)) AS qraw
+      FROM s
+    ), g AS (
+      SELECT CAST(FLOOR(FLOOR(qraw * 10000 + 0.5) / 10000 * 10000 + 0.5)
+                  AS BIGINT) AS qv,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM q
+    )
+    SELECT CAST(LEAST(9, qv * 10 // 10000) AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(qv) * 100 // COUNT(*) AS BIGINT) AS mean_pred_micro,
+           CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS obs_rate_micro
+    FROM g GROUP BY 1
+    """,
+)
+def ml_calibration(spark, sf_dir):
+    """Calibration (reliability) table (extended/ml.py
+    calibration_bins) — the third leg of the eval triad beside
+    ml_eval_binary and ml_auc: per equal-width score bin, the mean
+    predicted value vs the observed positive rate, both as integer
+    floor divisions of grid sums (no float accumulation).  ONE
+    map-combined aggregate; shuffle volume = #bins rows.  The oracle
+    rebuilds the quality score, the 1e-4 snap, the bin rule, and both
+    floored micro means."""
+    from .extended.ml import calibration_bins
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = X_text.with_text_stats(docs).select(
+        "quality", (F.col("lang") == "en").alias("pos")
+    )
+    return calibration_bins(
+        scored, "quality", F.col("pos"), bins=10, decimals=4
+    )

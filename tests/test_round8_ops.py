@@ -471,3 +471,39 @@ class TestAucExact:
         )
         assert "windowspecdefinition(__v" not in plan
         assert "windowspecdefinition(__pid" in plan
+
+
+class TestCalibrationBins:
+    def test_bins_match_python(self, spark):
+        from pandasy_spark.extended.ml import calibration_bins
+
+        rows = [
+            (0.05, False), (0.15, False), (0.18, True), (0.52, True),
+            (0.55, False), (0.58, True), (0.95, True), (0.99, True),
+            (1.0, True), (0.0, False),
+        ]
+        df = spark.createDataFrame(rows, "p double, y boolean")
+        got = {
+            r.bin: (r.n, r.n_pos, r.mean_pred_micro, r.obs_rate_micro)
+            for r in calibration_bins(
+                df, "p", F.col("y"), bins=10, decimals=4
+            ).collect()
+        }
+        expect: dict = {}
+        agg: dict = {}
+        for p, y in rows:
+            q = int(p * 10**4 + 0.5)
+            b = min(9, q * 10 // 10**4)
+            n, np_, sq = agg.get(b, (0, 0, 0))
+            agg[b] = (n + 1, np_ + int(y), sq + q)
+        for b, (n, np_, sq) in agg.items():
+            expect[b] = (n, np_, sq * 100 // n, np_ * 10**6 // n)
+        assert got == expect
+
+    def test_right_edge_closed(self, spark):
+        """p == 1.0 lands in the last bin, not bin `bins`."""
+        from pandasy_spark.extended.ml import calibration_bins
+
+        df = spark.createDataFrame([(1.0, True)], "p double, y boolean")
+        r = calibration_bins(df, "p", F.col("y")).collect()
+        assert len(r) == 1 and r[0].bin == 9
