@@ -15759,44 +15759,62 @@ def sample_dsir(spark, sf_dir):
 @query(
     "profile_fingerprint",
     """
-    WITH canon AS (
-      SELECT concat_ws(chr(31),
-               COALESCE(CAST(l_orderkey AS VARCHAR), chr(0) || 'N'),
-               COALESCE(CAST(l_linenumber AS VARCHAR), chr(0) || 'N'),
-               COALESCE(l_returnflag, chr(0) || 'N'),
-               COALESCE(l_linestatus, chr(0) || 'N'),
-               COALESCE(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
-                             AS VARCHAR), chr(0) || 'N')) AS s
+    WITH cells AS (
+      SELECT
+        COALESCE(((l_orderkey % 2147483647) + 2147483647) % 2147483647 * 2,
+                 1) AS c1,
+        COALESCE(((CAST(l_linenumber AS BIGINT) % 2147483647) + 2147483647)
+                 % 2147483647 * 2, 1) AS c2,
+        COALESCE((list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [ord(substring(l_returnflag, i, 1))
+             for i in range(1, len(l_returnflag)+1)]),
+            (acc, c) -> (acc * 257 + c) % 9007199254740992)
+          % 2147483647) * 2, 1) AS c3,
+        COALESCE((list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [ord(substring(l_linestatus, i, 1))
+             for i in range(1, len(l_linestatus)+1)]),
+            (acc, c) -> (acc * 257 + c) % 9007199254740992)
+          % 2147483647) * 2, 1) AS c4,
+        COALESCE(((epoch_us(l_shipdate) % 2147483647) + 2147483647)
+                 % 2147483647 * 2, 1) AS c5,
+        COALESCE(((CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                   % 2147483647) + 2147483647) % 2147483647 * 2, 1) AS c6
       FROM lineitem
     ), h AS (
-      SELECT ((list_reduce(list_prepend(CAST(0 AS BIGINT),
-                 [ord(substring(s, i, 1)) for i in range(1, len(s)+1)]),
-                 (acc, c) -> (acc * 257 + c) % 9007199254740992)
-               % 2147483647) * 48271 + 12345) % 2147483647 AS m
-      FROM canon
+      SELECT (((((((((((CAST(0 AS BIGINT)
+        * 48271 + c1) % 2147483647)
+        * 48271 + c2) % 2147483647)
+        * 48271 + c3) % 2147483647)
+        * 48271 + c4) % 2147483647)
+        * 48271 + c5) % 2147483647)
+        * 48271 + c6) % 2147483647 AS rowh
+      FROM cells
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(m AS HUGEINT)) % 2305843009213693952 AS BIGINT)
-             AS fingerprint
+           CAST(SUM(CAST((rowh * 48271 + 12345) % 2147483647 AS HUGEINT))
+                % 2305843009213693952 AS BIGINT) AS fingerprint
     FROM h
     """,
 )
 def profile_fingerprint(spark, sf_dir):
     """Order-insensitive table fingerprint (extended/profile.py
     table_fingerprint) — the one-scan migration/copy validation
-    primitive: canonical row strings (NULL-token'd, separator-joined)
-    char-folded with the portable hash, affine-mixed, and SUMMED in
-    DECIMAL(38,0) mod 2^61 — commutative, so identical on any engine,
-    partitioning, or row order; a mismatch escalates to snapshot_diff
-    for row-level triage.  Float columns enter on the cents grid (the
-    repo's exactness discipline; raw double->string rendering is not
-    engine-portable).  The oracle rebuilds the identical fold, mix,
-    and modular sum."""
+    primitive: typed column-wise cell hashes (numeric/date/timestamp
+    columns are pure int64 codegen arithmetic — no row-to-string
+    rendering; only strings pay the portable char fold), folded
+    positionally per row, affine-mixed, and SUMMED in DECIMAL(38,0)
+    mod 2^61 — commutative, so identical on any engine, partitioning,
+    or row order; a mismatch escalates to snapshot_diff for row-level
+    triage.  Float columns enter on the cents grid (their raw
+    renderings are not engine-portable); the timestamp column hashes
+    its epoch-microsecond.  The oracle rebuilds the identical typed
+    cells, positional fold, mix, and modular sum."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
         "l_linestatus",
+        "l_shipdate",
         F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
         .cast("long")
         .alias("qty_cents"),

@@ -507,3 +507,38 @@ class TestCalibrationBins:
         df = spark.createDataFrame([(1.0, True)], "p double, y boolean")
         r = calibration_bins(df, "p", F.col("y")).collect()
         assert len(r) == 1 and r[0].bin == 9
+
+
+class TestTableFingerprintTyping:
+    def test_rejects_float_columns(self, spark):
+        from pandasy_spark.extended.profile import table_fingerprint
+
+        df = spark.createDataFrame([(1, 0.5)], "id int, x double")
+        with pytest.raises(TypeError, match="integer grid"):
+            table_fingerprint(df)
+
+    def test_timestamp_and_date_hash(self, spark):
+        """Typed cells: shifting a timestamp by 1us or a date by 1 day
+        changes the fingerprint."""
+        import datetime as dt
+
+        from pandasy_spark.extended.profile import table_fingerprint
+
+        a = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 12, 0, 0, 0))], "id int, ts timestamp"
+        )
+        b = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 12, 0, 0, 1))], "id int, ts timestamp"
+        )
+        fp = lambda d: table_fingerprint(d).collect()[0].fingerprint
+        assert fp(a) != fp(b)
+
+    def test_column_order_matters(self, spark):
+        """Positional fold: swapping two equal-typed columns changes
+        the fingerprint (no column-shift aliasing)."""
+        from pandasy_spark.extended.profile import table_fingerprint
+
+        df = spark.createDataFrame([(1, 2)], "a int, b int")
+        fp1 = table_fingerprint(df, ["a", "b"]).collect()[0].fingerprint
+        fp2 = table_fingerprint(df, ["b", "a"]).collect()[0].fingerprint
+        assert fp1 != fp2
