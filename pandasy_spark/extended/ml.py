@@ -18,6 +18,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "target_encode_loo",
@@ -221,16 +222,27 @@ def auc_exact(
     side passes ~2 × 10⁹ rows) with positive operands, so floor
     division is engine-portable.
 
+    NULL and NaN scores are EXCLUDED (unscored rows carry no ranking
+    information; without the NaN filter, non-ANSI ``floor`` would
+    silently snap NaN to grid point 0 — r8 advisory).  A NULL
+    ``is_positive`` counts as NEGATIVE (``WHEN``/``OTHERWISE``
+    semantics, matching the SQL oracle); pre-filter unlabeled rows if
+    that is not the intent.
+
     Output: one row ``(n_pos, n_neg, u_x2, auc_micro)`` — AUC × 1e6,
     BIGINT (floored).
     """
     from ..operators.sort import ordered_prefix_scan
 
     p = float(10**decimals)
-    g = df.select(
-        F.floor(F.col(score_col) * p + F.lit(0.5)).cast("long").alias("__v"),
+    sc = F.col(score_col)
+    keep = sc.isNotNull()
+    if isinstance(df.schema[score_col].dataType, (T.FloatType, T.DoubleType)):
+        keep = keep & ~F.isnan(sc)
+    g = df.filter(keep).select(
+        F.floor(sc * p + F.lit(0.5)).cast("long").alias("__v"),
         F.when(is_positive, 1).otherwise(0).cast("long").alias("__pos"),
-    ).filter(F.col("__v").isNotNull())
+    )
     per_v = g.groupBy("__v").agg(
         F.sum("__pos").alias("c_p"),
         F.count(F.lit(1)).cast("long").alias("t"),
@@ -287,16 +299,28 @@ def calibration_bins(
     of grid sums — no float accumulation.  ONE map-combined aggregate
     keyed by bin; shuffle volume = ``bins`` rows.
 
+    NULL and NaN probabilities are EXCLUDED (same rationale as
+    :func:`auc_exact`).
+
     Output: one row per non-empty bin ``(bin, n, n_pos,
     mean_pred_micro, obs_rate_micro)``.
     """
     if bins < 2:
         raise ValueError("bins must be >= 2")
+    if not 1 <= decimals <= 6:
+        # the output means are on the 1e-6 (micro) grid; a coarser
+        # snap than 1e-6 is the point of `decimals`, a finer one would
+        # silently zero the old 10**6//p multiplier (r8 advisory)
+        raise ValueError("decimals must be in [1, 6]")
     p = 10**decimals
-    g = df.select(
-        F.floor(F.col(prob_col) * p + F.lit(0.5)).cast("long").alias("__q"),
+    pc = F.col(prob_col)
+    keep = pc.isNotNull()
+    if isinstance(df.schema[prob_col].dataType, (T.FloatType, T.DoubleType)):
+        keep = keep & ~F.isnan(pc)
+    g = df.filter(keep).select(
+        F.floor(pc * p + F.lit(0.5)).cast("long").alias("__q"),
         F.when(is_positive, 1).otherwise(0).cast("long").alias("__pos"),
-    ).filter(F.col("__q").isNotNull())
+    )
     binned = g.select(
         F.least(
             F.lit(bins - 1), F.expr(f"__q * {bins} div {p}")
@@ -304,13 +328,18 @@ def calibration_bins(
         "__q",
         "__pos",
     )
+    # both micro means divide in DECIMAL(38,0): exact for any allowed
+    # `decimals` (no floored-multiplier digit loss) and overflow-free
+    # at any per-bin row count
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("__pos").cast("long").alias("n_pos"),
-        F.expr(f"CAST(sum(__q) * {10**6 // p} div count(1) AS BIGINT)").alias(
-            "mean_pred_micro"
-        ),
-        F.expr("CAST(sum(__pos) * 1000000 div count(1) AS BIGINT)").alias(
-            "obs_rate_micro"
-        ),
+        F.expr(
+            "CAST(CAST(sum(__q) AS DECIMAL(38,0)) * 1000000"
+            f" div (count(1) * {p}) AS BIGINT)"
+        ).alias("mean_pred_micro"),
+        F.expr(
+            "CAST(CAST(sum(__pos) AS DECIMAL(38,0)) * 1000000"
+            " div count(1) AS BIGINT)"
+        ).alias("obs_rate_micro"),
     )

@@ -1737,13 +1737,19 @@ def table_fingerprint(
     arithmetic, ~20x cheaper than rendering rows to strings and
     char-folding them; only STRING columns pay the per-char portable
     Karp-Rabin fold, proportional to their bytes).  Each cell maps to
-    ``2·h`` (NULL → ``1``), so NULL, 0, and the empty string are all
-    distinct; cells fold positionally (``acc·48271 + cell mod P``) so
-    column shifts cannot alias; one affine mix spreads the row hash;
-    the row hashes are SUMMED — commutative, hence independent of
-    partitioning and row order — accumulating in DECIMAL(38,0)
+    ``2·h`` (NULL → ``1``), so NULL is distinct from EVERY non-NULL
+    value (odd vs even cells); 0 and the empty string both encode to
+    cell 0, but columns are typed so they can never occupy the same
+    position.  Cells fold positionally into TWO independent MINSTD
+    lanes (``acc·48271 + cell mod P`` and ``acc·16807 + cell mod P``
+    — both multipliers are primitive roots of 2^31-1), each lane gets
+    its own affine mix, and the row hash is the 62-bit concatenation
+    ``lane_a·2^31 + lane_b`` — two rows collide only if BOTH lanes
+    collide (~2^-62 per differing row, vs ~2^-31 for one lane; r8
+    advisory).  Row hashes are SUMMED — commutative, hence independent
+    of partitioning and row order — accumulating in DECIMAL(38,0)
     (exact, order-free, no int64 overflow at any row count) and
-    reducing mod 2^61.
+    reducing mod 2^62.
 
     Float/double columns are REJECTED: quantize to an integer grid
     first (this operator's contract is bit-identical fingerprints
@@ -1753,7 +1759,8 @@ def table_fingerprint(
     from .dedup import _P31, char_poly_hash
 
     use = list(cols) if cols else list(df.columns)
-    acc: Column = F.lit(0).cast("long")
+    acc_a: Column = F.lit(0).cast("long")
+    acc_b: Column = F.lit(0).cast("long")
     for c in use:
         dt = df.schema[c].dataType
         col = F.col(c)
@@ -1766,8 +1773,12 @@ def table_fingerprint(
         ):
             h = F.pmod(col.cast("long"), F.lit(_P31))
         elif isinstance(dt, T.DateType):
+            # datediff returns INT — cast to long BEFORE the modulus so
+            # pre-1970 dates (h near 2^31 after pmod) don't overflow
+            # int32 in the h*2 cell map (r8 advisory)
             h = F.pmod(
-                F.datediff(col, F.lit("1970-01-01").cast("date")),
+                F.datediff(col, F.lit("1970-01-01").cast("date"))
+                .cast("long"),
                 F.lit(_P31),
             )
         elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
@@ -1780,13 +1791,18 @@ def table_fingerprint(
                 "engine-portable"
             )
         cell = F.coalesce(h * F.lit(2), F.lit(1).cast("long"))
-        acc = (acc * F.lit(48271) + cell) % F.lit(_P31)
-    mixed = (acc * F.lit(48271) + F.lit(12345)) % F.lit(_P31)
+        acc_a = (acc_a * F.lit(48271) + cell) % F.lit(_P31)
+        acc_b = (acc_b * F.lit(16807) + cell) % F.lit(_P31)
+    mixed_a = (acc_a * F.lit(48271) + F.lit(12345)) % F.lit(_P31)
+    mixed_b = (acc_b * F.lit(16807) + F.lit(54321)) % F.lit(_P31)
+    # lane_a·2^31 + lane_b < 2^62: int64-safe, and both lanes must
+    # collide for two rows to alias
+    rowh = mixed_a * F.lit(2147483648) + mixed_b
     return df.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         (
-            F.sum(mixed.cast("decimal(38,0)"))
-            % F.lit(2305843009213693952).cast("decimal(38,0)")
+            F.sum(rowh.cast("decimal(38,0)"))
+            % F.lit(4611686018427387904).cast("decimal(38,0)")
         )
         .cast("long")
         .alias("fingerprint"),

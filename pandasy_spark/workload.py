@@ -15787,12 +15787,21 @@ def sample_dsir(spark, sf_dir):
         * 48271 + c3) % 2147483647)
         * 48271 + c4) % 2147483647)
         * 48271 + c5) % 2147483647)
-        * 48271 + c6) % 2147483647 AS rowh
+        * 48271 + c6) % 2147483647 AS lane_a,
+        (((((((((((CAST(0 AS BIGINT)
+        * 16807 + c1) % 2147483647)
+        * 16807 + c2) % 2147483647)
+        * 16807 + c3) % 2147483647)
+        * 16807 + c4) % 2147483647)
+        * 16807 + c5) % 2147483647)
+        * 16807 + c6) % 2147483647 AS lane_b
       FROM cells
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST((rowh * 48271 + 12345) % 2147483647 AS HUGEINT))
-                % 2305843009213693952 AS BIGINT) AS fingerprint
+           CAST(SUM(CAST((lane_a * 48271 + 12345) % 2147483647 AS HUGEINT)
+                    * 2147483648
+                    + ((lane_b * 16807 + 54321) % 2147483647))
+                % 4611686018427387904 AS BIGINT) AS fingerprint
     FROM h
     """,
 )
@@ -15802,8 +15811,11 @@ def profile_fingerprint(spark, sf_dir):
     primitive: typed column-wise cell hashes (numeric/date/timestamp
     columns are pure int64 codegen arithmetic — no row-to-string
     rendering; only strings pay the portable char fold), folded
-    positionally per row, affine-mixed, and SUMMED in DECIMAL(38,0)
-    mod 2^61 — commutative, so identical on any engine, partitioning,
+    positionally per row into TWO independent MINSTD lanes (48271 /
+    16807 multipliers), affine-mixed, concatenated to a 62-bit row
+    hash, and SUMMED in DECIMAL(38,0) mod 2^62 (~2^-62 per-row
+    collision odds — r8 advisory widening)
+    — commutative, so identical on any engine, partitioning,
     or row order; a mismatch escalates to snapshot_diff for row-level
     triage.  Float columns enter on the cents grid (their raw
     renderings are not engine-portable); the timestamp column hashes

@@ -542,3 +542,126 @@ class TestTableFingerprintTyping:
         fp1 = table_fingerprint(df, ["a", "b"]).collect()[0].fingerprint
         fp2 = table_fingerprint(df, ["b", "a"]).collect()[0].fingerprint
         assert fp1 != fp2
+
+
+class TestRound9Advisories:
+    """Regression tests for the r8 advisory items (fixed in r9)."""
+
+    def test_fingerprint_pre_1970_date_no_int32_overflow(self, spark):
+        """DateType cells cast datediff to long BEFORE the modulus:
+        pre-1970 dates (pmod lands near 2^31) must not wrap negative
+        in the h*2 cell map, and the fingerprint stays in [0, 2^62)."""
+        import datetime as dt
+
+        from pandasy_spark.extended.profile import table_fingerprint
+
+        old = spark.createDataFrame(
+            [(1, dt.date(1903, 5, 14)), (2, dt.date(1969, 12, 31))],
+            "id int, d date",
+        )
+        r = table_fingerprint(old).collect()[0]
+        assert 0 <= r.fingerprint < 2**62
+        shifted = spark.createDataFrame(
+            [(1, dt.date(1903, 5, 15)), (2, dt.date(1969, 12, 31))],
+            "id int, d date",
+        )
+        assert r.fingerprint != table_fingerprint(shifted).collect()[0].fingerprint
+
+    def test_fingerprint_pre_1970_date_under_ansi(self, spark):
+        """The int32 wrap threw under ANSI mode before the fix."""
+        import datetime as dt
+
+        from pandasy_spark.extended.profile import table_fingerprint
+
+        old = spark.createDataFrame(
+            [(1, dt.date(1903, 5, 14))], "id int, d date"
+        )
+        prior = spark.conf.get("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        try:
+            r = table_fingerprint(old).collect()[0]
+            assert 0 <= r.fingerprint < 2**62
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", prior)
+
+    def test_fingerprint_two_lane_matches_python(self, spark):
+        """Pin the two-lane arithmetic against a pure-Python rebuild
+        (the engine-portability contract, lane by lane)."""
+        from pandasy_spark.extended.profile import table_fingerprint
+
+        P = 2147483647
+        rows = [(7, "ab"), (0, ""), (None, None), (-3, "xyz")]
+
+        def char_fold(s):
+            acc = 0
+            for ch in s:
+                acc = (acc * 257 + ord(ch)) % 9007199254740992
+            return acc % P
+
+        total = 0
+        for i, s in rows:
+            cells = [
+                1 if i is None else (i % P) * 2,
+                1 if s is None else char_fold(s) * 2,
+            ]
+            a = b = 0
+            for cell in cells:
+                a = (a * 48271 + cell) % P
+                b = (b * 16807 + cell) % P
+            total += ((a * 48271 + 12345) % P) * 2147483648 + (
+                (b * 16807 + 54321) % P
+            )
+        expect = total % 2**62
+        df = spark.createDataFrame(rows, "i int, s string")
+        assert table_fingerprint(df).collect()[0].fingerprint == expect
+
+    def test_auc_excludes_nan_and_null_scores(self, spark):
+        """NaN/NULL scores carry no ranking signal and must not snap
+        to grid point 0 (non-ANSI floor) or enter the lattice."""
+        from pandasy_spark.extended.ml import auc_exact
+
+        clean = [(0.9, True), (0.6, True), (0.4, False), (0.1, False)]
+        noisy = clean + [(float("nan"), True), (None, False),
+                         (float("nan"), False)]
+        a = auc_exact(
+            spark.createDataFrame(clean, "score double, y boolean"),
+            "score", F.col("y"),
+        ).collect()[0]
+        b = auc_exact(
+            spark.createDataFrame(noisy, "score double, y boolean"),
+            "score", F.col("y"),
+        ).collect()[0]
+        assert (a.n_pos, a.n_neg, a.u_x2, a.auc_micro) == (
+            b.n_pos, b.n_neg, b.u_x2, b.auc_micro
+        )
+
+    def test_calibration_rejects_bad_decimals(self, spark):
+        from pandasy_spark.extended.ml import calibration_bins
+
+        df = spark.createDataFrame([(0.5, True)], "p double, y boolean")
+        for bad in (0, 7, -1):
+            with pytest.raises(ValueError, match="decimals"):
+                calibration_bins(df, "p", F.col("y"), decimals=bad)
+
+    def test_calibration_mean_pred_exact_at_decimals_5(self, spark):
+        """decimals=5 keeps full micro precision (the old floored
+        10**6//p multiplier truncated to a 10-micro grid)."""
+        from pandasy_spark.extended.ml import calibration_bins
+
+        df = spark.createDataFrame(
+            [(0.00001, False), (0.00002, False), (0.00002, False)],
+            "p double, y boolean",
+        )
+        r = calibration_bins(df, "p", F.col("y"), decimals=5).collect()[0]
+        # mean pred = (1 + 2 + 2) / 3 * 10 micro = 16 micro (floored)
+        assert r.mean_pred_micro == 16
+
+    def test_calibration_excludes_nan_null(self, spark):
+        from pandasy_spark.extended.ml import calibration_bins
+
+        df = spark.createDataFrame(
+            [(0.25, True), (float("nan"), True), (None, False)],
+            "p double, y boolean",
+        )
+        r = calibration_bins(df, "p", F.col("y")).collect()
+        assert len(r) == 1 and r[0].n == 1 and r[0].bin == 2
