@@ -149,14 +149,24 @@ def ordered_prefix_scan(
     skyline prefix minima, cumulative distributions).
 
     Two-level decomposition: range-repartition on the order key (so
-    partition p holds a contiguous key range; ``localCheckpoint`` pins
-    the layout), run the scan WITHIN each partition (a window
-    partitioned by the physical partition id — every partition's rows
-    stay together, nothing global), aggregate one summary row per
-    partition, turn the ≤ #partitions summaries into strict-prefix
-    carry-ins with one bounded window, and broadcast the carry-ins
-    back.  Both exchanges move the data once; no stage ever sees more
-    than one partition's rows in one task.
+    partition p holds a contiguous key range), run the scan WITHIN
+    each partition (a window partitioned by the physical partition id
+    — every partition's rows stay together, nothing global), aggregate
+    one summary row per partition, turn the ≤ #partitions summaries
+    into strict-prefix carry-ins with one bounded window, and
+    broadcast the carry-ins back.  No stage ever sees more than one
+    partition's rows in one task.
+
+    Consistency across the scan's three consumers of the shuffled
+    layout (within-window, per-partition totals, carry join) holds
+    WITHOUT checkpointing the shuffle: the INPUT is pinned, and
+    ``RangePartitioner`` sampling is deterministic given fixed input
+    partitions (per-partition reservoir seeded by partition index),
+    so every execution of the exchange assigns every row the same
+    partition id; per-pid totals are sums — insensitive to the
+    shuffle-fetch row order — and only the relative order of EQUAL
+    ``order_by`` keys can vary, which is already this contract's
+    declared tie behavior.
 
     ``strict=True`` excludes the current row (the value BEFORE this
     row in the total order — NULL/identity for the first row:
@@ -170,6 +180,17 @@ def ordered_prefix_scan(
     within-partition window, one carry broadcast), which is how a
     multi-series CDF (e.g. the two-sample KS ECDF numerators) stays at
     single-scan cost.
+
+    The INPUT is pinned (lazy ``localCheckpoint``) before the range
+    exchange: ``repartitionByRange``'s boundary sampler executes its
+    child plan a FIRST time just to sketch ranges, so without the pin
+    the entire upstream (scans, joins, aggregates feeding the scan)
+    runs twice (r8 bench: ~2x on the no-group quantile gates whose
+    upstream re-scans the fact table).  Call sites feed this operator
+    pre-aggregated frames (distinct-value grids, refine slivers,
+    per-partition summaries), so materializing the input once is far
+    cheaper than recomputing its lineage — pass the raw table through
+    an aggregate first if you are about to scan 100 TB directly.
     """
     if not order_by:
         raise ValueError("order_by must name at least one column")
@@ -182,10 +203,8 @@ def ordered_prefix_scan(
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
-    d = (
-        df.repartitionByRange(int(n), *[F.col(c) for c in order_by])
-        .localCheckpoint(eager=False)
-    )
+    pinned = df.localCheckpoint(eager=False)
+    d = pinned.repartitionByRange(int(n), *[F.col(c) for c in order_by])
     mid = F.monotonically_increasing_id()
     d = d.select(
         "*",

@@ -170,3 +170,28 @@ def test_fixed_width_roundtrip_counts(spark, sf_dir):
 
     od = load_table(spark, sf_dir, "orders")
     assert sum(r["n"] for r in rows) == od.count()
+
+
+def test_prefix_scan_deterministic_without_shuffle_checkpoint(spark):
+    """The shuffled layout is no longer checkpointed (r9 shave): with
+    the INPUT pinned, RangePartitioner sampling is deterministic per
+    execution, per-pid totals are fetch-order-insensitive, and unique
+    keys make the whole result a pure function of the input — repeated
+    executions of the same plan and freshly built plans must agree."""
+    df = spark.createDataFrame(
+        [(i * 7 % 1000, (i % 13) + 1) for i in range(1000)],
+        "k long, v long",
+    ).groupBy("k").agg(F.sum("v").alias("v"))  # unique keys
+    plan = ordered_prefix_scan(df, ["k"], "v", out_col="cum")
+    a = sorted((r.k, r.cum) for r in plan.collect())
+    b = sorted((r.k, r.cum) for r in plan.collect())
+    c = sorted(
+        (r.k, r.cum)
+        for r in ordered_prefix_scan(df, ["k"], "v", out_col="cum").collect()
+    )
+    expect, run = [], 0
+    rows = {r.k: r.v for r in df.collect()}
+    for k in sorted(rows):
+        run += rows[k]
+        expect.append((k, run))
+    assert a == b == c == expect
