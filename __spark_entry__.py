@@ -240,60 +240,71 @@ _WITNESSED_R6 = set(_R6_NEW[:50])
 # CORRECTNESS_r07 recorded exactly _R6_NEW[50:100] (50/50 green).
 _WITNESSED_R7 = set(_R6_NEW[50:100])
 
-# Round-8 front, per VERDICT r7 item #1:
-#   (a) the 27 names never driver-witnessed in any round
-#       (_R6_NEW[100:] + streaming_eviction, registered in r7),
-#   (b) the 9 gates whose implementations changed in r7 AFTER their
-#       last driver witness (anchor-dedup recompose, positional
-#       minhash, single-join cosine LSH, prefix-scan KS/MW CDF,
-#       RFM ntile guard, equidepth operator API) — all re-verified
-#       MATCH at sf0.01 by the judge, but the ledger needs a
-#       post-change row,
-#   (c) the stalest _WITNESSED_R1R2 names fill the rest of the
-#       driver's 50-row recording window.
-_NEVER_WITNESSED: list[str] = _R6_NEW[100:] + ["streaming_eviction"]
-_CHANGED_AFTER_WITNESS: list[str] = [
+# CORRECTNESS_r08 recorded these 50 rows (all green, post-final-commit
+# witness): the last 26 never-witnessed _R6_NEW names,
+# streaming_eviction, the 9 r7-changed gates, the new dedup_lsh_pairs,
+# and the first 13 stale r1/r2 re-witnesses.  The cumulative
+# ever-witnessed union after r8 is 318/323.
+_WITNESSED_R8 = set(_R6_NEW[100:]) | {
+    "streaming_eviction", "dedup_lsh_pairs",
     "dedup_ngram_jaccard", "dedup_minhash", "dedup_semantic",
     "dedup_embedding", "decontaminate_semantic", "profile_ks",
     "profile_mannwhitney", "events_rfm", "profile_equidepth",
-]
-# Registered late in round 8 and DEFERRED past the witness window so
-# they cannot displace the stale-r1/r2 re-witness rows; front these in
-# round 9 (all scripts_check-verified MATCH at sf0.01 on registration).
-_R9_DEFER: list[str] = [
+    "agg_bitwise", "agg_collect", "agg_mode_argmax", "decontaminate",
+    "dedup_components", "dedup_incremental", "dedup_levenshtein",
+    "dedup_span", "dedup_winnow", "embedding_centroids",
+    "events_hopping", "events_range_window", "events_session_window",
+}
+
+# Round-9 front, per VERDICT r8 item #1 plus this round's changes:
+#   (a) the 5 late-r8 registrations deferred past the r8 window
+#       (never driver-witnessed; ml_auc/ml_calibration/
+#       profile_fingerprint also carry this round's advisory fixes),
+#   (b) the 6 quantile-consumer gates whose r8 prefix-scan rewrite
+#       post-dates their r6/r7 witness (the ROADMAP omission the r8
+#       verdict flagged),
+#   (c) the 5 gates whose plans changed THIS round with the
+#       ordered_prefix_scan shave (input pin + no shuffle checkpoint):
+#       profile_ks / profile_mannwhitney / events_concurrency /
+#       events_survival (scan consumers witnessed r7/r8) and
+#       pareto_frontier (skyline_2d consumer, witnessed r7),
+#   (d) the 24 remaining stale _WITNESSED_R1R2 names.
+# 40 names; new-query registrations + _WITNESSED_R3 fill the rest of
+# the driver's 50-row recording window.
+_R9_FRONT: list[str] = [
     "sample_token_budget", "sample_dsir", "profile_fingerprint",
     "ml_auc", "ml_calibration",
+    "agg_quantile_cont", "agg_weighted_median", "profile_key_skew",
+    "agg_median_twopass", "events_interarrival", "text_length_quantiles",
+    "profile_ks", "profile_mannwhitney", "events_concurrency",
+    "events_survival", "pareto_frontier",
 ]
 
-_CHECKED_UNION = (
-    _WITNESSED_R1R2 | _WITNESSED_R3 | _WITNESSED_R4 | _WITNESSED_R5
-    | _WITNESSED_R6 | _WITNESSED_R7
+_TIERS_STALEST_FIRST = (
+    _WITNESSED_R1R2, _WITNESSED_R3, _WITNESSED_R4, _WITNESSED_R5,
+    _WITNESSED_R6, _WITNESSED_R7, _WITNESSED_R8,
 )
+_CHECKED_UNION = frozenset().union(*_TIERS_STALEST_FIRST)
 
 
 def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    front = {
-        k: QUERIES[k]
-        for k in (*_NEVER_WITNESSED, *_CHANGED_AFTER_WITNESS)
-        if k in QUERIES
-    }
+    front = {k: QUERIES[k] for k in _R9_FRONT if k in QUERIES}
     unproven = {
         k: v for k, v in QUERIES.items()
         if k not in _CHECKED_UNION and k not in front
-        and k not in _R9_DEFER
     }
-    tiers = (
-        _WITNESSED_R1R2, _WITNESSED_R3, _WITNESSED_R4, _WITNESSED_R5,
-        _WITNESSED_R6, _WITNESSED_R7,
-    )
-    by_staleness = {
-        k: QUERIES[k]
-        for tier in tiers
-        for k in sorted(tier)
-        if k in QUERIES and k not in front
-    }
-    deferred = {k: QUERIES[k] for k in _R9_DEFER if k in QUERIES}
-    return {**front, **unproven, **by_staleness, **deferred}
+    # a name may sit in several tiers (re-witnessed later): its
+    # effective tier is the LATEST round that recorded it
+    seen: set[str] = set(front) | set(unproven)
+    by_staleness: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for i, tier in enumerate(_TIERS_STALEST_FIRST):
+        later = frozenset().union(*_TIERS_STALEST_FIRST[i + 1:]) \
+            if i + 1 < len(_TIERS_STALEST_FIRST) else frozenset()
+        for k in sorted(tier):
+            if k in QUERIES and k not in seen and k not in later:
+                by_staleness[k] = QUERIES[k]
+                seen.add(k)
+    return {**front, **unproven, **by_staleness}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
