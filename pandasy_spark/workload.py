@@ -15956,3 +15956,63 @@ def ml_calibration(spark, sf_dir):
     return calibration_bins(
         scored, "quality", F.col("pos"), bins=10, decimals=4
     )
+
+
+@query(
+    "streaming_dedup_rocksdb",
+    """
+    SELECT event_id, ts, user_id, event_type,
+           FLOOR(value * 100 + 0.5) / 100 AS value
+    FROM (SELECT * FROM events ORDER BY event_id LIMIT 50000) events
+    """,
+)
+def streaming_dedup_rocksdb(spark, sf_dir):
+    """streaming_dedup's exact replay, RUN ON THE PRODUCTION STATE
+    STORE: the embedded RocksDB provider with changelog checkpointing
+    (streaming/state.py rocksdb_state_conf) instead of the HDFS/heap
+    default — the config a 100 TB deployment uses so dedup state
+    lives on executor-local SSD with bounded memory and per-batch
+    delta commits, not as JVM heap objects.  Same 2-batch staged
+    replay (batch 2 re-sends 300 duplicate event_ids), same watermark
+    horizon, same append-mode contract: the memory sink must equal
+    the real table exactly — a provider that dropped, duplicated, or
+    corrupted state shows as a row-count or value-hash mismatch
+    against the identical batch oracle.  The provider class is read
+    at query START, so the conf block wraps exactly this stream and
+    is restored afterwards (other gates keep the default provider)."""
+    from .streaming import (
+        run_stream_to_memory,
+        staged_file_stream,
+        use_rocksdb_state,
+    )
+
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_dedup_rocksdb_gate_{_STREAM_GATE_SEQ[0]}"
+    real = (
+        _t(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(50_000)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .toPandas()
+    )
+    dup = real.head(300).copy()
+    prev = use_rocksdb_state(spark)
+    try:
+        stream = staged_file_stream(spark, [real, dup])
+        out = (
+            stream.withWatermark("ts", "3650 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select(
+                "event_id", "ts", "user_id", "event_type",
+                qr(F.col("value"), 2).alias("value"),
+            )
+        )
+        q = run_stream_to_memory(out, name, output_mode="append")
+        q.stop()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.table(name)

@@ -116,3 +116,15 @@ def test_stateful_dedup_on_rocksdb_matches_batch(spark, sf_dir):
     finally:
         _restore(spark, prev)
     assert_pdf_eq(actual, expected)
+
+
+def test_streaming_dedup_rocksdb_gate_restores_conf(spark, sf_dir):
+    """The driver gate wraps exactly one stream in the RocksDB
+    provider conf and restores the previous session state after."""
+    from pandasy_spark.workload import QUERIES
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    out = QUERIES["streaming_dedup_rocksdb"](spark, sf_dir)
+    assert out.count() > 0
+    assert spark.conf.get(key, None) == before
