@@ -278,6 +278,9 @@ _R9_FRONT: list[str] = [
     "agg_median_twopass", "events_interarrival", "text_length_quantiles",
     "profile_ks", "profile_mannwhitney", "events_concurrency",
     "events_survival", "pareto_frontier",
+    # (e) changed this round: int64-overflow fix in the gini milli
+    #     expression (manifested at sf0.1, witnessed r7 at sf0.01)
+    "profile_gini",
 ]
 
 _TIERS_STALEST_FIRST = (

@@ -157,16 +157,18 @@ def ordered_prefix_scan(
     broadcast the carry-ins back.  No stage ever sees more than one
     partition's rows in one task.
 
-    Consistency across the scan's three consumers of the shuffled
-    layout (within-window, per-partition totals, carry join) holds
-    WITHOUT checkpointing the shuffle: the INPUT is pinned, and
-    ``RangePartitioner`` sampling is deterministic given fixed input
-    partitions (per-partition reservoir seeded by partition index),
-    so every execution of the exchange assigns every row the same
-    partition id; per-pid totals are sums — insensitive to the
-    shuffle-fetch row order — and only the relative order of EQUAL
-    ``order_by`` keys can vary, which is already this contract's
-    declared tie behavior.
+    The shuffled layout is checkpointed because it MUST be: the
+    scan's three consumers (within-window, per-partition totals,
+    carry join) all key on the physical partition id, and
+    ``RangePartitioner`` seeds its boundary sampler with the RDD id
+    (``byteswap32(idx ^ (rdd.id << 16))``), so two executions of the
+    same range exchange draw DIFFERENT samples and can place the same
+    key in different partitions — without the pin, the totals branch
+    and the window branch can disagree on boundaries and the carry-ins
+    silently misalign (reproduced at ≥ ~10k distinct keys, where the
+    per-partition reservoir no longer holds every row; plan-level
+    exchange reuse sometimes dedupes the branches, but is an optimizer
+    heuristic, not a guarantee).
 
     ``strict=True`` excludes the current row (the value BEFORE this
     row in the total order — NULL/identity for the first row:
@@ -204,7 +206,10 @@ def ordered_prefix_scan(
         "spark.sql.shuffle.partitions"
     )
     pinned = df.localCheckpoint(eager=False)
-    d = pinned.repartitionByRange(int(n), *[F.col(c) for c in order_by])
+    d = (
+        pinned.repartitionByRange(int(n), *[F.col(c) for c in order_by])
+        .localCheckpoint(eager=False)
+    )
     mid = F.monotonically_increasing_id()
     d = d.select(
         "*",

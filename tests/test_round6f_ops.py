@@ -172,16 +172,27 @@ def test_fixed_width_roundtrip_counts(spark, sf_dir):
     assert sum(r["n"] for r in rows) == od.count()
 
 
-def test_prefix_scan_deterministic_without_shuffle_checkpoint(spark):
-    """The shuffled layout is no longer checkpointed (r9 shave): with
-    the INPUT pinned, RangePartitioner sampling is deterministic per
-    execution, per-pid totals are fetch-order-insensitive, and unique
-    keys make the whole result a pure function of the input — repeated
-    executions of the same plan and freshly built plans must agree."""
+def test_prefix_scan_deterministic_beyond_reservoir(spark):
+    """Regression for the r9 near-miss: RangePartitioner seeds its
+    boundary sampler with the RDD id, so two executions of the range
+    exchange draw different samples once the input exceeds the
+    per-partition reservoir (~60 rows/partition at default hints) —
+    the scan's branches MUST therefore share ONE pinned shuffle
+    layout.  25k distinct keys (well past the reservoir) with unique
+    keys make the correct result a pure function of the input:
+    repeated executions of the same plan and freshly built plans must
+    agree with the Python oracle exactly.  The removed-checkpoint
+    variant failed this nondeterministically (±~500 on the cums)."""
     df = spark.createDataFrame(
-        [(i * 7 % 1000, (i % 13) + 1) for i in range(1000)],
+        [((i * 2654435761) % (1 << 30), (i % 13) + 1)
+         for i in range(25000)],
         "k long, v long",
     ).groupBy("k").agg(F.sum("v").alias("v"))  # unique keys
+    rows = {r.k: r.v for r in df.collect()}
+    expect, run = [], 0
+    for k in sorted(rows):
+        run += rows[k]
+        expect.append((k, run))
     plan = ordered_prefix_scan(df, ["k"], "v", out_col="cum")
     a = sorted((r.k, r.cum) for r in plan.collect())
     b = sorted((r.k, r.cum) for r in plan.collect())
@@ -189,9 +200,6 @@ def test_prefix_scan_deterministic_without_shuffle_checkpoint(spark):
         (r.k, r.cum)
         for r in ordered_prefix_scan(df, ["k"], "v", out_col="cum").collect()
     )
-    expect, run = [], 0
-    rows = {r.k: r.v for r in df.collect()}
-    for k in sorted(rows):
-        run += rows[k]
-        expect.append((k, run))
-    assert a == b == c == expect
+    assert a == expect
+    assert b == expect
+    assert c == expect

@@ -665,3 +665,19 @@ class TestRound9Advisories:
         )
         r = calibration_bins(df, "p", F.col("y")).collect()
         assert len(r) == 1 and r[0].n == 1 and r[0].bin == 2
+
+
+class TestGiniScaleOverflow:
+    def test_gini_milli_no_int64_overflow_at_large_mass(self, spark):
+        """r9 regression: the x1000 numerator overflowed int64 once
+        n*total passed ~9.2e15 (sf0.1 orders) and gini went negative;
+        the denominator is pre-scaled instead, matching the oracle."""
+        from pandasy_spark.extended.profile import gini_concentration
+
+        # n=4000, total=8e12: n*total ~ 3.2e16 fits int64 (the design
+        # range) but the old x1000 numerator (~1.1e19) did not
+        rows = [(i, (i + 1) * 10**6) for i in range(4000)]
+        df = spark.createDataFrame(rows, "k long, cents long")
+        r = gini_concentration(df, ["k"], "cents").collect()[0]
+        # linear ramp 1..n has exact Gini (n-1)/(3n) ~ 0.333
+        assert r.n == 4000 and 325 <= r.gini_milli <= 334
