@@ -16016,3 +16016,43 @@ def streaming_dedup_rocksdb(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     return spark.table(name)
+
+
+@query(
+    "agg_quantile_multi",
+    """
+    WITH v AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS val
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), o AS (
+      SELECT val, ROW_NUMBER() OVER (ORDER BY val) AS r FROM v
+    ), s AS (SELECT COUNT(*) AS n FROM v),
+    q(q_milli) AS (VALUES (100), (500), (900), (990))
+    SELECT CAST(q.q_milli AS BIGINT) AS q_milli,
+           CAST(s.n AS BIGINT) AS n,
+           CAST((SELECT val FROM o
+                 WHERE r = (q.q_milli * s.n + 999) // 1000) AS BIGINT)
+             AS q_value
+    FROM q, s
+    """,
+)
+def agg_quantile_multi(spark, sf_dir):
+    """FOUR exact discrete quantiles (p10/p50/p90/p99) of the
+    price-cent column for the cost of ONE two-pass order statistic
+    (extended/profile.py quantile_disc_multi, r8 verdict item #4):
+    one stats pass, one shared histogram, and one refine scan over
+    the UNION of the located cells — each quantile recovers its
+    within-cell cumulative count by subtracting the exact histogram
+    mass of the other selected cells, pure BIGINT arithmetic.  The
+    per-quantile semantics (rank ceil(q*n), duplicates counted
+    individually) are the global-sort ROW_NUMBER definition the
+    oracle states."""
+    from .extended.profile import quantile_disc_multi
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    return quantile_disc_multi(cents, "cents", [100, 500, 900, 990])

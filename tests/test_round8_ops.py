@@ -681,3 +681,73 @@ class TestGiniScaleOverflow:
         r = gini_concentration(df, ["k"], "cents").collect()[0]
         # linear ramp 1..n has exact Gini (n-1)/(3n) ~ 0.333
         assert r.n == 4000 and 325 <= r.gini_milli <= 334
+
+
+class TestQuantileDiscMulti:
+    def test_matches_python_order_stats(self, spark):
+        import random
+
+        from pandasy_spark.extended.profile import quantile_disc_multi
+
+        random.seed(11)
+        data = [random.randint(-1000, 10**6) for _ in range(5000)] + [7] * 800
+        df = spark.createDataFrame([(v,) for v in data], "v long")
+        qs = [1, 250, 500, 750, 999, 1000]
+        got = {
+            r.q_milli: (r.n, r.q_value)
+            for r in quantile_disc_multi(df, "v", qs).collect()
+        }
+        s = sorted(data)
+        for q in qs:
+            rank = (q * len(s) + 999) // 1000
+            assert got[q] == (len(s), s[rank - 1]), q
+
+    def test_dense_shared_cells(self, spark):
+        """coarse_cells=2 forces every quantile into one of two huge
+        cells — the union-sliver offset arithmetic must still recover
+        exact within-cell ranks."""
+        import random
+
+        from pandasy_spark.extended.profile import quantile_disc_multi
+
+        random.seed(5)
+        data = [random.randint(0, 10**7) for _ in range(20000)]
+        df = spark.createDataFrame([(v,) for v in data], "v long")
+        got = {
+            r.q_milli: r.q_value
+            for r in quantile_disc_multi(
+                df, "v", [500, 501, 990], coarse_cells=2
+            ).collect()
+        }
+        s = sorted(data)
+        for q in (500, 501, 990):
+            assert got[q] == s[(q * len(s) + 999) // 1000 - 1], q
+
+    def test_matches_single_quantile_twin(self, spark):
+        from pandasy_spark.extended.profile import (
+            quantile_disc_multi,
+            quantile_disc_twopass,
+        )
+
+        df = spark.createDataFrame(
+            [((i * 37) % 1009,) for i in range(3000)], "v long"
+        )
+        multi = {
+            r.q_milli: r.q_value
+            for r in quantile_disc_multi(df, "v", [500, 990]).collect()
+        }
+        for q in (500, 990):
+            single = quantile_disc_twopass(df, [], "v", q_milli=q).collect()[0]
+            assert multi[q] == single.q_value
+
+    def test_validation_and_nulls(self, spark):
+        from pandasy_spark.extended.profile import quantile_disc_multi
+
+        df = spark.createDataFrame([(1,), (None,), (3,)], "v long")
+        got = {r.q_milli: r.q_value
+               for r in quantile_disc_multi(df, "v", [1000]).collect()}
+        assert got == {1000: 3}
+        with pytest.raises(ValueError, match="q_milli"):
+            quantile_disc_multi(df, "v", [0])
+        with pytest.raises(ValueError, match="at least one"):
+            quantile_disc_multi(df, "v", [])
