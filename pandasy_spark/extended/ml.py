@@ -26,6 +26,7 @@ __all__ = [
     "kfold_assign",
     "binary_metrics",
     "auc_exact",
+    "pr_auc_exact",
     "calibration_bins",
 ]
 
@@ -275,6 +276,77 @@ def auc_exact(
             ),
         ).alias("auc_micro"),
     )
+
+
+def pr_auc_exact(
+    df: DataFrame,
+    score_col: str,
+    is_positive: Column,
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT distributed average precision (PR-AUC) — the
+    class-imbalance-honest companion to :func:`auc_exact` (ROC-AUC
+    stays optimistic when negatives dominate; for a 1%-positive
+    quality screen the PR curve is the one that moves).
+
+    Standard step-wise average precision over DISTINCT score
+    thresholds, descending::
+
+        AP = Σ_i (TP_i − TP_{i−1})/n_pos · TP_i/(TP_i + FP_i)
+
+    Ties need no per-row tiebreak: all rows sharing a grid score
+    enter at one threshold together (the same convention
+    ``sklearn.average_precision_score`` uses).  Scores snap to the
+    ``decimals`` grid, ONE map-combined aggregate counts (pos, total)
+    per distinct score, BOTH descending cumulatives come from one
+    range-partitioned prefix scan (multi-column form — single scan,
+    never a single-task window), and each threshold's term is floored
+    onto a 1e9 lattice in DECIMAL(38,0) — engine-portable at any
+    count (per-term truncation under-states AP by < #thresholds/1e9,
+    and thresholds are bounded by the score grid).
+
+    NULL/NaN scores are excluded; a NULL ``is_positive`` counts as
+    negative (same contracts as :func:`auc_exact`).
+
+    Output: one row ``(n_pos, n_neg, ap_nano)`` — AP × 1e9, BIGINT,
+    NULL when there are no positives.
+    """
+    from ..operators.sort import ordered_prefix_scan
+
+    p = float(10**decimals)
+    sc = F.col(score_col)
+    keep = sc.isNotNull()
+    if isinstance(df.schema[score_col].dataType, (T.FloatType, T.DoubleType)):
+        keep = keep & ~F.isnan(sc)
+    g = df.filter(keep).select(
+        F.floor(sc * p + F.lit(0.5)).cast("long").alias("__v"),
+        F.when(is_positive, 1).otherwise(0).cast("long").alias("__pos"),
+    )
+    per_v = g.groupBy("__v").agg(
+        F.sum("__pos").alias("c_p"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    ).withColumn("__nv", -F.col("__v"))
+    scanned = ordered_prefix_scan(
+        per_v, ["__nv"], ["c_p", "t"], out_col=["cum_p", "cum_t"]
+    )
+    tot = per_v.agg(
+        F.sum("c_p").cast("long").alias("n_pos"),
+        F.sum(F.col("t") - F.col("c_p")).cast("long").alias("n_neg"),
+    )
+    terms = scanned.crossJoin(F.broadcast(tot)).select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CASE WHEN n_pos > 0 THEN"
+            " CAST(c_p AS DECIMAL(38,0)) * cum_p * 1000000000"
+            " div (CAST(cum_t AS DECIMAL(38,0)) * n_pos) END"
+        ).alias("__term"),
+    )
+    return terms.groupBy("n_pos", "n_neg").agg(
+        F.when(
+            F.min("n_pos") > 0, F.sum("__term").cast("long")
+        ).alias("ap_nano")
+    ).select("n_pos", "n_neg", "ap_nano")
 
 
 def calibration_bins(

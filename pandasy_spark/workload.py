@@ -16056,3 +16056,73 @@ def agg_quantile_multi(spark, sf_dir):
         .alias("cents")
     )
     return quantile_disc_multi(cents, "cents", [100, 500, 900, 990])
+
+
+@query(
+    "ml_pr_auc",
+    r"""
+    WITH s AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonws,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_len
+      FROM documents
+    ), q AS (
+      SELECT lang,
+             0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (CASE WHEN COALESCE(CASE WHEN n_tokens > 0
+                         THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) >= 2.0
+                       AND COALESCE(CASE WHEN n_tokens > 0
+                         THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) <= 12.0
+                      THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (1.0 - LEAST((CASE WHEN n_len > 0
+                         THEN CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE)
+                         ELSE 0.0 END) * 5.0, 1.0)) AS qraw
+      FROM s
+    ), g AS (
+      SELECT CAST(FLOOR(FLOOR(qraw * 10000 + 0.5) / 10000 * 10000 + 0.5)
+                  AS BIGINT) AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM q
+    ), per_v AS (
+      SELECT v, CAST(SUM(pos) AS BIGINT) AS c_p,
+             CAST(COUNT(*) AS BIGINT) AS t
+      FROM g GROUP BY v
+    ), c AS (
+      SELECT c_p, t,
+             SUM(c_p) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+               AS cum_p,
+             SUM(t) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+               AS cum_t
+      FROM per_v
+    ), tot AS (
+      SELECT CAST(SUM(c_p) AS BIGINT) AS n_pos,
+             CAST(SUM(t - c_p) AS BIGINT) AS n_neg
+      FROM per_v
+    )
+    SELECT tot.n_pos, tot.n_neg,
+           CAST(SUM(CAST(c_p AS HUGEINT) * cum_p * 1000000000
+                    // (CAST(cum_t AS HUGEINT) * tot.n_pos)) AS BIGINT)
+             AS ap_nano
+    FROM c, tot GROUP BY tot.n_pos, tot.n_neg
+    """,
+)
+def ml_pr_auc(spark, sf_dir):
+    """EXACT distributed average precision / PR-AUC (extended/ml.py
+    pr_auc_exact) of the heuristic quality score against the English
+    label — the class-imbalance-honest fourth leg of the eval family
+    (thresholded metrics, ROC-AUC, calibration, PR-AUC): step-wise AP
+    over distinct grid thresholds descending, ties entering together
+    (no per-row tiebreak), both descending cumulatives from ONE
+    multi-column range-partitioned prefix scan, per-threshold terms
+    floored on a 1e9 lattice in DECIMAL(38,0).  The oracle restates
+    the quality score, the snap, the threshold walk, and the floored
+    nano terms verbatim."""
+    from .extended.ml import pr_auc_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = X_text.with_text_stats(docs).select(
+        "quality", (F.col("lang") == "en").alias("pos")
+    )
+    return pr_auc_exact(scored, "quality", F.col("pos"), decimals=4)

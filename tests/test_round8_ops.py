@@ -751,3 +751,76 @@ class TestQuantileDiscMulti:
             quantile_disc_multi(df, "v", [0])
         with pytest.raises(ValueError, match="at least one"):
             quantile_disc_multi(df, "v", [])
+
+
+class TestPrAucExact:
+    def test_matches_threshold_walk(self, spark):
+        """AP == sum over distinct thresholds (descending) of
+        dTP/n_pos * precision, per-term floored on the 1e9 lattice."""
+        import random
+
+        from pandasy_spark.extended.ml import pr_auc_exact
+
+        random.seed(3)
+        rows = [(round(random.random(), 3), random.random() < 0.3)
+                for _ in range(2000)]
+        df = spark.createDataFrame(rows, "score double, y boolean")
+        r = pr_auc_exact(df, "score", F.col("y"), decimals=3).collect()[0]
+        from collections import defaultdict
+
+        agg: dict = defaultdict(lambda: [0, 0])
+        for s, y in rows:
+            v = int(s * 1000 + 0.5)
+            agg[v][0] += int(y)
+            agg[v][1] += 1
+        n_pos = sum(a[0] for a in agg.values())
+        cum_p = cum_t = ap = 0
+        for v in sorted(agg, reverse=True):
+            c_p, t = agg[v]
+            cum_p += c_p
+            cum_t += t
+            ap += (c_p * cum_p * 10**9) // (cum_t * n_pos)
+        assert (r.n_pos, r.ap_nano) == (n_pos, ap)
+
+    def test_perfect_and_no_positives(self, spark):
+        from pandasy_spark.extended.ml import pr_auc_exact
+
+        perfect = spark.createDataFrame(
+            [(float(i), i >= 5) for i in range(10)],
+            "score double, y boolean",
+        )
+        assert pr_auc_exact(
+            perfect, "score", F.col("y")
+        ).collect()[0].ap_nano == 10**9
+        nopos = spark.createDataFrame(
+            [(0.5, False), (0.7, False)], "score double, y boolean"
+        )
+        r = pr_auc_exact(nopos, "score", F.col("y")).collect()[0]
+        assert r.ap_nano is None and r.n_pos == 0
+
+    def test_excludes_nan_null_scores(self, spark):
+        from pandasy_spark.extended.ml import pr_auc_exact
+
+        clean = [(0.9, True), (0.6, True), (0.4, False), (0.1, False)]
+        noisy = clean + [(float("nan"), True), (None, False)]
+        a = pr_auc_exact(
+            spark.createDataFrame(clean, "score double, y boolean"),
+            "score", F.col("y"),
+        ).collect()[0]
+        b = pr_auc_exact(
+            spark.createDataFrame(noisy, "score double, y boolean"),
+            "score", F.col("y"),
+        ).collect()[0]
+        assert (a.n_pos, a.n_neg, a.ap_nano) == (b.n_pos, b.n_neg, b.ap_nano)
+
+    def test_rank_scan_not_single_partition(self, spark, sf_dir):
+        from pandasy_spark.workload import QUERIES
+
+        plan = (
+            QUERIES["ml_pr_auc"](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "windowspecdefinition(__nv" not in plan
+        assert "windowspecdefinition(__pid" in plan
