@@ -279,8 +279,12 @@ _R9_FRONT: list[str] = [
     "profile_ks", "profile_mannwhitney", "events_concurrency",
     "events_survival", "pareto_frontier",
     # (e) changed this round: int64-overflow fix in the gini milli
-    #     expression (manifested at sf0.1, witnessed r7 at sf0.01)
-    "profile_gini",
+    #     expression (manifested at sf0.1, witnessed r7 at sf0.01),
+    #     and NULL-level fixes in chi_square (null-safe marginal
+    #     joins + struct-wrapped distinct level counts) consumed by
+    #     the chisq/cramers gates (witnessed r6/r7; NULL-free gate
+    #     columns, values unchanged — plan changed)
+    "profile_gini", "profile_chisq", "profile_cramers",
 ]
 
 _TIERS_STALEST_FIRST = (

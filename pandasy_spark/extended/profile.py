@@ -50,6 +50,7 @@ __all__ = [
     "k_anonymity",
     "weighted_quantile_twopass",
     "cramers_v",
+    "mutual_information",
     "key_skew_report",
     "psi_drift",
     "jsd_drift",
@@ -901,12 +902,20 @@ def chi_square(
     o = df.groupBy(
         F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
     ).agg(F.count(F.lit(1)).cast("long").alias("__o"))
-    ra = o.groupBy("__a").agg(F.sum("__o").alias("__ra"))
-    cb = o.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    # null-safe marginal joins: NULL categories are levels (GROUP BY
+    # semantics) and must keep their cells — a plain equi-join drops
+    # them while `n` still counts them (r9, same class as the
+    # mutual_information fix; NULL-free gate columns unaffected)
+    ra = o.groupBy(F.col("__a").alias("__ak")).agg(
+        F.sum("__o").alias("__ra")
+    )
+    cb = o.groupBy(F.col("__b").alias("__bk")).agg(
+        F.sum("__o").alias("__cb")
+    )
     tot = o.agg(F.sum("__o").alias("__n"))
     cells = (
-        o.join(F.broadcast(ra), "__a")
-        .join(F.broadcast(cb), "__b")
+        o.join(F.broadcast(ra), F.col("__a").eqNullSafe(F.col("__ak")))
+        .join(F.broadcast(cb), F.col("__b").eqNullSafe(F.col("__bk")))
         .crossJoin(F.broadcast(tot))
     )
     # exact per-cell grid term in DECIMAL(38,0)
@@ -917,8 +926,10 @@ def chi_square(
     )
     agg_row = cells.agg(
         F.max("__n").alias("n"),
-        F.count_distinct("__a").cast("long").alias("n_a"),
-        F.count_distinct("__b").cast("long").alias("n_b"),
+        # struct-wrapped so a NULL category still counts as a level
+        # (bare count_distinct drops NULL)
+        F.count_distinct(F.struct("__a")).cast("long").alias("n_a"),
+        F.count_distinct(F.struct("__b")).cast("long").alias("n_b"),
         F.sum(term).alias("__t"),
         F.sum(F.col("__ra") * F.col("__cb")).cast("long").alias("__s"),
     )
@@ -1546,6 +1557,78 @@ def cramers_v(
     v2 = F.col("chi2") / (F.col("n").cast("double") * k)
     return base.withColumn(
         "v2_micro", F.floor(v2 * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    information-theoretic leg of the association family
+    (:func:`chi_square` tests independence, :func:`cramers_v` sizes
+    the effect, MI answers "how many nats does knowing A tell you
+    about B" — comparable across tables and directly meaningful for
+    feature/leakage screens, e.g. does `source` predict `lang`).
+
+    ``MI = Σ_cells (o/n)·ln(o·n/(ra·cb))`` over OBSERVED cells only
+    (empty cells contribute exactly 0).  Exactness discipline matches
+    :func:`jsd_drift`/:func:`chi_square`: every per-cell term is a
+    FIXED IEEE expression of exact integer operands floored onto a
+    1e9 lattice and then SUMMED EXACTLY in BIGINT — no float
+    accumulation across cells, so engines agree bit-for-bit (the
+    usual libm-ln caveat).  The marginal entropies ``H(A)``/``H(B)``
+    ride the same pattern over the two tiny marginal tables, giving
+    the normalized ``NMI = MI/min(H)`` to callers for free.
+
+    ONE map-combined contingency aggregate (cells = |A|×|B|) + two
+    marginal re-aggregates of that tiny table.  NULL categories count
+    as their own level (GROUP BY semantics).  Output: one row
+    ``(n, n_a, n_b, mi_nano, h_a_nano, h_b_nano)``.
+    """
+    o = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__o"))
+    # NULL-SAFE marginal joins: a plain equi-join drops NULL-keyed
+    # cells (NULL != NULL) and silently loses their mass from the MI
+    # sum while `n` still counts them (caught by the r9 test oracle)
+    ra = o.groupBy(F.col("__a").alias("__ak")).agg(
+        F.sum("__o").alias("__ra")
+    )
+    cb = o.groupBy(F.col("__b").alias("__bk")).agg(
+        F.sum("__o").alias("__cb")
+    )
+    tot = o.agg(F.sum("__o").alias("__n"))
+    cells = (
+        o.join(F.broadcast(ra), F.col("__a").eqNullSafe(F.col("__ak")))
+        .join(F.broadcast(cb), F.col("__b").eqNullSafe(F.col("__bk")))
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.expr(
+        "CAST(FLOOR((CAST(__o AS DOUBLE) / CAST(__n AS DOUBLE))"
+        " * ln(CAST(__o AS DOUBLE) * CAST(__n AS DOUBLE)"
+        "      / (CAST(__ra AS DOUBLE) * CAST(__cb AS DOUBLE)))"
+        " * 1e9 + 0.5) AS BIGINT)"
+    )
+    mi = cells.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.sum(term).alias("mi_nano"),
+    )
+
+    def _entropy(marg: DataFrame, cnt: str, out: str) -> DataFrame:
+        t = F.expr(
+            f"CAST(FLOOR(-(CAST({cnt} AS DOUBLE) / CAST(__n AS DOUBLE))"
+            f" * ln(CAST({cnt} AS DOUBLE) / CAST(__n AS DOUBLE))"
+            " * 1e9 + 0.5) AS BIGINT)"
+        )
+        return marg.crossJoin(F.broadcast(tot)).agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{out}"),
+            F.sum(t).alias(f"h_{out}_nano"),
+        )
+
+    return (
+        mi.crossJoin(F.broadcast(_entropy(ra, "__ra", "a")))
+        .crossJoin(F.broadcast(_entropy(cb, "__cb", "b")))
+        .select("n", "n_a", "n_b", "mi_nano", "h_a_nano", "h_b_nano")
     )
 
 

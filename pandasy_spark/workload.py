@@ -16126,3 +16126,56 @@ def ml_pr_auc(spark, sf_dir):
         "quality", (F.col("lang") == "en").alias("pos")
     )
     return pr_auc_exact(scored, "quality", F.col("pos"), decimals=4)
+
+
+@query(
+    "profile_mutual_info",
+    """
+    WITH o AS (
+      SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ), ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM o GROUP BY a),
+    cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM o GROUP BY b),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o),
+    mi AS (
+      SELECT MAX(tot.n) AS n,
+             SUM(CAST(FLOOR((CAST(o.o AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                 * ln(CAST(o.o AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                      / (CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE)))
+                 * 1e9 + 0.5) AS BIGINT)) AS mi_nano
+      FROM o JOIN ra ON o.a IS NOT DISTINCT FROM ra.a
+             JOIN cb ON o.b IS NOT DISTINCT FROM cb.b, tot
+    ), ha AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+             SUM(CAST(FLOOR(-(CAST(ra AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                 * ln(CAST(ra AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                 * 1e9 + 0.5) AS BIGINT)) AS h_a_nano
+      FROM ra, tot
+    ), hb AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+             SUM(CAST(FLOOR(-(CAST(cb AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                 * ln(CAST(cb AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                 * 1e9 + 0.5) AS BIGINT)) AS h_b_nano
+      FROM cb, tot
+    )
+    SELECT mi.n, ha.n_a, hb.n_b, CAST(mi.mi_nano AS BIGINT) AS mi_nano,
+           CAST(ha.h_a_nano AS BIGINT) AS h_a_nano,
+           CAST(hb.h_b_nano AS BIGINT) AS h_b_nano
+    FROM mi, ha, hb
+    """,
+)
+def profile_mutual_info(spark, sf_dir):
+    """Mutual information between document language and source
+    (extended/profile.py mutual_information) — the
+    information-theoretic association screen beside profile_chisq /
+    profile_cramers: per-observed-cell terms are fixed IEEE
+    expressions of exact integer operands floored onto a 1e9 nat
+    lattice and summed exactly in BIGINT (no float accumulation; the
+    dsir/jsd ln-libm caveat), with both marginal entropies riding the
+    same pattern so NMI is a display division away.  One contingency
+    aggregate + two tiny marginal re-aggregates; the oracle restates
+    every term verbatim."""
+    from .extended.profile import mutual_information
+
+    docs = _t(spark, sf_dir, "documents")
+    return mutual_information(docs, "lang", "source")

@@ -824,3 +824,74 @@ class TestPrAucExact:
         )
         assert "windowspecdefinition(__nv" not in plan
         assert "windowspecdefinition(__pid" in plan
+
+
+class TestMutualInformation:
+    def test_matches_python(self, spark):
+        import math
+        from collections import Counter
+
+        from pandasy_spark.extended.profile import mutual_information
+
+        rows = [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"),
+                ("b", "y"), ("b", "z"), ("c", "z"), (None, "x")]
+        df = spark.createDataFrame(rows, "u string, v string")
+        r = mutual_information(df, "u", "v").collect()[0]
+        n = len(rows)
+        o = Counter(rows)
+        ra = Counter(u for u, _ in rows)
+        cb = Counter(v for _, v in rows)
+        # NULL is its own level and its cells MUST contribute (the
+        # null-safe-join fix; a plain equi-join silently dropped them)
+        mi = sum(
+            math.floor((c / n) * math.log(c * n / (ra[u] * cb[v])) * 1e9
+                       + 0.5)
+            for (u, v), c in o.items()
+        )
+        ha = sum(
+            math.floor(-(c / n) * math.log(c / n) * 1e9 + 0.5)
+            for c in ra.values()
+        )
+        assert (r.n, r.n_a, r.n_b) == (n, len(ra), len(cb))
+        assert r.mi_nano == mi
+        assert r.h_a_nano == ha
+
+    def test_null_level_kept_in_chi_square_too(self, spark):
+        """chi_square had the same equi-join NULL drop: a NULL-keyed
+        cell must contribute its (o-e)^2/e term, and the observed
+        cross mass S must cover it (else chi2 is inflated by the
+        n - S/n unobserved-cell correction)."""
+        from pandasy_spark.extended.profile import chi_square
+
+        with_null = spark.createDataFrame(
+            [("a", "x"), ("a", "y"), (None, "x"), (None, "y")] * 25,
+            "u string, v string",
+        )
+        sentinel = spark.createDataFrame(
+            [("a", "x"), ("a", "y"), ("Z", "x"), ("Z", "y")] * 25,
+            "u string, v string",
+        )
+        rn = chi_square(with_null, "u", "v").collect()[0]
+        rs = chi_square(sentinel, "u", "v").collect()[0]
+        assert (rn.n, rn.n_a, rn.n_b, rn.dof, rn.chi2) == (
+            rs.n, rs.n_a, rs.n_b, rs.dof, rs.chi2
+        )
+
+    def test_independent_and_identical(self, spark):
+        """Independent uniform columns give MI ~ 0; a column with
+        itself gives MI == H (up to the per-cell lattice rounding)."""
+        from pandasy_spark.extended.profile import mutual_information
+
+        rows = [(str(i % 4), str((i // 4) % 4)) for i in range(160)]
+        ind = mutual_information(
+            spark.createDataFrame(rows, "u string, v string"), "u", "v"
+        ).collect()[0]
+        assert abs(ind.mi_nano) <= 32  # only lattice rounding
+        same = mutual_information(
+            spark.createDataFrame(
+                [(str(i % 5), str(i % 5)) for i in range(100)],
+                "u string, v string",
+            ),
+            "u", "v",
+        ).collect()[0]
+        assert abs(same.mi_nano - same.h_a_nano) <= 50
