@@ -334,19 +334,20 @@ def pr_auc_exact(
         F.sum(F.col("t") - F.col("c_p")).cast("long").alias("n_neg"),
     )
     terms = scanned.crossJoin(F.broadcast(tot)).select(
-        "n_pos",
-        "n_neg",
         F.expr(
             "CASE WHEN n_pos > 0 THEN"
             " CAST(c_p AS DECIMAL(38,0)) * cum_p * 1000000000"
             " div (CAST(cum_t AS DECIMAL(38,0)) * n_pos) END"
         ).alias("__term"),
     )
-    return terms.groupBy("n_pos", "n_neg").agg(
-        F.when(
-            F.min("n_pos") > 0, F.sum("__term").cast("long")
-        ).alias("ap_nano")
-    ).select("n_pos", "n_neg", "ap_nano")
+    # fold through `tot` (always exactly one row, like auc_exact's
+    # stats row) so empty input yields ONE NULL row, not zero rows
+    ap = terms.agg(F.sum("__term").cast("long").alias("__ap"))
+    return tot.crossJoin(F.broadcast(ap)).select(
+        "n_pos",
+        "n_neg",
+        F.when(F.col("n_pos") > 0, F.col("__ap")).alias("ap_nano"),
+    )
 
 
 def calibration_bins(

@@ -895,3 +895,15 @@ class TestMutualInformation:
             "u", "v",
         ).collect()[0]
         assert abs(same.mi_nano - same.h_a_nano) <= 50
+
+
+class TestPrAucEmptyInput:
+    def test_empty_input_one_null_row(self, spark):
+        """Shape contract matches auc_exact: empty input -> ONE row of
+        NULLs, never zero rows (callers crossJoin the result)."""
+        from pandasy_spark.extended.ml import pr_auc_exact
+
+        df = spark.createDataFrame([], "score double, y boolean")
+        rows = pr_auc_exact(df, "score", F.col("y")).collect()
+        assert len(rows) == 1
+        assert rows[0].ap_nano is None
