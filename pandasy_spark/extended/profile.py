@@ -1382,13 +1382,20 @@ def gini_concentration(
     # the numerator is already within ~G of n·Σx, so scaling IT by
     # 1000 overflows int64 once n·Σx passes ~9.2e15 (seen at sf0.1 —
     # gini_milli went negative); the oracle states the identical
-    # floor-div chain
+    # floor-div chain.  Below 1000 total mass the pre-scaled
+    # denominator floors to 0, so that (tiny-table) branch scales the
+    # numerator instead — overflow-free there by construction
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("__x").cast("long").alias("total"),
         F.expr(
-            "CAST((2 * sum((__r + 1) * __x) - (count(1) + 1) * sum(__x))"
-            " div ((count(1) * sum(__x)) div 1000) AS BIGINT)"
+            "CAST(CASE WHEN (count(1) * sum(__x)) div 1000 > 0 THEN"
+            " (2 * sum((__r + 1) * __x) - (count(1) + 1) * sum(__x))"
+            " div ((count(1) * sum(__x)) div 1000)"
+            " WHEN count(1) * sum(__x) > 0 THEN"
+            " ((2 * sum((__r + 1) * __x) - (count(1) + 1) * sum(__x))"
+            " * 1000) div (count(1) * sum(__x))"
+            " END AS BIGINT)"
         ).alias("gini_milli"),
     )
 
