@@ -293,12 +293,21 @@ _TIERS_STALEST_FIRST = (
 )
 _CHECKED_UNION = frozenset().union(*_TIERS_STALEST_FIRST)
 
+# Registered late in round 9 and DEFERRED past the witness window so
+# the r9 window keeps its planned shape (5 deferred + changed gates +
+# stale r1/r2 re-witnesses) — same mechanism as r8's _R9_DEFER.
+# These four lead the ROUND-10 front.
+_R10_DEFER: list[str] = [
+    "ml_ndcg", "ml_gains", "ml_regression", "graph_modularity",
+]
+
 
 def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front = {k: QUERIES[k] for k in _R9_FRONT if k in QUERIES}
     unproven = {
         k: v for k, v in QUERIES.items()
         if k not in _CHECKED_UNION and k not in front
+        and k not in _R10_DEFER
     }
     # a name may sit in several tiers (re-witnessed later): its
     # effective tier is the LATEST round that recorded it
@@ -311,7 +320,8 @@ def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if k in QUERIES and k not in seen and k not in later:
                 by_staleness[k] = QUERIES[k]
                 seen.add(k)
-    return {**front, **unproven, **by_staleness}
+    deferred = {k: QUERIES[k] for k in _R10_DEFER if k in QUERIES}
+    return {**front, **unproven, **by_staleness, **deferred}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -29,6 +29,7 @@ __all__ = [
     "scc",
     "personalized_pagerank",
     "hits",
+    "modularity",
 ]
 
 #: rank scale: 1.0 == 10^9 nano-units.
@@ -846,3 +847,94 @@ def hits(
             hub = hub.localCheckpoint(eager=False)
             auth = auth.localCheckpoint(eager=False)
     return hub.join(auth, "node")
+
+
+def modularity(
+    edges: DataFrame,
+    community: DataFrame,
+    u_col: str = "x",
+    v_col: str = "y",
+    node_col: str = "node",
+    comm_col: str = "comm",
+) -> DataFrame:
+    """Newman modularity of a community assignment over an undirected
+    simple graph — the single-number "are these communities real?"
+    audit for any partition this repo produces (label_propagation
+    output, nation groupings, dedup connected components)::
+
+        Q = Σ_c [ e_c/m − (d_c / 2m)² ]
+          = ( 4m·intra − Σ_c d_c² ) / (4m²)
+
+    where ``m`` is the edge count, ``intra`` the edges with both
+    endpoints in one community, and ``d_c`` the community's total
+    degree.  Everything folds as integers on the common denominator
+    4m² — ``d_c ≤ 2m`` so ``Σ d_c² ≤ 4m²`` fits DECIMAL(38,0) up to
+    m ~ 10¹² edges — and the single closing division lands on the 1e9
+    lattice with an explicit sign split (Q < 0 for anti-assortative
+    partitions; Spark ``div`` truncates toward zero while DuckDB
+    ``//`` floors, so the magnitude is truncated and then negated —
+    identical in both engines).
+
+    Contract: ``edges`` must be DISTINCT undirected pairs without
+    self-loops (one row per edge, either orientation); edges with an
+    endpoint missing from ``community`` are dropped (``m``, degrees
+    and ``intra`` all derive from the surviving edge set, so the
+    reported Q is the modularity OF THE COVERED SUBGRAPH).
+
+    Scale shape: two hash equi-joins edge→community (the assignment is
+    node-sized — no broadcast assumption), one degree aggregate, one
+    per-community aggregate bounded by #communities, one final row.
+
+    Output: ``(m, n_nodes, n_communities, intra_edges, q_nano)``.
+    """
+    c = community.select(
+        F.col(node_col).alias("__n"), F.col(comm_col).alias("__c")
+    )
+    e = (
+        edges.select(F.col(u_col).alias("__u"), F.col(v_col).alias("__v"))
+        .join(c.withColumnRenamed("__n", "__u").withColumnRenamed("__c", "__cu"), "__u")
+        .join(c.withColumnRenamed("__n", "__v").withColumnRenamed("__c", "__cv"), "__v")
+    )
+    e = e.localCheckpoint(eager=False)  # joined edges feed 3 consumers
+    m_intra = e.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(
+            F.when(F.col("__cu").eqNullSafe(F.col("__cv")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("intra_edges"),
+    )
+    deg = (
+        e.select(F.col("__u").alias("__n"), F.col("__cu").alias("__c"))
+        .unionAll(
+            e.select(F.col("__v").alias("__n"), F.col("__cv").alias("__c"))
+        )
+        .groupBy("__n", "__c")
+        .agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    )
+    per_c = deg.groupBy("__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__nodes"),
+        F.sum(F.expr("CAST(__d AS DECIMAL(38,0))")).alias("__dc"),
+    )
+    sums = per_c.agg(
+        F.sum("__nodes").cast("long").alias("n_nodes"),
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum(F.expr("__dc * __dc")).alias("__dsq"),
+    )
+    num = (
+        "(CAST(4 AS DECIMAL(38,0)) * m * intra_edges"
+        " - CAST(__dsq AS DECIMAL(38,0)))"
+    )
+    den = "(CAST(4 AS DECIMAL(38,0)) * m * m)"
+    return m_intra.crossJoin(F.broadcast(sums)).select(
+        "m",
+        "n_nodes",
+        "n_communities",
+        "intra_edges",
+        F.expr(
+            f"CASE WHEN m > 0 THEN CAST(CASE WHEN {num} >= 0"
+            f" THEN {num} * 1000000000 div {den}"
+            f" ELSE -((-{num}) * 1000000000 div {den}) END AS BIGINT)"
+            " END"
+        ).alias("q_nano"),
+    )

@@ -28,6 +28,10 @@ __all__ = [
     "auc_exact",
     "pr_auc_exact",
     "calibration_bins",
+    "ndcg_weights",
+    "ndcg_exact",
+    "cumulative_gains",
+    "regression_metrics",
 ]
 
 
@@ -415,4 +419,278 @@ def calibration_bins(
             "CAST(CAST(sum(__pos) AS DECIMAL(38,0)) * 1000000"
             " div count(1) AS BIGINT)"
         ).alias("obs_rate_micro"),
+    )
+
+
+def ndcg_weights(k: int) -> list[int]:
+    """The NDCG position discounts ``1/log2(i+1)`` for ranks 1..k,
+    snapped onto the 1e9 lattice at PLAN BUILD time — the weights are
+    inlined as integer literals into both the Spark plan and the SQL
+    oracle, so no engine evaluates a transcendental at run time and
+    the gate is bit-portable by construction (the same trick as the
+    literal eigenvectors in embedding_pca)."""
+    import math
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return [int(10**9 / math.log2(i + 1) + 0.5) for i in range(1, k + 1)]
+
+
+def ndcg_exact(
+    df: DataFrame,
+    query_col: str,
+    item_col: str,
+    rel_col: str,
+    score_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """EXACT mean NDCG@k — the graded-relevance ranking metric beside
+    the binary :func:`auc_exact`/:func:`pr_auc_exact` (a retrieval /
+    recommender eval over many queries: "does the model rank the good
+    items first, per query?").
+
+    Per query: items rank by ``score`` descending (ties broken by
+    ``item_col`` ascending — deterministic and restatable in SQL, so
+    no per-partition tie ambiguity), DCG@k folds ``rel · w_rank`` on
+    the 1e9 discount lattice (:func:`ndcg_weights` literals), the
+    ideal ordering ranks by ``rel`` descending (same tiebreak), and
+    ``ndcg_nano = DCG · 1e9 div IDCG`` divides once in DECIMAL(38,0).
+    Queries whose IDCG is 0 (no relevant item) carry no ranking signal
+    and are excluded from the mean, as are NULL/NaN-score rows; a NULL
+    relevance counts as grade 0.
+
+    Scale shape: both rank passes are windows PARTITIONED BY the query
+    key over ONE exchange (two sort orders, no global window), the
+    per-query fold is a map-combined aggregate, and the closing mean
+    is one row.  ``rel_col`` must be non-negative integral (grades).
+
+    Output: one row ``(n_queries, mean_ndcg_nano, min_ndcg_nano,
+    n_perfect)`` — n_queries counts IDCG>0 queries, n_perfect those
+    ranked ideally (ndcg_nano == 1e9).
+    """
+    from pyspark.sql import Window
+
+    ws = ndcg_weights(k)
+    sc = F.col(score_col)
+    keep = sc.isNotNull()
+    if isinstance(df.schema[score_col].dataType, (T.FloatType, T.DoubleType)):
+        keep = keep & ~F.isnan(sc)
+    base = df.filter(keep & F.col(query_col).isNotNull()).select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__i"),
+        F.coalesce(F.col(rel_col).cast("long"), F.lit(0)).alias("__rel"),
+        sc.alias("__s"),
+    )
+    by_q = Window.partitionBy("__q")
+    ranked = base.select(
+        "__q",
+        "__rel",
+        F.row_number()
+        .over(by_q.orderBy(F.col("__s").desc(), F.col("__i").asc()))
+        .alias("__rn_s"),
+        F.row_number()
+        .over(by_q.orderBy(F.col("__rel").desc(), F.col("__i").asc()))
+        .alias("__rn_r"),
+    )
+    warr = F.array(*[F.lit(w) for w in ws])
+    per_q = ranked.groupBy("__q").agg(
+        F.sum(
+            F.when(
+                F.col("__rn_s") <= k,
+                F.col("__rel")
+                * F.element_at(warr, F.col("__rn_s").cast("int")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("__dcg"),
+        F.sum(
+            F.when(
+                F.col("__rn_r") <= k,
+                F.col("__rel")
+                * F.element_at(warr, F.col("__rn_r").cast("int")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("__idcg"),
+    )
+    scored = per_q.filter(F.col("__idcg") > 0).select(
+        F.expr(
+            "CAST(CAST(__dcg AS DECIMAL(38,0)) * 1000000000"
+            " div __idcg AS BIGINT)"
+        ).alias("__ndcg")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.expr(
+                "CAST(CAST(sum(__ndcg) AS DECIMAL(38,0))"
+                " div count(1) AS BIGINT)"
+            ),
+        ).alias("mean_ndcg_nano"),
+        F.min("__ndcg").alias("min_ndcg_nano"),
+        F.sum(F.when(F.col("__ndcg") == 1_000_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_perfect"),
+    )
+
+
+def cumulative_gains(
+    df: DataFrame,
+    score_col: str,
+    is_positive: Column,
+    buckets: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT cumulative-gains / lift table — the "how deep must the
+    screen cut to capture X% of the positives" view that ranking AUCs
+    summarize away (a corpus filter is OPERATED at a depth; this is
+    the depth table).
+
+    Rows sort by score DESCENDING on the ``decimals`` grid.  Ties need
+    no per-row tiebreak: rows sharing a grid score form one block, the
+    block lands in the bucket where it ENDS (``bucket =
+    ceil(cum_rows · buckets / n)``), and per bucket the LAST block's
+    cumulatives are reported.  A bucket wholly spanned by one tie
+    block emits no row (documented; its cumulatives are the next
+    row's).  Capture and lift divide once per bucket in DECIMAL(38,0)
+    on the 1e9 lattice.
+
+    Scale shape: ONE map-combined aggregate per distinct grid score,
+    one range-partitioned prefix scan (never a single-task window),
+    one ≤ #buckets aggregate.  NULL/NaN scores are excluded; NULL
+    ``is_positive`` counts as negative (same contracts as
+    :func:`auc_exact`).
+
+    Output: one row per non-empty bucket ``(bucket, cum_rows, cum_pos,
+    capture_nano, lift_nano)`` — capture = cum_pos/n_pos, lift =
+    capture / (cum_rows/n).
+    """
+    from ..operators.sort import ordered_prefix_scan
+
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    p = float(10**decimals)
+    sc = F.col(score_col)
+    keep = sc.isNotNull()
+    if isinstance(df.schema[score_col].dataType, (T.FloatType, T.DoubleType)):
+        keep = keep & ~F.isnan(sc)
+    g = df.filter(keep).select(
+        F.floor(sc * p + F.lit(0.5)).cast("long").alias("__v"),
+        F.when(is_positive, 1).otherwise(0).cast("long").alias("__pos"),
+    )
+    per_v = g.groupBy("__v").agg(
+        F.sum("__pos").alias("c_p"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    ).withColumn("__nv", -F.col("__v"))
+    scanned = ordered_prefix_scan(
+        per_v, ["__nv"], ["c_p", "t"], out_col=["cum_p", "cum_t"]
+    )
+    tot = per_v.agg(
+        F.sum("c_p").cast("long").alias("n_pos"),
+        F.sum("t").cast("long").alias("n"),
+    )
+    b = scanned.crossJoin(F.broadcast(tot)).select(
+        F.expr(f"CAST((cum_t * {buckets} + n - 1) div n AS INT)")
+        .alias("bucket"),
+        "cum_p",
+        "cum_t",
+        "n_pos",
+        "n",
+    )
+    per_b = b.groupBy("bucket").agg(
+        F.max("cum_t").cast("long").alias("cum_rows"),
+        F.max("cum_p").cast("long").alias("cum_pos"),
+        F.max("n_pos").alias("__np"),
+        F.max("n").alias("__n"),
+    )
+    return per_b.select(
+        "bucket",
+        "cum_rows",
+        "cum_pos",
+        F.when(
+            F.col("__np") > 0,
+            F.expr(
+                "CAST(CAST(cum_pos AS DECIMAL(38,0)) * 1000000000"
+                " div __np AS BIGINT)"
+            ),
+        ).alias("capture_nano"),
+        F.when(
+            (F.col("__np") > 0) & (F.col("cum_rows") > 0),
+            F.expr(
+                "CAST(CAST(cum_pos AS DECIMAL(38,0)) * __n * 1000000000"
+                " div (CAST(__np AS DECIMAL(38,0)) * cum_rows) AS BIGINT)"
+            ),
+        ).alias("lift_nano"),
+    )
+
+
+def regression_metrics(
+    df: DataFrame, y_col: str, yhat_col: str
+) -> DataFrame:
+    """Regression evaluation in ONE map-combined aggregate — exact
+    MAE/MSE/R² for integer-grid targets and predictions (cents,
+    milli-scores), completing the eval family's regression leg beside
+    :func:`binary_metrics`.
+
+    Everything is integer arithmetic: SAE and SSE fold in
+    DECIMAL(38,0) (an e² up to 1e14 over 1e9 rows overflows int64),
+    MAE reports ×1000 on the input grid, MSE floor-divides by n, and
+    R² = 1 − SSE/SST uses the n-scaled sums-of-squares identity
+    ``SST_n = n·Σy² − (Σy)²`` so no mean is ever materialized.  R² of
+    a worse-than-mean fit is NEGATIVE: the division sign-splits
+    (truncate the MAGNITUDE, then negate) because integral ``div``
+    truncates toward zero in Spark while DuckDB's ``//`` floors — the
+    split makes both engines compute the identical value (the
+    ols_simple portability caveat, resolved rather than documented).
+
+    Both columns must be integral (the binary_metrics contract: snap
+    floats to a grid explicitly first).  NULL-in-either rows are
+    excluded.  Output: one row ``(n, mae_milli, mse, r2_micro)`` —
+    r2_micro NULL when SST is 0 (constant target) or n = 0.
+    """
+    for name in (y_col, yhat_col):
+        dt = df.schema[name].dataType
+        if not isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise TypeError(
+                f"regression_metrics: column {name!r} has type "
+                f"{dt.simpleString()}; expected integer-grid — snap "
+                "floats to a grid first"
+            )
+    v = df.select(
+        F.col(y_col).cast("long").alias("y"),
+        F.col(yhat_col).cast("long").alias("p"),
+    ).filter(F.col("y").isNotNull() & F.col("p").isNotNull())
+    s = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CAST(abs(y - p) AS DECIMAL(38,0))")).alias("__sae"),
+        F.sum(
+            F.expr("CAST(y - p AS DECIMAL(38,0)) * CAST(y - p AS DECIMAL(38,0))")
+        ).alias("__sse"),
+        F.sum(F.col("y")).cast("long").alias("__sy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("__syy"),
+    )
+    sst_n = (
+        "(CAST(n AS DECIMAL(38,0)) * __syy"
+        " - CAST(__sy AS DECIMAL(38,0)) * __sy)"
+    )
+    diff = f"({sst_n} - CAST(n AS DECIMAL(38,0)) * __sse)"
+    return s.select(
+        "n",
+        F.when(
+            F.col("n") > 0,
+            F.expr("CAST(__sae * 1000 div n AS BIGINT)"),
+        ).alias("mae_milli"),
+        F.when(
+            F.col("n") > 0, F.expr("CAST(__sse div n AS BIGINT)")
+        ).alias("mse"),
+        F.expr(
+            f"CASE WHEN n > 0 AND {sst_n} > 0 THEN"
+            f" CAST(CASE WHEN {diff} >= 0"
+            f"  THEN {diff} * 1000000 div {sst_n}"
+            f"  ELSE -((-{diff}) * 1000000 div {sst_n}) END AS BIGINT)"
+            " END"
+        ).alias("r2_micro"),
     )

@@ -16179,3 +16179,309 @@ def profile_mutual_info(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return mutual_information(docs, "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 late additions (deferred past the r9 witness window, like the
+# r8 `_R9_DEFER` batch): ranking/eval + structure-quality operators.
+
+from .extended.ml import ndcg_weights as _ndcg_weights
+
+_NDCG_VALUES = ", ".join(
+    f"({i + 1}, {w})" for i, w in enumerate(_ndcg_weights(10))
+)
+
+
+@query(
+    "ml_ndcg",
+    f"""
+    WITH w(i, wt) AS (VALUES {_NDCG_VALUES}),
+    b AS (
+      SELECT user_id AS q, event_id AS it,
+             CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+                  WHEN 'click' THEN 1 ELSE 0 END AS rel,
+             value AS s
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+        AND user_id IS NOT NULL AND event_id IS NOT NULL
+    ), r AS (
+      SELECT q, rel,
+             ROW_NUMBER() OVER (PARTITION BY q ORDER BY s DESC, it ASC)
+               AS rn_s,
+             ROW_NUMBER() OVER (PARTITION BY q ORDER BY rel DESC, it ASC)
+               AS rn_r
+      FROM b
+    ), pq AS (
+      SELECT q,
+             CAST(SUM(CASE WHEN rn_s <= 10
+                           THEN CAST(rel AS BIGINT) * ws.wt ELSE 0 END)
+                  AS BIGINT) AS dcg,
+             CAST(SUM(CASE WHEN rn_r <= 10
+                           THEN CAST(rel AS BIGINT) * wr.wt ELSE 0 END)
+                  AS BIGINT) AS idcg
+      FROM r LEFT JOIN w ws ON ws.i = r.rn_s
+             LEFT JOIN w wr ON wr.i = r.rn_r
+      GROUP BY q
+    ), sc AS (
+      SELECT CAST(CAST(dcg AS HUGEINT) * 1000000000 // idcg AS BIGINT)
+               AS ndcg
+      FROM pq WHERE idcg > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(CASE WHEN COUNT(*) > 0
+                THEN SUM(CAST(ndcg AS HUGEINT)) // COUNT(*) END AS BIGINT)
+             AS mean_ndcg_nano,
+           CAST(MIN(ndcg) AS BIGINT) AS min_ndcg_nano,
+           CAST(SUM(CASE WHEN ndcg = 1000000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_perfect
+    FROM sc
+    """,
+)
+def ml_ndcg(spark, sf_dir):
+    """EXACT mean NDCG@10 (extended/ml.py ndcg_exact) of the
+    event-value ranking against graded engagement relevance
+    (purchase=3 > signup=2 > click=1 > view/error=0) per user — the
+    graded-relevance ranking leg of the eval family beside ml_auc /
+    ml_pr_auc.  Discounts 1/log2(i+1) are snapped onto the 1e9
+    lattice at PLAN BUILD time and inlined as the SAME integer
+    literals in both engines (no runtime transcendental — the
+    literal-eigenvector trick), both rank passes are windows
+    partitioned by user over ONE exchange with a deterministic
+    event-id tiebreak, and each per-user NDCG divides once in
+    DECIMAL(38,0)."""
+    from .extended.ml import ndcg_exact
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "signup", 2)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("rel"),
+        "value",
+    )
+    return ndcg_exact(base, "user_id", "event_id", "rel", "value", k=10)
+
+
+@query(
+    "ml_gains",
+    """
+    WITH g AS (
+      SELECT CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ), per_v AS (
+      SELECT v, CAST(SUM(pos) AS BIGINT) AS c_p,
+             CAST(COUNT(*) AS BIGINT) AS t
+      FROM g GROUP BY v
+    ), c AS (
+      SELECT SUM(c_p) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+               AS cum_p,
+             SUM(t) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+               AS cum_t
+      FROM per_v
+    ), tot AS (
+      SELECT CAST(SUM(c_p) AS BIGINT) AS np,
+             CAST(SUM(t) AS BIGINT) AS n
+      FROM per_v
+    ), b AS (
+      SELECT CAST((cum_t * 10 + tot.n - 1) // tot.n AS INT) AS bucket,
+             cum_p, cum_t, tot.np, tot.n
+      FROM c, tot
+    ), pb AS (
+      SELECT bucket,
+             CAST(MAX(cum_t) AS BIGINT) AS cum_rows,
+             CAST(MAX(cum_p) AS BIGINT) AS cum_pos,
+             MAX(np) AS np, MAX(n) AS n
+      FROM b GROUP BY bucket
+    )
+    SELECT bucket, cum_rows, cum_pos,
+           CAST(CASE WHEN np > 0 THEN
+                CAST(cum_pos AS HUGEINT) * 1000000000 // np END AS BIGINT)
+             AS capture_nano,
+           CAST(CASE WHEN np > 0 AND cum_rows > 0 THEN
+                CAST(cum_pos AS HUGEINT) * n * 1000000000
+                  // (CAST(np AS HUGEINT) * cum_rows) END AS BIGINT)
+             AS lift_nano
+    FROM pb
+    """,
+)
+def ml_gains(spark, sf_dir):
+    """EXACT cumulative-gains / lift table (extended/ml.py
+    cumulative_gains): how deep a value-ranked cut must go to capture
+    each share of the purchases — the operating-depth view the
+    ranking AUCs summarize away.  Tie blocks on the 1e-4 score grid
+    land in the decile where they END (no per-row tiebreak), both
+    cumulatives come from ONE range-partitioned prefix scan, and
+    capture/lift divide once per decile in DECIMAL(38,0) on the 1e9
+    lattice.  The oracle restates the snap, the block-end bucketing,
+    and the floored divisions verbatim."""
+    from .extended.ml import cumulative_gains
+
+    ev = _t(spark, sf_dir, "events")
+    return cumulative_gains(
+        ev, "value", F.col("event_type") == "purchase", buckets=10,
+        decimals=4,
+    )
+
+
+@query(
+    "ml_regression",
+    """
+    WITH v AS (
+      SELECT CAST(p_size AS BIGINT) AS x,
+             CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS y
+      FROM part
+      WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM v
+    ), fit AS (
+      SELECT CAST((n * sxy - sx * sy) * 1000
+                  // (n * sxx - sx * sx) AS BIGINT) AS slope_milli,
+             CAST((sy - ((n * sxy - sx * sy) * 1000
+                         // (n * sxx - sx * sx)) * sx / 1e3)
+                    * 1000 // n AS BIGINT) AS intercept_milli
+      FROM s
+    ), pred AS (
+      SELECT y,
+             CAST(FLOOR((fit.slope_milli * x + fit.intercept_milli)
+                        / 1000.0) AS BIGINT) AS p
+      FROM v, fit
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(abs(y - p) AS HUGEINT)) AS sae,
+             SUM(CAST(y - p AS HUGEINT) * CAST(y - p AS HUGEINT)) AS sse,
+             CAST(SUM(y) AS BIGINT) AS sy2,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM pred
+    ), t AS (
+      SELECT n, sae, sse,
+             (CAST(n AS HUGEINT) * syy - CAST(sy2 AS HUGEINT) * sy2)
+               AS sstn,
+             ((CAST(n AS HUGEINT) * syy - CAST(sy2 AS HUGEINT) * sy2)
+              - CAST(n AS HUGEINT) * sse) AS diff
+      FROM m
+    )
+    SELECT n,
+           CAST(CASE WHEN n > 0 THEN sae * 1000 // n END AS BIGINT)
+             AS mae_milli,
+           CAST(CASE WHEN n > 0 THEN sse // n END AS BIGINT) AS mse,
+           CAST(CASE WHEN n > 0 AND sstn > 0 THEN
+                CASE WHEN diff >= 0 THEN diff * 1000000 // sstn
+                     ELSE -((-diff) * 1000000 // sstn) END
+                END AS BIGINT) AS r2_micro
+    FROM t
+    """,
+)
+def ml_regression(spark, sf_dir):
+    """Exact regression metrics (extended/ml.py regression_metrics) of
+    the ols_simple linear predictor (retail price cents ~ part size)
+    evaluated on its own training frame — MAE on the milli grid, MSE
+    by integer floor division, and R² via the n-scaled
+    sums-of-squares identity with an explicit sign split so Spark's
+    truncate-toward-zero ``div`` and DuckDB's flooring ``//`` compute
+    the identical value even for worse-than-mean fits.  SAE/SSE fold
+    in DECIMAL(38,0) — no float accumulation anywhere.  The oracle
+    restates the closed-form fit, the floored prediction, and every
+    metric division verbatim."""
+    from .extended.ml import ols_simple, regression_metrics
+
+    part = _t(spark, sf_dir, "part")
+    v = part.filter(
+        F.col("p_size").isNotNull() & F.col("p_retailprice").isNotNull()
+    ).select(
+        F.col("p_size").cast("long").alias("x"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    fit = ols_simple(v, "x", "y").select("slope_milli", "intercept_milli")
+    pred = v.crossJoin(F.broadcast(fit)).select(
+        "y",
+        F.expr(
+            "CAST(FLOOR((slope_milli * x + intercept_milli) / 1000.0)"
+            " AS BIGINT)"
+        ).alias("p"),
+    )
+    return regression_metrics(pred, "y", "p")
+
+
+@query(
+    "graph_modularity",
+    """
+    WITH i AS (
+      SELECT DISTINCT l_orderkey AS g, l_suppkey AS x FROM lineitem
+    ), e AS (
+      SELECT a.x AS u, b.x AS v
+      FROM i a JOIN i b ON a.g = b.g AND a.x < b.x
+      GROUP BY a.x, b.x HAVING COUNT(*) >= 2
+    ), ec AS (
+      SELECT e.u, e.v, su.s_nationkey AS cu, sv.s_nationkey AS cv
+      FROM e JOIN supplier su ON su.s_suppkey = e.u
+             JOIN supplier sv ON sv.s_suppkey = e.v
+    ), mi AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CASE WHEN cu IS NOT DISTINCT FROM cv
+                           THEN 1 ELSE 0 END) AS BIGINT) AS intra_edges
+      FROM ec
+    ), deg AS (
+      SELECT nn, c, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS nn, cu AS c FROM ec
+        UNION ALL SELECT v AS nn, cv AS c FROM ec
+      ) GROUP BY nn, c
+    ), pc AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS nodes,
+             CAST(SUM(d) AS HUGEINT) AS dc
+      FROM deg GROUP BY c
+    ), s AS (
+      SELECT CAST(SUM(nodes) AS BIGINT) AS n_nodes,
+             CAST(COUNT(*) AS BIGINT) AS n_communities,
+             SUM(dc * dc) AS dsq
+      FROM pc
+    )
+    SELECT mi.m, s.n_nodes, s.n_communities, mi.intra_edges,
+           CAST(CASE WHEN mi.m > 0 THEN
+             CASE WHEN CAST(4 AS HUGEINT) * mi.m * mi.intra_edges - s.dsq
+                       >= 0
+               THEN (CAST(4 AS HUGEINT) * mi.m * mi.intra_edges - s.dsq)
+                    * 1000000000 // (CAST(4 AS HUGEINT) * mi.m * mi.m)
+               ELSE -((-(CAST(4 AS HUGEINT) * mi.m * mi.intra_edges
+                         - s.dsq))
+                      * 1000000000 // (CAST(4 AS HUGEINT) * mi.m * mi.m))
+             END END AS BIGINT) AS q_nano
+    FROM mi, s
+    """,
+)
+def graph_modularity(spark, sf_dir):
+    """Newman modularity (extended/graph.py modularity) of the nation
+    partition over the supplier co-purchase graph (suppliers
+    co-occurring in >= 2 orders) — the single-number "are these
+    communities real?" audit for any partition this repo produces
+    (label propagation, dedup components, domain groupings).
+    Q = (4m·intra − Σ_c d_c²) / 4m² folds entirely as integers on the
+    common denominator (DECIMAL(38,0) holds it to m ~ 1e12 edges) and
+    the one closing division sign-splits onto the 1e9 lattice so both
+    engines truncate identically even for anti-assortative (Q < 0)
+    partitions.  Edge build is the bounded cooccurrence self-join
+    (baskets <= 7 lineitems); everything after is equi-joins and
+    bounded aggregates."""
+    from .extended.graph import cooccurrence_edges, modularity
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_suppkey", min_support=2
+    ).select("x", "y")
+    community = sup.select(
+        F.col("s_suppkey").alias("node"),
+        F.col("s_nationkey").cast("long").alias("comm"),
+    )
+    return modularity(edges, community, "x", "y", "node", "comm")

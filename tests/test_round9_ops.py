@@ -1,0 +1,256 @@
+"""Round-9 late operators: NDCG@k, cumulative gains, regression
+metrics, graph modularity — each pinned against an independent Python
+re-implementation (the gate oracles cover the SQL restatements; these
+pin the math itself on crafted shapes)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasy_spark.extended.graph import modularity
+from pandasy_spark.extended.ml import (
+    cumulative_gains,
+    ndcg_exact,
+    ndcg_weights,
+    regression_metrics,
+)
+
+
+def _py_ndcg(rows, k=10):
+    """rows: (query, item, rel, score). Returns per-query nano NDCG."""
+    ws = ndcg_weights(k)
+    byq = {}
+    for q, i, r, s in rows:
+        byq.setdefault(q, []).append((i, r, s))
+    out = {}
+    for q, items in byq.items():
+        by_score = sorted(items, key=lambda t: (-t[2], t[0]))
+        by_rel = sorted(items, key=lambda t: (-t[1], t[0]))
+        dcg = sum(r * ws[p] for p, (_, r, _) in enumerate(by_score[:k]))
+        idcg = sum(r * ws[p] for p, (_, r, _) in enumerate(by_rel[:k]))
+        if idcg > 0:
+            out[q] = dcg * 10**9 // idcg
+    return out
+
+
+class TestNdcgExact:
+    def test_weights_monotone_and_anchored(self):
+        ws = ndcg_weights(10)
+        assert ws[0] == 10**9
+        assert ws == sorted(ws, reverse=True)
+        assert ws[2] == 500_000_000  # 1/log2(4)
+
+    def test_matches_python(self, spark):
+        rows = [
+            # q1: model ranks ideally
+            (1, 10, 3, 0.9), (1, 11, 2, 0.8), (1, 12, 0, 0.1),
+            # q2: model inverts the ranking
+            (2, 20, 0, 0.9), (2, 21, 1, 0.5), (2, 22, 3, 0.1),
+            # q3: all-zero relevance -> excluded
+            (3, 30, 0, 0.7), (3, 31, 0, 0.2),
+            # q4: score ties broken by item id
+            (4, 40, 2, 0.5), (4, 41, 3, 0.5), (4, 42, 1, 0.4),
+        ]
+        df = spark.createDataFrame(rows, "q long, i long, rel long, s double")
+        got = ndcg_exact(df, "q", "i", "rel", "s", k=10).collect()[0]
+        per_q = _py_ndcg(rows)
+        assert got.n_queries == len(per_q) == 3
+        assert got.mean_ndcg_nano == sum(per_q.values()) // len(per_q)
+        assert got.min_ndcg_nano == min(per_q.values())
+        assert got.n_perfect == sum(
+            1 for v in per_q.values() if v == 10**9
+        )
+        # q1 is ideally ranked; q4's tie puts item 40 (rel 2) before 41
+        assert per_q[1] == 10**9 and per_q[4] < 10**9
+
+    def test_k_truncation_and_null_handling(self, spark):
+        # 3 items beyond k=2 never contribute; NULL score row dropped;
+        # NULL rel counts as grade 0
+        rows = [
+            (1, 1, 3, 0.9), (1, 2, 2, 0.8), (1, 3, 3, 0.7),
+            (1, 4, None, 0.6), (1, 5, 3, None),
+        ]
+        df = spark.createDataFrame(rows, "q long, i long, rel long, s double")
+        got = ndcg_exact(df, "q", "i", "rel", "s", k=2).collect()[0]
+        ws = ndcg_weights(2)
+        dcg = 3 * ws[0] + 2 * ws[1]
+        idcg = 3 * ws[0] + 3 * ws[1]
+        assert got.n_queries == 1
+        assert got.mean_ndcg_nano == dcg * 10**9 // idcg
+
+    def test_nan_scores_excluded(self, spark):
+        rows = [(1, 1, 3, float("nan")), (1, 2, 1, 0.5)]
+        df = spark.createDataFrame(rows, "q long, i long, rel long, s double")
+        got = ndcg_exact(df, "q", "i", "rel", "s", k=5).collect()[0]
+        assert got.n_queries == 1 and got.mean_ndcg_nano == 10**9
+
+
+class TestCumulativeGains:
+    def test_matches_python(self, spark):
+        rows = [(i, float(i % 7) / 7.0, i % 3 == 0) for i in range(60)]
+        df = spark.createDataFrame(rows, "id long, s double, pos boolean")
+        got = {
+            r.bucket: r
+            for r in cumulative_gains(
+                df, "s", F.col("pos"), buckets=10, decimals=4
+            ).collect()
+        }
+        # python reference: group rows by grid score desc
+        from collections import Counter
+
+        per_v = Counter()
+        pos_v = Counter()
+        for _, s, pos in rows:
+            v = math.floor(s * 10**4 + 0.5)
+            per_v[v] += 1
+            pos_v[v] += int(pos)
+        n = sum(per_v.values())
+        np_ = sum(pos_v.values())
+        cum_t = cum_p = 0
+        expect = {}
+        for v in sorted(per_v, reverse=True):
+            cum_t += per_v[v]
+            cum_p += pos_v[v]
+            b = -(-cum_t * 10 // n)  # ceil
+            expect[b] = (cum_t, cum_p)  # last block ending in b wins
+        assert set(got) == set(expect)
+        for b, (ct, cp) in expect.items():
+            assert got[b].cum_rows == ct and got[b].cum_pos == cp
+            assert got[b].capture_nano == cp * 10**9 // np_
+            assert got[b].lift_nano == cp * n * 10**9 // (np_ * ct)
+
+    def test_monotone_capture_and_final_bucket(self, spark):
+        rows = [(i, float(i), i < 5) for i in range(50)]
+        df = spark.createDataFrame(rows, "id long, s double, pos boolean")
+        out = sorted(
+            cumulative_gains(df, "s", F.col("pos"), buckets=10).collect(),
+            key=lambda r: r.bucket,
+        )
+        caps = [r.capture_nano for r in out]
+        assert caps == sorted(caps)
+        last = out[-1]
+        assert last.bucket == 10 and last.cum_rows == 50
+        assert last.capture_nano == 10**9  # all positives captured
+        assert last.lift_nano == 10**9  # lift -> 1 at full depth
+        # positives are the LOWEST scores: first decile captures none
+        assert out[0].capture_nano == 0
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 0.5, True)], "id long, s double, p boolean")
+        with pytest.raises(ValueError):
+            cumulative_gains(df, "s", F.col("p"), buckets=1)
+
+
+class TestRegressionMetrics:
+    def test_matches_python(self, spark):
+        rows = [(i, 2 * i + 3 + (i % 5) - 2, 2 * i + 3) for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, y long, p long")
+        got = regression_metrics(df, "y", "p").collect()[0]
+        ys = [y for _, y, _ in rows]
+        ps = [p for _, _, p in rows]
+        n = len(ys)
+        sae = sum(abs(y - p) for y, p in zip(ys, ps))
+        sse = sum((y - p) ** 2 for y, p in zip(ys, ps))
+        sy, syy = sum(ys), sum(y * y for y in ys)
+        sst_n = n * syy - sy * sy
+        diff = sst_n - n * sse
+        assert got.n == n
+        assert got.mae_milli == sae * 1000 // n
+        assert got.mse == sse // n
+        assert got.r2_micro == (
+            diff * 10**6 // sst_n if diff >= 0
+            else -((-diff) * 10**6 // sst_n)
+        )
+        assert got.r2_micro > 990_000  # near-perfect fit
+
+    def test_negative_r2_sign_split(self, spark):
+        # prediction anti-correlated with y: R2 well below 0; the
+        # sign-split must truncate the magnitude (toward zero), which
+        # both engines agree on
+        rows = [(i, i, 100 - i) for i in range(101)]
+        df = spark.createDataFrame(rows, "id long, y long, p long")
+        got = regression_metrics(df, "y", "p").collect()[0]
+        n = 101
+        ys = list(range(101))
+        sse = sum((y - (100 - y)) ** 2 for y in ys)
+        sy, syy = sum(ys), sum(y * y for y in ys)
+        sst_n = n * syy - sy * sy
+        diff = sst_n - n * sse
+        assert diff < 0
+        assert got.r2_micro == -((-diff) * 10**6 // sst_n)
+        assert got.r2_micro < -2_900_000
+
+    def test_constant_target_null_r2(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5, 4), (2, 5, 6)], "id long, y long, p long"
+        )
+        got = regression_metrics(df, "y", "p").collect()[0]
+        assert got.r2_micro is None and got.mse == 1
+
+    def test_rejects_float_columns(self, spark):
+        df = spark.createDataFrame([(1.0, 2)], "y double, p long")
+        with pytest.raises(TypeError):
+            regression_metrics(df, "y", "p")
+
+
+def _py_modularity(edges, comm):
+    e = [(u, v) for u, v in edges if u in comm and v in comm]
+    m = len(e)
+    intra = sum(1 for u, v in e if comm[u] == comm[v])
+    deg = {}
+    for u, v in e:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    dc = {}
+    for node, d in deg.items():
+        dc[comm[node]] = dc.get(comm[node], 0) + d
+    dsq = sum(d * d for d in dc.values())
+    num = 4 * m * intra - dsq
+    den = 4 * m * m
+    q = (num * 10**9 // den) if num >= 0 else -((-num) * 10**9 // den)
+    return m, len(deg), len(dc), intra, q
+
+
+class TestModularity:
+    def _run(self, spark, edges, comm):
+        e = spark.createDataFrame(edges, "x long, y long")
+        c = spark.createDataFrame(list(comm.items()), "node long, comm long")
+        return modularity(e, c, "x", "y", "node", "comm").collect()[0]
+
+    def test_two_cliques_matches_python(self, spark):
+        # two 4-cliques joined by one bridge edge: strongly modular
+        edges = []
+        for base in (0, 10):
+            nodes = [base + i for i in range(4)]
+            edges += [
+                (a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]
+            ]
+        edges.append((0, 10))
+        comm = {i: 1 for i in range(4)} | {10 + i: 2 for i in range(4)}
+        got = self._run(spark, edges, comm)
+        m, nn, nc, intra, q = _py_modularity(edges, comm)
+        assert (got.m, got.n_nodes, got.n_communities, got.intra_edges) == (
+            m, nn, nc, intra,
+        )
+        assert got.q_nano == q and q > 300_000_000
+
+    def test_anti_assortative_negative_q(self, spark):
+        # complete bipartite K_3,3 with sides AS the communities:
+        # zero intra edges -> Q < 0, exercising the sign split
+        edges = [(a, 10 + b) for a in range(3) for b in range(3)]
+        comm = {i: 1 for i in range(3)} | {10 + i: 2 for i in range(3)}
+        got = self._run(spark, edges, comm)
+        m, nn, nc, intra, q = _py_modularity(edges, comm)
+        assert got.intra_edges == 0 and q < 0
+        assert got.q_nano == q
+
+    def test_uncovered_endpoints_dropped(self, spark):
+        edges = [(1, 2), (2, 3), (3, 99)]  # 99 unassigned
+        comm = {1: 1, 2: 1, 3: 2}
+        got = self._run(spark, edges, comm)
+        m, nn, nc, intra, q = _py_modularity(edges, comm)
+        assert got.m == m == 2
+        assert got.q_nano == q
