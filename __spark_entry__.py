@@ -299,6 +299,7 @@ _CHECKED_UNION = frozenset().union(*_TIERS_STALEST_FIRST)
 # These four lead the ROUND-10 front.
 _R10_DEFER: list[str] = [
     "ml_ndcg", "ml_gains", "ml_regression", "graph_modularity",
+    "profile_anova", "ml_kappa",
 ]
 
 

@@ -32,6 +32,7 @@ __all__ = [
     "ndcg_exact",
     "cumulative_gains",
     "regression_metrics",
+    "cohen_kappa",
 ]
 
 
@@ -693,4 +694,55 @@ def regression_metrics(
             f"  ELSE -((-{diff}) * 1000000 div {sst_n}) END AS BIGINT)"
             " END"
         ).alias("r2_micro"),
+    )
+
+
+def cohen_kappa(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between a predicted
+    and a reference binary labeling, the honest form of "accuracy"
+    when classes are imbalanced (a screen that always says KEEP scores
+    94% accuracy on a 94%-keep corpus; its kappa is 0).
+
+    Exact integer arithmetic on the confusion counts::
+
+        kappa = (po − pe) / (1 − pe)
+              = (n·(tp+tn) − E) / (n² − E),
+        E = (tp+fp)·(tp+fn) + (fn+tn)·(fp+tn)
+
+    — one map-combined aggregate (the :func:`binary_metrics` counting
+    contract: boolean or integral 0/1 columns only, NULL-in-either
+    rows excluded), then a single DECIMAL(38,0) division onto the
+    micro lattice with an explicit sign split (kappa < 0 means
+    worse-than-chance agreement; the split keeps Spark's
+    truncate-toward-zero ``div`` and DuckDB's flooring ``//``
+    identical).
+
+    Output: one row ``(tp, fp, fn, tn, kappa_micro)`` — NULL kappa
+    when the chance denominator ``n² − E`` is 0 (either rater is
+    constant).
+    """
+    counts = binary_metrics(df, label_col, pred_col).select(
+        "tp", "fp", "fn", "tn"
+    )
+    e = (
+        "(CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)"
+        " + CAST(fn + tn AS DECIMAL(38,0)) * (fp + tn))"
+    )
+    n = "CAST(tp + fp + fn + tn AS DECIMAL(38,0))"
+    num = f"({n} * (tp + tn) - {e})"
+    den = f"({n} * {n} - {e})"
+    return counts.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            f"CASE WHEN {den} > 0 THEN"
+            f" CAST(CASE WHEN {num} >= 0"
+            f"  THEN {num} * 1000000 div {den}"
+            f"  ELSE -((-{num}) * 1000000 div {den}) END AS BIGINT)"
+            " END"
+        ).alias("kappa_micro"),
     )

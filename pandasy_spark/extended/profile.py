@@ -56,6 +56,7 @@ __all__ = [
     "jsd_drift",
     "equidepth_histogram",
     "table_fingerprint",
+    "anova_oneway",
 ]
 
 _NUMERIC = (
@@ -2032,4 +2033,95 @@ def table_fingerprint(
         )
         .cast("long")
         .alias("fingerprint"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way ANOVA F statistic — the >2-group companion to
+    :func:`ks_statistic` / :func:`mann_whitney` / :func:`chi_square`:
+    "does this numeric column's MEAN differ across these segments?"
+    (two-sample tests pairwise-explode at k segments; ANOVA is the one
+    screen that reads all k at once).
+
+    ``value_col`` must be integer-grid (cents/milli — the
+    binary_metrics contract).  The sums of squares use the moment
+    identities ``SSW = Σy² − Σ_g S_g²/n_g`` and ``SSB = Σ_g S_g²/n_g −
+    S²/n``; each per-group term ``S_g²/n_g`` is FLOORED onto a milli
+    lattice before summing (``S_g² · 1000 div n_g`` in DECIMAL(38,0) —
+    positive operands, so Spark's ``div`` and DuckDB's ``//`` agree
+    term by term, the same per-term-lattice doctrine as pr_auc /
+    mutual_information), making the whole statistic deterministic and
+    engine-portable with no float accumulation.  Per-term flooring can
+    push a near-zero SSB a few milli negative; the final division
+    sign-splits.
+
+    Scale shape: ONE map-combined aggregate keyed by group (shuffle =
+    k rows), one k-row fold — nothing else.  NULL groups form their
+    own segment (a silently dropped NULL segment hides exactly the
+    shift being screened for); NULL values are excluded.
+
+    Output: one row ``(n, k, ssb_milli, ssw_milli, f_micro)`` —
+    ``F = (SSB/(k−1)) / (SSW/(n−k))`` on the micro lattice, NULL when
+    k < 2, n ≤ k, or SSW is 0.
+    """
+    dt = df.schema[value_col].dataType
+    if not isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"anova_oneway: column {value_col!r} has type "
+            f"{dt.simpleString()}; expected integer-grid — snap floats "
+            "to a grid first"
+        )
+    v = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("long").alias("__y"),
+    ).filter(F.col("__y").isNotNull())
+    per_g = v.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__ng"),
+        F.sum("__y").cast("long").alias("__sg"),
+        F.sum(F.expr("CAST(__y AS DECIMAL(38,0)) * __y")).alias("__syyg"),
+    )
+    s = per_g.agg(
+        F.sum("__ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__sg").cast("long").alias("__s"),
+        F.sum("__syyg").alias("__syy"),
+        # NOTE: Spark's `div` returns BIGINT even on DECIMAL operands,
+        # so it can neither feed decimal chains nor emit a quotient
+        # past 2^63 — and S_g²·1000/n_g ~ n_g·ȳ²·1000 passes 2^63 well
+        # before 100 TB.  Floor-divide IN decimal instead:
+        # (a − a % b) / b is exactly divisible, so the decimal divide
+        # is exact while the quotient fits DECIMAL(38,6)'s ~1e32
+        # integral range (positive operands ⇒ floor, engine-portable).
+        F.sum(
+            F.expr(
+                "CAST((CAST(__sg AS DECIMAL(38,0)) * __sg * 1000"
+                " - (CAST(__sg AS DECIMAL(38,0)) * __sg * 1000) % __ng)"
+                " / __ng AS DECIMAL(38,0))"
+            )
+        ).alias("__bpart"),
+    )
+    ssb = (
+        "(__bpart - CAST((CAST(__s AS DECIMAL(38,0)) * __s * 1000"
+        " - (CAST(__s AS DECIMAL(38,0)) * __s * 1000) % n) / n"
+        " AS DECIMAL(38,0)))"
+    )
+    ssw = "(CAST(__syy AS DECIMAL(38,0)) * 1000 - __bpart)"
+    fnum = f"(CAST({ssb} AS DECIMAL(38,0)) * (n - k) * 1000000)"
+    fden = f"({ssw} * (k - 1))"
+    return s.select(
+        "n",
+        "k",
+        F.expr(f"CAST({ssb} AS BIGINT)").alias("ssb_milli"),
+        F.expr(f"CAST({ssw} AS BIGINT)").alias("ssw_milli"),
+        F.expr(
+            f"CASE WHEN k >= 2 AND n > k AND {ssw} > 0 THEN"
+            f" CAST(CASE WHEN {ssb} >= 0"
+            f"  THEN {fnum} div {fden}"
+            f"  ELSE -((-{fnum}) div {fden}) END AS BIGINT)"
+            " END"
+        ).alias("f_micro"),
     )

@@ -16485,3 +16485,154 @@ def graph_modularity(spark, sf_dir):
         F.col("s_nationkey").cast("long").alias("comm"),
     )
     return modularity(edges, community, "x", "y", "node", "comm")
+
+
+@query(
+    "profile_anova",
+    """
+    WITH v AS (
+      SELECT event_type AS g,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ), pg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(y) AS BIGINT) AS sg,
+             SUM(CAST(y AS HUGEINT) * y) AS syyg
+      FROM v GROUP BY g
+    ), s AS (
+      SELECT CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(sg) AS BIGINT) AS st,
+             SUM(syyg) AS syy,
+             SUM(CAST(sg AS HUGEINT) * sg * 1000 // ng) AS bpart
+      FROM pg
+    ), t AS (
+      SELECT n, k,
+             (bpart - CAST(st AS HUGEINT) * st * 1000 // n) AS ssb,
+             (CAST(syy AS HUGEINT) * 1000 - bpart) AS ssw
+      FROM s
+    )
+    SELECT n, k,
+           CAST(ssb AS BIGINT) AS ssb_milli,
+           CAST(ssw AS BIGINT) AS ssw_milli,
+           CAST(CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+                CASE WHEN ssb >= 0
+                  THEN (ssb * (n - k) * 1000000) // (ssw * (k - 1))
+                  ELSE -(((-ssb) * (n - k) * 1000000) // (ssw * (k - 1)))
+                END END AS BIGINT) AS f_micro
+    FROM t
+    """,
+)
+def profile_anova(spark, sf_dir):
+    """One-way ANOVA F (extended/profile.py anova_oneway) of event
+    value cents across the five event types — the >2-group mean
+    screen completing the KS / Mann-Whitney / chi-square family
+    (pairwise two-sample tests explode at k segments; ANOVA reads all
+    k in one pass).  Each per-group S_g²/n_g term is floored onto a
+    milli lattice in DECIMAL(38,0) before summing (the per-term
+    lattice doctrine of pr_auc / mutual_info), so the statistic is
+    exact-deterministic with no float accumulation; the final F
+    division sign-splits.  ONE map-combined aggregate keyed by group,
+    shuffle = k rows."""
+    from .extended.profile import anova_oneway
+
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    ).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return anova_oneway(v, "event_type", "cents")
+
+
+@query(
+    "ml_kappa",
+    r"""
+    WITH s AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonws,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_len
+      FROM documents
+    ), q AS (
+      SELECT lang,
+             0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (CASE WHEN COALESCE(CASE WHEN n_tokens > 0
+                         THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) >= 2.0
+                       AND COALESCE(CASE WHEN n_tokens > 0
+                         THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) <= 12.0
+                      THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (1.0 - LEAST((CASE WHEN n_len > 0
+                         THEN CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE)
+                         ELSE 0.0 END) * 5.0, 1.0)) AS qraw
+      FROM s
+    ), lp AS (
+      SELECT (lang = 'en') AS label,
+             (CAST(FLOOR(qraw * 10000 + 0.5) AS BIGINT) >= 8000) AS pred
+      FROM q
+    ), c AS (
+      SELECT CAST(SUM(CASE WHEN label AND pred THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN NOT label AND pred THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN label AND NOT pred THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN NOT label AND NOT pred THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tn
+      FROM lp WHERE label IS NOT NULL AND pred IS NOT NULL
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(CASE WHEN
+                (CAST(tp + fp + fn + tn AS HUGEINT)
+                   * (tp + fp + fn + tn)
+                 - (CAST(tp + fp AS HUGEINT) * (tp + fn)
+                    + CAST(fn + tn AS HUGEINT) * (fp + tn))) > 0 THEN
+             CASE WHEN (CAST(tp + fp + fn + tn AS HUGEINT) * (tp + tn)
+                        - (CAST(tp + fp AS HUGEINT) * (tp + fn)
+                           + CAST(fn + tn AS HUGEINT) * (fp + tn))) >= 0
+               THEN (CAST(tp + fp + fn + tn AS HUGEINT) * (tp + tn)
+                     - (CAST(tp + fp AS HUGEINT) * (tp + fn)
+                        + CAST(fn + tn AS HUGEINT) * (fp + tn)))
+                    * 1000000
+                    // (CAST(tp + fp + fn + tn AS HUGEINT)
+                          * (tp + fp + fn + tn)
+                        - (CAST(tp + fp AS HUGEINT) * (tp + fn)
+                           + CAST(fn + tn AS HUGEINT) * (fp + tn)))
+               ELSE -((-(CAST(tp + fp + fn + tn AS HUGEINT) * (tp + tn)
+                         - (CAST(tp + fp AS HUGEINT) * (tp + fn)
+                            + CAST(fn + tn AS HUGEINT) * (fp + tn))))
+                      * 1000000
+                      // (CAST(tp + fp + fn + tn AS HUGEINT)
+                            * (tp + fp + fn + tn)
+                          - (CAST(tp + fp AS HUGEINT) * (tp + fn)
+                             + CAST(fn + tn AS HUGEINT) * (fp + tn))))
+             END END AS BIGINT) AS kappa_micro
+    FROM c
+    """,
+)
+def ml_kappa(spark, sf_dir):
+    """Cohen's kappa (extended/ml.py cohen_kappa) between the
+    grid-thresholded heuristic quality screen (snapped quality >=
+    0.8) and the English label — chance-corrected agreement, the
+    honest "accuracy" on an imbalanced corpus (a constant screen
+    scores high accuracy but kappa 0).  The threshold compares on the
+    SNAPPED 1e4 integer grid (a raw double >= cut at a bin boundary
+    can differ in the last ulp across engines), counts fold in one
+    map-combined aggregate, and the single kappa division sign-splits
+    in DECIMAL(38,0).  The oracle restates the quality score, the
+    snap, the counts, and the division verbatim."""
+    from .extended.ml import cohen_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    lp = X_text.with_text_stats(docs).select(
+        (F.col("lang") == "en").alias("label"),
+        (
+            F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long")
+            >= 8000
+        ).alias("pred"),
+    )
+    return cohen_kappa(lp, "label", "pred")

@@ -1292,6 +1292,141 @@ def probe_r8() -> None:
     print(json.dumps({"r8_probes": results}))
 
 
+def probe_r9() -> None:
+    """sf1.0 (10x) probes for the round-9 operators: the shared
+    multi-quantile pass, the PR-AUC / NDCG / gains ranking evals, the
+    mutual-information screen, the regression metrics, and graph
+    modularity.  Events replicate 10x onto the SAME 150 users, so the
+    ndcg/gains probes deepen every per-user partition 10x — the skew
+    direction that breaks per-query windows; lineitem replicates onto
+    10x orderkeys, so the modularity co-occurrence join sees 10x
+    baskets over the same 1000 suppliers (edge support grows, pair
+    space saturates — the dense direction)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pandasy_spark.session import get_spark
+
+    spark = get_spark("pandasy-scale-probe-r9")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def quantile_multi_probe(sf_dir):
+        from pandasy_spark.extended.profile import quantile_disc_multi
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        cents = li.select(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents")
+        )
+        return quantile_disc_multi(cents, "cents", [100, 500, 900, 990])
+
+    def pr_auc_probe(sf_dir):
+        from pandasy_spark.extended.ml import pr_auc_exact
+        from pandasy_spark.extended.text import with_text_stats
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        scored = with_text_stats(docs).select(
+            "quality", (F.col("lang") == "en").alias("pos")
+        )
+        return pr_auc_exact(scored, "quality", F.col("pos"), decimals=4)
+
+    def mutual_info_probe(sf_dir):
+        from pandasy_spark.extended.profile import mutual_information
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return mutual_information(docs, "lang", "source")
+
+    def ndcg_probe(sf_dir):
+        from pandasy_spark.extended.ml import ndcg_exact
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        base = ev.filter(F.col("event_id").isNotNull()).select(
+            "user_id",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", 3)
+            .when(F.col("event_type") == "signup", 2)
+            .when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("rel"),
+            "value",
+        )
+        return ndcg_exact(base, "user_id", "event_id", "rel", "value")
+
+    def gains_probe(sf_dir):
+        from pandasy_spark.extended.ml import cumulative_gains
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return cumulative_gains(
+            ev, "value", F.col("event_type") == "purchase", decimals=4
+        )
+
+    def regression_probe(sf_dir):
+        from pandasy_spark.extended.ml import ols_simple, regression_metrics
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        v = li.select(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("y"),
+        )
+        fit = ols_simple(v, "x", "y").select(
+            "slope_milli", "intercept_milli"
+        )
+        pred = v.crossJoin(F.broadcast(fit)).select(
+            "y",
+            F.expr(
+                "CAST(FLOOR((slope_milli * x + intercept_milli) / 1000.0)"
+                " AS BIGINT)"
+            ).alias("p"),
+        )
+        return regression_metrics(pred, "y", "p")
+
+    def modularity_probe(sf_dir):
+        from pandasy_spark.extended.graph import (
+            cooccurrence_edges,
+            modularity,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        edges = cooccurrence_edges(
+            li, "l_orderkey", "l_suppkey", min_support=2
+        ).select("x", "y")
+        community = sup.select(
+            F.col("s_suppkey").alias("node"),
+            F.col("s_nationkey").cast("long").alias("comm"),
+        )
+        return modularity(edges, community, "x", "y", "node", "comm")
+
+    results = {}
+    for name, fn in [
+        ("agg_quantile_multi", quantile_multi_probe),
+        ("ml_pr_auc", pr_auc_probe),
+        ("profile_mutual_info", mutual_info_probe),
+        ("ml_ndcg", ndcg_probe),
+        ("ml_gains", gains_probe),
+        ("ml_regression", regression_probe),
+        ("graph_modularity", modularity_probe),
+    ]:
+        results[name] = {}
+        for label, sf_dir in [("sf0.1", SRC), ("sf1.0", DST)]:
+            best = float("inf")
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                fn(sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, _t.perf_counter() - t0)
+            results[name][label] = round(best, 2)
+        results[name]["ratio"] = round(
+            results[name]["sf1.0"] / max(results[name]["sf0.1"], 1e-9), 2
+        )
+        print(name, results[name], flush=True)
+    print(json.dumps({"r9_probes": results}))
+
+
 if __name__ == "__main__":
     {
         "build": build,
@@ -1304,5 +1439,6 @@ if __name__ == "__main__":
         "probe_r6d": probe_r6d,
         "probe_r6e": probe_r6e,
         "probe_r8": probe_r8,
+        "probe_r9": probe_r9,
         "bpe50k": bpe50k,
     }[sys.argv[1]]()

@@ -254,3 +254,127 @@ class TestModularity:
         m, nn, nc, intra, q = _py_modularity(edges, comm)
         assert got.m == m == 2
         assert got.q_nano == q
+
+
+class TestAnovaOneway:
+    def test_matches_python(self, spark):
+        from pandasy_spark.extended.profile import anova_oneway
+
+        rows = [(g, 10 * g + (i % 7)) for g in (1, 2, 3) for i in range(20)]
+        df = spark.createDataFrame(rows, "g long, y long")
+        got = anova_oneway(df, "g", "y").collect()[0]
+        by_g = {}
+        for g, y in rows:
+            by_g.setdefault(g, []).append(y)
+        n = len(rows)
+        k = len(by_g)
+        s = sum(y for _, y in rows)
+        syy = sum(y * y for _, y in rows)
+        bpart = sum(
+            sum(v) ** 2 * 1000 // len(v) for v in by_g.values()
+        )
+        ssb = bpart - s * s * 1000 // n
+        ssw = syy * 1000 - bpart
+        f = ssb * (n - k) * 10**6 // (ssw * (k - 1))
+        assert (got.n, got.k) == (n, k)
+        assert got.ssb_milli == ssb and got.ssw_milli == ssw
+        assert got.f_micro == f
+        assert got.f_micro > 100 * 10**6  # groups are far apart
+
+    def test_no_group_effect_small_f(self, spark):
+        from pandasy_spark.extended.profile import anova_oneway
+
+        rows = [(g, i % 7) for g in (1, 2) for i in range(50)]
+        df = spark.createDataFrame(rows, "g long, y long")
+        got = anova_oneway(df, "g", "y").collect()[0]
+        # identical distributions: SSB is 0 (or a few milli from
+        # flooring), F ~ 0
+        assert abs(got.f_micro) < 10**4
+
+    def test_null_group_kept_degenerate_guards(self, spark):
+        from pandasy_spark.extended.profile import anova_oneway
+
+        df = spark.createDataFrame(
+            [(None, 1), (None, 5), (1, 3), (1, 7)], "g string, y long"
+        )
+        got = anova_oneway(df, "g", "y").collect()[0]
+        assert got.k == 2  # NULL segment counted
+        one = spark.createDataFrame([(1, 2), (1, 4)], "g long, y long")
+        assert anova_oneway(one, "g", "y").collect()[0].f_micro is None
+
+    def test_rejects_float(self, spark):
+        from pandasy_spark.extended.profile import anova_oneway
+
+        df = spark.createDataFrame([(1, 1.0)], "g long, y double")
+        with pytest.raises(TypeError):
+            anova_oneway(df, "g", "y")
+
+    def test_decimal_survives_large_grid_values(self, spark):
+        # the div-demotes-to-BIGINT regression: with grid values ~1e7
+        # and 1e3 rows the old int64 fnum (ssb*(n-k)*1e6) wrapped
+        from pandasy_spark.extended.profile import anova_oneway
+
+        rows = [
+            (g, 10_000_000 * g + (i % 997) * 1000)
+            for g in (1, 2, 3)
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "g long, y long")
+        got = anova_oneway(df, "g", "y").collect()[0]
+        by_g = {}
+        for g, y in rows:
+            by_g.setdefault(g, []).append(y)
+        n, k = len(rows), 3
+        s = sum(y for _, y in rows)
+        syy = sum(y * y for _, y in rows)
+        bpart = sum(sum(v) ** 2 * 1000 // len(v) for v in by_g.values())
+        ssb = bpart - s * s * 1000 // n
+        ssw = syy * 1000 - bpart
+        f = ssb * (n - k) * 10**6 // (ssw * (k - 1))
+        assert got.f_micro == f and got.f_micro > 0
+
+
+class TestCohenKappa:
+    def test_matches_python(self, spark):
+        from pandasy_spark.extended.ml import cohen_kappa
+
+        rows = (
+            [(True, True)] * 40 + [(False, False)] * 35
+            + [(True, False)] * 15 + [(False, True)] * 10
+        )
+        df = spark.createDataFrame(rows, "label boolean, pred boolean")
+        got = cohen_kappa(df, "label", "pred").collect()[0]
+        tp, tn, fn, fp = 40, 35, 15, 10
+        n = tp + fp + fn + tn
+        e = (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+        num = n * (tp + tn) - e
+        den = n * n - e
+        expect = num * 10**6 // den if num >= 0 else -((-num) * 10**6 // den)
+        assert (got.tp, got.fp, got.fn, got.tn) == (tp, fp, fn, tn)
+        assert got.kappa_micro == expect and 0 < expect < 10**6
+
+    def test_constant_pred_chance_level_zero(self, spark):
+        from pandasy_spark.extended.ml import cohen_kappa
+
+        # pred always True on balanced labels: accuracy 0.5 == chance
+        # agreement 0.5 -> kappa exactly 0 (the imbalance-honesty point)
+        rows = [(i % 2 == 0, True) for i in range(20)]
+        df = spark.createDataFrame(rows, "label boolean, pred boolean")
+        assert cohen_kappa(df, "label", "pred").collect()[0].kappa_micro == 0
+
+    def test_both_constant_null(self, spark):
+        from pandasy_spark.extended.ml import cohen_kappa
+
+        # both raters constant same class: pe = 1, denominator 0 -> NULL
+        rows = [(True, True)] * 10
+        df = spark.createDataFrame(rows, "label boolean, pred boolean")
+        assert cohen_kappa(df, "label", "pred").collect()[0].kappa_micro is None
+
+    def test_worse_than_chance_negative(self, spark):
+        from pandasy_spark.extended.ml import cohen_kappa
+
+        # perfect disagreement on a balanced labeling: kappa = -1
+        rows = [(True, False)] * 10 + [(False, True)] * 10
+        df = spark.createDataFrame(rows, "label boolean, pred boolean")
+        got = cohen_kappa(df, "label", "pred").collect()[0]
+        assert got.kappa_micro == -(10**6)
