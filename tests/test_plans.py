@@ -289,3 +289,55 @@ def test_quantile_twopass_grouped_windows_stay_per_group(spark, sf_dir):
     assert "windowspecdefinition(l_returnflag" in plan
     # a global (partition-less) spec would start with the order col
     assert "windowspecdefinition(__v#" not in plan
+
+
+def test_ndcg_windows_partitioned_by_query(spark, sf_dir):
+    """Both NDCG rank passes must be windows PARTITIONED BY the query
+    key (one exchange, two sort orders) — an empty-partitionBy window
+    over the event stream would funnel the whole corpus through one
+    task at 100 TB."""
+    plan = _plan(spark, sf_dir, "ml_ndcg")
+    assert "windowspecdefinition(__q#" in plan
+    # no global (order-only) window spec anywhere
+    assert "windowspecdefinition(__s#" not in plan
+    assert "windowspecdefinition(__rel#" not in plan
+    # and no Python in the path
+    assert "BatchEvalPython" not in plan
+
+
+def test_gains_cumulatives_via_prefix_scan(spark, sf_dir):
+    """The gains table's descending cumulatives ride the
+    range-partitioned prefix scan (partition-id windows), never a
+    single-task window over the score domain."""
+    plan = _plan(spark, sf_dir, "ml_gains")
+    assert "windowspecdefinition(__pid" in plan
+    assert "windowspecdefinition(__nv#" not in plan
+
+
+def test_anova_is_two_aggregates_no_window(spark, sf_dir):
+    """ANOVA is one map-combined aggregate keyed by group plus a k-row
+    fold: no window, no Python, partial aggregation present."""
+    plan = _plan(spark, sf_dir, "profile_anova")
+    assert "windowspecdefinition" not in plan
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_modularity_joins_not_broadcast_assumed(spark, sf_dir):
+    """Modularity's edge->community joins must work shuffle-side (the
+    assignment is node-sized); at gate scale AQE may still broadcast —
+    assert only that no cartesian product and no Python appear."""
+    plan = _plan(spark, sf_dir, "graph_modularity")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_regression_single_moment_aggregate(spark, sf_dir):
+    """regression_metrics is ONE map-combined moment aggregate over
+    the prediction frame (plus the tiny broadcast fit): no window, no
+    per-row Python."""
+    plan = _plan(spark, sf_dir, "ml_regression")
+    assert "windowspecdefinition" not in plan
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan
