@@ -39,7 +39,9 @@ def main(names):
     import __spark_entry__ as e
 
     qs, osql = e.queries(), e.oracle_sql()
-    SF = "/root/testdata/sf0.01"
+    import os
+
+    SF = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
     con = duckdb.connect()
     for t in [
         "region", "nation", "customer", "supplier", "part",
