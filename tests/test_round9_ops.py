@@ -378,3 +378,154 @@ class TestCohenKappa:
         df = spark.createDataFrame(rows, "label boolean, pred boolean")
         got = cohen_kappa(df, "label", "pred").collect()[0]
         assert got.kappa_micro == -(10**6)
+
+
+# --- hypothesis fuzz: the eval operators vs exact Python references
+# (the r8 quantile-fuzz standard applied to the round-9 family) ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_H = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 4),          # query
+            st.integers(0, 3),          # relevance grade
+            st.integers(-50, 50),       # score on a coarse grid (ties!)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(1, 6),
+)
+@settings(**_H)
+def test_ndcg_fuzz_vs_python(spark, rows, k):
+    data = [
+        (q, i, rel, float(s) / 4.0) for i, (q, rel, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "q long, i long, rel long, s double")
+    got = ndcg_exact(df, "q", "i", "rel", "s", k=k).collect()[0]
+    per_q = _py_ndcg(data, k=k)
+    if not per_q:
+        assert got.n_queries == 0 and got.mean_ndcg_nano is None
+    else:
+        assert got.n_queries == len(per_q)
+        assert got.mean_ndcg_nano == sum(per_q.values()) // len(per_q)
+        assert got.min_ndcg_nano == min(per_q.values())
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 9), st.booleans()),  # grid score, pos
+        min_size=1,
+        max_size=60,
+    ),
+    buckets=st.integers(2, 7),
+)
+@settings(**_H)
+def test_gains_fuzz_vs_python(spark, rows, buckets):
+    data = [(i, float(s), p) for i, (s, p) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, s double, pos boolean")
+    got = {
+        r.bucket: r
+        for r in cumulative_gains(
+            df, "s", F.col("pos"), buckets=buckets, decimals=2
+        ).collect()
+    }
+    from collections import Counter
+
+    per_v, pos_v = Counter(), Counter()
+    for _, s, p in data:
+        v = math.floor(s * 100 + 0.5)
+        per_v[v] += 1
+        pos_v[v] += int(p)
+    n = sum(per_v.values())
+    np_ = sum(pos_v.values())
+    cum_t = cum_p = 0
+    expect = {}
+    for v in sorted(per_v, reverse=True):
+        cum_t += per_v[v]
+        cum_p += pos_v[v]
+        expect[-(-cum_t * buckets // n)] = (cum_t, cum_p)
+    assert set(got) == set(expect)
+    for b, (ct, cp) in expect.items():
+        assert (got[b].cum_rows, got[b].cum_pos) == (ct, cp)
+        if np_ > 0:
+            assert got[b].capture_nano == cp * 10**9 // np_
+            assert got[b].lift_nano == cp * n * 10**9 // (np_ * ct)
+        else:
+            assert got[b].capture_nano is None and got[b].lift_nano is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_H)
+def test_regression_fuzz_vs_python(spark, rows):
+    data = [(i, y, p) for i, (y, p) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, y long, p long")
+    got = regression_metrics(df, "y", "p").collect()[0]
+    n = len(data)
+    ys = [y for _, y, _ in data]
+    ps = [p for _, _, p in data]
+    sae = sum(abs(y - p) for y, p in zip(ys, ps))
+    sse = sum((y - p) ** 2 for y, p in zip(ys, ps))
+    sy, syy = sum(ys), sum(y * y for y in ys)
+    sst_n = n * syy - sy * sy
+    assert got.n == n
+    assert got.mae_milli == sae * 1000 // n
+    assert got.mse == sse // n
+    if sst_n <= 0:
+        assert got.r2_micro is None
+    else:
+        diff = sst_n - n * sse
+        expect = (
+            diff * 10**6 // sst_n
+            if diff >= 0
+            else -((-diff) * 10**6 // sst_n)
+        )
+        assert got.r2_micro == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(-10_000_000, 10_000_000)),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**_H)
+def test_anova_fuzz_vs_python(spark, rows):
+    from pandasy_spark.extended.profile import anova_oneway
+
+    df = spark.createDataFrame(rows, "g long, y long")
+    got = anova_oneway(df, "g", "y").collect()[0]
+    by_g = {}
+    for g, y in rows:
+        by_g.setdefault(g, []).append(y)
+    n, k = len(rows), len(by_g)
+    s = sum(y for _, y in rows)
+    syy = sum(y * y for _, y in rows)
+    bpart = sum(sum(v) ** 2 * 1000 // len(v) for v in by_g.values())
+    ssb = bpart - s * s * 1000 // n
+    ssw = syy * 1000 - bpart
+    assert (got.n, got.k) == (n, k)
+    assert got.ssb_milli == ssb and got.ssw_milli == ssw
+    if k >= 2 and n > k and ssw > 0:
+        fnum = ssb * (n - k) * 10**6
+        fden = ssw * (k - 1)
+        expect = fnum // fden if ssb >= 0 else -((-fnum) // fden)
+        assert got.f_micro == expect
+    else:
+        assert got.f_micro is None
