@@ -876,10 +876,12 @@ def modularity(
     identical in both engines).
 
     Contract: ``edges`` must be DISTINCT undirected pairs without
-    self-loops (one row per edge, either orientation); edges with an
-    endpoint missing from ``community`` are dropped (``m``, degrees
-    and ``intra`` all derive from the surviving edge set, so the
-    reported Q is the modularity OF THE COVERED SUBGRAPH).
+    self-loops (one row per edge, either orientation); ``community``
+    must hold ONE row per node (a duplicated assignment fans the
+    edge joins out and double-counts); edges with an endpoint missing
+    from ``community`` are dropped (``m``, degrees and ``intra`` all
+    derive from the surviving edge set, so the reported Q is the
+    modularity OF THE COVERED SUBGRAPH).
 
     Scale shape: two hash equi-joins edge→community (the assignment is
     node-sized — no broadcast assumption), one degree aggregate, one
