@@ -98,7 +98,13 @@ def main() -> None:
                 df = QUERIES[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - start)
-                if best >= slow_cutoff:
+                # heavyweights get best-of-2, not best-of-1: the
+                # single-run streaming machinery floors ride state-store
+                # maintenance timer alignment (streaming_outer_join read
+                # 9.9-49 s across runs of identical code) and one retry
+                # removes most of that variance for ~1 extra minute of
+                # total wall
+                if best >= slow_cutoff and run >= 1:
                     break
                 if time.perf_counter() - t_begin > soft_budget:
                     break
