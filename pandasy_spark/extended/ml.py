@@ -205,6 +205,18 @@ def binary_metrics(
     )
 
 
+def _check_grid_decimals(decimals: int) -> None:
+    """Shared guard for the score-grid ``decimals`` parameter of the
+    eval family (auc / pr_auc / gains).  Past ~9 digits the double
+    product ``score · 10^decimals`` leaves float53's exact-integer
+    range, so the snap silently stops being a grid (and the long cast
+    overflows under ANSI for ordinary scores); negative values would
+    silently merge whole integer ranges of scores into one grid point.
+    Same advisory class as :func:`calibration_bins`'s r8 fix."""
+    if not 0 <= decimals <= 9:
+        raise ValueError("decimals must be in [0, 9]")
+
+
 def auc_exact(
     df: DataFrame,
     score_col: str,
@@ -240,6 +252,7 @@ def auc_exact(
     """
     from ..operators.sort import ordered_prefix_scan
 
+    _check_grid_decimals(decimals)
     p = float(10**decimals)
     sc = F.col(score_col)
     keep = sc.isNotNull()
@@ -318,6 +331,7 @@ def pr_auc_exact(
     """
     from ..operators.sort import ordered_prefix_scan
 
+    _check_grid_decimals(decimals)
     p = float(10**decimals)
     sc = F.col(score_col)
     keep = sc.isNotNull()
@@ -472,6 +486,18 @@ def ndcg_exact(
     from pyspark.sql import Window
 
     ws = ndcg_weights(k)
+    rdt = df.schema[rel_col].dataType
+    if not isinstance(
+        rdt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        # a float/double grade would silently TRUNCATE through the
+        # long cast (0.9 → 0, erasing the relevance signal) — the
+        # binary_metrics contract: snap to an integer grade grid first
+        raise TypeError(
+            f"ndcg_exact: column {rel_col!r} has type "
+            f"{rdt.simpleString()}; expected integral grades — snap "
+            "float relevance to an integer grid first"
+        )
     sc = F.col(score_col)
     keep = sc.isNotNull()
     if isinstance(df.schema[score_col].dataType, (T.FloatType, T.DoubleType)):
@@ -571,6 +597,7 @@ def cumulative_gains(
 
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
+    _check_grid_decimals(decimals)
     p = float(10**decimals)
     sc = F.col(score_col)
     keep = sc.isNotNull()

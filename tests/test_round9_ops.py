@@ -529,3 +529,44 @@ def test_anova_fuzz_vs_python(spark, rows):
         assert got.f_micro == expect
     else:
         assert got.f_micro is None
+
+
+class TestRound9Advisories:
+    """Self-audit guards added in round-9 session 3 (the r8 advisory
+    classes applied to the round-9 eval operators)."""
+
+    def test_ndcg_rejects_float_relevance(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10, 0.9, 0.5)], "q long, i long, rel double, s double"
+        )
+        with pytest.raises(TypeError, match="integral grades"):
+            ndcg_exact(df, "q", "i", "rel", "s")
+
+    def test_gains_rejects_bad_decimals(self, spark):
+        df = spark.createDataFrame([(0.5, 1)], "s double, pos int")
+        for bad in (-1, 10):
+            with pytest.raises(ValueError, match="decimals"):
+                cumulative_gains(
+                    df, "s", F.col("pos") == 1, decimals=bad
+                )
+
+    def test_auc_family_rejects_bad_decimals(self, spark):
+        from pandasy_spark.extended.ml import auc_exact, pr_auc_exact
+
+        df = spark.createDataFrame([(0.5, 1)], "s double, pos int")
+        for fn in (auc_exact, pr_auc_exact):
+            with pytest.raises(ValueError, match="decimals"):
+                fn(df, "s", F.col("pos") == 1, decimals=42)
+
+    def test_auc_decimals_zero_is_a_coarse_grid(self, spark):
+        # decimals=0 stays allowed: integer-grid snap (every score
+        # rounds to its nearest integer) — with all scores rounding to
+        # the same grid point, AUC degenerates to the all-ties 1/2.
+        from pandasy_spark.extended.ml import auc_exact
+
+        df = spark.createDataFrame(
+            [(0.9, 1), (1.2, 0), (1.4, 1), (0.6, 0)], "s double, pos int"
+        )
+        got = auc_exact(df, "s", F.col("pos") == 1, decimals=0).collect()[0]
+        assert (got.n_pos, got.n_neg) == (2, 2)
+        assert got.auc_micro == 500_000
