@@ -300,6 +300,9 @@ _CHECKED_UNION = frozenset().union(*_TIERS_STALEST_FIRST)
 _R10_DEFER: list[str] = [
     "ml_ndcg", "ml_gains", "ml_regression", "graph_modularity",
     "profile_anova", "ml_kappa",
+    # session-3 batch: Spark-4-native SQL surfaces + multiclass eval
+    "expr_variant", "sql_pipe", "expr_collation", "sql_udf",
+    "ml_confusion", "source_xml",
 ]
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "cumulative_gains",
     "regression_metrics",
     "cohen_kappa",
+    "confusion_multiclass",
 ]
 
 
@@ -772,4 +773,91 @@ def cohen_kappa(
             f"  ELSE -((-{num}) * 1000000 div {den}) END AS BIGINT)"
             " END"
         ).alias("kappa_micro"),
+    )
+
+
+def confusion_multiclass(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Multiclass confusion summary — per-class precision / recall /
+    F1, the k-way generalization of :func:`binary_metrics` (a corpus
+    pipeline's language-ID, topic, or quality-tier classifiers are
+    multiclass; collapsing them to one-vs-rest binaries hides exactly
+    the cross-class confusions that matter).
+
+    EXACT integer arithmetic end to end: ONE map-combined aggregate
+    builds the (label, pred) contingency cells (shuffle = #cells ≤ k²
+    rows), the margins and diagonal re-aggregate that tiny table, and
+    each metric divides once in DECIMAL(38,0) onto the micro lattice
+    (positive operands, so Spark ``div`` and DuckDB ``//`` agree)::
+
+        precision = tp / n_pred,  recall = tp / n_true,
+        f1        = 2·tp / (n_true + n_pred)          (the P/R-free
+                    harmonic-mean identity — one division, no
+                    intermediate rounding)
+
+    The class set is the UNION of observed labels and predictions
+    (a class the model never predicts still reports recall; a
+    hallucinated class reports precision 0 with n_true = 0).
+    NULL-in-either rows are excluded (the :func:`binary_metrics`
+    contract — unlabeled rows carry no agreement information).
+
+    Scale shape: everything after the first aggregate is k-sized;
+    the margin joins are null-safe-free equi-joins on class labels.
+
+    Output: one row per class ``(class, n_true, n_pred, tp,
+    precision_micro, recall_micro, f1_micro)`` — metric NULL when its
+    denominator is 0.
+    """
+    v = df.select(
+        F.col(label_col).alias("__l"), F.col(pred_col).alias("__p")
+    ).filter(F.col("__l").isNotNull() & F.col("__p").isNotNull())
+    cells = v.groupBy("__l", "__p").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    tm = cells.groupBy(F.col("__l").alias("class")).agg(
+        F.sum("__c").cast("long").alias("n_true")
+    )
+    pm = cells.groupBy(F.col("__p").alias("class")).agg(
+        F.sum("__c").cast("long").alias("n_pred")
+    )
+    diag = cells.filter(F.col("__l") == F.col("__p")).select(
+        F.col("__l").alias("class"), F.col("__c").alias("tp")
+    )
+    j = (
+        tm.join(pm, "class", "full_outer")
+        .join(diag, "class", "left")
+        .select(
+            "class",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    return j.select(
+        "class",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.when(
+            F.col("n_pred") > 0,
+            F.expr(
+                "CAST(CAST(tp AS DECIMAL(38,0)) * 1000000"
+                " div n_pred AS BIGINT)"
+            ),
+        ).alias("precision_micro"),
+        F.when(
+            F.col("n_true") > 0,
+            F.expr(
+                "CAST(CAST(tp AS DECIMAL(38,0)) * 1000000"
+                " div n_true AS BIGINT)"
+            ),
+        ).alias("recall_micro"),
+        F.when(
+            F.col("n_true") + F.col("n_pred") > 0,
+            F.expr(
+                "CAST(CAST(tp AS DECIMAL(38,0)) * 2000000"
+                " div (n_true + n_pred) AS BIGINT)"
+            ),
+        ).alias("f1_micro"),
     )

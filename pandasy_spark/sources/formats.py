@@ -29,9 +29,11 @@ __all__ = [
     "read_jsonl",
     "read_orc",
     "read_text_lines",
+    "read_xml",
     "write_csv",
     "write_jsonl",
     "write_orc",
+    "write_xml",
 ]
 
 _CORRUPT = "_corrupt_record"
@@ -120,6 +122,47 @@ def read_orc(spark: SparkSession, path: str, schema: Any | None = None) -> DataF
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: Any | None = None,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """XML scan (Spark 4 built-in ``xml`` data source — no external
+    package).  ``row_tag`` names the repeated element that becomes one
+    row; absent child elements read as NULL, which is how XML encodes
+    missing values (there is no ``nullValue`` token like CSV's).  The
+    schema contract matches :func:`read_csv`: pass one in production —
+    XML inference is an extra full pass that also has to unify ragged
+    element sets."""
+    reader = (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+    )
+    st = _schema_arg(schema)
+    if st is not None:
+        if keep_corrupt:
+            from pyspark.sql import types as T
+
+            st = T.StructType(
+                list(st.fields) + [T.StructField(_CORRUPT, T.StringType())]
+            )
+            reader = reader.option("columnNameOfCorruptRecord", _CORRUPT)
+        reader = reader.schema(st)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str, mode: str = "overwrite"
+) -> None:
+    """XML writer (built-in data source).  NULL columns are written as
+    ABSENT elements — the round-trip null convention `read_xml`
+    relies on."""
+    df.write.format("xml").option("rowTag", row_tag).mode(mode).save(path)
 
 
 def read_text_lines(spark: SparkSession, path: str) -> DataFrame:

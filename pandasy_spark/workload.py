@@ -16636,3 +16636,332 @@ def ml_kappa(spark, sf_dir):
         ).alias("pred"),
     )
     return cohen_kappa(lp, "label", "pred")
+
+
+# =====================================================================
+# Spark-4-native SQL surfaces (variant, pipe syntax, collation, SQL
+# UDFs, XML source) + multiclass eval — round-9 session-3 batch
+# =====================================================================
+
+
+@query(
+    "expr_variant",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(COUNT(CAST(json_extract_string(props, '$.missing')
+                           AS BIGINT)) AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def expr_variant(spark, sf_dir):
+    """Semi-structured JSON through Spark 4's VARIANT type: one
+    ``parse_json`` per row (named in its own projection so the binary
+    variant is built ONCE, not re-parsed per extraction — the HOF
+    CSE lesson), then typed ``variant_get`` path extraction and
+    ``try_variant_get`` for an absent path (NULL, never a throw —
+    proven by n_missing = 0 under the driver's ANSI session).  At
+    100 TB this is the semi-structured fast path: VARIANT parses once
+    into a binary form whose fields extract without re-tokenizing the
+    JSON text, where get_json_object re-parses the string per call
+    (the events_json gate is the legacy-surface twin)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("__v")
+    ).select(
+        "event_type",
+        F.try_variant_get(F.col("__v"), "$.k", "long").alias("__k"),
+        F.try_variant_get(F.col("__v"), "$.missing", "long").alias("__m"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__k").cast("long").alias("sum_k"),
+        F.min("__k").cast("long").alias("min_k"),
+        F.max("__k").cast("long").alias("max_k"),
+        F.count("__m").cast("long").alias("n_missing"),
+    )
+
+
+_SQL_PIPE = """
+FROM lineitem
+|> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+|> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(disc_price * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+   GROUP BY l_returnflag, l_linestatus
+|> WHERE n > 0
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "sql_pipe",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 0
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe(spark, sf_dir):
+    """Spark 4 SQL pipe syntax (``|>``): the linear FROM → WHERE →
+    EXTEND → AGGREGATE → WHERE → ORDER BY chain, each stage reading
+    top-to-bottom in execution order (the SQL teaching surface; same
+    plan as the nested form once parsed — Catalyst sees identical
+    logical operators, so pushdown/codegen are unchanged).  The
+    oracle restates it as classic SELECT/GROUP BY/HAVING; matching
+    hashes prove the pipe chain is pure syntax, not new semantics."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_PIPE)
+
+
+@query(
+    "expr_collation",
+    """
+    WITH m AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                  ELSE lower(p_type) END AS t,
+             p_retailprice
+      FROM part
+    )
+    SELECT lower(t) AS p_type_lc,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS retail_cents
+    FROM m
+    WHERE lower(t) <> lower('Promo')
+    GROUP BY lower(t)
+    """,
+)
+def expr_collation(spark, sf_dir):
+    """String collations (Spark 4): a mixed-case column compared,
+    filtered, and GROUPED under ``UTF8_LCASE`` — the engine-level
+    alternative to sprinkling ``lower()`` at every comparison site
+    (under a collation the grouping hash, the equality, and any join
+    key all honor case-insensitivity without rewriting expressions,
+    and at 100 TB without materializing a lowercased copy of the
+    column).  The gate synthesizes case noise (upper/lower by key
+    parity), filters one type out with a MIXED-case literal under the
+    collation, groups on the collated key, and emits a deterministic
+    ``lower()`` representative (the collated group's kept
+    representative is first-seen — never output it raw); the oracle
+    restates everything with ``lower()``."""
+    part = _t(spark, sf_dir, "part")
+    m = part.select(
+        F.expr(
+            "CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)"
+            " ELSE lower(p_type) END"
+        ).alias("__t0"),
+        "p_retailprice",
+    )
+    c = m.select(
+        F.collate(F.col("__t0"), "UTF8_LCASE").alias("__t"),
+        "p_retailprice",
+    ).filter(F.col("__t") != F.lit("Promo"))
+    g = c.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("retail_cents"),
+    )
+    return g.select(
+        F.collate(F.lower(F.col("__t")), "UTF8_BINARY").alias("p_type_lc"),
+        "n",
+        "retail_cents",
+    )
+
+
+_SQL_UDF_QUERY = """
+SELECT pandasy_qty_band(l_quantity) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(pandasy_disc_price(l_extendedprice, l_discount)
+                           * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem
+GROUP BY pandasy_qty_band(l_quantity)
+"""
+
+
+@query(
+    "sql_udf",
+    """
+    WITH b AS (
+      SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                  WHEN l_quantity < 30 THEN 'mid'
+                  ELSE 'big' END AS band,
+             l_extendedprice * (1 - l_discount) AS dp
+      FROM lineitem
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(dp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS rev_cents
+    FROM b GROUP BY band
+    """,
+)
+def sql_udf(spark, sf_dir):
+    """Declarative SQL UDFs (Spark 4 ``CREATE FUNCTION ... RETURN``):
+    a scalar expression UDF and a CASE-banding UDF defined in SQL and
+    used in a grouped aggregate.  Unlike Python UDFs these INLINE into
+    the Catalyst plan (no serialization boundary, no
+    BatchEvalPython — plan-pinned in tests/test_plans.py), so they
+    are the right way to package reusable business expressions at
+    100 TB; the oracle restates the bodies inline, proving the
+    function registry adds no semantics."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pandasy_disc_price("
+        "p DOUBLE, d DOUBLE) RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pandasy_qty_band("
+        "q DOUBLE) RETURNS STRING RETURN CASE WHEN q < 10 THEN 'small'"
+        " WHEN q < 30 THEN 'mid' ELSE 'big' END"
+    )
+    return spark.sql(_SQL_UDF_QUERY)
+
+
+@query(
+    "ml_confusion",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS BIGINT) AS score_en,
+        CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS score_de,
+        CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS BIGINT) AS score_fr,
+        CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|que|de)\b')) AS BIGINT) AS score_es
+      FROM documents
+    ), pred AS (
+      SELECT doc_id,
+           CASE WHEN GREATEST(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+                WHEN score_en = GREATEST(score_en, score_de, score_fr, score_es) THEN 'en'
+                WHEN score_de = GREATEST(score_en, score_de, score_fr, score_es) THEN 'de'
+                WHEN score_fr = GREATEST(score_en, score_de, score_fr, score_es) THEN 'fr'
+                ELSE 'es' END AS lang_pred
+      FROM s
+    ), v AS (
+      SELECT d.lang AS l, p.lang_pred AS p
+      FROM documents d JOIN pred p USING (doc_id)
+      WHERE d.lang IS NOT NULL AND p.lang_pred IS NOT NULL
+    ), cells AS (
+      SELECT l, p, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY l, p
+    ), tm AS (
+      SELECT l AS class, CAST(SUM(c) AS BIGINT) AS n_true FROM cells GROUP BY l
+    ), pm AS (
+      SELECT p AS class, CAST(SUM(c) AS BIGINT) AS n_pred FROM cells GROUP BY p
+    ), diag AS (
+      SELECT l AS class, c AS tp FROM cells WHERE l = p
+    ), j AS (
+      SELECT COALESCE(tm.class, pm.class) AS class,
+             COALESCE(n_true, 0) AS n_true,
+             COALESCE(n_pred, 0) AS n_pred
+      FROM tm FULL JOIN pm ON tm.class = pm.class
+    )
+    SELECT j.class, j.n_true, j.n_pred,
+           CAST(COALESCE(diag.tp, 0) AS BIGINT) AS tp,
+           CASE WHEN j.n_pred > 0 THEN CAST(
+             CAST(COALESCE(diag.tp, 0) AS HUGEINT) * 1000000 // j.n_pred
+             AS BIGINT) END AS precision_micro,
+           CASE WHEN j.n_true > 0 THEN CAST(
+             CAST(COALESCE(diag.tp, 0) AS HUGEINT) * 1000000 // j.n_true
+             AS BIGINT) END AS recall_micro,
+           CASE WHEN j.n_true + j.n_pred > 0 THEN CAST(
+             CAST(COALESCE(diag.tp, 0) AS HUGEINT) * 2000000
+               // (j.n_true + j.n_pred)
+             AS BIGINT) END AS f1_micro
+    FROM j LEFT JOIN diag ON j.class = diag.class
+    """,
+)
+def ml_confusion(spark, sf_dir):
+    """Multiclass confusion summary (extended/ml.py
+    confusion_multiclass) of the n-gram language-ID heuristic against
+    the corpus's labeled ``lang`` — per-class precision/recall/F1 on
+    the exact micro lattice (the k-way eval leg beside the binary
+    triad; a language classifier gating a multilingual corpus is the
+    canonical multiclass screen).  The class set is the union of
+    labels and predictions, so the heuristic's 'und' fallback shows
+    up as a precision-0 hallucinated class instead of vanishing.  The
+    oracle rebuilds the prediction with the text_langid CTE and
+    restates margins, diagonal, and micro divisions."""
+    from .extended.ml import confusion_multiclass
+
+    docs = _t(spark, sf_dir, "documents")
+    lp = docs.select(
+        F.col("lang").alias("label"),
+        X_text.lang_id(F.col("text")).alias("pred"),
+    )
+    return confusion_multiclass(lp, "label", "pred")
+
+
+@query(
+    "source_xml",
+    """
+    WITH s AS (
+      SELECT event_id, user_id,
+             NULLIF(event_type, 'view') AS event_type, value
+      FROM events WHERE event_id % 5 = 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM s GROUP BY event_type
+    """,
+)
+def source_xml(spark, sf_dir):
+    """XML SOURCE round trip (Spark 4 built-in ``xml`` data source —
+    no external package) driver-witnessed end to end: an events
+    subset staged once as Spark-written XML (rowTag rows; a
+    NULLIF-injected NULL group proves the absent-element null
+    convention both ways — NULL writes as a MISSING child element and
+    reads back as NULL), read with an EXPLICIT schema (never infer —
+    XML inference is an extra full pass that also unifies ragged
+    element sets), and aggregated on the cent grid.  The oracle
+    states the same aggregate from the parquet table directly, so
+    any fidelity loss in the write-parse cycle (double shortest-repr,
+    element-vs-null encoding) breaks the hash."""
+    from .sources import read_xml, write_xml
+
+    ev = _t(spark, sf_dir, "events")
+    subset = ev.filter(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        "user_id",
+        F.expr("nullif(event_type, 'view')").alias("event_type"),
+        "value",
+    )
+    stage = _stage_once(
+        "srcxml", sf_dir, lambda p: write_xml(subset, p, row_tag="event")
+    )
+    back = read_xml(
+        spark,
+        stage,
+        row_tag="event",
+        schema="event_id:long,user_id:long,event_type:str,value:double",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+    )
