@@ -303,6 +303,8 @@ _R10_DEFER: list[str] = [
     # session-3 batch: Spark-4-native SQL surfaces + multiclass eval
     "expr_variant", "sql_pipe", "expr_collation", "sql_udf",
     "ml_confusion", "source_xml",
+    # session-3 batch 2: density clustering + JL projection
+    "spatial_dbscan", "embedding_rp",
 ]
 
 

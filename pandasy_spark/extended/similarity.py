@@ -44,6 +44,7 @@ __all__ = [
     "int_grid_vec",
     "knn_graph",
     "beam_topk",
+    "random_projection",
 ]
 
 
@@ -1377,3 +1378,81 @@ def beam_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", F.col("node").alias("id"), "d2", "rk")
     )
+
+
+def _minstd_sign_long(i: Column, seed: int) -> Column:
+    """Integer twin of :func:`_minstd_sign`: deterministic ±1 BIGINT
+    for (dimension i, seed) — same two-round MINSTD mix, kept integral
+    so sign-projected sums stay on the exact int64 lattice."""
+    x0 = (
+        i.cast("long") * F.lit(1103515245) + F.lit(seed * 12345 + 12345)
+    ) % F.lit(_MINSTD_MOD)
+    x1 = (x0 * F.lit(_MINSTD_MUL)) % F.lit(_MINSTD_MOD)
+    x2 = (x1 * F.lit(_MINSTD_MUL)) % F.lit(_MINSTD_MOD)
+    return F.when(x2 % 2 == 1, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    seed: int = 0,
+    scale: int = 1000,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with ±1 (Achlioptas)
+    signs on the exact integer lattice — the dimensionality-reduction
+    front end of the ANN family (project 64-dim → 8-dim FIRST, then
+    bucket/scan: at 100 TB the projected table is ~d/out_dim× smaller
+    and every downstream distance costs out_dim multiplies instead of
+    d).  JL guarantees pairwise distances distort by at most
+    (1 ± ε) with high probability for out_dim = O(log n / ε²); ±1
+    sign matrices achieve the same bound as Gaussians (Achlioptas
+    2003) while keeping the arithmetic exact.
+
+    Everything is deterministic integer math: the input snaps to a
+    ``scale`` grid (``floor(v·scale + 0.5)``, exact for the corpus's
+    milli-range values), the sign for (input dim i, output dim j) is
+    the two-round MINSTD mix — no stored projection matrix, any
+    engine can recompute it — and each output component is an int64
+    sum (|proj_j| ≤ d · scale · max|v|, far inside int64 for any
+    real embedding).  The per-row cost is the d·out_dim multiply the
+    projection IS; the outer loop unrolls at plan build (out_dim
+    named aggregates over ONE named grid column — no re-evaluated
+    embedded arrays, the HOF-CSE lesson), so the whole operator is a
+    narrow map fused into the scan: no shuffle, no UDF, no model
+    state.
+
+    Output: the input columns plus ``out_col`` (array<bigint>,
+    length ``out_dim``).
+    """
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    if scale < 1:
+        raise ValueError("scale must be >= 1")
+    g = F.transform(
+        as_double_vec(F.col(vec_col)),
+        lambda v: F.floor(v * F.lit(float(scale)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    staged = df.withColumn("__g", g)
+
+    def _signed_term(p: int):
+        # close over the plane seed: pyspark derives the lambda arity
+        # from the signature, so a bound default arg would miscount
+        return lambda x, i: x * _minstd_sign_long(i, p)
+
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                F.col("__g"),
+                F.sequence(F.lit(0), F.size(F.col("__g")) - 1),
+                _signed_term(seed * 1_000_003 + j),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for j in range(out_dim)
+    ]
+    return staged.withColumn(out_col, F.array(*comps)).drop("__g")

@@ -169,3 +169,124 @@ def point_in_polygon(
         c = (up | down).cast("int")
         crossings = c if crossings is None else crossings + c
     return df.withColumn(flag_col, (crossings % 2 == 1))
+
+
+def dbscan(
+    points: DataFrame,
+    eps: int,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Exact planar DBSCAN — density clustering on integer grid
+    coordinates, the "find the dense regions and call the rest noise"
+    companion to the centroid k-means in ``similarity`` (k-means
+    forces every point into one of k spheres; DBSCAN discovers the
+    cluster COUNT and shape from density and isolates outliers —
+    the right screen for spatial event blobs or 2-D embedding maps).
+
+    Classic semantics, made deterministic:
+
+    - ``core``: |N_eps(p)| >= min_pts, the neighborhood INCLUDING p
+      (the standard convention).
+    - clusters: connected components of the core-core eps-graph;
+      the cluster label is the MINIMUM core id in the component (so
+      labels are stable across partitionings and runs).  A core with
+      no core neighbor forms its own singleton cluster.
+    - ``border``: non-core within eps of >= 1 core; classic DBSCAN
+      assigns it to whichever core CLAIMED IT FIRST (scan-order
+      dependent!) — here it joins the smallest cluster label among
+      its core neighbors, which is the same set of clusters, chosen
+      deterministically.
+    - ``noise``: everything else; cluster is NULL.
+
+    Scale shape: ONE grid-bucketed radius self-join (never Cartesian
+    — cost scales with the number of nearby pairs, the output of the
+    density computation itself), one neighbor-count aggregate, the
+    distributed large-star/small-star components loop over CORE-CORE
+    edges only (the dense-pair graph, already the smaller remnant),
+    and one min-aggregate for borders.  All arithmetic int64.
+
+    Output: ``(id, role, cluster)`` — role in {'core','border',
+    'noise'}, cluster BIGINT (NULL for noise).
+    """
+    from .dedup import connected_components
+
+    if min_pts < 1:
+        raise ValueError("min_pts must be >= 1")
+    pts = points.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    pairs = radius_pairs(pts, eps, id_col="__id").localCheckpoint(
+        eager=False
+    )  # the eps-graph feeds counts, core edges, and border assignment
+    nbrs = pairs.select(
+        F.col("id1").alias("__a"), F.col("id2").alias("__b")
+    ).unionAll(
+        pairs.select(F.col("id2").alias("__a"), F.col("id1").alias("__b"))
+    )
+    counts = nbrs.groupBy("__a").agg(
+        F.count(F.lit(1)).cast("long").alias("__nn")
+    )
+    flagged = pts.join(
+        counts, pts["__id"] == counts["__a"], "left"
+    ).select(
+        "__id",
+        (
+            F.coalesce(F.col("__nn"), F.lit(0)) + F.lit(1) >= F.lit(min_pts)
+        ).alias("__core"),
+    )
+    cores = flagged.filter("__core").select("__id")
+    core_edges = (
+        pairs.join(
+            cores.withColumnRenamed("__id", "id1").withColumn(
+                "__c1", F.lit(1)
+            ),
+            "id1",
+        )
+        .join(
+            cores.withColumnRenamed("__id", "id2").withColumn(
+                "__c2", F.lit(1)
+            ),
+            "id2",
+        )
+        .select("id1", "id2")
+    )
+    comp = connected_components(core_edges, "id1", "id2")
+    core_rows = cores.join(
+        comp, cores["__id"] == comp["node"], "left"
+    ).select(
+        F.col("__id").alias("id"),
+        F.lit("core").alias("role"),
+        F.coalesce(F.col("component"), F.col("__id"))
+        .cast("long")
+        .alias("cluster"),
+    )
+    core_clusters = core_rows.select(
+        F.col("id").alias("__cid"), F.col("cluster").alias("__ccl")
+    )
+    non_core = flagged.filter(~F.col("__core")).select("__id")
+    border_rows = (
+        nbrs.join(non_core, nbrs["__a"] == non_core["__id"]) 
+        .join(core_clusters, nbrs["__b"] == core_clusters["__cid"])
+        .groupBy("__a")
+        .agg(F.min("__ccl").cast("long").alias("cluster"))
+        .select(
+            F.col("__a").alias("id"),
+            F.lit("border").alias("role"),
+            "cluster",
+        )
+    )
+    assigned = core_rows.select("id").unionAll(border_rows.select("id"))
+    noise_rows = (
+        pts.join(assigned, pts["__id"] == assigned["id"], "left_anti")
+        .select(
+            F.col("__id").alias("id"),
+            F.lit("noise").alias("role"),
+            F.lit(None).cast("long").alias("cluster"),
+        )
+    )
+    return core_rows.unionAll(border_rows).unionAll(noise_rows)

@@ -16965,3 +16965,143 @@ def source_xml(spark, sf_dir):
         F.min("event_id").cast("long").alias("min_id"),
         F.max("event_id").cast("long").alias("max_id"),
     )
+
+
+@query(
+    "spatial_dbscan",
+    """
+    WITH RECURSIVE p AS (
+      SELECT vec_id AS id,
+             CAST(FLOOR(CAST(embedding AS DOUBLE[])[1] * 1000) AS BIGINT) AS x,
+             CAST(FLOOR(CAST(embedding AS DOUBLE[])[2] * 1000) AS BIGINT) AS y
+      FROM embeddings
+    ), pr AS (
+      SELECT a.id AS ia, b.id AS ib
+      FROM p a JOIN p b ON a.id <> b.id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 3600
+    ), cnt AS (
+      SELECT ia AS id, CAST(COUNT(*) AS BIGINT) AS nn FROM pr GROUP BY ia
+    ), core AS (
+      SELECT p.id FROM p LEFT JOIN cnt ON p.id = cnt.id
+      WHERE COALESCE(nn, 0) + 1 >= 5
+    ), ce AS (
+      SELECT ia AS u, ib AS v FROM pr
+      WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)
+    ), r AS (
+      SELECT id AS u, id AS comp FROM core
+      UNION
+      SELECT ce.u, r.comp FROM ce JOIN r ON ce.v = r.u
+    ), comp AS (
+      SELECT u AS id, CAST(MIN(comp) AS BIGINT) AS cluster FROM r GROUP BY u
+    ), border AS (
+      SELECT pr.ia AS id, CAST(MIN(comp.cluster) AS BIGINT) AS cluster
+      FROM pr JOIN comp ON pr.ib = comp.id
+      WHERE pr.ia NOT IN (SELECT id FROM core)
+      GROUP BY pr.ia
+    )
+    SELECT id, 'core' AS role, cluster FROM comp
+    UNION ALL
+    SELECT id, 'border' AS role, cluster FROM border
+    UNION ALL
+    SELECT p.id, 'noise' AS role, CAST(NULL AS BIGINT) AS cluster
+    FROM p
+    WHERE p.id NOT IN (SELECT id FROM comp)
+      AND p.id NOT IN (SELECT id FROM border)
+    """,
+)
+def spatial_dbscan(spark, sf_dir):
+    """Exact planar DBSCAN (extended/spatial.py dbscan) over the
+    embedding map's first two dimensions on the ×1000 integer grid —
+    eps 60, min_pts 5 (the spatial_radius_join geometry, taken through
+    to full density clustering: core/border/noise roles and
+    deterministic min-id cluster labels via the distributed
+    large-star components loop over core-core edges).  The Spark plan
+    is grid-bucketed end to end (never a Cartesian pair scan); the
+    oracle brute-forces the eps-graph at gate scale and replays the
+    same label algebra with a recursive reachability CTE."""
+    from .extended.spatial import dbscan
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.floor(
+            F.element_at(F.col("embedding").cast("array<double>"), 1)
+            * 1000
+        ).cast("long").alias("x"),
+        F.floor(
+            F.element_at(F.col("embedding").cast("array<double>"), 2)
+            * 1000
+        ).cast("long").alias("y"),
+    )
+    return dbscan(pts, eps=60, min_pts=5)
+
+
+def _rp_proj_sql(j: int, scale: int = 1000) -> str:
+    """DuckDB restatement of one random_projection output component:
+    the same two-round MINSTD ±1 sign per (input dim i, output dim j)
+    and the same int64 grid sum (seed 0 ⇒ plane constant j·12345 +
+    12345)."""
+    c = j * 12345 + 12345
+    sign = (
+        f"(CASE WHEN (((((i - 1) * 1103515245 + {c}) % 2147483647)"
+        f" * 48271 % 2147483647) * 48271 % 2147483647) % 2 = 1"
+        " THEN 1 ELSE -1 END)"
+    )
+    return (
+        f"CAST(list_sum([gv[i] * {sign}"
+        " for i in range(1, len(gv) + 1)]) AS BIGINT)"
+    )
+
+
+_RP_ORACLE = (
+    """
+    WITH g AS (
+      SELECT vec_id,
+             [CAST(FLOOR(CAST(embedding AS DOUBLE[])[i] * 1000 + 0.5)
+                   AS BIGINT)
+              for i in range(1, len(CAST(embedding AS DOUBLE[])) + 1)]
+               AS gv
+      FROM embeddings
+    ), pr AS (
+      SELECT vec_id,
+    """
+    + ",\n    ".join(f"{_rp_proj_sql(j)} AS p{j}" for j in range(8))
+    + """
+      FROM g
+    )
+    SELECT vec_id, p0, p1, p2, p3,
+           CAST(p0*p0 + p1*p1 + p2*p2 + p3*p3
+                + p4*p4 + p5*p5 + p6*p6 + p7*p7 AS BIGINT) AS norm2
+    FROM pr
+    """
+)
+
+
+@query("embedding_rp", _RP_ORACLE)
+def embedding_rp(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection (extended/similarity.py
+    random_projection): 64-dim embeddings → 8 ±1-sign components on
+    the exact ×1000 integer lattice, every sign recomputed from the
+    (i, j) MINSTD mix on both engines — no stored matrix.  The gate
+    emits four raw components plus the exact squared norm (any
+    component error moves norm2), proving grid snap, sign schedule,
+    and int64 sums end to end.  At 100 TB this is the ANN front end:
+    project once in the scan (narrow map, no shuffle), then
+    bucket/search in 8-dim space."""
+    from .extended.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pr = random_projection(emb, vec_col="embedding", out_dim=8)
+    p = F.col("proj")
+    return pr.select(
+        "vec_id",
+        F.element_at(p, 1).alias("p0"),
+        F.element_at(p, 2).alias("p1"),
+        F.element_at(p, 3).alias("p2"),
+        F.element_at(p, 4).alias("p3"),
+        F.aggregate(
+            p,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x * x,
+        ).alias("norm2"),
+    )

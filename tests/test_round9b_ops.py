@@ -125,3 +125,141 @@ class TestSpark4SurfacePlans:
         )
         got = {r.k: r.n for r in g.collect()}
         assert got == {"abc": 3, "xy": 1}
+
+
+class TestDbscan:
+    def _run(self, spark, rows, eps, min_pts):
+        from pandasy_spark.extended.spatial import dbscan
+
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        return {
+            r.id: (r.role, r.cluster)
+            for r in dbscan(df, eps=eps, min_pts=min_pts).collect()
+        }
+
+    def test_two_blobs_border_noise(self, spark):
+        rows = [
+            (1, 0, 0), (2, 1, 0), (3, 0, 1), (4, 1, 1),      # blob A
+            (5, 100, 100), (6, 101, 100), (7, 100, 101),
+            (8, 101, 101),                                    # blob B
+            (9, 50, 50),                                      # noise
+            (10, 3, 0),                                       # border of A
+        ]
+        got = self._run(spark, rows, eps=2, min_pts=4)
+        for i in (1, 2, 3, 4):
+            assert got[i] == ("core", 1)
+        for i in (5, 6, 7, 8):
+            assert got[i] == ("core", 5)
+        assert got[9] == ("noise", None)
+        assert got[10] == ("border", 1)
+
+    def test_border_joins_min_label_deterministically(self, spark):
+        # point 9 is within eps of ONE core in each cluster but has
+        # only 2 neighbors + itself < min_pts, so it is border, not a
+        # bridge: classic DBSCAN assigns it by scan order; ours picks
+        # the min cluster label (1)
+        rows = [
+            (1, 0, 0), (2, 1, 0), (3, 0, 1), (4, 1, 1),   # cluster 1
+            (5, 5, 0), (6, 6, 0), (7, 5, 1), (8, 6, 1),   # cluster 5
+            (9, 3, 0),                                     # between
+        ]
+        got = self._run(spark, rows, eps=2, min_pts=4)
+        assert got[9] == ("border", 1)
+        assert got[1][1] == got[4][1] == 1
+        assert got[5][1] == got[8][1] == 5
+
+    def test_isolated_core_is_singleton_cluster(self, spark):
+        # min_pts=1: every point is core; a lone point forms its own
+        # cluster (the coalesce(component, id) path)
+        rows = [(1, 0, 0), (2, 50, 50)]
+        got = self._run(spark, rows, eps=2, min_pts=1)
+        assert got[1] == ("core", 1)
+        assert got[2] == ("core", 2)
+
+    def test_min_pts_validated(self, spark):
+        from pandasy_spark.extended.spatial import dbscan
+
+        df = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
+        with pytest.raises(ValueError):
+            dbscan(df, eps=2, min_pts=0)
+
+
+class TestRandomProjection:
+    def test_matches_python(self, spark):
+        from pandasy_spark.extended.similarity import random_projection
+
+        M, A = 2147483647, 48271
+        rows = [(1, [0.1, -0.2, 0.05]), (2, [0.0, 0.3, -0.15])]
+        df = spark.createDataFrame(rows, "id long, v array<double>")
+        got = {
+            r.id: list(r.proj)
+            for r in random_projection(
+                df, vec_col="v", out_dim=4, seed=0
+            ).collect()
+        }
+
+        def sign(i, j):
+            x0 = (i * 1103515245 + (j * 12345 + 12345)) % M
+            x2 = (x0 * A % M) * A % M
+            return 1 if x2 % 2 == 1 else -1
+
+        import math
+
+        for rid, vec in rows:
+            g = [math.floor(v * 1000 + 0.5) for v in vec]
+            expect = [
+                sum(g[i] * sign(i, j) for i in range(len(g)))
+                for j in range(4)
+            ]
+            assert got[rid] == expect
+
+    def test_jl_norm_preserved_in_expectation(self, spark, sf_dir):
+        # E[|Px|^2] = out_dim * |x|^2 for +-1 signs; over 500 vectors
+        # the empirical ratio must land near 1 (loose band: JL is a
+        # concentration bound, not per-vector)
+        from pandasy_spark.extended.similarity import random_projection
+        from pandasy_spark.sources import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        k = 8
+        pr = random_projection(emb, vec_col="embedding", out_dim=k)
+        row = pr.select(
+            F.aggregate(
+                "proj", F.lit(0).cast("long"), lambda a, x: a + x * x
+            ).alias("pn"),
+            F.aggregate(
+                F.transform(
+                    F.col("embedding"),
+                    lambda v: F.floor(
+                        v.cast("double") * 1000 + F.lit(0.5)
+                    ).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x * x,
+            ).alias("gn"),
+        ).agg(F.sum("pn").alias("spn"), F.sum("gn").alias("sgn")).collect()[0]
+        ratio = row.spn / (k * row.sgn)
+        assert 0.7 < ratio < 1.3
+
+    def test_validations(self, spark):
+        from pandasy_spark.extended.similarity import random_projection
+
+        df = spark.createDataFrame([(1, [0.1])], "id long, v array<double>")
+        with pytest.raises(ValueError):
+            random_projection(df, vec_col="v", out_dim=0)
+        with pytest.raises(ValueError):
+            random_projection(df, vec_col="v", scale=0)
+
+
+class TestBatch2Plans:
+    def test_dbscan_no_cartesian(self, spark, sf_dir):
+        df = QUERIES["spatial_dbscan"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_rp_is_narrow_map(self, spark, sf_dir):
+        df = QUERIES["embedding_rp"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # projection fuses into the scan
+        assert "BatchEvalPython" not in plan
