@@ -1427,6 +1427,120 @@ def probe_r9() -> None:
     print(json.dumps({"r9_probes": results}))
 
 
+def probe_r9b() -> None:
+    """10x probes for the round-9 session-3 operators.
+
+    - dbscan: 10x points TILED over 10x area (density constant: the
+      eps-graph is output-sized, so constant density is the honest
+      scaling — an un-tiled 10x replication would measure the pair
+      OUTPUT growing ~100x, an input property, not a plan property).
+      Note the 10x tier crosses the components small-graph threshold
+      (~1.1M core-core edges > 1M), so it exercises the DISTRIBUTED
+      star-contraction path the 1x tier short-circuits.
+    - random_projection: narrow map over 10x vectors (distinct ids).
+    - confusion / variant: 10x documents / events from the built
+      sf1.0 tables.
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pandasy_spark.session import get_spark
+
+    spark = get_spark("pandasy-scale-probe-r9b")
+    spark.sparkContext.setLogLevel("ERROR")
+    reps = spark.range(10).select(F.col("id").alias("__rep"))
+
+    def _points(scale10: bool):
+        emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+        pts = emb.select(
+            F.col("vec_id").alias("id"),
+            F.floor(
+                F.element_at(F.col("embedding").cast("array<double>"), 1)
+                * 1000
+            ).cast("long").alias("x"),
+            F.floor(
+                F.element_at(F.col("embedding").cast("array<double>"), 2)
+                * 1000
+            ).cast("long").alias("y"),
+        )
+        if not scale10:
+            return pts
+        return (
+            pts.crossJoin(F.broadcast(reps))
+            .select(
+                (F.col("id") * 10 + F.col("__rep")).alias("id"),
+                (F.col("x") + F.col("__rep") * 2200).alias("x"),
+                "y",
+            )
+        )
+
+    def dbscan_probe(scale10: bool):
+        from pandasy_spark.extended.spatial import dbscan
+
+        return dbscan(_points(scale10), eps=60, min_pts=5)
+
+    def rp_probe(scale10: bool):
+        from pandasy_spark.extended.similarity import random_projection
+
+        emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+        if scale10:
+            emb = emb.crossJoin(F.broadcast(reps)).select(
+                (F.col("vec_id") * 10 + F.col("__rep")).alias("vec_id"),
+                "embedding",
+            )
+        return random_projection(emb, vec_col="embedding", out_dim=8)
+
+    def confusion_probe(sf_dir):
+        from pandasy_spark.extended.ml import confusion_multiclass
+        from pandasy_spark.extended.text import lang_id
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        lp = docs.select(
+            F.col("lang").alias("label"),
+            lang_id(F.col("text")).alias("pred"),
+        )
+        return confusion_multiclass(lp, "label", "pred")
+
+    def variant_probe(sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        v = ev.select(
+            "event_type", F.parse_json(F.col("props")).alias("__v")
+        ).select(
+            "event_type",
+            F.try_variant_get(F.col("__v"), "$.k", "long").alias("__k"),
+        )
+        return v.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("__k").alias("s")
+        )
+
+    results = {}
+    jobs = [
+        ("spatial_dbscan", lambda s10: dbscan_probe(s10), "synth"),
+        ("embedding_rp", lambda s10: rp_probe(s10), "synth"),
+        ("ml_confusion", confusion_probe, "table"),
+        ("expr_variant", variant_probe, "table"),
+    ]
+    for name, fn, kind in jobs:
+        results[name] = {}
+        for label, arg in (
+            [("sf0.1", False), ("sf1.0", True)]
+            if kind == "synth"
+            else [("sf0.1", SRC), ("sf1.0", DST)]
+        ):
+            best = float("inf")
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                fn(arg).write.format("noop").mode("overwrite").save()
+                best = min(best, _t.perf_counter() - t0)
+            results[name][label] = round(best, 2)
+        results[name]["ratio"] = round(
+            results[name]["sf1.0"] / max(results[name]["sf0.1"], 1e-9), 2
+        )
+        print(name, results[name], flush=True)
+    print(json.dumps({"r9b_probes": results}))
+
+
 if __name__ == "__main__":
     {
         "build": build,
@@ -1440,5 +1554,6 @@ if __name__ == "__main__":
         "probe_r6e": probe_r6e,
         "probe_r8": probe_r8,
         "probe_r9": probe_r9,
+        "probe_r9b": probe_r9b,
         "bpe50k": bpe50k,
     }[sys.argv[1]]()
