@@ -1424,7 +1424,9 @@ def random_projection(
     state.
 
     Output: the input columns plus ``out_col`` (array<bigint>,
-    length ``out_dim``).
+    length ``out_dim``).  A NULL vector projects to an array of NULL
+    components (NULL-in, NULL-out per component — filter unscored
+    rows first if downstream indexes can't carry NULLs).
     """
     if out_dim < 1:
         raise ValueError("out_dim must be >= 1")

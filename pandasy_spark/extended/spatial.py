@@ -210,6 +210,10 @@ def dbscan(
 
     Output: ``(id, role, cluster)`` — role in {'core','border',
     'noise'}, cluster BIGINT (NULL for noise).
+
+    Contract: ids must be unique (a duplicated id double-counts its
+    neighborhoods); a row with a NULL coordinate joins no eps-cell
+    and classifies as noise (it has no well-defined neighborhood).
     """
     from .dedup import connected_components
 
