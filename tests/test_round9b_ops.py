@@ -263,3 +263,174 @@ class TestBatch2Plans:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # projection fuses into the scan
         assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------
+# Hypothesis fuzz: the session-3 operators vs independent Python
+# re-implementations (same convention as test_round9_ops.py)
+# ---------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_H = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_dbscan(pts, eps, min_pts):
+    """Reference DBSCAN with the repo's deterministic label algebra."""
+    import itertools
+
+    ids = [i for i, _, _ in pts]
+    pos = {i: (x, y) for i, x, y in pts}
+    nbr = {i: set() for i in ids}
+    for a, b in itertools.combinations(ids, 2):
+        dx = pos[a][0] - pos[b][0]
+        dy = pos[a][1] - pos[b][1]
+        if dx * dx + dy * dy <= eps * eps:
+            nbr[a].add(b)
+            nbr[b].add(a)
+    core = {i for i in ids if len(nbr[i]) + 1 >= min_pts}
+    # components over core-core edges, label = min core id
+    label = {}
+    for c in sorted(core):
+        if c in label:
+            continue
+        stack, comp = [c], []
+        seen = {c}
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in nbr[u]:
+                if v in core and v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        m = min(comp)
+        for u in comp:
+            label[u] = m
+    out = {}
+    for i in ids:
+        if i in core:
+            out[i] = ("core", label[i])
+        else:
+            cand = [label[v] for v in nbr[i] if v in core]
+            if cand:
+                out[i] = ("border", min(cand))
+            else:
+                out[i] = ("noise", None)
+    return out
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 30),  # x
+            st.integers(0, 30),  # y
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    eps=st.integers(1, 8),
+    min_pts=st.integers(1, 5),
+)
+@settings(**_H)
+def test_dbscan_fuzz_vs_python(spark, pts, eps, min_pts):
+    from pandasy_spark.extended.spatial import dbscan
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        r.id: (r.role, r.cluster)
+        for r in dbscan(df, eps=eps, min_pts=min_pts).collect()
+    }
+    assert got == _py_dbscan(rows, eps, min_pts)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_H)
+def test_confusion_fuzz_vs_python(spark, rows):
+    from pandasy_spark.extended.ml import confusion_multiclass
+
+    labeled = [(f"c{l}", f"c{p}") for l, p in rows]
+    df = spark.createDataFrame(labeled, "label string, pred string")
+    got = {
+        r["class"]: (
+            r.n_true, r.n_pred, r.tp,
+            r.precision_micro, r.recall_micro, r.f1_micro,
+        )
+        for r in confusion_multiclass(df, "label", "pred").collect()
+    }
+    classes = {l for l, _ in labeled} | {p for _, p in labeled}
+    expect = {}
+    for c in classes:
+        nt = sum(1 for l, _ in labeled if l == c)
+        np_ = sum(1 for _, p in labeled if p == c)
+        tp = sum(1 for l, p in labeled if l == p == c)
+        expect[c] = (
+            nt, np_, tp,
+            tp * 10**6 // np_ if np_ else None,
+            tp * 10**6 // nt if nt else None,
+            2 * tp * 10**6 // (nt + np_) if nt + np_ else None,
+        )
+    assert got == expect
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-0.5,
+                max_value=0.5,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    out_dim=st.integers(1, 5),
+    seed=st.integers(0, 3),
+)
+@settings(**_H)
+def test_rp_fuzz_vs_python(spark, vecs, out_dim, seed):
+    from pandasy_spark.extended.similarity import random_projection
+
+    d = len(vecs[0])
+    vecs = [v[:d] + [0.0] * (d - len(v)) for v in vecs]  # rectangular
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = {
+        r.id: list(r.proj)
+        for r in random_projection(
+            df, vec_col="v", out_dim=out_dim, seed=seed
+        ).collect()
+    }
+    M, A = 2147483647, 48271
+    import math
+
+    def sign(i, p):
+        x0 = (i * 1103515245 + (p * 12345 + 12345)) % M
+        x2 = (x0 * A % M) * A % M
+        return 1 if x2 % 2 == 1 else -1
+
+    for rid, v in rows:
+        g = [math.floor(x * 1000 + 0.5) for x in v]
+        expect = [
+            sum(
+                g[i] * sign(i, seed * 1_000_003 + j)
+                for i in range(len(g))
+            )
+            for j in range(out_dim)
+        ]
+        assert got[rid] == expect
