@@ -305,6 +305,8 @@ _R10_DEFER: list[str] = [
     "ml_confusion", "source_xml",
     # session-3 batch 2: density clustering + JL projection
     "spatial_dbscan", "embedding_rp",
+    # session-3 batch 3: stream-stream left-semi join
+    "streaming_semi_join",
 ]
 
 

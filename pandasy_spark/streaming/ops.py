@@ -190,13 +190,18 @@ def stream_stream_tolerance_join(
     tolerance+watermark horizon — without them a stream-stream join
     buffers forever.
 
-    ``how`` may be ``inner`` or ``left_outer``: outer stream-stream
-    joins are legal exactly because the time-interval condition plus
-    watermarks bound how long an unmatched left row must wait before
-    the engine can emit it with NULL right columns (state eviction ==
-    result finalization)."""
-    if how not in ("inner", "left_outer"):
-        raise ValueError("stream_stream_tolerance_join supports inner|left_outer")
+    ``how`` may be ``inner``, ``left_outer`` or ``left_semi``: outer
+    stream-stream joins are legal exactly because the time-interval
+    condition plus watermarks bound how long an unmatched left row
+    must wait before the engine can emit it with NULL right columns
+    (state eviction == result finalization).  ``left_semi`` emits
+    each matched left row ONCE (on first match) and unmatched rows
+    never — the streaming "has a conversion within the window"
+    screen, with the same bounded state as inner."""
+    if how not in ("inner", "left_outer", "left_semi"):
+        raise ValueError(
+            "stream_stream_tolerance_join supports inner|left_outer|left_semi"
+        )
     lw = left.withWatermark(left_time, watermark)
     rw = right.withWatermark(right_time, watermark)
     cond = None

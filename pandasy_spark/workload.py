@@ -17105,3 +17105,54 @@ def embedding_rp(spark, sf_dir):
             lambda acc, x: acc + x * x,
         ).alias("norm2"),
     )
+
+
+@query(
+    "streaming_semi_join",
+    """
+    SELECT s.user_id, s.event_id AS l_id
+    FROM events s
+    WHERE s.event_type = 'signup'
+      AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = s.user_id
+          AND p.ts BETWEEN s.ts - INTERVAL 30 MINUTE
+                       AND s.ts + INTERVAL 30 MINUTE
+      )
+    """,
+)
+def streaming_semi_join(spark, sf_dir):
+    """Stream-stream LEFT SEMI join, driver-witnessed — the third
+    member of the streaming join family beside streaming_join (inner)
+    and streaming_outer_join (left outer): signups that see a purchase
+    by the same user within ±30 minutes, each emitted ONCE on first
+    match, unmatched signups never (no NULL-padding, so unlike the
+    outer gate there is no watermark-finalization tail to flush —
+    matched rows emit as matches arrive).  State stays bounded by the
+    same watermark + interval horizon as the inner join; the payload
+    never duplicates because semi-join state remembers which left rows
+    already matched.  Oracle: the batch EXISTS screen."""
+    from .streaming import (
+        run_stream_to_memory,
+        stream_stream_tolerance_join,
+        stream_table,
+    )
+
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_semi_join_gate_{_STREAM_GATE_SEQ[0]}"
+    ev = stream_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    joined = stream_stream_tolerance_join(
+        left, right, ["user_id"], "l_ts", "r_ts", 1800,
+        watermark="1 hour", how="left_semi",
+    ).select(left["user_id"].alias("user_id"), "l_id")
+    q = run_stream_to_memory(joined, name, output_mode="append")
+    q.stop()
+    return spark.table(name)

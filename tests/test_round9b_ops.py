@@ -434,3 +434,47 @@ def test_rp_fuzz_vs_python(spark, vecs, out_dim, seed):
             for j in range(out_dim)
         ]
         assert got[rid] == expect
+
+
+class TestStreamingSemiJoin:
+    def test_semi_emits_once_per_matched_left(self, spark, sf_dir):
+        # gate replay at test scale: each matched signup appears
+        # EXACTLY once even when several purchases fall in its window
+        out = QUERIES["streaming_semi_join"](spark, sf_dir).toPandas()
+        assert out["l_id"].is_unique
+        # parity with the batch EXISTS screen
+        from pandasy_spark.sources import load_table
+        from pyspark.sql import functions as F
+
+        ev = load_table(spark, sf_dir, "events")
+        s = ev.filter(F.col("event_type") == "signup").alias("s")
+        p = ev.filter(F.col("event_type") == "purchase").alias("p")
+        batch = (
+            s.join(
+                p,
+                (F.col("s.user_id") == F.col("p.user_id"))
+                & (
+                    F.col("p.ts").between(
+                        F.expr("s.ts - INTERVAL 30 MINUTES"),
+                        F.expr("s.ts + INTERVAL 30 MINUTES"),
+                    )
+                ),
+                "left_semi",
+            )
+            .select(
+                F.col("user_id"), F.col("event_id").alias("l_id")
+            )
+            .toPandas()
+        )
+        got = set(zip(out["user_id"], out["l_id"]))
+        want = set(zip(batch["user_id"], batch["l_id"]))
+        assert got == want
+
+    def test_tolerance_join_rejects_unknown_how(self, spark):
+        from pandasy_spark.streaming import stream_stream_tolerance_join
+
+        df = spark.createDataFrame([(1,)], "user_id long")
+        with pytest.raises(ValueError):
+            stream_stream_tolerance_join(
+                df, df, ["user_id"], "a", "b", 10, how="full_outer"
+            )
