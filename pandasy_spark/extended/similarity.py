@@ -1426,7 +1426,10 @@ def random_projection(
     Output: the input columns plus ``out_col`` (array<bigint>,
     length ``out_dim``).  A NULL vector projects to an array of NULL
     components (NULL-in, NULL-out per component — filter unscored
-    rows first if downstream indexes can't carry NULLs).
+    rows first if downstream indexes can't carry NULLs); an EMPTY
+    vector projects to exact zeros (the mathematically correct empty
+    sum, guarded explicitly because ``sequence(0, -1)`` would
+    otherwise NULL-pad the zip).
     """
     if out_dim < 1:
         raise ValueError("out_dim must be >= 1")
@@ -1445,15 +1448,24 @@ def random_projection(
         # from the signature, so a bound default arg would miscount
         return lambda x, i: x * _minstd_sign_long(i, p)
 
+    # empty (non-NULL) vectors project to exactly 0 per component; the
+    # guard matters because sequence(0, size-1) on an empty array is
+    # sequence(0, -1) = [0, -1] (auto-descending), which would NULL-pad
+    # the zip and silently emit NULL components.  NULL vectors stay
+    # NULL (no well-defined projection).
     comps = [
-        F.aggregate(
-            F.zip_with(
-                F.col("__g"),
-                F.sequence(F.lit(0), F.size(F.col("__g")) - 1),
-                _signed_term(seed * 1_000_003 + j),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        F.when(F.col("__g").isNull(), F.lit(None).cast("long"))
+        .when(F.size(F.col("__g")) == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__g"),
+                    F.sequence(F.lit(0), F.size(F.col("__g")) - 1),
+                    _signed_term(seed * 1_000_003 + j),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
         )
         for j in range(out_dim)
     ]

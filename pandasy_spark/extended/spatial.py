@@ -211,14 +211,30 @@ def dbscan(
     Output: ``(id, role, cluster)`` — role in {'core','border',
     'noise'}, cluster BIGINT (NULL for noise).
 
-    Contract: ids must be unique (a duplicated id double-counts its
-    neighborhoods); a row with a NULL coordinate joins no eps-cell
-    and classifies as noise (it has no well-defined neighborhood).
+    Contract: ids must be unique and INTEGRAL (the components loop
+    runs on the long lattice — dense-rank string ids first; enforced
+    with a TypeError at plan build); a row with a NULL coordinate has
+    no well-defined neighborhood and classifies as noise at any
+    ``min_pts`` (never core, even at min_pts=1).
     """
+    from pyspark.sql import types as T
+
     from .dedup import connected_components
 
     if min_pts < 1:
         raise ValueError("min_pts must be >= 1")
+    idt = points.schema[id_col].dataType
+    if not isinstance(
+        idt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        # the components loop casts node ids to long (dedup.py
+        # connected_components): a string id would silently NULL out
+        # every core-core edge (non-ANSI) or throw mid-job (ANSI) —
+        # fail loudly at plan build instead
+        raise TypeError(
+            f"dbscan: column {id_col!r} has type {idt.simpleString()}; "
+            "expected integral ids (dense-rank string ids first)"
+        )
     pts = points.select(
         F.col(id_col).alias("__id"),
         F.col(x_col).cast("long").alias("x"),
@@ -240,23 +256,22 @@ def dbscan(
     ).select(
         "__id",
         (
-            F.coalesce(F.col("__nn"), F.lit(0)) + F.lit(1) >= F.lit(min_pts)
+            # a NULL coordinate has no well-defined neighborhood: it
+            # can never be core (even at min_pts=1) — it joins no
+            # eps-cell, so with no core neighbors either it lands in
+            # the noise branch, as documented
+            pts["x"].isNotNull()
+            & pts["y"].isNotNull()
+            & (
+                F.coalesce(F.col("__nn"), F.lit(0)) + F.lit(1)
+                >= F.lit(min_pts)
+            )
         ).alias("__core"),
     )
     cores = flagged.filter("__core").select("__id")
     core_edges = (
-        pairs.join(
-            cores.withColumnRenamed("__id", "id1").withColumn(
-                "__c1", F.lit(1)
-            ),
-            "id1",
-        )
-        .join(
-            cores.withColumnRenamed("__id", "id2").withColumn(
-                "__c2", F.lit(1)
-            ),
-            "id2",
-        )
+        pairs.join(cores.withColumnRenamed("__id", "id1"), "id1")
+        .join(cores.withColumnRenamed("__id", "id2"), "id2")
         .select("id1", "id2")
     )
     comp = connected_components(core_edges, "id1", "id2")

@@ -1107,7 +1107,8 @@ def text_stats(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id, score_en, score_de, score_fr, score_es,
-           CASE WHEN GREATEST(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+           CASE WHEN score_en IS NULL THEN NULL
+                WHEN GREATEST(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
                 WHEN score_en = GREATEST(score_en, score_de, score_fr, score_es) THEN 'en'
                 WHEN score_de = GREATEST(score_en, score_de, score_fr, score_es) THEN 'de'
                 WHEN score_fr = GREATEST(score_en, score_de, score_fr, score_es) THEN 'fr'
@@ -16676,7 +16677,9 @@ def expr_variant(spark, sf_dir):
         "event_type", F.parse_json(F.col("props")).alias("__v")
     ).select(
         "event_type",
-        F.try_variant_get(F.col("__v"), "$.k", "long").alias("__k"),
+        # typed (throwing) extraction for the present path, try_ for
+        # the absent one — the two extraction contracts side by side
+        F.variant_get(F.col("__v"), "$.k", "long").alias("__k"),
         F.try_variant_get(F.col("__v"), "$.missing", "long").alias("__m"),
     )
     return v.groupBy("event_type").agg(
@@ -16850,7 +16853,8 @@ def sql_udf(spark, sf_dir):
       FROM documents
     ), pred AS (
       SELECT doc_id,
-           CASE WHEN GREATEST(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+           CASE WHEN score_en IS NULL THEN NULL
+                WHEN GREATEST(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
                 WHEN score_en = GREATEST(score_en, score_de, score_fr, score_es) THEN 'en'
                 WHEN score_de = GREATEST(score_en, score_de, score_fr, score_es) THEN 'de'
                 WHEN score_fr = GREATEST(score_en, score_de, score_fr, score_es) THEN 'fr'

@@ -478,3 +478,98 @@ class TestStreamingSemiJoin:
             stream_stream_tolerance_join(
                 df, df, ["user_id"], "a", "b", 10, how="full_outer"
             )
+
+
+class TestReviewFixes:
+    """Round-9 session-3 code-review findings, each with a pinned fix."""
+
+    def test_dbscan_rejects_string_ids(self, spark):
+        from pandasy_spark.extended.spatial import dbscan
+
+        df = spark.createDataFrame(
+            [("a", 0, 0)], "id string, x long, y long"
+        )
+        with pytest.raises(TypeError, match="integral ids"):
+            dbscan(df, eps=2, min_pts=1)
+
+    def test_dbscan_null_coord_is_noise_even_at_min_pts_1(self, spark):
+        from pandasy_spark.extended.spatial import dbscan
+
+        df = spark.createDataFrame(
+            [(1, 0, 0), (2, None, None)], "id long, x long, y long"
+        )
+        got = {
+            r.id: (r.role, r.cluster)
+            for r in dbscan(df, eps=2, min_pts=1).collect()
+        }
+        assert got[1] == ("core", 1)
+        assert got[2] == ("noise", None)
+
+    def test_rp_empty_vector_projects_to_zeros(self, spark):
+        from pandasy_spark.extended.similarity import random_projection
+
+        df = spark.createDataFrame(
+            [(1, [0.1, 0.2]), (2, []), (3, None)],
+            "id long, v array<double>",
+        )
+        got = {
+            r.id: (list(r.proj) if r.proj is not None else None)
+            for r in random_projection(df, vec_col="v", out_dim=3).collect()
+        }
+        assert got[2] == [0, 0, 0]          # empty: exact zero sums
+        assert got[3] == [None, None, None]  # NULL: no projection
+        assert all(v is not None for v in got[1])
+
+    def test_langid_null_text_matches_oracle(self, spark):
+        # the oracle CASE used to fall through to 'es' for NULL text
+        # while Spark's lang_id yields NULL — parity pinned on a
+        # crafted NULL-text corpus through BOTH engines
+        import duckdb
+        import pandas as pd
+
+        from pandasy_spark.extended.ml import confusion_multiclass
+        from pandasy_spark.extended.text import lang_id
+        from pandasy_spark.workload import ORACLES
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["the cat and the dog of a", None, "der und das ist"],
+                "lang": ["en", "en", "de"],
+                "source": ["s", "s", "s"],
+                "n_chars": [24, 0, 15],
+            }
+        )
+        sdf = spark.createDataFrame(pdf)
+        got = (
+            confusion_multiclass(
+                sdf.select(
+                    F.col("lang").alias("label"),
+                    lang_id(F.col("text")).alias("pred"),
+                ),
+                "label",
+                "pred",
+            )
+            .toPandas()
+            .sort_values("class", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = (
+            con.execute(ORACLES["ml_confusion"])
+            .df()
+            .sort_values("class", ignore_index=True)
+        )
+        for c in ("class", "n_true", "n_pred", "tp"):
+            assert list(got[c]) == list(want[c]), c
+
+    def test_variant_get_typed_path(self, spark):
+        # the present path uses the TYPED (throwing) variant_get
+        df = spark.createDataFrame([('{"k": 7}',)], "props string")
+        row = df.select(
+            F.variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+            F.try_variant_get(
+                F.parse_json("props"), "$.missing", "long"
+            ).alias("m"),
+        ).collect()[0]
+        assert row.k == 7 and row.m is None
