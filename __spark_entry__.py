@@ -256,66 +256,76 @@ _WITNESSED_R8 = set(_R6_NEW[100:]) | {
     "events_hopping", "events_range_window", "events_session_window",
 }
 
-# Round-9 front, per VERDICT r8 item #1 plus this round's changes:
-#   (a) the 5 late-r8 registrations deferred past the r8 window
-#       (never driver-witnessed; ml_auc/ml_calibration/
-#       profile_fingerprint also carry this round's advisory fixes),
-#   (b) the 6 quantile-consumer gates whose r8 prefix-scan rewrite
-#       post-dates their r6/r7 witness (the ROADMAP omission the r8
-#       verdict flagged),
-#   (c) the 5 gates whose plans changed THIS round with the
-#       ordered_prefix_scan shave (input pin + no shuffle checkpoint):
-#       profile_ks / profile_mannwhitney / events_concurrency /
-#       events_survival (scan consumers witnessed r7/r8) and
-#       pareto_frontier (skyline_2d consumer, witnessed r7),
-#   (d) the 24 remaining stale _WITNESSED_R1R2 names.
-# 40 names; new-query registrations + _WITNESSED_R3 fill the rest of
-# the driver's 50-row recording window.
-_R9_FRONT: list[str] = [
-    "sample_token_budget", "sample_dsir", "profile_fingerprint",
-    "ml_auc", "ml_calibration",
-    "agg_quantile_cont", "agg_weighted_median", "profile_key_skew",
-    "agg_median_twopass", "events_interarrival", "text_length_quantiles",
-    "profile_ks", "profile_mannwhitney", "events_concurrency",
-    "events_survival", "pareto_frontier",
-    # (e) changed this round: int64-overflow fix in the gini milli
-    #     expression (manifested at sf0.1, witnessed r7 at sf0.01),
-    #     and NULL-level fixes in chi_square (null-safe marginal
-    #     joins + struct-wrapped distinct level counts) consumed by
-    #     the chisq/cramers gates (witnessed r6/r7; NULL-free gate
-    #     columns, values unchanged — plan changed)
-    "profile_gini", "profile_chisq", "profile_cramers",
+# CORRECTNESS_r09 recorded these 50 rows (all green, witnessed
+# post-final-commit at 11:02 vs last commit 10:30): the 18-name
+# _R9_FRONT + the 24 remaining stale r1/r2 re-witnesses + 4 new r9
+# gates + agg_approx/array_functions/correlated_min from R3.  The
+# r1/r2 tier is now FULLY drained; cumulative ever-witnessed 327/342.
+_WITNESSED_R9 = {
+    "agg_approx", "agg_median_twopass", "agg_quantile_cont",
+    "agg_quantile_multi", "agg_weighted_median", "array_functions",
+    "correlated_min", "events_concurrency", "events_interarrival",
+    "events_survival", "expr_null_safe_eq", "knn_quantized",
+    "layout_zorder", "ml_auc", "ml_calibration", "ml_pr_auc",
+    "pack_chunks", "pack_greedy", "pareto_frontier",
+    "pipeline_pretraining", "pivot_status_by_priority",
+    "profile_chisq", "profile_cramers", "profile_fingerprint",
+    "profile_gini", "profile_histogram", "profile_key_skew",
+    "profile_ks", "profile_lineitem", "profile_mannwhitney",
+    "profile_mutual_info", "q13_customer_distribution",
+    "q4_order_priority", "sample_curriculum", "sample_domain_cap",
+    "sample_dsir", "sample_interleave", "sample_mixture",
+    "sample_split", "sample_stratified", "sample_token_budget",
+    "streaming_dedup_rocksdb", "text_bpe_pairs",
+    "text_length_quantiles", "text_lm_score", "text_pii",
+    "text_quality_filter", "text_repetition", "text_tficf",
+    "window_distribution",
+}
+
+# Round-10 front (exactly 19 explicit names; 31 stale _WITNESSED_R3
+# names fill the rest of the driver's 50-row recording window):
+#   (a) the 15 late-r9 registrations deferred past the r9 window
+#       (never driver-witnessed; each independently verified at
+#       sf0.01 + sf0.001 in round 9 and re-verified by the r9 judge),
+#   (b) text_langid — its oracle CASE changed after its r5 witness
+#       (NULL-text fall-through fix, value-neutral, re-verified at
+#       both driver scales),
+#   (c) knn_lsh / knn_beam / dedup_embedding — their plans changed
+#       THIS round with the MINSTD pmod fix (ADVICE r9 item 2:
+#       negative-seed sign parity; seeds used by the gates are
+#       non-negative so values are byte-identical — re-verified MATCH
+#       at sf0.01 + sf0.001 this round).  embedding_rp, the fourth
+#       pmod consumer, is already fronted in (a).
+_R10_FRONT: list[str] = [
+    "ml_ndcg", "ml_gains", "ml_regression", "graph_modularity",
+    "profile_anova", "ml_kappa",
+    "expr_variant", "sql_pipe", "expr_collation", "sql_udf",
+    "ml_confusion", "source_xml",
+    "spatial_dbscan", "embedding_rp",
+    "streaming_semi_join",
+    "text_langid",
+    "knn_lsh", "knn_beam", "dedup_embedding",
 ]
 
 _TIERS_STALEST_FIRST = (
     _WITNESSED_R1R2, _WITNESSED_R3, _WITNESSED_R4, _WITNESSED_R5,
-    _WITNESSED_R6, _WITNESSED_R7, _WITNESSED_R8,
+    _WITNESSED_R6, _WITNESSED_R7, _WITNESSED_R8, _WITNESSED_R9,
 )
 _CHECKED_UNION = frozenset().union(*_TIERS_STALEST_FIRST)
 
-# Registered late in round 9 and DEFERRED past the witness window so
-# the r9 window keeps its planned shape (5 deferred + changed gates +
-# stale r1/r2 re-witnesses) — same mechanism as r8's _R9_DEFER.
-# These four lead the ROUND-10 front.
-_R10_DEFER: list[str] = [
-    "ml_ndcg", "ml_gains", "ml_regression", "graph_modularity",
-    "profile_anova", "ml_kappa",
-    # session-3 batch: Spark-4-native SQL surfaces + multiclass eval
-    "expr_variant", "sql_pipe", "expr_collation", "sql_udf",
-    "ml_confusion", "source_xml",
-    # session-3 batch 2: density clustering + JL projection
-    "spatial_dbscan", "embedding_rp",
-    # session-3 batch 3: stream-stream left-semi join
-    "streaming_semi_join",
-]
+# Registered late in round 10 and DEFERRED past the witness window so
+# the r10 window keeps its planned shape — same mechanism as r9's
+# _R10_DEFER.  These lead the ROUND-11 front, before the 15 spilled
+# stale _WITNESSED_R3 names and the _WITNESSED_R4 tier.
+_R11_DEFER: list[str] = []
 
 
 def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    front = {k: QUERIES[k] for k in _R9_FRONT if k in QUERIES}
+    front = {k: QUERIES[k] for k in _R10_FRONT if k in QUERIES}
     unproven = {
         k: v for k, v in QUERIES.items()
         if k not in _CHECKED_UNION and k not in front
-        and k not in _R10_DEFER
+        and k not in _R11_DEFER
     }
     # a name may sit in several tiers (re-witnessed later): its
     # effective tier is the LATEST round that recorded it
@@ -328,7 +338,7 @@ def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if k in QUERIES and k not in seen and k not in later:
                 by_staleness[k] = QUERIES[k]
                 seen.add(k)
-    deferred = {k: QUERIES[k] for k in _R10_DEFER if k in QUERIES}
+    deferred = {k: QUERIES[k] for k in _R11_DEFER if k in QUERIES}
     return {**front, **unproven, **by_staleness, **deferred}
 
 

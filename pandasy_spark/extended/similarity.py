@@ -212,9 +212,15 @@ def _minstd_sign(i: Column, seed: int) -> Column:
 
     Two MINSTD rounds over a linear mix; every intermediate stays well
     inside int64 (max ~2^47), so it is safe under ANSI overflow checks
-    and expressible verbatim in DuckDB SQL."""
-    x0 = (i.cast("long") * F.lit(1103515245) + F.lit(seed * 12345 + 12345)) % F.lit(
-        _MINSTD_MOD
+    and expressible verbatim in DuckDB SQL.  The first reduction uses
+    ``pmod`` so a negative seed (which makes the linear mix negative —
+    Spark's ``%`` returns negative remainders there) still lands in
+    [0, MOD): sign parity then holds for ALL integer seeds against any
+    non-negative-modulo restatement; for non-negative mixes pmod ≡ %,
+    so existing seeds produce byte-identical signs."""
+    x0 = F.pmod(
+        i.cast("long") * F.lit(1103515245) + F.lit(seed * 12345 + 12345),
+        F.lit(_MINSTD_MOD),
     )
     x1 = (x0 * F.lit(_MINSTD_MUL)) % F.lit(_MINSTD_MOD)
     x2 = (x1 * F.lit(_MINSTD_MUL)) % F.lit(_MINSTD_MOD)
@@ -1383,10 +1389,16 @@ def beam_topk(
 def _minstd_sign_long(i: Column, seed: int) -> Column:
     """Integer twin of :func:`_minstd_sign`: deterministic ±1 BIGINT
     for (dimension i, seed) — same two-round MINSTD mix, kept integral
-    so sign-projected sums stay on the exact int64 lattice."""
-    x0 = (
-        i.cast("long") * F.lit(1103515245) + F.lit(seed * 12345 + 12345)
-    ) % F.lit(_MINSTD_MOD)
+    so sign-projected sums stay on the exact int64 lattice.  First
+    reduction via ``pmod``: a negative seed makes the linear mix
+    negative and Spark's ``%`` would return a negative remainder,
+    collapsing every sign to -1 against a non-negative-modulo oracle
+    restatement (round-9 advisory); pmod ≡ % for non-negative mixes,
+    so seeds >= 0 (all gates) are byte-identical."""
+    x0 = F.pmod(
+        i.cast("long") * F.lit(1103515245) + F.lit(seed * 12345 + 12345),
+        F.lit(_MINSTD_MOD),
+    )
     x1 = (x0 * F.lit(_MINSTD_MUL)) % F.lit(_MINSTD_MOD)
     x2 = (x1 * F.lit(_MINSTD_MUL)) % F.lit(_MINSTD_MOD)
     return F.when(x2 % 2 == 1, F.lit(1)).otherwise(F.lit(-1)).cast("long")
