@@ -317,7 +317,18 @@ _CHECKED_UNION = frozenset().union(*_TIERS_STALEST_FIRST)
 # the r10 window keeps its planned shape — same mechanism as r9's
 # _R10_DEFER.  These lead the ROUND-11 front, before the 15 spilled
 # stale _WITNESSED_R3 names and the _WITNESSED_R4 tier.
-_R11_DEFER: list[str] = []
+_R11_DEFER: list[str] = [
+    # round-10 batch 1: bidirectional stream-stream finalization
+    # (closes VERDICT r9 gap #3)
+    "streaming_full_outer_join",
+    # round-10 batch 2: Spark-4 dynamic-SQL + sugar surfaces
+    "sql_exec_immediate", "sql_group_by_all",
+    # round-10 batch 3: exact eval metrics (MCC, Brier)
+    "ml_mcc", "ml_brier",
+    # round-10 batch 4: OHLC bars, Tukey fences, deterministic
+    # mixture upsampling
+    "events_ohlc", "profile_tukey", "sample_poisson_upsample",
+]
 
 
 def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -861,3 +861,127 @@ def confusion_multiclass(
             ),
         ).alias("f1_micro"),
     )
+
+
+def mcc_binary(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
+    """Matthews correlation coefficient for a binary screen — the
+    single-number confusion summary that, unlike accuracy or F1, is
+    symmetric in classes and honest under imbalance (a filter that
+    passes everything scores 0, not its base rate).  Same input
+    contract as :func:`binary_metrics`: boolean or integral 0/1
+    columns only (float scores must be thresholded explicitly,
+    strings rejected up front), NULL in either column excludes the
+    row.
+
+    The confusion counts and the numerator ``tp·tn − fp·fn`` stay on
+    the exact BIGINT lattice (exact while each count < ~3 × 10⁹ —
+    every corpus here and any realistic per-shard eval).  Only the
+    closing denominator leaves it: ``sqrt`` of the four marginal
+    products evaluated in DOUBLE with a fixed left-to-right
+    association, so the oracle restating the identical expression
+    gets the identical IEEE result, and the ×1e6 snap happens after.
+    ``mcc_micro`` is NULL when any marginal is zero (MCC undefined —
+    a degenerate screen has no correlation to report, and 0 would
+    misread as "measured uncorrelated").  Scale: one scan, four
+    conditional counts, no shuffle beyond the 1-row aggregate."""
+    from pyspark.sql import types as _T
+
+    def _as_bool(name: str) -> Column:
+        dt = df.schema[name].dataType
+        if isinstance(dt, _T.BooleanType):
+            return F.col(name)
+        if isinstance(
+            dt, (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)
+        ):
+            return F.when(F.col(name).isNotNull(), F.col(name) != 0)
+        raise TypeError(
+            f"mcc_binary: column {name!r} has type {dt.simpleString()};"
+            " expected boolean or integral 0/1"
+        )
+
+    lbl, prd = _as_bool(label_col), _as_bool(pred_col)
+    base = df.filter(lbl.isNotNull() & prd.isNotNull())
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    agg = base.agg(
+        cnt(lbl & prd).alias("tp"),
+        cnt(~lbl & prd).alias("fp"),
+        cnt(lbl & ~prd).alias("fn"),
+        cnt(~lbl & ~prd).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    num = (tp * tn - fp * fn).cast("long")
+    den = F.sqrt(
+        (tp + fp).cast("double")
+        * (tp + fn).cast("double")
+        * (tn + fp).cast("double")
+        * (tn + fn).cast("double")
+    )
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        num.alias("mcc_num"),
+        F.when(
+            (tp + fp > 0) & (tp + fn > 0) & (tn + fp > 0) & (tn + fn > 0),
+            F.floor(
+                F.lit(1000000.0) * num.cast("double") / den + F.lit(0.5)
+            ).cast("long"),
+        ).alias("mcc_micro"),
+    )
+
+
+def brier_score(
+    df: DataFrame,
+    score_col: str,
+    is_positive: Column,
+    decimals: int = 4,
+) -> DataFrame:
+    """EXACT Brier score — mean squared error of a probability score
+    against the binary outcome, the calibration-sensitive companion
+    to :func:`auc_exact` (AUC only ranks; Brier also punishes
+    systematic over/under-confidence, which is what
+    :func:`calibration_bins` shows per-bin and this folds to one
+    number).
+
+    Everything stays on the integer lattice: scores snap to the
+    ``decimals`` grid (same [0, 9] guard as the rest of the eval
+    family), the squared error per row is ``(v − g·o)²`` with
+    ``g = 10^decimals`` — an exact BIGINT ≤ g² per row — and ONE
+    map-combined aggregate folds count and error sum.  The single
+    division happens in DECIMAL(38,0) (the error sum × 1e6 can pass
+    int64 once n·g² approaches 9 × 10¹²-scale products), positive
+    operands, so floor division is engine-portable.
+
+    NULL and NaN scores are EXCLUDED (unscored rows have no
+    calibration information); a NULL ``is_positive`` counts as
+    NEGATIVE (WHEN/OTHERWISE, matching the SQL oracle) — pre-filter
+    unlabeled rows if that is not the intent.
+
+    Output: one row ``(n, n_pos, sse_grid, brier_micro)`` —
+    ``sse_grid`` the exact grid-unit error sum, ``brier_micro`` the
+    Brier score × 1e6, floored BIGINT in [0, 1e6]."""
+    _check_grid_decimals(decimals)
+    p = float(10**decimals)
+    g2 = 10 ** (2 * decimals)
+    sc = F.col(score_col)
+    keep = sc.isNotNull()
+    if isinstance(df.schema[score_col].dataType, (T.FloatType, T.DoubleType)):
+        keep = keep & ~F.isnan(sc)
+    staged = df.filter(keep).select(
+        F.floor(sc * p + F.lit(0.5)).cast("long").alias("__v"),
+        F.when(is_positive, 1).otherwise(0).cast("long").alias("__pos"),
+    )
+    err = F.col("__v") - F.lit(int(p)) * F.col("__pos")
+    agg = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.sum(err * err).cast("long").alias("sse_grid"),
+    )
+    return agg.select(
+        "n", "n_pos", "sse_grid",
+        F.when(
+            F.col("n") > 0,
+            F.expr(
+                f"CAST((CAST(sse_grid AS DECIMAL(38,0)) * 1000000)"
+                f" DIV (CAST(n AS DECIMAL(38,0)) * {g2}) AS BIGINT)"
+            ),
+        ).alias("brier_micro"),
+    )

@@ -190,17 +190,23 @@ def stream_stream_tolerance_join(
     tolerance+watermark horizon — without them a stream-stream join
     buffers forever.
 
-    ``how`` may be ``inner``, ``left_outer`` or ``left_semi``: outer
-    stream-stream joins are legal exactly because the time-interval
-    condition plus watermarks bound how long an unmatched left row
-    must wait before the engine can emit it with NULL right columns
-    (state eviction == result finalization).  ``left_semi`` emits
-    each matched left row ONCE (on first match) and unmatched rows
-    never — the streaming "has a conversion within the window"
+    ``how`` may be ``inner``, ``left_outer``, ``right_outer``,
+    ``full_outer`` or ``left_semi``: outer stream-stream joins are
+    legal exactly because the time-interval condition plus watermarks
+    bound how long an unmatched row must wait before the engine can
+    emit it NULL-padded (state eviction == result finalization) —
+    ``right_outer`` NULL-pads the left side of unmatched right rows,
+    ``full_outer`` NULL-pads both directions, each row finalizing when
+    ITS side's watermark passes its interval horizon.  ``left_semi``
+    emits each matched left row ONCE (on first match) and unmatched
+    rows never — the streaming "has a conversion within the window"
     screen, with the same bounded state as inner."""
-    if how not in ("inner", "left_outer", "left_semi"):
+    if how not in (
+        "inner", "left_outer", "right_outer", "full_outer", "left_semi"
+    ):
         raise ValueError(
-            "stream_stream_tolerance_join supports inner|left_outer|left_semi"
+            "stream_stream_tolerance_join supports "
+            "inner|left_outer|right_outer|full_outer|left_semi"
         )
     lw = left.withWatermark(left_time, watermark)
     rw = right.withWatermark(right_time, watermark)

@@ -17160,3 +17160,562 @@ def streaming_semi_join(spark, sf_dir):
     q = run_stream_to_memory(joined, name, output_mode="append")
     q.stop()
     return spark.table(name)
+
+
+@query(
+    "streaming_full_outer_join",
+    """
+    WITH ev AS (
+      SELECT * FROM events ORDER BY event_id LIMIT 20000
+    ), err AS (
+      SELECT user_id, event_id AS err_id, ts AS err_ts
+      FROM ev WHERE event_type = 'error'
+    ), buy AS (
+      SELECT user_id, event_id AS buy_id, ts AS buy_ts
+      FROM ev WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT e.err_id, b.buy_id
+      FROM err e JOIN buy b
+        ON b.user_id = e.user_id
+       AND b.buy_ts BETWEEN e.err_ts - INTERVAL 600 SECONDS
+                        AND e.err_ts + INTERVAL 600 SECONDS
+    ), null_left AS (
+      SELECT e.err_id, CAST(NULL AS BIGINT) AS buy_id
+      FROM err e
+      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.err_id = e.err_id)
+    ), null_right AS (
+      SELECT CAST(NULL AS BIGINT) AS err_id, b.buy_id
+      FROM buy b
+      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.buy_id = b.buy_id)
+    )
+    SELECT err_id, buy_id FROM m
+    UNION ALL
+    SELECT err_id, buy_id FROM null_left
+    UNION ALL
+    SELECT err_id, buy_id FROM null_right
+    """,
+)
+def streaming_full_outer_join(spark, sf_dir):
+    """Stream-stream FULL OUTER tolerance join (closes the r9 verdict
+    gap: ops.py supported inner|left_outer|left_semi): errors with no
+    same-user purchase within ±10 min emit with NULL buy columns AND
+    purchases with no same-user error emit with NULL err columns, each
+    side finalizing when ITS watermark passes the row's interval
+    horizon — the bidirectional variant of streaming_outer_join, same
+    bounded state (watermark + tolerance horizon per side, state
+    eviction == result finalization).  The staged replay is
+    [events, sentinel, sentinel]: each sentinel batch carries one
+    far-future 'error' AND one 'purchase' (a sentinel only advances a
+    side's watermark if it passes that side's event_type filter; ids
+    < 0 so sentinels filter out of the drained result, 2000 s apart so
+    they cannot match each other), the first advancing both
+    watermarks past every real event and the second making them
+    active so the engine flushes ALL remaining unmatched state on
+    BOTH sides.  With full finalization forced, the drained stream
+    equals the batch FULL OUTER join the oracle states as
+    matched ∪ unmatched-left ∪ unmatched-right."""
+    import pandas as pd  # noqa: F811 — gate-local, mirrors sibling gates
+
+    from .streaming import staged_file_stream
+    from .streaming.ops import (
+        run_stream_to_memory,
+        stream_stream_tolerance_join,
+    )
+
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_full_outer_gate_{_STREAM_GATE_SEQ[0]}"
+    # bounded staging: 20k-row cap, same class as streaming_outer_join
+    # (driver-scale sf0.01 events is 10k rows; the cap only guards
+    # accidental sf0.1+ use of the staged replay)
+    ev_pdf = (
+        _t(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(20_000)
+        .select("event_id", "ts", "user_id", "event_type")
+        .toPandas()
+    )
+
+    def _sentinels(day_offset, base_id):
+        sp = ev_pdf.head(2).copy().reset_index(drop=True)
+        sp["user_id"] = -1
+        sp["event_id"] = [base_id, base_id - 1]
+        sp["event_type"] = ["error", "purchase"]
+        sp["ts"] = [
+            ev_pdf["ts"].max() + pd.Timedelta(days=day_offset),
+            ev_pdf["ts"].max()
+            + pd.Timedelta(days=day_offset, seconds=2000),
+        ]
+        return sp
+
+    stream = staged_file_stream(
+        spark, [ev_pdf, _sentinels(30, -1), _sentinels(31, -3)]
+    )
+    sl = stream.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    sr = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+    )
+    joined = stream_stream_tolerance_join(
+        sl, sr, on=["user_id"], left_time="err_ts", right_time="buy_ts",
+        tolerance_seconds=600, watermark="0 seconds", how="full_outer",
+    ).select("err_id", "buy_id")
+    q = run_stream_to_memory(joined, name, output_mode="append")
+    q.stop()
+    # keep NULL-padded rows from BOTH directions; drop only sentinel
+    # rows (negative ids on whichever side is present)
+    return spark.table(name).filter(
+        (F.col("err_id").isNull() | (F.col("err_id") >= 0))
+        & (F.col("buy_id").isNull() | (F.col("buy_id") >= 0))
+    ).select(
+        F.col("err_id").cast("long").alias("err_id"),
+        F.col("buy_id").cast("long").alias("buy_id"),
+    )
+
+
+@query(
+    "sql_exec_immediate",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount >= 0.05
+    GROUP BY l_returnflag
+    """,
+)
+def sql_exec_immediate(spark, sf_dir):
+    """Spark 4 session variables + EXECUTE IMMEDIATE: the dynamic-SQL
+    surface (DECLARE / SET VARIABLE, then a query TEXT held in a
+    variable executed with named USING parameters) — what a catalog-
+    driven pipeline uses to run generated SQL without string-splicing
+    literals (parameters bind as typed values, so no quoting bugs and
+    the cached plan is reusable across parameter values; at 100 TB
+    the bound-parameter predicate still pushes into the parquet scan
+    exactly like an inline literal).  The gate binds a timestamp
+    cutoff and a discount floor through USING; the oracle inlines the
+    same literals — matching hashes prove parameter binding is pure
+    plumbing, not new semantics."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE ship_cutoff TIMESTAMP"
+        " DEFAULT TIMESTAMP '1995-01-01 00:00:00'"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE disc_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE disc_floor = 0.05")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE revenue_q STRING DEFAULT "
+        "'SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 "
+        "+ 0.5) AS BIGINT)) AS BIGINT) AS rev_cents "
+        "FROM lineitem "
+        "WHERE l_shipdate >= :cutoff AND l_discount >= :floor "
+        "GROUP BY l_returnflag'"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE revenue_q"
+        " USING ship_cutoff AS cutoff, disc_floor AS floor"
+    )
+
+
+@query(
+    "sql_group_by_all",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def sql_group_by_all(spark, sf_dir):
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (Spark 4, also DuckDB
+    dialect): every non-aggregate select item becomes a grouping key
+    without restating the list — the generated-SQL ergonomics surface
+    (templated reports add a dimension column in ONE place; a drifted
+    GROUP BY list is a silent correctness bug this removes).  Catalyst
+    expands ALL during resolution, so the optimized plan — partial
+    aggregate, exchange on the expanded keys, final aggregate — is
+    byte-identical to the explicit form the oracle states; ORDER BY
+    ALL is likewise sugar over the full select list (the driver
+    compare sorts anyway; it rides along to witness the parse)."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+_QUALITY_CTE = r"""
+    WITH s AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonws,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_len
+      FROM documents
+    ), q AS (
+      SELECT lang,
+             0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (CASE WHEN COALESCE(CASE WHEN n_tokens > 0
+                         THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) >= 2.0
+                       AND COALESCE(CASE WHEN n_tokens > 0
+                         THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) <= 12.0
+                      THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (1.0 - LEAST((CASE WHEN n_len > 0
+                         THEN CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE)
+                         ELSE 0.0 END) * 5.0, 1.0)) AS qraw
+      FROM s
+    ), g AS (
+      SELECT CAST(FLOOR(FLOOR(qraw * 10000 + 0.5) / 10000 * 10000 + 0.5)
+                  AS BIGINT) AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM q
+    )
+"""
+
+
+@query(
+    "ml_mcc",
+    _QUALITY_CTE
+    + """
+    , c AS (
+      SELECT CAST(SUM(CASE WHEN pos = 1 AND v >= 8200 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN pos = 0 AND v >= 8200 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN pos = 1 AND v < 8200 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN pos = 0 AND v < 8200 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM g
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(tp * tn - fp * fn AS BIGINT) AS mcc_num,
+           CASE WHEN tp + fp > 0 AND tp + fn > 0
+                 AND tn + fp > 0 AND tn + fn > 0 THEN
+             CAST(FLOOR(1000000.0 * CAST(tp * tn - fp * fn AS DOUBLE)
+                  / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                         * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))
+                  + 0.5) AS BIGINT)
+           END AS mcc_micro
+    FROM c
+    """,
+)
+def ml_mcc(spark, sf_dir):
+    """Matthews correlation (extended/ml.py mcc_binary) of the
+    quality-threshold screen against the English label: confusion
+    counts and the numerator on the exact BIGINT lattice, one DOUBLE
+    sqrt at the close with a fixed association order so the oracle's
+    identical expression yields the identical IEEE double before the
+    ×1e6 snap.  The threshold compares on the integer quality grid
+    (``floor(q·1e4 + 0.5) >= 8200``) — never a raw double literal
+    against a snapped double — so the split is engine-exact."""
+    from .extended.ml import mcc_binary
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = X_text.with_text_stats(docs).select(
+        (F.col("lang") == "en").alias("label"),
+        (
+            F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long")
+            >= 8200
+        ).alias("pred"),
+    )
+    return mcc_binary(scored, "label", "pred")
+
+
+@query(
+    "ml_brier",
+    _QUALITY_CTE
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM((v - 10000 * pos) * (v - 10000 * pos)) AS BIGINT)
+             AS sse_grid,
+           CAST((CAST(SUM((v - 10000 * pos) * (v - 10000 * pos))
+                      AS HUGEINT) * 1000000)
+                // (CAST(COUNT(*) AS HUGEINT) * 100000000) AS BIGINT)
+             AS brier_micro
+    FROM g
+    """,
+)
+def ml_brier(spark, sf_dir):
+    """EXACT Brier score (extended/ml.py brier_score) of the quality
+    heuristic read as P(English): the calibration-sensitive scalar
+    companion to ml_auc (which only ranks) and ml_calibration (which
+    bins) — squared error per row on the 1e4 score grid, one
+    map-combined BIGINT aggregate, a single DECIMAL(38,0) floor
+    division at the close.  The oracle rebuilds the quality score,
+    the grid snap, and the integer division."""
+    from .extended.ml import brier_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = X_text.with_text_stats(docs)
+    return brier_score(
+        scored, "quality", F.col("lang") == "en", decimals=4
+    )
+
+
+@query(
+    "events_ohlc",
+    """
+    WITH e AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             ts, event_id
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), w AS (
+      SELECT event_type, day, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+             AS open_cents,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+             AS close_cents
+    FROM w
+    GROUP BY event_type, day
+    """,
+)
+def events_ohlc(spark, sf_dir):
+    """Daily OHLC (open/high/low/close) bars per event type — the
+    time-bucketed first/last/extremes rollup every metering or
+    market-data pipeline runs.  open/close use ``min_by``/``max_by``
+    with a STRUCT ordering key ``(ts, event_id)`` — deterministic
+    under timestamp ties (a bare ``min_by(v, ts)`` is
+    tie-nondeterministic, which would flap the hash), and ONE
+    map-combined aggregate instead of the two ranking windows the
+    oracle restates (at 100 TB: no per-bucket sort, no second shuffle
+    — partial min_by/max_by combine on the map side like any min).
+    Values ride the cents lattice so cross-engine hashes match."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("__ord"),
+    )
+    return e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("cents").cast("long").alias("low_cents"),
+        F.max("cents").cast("long").alias("high_cents"),
+        F.min_by("cents", F.col("__ord")).cast("long").alias("open_cents"),
+        F.max_by("cents", F.col("__ord")).cast("long").alias("close_cents"),
+    )
+
+
+@query(
+    "profile_tukey",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS grp,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS val
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), o AS (
+      SELECT grp, val,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY val) AS r,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM v
+    ), q AS (
+      SELECT grp, n,
+             MAX(CASE WHEN r = ((n - 1) * 250) // 1000 + 1
+                 THEN val END) AS v1lo,
+             MAX(CASE WHEN r = LEAST(((n - 1) * 250) // 1000 + 2, n)
+                 THEN val END) AS v1hi,
+             MAX(CASE WHEN r = ((n - 1) * 750) // 1000 + 1
+                 THEN val END) AS v3lo,
+             MAX(CASE WHEN r = LEAST(((n - 1) * 750) // 1000 + 2, n)
+                 THEN val END) AS v3hi
+      FROM o GROUP BY grp, n
+    ), f AS (
+      SELECT grp, n,
+             v1lo * (1000 - ((n - 1) * 250) % 1000)
+               + v1hi * (((n - 1) * 250) % 1000) AS q1s,
+             v3lo * (1000 - ((n - 1) * 750) % 1000)
+               + v3hi * (((n - 1) * 750) % 1000) AS q3s
+      FROM q
+    )
+    SELECT f.grp AS l_returnflag, CAST(f.n AS BIGINT) AS n,
+           CAST(f.q1s AS BIGINT) AS q1_scaled,
+           CAST(f.q3s AS BIGINT) AS q3_scaled,
+           CAST(SUM(CASE WHEN 2000 * v.val < 2 * f.q1s - 3 * (f.q3s - f.q1s)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
+           CAST(SUM(CASE WHEN 2000 * v.val > 2 * f.q3s + 3 * (f.q3s - f.q1s)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi
+    FROM f JOIN v ON v.grp = f.grp
+    GROUP BY f.grp, f.n, f.q1s, f.q3s
+    """,
+)
+def profile_tukey(spark, sf_dir):
+    """Tukey outlier fences per group, exactly: Q1/Q3 from the
+    two-pass order-statistic quantile (extended/profile.py
+    quantile_cont_twopass — histogram + sliver refine, never a global
+    sort), fences compared on the doubled x1000 integer lattice
+    (``2000·v < 2·q1s − 3·iqr_s``) so the 1.5×IQR rule needs NO
+    float division anywhere — the boxplot-style anomaly screen a
+    data-quality pipeline runs per segment.  The broadcast of the
+    per-group fence row back onto the values is one map-side join;
+    the oracle restates the quantiles with the global-sort ROW_NUMBER
+    definition."""
+    from .extended.profile import quantile_cont_twopass
+
+    li = _t(spark, sf_dir, "lineitem")
+    vals = li.filter(F.col("l_extendedprice").isNotNull()).select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("val"),
+    )
+    q1 = quantile_cont_twopass(
+        vals, "val", p_milli=250, group_cols=["grp"]
+    ).select("grp", "n", F.col("q_scaled").alias("q1s"))
+    q3 = quantile_cont_twopass(
+        vals, "val", p_milli=750, group_cols=["grp"]
+    ).select("grp", F.col("q_scaled").alias("q3s"))
+    fences = q1.join(q3, "grp")
+    iqr = F.col("q3s") - F.col("q1s")
+    lo = 2 * F.col("q1s") - 3 * iqr
+    hi = 2 * F.col("q3s") + 3 * iqr
+    return (
+        vals.join(F.broadcast(fences), "grp")
+        .groupBy("grp", "n", "q1s", "q3s")
+        .agg(
+            F.sum(F.when(2000 * F.col("val") < lo, 1).otherwise(0))
+            .cast("long")
+            .alias("n_out_lo"),
+            F.sum(F.when(2000 * F.col("val") > hi, 1).otherwise(0))
+            .cast("long")
+            .alias("n_out_hi"),
+        )
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            F.col("n").cast("long").alias("n"),
+            F.col("q1s").cast("long").alias("q1_scaled"),
+            F.col("q3s").cast("long").alias("q3_scaled"),
+            "n_out_lo",
+            "n_out_hi",
+        )
+    )
+
+
+@query(
+    "sample_poisson_upsample",
+    """
+    WITH d AS (
+      SELECT source, doc_id, n_chars,
+             500 + (CAST(substr(source, 4) AS BIGINT) * 48271 % 97) * 30
+               AS w_milli,
+             (doc_id * 1103515245 + 12345) % 2147483647 % 1000
+               AS h_milli
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, n_chars,
+             w_milli // 1000
+               + CASE WHEN h_milli < w_milli % 1000 THEN 1 ELSE 0 END
+               AS copies
+      FROM d
+    )
+    SELECT source,
+           CAST(SUM(copies) AS BIGINT) AS n_emitted,
+           CAST(SUM(CASE WHEN copies > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_emitted,
+           CAST(SUM(copies * n_chars) AS BIGINT) AS chars_emitted,
+           CAST(MAX(copies) AS BIGINT) AS max_copies
+    FROM c
+    GROUP BY source
+    """,
+)
+def sample_poisson_upsample(spark, sf_dir):
+    """Deterministic per-domain upsampling — the training-mixture move
+    that replicates under-represented sources by a fractional weight
+    (DoReMi/data-mixing style): copies = ⌊w⌋ plus one Bernoulli extra
+    decided by a per-doc MINSTD hash against frac(w), so the EXPECTED
+    multiplicity is exactly w while every engine derives the identical
+    integer replication (no RNG state, re-runs are byte-stable).  The
+    weight derives from the source id on the milli lattice; rows
+    replicate via ``explode(sequence(1, copies))`` guarded for
+    copies = 0 (``sequence(1, 0)`` auto-descends — the RP empty-vector
+    trap), a NARROW map with no shuffle until the closing per-source
+    aggregate.  At 100 TB the explode multiplies bytes by the mixture
+    factor exactly where a pipeline wants it: after filters, before
+    the pack/shuffle stage.  The gate aggregates the replicated stream
+    per source; the oracle folds the same copy-count arithmetic
+    without expanding."""
+    docs = _t(spark, sf_dir, "documents")
+    suffix = F.substring(F.col("source"), 4, 10).cast("long")
+    w_milli = F.lit(500) + (suffix * 48271 % 97) * 30
+    h_milli = (
+        (F.col("doc_id") * 1103515245 + 12345) % 2147483647 % 1000
+    )
+    copies = (
+        F.expr("w_milli div 1000")
+        + F.when(h_milli < w_milli % 1000, 1).otherwise(0)
+    )
+    staged = docs.select(
+        "source", "doc_id", "n_chars", w_milli.alias("w_milli")
+    ).withColumn("copies", copies)
+    rep = staged.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        "copies",
+        F.explode(
+            F.when(
+                F.col("copies") >= 1,
+                F.sequence(F.lit(1).cast("long"), F.col("copies")),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("__k"),
+    )
+    # two map-combined aggregates: the replicated stream carries
+    # n_emitted / docs / chars; max_copies folds over the UNEXPANDED
+    # frame (it includes copies = 0 docs, which the explode drops),
+    # and the left join keeps a source even if every doc drew 0
+    emit = rep.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_emitted"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs_emitted"),
+        F.sum("n_chars").cast("long").alias("chars_emitted"),
+    )
+    static = staged.groupBy("source").agg(
+        F.max("copies").cast("long").alias("max_copies")
+    )
+    return static.join(emit, "source", "left").select(
+        "source",
+        F.coalesce(F.col("n_emitted"), F.lit(0).cast("long")).alias(
+            "n_emitted"
+        ),
+        F.coalesce(F.col("n_docs_emitted"), F.lit(0).cast("long")).alias(
+            "n_docs_emitted"
+        ),
+        F.coalesce(F.col("chars_emitted"), F.lit(0).cast("long")).alias(
+            "chars_emitted"
+        ),
+        "max_copies",
+    )

@@ -1541,6 +1541,52 @@ def probe_r9b() -> None:
     print(json.dumps({"r9b_probes": results}))
 
 
+def probe_r10() -> None:
+    """10x probes for the round-10 operators.
+
+    All table-based over the built sf1.0 replicas: OHLC (10x events,
+    same day x type bucket grid -> denser buckets), Tukey fences (10x
+    lineitem through the two-pass quantile + broadcast fence join),
+    mixture upsampling (10x documents through the explode path), and
+    the MCC/Brier eval pair (10x documents through with_text_stats).
+    streaming_full_outer_join is NOT probed: its gate stages a
+    20k-row capped replay (the staged micro-batch machinery-floor
+    class, BASELINE.md) — a 10x table would measure the cap, not the
+    plan.  The SQL-sugar gates share q1-class plans and are likewise
+    skipped."""
+    import time as _t
+
+    from pandasy_spark.session import get_spark
+    from pandasy_spark.workload import QUERIES
+
+    spark = get_spark("pandasy-scale-probe-r10")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = {}
+    for name in (
+        "events_ohlc",
+        "profile_tukey",
+        "sample_poisson_upsample",
+        "ml_mcc",
+        "ml_brier",
+    ):
+        results[name] = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1.0", DST)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, _t.perf_counter() - t0)
+            results[name][label] = round(best, 2)
+        results[name]["ratio"] = round(
+            results[name]["sf1.0"] / max(results[name]["sf0.1"], 1e-9), 2
+        )
+        print(name, results[name], flush=True)
+    print(json.dumps({"r10_probes": results}))
+
+
 if __name__ == "__main__":
     {
         "build": build,
@@ -1555,5 +1601,6 @@ if __name__ == "__main__":
         "probe_r8": probe_r8,
         "probe_r9": probe_r9,
         "probe_r9b": probe_r9b,
+        "probe_r10": probe_r10,
         "bpe50k": bpe50k,
     }[sys.argv[1]]()

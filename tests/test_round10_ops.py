@@ -1,0 +1,310 @@
+"""Round-10 operator batch: stream-stream FULL OUTER tolerance join,
+Spark-4 dynamic SQL (EXECUTE IMMEDIATE / session variables, GROUP BY
+ALL), exact MCC + Brier eval metrics, OHLC bars, Tukey fences, and
+deterministic mixture upsampling.  The gate oracles cover the SQL
+restatements; these pin the operator math, null conventions, guards,
+and determinism on crafted frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasy_spark.workload import QUERIES
+
+
+class TestStreamFullOuterJoin:
+    def test_rejects_unknown_how(self, spark):
+        from pandasy_spark.streaming.ops import stream_stream_tolerance_join
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1))], "user_id long, ts timestamp"
+        )
+        with pytest.raises(ValueError, match="full_outer"):
+            stream_stream_tolerance_join(
+                df, df, ["user_id"], "ts", "ts", 60, how="right_semi"
+            )
+
+    def test_full_outer_batch_twin(self, spark):
+        # the same join definition on BATCH frames (legal: the builder
+        # only adds watermarks on streaming frames) must produce the
+        # matched + both-null-padded union
+        from pandasy_spark.streaming.ops import stream_stream_tolerance_join
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        left = spark.createDataFrame(
+            [(1, t0, 10), (2, t0, 11)],
+            "user_id long, l_ts timestamp, l_id long",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, t0 + dt.timedelta(seconds=30), 20),
+                (3, t0, 21),
+            ],
+            "user_id long, r_ts timestamp, r_id long",
+        )
+        got = {
+            (r.l_id, r.r_id)
+            for r in stream_stream_tolerance_join(
+                left, right, ["user_id"], "l_ts", "r_ts", 60,
+                how="full_outer",
+            )
+            .select("l_id", "r_id")
+            .collect()
+        }
+        assert got == {(10, 20), (11, None), (None, 21)}
+
+    def test_right_outer_batch_twin(self, spark):
+        from pandasy_spark.streaming.ops import stream_stream_tolerance_join
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        left = spark.createDataFrame(
+            [(1, t0, 10)], "user_id long, l_ts timestamp, l_id long"
+        )
+        right = spark.createDataFrame(
+            [(1, t0, 20), (3, t0, 21)],
+            "user_id long, r_ts timestamp, r_id long",
+        )
+        got = {
+            (r.l_id, r.r_id)
+            for r in stream_stream_tolerance_join(
+                left, right, ["user_id"], "l_ts", "r_ts", 60,
+                how="right_outer",
+            )
+            .select("l_id", "r_id")
+            .collect()
+        }
+        assert got == {(10, 20), (None, 21)}
+
+    def test_gate_null_pads_both_sides(self, spark, sf_dir):
+        rows = QUERIES["streaming_full_outer_join"](spark, sf_dir).collect()
+        assert any(r.err_id is None for r in rows)
+        assert any(r.buy_id is None for r in rows)
+        # matched pairs exist and no row is NULL on both sides
+        assert any(
+            r.err_id is not None and r.buy_id is not None for r in rows
+        )
+        assert not any(r.err_id is None and r.buy_id is None for r in rows)
+
+
+class TestMccBinary:
+    def test_crafted_confusion(self, spark):
+        from pandasy_spark.extended.ml import mcc_binary
+
+        rows = (
+            [(True, True)] * 4
+            + [(False, True)] * 1
+            + [(True, False)] * 2
+            + [(False, False)] * 3
+        )
+        df = spark.createDataFrame(rows, "label boolean, pred boolean")
+        r = mcc_binary(df, "label", "pred").collect()[0]
+        assert (r.tp, r.fp, r.fn, r.tn) == (4, 1, 2, 3)
+        assert r.mcc_num == 4 * 3 - 1 * 2
+        import math
+
+        den = math.sqrt(5.0 * 6.0 * 4.0 * 5.0)
+        assert r.mcc_micro == math.floor(1e6 * 10 / den + 0.5)
+
+    def test_degenerate_marginal_is_null(self, spark):
+        from pandasy_spark.extended.ml import mcc_binary
+
+        df = spark.createDataFrame(
+            [(True, True), (True, False)], "label boolean, pred boolean"
+        )
+        r = mcc_binary(df, "label", "pred").collect()[0]
+        assert r.mcc_micro is None  # no negative labels: undefined
+
+    def test_null_rows_excluded_and_float_rejected(self, spark):
+        from pandasy_spark.extended.ml import mcc_binary
+
+        df = spark.createDataFrame(
+            [(True, True), (None, True), (True, None)],
+            "label boolean, pred boolean",
+        )
+        r = mcc_binary(df, "label", "pred").collect()[0]
+        assert (r.tp, r.fp, r.fn, r.tn) == (1, 0, 0, 0)
+        fdf = spark.createDataFrame(
+            [(True, 0.9)], "label boolean, pred double"
+        )
+        with pytest.raises(TypeError, match="boolean or integral"):
+            mcc_binary(fdf, "label", "pred")
+
+    def test_perfect_and_inverse(self, spark):
+        from pandasy_spark.extended.ml import mcc_binary
+
+        perfect = spark.createDataFrame(
+            [(True, True)] * 3 + [(False, False)] * 3,
+            "label boolean, pred boolean",
+        )
+        assert mcc_binary(perfect, "label", "pred").collect()[0].mcc_micro == 1_000_000
+        inverse = spark.createDataFrame(
+            [(True, False)] * 3 + [(False, True)] * 3,
+            "label boolean, pred boolean",
+        )
+        assert mcc_binary(inverse, "label", "pred").collect()[0].mcc_micro == -1_000_000
+
+
+class TestBrierScore:
+    def test_crafted_scores(self, spark):
+        from pandasy_spark.extended.ml import brier_score
+
+        df = spark.createDataFrame(
+            [(0.9, True), (0.1, False), (0.5, True), (0.5, False)],
+            "score double, pos boolean",
+        )
+        r = brier_score(df, "score", F.col("pos"), decimals=4).collect()[0]
+        # grid: 9000/1000/5000/5000 vs 10000/0/10000/0
+        sse = 1000**2 + 1000**2 + 5000**2 + 5000**2
+        assert (r.n, r.n_pos, r.sse_grid) == (4, 2, sse)
+        assert r.brier_micro == (sse * 1_000_000) // (4 * 100_000_000)
+
+    def test_null_nan_scores_excluded(self, spark):
+        from pandasy_spark.extended.ml import brier_score
+
+        df = spark.createDataFrame(
+            [(1.0, True), (None, True), (float("nan"), False)],
+            "score double, pos boolean",
+        )
+        r = brier_score(df, "score", F.col("pos")).collect()[0]
+        assert (r.n, r.sse_grid, r.brier_micro) == (1, 0, 0)
+
+    def test_decimals_guard(self, spark):
+        from pandasy_spark.extended.ml import brier_score
+
+        df = spark.createDataFrame([(0.5, True)], "score double, pos boolean")
+        with pytest.raises(ValueError, match="decimals"):
+            brier_score(df, "score", F.col("pos"), decimals=10)
+
+    def test_perfect_predictions_score_zero(self, spark):
+        from pandasy_spark.extended.ml import brier_score
+
+        df = spark.createDataFrame(
+            [(1.0, True), (0.0, False)], "score double, pos boolean"
+        )
+        r = brier_score(df, "score", F.col("pos")).collect()[0]
+        assert r.brier_micro == 0
+
+
+class TestEventsOhlc:
+    def test_crafted_bars_tie_determinism(self, spark):
+        t = dt.datetime(2024, 3, 1, 9, 0, 0)
+        # two events share the open timestamp: event_id breaks the tie
+        rows = [
+            (2, t, "a", 5.0),
+            (1, t, "a", 3.0),
+            (3, t + dt.timedelta(hours=1), "a", 9.0),
+            (4, t + dt.timedelta(hours=2), "a", 1.0),
+            (5, t + dt.timedelta(days=1), "a", 7.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        df.createOrReplaceTempView("__ohlc_crafted")
+        e = df.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+            F.struct("ts", "event_id").alias("__ord"),
+        )
+        got = {
+            (r.day.day, r.open_cents, r.high_cents, r.low_cents, r.close_cents)
+            for r in e.groupBy("event_type", "day")
+            .agg(
+                F.min_by("cents", "__ord").alias("open_cents"),
+                F.max("cents").alias("high_cents"),
+                F.min("cents").alias("low_cents"),
+                F.max_by("cents", "__ord").alias("close_cents"),
+            )
+            .collect()
+        }
+        assert got == {(1, 300, 900, 100, 100), (2, 700, 700, 700, 700)}
+
+    def test_gate_invariants(self, spark, sf_dir):
+        rows = QUERIES["events_ohlc"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.low_cents <= r.open_cents <= r.high_cents
+            assert r.low_cents <= r.close_cents <= r.high_cents
+            assert r.n >= 1
+
+
+class TestProfileTukey:
+    def test_crafted_outliers(self, spark):
+        from pandasy_spark.extended.profile import quantile_cont_twopass
+
+        # group of 5: vals 10,20,30,40,1000 — q1=20(q1s=20000),
+        # q3=40(q3s=40000); iqr_s=20000; hi fence 2*40000+3*20000 =
+        # 140000 -> v > 70 outlier: 1000 only
+        vals = spark.createDataFrame(
+            [("g", v) for v in [10, 20, 30, 40, 1000]], "grp string, val long"
+        )
+        q1 = quantile_cont_twopass(vals, "val", 250, group_cols=["grp"])
+        q3 = quantile_cont_twopass(vals, "val", 750, group_cols=["grp"])
+        assert q1.collect()[0].q_scaled == 20000
+        assert q3.collect()[0].q_scaled == 40000
+
+    def test_gate_counts_bounded(self, spark, sf_dir):
+        rows = QUERIES["profile_tukey"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.q1_scaled <= r.q3_scaled
+            assert 0 <= r.n_out_lo + r.n_out_hi < r.n
+
+
+class TestPoissonUpsample:
+    def test_expected_copies_formula(self, spark, sf_dir):
+        # per-source arithmetic re-derived in python over the gate frame
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "source", "doc_id", "n_chars"
+        )
+        pdf = docs.toPandas()
+        want = {}
+        for _, row in pdf.iterrows():
+            sfx = int(row.source[3:])
+            w = 500 + (sfx * 48271 % 97) * 30
+            h = (row.doc_id * 1103515245 + 12345) % 2147483647 % 1000
+            k = w // 1000 + (1 if h < w % 1000 else 0)
+            a = want.setdefault(row.source, [0, 0, 0, 0])
+            a[0] += k
+            a[1] += 1 if k > 0 else 0
+            a[2] += k * row.n_chars
+            a[3] = max(a[3], k)
+        got = {
+            r.source: [r.n_emitted, r.n_docs_emitted, r.chars_emitted, r.max_copies]
+            for r in QUERIES["sample_poisson_upsample"](spark, sf_dir).collect()
+        }
+        assert got == want
+
+    def test_zero_copy_guard_no_nulls(self, spark, sf_dir):
+        # the explode guard must never emit NULL multiplicities
+        rows = QUERIES["sample_poisson_upsample"](spark, sf_dir).collect()
+        for r in rows:
+            assert r.n_emitted is not None and r.n_emitted >= 0
+            assert r.max_copies >= 0
+
+
+class TestSqlSurfaces:
+    def test_exec_immediate_binds_parameters(self, spark, sf_dir):
+        df = QUERIES["sql_exec_immediate"](spark, sf_dir)
+        rows = df.collect()
+        assert df.columns == ["l_returnflag", "n", "rev_cents"]
+        assert rows and all(r.n > 0 for r in rows)
+
+    def test_group_by_all_matches_explicit(self, spark, sf_dir):
+        got = QUERIES["sql_group_by_all"](spark, sf_dir)
+        explicit = spark.sql(
+            """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+            GROUP BY o_orderstatus, o_orderpriority
+            """
+        )
+        assert got.exceptAll(explicit).count() == 0
+        assert explicit.exceptAll(got).count() == 0
