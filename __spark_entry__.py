@@ -328,6 +328,8 @@ _R11_DEFER: list[str] = [
     # round-10 batch 4: OHLC bars, Tukey fences, deterministic
     # mixture upsampling
     "events_ohlc", "profile_tukey", "sample_poisson_upsample",
+    # round-10 batch 5: landmark closeness/harmonic centrality
+    "graph_closeness",
 ]
 
 

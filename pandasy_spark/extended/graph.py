@@ -940,3 +940,87 @@ def modularity(
             " END"
         ).alias("q_nano"),
     )
+
+
+def closeness_from_landmarks(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    src_col: str = "x",
+    dst_col: str = "y",
+    node_col: str = "node",
+    max_hops: int = 3,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Hop-bounded closeness + harmonic centrality for a LANDMARK set
+    — the standard scale posture for centrality on big graphs: exact
+    all-pairs closeness is O(V·E) and unrunnable at 100 TB, so a
+    pipeline picks a bounded landmark sample and BFS-expands each to
+    a hop horizon (Eppstein-Wang-style estimation runs exactly this
+    plan with random landmarks).  Per-source distances ride the SAME
+    frontier loop as :func:`bfs_hops` with the visited/frontier keys
+    widened to ``(src, node)`` — per-round work stays proportional to
+    the live frontiers' out-edges, landmark expansions share every
+    join (one shuffle per round TOTAL, not per landmark), and
+    ``localCheckpoint`` bounds lineage.
+
+    Everything emitted is on the integer lattice so a recursive-CTE
+    oracle matches by hash: per landmark ``n_reached`` (nodes within
+    ``max_hops``, self excluded), ``dist_sum`` (Σ hop distances),
+    ``closeness_micro`` = ``1e6·n_reached // dist_sum`` (the classic
+    closeness numerator restricted to the horizon — NULL when nothing
+    is reached), and ``harmonic_micro`` = ``Σ (1_000_000 // d)``
+    (each term an exact integer division, so the sum is
+    order-independent).
+
+    Output: ``(node, n_reached, dist_sum, closeness_micro,
+    harmonic_micro)`` — one row per landmark that appears in the
+    edge list (isolated landmarks are absent by construction, same
+    contract as bfs_hops' unreached nodes).
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).distinct()
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    visited = landmarks.select(
+        F.col(node_col).alias("src"),
+        F.col(node_col).alias("node"),
+        F.lit(0).cast("int").alias("dist"),
+    ).distinct()
+    frontier = visited.select("src", "node")
+    for h in range(1, max_hops + 1):
+        nbrs = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select("src", F.col("v").alias("node"))
+            .distinct()
+        )
+        new = nbrs.join(
+            visited, ["src", "node"], "left_anti"
+        ).select("src", "node", F.lit(h).cast("int").alias("dist"))
+        if checkpoint_every and h % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=False)
+        visited = visited.unionByName(new)
+        frontier = new.select("src", "node")
+    reached = visited.filter(F.col("dist") > 0)
+    agg = reached.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.sum(F.col("dist").cast("long")).cast("long").alias("dist_sum"),
+        F.sum(F.expr("CAST(1000000 AS BIGINT) div CAST(dist AS BIGINT)"))
+        .cast("long")
+        .alias("harmonic_micro"),
+    )
+    return agg.select(
+        F.col("src").cast("long").alias("node"),
+        "n_reached",
+        "dist_sum",
+        F.when(
+            F.col("dist_sum") > 0,
+            F.expr("(n_reached * CAST(1000000 AS BIGINT)) div dist_sum"),
+        )
+        .cast("long")
+        .alias("closeness_micro"),
+        "harmonic_micro",
+    )

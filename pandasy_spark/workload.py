@@ -17719,3 +17719,60 @@ def sample_poisson_upsample(spark, sf_dir):
         ),
         "max_copies",
     )
+
+
+@query(
+    "graph_closeness",
+    """
+    WITH RECURSIVE i AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS x FROM lineitem
+    ), e AS (
+      SELECT a.x AS x, b.x AS y
+      FROM i a JOIN i b ON a.g = b.g AND a.x < b.x
+      GROUP BY a.x, b.x HAVING COUNT(*) >= 2
+    ), sym AS (
+      SELECT x AS u, y AS v FROM e UNION SELECT y AS u, x AS v FROM e
+    ), lm AS (
+      SELECT DISTINCT u AS node FROM sym WHERE u % 199 = 0
+    ), walk(src, node, dist) AS (
+      SELECT node, node, 0 FROM lm
+      UNION
+      SELECT w.src, s.v, w.dist + 1
+      FROM walk w JOIN sym s ON s.u = w.node WHERE w.dist < 3
+    ), d AS (
+      SELECT src, node, MIN(dist) AS dist
+      FROM walk GROUP BY src, node
+    ), r AS (
+      SELECT src, dist FROM d WHERE dist > 0
+    )
+    SELECT CAST(src AS BIGINT) AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(dist) AS BIGINT) AS dist_sum,
+           CAST((COUNT(*) * 1000000) // SUM(dist) AS BIGINT)
+             AS closeness_micro,
+           CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_micro
+    FROM r GROUP BY src
+    """,
+)
+def graph_closeness(spark, sf_dir):
+    """Hop-bounded landmark closeness + harmonic centrality
+    (extended/graph.py closeness_from_landmarks) on the part
+    co-occurrence graph: BFS from each landmark (partkeys ≡ 0 mod
+    199) to 3 hops with PER-SOURCE distances — the Eppstein-Wang
+    landmark posture, since exact all-pairs closeness is O(V·E) —
+    all landmark expansions sharing one frontier join per round and
+    every emitted number on the integer lattice (closeness and
+    harmonic both via BIGINT floor division).  The oracle states the
+    per-source walk as a depth-bounded recursive CTE over the same
+    edge build."""
+    from .extended.graph import closeness_from_landmarks, cooccurrence_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    nodes = (
+        e.select(F.col("x").alias("node"))
+        .union(e.select(F.col("y").alias("node")))
+        .distinct()
+    )
+    lm = filter_df(nodes, F.col("node") % 199 == 0)
+    return closeness_from_landmarks(e, lm, max_hops=3)

@@ -1569,6 +1569,10 @@ def probe_r10() -> None:
         "sample_poisson_upsample",
         "ml_mcc",
         "ml_brier",
+        # landmark BFS over the 10x co-occurrence graph: lineitem
+        # replicas multiply ORDERS (groups), so edges with support>=2
+        # scale ~10x while the landmark set stays the %199 slice
+        "graph_closeness",
     ):
         results[name] = {}
         for label, sf_dir in (("sf0.1", SRC), ("sf1.0", DST)):

@@ -308,3 +308,52 @@ class TestSqlSurfaces:
         )
         assert got.exceptAll(explicit).count() == 0
         assert explicit.exceptAll(got).count() == 0
+
+
+class TestClosenessFromLandmarks:
+    def test_path_graph(self, spark):
+        from pandasy_spark.extended.graph import closeness_from_landmarks
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "x long, y long"
+        )
+        lm = spark.createDataFrame([(1,)], "node long")
+        r = closeness_from_landmarks(edges, lm, max_hops=3).collect()
+        assert len(r) == 1
+        row = r[0]
+        # dists from 1: {2:1, 3:2, 4:3}; 5 is beyond the horizon
+        assert (row.node, row.n_reached, row.dist_sum) == (1, 3, 6)
+        assert row.closeness_micro == (3 * 1_000_000) // 6
+        assert row.harmonic_micro == 1_000_000 + 500_000 + 333_333
+
+    def test_multiple_landmarks_share_rounds(self, spark):
+        from pandasy_spark.extended.graph import closeness_from_landmarks
+
+        # triangle + pendant: 1-2, 2-3, 1-3, 3-4
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "x long, y long"
+        )
+        lm = spark.createDataFrame([(1,), (4,)], "node long")
+        got = {
+            r.node: (r.n_reached, r.dist_sum)
+            for r in closeness_from_landmarks(edges, lm, max_hops=2).collect()
+        }
+        # from 1: 2@1, 3@1, 4@2 -> (3, 4); from 4: 3@1, 1@2, 2@2 -> (3, 5)
+        assert got == {1: (3, 4), 4: (3, 5)}
+
+    def test_max_hops_guard(self, spark):
+        from pandasy_spark.extended.graph import closeness_from_landmarks
+
+        edges = spark.createDataFrame([(1, 2)], "x long, y long")
+        lm = spark.createDataFrame([(1,)], "node long")
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="max_hops"):
+            closeness_from_landmarks(edges, lm, max_hops=0)
+
+    def test_gate_landmarks_only(self, spark, sf_dir):
+        rows = QUERIES["graph_closeness"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.node % 199 == 0
+            assert r.n_reached >= 1 and r.dist_sum >= r.n_reached
