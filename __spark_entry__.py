@@ -330,6 +330,8 @@ _R11_DEFER: list[str] = [
     "events_ohlc", "profile_tukey", "sample_poisson_upsample",
     # round-10 batch 5: landmark closeness/harmonic centrality
     "graph_closeness",
+    # round-10 batch 6: exact shape moments + quantized Holt smoothing
+    "profile_moments", "events_holt",
 ]
 
 

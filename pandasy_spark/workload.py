@@ -17776,3 +17776,218 @@ def graph_closeness(spark, sf_dir):
     )
     lm = filter_df(nodes, F.col("node") % 199 == 0)
     return closeness_from_landmarks(e, lm, max_hops=3)
+
+
+@query(
+    "profile_moments",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS grp,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x
+      FROM lineitem WHERE l_quantity IS NOT NULL
+    ), s AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2,
+             CAST(SUM(x * x * x) AS BIGINT) AS s3,
+             CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+      FROM v GROUP BY grp
+    )
+    SELECT grp AS l_returnflag, n, s1, s2, s3, s4,
+           CAST(FLOOR(1000000.0 * (
+               (CAST(s3 AS DOUBLE) / n)
+               - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+               + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s1 AS DOUBLE) / n)
+             ) / power(
+               (CAST(s2 AS DOUBLE) / n)
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+               1.5
+             ) + 0.5) AS BIGINT) AS skew_micro,
+           CAST(FLOOR(1000000.0 * ((
+               (CAST(s4 AS DOUBLE) / n)
+               - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+               + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s2 AS DOUBLE) / n)
+               - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             ) / (
+               ((CAST(s2 AS DOUBLE) / n)
+                - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+               * ((CAST(s2 AS DOUBLE) / n)
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             ) - 3.0) + 0.5) AS BIGINT) AS kurt_micro
+    FROM s
+    """,
+)
+def profile_moments(spark, sf_dir):
+    """Exact higher-moment profile per group — skewness and excess
+    kurtosis from RAW integer power sums (n, Σx, Σx², Σx³, Σx⁴ all
+    BIGINT-exact on the integral quantity domain; x⁴ ≤ 6.25e6 keeps
+    even petabyte-row sums inside int64×) folded in ONE map-combined
+    aggregate — the distribution-shape screen (heavy tails, asymmetry)
+    a data-quality pipeline runs beside mean/stddev (agg_stats),
+    Gini (profile_gini), and fences (profile_tukey).  The four power
+    sums shuffle as four numbers per group; the skew/kurt ratios are
+    computed ONCE per group from the exact sums in DOUBLE with a
+    fixed association order (every operand ``s_k / n`` written
+    identically on both engines), so the IEEE result — and the ×1e6
+    floor snap — is engine-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.filter(F.col("l_quantity").isNotNull()).select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("x"),
+    )
+    x = F.col("x")
+    s = v.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("s1"),
+        F.sum(x * x).cast("long").alias("s2"),
+        F.sum(x * x * x).cast("long").alias("s3"),
+        F.sum(x * x * x * x).cast("long").alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - m1 * m1
+    m3 = r3 - F.lit(3.0) * m1 * r2 + F.lit(2.0) * m1 * m1 * m1
+    m4 = (
+        r4
+        - F.lit(4.0) * m1 * r3
+        + F.lit(6.0) * m1 * m1 * r2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    skew = m3 / F.pow(m2, F.lit(1.5))
+    kurt = m4 / (m2 * m2) - F.lit(3.0)
+    return s.select(
+        F.col("grp").alias("l_returnflag"),
+        "n", "s1", "s2", "s3", "s4",
+        F.floor(F.lit(1000000.0) * skew + F.lit(0.5))
+        .cast("long")
+        .alias("skew_micro"),
+        F.floor(F.lit(1000000.0) * kurt + F.lit(0.5))
+        .cast("long")
+        .alias("kurt_micro"),
+    )
+
+
+@query(
+    "events_holt",
+    """
+    WITH RECURSIVE day_series AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY day
+    ), d AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY day) AS i FROM day_series
+    ), h(i, l, b) AS (
+      SELECT 1, cents, CAST(0 AS BIGINT) FROM d WHERE i = 1
+      UNION ALL
+      SELECT d.i,
+             (500 * d.cents + 500 * (h.l + h.b)
+              - ((((500 * d.cents + 500 * (h.l + h.b)) % 1000) + 1000)
+                 % 1000)) // 1000,
+             (500 * ((500 * d.cents + 500 * (h.l + h.b)
+                      - ((((500 * d.cents + 500 * (h.l + h.b)) % 1000)
+                          + 1000) % 1000)) // 1000 - h.l)
+              + 500 * h.b
+              - ((((500 * ((500 * d.cents + 500 * (h.l + h.b)
+                            - ((((500 * d.cents + 500 * (h.l + h.b))
+                                % 1000) + 1000) % 1000)) // 1000 - h.l)
+                    + 500 * h.b) % 1000) + 1000) % 1000)) // 1000
+      FROM h JOIN d ON d.i = h.i + 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days,
+           CAST(l AS BIGINT) AS level_cents,
+           CAST(b AS BIGINT) AS trend_cents,
+           CAST(l + b AS BIGINT) AS forecast_1,
+           CAST(l + 2 * b AS BIGINT) AS forecast_2,
+           CAST(l + 3 * b AS BIGINT) AS forecast_3
+    FROM h WHERE i = (SELECT MAX(i) FROM d)
+    """,
+)
+def events_holt(spark, sf_dir):
+    """Holt linear (double-exponential) smoothing of the daily revenue
+    series, QUANTIZED: level and trend updates run the classic
+    recurrence ``l_t = α·y_t + (1−α)(l+b)``, ``b_t = β(l_t−l)+(1−β)b``
+    with α = β = 0.5 on the milli lattice, flooring after each step
+    (floor division built as ``(a − pmod(a, 1000)) / 1000`` so
+    NEGATIVE trends floor identically on both engines — Spark ``div``
+    truncates toward zero while DuckDB ``//`` floors, the round-9
+    decimal-lattice lesson applied to signed integers).  Completes
+    the forecasting family beside events_ewma (level only) and
+    events_forecast (global linear fit): Holt tracks a DRIFTING trend.
+
+    Scale shape: the recurrence is inherently sequential, so the plan
+    aggregates to the BOUNDED day grid first (one shuffle, ~30 rows
+    by construction — the same bounded-by-construction contract as
+    the histogram windows) and folds the sorted series in ONE
+    ``aggregate()`` HOF over a collected array; the raw events never
+    leave the distributed aggregate.  Output: final level/trend and
+    the 1/2/3-step-ahead forecasts, all BIGINT cents.  The oracle
+    states the identical quantized recurrence as a recursive CTE."""
+    ev = _t(spark, sf_dir, "events")
+    days = (
+        ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    series = days.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("day"), F.col("cents")))
+        ).alias("__s")
+    )
+
+    def _fdiv1000(a):
+        # floor division by 1000 for SIGNED operands: subtract the
+        # non-negative pmod remainder, then the exact quotient
+        return (a - F.pmod(a, F.lit(1000))).cast("long") / F.lit(1000)
+
+    def _step(acc, e):
+        y = e["cents"]
+        lvl = _fdiv1000(
+            F.lit(500) * y + F.lit(500) * (acc["l"] + acc["b"])
+        ).cast("long")
+        trend = _fdiv1000(
+            F.lit(500) * (lvl - acc["l"]) + F.lit(500) * acc["b"]
+        ).cast("long")
+        return F.struct(
+            F.when(acc["i"] == 0, y).otherwise(lvl).alias("l"),
+            F.when(acc["i"] == 0, F.lit(0).cast("long"))
+            .otherwise(trend)
+            .alias("b"),
+            (acc["i"] + F.lit(1)).cast("long").alias("i"),
+        )
+
+    folded = series.select(
+        F.aggregate(
+            F.col("__s"),
+            F.struct(
+                F.lit(0).cast("long").alias("l"),
+                F.lit(0).cast("long").alias("b"),
+                F.lit(0).cast("long").alias("i"),
+            ),
+            _step,
+        ).alias("__h")
+    )
+    h = F.col("__h")
+    return folded.select(
+        h["i"].cast("long").alias("n_days"),
+        h["l"].cast("long").alias("level_cents"),
+        h["b"].cast("long").alias("trend_cents"),
+        (h["l"] + h["b"]).cast("long").alias("forecast_1"),
+        (h["l"] + 2 * h["b"]).cast("long").alias("forecast_2"),
+        (h["l"] + 3 * h["b"]).cast("long").alias("forecast_3"),
+    )

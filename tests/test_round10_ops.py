@@ -357,3 +357,107 @@ class TestClosenessFromLandmarks:
         for r in rows:
             assert r.node % 199 == 0
             assert r.n_reached >= 1 and r.dist_sum >= r.n_reached
+
+
+class TestProfileMoments:
+    def test_uniform_shape(self, spark, sf_dir):
+        # python re-derivation over the same integral column
+        import math
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        pdf = li.select("l_returnflag", "l_quantity").toPandas()
+        want = {}
+        for grp, g in pdf.groupby("l_returnflag"):
+            xs = [int(math.floor(q + 0.5)) for q in g.l_quantity.dropna()]
+            n = len(xs)
+            s1, s2 = sum(xs), sum(x * x for x in xs)
+            s3, s4 = sum(x**3 for x in xs), sum(x**4 for x in xs)
+            m1, r2, r3, r4 = s1 / n, s2 / n, s3 / n, s4 / n
+            m2 = r2 - m1 * m1
+            m3 = r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1
+            m4 = (
+                r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+                - 3.0 * m1 * m1 * m1 * m1
+            )
+            want[grp] = (
+                n, s1, s2, s3, s4,
+                math.floor(1e6 * (m3 / m2**1.5) + 0.5),
+                math.floor(1e6 * (m4 / (m2 * m2) - 3.0) + 0.5),
+            )
+        got = {
+            r.l_returnflag: (
+                r.n, r.s1, r.s2, r.s3, r.s4, r.skew_micro, r.kurt_micro
+            )
+            for r in QUERIES["profile_moments"](spark, sf_dir).collect()
+        }
+        assert got == want
+
+    def test_symmetric_distribution_zero_skew(self, spark, sf_dir):
+        # l_quantity is ~uniform on 1..50: skew ~0, excess kurtosis
+        # ~ -1.2 (discrete uniform) — sanity band, exactness is pinned
+        # above and by the oracle
+        for r in QUERIES["profile_moments"](spark, sf_dir).collect():
+            assert abs(r.skew_micro) < 100_000
+            assert -1_400_000 < r.kurt_micro < -1_000_000
+
+
+class TestEventsHolt:
+    @staticmethod
+    def _ref(series):
+        def fdiv(a, d=1000):
+            return (a - (a % d + d) % d) // d
+
+        l, b = series[0], 0
+        for y in series[1:]:
+            nl = fdiv(500 * y + 500 * (l + b))
+            b = fdiv(500 * (nl - l) + 500 * b)
+            l = nl
+        return l, b
+
+    def test_crafted_recurrence_including_negative_trend(self, spark):
+        import datetime as _dt
+
+        from pandasy_spark.workload import QUERIES as _Q  # noqa: F401
+
+        # declining series -> negative trend exercises the signed
+        # floor-division path (Spark div truncates; pmod build floors)
+        series = [10_000, 8_000, 5_000, 1_000, 900]
+        rows = [
+            (
+                i,
+                _dt.datetime(2024, 1, 1 + i, 3, 0, 0),
+                1,
+                "purchase",
+                c / 100.0,
+                "{}",
+            )
+            for i, c in enumerate(series)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+        import tempfile, os
+
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        # reuse the other tables from sf0.001 via symlinks
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "documents", "embeddings",
+        ]:
+            src = f"/root/testdata/sf0.001/{t}.parquet"
+            if os.path.exists(src):
+                os.symlink(src, os.path.join(d, f"{t}.parquet"))
+        got = QUERIES["events_holt"](spark, d).collect()[0]
+        l, b = self._ref(series)
+        assert (got.n_days, got.level_cents, got.trend_cents) == (5, l, b)
+        assert got.forecast_2 == l + 2 * b
+        assert b < 0  # the signed-floor path actually engaged
+
+    def test_gate_forecast_identity(self, spark, sf_dir):
+        r = QUERIES["events_holt"](spark, sf_dir).collect()[0]
+        assert r.forecast_1 == r.level_cents + r.trend_cents
+        assert r.forecast_3 == r.level_cents + 3 * r.trend_cents
+        assert r.n_days >= 1
