@@ -341,3 +341,56 @@ def test_regression_single_moment_aggregate(spark, sf_dir):
     assert "windowspecdefinition" not in plan
     assert "partial_" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ohlc_single_exchange_partial_minby(spark, sf_dir):
+    """events_ohlc is ONE map-combined aggregate: partial
+    min_by/max_by before the single key exchange — no ranking windows
+    (the oracle's two ROW_NUMBER passes are the shape this avoids)."""
+    plan = _plan(spark, sf_dir, "events_ohlc")
+    assert "partial_min_by" in plan
+    assert "windowspecdefinition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_upsample_explode_stays_narrow(spark, sf_dir):
+    """sample_poisson_upsample: the replication explode is a narrow
+    map (no exchange between the scan and the explode), the fence
+    aggregate broadcasts, and no Python anywhere."""
+    plan = _plan(spark, sf_dir, "sample_poisson_upsample")
+    assert "Generate explode" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    # the explode consumes the scan through projections only
+    gen = plan.index("Generate explode")
+    scan = plan.index("FileScan parquet", gen)
+    assert "Exchange" not in plan[gen:scan]
+
+
+def test_mcc_brier_single_row_aggregates(spark, sf_dir):
+    """The MCC/Brier eval pair folds to a 1-row aggregate over the
+    text-stats projection: no window, no join, JVM-only."""
+    for name in ("ml_mcc", "ml_brier"):
+        plan = _plan(spark, sf_dir, name)
+        assert "windowspecdefinition" not in plan
+        assert "partial_" in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_holt_day_grid_then_fold(spark, sf_dir):
+    """events_holt aggregates to the bounded day grid distributed
+    (partial sums before the exchange); the sequential recurrence
+    runs as an aggregate() HOF over the collected bounded series —
+    never per-event Python or a per-event window."""
+    plan = _plan(spark, sf_dir, "events_holt")
+    assert "partial_sum" in plan
+    assert "windowspecdefinition" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tukey_fences_broadcast(spark, sf_dir):
+    """profile_tukey joins the 3-row fence frame back to the values
+    via broadcast, never a shuffle join on the value side."""
+    plan = _plan(spark, sf_dir, "profile_tukey")
+    assert "BroadcastHashJoin" in plan
