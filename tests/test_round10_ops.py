@@ -461,3 +461,128 @@ class TestEventsHolt:
         assert r.forecast_1 == r.level_cents + r.trend_cents
         assert r.forecast_3 == r.level_cents + 3 * r.trend_cents
         assert r.n_days >= 1
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_H = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+class TestFuzzVsPython:
+    @given(
+        rows=st.lists(
+            st.tuples(st.booleans(), st.booleans()), min_size=1, max_size=25
+        )
+    )
+    @settings(**_H)
+    def test_mcc_fuzz(self, spark, rows):
+        import math
+
+        from pandasy_spark.extended.ml import mcc_binary
+
+        df = spark.createDataFrame(rows, "label boolean, pred boolean")
+        r = mcc_binary(df, "label", "pred").collect()[0]
+        tp = sum(1 for l, p in rows if l and p)
+        fp = sum(1 for l, p in rows if not l and p)
+        fn = sum(1 for l, p in rows if l and not p)
+        tn = sum(1 for l, p in rows if not l and not p)
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+        marg = [(tp + fp), (tp + fn), (tn + fp), (tn + fn)]
+        if all(m > 0 for m in marg):
+            den = math.sqrt(
+                float(marg[0]) * marg[1] * marg[2] * marg[3]
+            )
+            assert r.mcc_micro == math.floor(
+                1e6 * (tp * tn - fp * fn) / den + 0.5
+            )
+        else:
+            assert r.mcc_micro is None
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.floats(0.0, 1.0, allow_nan=False).map(
+                    lambda v: round(v, 3)
+                ),
+                st.booleans(),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    @settings(**_H)
+    def test_brier_fuzz(self, spark, rows):
+        import math
+
+        from pandasy_spark.extended.ml import brier_score
+
+        df = spark.createDataFrame(rows, "score double, pos boolean")
+        r = brier_score(df, "score", F.col("pos"), decimals=4).collect()[0]
+        grid = [
+            (math.floor(s * 10000 + 0.5), 1 if p else 0) for s, p in rows
+        ]
+        sse = sum((v - 10000 * o) ** 2 for v, o in grid)
+        n = len(rows)
+        assert (r.n, r.sse_grid) == (n, sse)
+        assert r.brier_micro == (sse * 1_000_000) // (n * 100_000_000)
+
+    @given(
+        series=st.lists(
+            st.integers(-100_000, 100_000), min_size=1, max_size=20
+        )
+    )
+    @settings(**_H)
+    def test_holt_fold_fuzz(self, spark, series):
+        # the HOF fold on a crafted 1-row array vs the python recurrence
+        from pyspark.sql import functions as FF
+
+        def fdiv(a, d=1000):
+            return (a - (a % d + d) % d) // d
+
+        l, b = series[0], 0
+        for y in series[1:]:
+            nl = fdiv(500 * y + 500 * (l + b))
+            b = fdiv(500 * (nl - l) + 500 * b)
+            l = nl
+
+        df = spark.createDataFrame(
+            [(list(enumerate(series)),)],
+            "s array<struct<day:int,cents:long>>",
+        )
+
+        def _fd(a):
+            return (a - FF.pmod(a, FF.lit(1000))).cast("long") / FF.lit(1000)
+
+        def _step(acc, e):
+            y = e["cents"]
+            lvl = _fd(
+                FF.lit(500) * y + FF.lit(500) * (acc["l"] + acc["b"])
+            ).cast("long")
+            tr = _fd(
+                FF.lit(500) * (lvl - acc["l"]) + FF.lit(500) * acc["b"]
+            ).cast("long")
+            return FF.struct(
+                FF.when(acc["i"] == 0, y).otherwise(lvl).alias("l"),
+                FF.when(acc["i"] == 0, FF.lit(0).cast("long"))
+                .otherwise(tr)
+                .alias("b"),
+                (acc["i"] + FF.lit(1)).cast("long").alias("i"),
+            )
+
+        got = df.select(
+            FF.aggregate(
+                FF.col("s"),
+                FF.struct(
+                    FF.lit(0).cast("long").alias("l"),
+                    FF.lit(0).cast("long").alias("b"),
+                    FF.lit(0).cast("long").alias("i"),
+                ),
+                _step,
+            ).alias("h")
+        ).collect()[0].h
+        assert (got.l, got.b, got.i) == (l, b, len(series))
