@@ -471,12 +471,15 @@ class TestStreamingSemiJoin:
         assert got == want
 
     def test_tolerance_join_rejects_unknown_how(self, spark):
+        # round 10 extended the accepted set with right_outer and
+        # full_outer (tests/test_round10_ops.py); semi/anti variants
+        # beyond left_semi remain rejected
         from pandasy_spark.streaming import stream_stream_tolerance_join
 
         df = spark.createDataFrame([(1,)], "user_id long")
         with pytest.raises(ValueError):
             stream_stream_tolerance_join(
-                df, df, ["user_id"], "a", "b", 10, how="full_outer"
+                df, df, ["user_id"], "a", "b", 10, how="right_semi"
             )
 
 
