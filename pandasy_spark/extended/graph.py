@@ -30,6 +30,7 @@ __all__ = [
     "personalized_pagerank",
     "hits",
     "modularity",
+    "closeness_from_landmarks",
 ]
 
 #: rank scale: 1.0 == 10^9 nano-units.

@@ -34,6 +34,8 @@ __all__ = [
     "regression_metrics",
     "cohen_kappa",
     "confusion_multiclass",
+    "mcc_binary",
+    "brier_score",
 ]
 
 

@@ -17430,8 +17430,12 @@ def ml_mcc(spark, sf_dir):
     from .extended.ml import mcc_binary
 
     docs = _t(spark, sf_dir, "documents")
+    # eqNullSafe: a NULL lang is a NEGATIVE label (the oracle's
+    # CASE/ELSE-0 and every sibling eval gate's convention) — a plain
+    # == would NULL the label and mcc_binary would DROP the row,
+    # diverging from the oracle on NULL-lang corpora (round-10 review)
     scored = X_text.with_text_stats(docs).select(
-        (F.col("lang") == "en").alias("label"),
+        F.col("lang").eqNullSafe("en").alias("label"),
         (
             F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long")
             >= 8200
@@ -17453,6 +17457,7 @@ def ml_mcc(spark, sf_dir):
                 // (CAST(COUNT(*) AS HUGEINT) * 100000000) AS BIGINT)
              AS brier_micro
     FROM g
+    WHERE v IS NOT NULL
     """,
 )
 def ml_brier(spark, sf_dir):
@@ -17795,16 +17800,18 @@ def graph_closeness(spark, sf_dir):
       FROM v GROUP BY grp
     )
     SELECT grp AS l_returnflag, n, s1, s2, s3, s4,
-           CAST(FLOOR(1000000.0 * (
+           CAST(FLOOR(1000000.0 * ((
                (CAST(s3 AS DOUBLE) / n)
                - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
                + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
                      * (CAST(s1 AS DOUBLE) / n)
-             ) / power(
-               (CAST(s2 AS DOUBLE) / n)
-               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
-               1.5
-             ) + 0.5) AS BIGINT) AS skew_micro,
+             ) / (
+               ((CAST(s2 AS DOUBLE) / n)
+                - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+               * sqrt((CAST(s2 AS DOUBLE) / n)
+                      - (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n))
+             )) + 0.5) AS BIGINT) AS skew_micro,
            CAST(FLOOR(1000000.0 * ((
                (CAST(s4 AS DOUBLE) / n)
                - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
@@ -17860,7 +17867,10 @@ def profile_moments(spark, sf_dir):
         + F.lit(6.0) * m1 * m1 * r2
         - F.lit(3.0) * m1 * m1 * m1 * m1
     )
-    skew = m3 / F.pow(m2, F.lit(1.5))
+    # m2 * sqrt(m2), NOT pow(m2, 1.5): sqrt and * are correctly-rounded
+    # IEEE ops, pow is only ~1-ulp-accurate libm and differs between
+    # the JVM and DuckDB's C library — the snap could flip cross-engine
+    skew = m3 / (m2 * F.sqrt(m2))
     kurt = m4 / (m2 * m2) - F.lit(3.0)
     return s.select(
         F.col("grp").alias("l_returnflag"),
@@ -17952,8 +17962,14 @@ def events_holt(spark, sf_dir):
 
     def _fdiv1000(a):
         # floor division by 1000 for SIGNED operands: subtract the
-        # non-negative pmod remainder, then the exact quotient
-        return (a - F.pmod(a, F.lit(1000))).cast("long") / F.lit(1000)
+        # non-negative pmod remainder, then divide the exact multiple
+        # in DECIMAL — double division would silently lose exactness
+        # past 2^53 (round-10 review), and integer `div` on the raw
+        # value truncates toward zero for negatives
+        return (
+            (a - F.pmod(a, F.lit(1000))).cast("decimal(38,0)")
+            / F.lit(1000)
+        ).cast("long")
 
     def _step(acc, e):
         y = e["cents"]
@@ -17990,4 +18006,9 @@ def events_holt(spark, sf_dir):
         (h["l"] + h["b"]).cast("long").alias("forecast_1"),
         (h["l"] + 2 * h["b"]).cast("long").alias("forecast_2"),
         (h["l"] + 3 * h["b"]).cast("long").alias("forecast_3"),
+    ).filter(
+        # an empty day series (all-NULL ts/value) must emit ZERO rows
+        # like the oracle's empty recursive base case, not the
+        # aggregate()'s (0,0,0) init struct (round-10 review)
+        F.col("n_days") > 0
     )
