@@ -332,6 +332,8 @@ _R11_DEFER: list[str] = [
     "graph_closeness",
     # round-10 batch 6: exact shape moments + quantized Holt smoothing
     "profile_moments", "events_holt",
+    # round-10 batch 7: bounded-radius planar kNN join
+    "spatial_knn_join",
 ]
 
 

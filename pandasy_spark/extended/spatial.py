@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["radius_join", "radius_pairs", "point_in_polygon"]
+__all__ = [
+    "radius_join",
+    "radius_pairs",
+    "point_in_polygon",
+    "dbscan",
+    "knn_join",
+]
 
 
 def radius_join(
@@ -309,3 +315,51 @@ def dbscan(
         )
     )
     return core_rows.unionAll(border_rows).unionAll(noise_rows)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    radius: int,
+    id_cols: tuple[str, str] = ("query_id", "id"),
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Bounded-radius k-nearest-neighbor join on the integer plane:
+    for each query point, the ``k`` nearest corpus points WITHIN
+    ``radius`` — the horizon-bounded kNN posture that scales (an
+    unbounded exact 2D kNN degenerates to an all-pairs rank; with a
+    radius the candidate set is the grid join's output, which is the
+    size of the point density times the search area, and a pipeline
+    picks the radius from the known density, exactly like
+    :func:`dbscan`'s eps).  Queries with fewer than ``k`` neighbors
+    inside the horizon emit fewer rows; queries with none are absent
+    — the same explicit-horizon contract as
+    :func:`closeness_from_landmarks`.
+
+    Built ON the grid radius join (ONE cell equi-join, never
+    Cartesian), then a per-query ranking window over the bounded
+    candidate set.  Ties break deterministically on
+    ``(dist_sq, corpus id)`` so the emitted set is engine-exact;
+    distances stay SQUARED on the int64 lattice (ranking never needs
+    the sqrt).
+
+    Output: ``(query_id, id, dist_sq, rk)`` with ``rk`` in 1..k.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql.window import Window
+
+    id_q, id_c = id_cols
+    pairs = radius_join(
+        queries, corpus, radius, id_cols=id_cols, x_col=x_col, y_col=y_col
+    )
+    w = Window.partitionBy(id_q).orderBy(
+        F.col("dist_sq"), F.col(id_c)
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(id_q, id_c, "dist_sq", "rk")
+    )

@@ -18012,3 +18012,65 @@ def events_holt(spark, sf_dir):
         # aggregate()'s (0,0,0) init struct (round-10 review)
         F.col("n_days") > 0
     )
+
+
+@query(
+    "spatial_knn_join",
+    """
+    WITH p AS (
+      SELECT vec_id AS id,
+             CAST(FLOOR(CAST(embedding AS DOUBLE[])[1] * 1000) AS BIGINT) AS x,
+             CAST(FLOOR(CAST(embedding AS DOUBLE[])[2] * 1000) AS BIGINT) AS y
+      FROM embeddings
+    ), q AS (
+      SELECT id AS query_id, x, y FROM p WHERE id < 25
+    ), c AS (
+      SELECT id, x, y FROM p WHERE id >= 25
+    ), cand AS (
+      SELECT q.query_id, c.id,
+             CAST((q.x - c.x) * (q.x - c.x)
+                  + (q.y - c.y) * (q.y - c.y) AS BIGINT) AS dist_sq,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY (q.x - c.x) * (q.x - c.x)
+                        + (q.y - c.y) * (q.y - c.y), c.id
+             ) AS rk
+      FROM q JOIN c
+        ON (q.x - c.x) * (q.x - c.x) + (q.y - c.y) * (q.y - c.y)
+           <= 90000
+    )
+    SELECT query_id, id, dist_sq, CAST(rk AS INT) AS rk
+    FROM cand WHERE rk <= 3
+    """,
+)
+def spatial_knn_join(spark, sf_dir):
+    """Bounded-radius planar kNN join (extended/spatial.py knn_join):
+    for each of 25 query points, the 3 nearest corpus points within
+    Euclidean distance 300 on the integer grid — the horizon-bounded
+    exact-kNN posture that survives scale (unbounded exact 2D kNN is
+    an all-pairs rank; the radius makes the candidate set the grid
+    join's output — density × search area — with candidates found by
+    ONE cell equi-join, never a Cartesian product).  Ranking breaks
+    ties on (dist_sq, id) so the emitted set is engine-exact;
+    distances stay squared on the int64 lattice.  The oracle states
+    the same result as the brute-force theta-join + window DuckDB
+    can afford at gate scale."""
+    from .extended.spatial import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.floor(
+            F.element_at(F.col("embedding").cast("array<double>"), 1)
+            * 1000
+        ).cast("long").alias("x"),
+        F.floor(
+            F.element_at(F.col("embedding").cast("array<double>"), 2)
+            * 1000
+        ).cast("long").alias("y"),
+    )
+    queries = pts.filter(F.col("id") < 25).select(
+        F.col("id").alias("query_id"), "x", "y"
+    )
+    corpus = pts.filter(F.col("id") >= 25)
+    return knn_join(queries, corpus, k=3, radius=300)

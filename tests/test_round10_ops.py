@@ -586,3 +586,56 @@ class TestFuzzVsPython:
             ).alias("h")
         ).collect()[0].h
         assert (got.l, got.b, got.i) == (l, b, len(series))
+
+
+class TestSpatialKnnJoin:
+    def test_crafted_neighbors_and_tie_break(self, spark):
+        from pandasy_spark.extended.spatial import knn_join
+
+        q = spark.createDataFrame([(1, 0, 0)], "query_id long, x long, y long")
+        # two corpus points tie at dist_sq 25: ids 11 and 12 — the
+        # smaller id must rank first; 13 is nearer, 14 outside radius
+        c = spark.createDataFrame(
+            [(12, 3, 4), (11, -3, 4), (13, 1, 0), (14, 100, 100)],
+            "id long, x long, y long",
+        )
+        got = [
+            (r.id, r.dist_sq, r.rk)
+            for r in knn_join(q, c, k=3, radius=50)
+            .orderBy("rk")
+            .collect()
+        ]
+        assert got == [(13, 1, 1), (11, 25, 2), (12, 25, 3)]
+
+    def test_fewer_than_k_inside_horizon(self, spark):
+        from pandasy_spark.extended.spatial import knn_join
+
+        q = spark.createDataFrame(
+            [(1, 0, 0), (2, 10_000, 10_000)], "query_id long, x long, y long"
+        )
+        c = spark.createDataFrame([(10, 1, 1)], "id long, x long, y long")
+        rows = knn_join(q, c, k=5, radius=10).collect()
+        # query 1 gets its single neighbor; query 2 is absent
+        assert [(r.query_id, r.id) for r in rows] == [(1, 10)]
+
+    def test_k_guard(self, spark):
+        from pandasy_spark.extended.spatial import knn_join
+
+        df = spark.createDataFrame([(1, 0, 0)], "query_id long, x long, y long")
+        with pytest.raises(ValueError, match="k must"):
+            knn_join(df, df.selectExpr("query_id as id", "x", "y"), k=0, radius=5)
+
+    def test_gate_rk_contract(self, spark, sf_dir):
+        rows = QUERIES["spatial_knn_join"](spark, sf_dir).collect()
+        assert rows
+        from collections import defaultdict
+
+        per_q = defaultdict(list)
+        for r in rows:
+            per_q[r.query_id].append((r.rk, r.dist_sq))
+        for q, rs in per_q.items():
+            rs.sort()
+            assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1))
+            assert all(
+                rs[i][1] <= rs[i + 1][1] for i in range(len(rs) - 1)
+            )
