@@ -334,6 +334,8 @@ _R11_DEFER: list[str] = [
     "profile_moments", "events_holt",
     # round-10 batch 7: bounded-radius planar kNN join
     "spatial_knn_join",
+    # round-10 batch 8: local-extrema screen + recency-decay sampling
+    "events_peaks", "sample_exponential_decay",
 ]
 
 

@@ -18074,3 +18074,145 @@ def spatial_knn_join(spark, sf_dir):
     )
     corpus = pts.filter(F.col("id") >= 25)
     return knn_join(queries, corpus, k=3, radius=300)
+
+
+@query(
+    "events_peaks",
+    """
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY event_type, day
+    ), w AS (
+      SELECT event_type, day, cents,
+             LAG(cents) OVER (PARTITION BY event_type ORDER BY day)
+               AS prev,
+             LEAD(cents) OVER (PARTITION BY event_type ORDER BY day)
+               AS next
+      FROM d
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day, cents
+    FROM w
+    WHERE prev IS NOT NULL AND next IS NOT NULL
+      AND cents > prev AND cents > next
+    """,
+)
+def events_peaks(spark, sf_dir):
+    """Local-maximum detection on the per-type daily revenue series —
+    the spike screen a monitoring pipeline runs before alerting
+    (strictly greater than BOTH neighbors; series endpoints are never
+    peaks because a one-sided neighbor cannot witness a maximum).
+    The raw events reduce distributed to the bounded (type, day) grid
+    first — ONE shuffle — and the lag/lead window then runs over
+    ~30 rows per type (bounded BY CONSTRUCTION, the plain-window
+    contract from SCALING.md: data volume changes the aggregate's
+    input, never the window's).  Exact cents lattice throughout; the
+    oracle states the identical windows."""
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    staged = d.select(
+        "event_type", "day", "cents",
+        F.lag("cents").over(w).alias("__prev"),
+        F.lead("cents").over(w).alias("__next"),
+    )
+    return staged.filter(
+        F.col("__prev").isNotNull()
+        & F.col("__next").isNotNull()
+        & (F.col("cents") > F.col("__prev"))
+        & (F.col("cents") > F.col("__next"))
+    ).select("event_type", "day", "cents")
+
+
+@query(
+    "sample_exponential_decay",
+    """
+    WITH e AS (
+      SELECT event_type, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             date_diff('day', date_trunc('day', ts),
+                       TIMESTAMP '2024-01-31 00:00:00') AS age_days
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), k AS (
+      SELECT event_type, cents,
+             CASE WHEN (event_id * 1103515245 + 12345) % 2147483647
+                       % 1000
+                  < (1000 >> LEAST(GREATEST(age_days, 0) // 7, 20))
+                  THEN 1 ELSE 0 END AS keep
+      FROM e
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(keep * cents) AS BIGINT) AS kept_cents
+    FROM k
+    GROUP BY event_type
+    """,
+)
+def sample_exponential_decay(spark, sf_dir):
+    """Recency-weighted deterministic sampling — keep probability
+    halves every 7 days of age (the freshness-biased replay mix a
+    training pipeline uses so last week dominates without discarding
+    history).  The halving schedule runs as a BIT SHIFT on the milli
+    lattice (``1000 >> age_half_lives`` — exact powers of two, no
+    libm exp anywhere, the SCALING.md portable-float rule), and the
+    keep decision is the corpus-standard MINSTD per-row hash against
+    that threshold, so every engine draws the identical sample and
+    re-runs are byte-stable.  Narrow map + one aggregate: the keep
+    column costs integer arithmetic inside codegen; at 100 TB the
+    filter precedes any shuffle.  The oracle folds the same
+    arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    age = F.datediff(
+        F.lit("2024-01-31").cast("date"),
+        F.date_trunc("day", F.col("ts")).cast("date"),
+    )
+    # integer half-lives, capped so the shift is always defined
+    h = F.least(
+        F.expr("CAST(GREATEST(__age, 0) AS BIGINT) div 7"), F.lit(20)
+    ).cast("int")
+    hash_milli = (
+        (F.col("event_id") * 1103515245 + 12345) % 2147483647 % 1000
+    )
+    staged = (
+        ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .withColumn("__age", age)
+        .withColumn("__h", h)
+        # pyspark's shiftright() takes a literal bit count only; the
+        # per-row shift goes through the SQL form
+        .withColumn("__thresh", F.expr("shiftright(1000, __h)"))
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.when(hash_milli < F.col("__thresh"), 1)
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )
+    return staged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.sum(F.col("keep") * F.col("cents")).cast("long").alias(
+            "kept_cents"
+        ),
+    )

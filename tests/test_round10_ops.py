@@ -639,3 +639,106 @@ class TestSpatialKnnJoin:
             assert all(
                 rs[i][1] <= rs[i + 1][1] for i in range(len(rs) - 1)
             )
+
+
+class TestEventsPeaks:
+    def test_crafted_series(self, spark):
+        import datetime as _dt
+        import os
+        import tempfile
+
+        # type 'a' daily cents: 100, 300, 200, 500, 400 -> peaks at
+        # days 2 (300) and 4 (500); endpoints never peak
+        series = [100, 300, 200, 500, 400]
+        rows = [
+            (
+                i,
+                _dt.datetime(2024, 1, 1 + i, 12, 0, 0),
+                1,
+                "a",
+                c / 100.0,
+                "{}",
+            )
+            for i, c in enumerate(series)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "documents", "embeddings",
+        ]:
+            src = f"/root/testdata/sf0.001/{t}.parquet"
+            if os.path.exists(src):
+                os.symlink(src, os.path.join(d, f"{t}.parquet"))
+        got = sorted(
+            (r.day.day, r.cents)
+            for r in QUERIES["events_peaks"](spark, d).collect()
+        )
+        assert got == [(2, 300), (4, 500)]
+
+    def test_gate_peaks_are_interior(self, spark, sf_dir):
+        rows = QUERIES["events_peaks"](spark, sf_dir).collect()
+        assert rows
+        # no peak may fall on a series endpoint: recompute day bounds
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        bounds = {
+            r.event_type: (r.lo, r.hi)
+            for r in ev.filter("value is not null and ts is not null")
+            .groupBy("event_type")
+            .agg(
+                F.min(F.date_trunc("day", "ts")).alias("lo"),
+                F.max(F.date_trunc("day", "ts")).alias("hi"),
+            )
+            .collect()
+        }
+        for r in rows:
+            lo, hi = bounds[r.event_type]
+            assert lo < r.day < hi
+
+
+class TestExponentialDecaySample:
+    def test_python_rederivation(self, spark, sf_dir):
+        import math
+
+        pdf = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .filter("ts is not null and value is not null")
+            .select("event_type", "event_id", "ts", "value")
+            .toPandas()
+        )
+        import datetime as _dt
+
+        ref = _dt.date(2024, 1, 31)
+        want = {}
+        for _, row in pdf.iterrows():
+            age = (ref - row.ts.date()).days
+            h = min(max(age, 0) // 7, 20)
+            keep = (
+                (row.event_id * 1103515245 + 12345) % 2147483647 % 1000
+                < (1000 >> h)
+            )
+            cents = math.floor(row.value * 100 + 0.5)
+            a = want.setdefault(row.event_type, [0, 0, 0])
+            a[0] += 1
+            if keep:
+                a[1] += 1
+                a[2] += cents
+        got = {
+            r.event_type: [r.n_total, r.n_kept, r.kept_cents]
+            for r in QUERIES["sample_exponential_decay"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == want
+
+    def test_decay_monotone_in_age(self, spark, sf_dir):
+        # sanity: keep RATE should be non-trivial (neither 0 nor 1)
+        rows = QUERIES["sample_exponential_decay"](spark, sf_dir).collect()
+        total = sum(r.n_total for r in rows)
+        kept = sum(r.n_kept for r in rows)
+        assert 0 < kept < total
