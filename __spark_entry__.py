@@ -282,6 +282,29 @@ _WITNESSED_R9 = {
     "window_distribution",
 }
 
+# CORRECTNESS_r10 recorded these 50 rows (all green, witnessed
+# post-final-commit at 16:24 vs last commit 15:50): the 19-name
+# _R10_FRONT + 31 stalest R3 re-witnesses.  Cumulative ever-witnessed
+# after r10: 342/356 (the 14 missing are exactly _R11_FRONT below).
+_WITNESSED_R10 = {
+    "ml_ndcg", "ml_gains", "ml_regression", "graph_modularity",
+    "profile_anova", "ml_kappa", "expr_variant", "sql_pipe",
+    "expr_collation", "sql_udf", "ml_confusion", "source_xml",
+    "spatial_dbscan", "embedding_rp", "streaming_semi_join",
+    "text_langid", "knn_lsh", "knn_beam", "dedup_embedding",
+    "q22_global_balance", "q6_forecast_revenue", "q7_nation_volume",
+    "decontaminate_bloom", "dedup_blocked", "dedup_rolling",
+    "embedding_pca", "events_funnel", "events_retention",
+    "events_time_rollup", "expr_null_funcs", "join_salted", "knn_ivf",
+    "map_functions", "multimodal_audio", "multimodal_frames",
+    "multimodal_jpeg", "multimodal_png", "pipeline_clean_corpus",
+    "profile_heavy_hitters", "q10_returned_items",
+    "q11_important_stock", "q12_shipmode", "q14_promo_effect",
+    "q15_top_supplier", "q16_parts_supplier", "q17_small_quantity",
+    "q18_large_orders", "q19_discounted_revenue",
+    "q20_supplier_part_volume", "q21_waiting_supplier",
+}
+
 # Round-10 front (exactly 19 explicit names; 31 stale _WITNESSED_R3
 # names fill the rest of the driver's 50-row recording window):
 #   (a) the 15 late-r9 registrations deferred past the r9 window
@@ -310,14 +333,19 @@ _R10_FRONT: list[str] = [
 _TIERS_STALEST_FIRST = (
     _WITNESSED_R1R2, _WITNESSED_R3, _WITNESSED_R4, _WITNESSED_R5,
     _WITNESSED_R6, _WITNESSED_R7, _WITNESSED_R8, _WITNESSED_R9,
+    _WITNESSED_R10,
 )
 _CHECKED_UNION = frozenset().union(*_TIERS_STALEST_FIRST)
 
-# Registered late in round 10 and DEFERRED past the witness window so
-# the r10 window keeps its planned shape — same mechanism as r9's
-# _R10_DEFER.  These lead the ROUND-11 front, before the 15 spilled
-# stale _WITNESSED_R3 names and the _WITNESSED_R4 tier.
-_R11_DEFER: list[str] = [
+# Round-11 front: the 14 late-r10 registrations (the r10 verdict's
+# `_R11_DEFER` set — never driver-witnessed; each verified at sf0.01
+# AND sf0.001 in round 10 and independently re-verified by the r10
+# judge).  The 15 remaining stale _WITNESSED_R3 names + the 21
+# alphabetically-first effective _WITNESSED_R4 names fill the rest of
+# the driver's 50-row window, closing the ever-witnessed ledger at
+# 356/356 and leaving the stale ledger at R3: 0, R4: 28, R5: 46
+# (ROADMAP.md "Handoff to round 11").
+_R11_FRONT: list[str] = [
     # round-10 batch 1: bidirectional stream-stream finalization
     # (closes VERDICT r9 gap #3)
     "streaming_full_outer_join",
@@ -338,13 +366,18 @@ _R11_DEFER: list[str] = [
     "events_peaks", "sample_exponential_decay",
 ]
 
+# Registered in round 11 and DEFERRED past the r11 witness window so
+# the window keeps its planned shape — same mechanism as r9's
+# _R10_DEFER / r10's _R11_DEFER.  These lead the ROUND-12 front.
+_R12_DEFER: list[str] = []
+
 
 def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    front = {k: QUERIES[k] for k in _R10_FRONT if k in QUERIES}
+    front = {k: QUERIES[k] for k in _R11_FRONT if k in QUERIES}
     unproven = {
         k: v for k, v in QUERIES.items()
         if k not in _CHECKED_UNION and k not in front
-        and k not in _R11_DEFER
+        and k not in _R12_DEFER
     }
     # a name may sit in several tiers (re-witnessed later): its
     # effective tier is the LATEST round that recorded it
@@ -357,7 +390,7 @@ def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if k in QUERIES and k not in seen and k not in later:
                 by_staleness[k] = QUERIES[k]
                 seen.add(k)
-    deferred = {k: QUERIES[k] for k in _R11_DEFER if k in QUERIES}
+    deferred = {k: QUERIES[k] for k in _R12_DEFER if k in QUERIES}
     return {**front, **unproven, **by_staleness, **deferred}
 
 
