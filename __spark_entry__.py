@@ -369,7 +369,11 @@ _R11_FRONT: list[str] = [
 # Registered in round 11 and DEFERRED past the r11 witness window so
 # the window keeps its planned shape — same mechanism as r9's
 # _R10_DEFER / r10's _R11_DEFER.  These lead the ROUND-12 front.
-_R12_DEFER: list[str] = []
+_R12_DEFER: list[str] = [
+    # round-11 batch 1: standalone recall@k for the ANN family
+    # (closes VERDICT r9 ask #6 / r10 ask #2)
+    "ml_recall_at_k", "ml_recall_panel",
+]
 
 
 def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

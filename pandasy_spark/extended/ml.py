@@ -36,6 +36,8 @@ __all__ = [
     "confusion_multiclass",
     "mcc_binary",
     "brier_score",
+    "recall_at_k",
+    "recall_histogram",
 ]
 
 
@@ -986,4 +988,93 @@ def brier_score(
                 f" DIV (CAST(n AS DECIMAL(38,0)) * {g2}) AS BIGINT)"
             ),
         ).alias("brier_micro"),
+    )
+
+
+def recall_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "id",
+) -> DataFrame:
+    """Per-query recall@k of an ANN result set against exact ground
+    truth — the standard retrieval-quality metric for the ANN family
+    (:func:`~pandasy_spark.extended.similarity.lsh_cosine_topk`,
+    ``ivf_topk``, ``pq_topk``, ``beam_topk``), completing the eval
+    triad the way :func:`mcc_binary`/:func:`brier_score` did for
+    classifiers.  Both inputs are (query_id, id) neighbor sets —
+    ``exact`` from a brute-force pass
+    (:func:`~pandasy_spark.extended.similarity.cosine_topk`),
+    ``approx`` from any index.
+
+    The query universe is defined by ``exact`` (ground truth): a query
+    the index returned nothing for scores 0, and ids the index
+    returned beyond the truth set are ignored (precision is a
+    different metric).  Everything lands on the integer lattice:
+    ``hits`` = |exact ∩ approx| per query (BIGINT) and ``recall_bp``
+    = (hits·10000) div k — exact basis points, engine-portable
+    (DuckDB ``//``; positive operands so floor == truncate).
+
+    Scale shape: one equi-join on the (query_id, id) pair key + two
+    aggregates on query_id — linear in k·|Q|, no window, no Python.
+    At 100 TB the expensive side is producing ``exact``, which is why
+    recall is evaluated on a SAMPLED query set against the full
+    corpus; this operator's cost is independent of corpus size.
+
+    Output: (query_id, hits, recall_bp), one row per ground-truth
+    query."""
+    if k <= 0:
+        raise ValueError(f"recall_at_k: k must be positive, got {k}")
+    ex = exact.select(
+        F.col(query_id_col).alias("query_id"), F.col(id_col).alias("id")
+    )
+    ap = approx.select(
+        F.col(query_id_col).alias("query_id"), F.col(id_col).alias("id")
+    )
+    hits = (
+        ex.join(ap, ["query_id", "id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    return (
+        ex.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),
+        )
+        .select(
+            "query_id",
+            "hits",
+            F.expr(f"(hits * 10000) div {int(k)}").alias("recall_bp"),
+        )
+    )
+
+
+def recall_histogram(per_query: DataFrame, k: int) -> DataFrame:
+    """Fold :func:`recall_at_k` per-query rows into the recall
+    DISTRIBUTION: one row per hit count 0..k with the number of
+    queries landing there (absent counts emitted as 0 so the
+    histogram has a fixed k+1-row shape regardless of data).  A
+    single aggregate on an at-most-(k+1)-key column + a broadcast
+    join against the literal 0..k grid — bounded by construction, so
+    plain ops, no prefix scan (SCALING.md rule)."""
+    if k <= 0:
+        raise ValueError(f"recall_histogram: k must be positive, got {k}")
+    spark = per_query.sparkSession
+    grid = spark.range(0, k + 1).select(F.col("id").cast("long").alias("hits"))
+    counts = per_query.groupBy("hits").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    return (
+        grid.join(counts, "hits", "left")
+        .select(
+            "hits",
+            F.coalesce(F.col("n_queries"), F.lit(0).cast("long")).alias(
+                "n_queries"
+            ),
+            F.expr(f"(hits * 10000) div {int(k)}").alias("recall_bp"),
+        )
     )

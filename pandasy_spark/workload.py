@@ -18216,3 +18216,207 @@ def sample_exponential_decay(spark, sf_dir):
             "kept_cents"
         ),
     )
+
+
+@query(
+    "ml_recall_at_k",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS id, v FROM e WHERE vec_id >= 10
+    ), sim_all AS (
+      SELECT q.query_id, c.id,
+             FLOOR((list_sum([c.v[i]*q.v[i] for i in range(1, len(c.v)+1)]) /
+                    (sqrt(list_sum([c.v[i]*c.v[i] for i in range(1, len(c.v)+1)])) *
+                     sqrt(list_sum([q.v[i]*q.v[i] for i in range(1, len(q.v)+1)]))))
+                   * 10000 + 0.5) / 10000 AS sim
+      FROM c, q
+    ), exact AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, id) AS rk
+        FROM sim_all
+      ) WHERE rk <= 5
+    ), cb AS (
+      SELECT id, t, {_lsh_bucket_sql(6)} AS bucket FROM c, range(0,4) tt(t)
+    ), qb AS (
+      SELECT query_id, t, {_lsh_bucket_sql(6)} AS bucket
+      FROM q, range(0,4) tt(t)
+    ), cand AS (
+      SELECT DISTINCT query_id, id
+      FROM cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+    ), s AS (
+      SELECT cand.query_id, cand.id,
+             FLOOR((list_sum([c.v[i]*q.v[i] for i in range(1, len(c.v)+1)]) /
+                    (sqrt(list_sum([c.v[i]*c.v[i] for i in range(1, len(c.v)+1)])) *
+                     sqrt(list_sum([q.v[i]*q.v[i] for i in range(1, len(q.v)+1)]))))
+                   * 10000 + 0.5) / 10000 AS sim
+      FROM cand JOIN c ON cand.id = c.id JOIN q ON cand.query_id = q.query_id
+    ), approx AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, id) AS rk
+        FROM s
+      ) WHERE rk <= 5
+    )
+    SELECT exact.query_id,
+           CAST(COUNT(approx.id) AS BIGINT) AS hits,
+           CAST((COUNT(approx.id) * 10000) // 5 AS BIGINT) AS recall_bp
+    FROM exact LEFT JOIN approx
+      ON exact.query_id = approx.query_id AND exact.id = approx.id
+    GROUP BY exact.query_id
+    """,
+)
+def ml_recall_at_k(spark, sf_dir):
+    """Standalone recall@k for the ANN family (extended/ml.py
+    recall_at_k, VERDICT r9 ask #6 / r10 ask #2): exact brute-force
+    cosine top-5 (extended/similarity.py cosine_topk) joined against
+    the hyperplane-LSH path (lsh_cosine_topk, the engine-portable ANN
+    — same MINSTD bucket construction the knn_lsh oracle rebuilds),
+    emitting the PER-QUERY recall distribution on the integer lattice:
+    hits = |exact ∩ approx| (BIGINT) and recall_bp = (hits·10000) div
+    k exact basis points.  The DuckDB oracle restates the ENTIRE
+    pipeline — exact ranking, LSH buckets, candidate join, per-query
+    hit counts — so unlike the self-certifying ivf/pq/beam gates this
+    one is fully value-hash-checked.
+
+    Scale shape: the operator itself is one (query_id, id) equi-join
+    + two aggregates, linear in k·|Q| and independent of corpus size;
+    the exact side is the only brute-force pass, which is why recall
+    is evaluated on a sampled query set (10 here) against the full
+    corpus."""
+    from .extended.ml import recall_at_k as X_recall_at_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = filter_df(emb, F.col("vec_id") >= 10)
+    queries_df = filter_df(emb, F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = X_sim.cosine_topk(corpus, queries_df, k=5)
+    approx = X_sim.lsh_cosine_topk(
+        corpus, queries_df, k=5, query_id_col="query_id", planes=6
+    )
+    return X_recall_at_k(exact, approx, k=5)
+
+
+@query(
+    "ml_recall_panel",
+    """
+    WITH nq AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+      FROM embeddings WHERE vec_id < 10
+    )
+    SELECT m.method, nq.n_queries, CAST(5 AS INT) AS k,
+           TRUE AS recall_ok, TRUE AS bounded_ok
+    FROM nq, (VALUES ('beam'), ('ivf'), ('pq')) m(method)
+    """,
+)
+def ml_recall_panel(spark, sf_dir):
+    """Recall panel across the three NON-portable ANN paths (IVF, PQ,
+    beam) through the shared extended/ml.py recall_at_k operator —
+    consolidating what knn_ivf/knn_pq/knn_beam each certify inline.
+    Those indexes are deterministic but not SQL-restateable (iterative
+    Lloyd's quantizers, graph beam search), so like them this gate is
+    SELF-CERTIFYING: per method the plan computes recall_at_k against
+    that path's native-metric exact ground truth (cosine for IVF —
+    matching knn_ivf; int-grid L2 for PQ and beam — matching
+    knn_pq/knn_beam) and emits recall_ok = mean recall_bp >= the
+    documented per-path floor (0.4 IVF / 0.3 PQ / 0.3 beam on
+    uniform-random vectors, the hardest case) and bounded_ok = the
+    index returned at most k rows per query.  A regression in any
+    index OR in recall_at_k itself flips a boolean and fails the hash
+    check.  Every count is integer, so the booleans are
+    deterministic."""
+    from pyspark.sql.window import Window
+
+    from .extended.ml import recall_at_k as X_recall_at_k
+    from .extended.similarity import beam_topk, int_grid_vec
+
+    emb = X_ensure_min_partitions(_t(spark, sf_dir, "embeddings"))
+    corpus = filter_df(emb, F.col("vec_id") >= 10)
+    queries_df = filter_df(emb, F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    c = corpus.select(
+        F.col("vec_id").alias("id"), int_grid_vec(F.col("embedding")).alias("v")
+    )
+    q = queries_df.select(
+        "query_id", int_grid_vec(F.col("embedding")).alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("id"))
+    exact_l2 = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("d2", d2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "id")
+    )
+    exact_cos = X_sim.cosine_topk(corpus, queries_df, k=5)
+
+    paths = [
+        (
+            "ivf",
+            X_sim.ivf_topk(
+                corpus, queries_df, k=5, n_clusters=8, nprobe=3,
+                kmeans_iters=2,
+            ),
+            exact_cos,
+            0.4,
+        ),
+        (
+            "pq",
+            X_sim.pq_topk(corpus, queries_df, k=5, m=32, n_codes=16, iters=2),
+            exact_l2,
+            0.3,
+        ),
+        (
+            "beam",
+            beam_topk(
+                corpus, queries_df, k=5, m=8, beam_width=32, rounds=3,
+                n_entry=8, planes=4, tables=8,
+            ),
+            exact_l2,
+            0.3,
+        ),
+    ]
+    rows = []
+    for method, approx, exact, floor in paths:
+        per_q = X_recall_at_k(exact, approx, k=5)
+        ret = approx.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_ret")
+        )
+        stats = (
+            per_q.join(ret, "query_id", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.sum("hits").cast("long").alias("total_hits"),
+                F.max(F.coalesce(F.col("n_ret"), F.lit(0))).alias("max_ret"),
+            )
+            .select(
+                F.lit(method).alias("method"),
+                "n_queries",
+                F.lit(5).cast("int").alias("k"),
+                (
+                    F.col("total_hits").cast("double")
+                    >= F.lit(floor) * F.lit(5.0)
+                    * F.col("n_queries").cast("double")
+                ).alias("recall_ok"),
+                (F.col("max_ret") <= F.lit(5)).alias("bounded_ok"),
+            )
+        )
+        rows.append(stats)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1591,6 +1591,64 @@ def probe_r10() -> None:
     print(json.dumps({"r10_probes": results}))
 
 
+def probe_r11() -> None:
+    """10x probes for the round-11 operators: recall@k over an
+    inline-replicated embeddings corpus (10x corpus rows through BOTH
+    the exact brute-force pass and the LSH candidate join, fixed
+    10-query set — the production shape: corpus grows, the evaluated
+    query sample does not).  Expected ~linear: the dominant cost is
+    the exact side's corpus scan; the recall join itself is k x |Q|
+    rows and contributes a constant."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pandasy_spark.extended.ml import recall_at_k
+    from pandasy_spark.extended.similarity import cosine_topk, lsh_cosine_topk
+    from pandasy_spark.session import get_spark
+
+    spark = get_spark("pandasy-scale-probe-r11")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def emb(sf_dir):
+        e = spark.read.parquet(f"{SRC}/embeddings.parquet")
+        if sf_dir == DST:
+            reps = spark.range(10).select(F.col("id").alias("__rep"))
+            e = e.crossJoin(F.broadcast(reps)).select(
+                (F.col("vec_id") * 10 + F.col("__rep")).alias("vec_id"),
+                "embedding",
+            )
+        return e
+
+    def recall_probe(sf_dir):
+        e = emb(sf_dir)
+        corpus = e.filter(F.col("vec_id") >= 100)
+        queries = e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = cosine_topk(corpus, queries, k=5)
+        approx = lsh_cosine_topk(
+            corpus, queries, k=5, query_id_col="query_id", planes=6
+        )
+        return recall_at_k(exact, approx, k=5)
+
+    results = {}
+    for name, fn in (("ml_recall_at_k", recall_probe),):
+        results[name] = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1.0", DST)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                fn(sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, _t.perf_counter() - t0)
+            results[name][label] = round(best, 2)
+        results[name]["ratio"] = round(
+            results[name]["sf1.0"] / max(results[name]["sf0.1"], 1e-9), 2
+        )
+        print(name, results[name], flush=True)
+    print(json.dumps({"r11_probes": results}))
+
+
 if __name__ == "__main__":
     {
         "build": build,
@@ -1606,5 +1664,6 @@ if __name__ == "__main__":
         "probe_r9": probe_r9,
         "probe_r9b": probe_r9b,
         "probe_r10": probe_r10,
+        "probe_r11": probe_r11,
         "bpe50k": bpe50k,
     }[sys.argv[1]]()
