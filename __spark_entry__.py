@@ -373,6 +373,9 @@ _R12_DEFER: list[str] = [
     # round-11 batch 1: standalone recall@k for the ANN family
     # (closes VERDICT r9 ask #6 / r10 ask #2)
     "ml_recall_at_k", "ml_recall_panel",
+    # round-11 batch 2: expanding-ring kNN escalation (VERDICT r10
+    # ask #5)
+    "spatial_knn_expand",
 ]
 
 

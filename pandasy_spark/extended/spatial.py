@@ -325,6 +325,7 @@ def knn_join(
     id_cols: tuple[str, str] = ("query_id", "id"),
     x_col: str = "x",
     y_col: str = "y",
+    expand_rounds: int = 0,
 ) -> DataFrame:
     """Bounded-radius k-nearest-neighbor join on the integer plane:
     for each query point, the ``k`` nearest corpus points WITHIN
@@ -338,6 +339,20 @@ def knn_join(
     — the same explicit-horizon contract as
     :func:`closeness_from_landmarks`.
 
+    ``expand_rounds`` is the standard escalation for pipelines that
+    cannot pre-pick a radius (VERDICT r10 ask #5): after the base
+    pass, queries still holding FEWER than ``k`` neighbors retry at
+    double the radius, up to ``expand_rounds`` times (round ``i``
+    searches ``radius·2^i``).  A retried query's result is replaced
+    wholesale by its wider-horizon top-k (a superset of the
+    candidates it had, re-ranked — so the semantics equal a single
+    pass at the widest radius that query reached, and filled queries
+    never change).  The search stays bounded: each round is one grid
+    join over ONLY the unfilled queries at 4x the prior search area,
+    and the round count caps total work — never an unbounded
+    all-pairs fallback.  Lineage per round is cut with a lazy
+    localCheckpoint (the graph-loop discipline).
+
     Built ON the grid radius join (ONE cell equi-join, never
     Cartesian), then a per-query ranking window over the bounded
     candidate set.  Ties break deterministically on
@@ -349,17 +364,38 @@ def knn_join(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if expand_rounds < 0:
+        raise ValueError("expand_rounds must be >= 0")
     from pyspark.sql.window import Window
 
     id_q, id_c = id_cols
-    pairs = radius_join(
-        queries, corpus, radius, id_cols=id_cols, x_col=x_col, y_col=y_col
-    )
-    w = Window.partitionBy(id_q).orderBy(
-        F.col("dist_sq"), F.col(id_c)
-    )
-    return (
-        pairs.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= k)
-        .select(id_q, id_c, "dist_sq", "rk")
-    )
+    w = Window.partitionBy(id_q).orderBy(F.col("dist_sq"), F.col(id_c))
+
+    def _topk(qdf: DataFrame, r: int) -> DataFrame:
+        pairs = radius_join(
+            qdf, corpus, r, id_cols=id_cols, x_col=x_col, y_col=y_col
+        )
+        return (
+            pairs.withColumn("rk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rk") <= k)
+            .select(id_q, id_c, "dist_sq", "rk")
+        )
+
+    res = _topk(queries, radius)
+    pending = queries
+    r = radius
+    for _ in range(expand_rounds):
+        r *= 2
+        filled = (
+            res.groupBy(id_q)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= k)
+            .select(id_q)
+        )
+        pending = pending.join(filled, id_q, "left_anti")
+        res = (
+            res.join(filled, id_q, "left_semi")
+            .unionAll(_topk(pending, r))
+            .localCheckpoint(eager=False)
+        )
+    return res

