@@ -376,6 +376,12 @@ _R12_DEFER: list[str] = [
     # round-11 batch 2: expanding-ring kNN escalation (VERDICT r10
     # ask #5)
     "spatial_knn_expand",
+    # round-11 batch 3: robust profiling + calibration folds
+    "profile_mad", "ml_ece",
+    # round-11 batch 4: event-series co-movement + admission control
+    "events_rolling_corr", "events_rate_limit",
+    # round-11 batch 5: leakage-safe CV + lake-house schema evolution
+    "sample_group_kfold", "source_schema_evolution",
 ]
 
 

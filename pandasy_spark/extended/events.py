@@ -32,6 +32,8 @@ __all__ = [
     "coalesce_intervals",
     "cusum_per_key",
     "markov_removal_effects",
+    "rolling_corr_daily",
+    "token_bucket_per_key",
 ]
 
 
@@ -1236,4 +1238,183 @@ def kaplan_meier(
     )
     return surv.filter(F.col("n_events") > 0).select(
         "t", "n_risk", "n_events", "n_censored", "survival"
+    )
+
+
+def rolling_corr_daily(
+    events: DataFrame,
+    type_x: str,
+    type_y: str,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Trailing rolling Pearson correlation between two event types\'
+    DAILY revenue series — the co-movement screen a monitoring
+    pipeline runs to catch a metric pair decoupling (clicks keep
+    rising while purchases stall).
+
+    The raw events reduce DISTRIBUTED to the bounded day grid first
+    (one shuffle, map-side partial sums; a day with only one of the
+    two types contributes 0 for the other — the spine is the union of
+    observed days).  The trailing ``window_days``-row frame then
+    slides over that grid: bounded BY CONSTRUCTION (the data\'s time
+    span, never its row count — SCALING.md plain-window rule), so at
+    100 TB the window\'s input is unchanged while the aggregate
+    absorbs the volume.
+
+    Exactness / portability: the six frame sums (n, Σx, Σy, Σx²,
+    Σy², Σxy) are BIGINT on the cent grid; the correlation closes as
+    ``corr_milli = floor(1000·(num / sqrt(dx·dy)) + 0.5)`` with
+    ``num = n·Σxy − Σx·Σy`` exact int64, ``dx·dy`` multiplied in
+    DOUBLE (the product can pass int64; double multiply/sqrt/divide
+    are correctly-rounded IEEE with the association stated
+    identically in the SQL oracle).  Zero-variance frames (either
+    series constant) emit NULL.  Magnitude contract: per-day cent
+    sums and the int64 moment bound (n·Σxy < 2⁶³) are the caller\'s
+    grid choice, same as profile_moments.
+
+    Output: ``(day, n_win, x_cents, y_cents, corr_milli)`` — one row
+    per day in the grid, ``n_win`` the frame\'s actual row count
+    (< window_days during warm-up).
+    """
+    if window_days < 2:
+        raise ValueError("window_days must be >= 2")
+    from pyspark.sql.window import Window
+
+    ev = events.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & F.col(type_col).isin([type_x, type_y])
+    )
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(
+        F.coalesce(
+            F.sum(F.when(F.col(type_col) == type_x, cents)), F.lit(0)
+        ).cast("long").alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col(type_col) == type_y, cents)), F.lit(0)
+        ).cast("long").alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    framed = daily.select(
+        "day",
+        F.col("x").alias("x_cents"),
+        F.col("y").alias("y_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_win"),
+        F.sum("x").over(w).cast("long").alias("__sx"),
+        F.sum("y").over(w).cast("long").alias("__sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("__sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("__syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("__sxy"),
+    )
+    num = F.col("n_win") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dx = F.col("n_win") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = F.col("n_win") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    corr = F.when(
+        (dx > 0) & (dy > 0),
+        F.floor(
+            F.lit(1000.0)
+            * (
+                num.cast("double")
+                / F.sqrt(dx.cast("double") * dy.cast("double"))
+            )
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return framed.select(
+        "day", "n_win", "x_cents", "y_cents", corr.alias("corr_milli")
+    )
+
+
+def token_bucket_per_key(
+    df: DataFrame,
+    capacity: int,
+    refill_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key token-bucket rate limiting as an ORDERED integer fold —
+    the replayable admission-control decision (API throttling, abuse
+    screens, crawler politeness) evaluated deterministically over a
+    historical event log: a bucket holds ``capacity`` tokens, refills
+    one token per ``refill_us`` microseconds, starts FULL at the
+    key\'s first event, and each event costs one token (accepted iff
+    a token is available; rejected events consume nothing).
+
+    Division-free exactness trick: tokens are measured in
+    TIME-CREDITS (1 credit per microsecond), so capacity =
+    ``capacity·refill_us`` credits, each event costs ``refill_us``
+    credits, and the refill between events is the raw ``Δt_us`` — the
+    whole recurrence is add/subtract/least/compare on int64, no
+    floor-division inside the fold, bit-identical in any engine
+    (DuckDB: ``list_reduce`` over a struct list with the seed
+    prepended).
+
+    Like :func:`ewma_per_key`, the recurrence is neither associative
+    nor commutative, so each key\'s ordered history assembles in one
+    place (collect_list → array_sort → aggregate); per-key state is
+    the key\'s event count, the same constraint any stateful stream
+    limiter has — segment-fold with carried (tok, last) checkpoints
+    if a single key\'s history outgrows an executor.
+
+    Output: ``(key, n_events, n_accepted, tok_credits)`` —
+    ``tok_credits`` the final bucket level (depends on every step, so
+    it witnesses the whole fold in the value hash).
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    if refill_us < 1:
+        raise ValueError("refill_us must be >= 1")
+    cap_credits = int(capacity) * int(refill_us)
+    cost = int(refill_us)
+    s = df.filter(F.col(ts_col).isNotNull()).select(
+        F.col(key_col).alias("k"),
+        F.struct(
+            F.unix_micros(F.col(ts_col)).alias("us"),
+            F.col(id_col).alias("id"),
+        ).alias("s"),
+    )
+    per = s.groupBy("k").agg(
+        F.array_sort(F.collect_list("s")).alias("seq")
+    )
+    init = F.struct(
+        F.lit(cap_credits - cost).cast("long").alias("tok"),
+        F.element_at(F.col("seq"), 1)["us"].alias("last"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    rest = F.slice(
+        F.col("seq"), 2, F.greatest(F.size("seq") - 1, F.lit(0))
+    )
+
+    def step(acc, e):
+        refreshed = F.least(
+            F.lit(cap_credits).cast("long"),
+            acc["tok"] + (e["us"] - acc["last"]),
+        )
+        return F.when(
+            refreshed >= F.lit(cost),
+            F.struct(
+                (refreshed - F.lit(cost)).alias("tok"),
+                e["us"].alias("last"),
+                (acc["n"] + F.lit(1)).alias("n"),
+            ),
+        ).otherwise(
+            F.struct(
+                refreshed.alias("tok"),
+                e["us"].alias("last"),
+                acc["n"].alias("n"),
+            )
+        )
+
+    fold = F.aggregate(rest, init, step)
+    return per.select(
+        F.col("k").alias(key_col),
+        F.size("seq").cast("long").alias("n_events"),
+        fold["n"].cast("long").alias("n_accepted"),
+        fold["tok"].cast("long").alias("tok_credits"),
     )

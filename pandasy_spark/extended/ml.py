@@ -38,6 +38,8 @@ __all__ = [
     "brier_score",
     "recall_at_k",
     "recall_histogram",
+    "expected_calibration_error",
+    "group_kfold_assign",
 ]
 
 
@@ -1077,4 +1079,114 @@ def recall_histogram(per_query: DataFrame, k: int) -> DataFrame:
             ),
             F.expr(f"(hits * 10000) div {int(k)}").alias("recall_bp"),
         )
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    prob_col: str,
+    is_positive: Column,
+    bins: int = 10,
+    decimals: int = 4,
+) -> DataFrame:
+    """EXACT expected calibration error — :func:`calibration_bins`
+    folded to the one number dashboards track: ECE =
+    Σ_b (n_b/N)·|acc_b − conf_b|, plus MCE = max_b |acc_b − conf_b|
+    (the worst bin, the number that catches a screen that is
+    well-calibrated on average but badly wrong in one score band).
+
+    The whole computation stays on the integer lattice: with scores
+    snapped to the ``decimals`` grid (``p = 10^decimals``), the
+    per-bin gap |acc_b − conf_b| has the exact BIGINT numerator
+    ``|p·n_pos_b − Σq_b|``, the N-weighting cancels the per-bin n, so
+    ECE_micro = (10⁶ · Σ_b |p·n_pos_b − Σq_b|) div (N·p) — ONE
+    integer division at the very end, in DECIMAL(38,0) so no product
+    can silently wrap; MCE divides per bin on the same lattice then
+    takes the max.  Same binning contract as :func:`calibration_bins`
+    (equal width, right edge closed, NULL/NaN scores excluded, NULL
+    labels negative).
+
+    Scale shape: one map-combined aggregate keyed by bin (shuffle
+    volume = ``bins`` rows), one ≤``bins``-row fold — unchanged at
+    any corpus size.
+
+    Output: one row ``(n, n_bins_nonempty, ece_micro, mce_micro)``."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    if not 1 <= decimals <= 6:
+        raise ValueError("decimals must be in [1, 6]")
+    p = 10**decimals
+    pc = F.col(prob_col)
+    keep = pc.isNotNull()
+    if isinstance(df.schema[prob_col].dataType, (T.FloatType, T.DoubleType)):
+        keep = keep & ~F.isnan(pc)
+    g = df.filter(keep).select(
+        F.floor(pc * p + F.lit(0.5)).cast("long").alias("__q"),
+        F.when(is_positive, 1).otherwise(0).cast("long").alias("__pos"),
+    )
+    per_bin = (
+        g.select(
+            F.least(
+                F.lit(bins - 1), F.expr(f"__q * {bins} div {p}")
+            ).cast("int").alias("bin"),
+            "__q",
+            "__pos",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__pos").cast("long").alias("__np"),
+            F.sum("__q").cast("long").alias("__sq"),
+        )
+        .select(
+            "__n",
+            F.abs(F.lit(int(p)) * F.col("__np") - F.col("__sq")).alias(
+                "__gap"
+            ),
+        )
+    )
+    return per_bin.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_nonempty"),
+        F.expr(
+            "CAST(CAST(sum(__gap) AS DECIMAL(38,0)) * 1000000"
+            f" div (CAST(sum(__n) AS DECIMAL(38,0)) * {p}) AS BIGINT)"
+        ).alias("ece_micro"),
+        F.max(
+            F.expr(
+                "CAST(CAST(__gap AS DECIMAL(38,0)) * 1000000"
+                f" div (CAST(__n AS DECIMAL(38,0)) * {p}) AS BIGINT)"
+            )
+        ).alias("mce_micro"),
+    )
+
+
+def group_kfold_assign(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    salt: int = 0,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """GROUPED k-fold assignment: every row of a group (user, domain,
+    document cluster) lands in the SAME fold, because the fold is a
+    pure function of the group key — the leakage-safe CV split when
+    rows within a group are correlated (a per-row split leaks a
+    user\'s other events into training and inflates validation
+    scores; grouped CV is the standard fix).  Same portable id-hash
+    bucket as :func:`kfold_assign` (stable under corpus growth,
+    re-partitioning, and re-runs), applied to the group key.  Pure
+    narrow map — no shuffle; leave-fold-out reads are plain filters.
+    Rows with a NULL group key get fold NULL (no well-defined group —
+    filter or impute explicitly rather than silently pooling them)."""
+    from .sampling import split_bucket
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return df.withColumn(
+        fold_col,
+        F.when(
+            F.col(group_col).isNotNull(),
+            (split_bucket(F.col(group_col), salt) % k).cast("int"),
+        ),
     )

@@ -57,6 +57,7 @@ __all__ = [
     "equidepth_histogram",
     "table_fingerprint",
     "anova_oneway",
+    "mad_fences",
 ]
 
 _NUMERIC = (
@@ -2124,4 +2125,91 @@ def anova_oneway(
             f"  ELSE -((-{fnum}) div {fden}) END AS BIGINT)"
             " END"
         ).alias("f_micro"),
+    )
+
+
+def mad_fences(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    n_mads_x10: int = 30,
+) -> DataFrame:
+    """Robust outlier screen on the MEDIAN/MAD lattice — the
+    heavy-tail-safe companion to the Tukey IQR fences (a single
+    extreme value moves a mean/stddev z-score arbitrarily but moves
+    the median absolute deviation not at all, so MAD fencing is the
+    screen of choice for price/latency columns where the outliers ARE
+    the signal being hunted).
+
+    Exact and engine-portable: the median comes from
+    :func:`quantile_cont_twopass` (x1000 lattice, no global sort);
+    per-row deviations ``d = |1000·v − med_s|`` stay BIGINT; the MAD
+    is the same two-pass quantile over ``d`` (x1e6 of the input
+    grid); and the fence test compares ``10000·d >
+    n_mads_x10·mad_s`` — every operand int64, no IEEE division
+    anywhere, so the counts value-hash in any engine.
+    ``n_mads_x10 = 30`` is the conventional 3-MAD rule on a x10
+    lattice (pass 35 for 3.5).
+
+    Scale shape: two two-pass quantiles (histogram + sliver refine,
+    three map-combined aggregates each — each carries the documented
+    fixed prefix-scan floor in the no-group form) plus one broadcast
+    fence join; nothing sorts globally, nothing collects.  Degenerate
+    contract: with fewer than 2 rows in a group the MAD is 0 and no
+    row can exceed the fence (0 > 0 is false), so singleton groups
+    report zero outliers rather than NULL-poisoning.
+
+    Output: one row per group ``(group..., n, med_scaled, mad_scaled,
+    n_outliers)`` — ``med_scaled`` = 1000x the interpolated median of
+    the input grid, ``mad_scaled`` = 1000x the interpolated median of
+    the x1000 deviations (i.e. 1e6x the input grid).
+    """
+    if n_mads_x10 <= 0:
+        raise ValueError("n_mads_x10 must be positive")
+    g = list(group_cols)
+    vals = df.select(
+        *g, F.col(value_col).cast("long").alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    med = quantile_cont_twopass(
+        vals, "__v", p_milli=500, group_cols=g
+    ).select(*g, "n", F.col("q_scaled").alias("med_scaled"))
+    joined = (
+        vals.join(F.broadcast(med), g)
+        if g
+        else vals.crossJoin(F.broadcast(med))
+    )
+    devs = joined.select(
+        *g,
+        "med_scaled",
+        "n",
+        F.abs(F.lit(1000) * F.col("__v") - F.col("med_scaled")).alias("__d"),
+    )
+    mad = quantile_cont_twopass(
+        devs, "__d", p_milli=500, group_cols=g
+    ).select(*g, F.col("q_scaled").alias("mad_scaled"))
+    fenced = (
+        devs.join(F.broadcast(mad), g)
+        if g
+        else devs.crossJoin(F.broadcast(mad))
+    )
+    return (
+        fenced.groupBy(*g, "n", "med_scaled", "mad_scaled")
+        .agg(
+            F.sum(
+                F.when(
+                    F.lit(10000) * F.col("__d")
+                    > F.lit(int(n_mads_x10)) * F.col("mad_scaled"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            *g,
+            F.col("n").cast("long").alias("n"),
+            F.col("med_scaled").cast("long").alias("med_scaled"),
+            F.col("mad_scaled").cast("long").alias("mad_scaled"),
+            "n_outliers",
+        )
     )

@@ -18495,3 +18495,393 @@ def spatial_knn_expand(spark, sf_dir):
     )
     corpus = pts.filter(F.col("id") >= 25)
     return knn_join(queries, corpus, k=3, radius=40, expand_rounds=1)
+
+
+@query(
+    "profile_mad",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS grp,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS val
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), o AS (
+      SELECT grp, val,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY val) AS r,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM v
+    ), m AS (
+      SELECT grp, n,
+             MAX(CASE WHEN r = ((n - 1) * 500) // 1000 + 1
+                 THEN val END) * (1000 - ((n - 1) * 500) % 1000)
+             + MAX(CASE WHEN r = LEAST(((n - 1) * 500) // 1000 + 2, n)
+                   THEN val END) * (((n - 1) * 500) % 1000) AS med_s
+      FROM o GROUP BY grp, n
+    ), d AS (
+      SELECT v.grp, m.n, m.med_s,
+             ABS(1000 * v.val - m.med_s) AS dev
+      FROM v JOIN m ON v.grp = m.grp
+    ), od AS (
+      SELECT grp, n, med_s, dev,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY dev) AS r
+      FROM d
+    ), mad AS (
+      SELECT grp, n, med_s,
+             MAX(CASE WHEN r = ((n - 1) * 500) // 1000 + 1
+                 THEN dev END) * (1000 - ((n - 1) * 500) % 1000)
+             + MAX(CASE WHEN r = LEAST(((n - 1) * 500) // 1000 + 2, n)
+                   THEN dev END) * (((n - 1) * 500) % 1000) AS mad_s
+      FROM od GROUP BY grp, n, med_s
+    )
+    SELECT d.grp AS l_returnflag, CAST(d.n AS BIGINT) AS n,
+           CAST(d.med_s AS BIGINT) AS med_scaled,
+           CAST(mad.mad_s AS BIGINT) AS mad_scaled,
+           CAST(SUM(CASE WHEN 10000 * d.dev > 30 * mad.mad_s
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN mad ON d.grp = mad.grp
+    GROUP BY d.grp, d.n, d.med_s, mad.mad_s
+    """,
+)
+def profile_mad(spark, sf_dir):
+    """Median/MAD robust outlier fences per group (extended/profile.py
+    mad_fences): the heavy-tail-safe complement to profile_tukey —
+    a single extreme value cannot move the fence, which is the point
+    when the outliers ARE the hunted signal.  Median and MAD each
+    come from the two-pass order-statistic quantile (histogram +
+    sliver refine, never a global sort); deviations and the 3-MAD
+    test stay entirely on the BIGINT lattice (10000·d >
+    30·mad_scaled), no IEEE division anywhere.  The oracle restates
+    both quantiles with the global-sort ROW_NUMBER definition."""
+    from .extended.profile import mad_fences
+
+    li = _t(spark, sf_dir, "lineitem")
+    vals = li.filter(F.col("l_extendedprice").isNotNull()).select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("val"),
+    )
+    return mad_fences(vals, "val", group_cols=["grp"]).select(
+        F.col("grp").alias("l_returnflag"),
+        "n",
+        "med_scaled",
+        "mad_scaled",
+        "n_outliers",
+    )
+
+
+@query(
+    "ml_ece",
+    r"""
+    WITH s AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonws,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_len
+      FROM documents
+    ), q AS (
+      SELECT lang,
+             0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (CASE WHEN COALESCE(CASE WHEN n_tokens > 0
+                         THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) >= 2.0
+                       AND COALESCE(CASE WHEN n_tokens > 0
+                         THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) <= 12.0
+                      THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (1.0 - LEAST((CASE WHEN n_len > 0
+                         THEN CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE)
+                         ELSE 0.0 END) * 5.0, 1.0)) AS qraw
+      FROM s
+    ), g AS (
+      SELECT CAST(FLOOR(FLOOR(qraw * 10000 + 0.5) / 10000 * 10000 + 0.5)
+                  AS BIGINT) AS qv,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM q
+    ), b AS (
+      SELECT LEAST(9, qv * 10 // 10000) AS bin,
+             COUNT(*) AS n, SUM(pos) AS np, SUM(qv) AS sq
+      FROM g GROUP BY 1
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_nonempty,
+           CAST(SUM(ABS(10000 * np - sq)) * 1000000
+                // (SUM(n) * 10000) AS BIGINT) AS ece_micro,
+           CAST(MAX(ABS(10000 * np - sq) * 1000000
+                // (n * 10000)) AS BIGINT) AS mce_micro
+    FROM b
+    """,
+)
+def ml_ece(spark, sf_dir):
+    """Expected calibration error (extended/ml.py
+    expected_calibration_error): ml_calibration's reliability table
+    folded to the ECE/MCE pair on the same documents quality-score
+    vs lang='en' pipeline — Σ_b (n_b/N)·|acc_b − conf_b| with the
+    exact BIGINT per-bin numerator |p·n_pos − Σq| (the N-weighting
+    cancels the per-bin n), one DECIMAL(38,0) floor division at the
+    very end; MCE divides per bin on the same lattice.  One
+    bin-keyed map-combined aggregate + a ≤10-row fold — the plan
+    shape is corpus-size-independent."""
+    from .extended.ml import expected_calibration_error
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = X_text.with_text_stats(docs).select(
+        "quality", (F.col("lang") == "en").alias("pos")
+    )
+    return expected_calibration_error(
+        scored, "quality", F.col("pos"), bins=10, decimals=4
+    )
+
+
+@query(
+    "events_rolling_corr",
+    """
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                   THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END), 0)
+                  AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END), 0)
+                  AS BIGINT) AS y
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ), f AS (
+      SELECT day, x AS x_cents, y AS y_cents,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+      FROM d
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, n_win, x_cents, y_cents,
+           CASE WHEN n_win * sxx - sx * sx > 0
+                 AND n_win * syy - sy * sy > 0
+                THEN CAST(FLOOR(1000e0 *
+                       (CAST(n_win * sxy - sx * sy AS DOUBLE) /
+                        sqrt(CAST(n_win * sxx - sx * sx AS DOUBLE)
+                             * CAST(n_win * syy - sy * sy AS DOUBLE)))
+                       + 0.5) AS BIGINT)
+           END AS corr_milli
+    FROM f
+    """,
+)
+def events_rolling_corr(spark, sf_dir):
+    """Trailing 7-day rolling Pearson correlation between the click
+    and purchase daily revenue series (extended/events.py
+    rolling_corr_daily) — the metric-pair decoupling screen.  Events
+    reduce distributed to the bounded day grid (ONE shuffle with
+    partial sums); the six frame sums are BIGINT window aggregates
+    over that ~30-row grid (bounded BY CONSTRUCTION, plain window);
+    the close is floor(1000·(num/sqrt(dx·dy))+0.5) with num exact
+    int64 and dx·dy multiplied in DOUBLE — association stated
+    identically in the oracle, only correctly-rounded IEEE ops on
+    the hash path.  Zero-variance frames emit NULL."""
+    from .extended.events import rolling_corr_daily
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_corr_daily(ev, "click", "purchase", window_days=7)
+
+
+@query(
+    "events_rate_limit",
+    # DuckDB 1.0's list_reduce is UNRELIABLE with a STRUCT accumulator
+    # when vectorized over multiple rows (state leaks across rows:
+    # the same fold gives different n for user 0 depending on which
+    # other users share the batch — verified against a Python replay
+    # of the recurrence).  The restatement therefore folds a SCALAR:
+    # state (tok, n) bit-packs into one BIGINT (tok·2^21 + n; tok <=
+    # capacity·refill = 4.32e10 < 2^36, n < 2^21 events per key at
+    # gate scale), and the elements are the per-event DELTAS so the
+    # accumulator does not need to carry `last`.  Scalar list_reduce
+    # is the proven events_ewma machinery.
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS d
+      FROM events WHERE ts IS NOT NULL
+    ), seq AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             list(d ORDER BY us, event_id)
+               FILTER (WHERE d IS NOT NULL) AS dl
+      FROM s GROUP BY user_id
+    ), f AS (
+      SELECT user_id, n_events,
+             list_reduce(
+               list_prepend(
+                 CAST(21600000000 AS BIGINT) * 2097152 + 1,
+                 COALESCE(dl, [])),
+               (acc, x) -> CASE
+                 WHEN LEAST(CAST(43200000000 AS BIGINT),
+                            acc // 2097152 + x)
+                      >= CAST(21600000000 AS BIGINT)
+                 THEN (LEAST(CAST(43200000000 AS BIGINT),
+                             acc // 2097152 + x)
+                       - CAST(21600000000 AS BIGINT)) * 2097152
+                      + acc % 2097152 + 1
+                 ELSE LEAST(CAST(43200000000 AS BIGINT),
+                            acc // 2097152 + x) * 2097152
+                      + acc % 2097152
+               END) AS packed
+      FROM seq
+    )
+    SELECT user_id, n_events,
+           CAST(packed % 2097152 AS BIGINT) AS n_accepted,
+           CAST(packed // 2097152 AS BIGINT) AS tok_credits
+    FROM f
+    """,
+)
+def events_rate_limit(spark, sf_dir):
+    """Token-bucket rate limiting replayed over the event log
+    (extended/events.py token_bucket_per_key): capacity 2 tokens,
+    one token per 6 hours, bucket full at each user's first event —
+    the deterministic admission-control fold (API throttling, abuse
+    screens).  Tokens are measured in TIME-CREDITS (1/us) so the
+    whole recurrence is add/subtract/least/compare on int64 — no
+    division inside the fold, bit-identical in DuckDB's list_reduce
+    restatement with the seed prepended.  Inherently sequential per
+    key (like events_ewma/events_holt): collect_list → array_sort →
+    aggregate, per-key state bounded by the key's history."""
+    from .extended.events import token_bucket_per_key
+
+    ev = _t(spark, sf_dir, "events")
+    return token_bucket_per_key(
+        ev, capacity=2, refill_us=21_600_000_000
+    )
+
+
+_GROUP_KFOLD_HASH = (
+    "(((list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "[ord(substring(CAST(user_id AS VARCHAR), i, 1)) "
+    "for i in range(1, len(CAST(user_id AS VARCHAR))+1)]), "
+    "(acc, c) -> (acc * 257 + c) % 9007199254740992) % 2147483647)"
+    " * 48271 + 0) % 2147483647) % 10000"
+)
+
+
+@query(
+    "sample_group_kfold",
+    f"""
+    WITH a AS (
+      SELECT user_id,
+             CAST({_GROUP_KFOLD_HASH} % 5 AS INT) AS fold,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ), cert AS (
+      SELECT COUNT(DISTINCT user_id) =
+             (SELECT COUNT(*) FROM
+               (SELECT DISTINCT user_id, fold FROM a)) AS leakage_free
+      FROM a
+    )
+    SELECT fold,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           (SELECT leakage_free FROM cert) AS leakage_free
+    FROM a GROUP BY fold
+    """,
+)
+def sample_group_kfold(spark, sf_dir):
+    """Grouped (leakage-safe) k-fold CV split (extended/ml.py
+    group_kfold_assign): every event of a user lands in the SAME fold
+    because the fold is a pure hash of the user id — the standard fix
+    for per-row splits leaking a user's other events into training.
+    The gate emits per-fold group/row/cents tallies PLUS an in-plan
+    leakage certificate (distinct (user, fold) pairs == distinct
+    users — a regression that splits any group flips the boolean and
+    fails the hash check).  Assignment is a pure narrow map (no
+    shuffle); the tallies are one fold-keyed aggregate."""
+    from .extended.ml import group_kfold_assign
+
+    ev = _t(spark, sf_dir, "events")
+    a = group_kfold_assign(
+        ev.filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        ),
+        "user_id",
+        k=5,
+    ).select(
+        "user_id",
+        "fold",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+    )
+    users = a.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("__u")
+    )
+    pairs = a.select("user_id", "fold").distinct().agg(
+        F.count(F.lit(1)).alias("__p")
+    )
+    cert = users.crossJoin(F.broadcast(pairs)).select(
+        (F.col("__u") == F.col("__p")).alias("leakage_free")
+    )
+    per_fold = a.groupBy("fold").agg(
+        F.countDistinct("user_id").cast("long").alias("n_groups"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    return per_fold.crossJoin(F.broadcast(cert)).select(
+        "fold", "n_groups", "n_rows", "cents", "leakage_free"
+    )
+
+
+@query(
+    "source_schema_evolution",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM (
+      SELECT CAST(NULL AS VARCHAR) AS o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def source_schema_evolution(spark, sf_dir):
+    """Parquet schema EVOLUTION driver-witnessed: two staged
+    "generations" of the orders table under one directory — gen 1
+    without the priority column, gen 2 with it added — read back
+    through ``mergeSchema`` + ``recursiveFileLookup`` (the lake-house
+    reality: producers add columns over time and readers must union
+    schemas by name, old files yielding NULL for the new column).
+    Without the merged read this gate CANNOT produce its result: a
+    single-file-schema read either drops the column (schema mismatch
+    fails the driver compare) or drops the old rows.  mergeSchema's
+    footer union is a metadata operation — the data scan itself stays
+    columnar with pushdown intact."""
+    od = _t(spark, sf_dir, "orders")
+
+    def _write(p):
+        od.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.parquet(p + "/g1")
+        od.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.parquet(p + "/g2")
+
+    stage = _stage_once("srcevol", sf_dir, _write)
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("price_cents"),
+    )

@@ -220,3 +220,220 @@ class TestKnnExpandingRing:
         # every escalated row keeps the lattice/rank contract
         for r in exp.collect():
             assert 1 <= r.rk <= 3 and r.dist_sq >= 0
+
+
+class TestMadFences:
+    def test_crafted_outlier_immunity(self, spark):
+        # one wild outlier moves mean/std but NOT the median/MAD fence
+        from pandasy_spark.extended.profile import mad_fences
+
+        vals = [100, 101, 102, 103, 104, 105, 106, 10_000_000]
+        df = spark.createDataFrame([(v,) for v in vals], "val long")
+        r = mad_fences(df, "val").collect()[0]
+        # median of 8 sorted values: interp between 103 and 104 -> 103.5
+        assert r.med_scaled == 103500
+        # deviations (x1000): 3500,2500,1500,500,500,1500,2500,(huge)
+        # MAD = median of sorted devs = interp(1500,2500) = 2000 x1000
+        assert r.mad_scaled == 2000 * 1000
+        assert r.n_outliers == 1  # only the planted outlier exceeds 3 MAD
+        assert r.n == 8
+
+    def test_singleton_group_zero_outliers(self, spark):
+        from pandasy_spark.extended.profile import mad_fences
+
+        df = spark.createDataFrame([("a", 5)], "grp string, val long")
+        r = mad_fences(df, "val", group_cols=["grp"]).collect()[0]
+        assert (r.n, r.mad_scaled, r.n_outliers) == (1, 0, 0)
+
+    def test_guard(self, spark):
+        from pandasy_spark.extended.profile import mad_fences
+
+        df = spark.createDataFrame([(1,)], "val long")
+        with pytest.raises(ValueError):
+            mad_fences(df, "val", n_mads_x10=0)
+
+
+class TestExpectedCalibrationError:
+    def test_perfectly_calibrated_bins(self, spark):
+        from pandasy_spark.extended.ml import expected_calibration_error
+
+        # bin 0.1: 1 of 10 positive; bin 0.9: 9 of 10 positive
+        rows = [(0.1, i < 1) for i in range(10)] + [
+            (0.9, i < 9) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "p double, pos boolean")
+        r = expected_calibration_error(df, "p", F.col("pos")).collect()[0]
+        assert (r.n, r.n_bins_nonempty) == (20, 2)
+        assert r.ece_micro == 0 and r.mce_micro == 0
+
+    def test_miscalibrated_exact_lattice(self, spark):
+        from pandasy_spark.extended.ml import expected_calibration_error
+
+        # all scores 0.8 (bin 8), none positive: |acc-conf| = 0.8
+        df = spark.createDataFrame(
+            [(0.8, False)] * 5, "p double, pos boolean"
+        )
+        r = expected_calibration_error(df, "p", F.col("pos")).collect()[0]
+        assert r.ece_micro == 800000 and r.mce_micro == 800000
+
+    def test_null_nan_excluded_and_guards(self, spark):
+        from pandasy_spark.extended.ml import expected_calibration_error
+
+        df = spark.createDataFrame(
+            [(0.5, True), (None, True), (float("nan"), False)],
+            "p double, pos boolean",
+        )
+        r = expected_calibration_error(df, "p", F.col("pos")).collect()[0]
+        assert r.n == 1
+        with pytest.raises(ValueError):
+            expected_calibration_error(df, "p", F.col("pos"), bins=1)
+        with pytest.raises(ValueError):
+            expected_calibration_error(df, "p", F.col("pos"), decimals=7)
+
+
+class TestRollingCorrDaily:
+    def test_crafted_perfect_correlation(self, spark):
+        import datetime as dt
+
+        from pandasy_spark.extended.events import rolling_corr_daily
+
+        rows = []
+        for d in range(5):
+            ts = dt.datetime(2024, 1, 1 + d)
+            rows.append((d * 2, "click", ts, 10.0 + d))
+            rows.append((d * 2 + 1, "purchase", ts, 20.0 + 2 * d))
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp, value double"
+        )
+        out = {
+            r.day.day: (r.n_win, r.corr_milli)
+            for r in rolling_corr_daily(df, "click", "purchase", 3).collect()
+        }
+        # y = 2x exactly -> corr 1.000 once two distinct days in frame
+        assert out[1] == (1, None)          # single-row frame: no variance
+        assert out[2] == (2, 1000)
+        assert out[5] == (3, 1000)
+
+    def test_anticorrelated_and_constant(self, spark):
+        import datetime as dt
+
+        from pandasy_spark.extended.events import rolling_corr_daily
+
+        rows = []
+        for d in range(4):
+            ts = dt.datetime(2024, 2, 1 + d)
+            rows.append((d * 2, "click", ts, 10.0 + d))
+            rows.append((d * 2 + 1, "purchase", ts, 50.0 - d))
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp, value double"
+        )
+        out = {
+            r.day.day: r.corr_milli
+            for r in rolling_corr_daily(df, "click", "purchase", 4).collect()
+        }
+        assert out[4] == -1000
+        with pytest.raises(ValueError):
+            rolling_corr_daily(df, "click", "purchase", 1)
+
+
+class TestTokenBucket:
+    def test_crafted_fold(self, spark):
+        import datetime as dt
+
+        from pandasy_spark.extended.events import token_bucket_per_key
+
+        base = dt.datetime(2024, 1, 1)
+        # capacity 2, refill 10s: events at 0s,1s,2s (burst: 2 accepted,
+        # 1 rejected), then 31s (3 refill periods -> accepted)
+        rows = [
+            (1, "u", base),
+            (2, "u", base + dt.timedelta(seconds=1)),
+            (3, "u", base + dt.timedelta(seconds=2)),
+            (4, "u", base + dt.timedelta(seconds=31)),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id string, ts timestamp"
+        )
+        r = token_bucket_per_key(
+            df, capacity=2, refill_us=10_000_000, key_col="user_id"
+        ).collect()[0]
+        assert (r.n_events, r.n_accepted) == (4, 3)
+        # after t=31s: tok at t=2 was 2e6(us credits: 2s worth)... replay:
+        # t0: full 20e6 -> accept -> 10e6; t1: +1e6=11e6 -> accept -> 1e6
+        # t2: +1e6=2e6 < 10e6 -> reject; t31: +29e6 cap 20e6 -> accept -> 10e6
+        assert r.tok_credits == 10_000_000
+
+    def test_python_fuzz(self, spark):
+        import datetime as dt
+        import itertools
+
+        from pandasy_spark.extended.events import token_bucket_per_key
+
+        base = dt.datetime(2024, 3, 1)
+        gaps = [0, 1, 2, 5, 9, 10, 11, 40, 3, 1, 0, 25]
+        ts, t = [], 0
+        for g in gaps:
+            t += g
+            ts.append(t)
+        rows = [
+            (i, "u", base + dt.timedelta(seconds=s))
+            for i, s in enumerate(ts)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id string, ts timestamp"
+        )
+        r = token_bucket_per_key(
+            df, capacity=3, refill_us=7_000_000, key_col="user_id"
+        ).collect()[0]
+        CAP, COST = 3 * 7_000_000, 7_000_000
+        tok, n = CAP - COST, 1
+        for prev, cur in itertools.pairwise(ts):
+            tok = min(CAP, tok + (cur - prev) * 1_000_000)
+            if tok >= COST:
+                tok -= COST
+                n += 1
+        assert (r.n_accepted, r.tok_credits) == (n, tok)
+
+    def test_guards(self, spark):
+        from pandasy_spark.extended.events import token_bucket_per_key
+
+        df = spark.createDataFrame(
+            [(1, "u")], "event_id long, user_id string"
+        ).withColumn("ts", F.current_timestamp())
+        with pytest.raises(ValueError):
+            token_bucket_per_key(df, capacity=0, refill_us=1)
+        with pytest.raises(ValueError):
+            token_bucket_per_key(df, capacity=1, refill_us=0)
+
+
+class TestGroupKfold:
+    def test_groups_never_split_and_null_contract(self, spark):
+        from pandasy_spark.extended.ml import group_kfold_assign
+
+        rows = [(i, f"u{i % 7}") for i in range(100)] + [(1000, None)]
+        df = spark.createDataFrame(rows, "row_id long, user string")
+        a = group_kfold_assign(df, "user", k=4)
+        per_user = (
+            a.filter(F.col("user").isNotNull())
+            .groupBy("user")
+            .agg(F.countDistinct("fold").alias("nf"))
+            .collect()
+        )
+        assert all(r.nf == 1 for r in per_user)
+        assert a.filter(F.col("user").isNull()).collect()[0].fold is None
+        with pytest.raises(ValueError):
+            group_kfold_assign(df, "user", k=1)
+
+    def test_gate_certificate(self, spark, sf_dir):
+        out = QUERIES["sample_group_kfold"](spark, sf_dir).collect()
+        assert all(r.leakage_free for r in out)
+        assert {r.fold for r in out} <= {0, 1, 2, 3, 4}
+
+
+class TestSchemaEvolution:
+    def test_gate_null_backfill(self, spark, sf_dir):
+        out = QUERIES["source_schema_evolution"](spark, sf_dir)
+        rows = out.collect()
+        prios = {r.o_orderpriority for r in rows}
+        assert None in prios          # gen-1 rows surface with NULL
+        assert len(prios) == 6        # 5 priorities + NULL
