@@ -382,6 +382,9 @@ _R12_DEFER: list[str] = [
     "events_rolling_corr", "events_rate_limit",
     # round-11 batch 5: leakage-safe CV + lake-house schema evolution
     "sample_group_kfold", "source_schema_evolution",
+    # round-11 batch 6: streaming admission control, corpus novelty
+    # ranking, ANN index auto-tuning sweep
+    "streaming_rate_limit", "text_ngram_novelty", "pipeline_lsh_tuning",
 ]
 
 

@@ -32,6 +32,7 @@ __all__ = [
     "quantized_cosine_topk",
     "hyperplane_bucket",
     "lsh_cosine_topk",
+    "lsh_candidate_pairs",
     "kmeans_centroids",
     "kmeans_exact",
     "ivf_topk",
@@ -1482,3 +1483,46 @@ def random_projection(
         for j in range(out_dim)
     ]
     return staged.withColumn(out_col, F.array(*comps)).drop("__g")
+
+
+def lsh_candidate_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    planes: int = 6,
+    tables: int = 4,
+) -> DataFrame:
+    """The distinct (query, id) CANDIDATE set of the multi-table
+    hyperplane LSH — the cost side of the planes/tables tradeoff
+    (:func:`lsh_cosine_topk` scores exactly these pairs; recall comes
+    from how many true neighbors the buckets retain, cost from how
+    many pairs they emit).  Exposed separately so a tuning sweep
+    (gate pipeline_lsh_tuning) can put candidate volume and recall on
+    the same dashboard without re-deriving bucket internals.
+    Same per-table (table, bucket) equi-join, never a cross join."""
+
+    def with_buckets(df: DataFrame, idc: str, out: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(out),
+            as_double_vec(F.col(vec_col)).alias("__v"),
+        ).select(
+            out,
+            F.posexplode(
+                F.array(
+                    *[
+                        hyperplane_bucket(F.col("__v"), planes, t)
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("table", "bucket"),
+        )
+
+    c = with_buckets(corpus, id_col, "id")
+    q = with_buckets(queries, query_id_col, "query_id")
+    return (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .select("query_id", "id")
+        .dropDuplicates(["query_id", "id"])
+    )

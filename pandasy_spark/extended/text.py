@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..functions.kernels import qround
 
 __all__ = [
+    "ngram_novelty",
     "gopher_quality_flags",
     "c4_clean",
     "token_count",
@@ -1879,4 +1880,61 @@ def c4_clean(
             & ~F.col("__brace")
             & (F.size("__kept") >= 3)
         ).alias("keep_page"),
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against the whole corpus: the share
+    of a document\'s distinct character n-grams that appear in NO
+    other document — the cheap "is this document adding anything new"
+    signal a curriculum/sampling pipeline uses to up-weight novel
+    material and down-weight boilerplate (the complement of the dedup
+    family: dedup removes near-copies, novelty RANKS what remains).
+
+    Inverted-index shape, all linear: explode each document\'s
+    distinct shingle set (the dedup family\'s guarded
+    :func:`~pandasy_spark.extended.dedup.shingles`), ONE
+    vocabulary-keyed aggregate for corpus document frequency, ONE
+    join back + doc-keyed aggregate — shuffle keys are the gram
+    vocabulary and the doc id, both natural partitions at 100 TB;
+    never a pairwise comparison.  Novelty lands on the integer
+    lattice: ``novelty_bp = (n_unique·10000) div n_shingles``.
+
+    Documents shorter than ``n`` characters have no shingle set and
+    are ABSENT from the output (no well-defined novelty), same
+    convention as the dedup kernels.
+
+    Output: ``(id, n_shingles, n_unique, novelty_bp)``.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from .dedup import shingles
+
+    e = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("gram"),
+    )
+    dfreq = e.groupBy("gram").agg(
+        F.countDistinct("id").cast("long").alias("__df")
+    )
+    return (
+        e.join(dfreq, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+        .select(
+            "id",
+            "n_shingles",
+            "n_unique",
+            F.expr("(n_unique * 10000) div n_shingles").alias("novelty_bp"),
+        )
     )

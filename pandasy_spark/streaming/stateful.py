@@ -22,7 +22,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..types import to_spark_schema
 
-__all__ = ["streaming_dedup", "stateful_sessions"]
+__all__ = ["streaming_dedup", "stateful_sessions", "stateful_rate_limit"]
 
 
 def streaming_dedup(
@@ -170,4 +170,99 @@ def stateful_sessions(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def stateful_rate_limit(
+    df: DataFrame,
+    capacity: int,
+    refill_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """STREAMING twin of the batch token bucket
+    (``extended.events.token_bucket_per_key``): per-key admission
+    control evaluated ONLINE, one decision row per event — the live
+    form of the replayable batch fold, same semantics to the bit.
+
+    The bucket state ``(tok_credits, last_us, started)`` carries
+    across micro-batches in the state store; within a batch events
+    sort by (ts, id) and fold with the identical division-free
+    TIME-CREDIT recurrence (1 credit/us, cost = ``refill_us``
+    credits, capacity = ``capacity·refill_us``, bucket full at the
+    key\'s first-ever event).  Because the state carries (tok, last),
+    micro-batch BOUNDARIES cannot change any decision — stream output
+    == batch fold for any in-order replay split, which is what the
+    driver gate pins against the batch oracle.
+
+    State per key is three longs (bounded by key cardinality, never
+    stream length); ``GroupStateTimeout.NoTimeout`` — add an
+    event-time TTL like :func:`stateful_sessions` when keys are
+    time-scoped.  In-order delivery per key is the operator\'s
+    contract (the admission decision is order-defined); an
+    out-of-order deployment puts a watermark sort upstream.
+
+    Output (append): ``(key, event_id, accepted boolean)``.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    if refill_us < 1:
+        raise ValueError("refill_us must be >= 1")
+    cap_credits = int(capacity) * int(refill_us)
+    cost = int(refill_us)
+    out_schema = to_spark_schema(
+        f"{key_col}:long,{id_col}:long,accepted:bool"
+    )
+    state_schema = to_spark_schema("tok:long,last_us:long,started:long")
+    key_name, ts_name, id_name = key_col, ts_col, id_col
+
+    def limit_fn(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        events: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            if len(pdf):
+                us = (
+                    pd.to_datetime(pdf[ts_name]).astype("int64") // 1000
+                ).tolist()
+                ids = pdf[id_name].astype("int64").tolist()
+                events.extend(zip(us, ids))
+        if not events:
+            return
+        events.sort()
+        if state.exists:
+            tok, last, _ = state.get
+            pending = events
+            out_ids, out_acc = [], []
+        else:
+            # first-ever event: bucket starts full and admits it
+            first_us, first_id = events[0]
+            tok, last = cap_credits - cost, first_us
+            pending = events[1:]
+            out_ids, out_acc = [first_id], [True]
+        for us, eid in pending:
+            tok = min(cap_credits, tok + (us - last))
+            if tok >= cost:
+                tok -= cost
+                out_acc.append(True)
+            else:
+                out_acc.append(False)
+            out_ids.append(eid)
+            last = us
+        state.update((tok, last, 1))
+        yield pd.DataFrame(
+            {
+                key_name: pd.Series([key[0]] * len(out_ids), dtype="int64"),
+                id_name: pd.Series(out_ids, dtype="int64"),
+                "accepted": pd.Series(out_acc, dtype="bool"),
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        limit_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

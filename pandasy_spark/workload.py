@@ -18885,3 +18885,326 @@ def source_schema_evolution(spark, sf_dir):
         .cast("long")
         .alias("price_cents"),
     )
+
+
+@query(
+    "streaming_rate_limit",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id
+      FROM (SELECT * FROM events ORDER BY event_id LIMIT 50000)
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), s AS (
+      SELECT user_id, us, event_id,
+             us - LAG(us) OVER
+               (PARTITION BY user_id ORDER BY us, event_id) AS d
+      FROM e
+    ), seq AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             list(d ORDER BY us, event_id)
+               FILTER (WHERE d IS NOT NULL) AS dl
+      FROM s GROUP BY user_id
+    ), f AS (
+      SELECT user_id, n_events,
+             list_reduce(
+               list_prepend(
+                 CAST(21600000000 AS BIGINT) * 2097152 + 1,
+                 COALESCE(dl, [])),
+               (acc, x) -> CASE
+                 WHEN LEAST(CAST(43200000000 AS BIGINT),
+                            acc // 2097152 + x)
+                      >= CAST(21600000000 AS BIGINT)
+                 THEN (LEAST(CAST(43200000000 AS BIGINT),
+                             acc // 2097152 + x)
+                       - CAST(21600000000 AS BIGINT)) * 2097152
+                      + acc % 2097152 + 1
+                 ELSE LEAST(CAST(43200000000 AS BIGINT),
+                            acc // 2097152 + x) * 2097152
+                      + acc % 2097152
+               END) AS packed
+      FROM seq
+    )
+    SELECT user_id, n_events,
+           CAST(packed % 2097152 AS BIGINT) AS n_accepted
+    FROM f
+    """,
+)
+def streaming_rate_limit(spark, sf_dir):
+    """STREAMING token-bucket admission control, driver-witnessed
+    (streaming/stateful.py stateful_rate_limit): the same capacity-2 /
+    6-hour-refill bucket as the batch events_rate_limit gate, run as a
+    custom stateful operator over a staged 3-micro-batch in-order
+    replay (bounded 50k-row slice, the documented streaming-gate
+    staging pattern).  The bucket state carries (tok, last) across
+    batches, so micro-batch BOUNDARIES cannot change any decision —
+    the drained per-event accept stream, aggregated per user, must
+    equal the batch fold the oracle restates (same packed scalar
+    list_reduce as events_rate_limit).  Stream == batch == oracle, the
+    sessionize/eviction discipline applied to admission control."""
+    import pandas as pd
+
+    from .streaming import (
+        run_stream_to_memory,
+        staged_file_stream,
+        stateful_rate_limit,
+    )
+
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_rate_limit_gate_{_STREAM_GATE_SEQ[0]}"
+    real = (
+        _t(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(50_000)
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "ts",
+            F.col("event_id").cast("long").alias("event_id"),
+        )
+        .toPandas()
+    )
+    if real.empty:
+        raise ValueError(
+            "streaming_rate_limit: the 50k-event slice is empty — "
+            "cannot stage an in-order replay from no events"
+        )
+    ordered = real.sort_values(["ts", "event_id"], ignore_index=True)
+    cut1, cut2 = len(ordered) // 3, 2 * len(ordered) // 3
+    batches = [
+        ordered.iloc[:cut1],
+        ordered.iloc[cut1:cut2],
+        ordered.iloc[cut2:],
+    ]
+    stream = staged_file_stream(spark, [b for b in batches if len(b)])
+    decisions = stateful_rate_limit(
+        stream, capacity=2, refill_us=21_600_000_000
+    )
+    q = run_stream_to_memory(decisions, name, output_mode="append")
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("accepted").cast("long"))
+            .cast("long")
+            .alias("n_accepted"),
+        )
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct([substring(text, i, 3)
+               for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS sh
+      FROM documents
+    ), e AS (
+      SELECT doc_id, unnest(sh) AS gram FROM d
+    ), c AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY gram
+    ), p AS (
+      SELECT e.doc_id,
+             COUNT(*) AS n_sh,
+             SUM(CASE WHEN c.df = 1 THEN 1 ELSE 0 END) AS nu
+      FROM e JOIN c USING (gram) GROUP BY e.doc_id
+    )
+    SELECT doc_id AS id,
+           CAST(n_sh AS BIGINT) AS n_shingles,
+           CAST(nu AS BIGINT) AS n_unique,
+           CAST((nu * 10000) // n_sh AS BIGINT) AS novelty_bp
+    FROM p
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Corpus n-gram novelty ranking (extended/text.py ngram_novelty):
+    the share of each document's distinct char-3-grams appearing in no
+    other document — the up-weight-novel / down-weight-boilerplate
+    signal that complements the dedup family.  Inverted-index shape
+    (explode → vocab-keyed document-frequency aggregate → join back →
+    doc-keyed fold), linear at any corpus size, never pairwise; the
+    novelty fraction closes on the integer lattice with div.  The
+    oracle restates the same shingle construction the dedup oracles
+    already pin."""
+    from .extended.text import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=3)
+
+
+@query(
+    "pipeline_lsh_tuning",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS id, v FROM e WHERE vec_id >= 10
+    ), sim_all AS (
+      SELECT q.query_id, c.id,
+             FLOOR((list_sum([c.v[i]*q.v[i] for i in range(1, len(c.v)+1)]) /
+                    (sqrt(list_sum([c.v[i]*c.v[i] for i in range(1, len(c.v)+1)])) *
+                     sqrt(list_sum([q.v[i]*q.v[i] for i in range(1, len(q.v)+1)]))))
+                   * 10000 + 0.5) / 10000 AS sim
+      FROM c, q
+    ), exact AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, id) AS rk
+        FROM sim_all
+      ) WHERE rk <= 5
+    ),
+    cb4 AS (
+      SELECT id, t, {_lsh_bucket_sql(4)} AS bucket FROM c, range(0,4) tt(t)
+    ), qb4 AS (
+      SELECT query_id, t, {_lsh_bucket_sql(4)} AS bucket
+      FROM q, range(0,4) tt(t)
+    ), cand4 AS (
+      SELECT DISTINCT query_id, id
+      FROM cb4 JOIN qb4 ON cb4.t = qb4.t AND cb4.bucket = qb4.bucket
+    ), s4 AS (
+      SELECT cand4.query_id, cand4.id,
+             FLOOR((list_sum([c.v[i]*q.v[i] for i in range(1, len(c.v)+1)]) /
+                    (sqrt(list_sum([c.v[i]*c.v[i] for i in range(1, len(c.v)+1)])) *
+                     sqrt(list_sum([q.v[i]*q.v[i] for i in range(1, len(q.v)+1)]))))
+                   * 10000 + 0.5) / 10000 AS sim
+      FROM cand4 JOIN c ON cand4.id = c.id
+                    JOIN q ON cand4.query_id = q.query_id
+    ), ap4 AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, id) AS rk
+        FROM s4
+      ) WHERE rk <= 5
+    ), agg4 AS (
+      SELECT CAST(4 AS INT) AS planes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand4) AS n_candidates,
+             CAST(COUNT(ap4.id) AS BIGINT) AS total_hits,
+             CAST((COUNT(ap4.id) * 10000) //
+                  (5 * (SELECT COUNT(*) FROM q)) AS BIGINT) AS mean_recall_bp
+      FROM exact LEFT JOIN ap4
+        ON exact.query_id = ap4.query_id AND exact.id = ap4.id
+    ),
+    cb6 AS (
+      SELECT id, t, {_lsh_bucket_sql(6)} AS bucket FROM c, range(0,4) tt(t)
+    ), qb6 AS (
+      SELECT query_id, t, {_lsh_bucket_sql(6)} AS bucket
+      FROM q, range(0,4) tt(t)
+    ), cand6 AS (
+      SELECT DISTINCT query_id, id
+      FROM cb6 JOIN qb6 ON cb6.t = qb6.t AND cb6.bucket = qb6.bucket
+    ), s6 AS (
+      SELECT cand6.query_id, cand6.id,
+             FLOOR((list_sum([c.v[i]*q.v[i] for i in range(1, len(c.v)+1)]) /
+                    (sqrt(list_sum([c.v[i]*c.v[i] for i in range(1, len(c.v)+1)])) *
+                     sqrt(list_sum([q.v[i]*q.v[i] for i in range(1, len(q.v)+1)]))))
+                   * 10000 + 0.5) / 10000 AS sim
+      FROM cand6 JOIN c ON cand6.id = c.id
+                    JOIN q ON cand6.query_id = q.query_id
+    ), ap6 AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, id) AS rk
+        FROM s6
+      ) WHERE rk <= 5
+    ), agg6 AS (
+      SELECT CAST(6 AS INT) AS planes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand6) AS n_candidates,
+             CAST(COUNT(ap6.id) AS BIGINT) AS total_hits,
+             CAST((COUNT(ap6.id) * 10000) //
+                  (5 * (SELECT COUNT(*) FROM q)) AS BIGINT) AS mean_recall_bp
+      FROM exact LEFT JOIN ap6
+        ON exact.query_id = ap6.query_id AND exact.id = ap6.id
+    ),
+    cb8 AS (
+      SELECT id, t, {_lsh_bucket_sql(8)} AS bucket FROM c, range(0,4) tt(t)
+    ), qb8 AS (
+      SELECT query_id, t, {_lsh_bucket_sql(8)} AS bucket
+      FROM q, range(0,4) tt(t)
+    ), cand8 AS (
+      SELECT DISTINCT query_id, id
+      FROM cb8 JOIN qb8 ON cb8.t = qb8.t AND cb8.bucket = qb8.bucket
+    ), s8 AS (
+      SELECT cand8.query_id, cand8.id,
+             FLOOR((list_sum([c.v[i]*q.v[i] for i in range(1, len(c.v)+1)]) /
+                    (sqrt(list_sum([c.v[i]*c.v[i] for i in range(1, len(c.v)+1)])) *
+                     sqrt(list_sum([q.v[i]*q.v[i] for i in range(1, len(q.v)+1)]))))
+                   * 10000 + 0.5) / 10000 AS sim
+      FROM cand8 JOIN c ON cand8.id = c.id
+                    JOIN q ON cand8.query_id = q.query_id
+    ), ap8 AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, id) AS rk
+        FROM s8
+      ) WHERE rk <= 5
+    ), agg8 AS (
+      SELECT CAST(8 AS INT) AS planes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand8) AS n_candidates,
+             CAST(COUNT(ap8.id) AS BIGINT) AS total_hits,
+             CAST((COUNT(ap8.id) * 10000) //
+                  (5 * (SELECT COUNT(*) FROM q)) AS BIGINT) AS mean_recall_bp
+      FROM exact LEFT JOIN ap8
+        ON exact.query_id = ap8.query_id AND exact.id = ap8.id
+    )
+    SELECT * FROM agg4
+    UNION ALL SELECT * FROM agg6
+    UNION ALL SELECT * FROM agg8
+    """,
+)
+def pipeline_lsh_tuning(spark, sf_dir):
+    """ANN index auto-tuning sweep: the planes/tables recall-vs-cost
+    tradeoff measured IN ONE PLAN — for planes in (4, 6, 8) at 4
+    tables, the distinct LSH candidate volume
+    (extended/similarity.py lsh_candidate_pairs, the cost axis) and
+    the mean recall@5 against exact brute-force cosine
+    (recall_at_k, the quality axis), all on the integer lattice.
+    This is the loop a pipeline runs before committing an index
+    configuration to a 100 TB corpus: fewer planes → bigger buckets →
+    more candidates and higher recall; the sweep quantifies the knee.
+    Fully hash-checked: the MINSTD bucket construction is
+    engine-portable, so the oracle rebuilds every configuration."""
+    from .extended.ml import recall_at_k as X_recall_at_k
+    from .extended.similarity import lsh_candidate_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = filter_df(emb, F.col("vec_id") >= 10)
+    queries_df = filter_df(emb, F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = X_sim.cosine_topk(corpus, queries_df, k=5)
+    n_q = queries_df.agg(F.count(F.lit(1)).alias("__nq"))
+    out = None
+    for pl in (4, 6, 8):
+        approx = X_sim.lsh_cosine_topk(
+            corpus, queries_df, k=5, query_id_col="query_id", planes=pl
+        )
+        cand = lsh_candidate_pairs(
+            corpus, queries_df, query_id_col="query_id", planes=pl
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        hits = (
+            X_recall_at_k(exact, approx, k=5)
+            .agg(F.sum("hits").cast("long").alias("total_hits"))
+        )
+        row = (
+            cand.crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(n_q))
+            .select(
+                F.lit(pl).cast("int").alias("planes"),
+                "n_candidates",
+                "total_hits",
+                F.expr("(total_hits * 10000) div (5 * __nq)").alias(
+                    "mean_recall_bp"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

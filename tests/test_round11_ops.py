@@ -437,3 +437,123 @@ class TestSchemaEvolution:
         prios = {r.o_orderpriority for r in rows}
         assert None in prios          # gen-1 rows surface with NULL
         assert len(prios) == 6        # 5 priorities + NULL
+
+
+class TestStreamingRateLimit:
+    def test_stream_equals_batch_any_split(self, spark):
+        """Micro-batch boundaries must not change any decision: run
+        the same in-order event set through 1-, 2- and 4-batch splits
+        and through the batch fold; all four must agree."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from pandasy_spark.extended.events import token_bucket_per_key
+        from pandasy_spark.streaming import (
+            run_stream_to_memory,
+            staged_file_stream,
+            stateful_rate_limit,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for u in (1, 2):
+            t = 0
+            for gap in (0, 3, 3, 20, 1, 1, 50, 2):
+                t += gap
+                rows.append(
+                    {
+                        "user_id": u,
+                        "ts": base + dt.timedelta(seconds=t),
+                        "event_id": eid,
+                    }
+                )
+                eid += 1
+        pdf = pd.DataFrame(rows).sort_values(
+            ["ts", "event_id"], ignore_index=True
+        )
+        batch = {
+            (r.user_id): (r.n_events, r.n_accepted)
+            for r in token_bucket_per_key(
+                spark.createDataFrame(pdf),
+                capacity=2,
+                refill_us=10_000_000,
+            ).collect()
+        }
+        for splits in (1, 2, 4):
+            parts = [
+                pdf.iloc[i * len(pdf) // splits : (i + 1) * len(pdf) // splits]
+                for i in range(splits)
+            ]
+            stream = staged_file_stream(
+                spark, [x for x in parts if len(x)]
+            )
+            dec = stateful_rate_limit(
+                stream, capacity=2, refill_us=10_000_000
+            )
+            name = f"tws_rl_{splits}"
+            q = run_stream_to_memory(dec, name, output_mode="append")
+            q.stop()
+            got = {
+                r.user_id: (r.n_events, r.n_accepted)
+                for r in spark.table(name)
+                .groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("accepted").cast("long")).alias(
+                        "n_accepted"
+                    ),
+                )
+                .collect()
+            }
+            assert got == batch, f"split={splits}"
+
+    def test_guards(self, spark):
+        from pandasy_spark.streaming import stateful_rate_limit
+
+        df = spark.range(1).selectExpr(
+            "id AS user_id", "current_timestamp() AS ts", "id AS event_id"
+        )
+        with pytest.raises(ValueError):
+            stateful_rate_limit(df, capacity=0, refill_us=1)
+
+
+class TestNgramNovelty:
+    def test_crafted_corpus(self, spark):
+        from pandasy_spark.extended.text import ngram_novelty
+
+        df = spark.createDataFrame(
+            [
+                (1, "abcd"),      # abc, bcd
+                (2, "abcz"),      # abc, bcz
+                (3, "xy"),        # too short -> absent
+                (4, "qqqq"),      # qqq (distinct once) unique
+            ],
+            "doc_id long, text string",
+        )
+        r = {
+            row.id: (row.n_shingles, row.n_unique, row.novelty_bp)
+            for row in ngram_novelty(df, n=3).collect()
+        }
+        # 'abc' df=2; 'bcd','bcz','qqq' df=1
+        assert r[1] == (2, 1, 5000)
+        assert r[2] == (2, 1, 5000)
+        assert r[4] == (1, 1, 10000)
+        assert 3 not in r
+        with pytest.raises(ValueError):
+            ngram_novelty(df, n=0)
+
+
+class TestLshTuning:
+    def test_monotone_candidates(self, spark, sf_dir):
+        """Fewer planes -> coarser buckets -> more candidates; the
+        sweep's cost axis must be monotone non-increasing in planes."""
+        rows = {
+            r.planes: (r.n_candidates, r.total_hits, r.mean_recall_bp)
+            for r in QUERIES["pipeline_lsh_tuning"](spark, sf_dir).collect()
+        }
+        assert set(rows) == {4, 6, 8}
+        assert rows[4][0] >= rows[6][0] >= rows[8][0]
+        for planes, (_, hits, bp) in rows.items():
+            assert bp == (hits * 10000) // (5 * 10)
