@@ -1632,8 +1632,24 @@ def probe_r11() -> None:
         )
         return recall_at_k(exact, approx, k=5)
 
+    from pandasy_spark.workload import QUERIES
+
+    def table_probe(name):
+        return lambda sf_dir: QUERIES[name](spark, sf_dir)
+
     results = {}
-    for name, fn in (("ml_recall_at_k", recall_probe),):
+    for name, fn in (
+        ("ml_recall_at_k", recall_probe),
+        # table-based probes over the built sf1.0 replicas: MAD
+        # fences (10x lineitem through two two-pass quantiles),
+        # rolling correlation (10x events -> same bounded day grid),
+        # token bucket (10x events through the per-key collect+fold),
+        # n-gram novelty (10x documents through the inverted index)
+        ("profile_mad", table_probe("profile_mad")),
+        ("events_rolling_corr", table_probe("events_rolling_corr")),
+        ("events_rate_limit", table_probe("events_rate_limit")),
+        ("text_ngram_novelty", table_probe("text_ngram_novelty")),
+    ):
         results[name] = {}
         for label, sf_dir in (("sf0.1", SRC), ("sf1.0", DST)):
             best = float("inf")
