@@ -385,6 +385,9 @@ _R12_DEFER: list[str] = [
     # round-11 batch 6: streaming admission control, corpus novelty
     # ranking, ANN index auto-tuning sweep
     "streaming_rate_limit", "text_ngram_novelty", "pipeline_lsh_tuning",
+    # round-11 batch 7: eval-by-slice AUC + quality-aware dedup
+    # survivor selection
+    "ml_auc_by_slice", "dedup_keep_best",
 ]
 
 

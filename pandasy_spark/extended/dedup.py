@@ -78,6 +78,7 @@ __all__ = [
     "weighted_jaccard_pairs",
     "lsh_verified_pairs",
     "lsh_anchor_dedup",
+    "keep_best_representative",
 ]
 
 
@@ -1544,4 +1545,46 @@ def weighted_jaccard_pairs(
     ).withColumn(
         "wjaccard",
         F.col("inter_w").cast("double") / F.col("union_w").cast("double"),
+    )
+
+
+def keep_best_representative(
+    labeled: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+) -> DataFrame:
+    """Survivor selection by QUALITY instead of min-id: given
+    cluster-labeled rows (the output shape of
+    :func:`connected_components` joined back onto the corpus), keep
+    the member with the HIGHEST quality score per cluster — what a
+    training pipeline actually wants from dedup (the min-id
+    representative is arbitrary; the best-quality member preserves
+    the most signal).  Ties break deterministically on (quality, id)
+    via the max-struct ordering, so the survivor set is engine-exact.
+
+    Scale shape: ONE cluster-keyed map-combined aggregate (the
+    max-struct is a partial-aggregable argmax — no window, no sort)
+    + one broadcast-able join back.  ``quality_col`` must be
+    integer-grid for cross-engine hashing.
+
+    Output: the input rows plus ``keep`` (is this row the cluster\'s
+    chosen representative) and ``n_members``.
+    """
+    best = labeled.groupBy(cluster_col).agg(
+        F.max(
+            F.struct(
+                F.col(quality_col).alias("q"), F.col(id_col).alias("id")
+            )
+        ).alias("__best"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    ).select(
+        cluster_col,
+        F.col("__best")["id"].alias("__rep_id"),
+        "n_members",
+    )
+    return (
+        labeled.join(best, cluster_col)
+        .withColumn("keep", F.col(id_col) == F.col("__rep_id"))
+        .drop("__rep_id")
     )

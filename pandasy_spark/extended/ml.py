@@ -40,6 +40,7 @@ __all__ = [
     "recall_histogram",
     "expected_calibration_error",
     "group_kfold_assign",
+    "auc_by_group",
 ]
 
 
@@ -1189,4 +1190,95 @@ def group_kfold_assign(
             F.col(group_col).isNotNull(),
             (split_bucket(F.col(group_col), salt) % k).cast("int"),
         ),
+    )
+
+
+def auc_by_group(
+    df: DataFrame,
+    score_col: str,
+    is_positive: Column,
+    group_cols: Sequence[str],
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-SLICE exact ROC-AUC — :func:`auc_exact` evaluated
+    independently inside each group (source, language, time cohort):
+    the eval-by-slice discipline that catches a screen performing
+    well on average while failing one segment (the fairness/robustness
+    audit a corpus-quality classifier gets before it gates a 100 TB
+    ingest).
+
+    Same Mann-Whitney tie-averaged doubled-rank-sum lattice as the
+    global form, with one structural difference: ``decimals`` is
+    capped at 4 so the per-group distinct-score domain is bounded BY
+    CONSTRUCTION (≤ 10⁴+1 rows per group) and the cumulative
+    below-count stays a plain per-group window — the SCALING.md rule;
+    the global form needs the range-partitioned prefix scan precisely
+    because its ungrouped value domain is unbounded.  One
+    (group, score)-keyed map-combined aggregate, one bounded window,
+    one group fold.
+
+    NULL/NaN scores excluded; NULL ``is_positive`` counts negative
+    (the eval-family convention).  A group with no positives or no
+    negatives has no ranking information: ``auc_micro`` is NULL.
+
+    Output: one row per group ``(group..., n_pos, n_neg, u_x2,
+    auc_micro)``."""
+    from pyspark.sql.window import Window
+
+    if not 1 <= decimals <= 4:
+        raise ValueError(
+            "decimals must be in [1, 4] (the bounded-window contract; "
+            "use auc_exact for finer grids)"
+        )
+    g = list(group_cols)
+    if not g:
+        raise ValueError("group_cols must be non-empty — use auc_exact")
+    p = 10**decimals
+    sc = F.col(score_col)
+    keep = sc.isNotNull()
+    if isinstance(df.schema[score_col].dataType, (T.FloatType, T.DoubleType)):
+        keep = keep & ~F.isnan(sc)
+    staged = df.filter(keep).select(
+        *g,
+        F.floor(sc * p + F.lit(0.5)).cast("long").alias("__v"),
+        F.when(is_positive, 1).otherwise(0).cast("long").alias("__pos"),
+    )
+    per_v = staged.groupBy(*g, "__v").agg(
+        F.sum("__pos").cast("long").alias("__cp"),
+        F.count(F.lit(1)).cast("long").alias("__t"),
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_v.select(
+        *g,
+        "__cp",
+        "__t",
+        (F.sum("__t").over(w) - F.col("__t")).alias("__below"),
+    )
+    st = ranked.groupBy(*g).agg(
+        F.sum("__cp").cast("long").alias("n_pos"),
+        F.sum(F.col("__t") - F.col("__cp")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("__cp") * (2 * F.col("__below") + F.col("__t") + 1)
+        )
+        .cast("long")
+        .alias("__r2"),
+    )
+    u2 = F.col("__r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return st.select(
+        *g,
+        "n_pos",
+        "n_neg",
+        u2.cast("long").alias("u_x2"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(
+                "CAST(CAST(__r2 - n_pos * (n_pos + 1) AS DECIMAL(38,0))"
+                " * 500000 div (CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+                " AS BIGINT)"
+            ),
+        ).alias("auc_micro"),
     )

@@ -19208,3 +19208,179 @@ def pipeline_lsh_tuning(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "ml_auc_by_slice",
+    r"""
+    WITH s AS (
+      SELECT source, lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonws,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_len
+      FROM documents
+    ), q AS (
+      SELECT source, lang,
+             0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (CASE WHEN COALESCE(CASE WHEN n_tokens > 0
+                         THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) >= 2.0
+                       AND COALESCE(CASE WHEN n_tokens > 0
+                         THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) <= 12.0
+                      THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (1.0 - LEAST((CASE WHEN n_len > 0
+                         THEN CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE)
+                         ELSE 0.0 END) * 5.0, 1.0)) AS qraw
+      FROM s
+    ), g AS (
+      SELECT source,
+             CAST(FLOOR(FLOOR(qraw * 10000 + 0.5) / 10000 * 10000 + 0.5)
+                  AS BIGINT) AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM q
+    ), per_v AS (
+      SELECT source, v, CAST(SUM(pos) AS BIGINT) AS c_p,
+             CAST(COUNT(*) AS BIGINT) AS t
+      FROM g GROUP BY source, v
+    ), ranked AS (
+      SELECT source, c_p, t,
+             SUM(t) OVER (PARTITION BY source ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - t AS c_below
+      FROM per_v
+    ), st AS (
+      SELECT source,
+             CAST(SUM(c_p) AS BIGINT) AS n_pos,
+             CAST(SUM(t - c_p) AS BIGINT) AS n_neg,
+             CAST(SUM(c_p * (2 * c_below + t + 1)) AS BIGINT) AS r2
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n_pos, n_neg,
+           CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u_x2,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST((CAST(r2 - n_pos * (n_pos + 1) AS HUGEINT)
+                           * 500000)
+                          // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+           END AS auc_micro
+    FROM st
+    """,
+)
+def ml_auc_by_slice(spark, sf_dir):
+    """Eval-by-slice: EXACT per-source ROC-AUC of the quality score
+    vs is-English (extended/ml.py auc_by_group) — the fairness/
+    robustness audit that catches a screen performing well on average
+    while failing one segment.  Same Mann-Whitney doubled-rank-sum
+    lattice as ml_auc, but with decimals capped at 4 the per-group
+    distinct-score domain is bounded BY CONSTRUCTION, so the
+    below-count is a plain per-group window (SCALING.md rule) — the
+    global gate needs the prefix scan precisely because its ungrouped
+    domain is not.  Degenerate slices (no positives or no negatives)
+    emit NULL AUC rather than a fabricated number."""
+    from .extended.ml import auc_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = X_text.with_text_stats(docs).select(
+        "source", "quality", (F.col("lang") == "en").alias("pos")
+    )
+    return auc_by_group(
+        scored, "quality", F.col("pos"), group_cols=["source"], decimals=4
+    )
+
+
+@query(
+    "dedup_keep_best",
+    r"""
+    WITH RECURSIVE d AS (
+      SELECT source, lang, doc_id, text,
+             list_distinct([substring(text, i, 3)
+                            for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS sh
+      FROM documents WHERE doc_id < 300
+    ), p AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM d a JOIN d b ON a.source = b.source AND a.lang = b.lang
+      WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+        AND FLOOR((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE))
+                  * 10000 + 0.5) / 10000 >= 0.6
+    ), e AS (
+      SELECT id1 AS u, id2 AS v FROM p
+      UNION
+      SELECT id2 AS u, id1 AS v FROM p
+    ), r AS (
+      SELECT u, u AS comp FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.u, r.comp FROM e JOIN r ON e.v = r.u
+    ), c AS (
+      SELECT u, MIN(comp) AS component FROM r GROUP BY u
+    ), qs AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonws,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_len
+      FROM documents WHERE doc_id < 300
+    ), qv AS (
+      SELECT doc_id,
+             CAST(FLOOR(FLOOR((
+               0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (CASE WHEN COALESCE(CASE WHEN n_tokens > 0
+                           THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) >= 2.0
+                         AND COALESCE(CASE WHEN n_tokens > 0
+                           THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) <= 12.0
+                        THEN 1.0 ELSE 0.5 END)
+               + 0.3 * (1.0 - LEAST((CASE WHEN n_len > 0
+                           THEN CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE)
+                           ELSE 0.0 END) * 5.0, 1.0))
+             ) * 10000 + 0.5) / 10000 * 10000 + 0.5) AS BIGINT) AS q_grid
+      FROM qs
+    ), lab AS (
+      SELECT qv.doc_id, qv.q_grid,
+             COALESCE(c.component, qv.doc_id) AS component
+      FROM qv LEFT JOIN c ON qv.doc_id = c.u
+    ), best AS (
+      SELECT component,
+             MAX({'q': q_grid, 'id': doc_id}) AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM lab GROUP BY component
+    )
+    SELECT lab.doc_id, lab.component, lab.q_grid,
+           lab.doc_id = best.b.id AS keep,
+           best.n_members
+    FROM lab JOIN best ON lab.component = best.component
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware survivor selection (extended/dedup.py
+    keep_best_representative): the same blocked-Jaccard → connected
+    components clusters as dedup_components, but the kept
+    representative is the member with the HIGHEST quality score
+    (ties on (quality, doc_id)) instead of the arbitrary min id —
+    what a training pipeline actually wants from dedup.  The argmax
+    is a partial-aggregable max-struct (no window, no sort), the
+    join-back broadcastable; the oracle restates the transitive
+    closure recursively plus the same ROW-ordering argmax."""
+    docs = filter_df(_t(spark, sf_dir, "documents"), F.col("doc_id") < 300)
+    pairs = X_dedup.blocked_jaccard_pairs(
+        docs, ["source", "lang"], n=3, threshold=0.6
+    )
+    comp = X_dedup.connected_components(pairs, "id1", "id2")
+    labeled = (
+        X_text.with_text_stats(docs)
+        .select(
+            "doc_id",
+            F.floor(F.col("quality") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("q_grid"),
+        )
+        .join(
+            comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            "q_grid",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    return X_dedup.keep_best_representative(
+        labeled, "q_grid", id_col="doc_id", cluster_col="component"
+    ).select("doc_id", "component", "q_grid", "keep", "n_members")

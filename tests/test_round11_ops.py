@@ -557,3 +557,89 @@ class TestLshTuning:
         assert rows[4][0] >= rows[6][0] >= rows[8][0]
         for planes, (_, hits, bp) in rows.items():
             assert bp == (hits * 10000) // (5 * 10)
+
+
+class TestAucByGroup:
+    def test_crafted_separation(self, spark):
+        from pandasy_spark.extended.ml import auc_by_group
+
+        rows = (
+            # group 'sep': perfect separation -> AUC 1.0
+            [("sep", 0.9, True)] * 3 + [("sep", 0.1, False)] * 3
+            # group 'rand': identical scores -> all ties -> AUC 0.5
+            + [("rand", 0.5, True)] * 2 + [("rand", 0.5, False)] * 2
+            # group 'onecls': positives only -> NULL
+            + [("onecls", 0.7, True)] * 2
+        )
+        df = spark.createDataFrame(rows, "g string, s double, pos boolean")
+        r = {
+            row.g: (row.n_pos, row.n_neg, row.auc_micro)
+            for row in auc_by_group(
+                df, "s", F.col("pos"), ["g"]
+            ).collect()
+        }
+        assert r["sep"] == (3, 3, 1_000_000)
+        assert r["rand"] == (2, 2, 500_000)
+        assert r["onecls"] == (2, 0, None)
+
+    def test_matches_global_auc_within_one_group(self, spark):
+        from pandasy_spark.extended.ml import auc_by_group, auc_exact
+
+        rows = [(0.1, False), (0.4, True), (0.4, False), (0.8, True)]
+        df = spark.createDataFrame(rows, "s double, pos boolean").withColumn(
+            "g", F.lit("all")
+        )
+        grouped = auc_by_group(
+            df, "s", F.col("pos"), ["g"], decimals=4
+        ).collect()[0]
+        exact = auc_exact(df, "s", F.col("pos"), decimals=4).collect()[0]
+        assert (grouped.n_pos, grouped.n_neg, grouped.u_x2) == (
+            exact.n_pos, exact.n_neg, exact.u_x2,
+        )
+        assert grouped.auc_micro == exact.auc_micro
+
+    def test_guards(self, spark):
+        from pandasy_spark.extended.ml import auc_by_group
+
+        df = spark.createDataFrame([("g", 0.5, True)], "g string, s double, pos boolean")
+        with pytest.raises(ValueError):
+            auc_by_group(df, "s", F.col("pos"), ["g"], decimals=5)
+        with pytest.raises(ValueError):
+            auc_by_group(df, "s", F.col("pos"), [])
+
+
+class TestKeepBest:
+    def test_argmax_and_ties(self, spark):
+        from pandasy_spark.extended.dedup import keep_best_representative
+
+        rows = [
+            (1, 10, 100),  # cluster 10: doc 2 has higher quality
+            (2, 10, 900),
+            (3, 10, 900),  # tie with doc 2 -> higher id 3 wins
+            (7, 7, 500),   # singleton keeps itself
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, component long, q long"
+        )
+        out = {
+            r.doc_id: (r.keep, r.n_members)
+            for r in keep_best_representative(df, "q").collect()
+        }
+        assert out[1] == (False, 3)
+        assert out[2] == (False, 3)
+        assert out[3] == (True, 3)
+        assert out[7] == (True, 1)
+
+    def test_gate_one_keeper_per_cluster(self, spark, sf_dir):
+        out = QUERIES["dedup_keep_best"](spark, sf_dir)
+        agg = (
+            out.groupBy("component")
+            .agg(
+                F.sum(F.col("keep").cast("long")).alias("keepers"),
+                F.count(F.lit(1)).alias("n"),
+                F.max("n_members").alias("nm"),
+            )
+            .collect()
+        )
+        for r in agg:
+            assert r.keepers == 1 and r.n == r.nm
