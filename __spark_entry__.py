@@ -388,6 +388,9 @@ _R12_DEFER: list[str] = [
     # round-11 batch 7: eval-by-slice AUC + quality-aware dedup
     # survivor selection
     "ml_auc_by_slice", "dedup_keep_best",
+    # round-11 batch 8: classifier-eval of langid + PERMISSIVE
+    # malformed-record CSV ingestion
+    "text_langid_confusion", "source_csv_malformed",
 ]
 
 

@@ -19384,3 +19384,141 @@ def dedup_keep_best(spark, sf_dir):
     return X_dedup.keep_best_representative(
         labeled, "q_grid", id_col="doc_id", cluster_col="component"
     ).select("doc_id", "component", "q_grid", "keep", "n_members")
+
+
+@query(
+    "text_langid_confusion",
+    r"""
+    WITH s AS (
+      SELECT lang,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS BIGINT) AS score_en,
+        CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS score_de,
+        CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS BIGINT) AS score_fr,
+        CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|que|de)\b')) AS BIGINT) AS score_es
+      FROM documents
+    ), p AS (
+      SELECT lang AS lang_true,
+           CASE WHEN score_en IS NULL THEN NULL
+                WHEN GREATEST(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+                WHEN score_en = GREATEST(score_en, score_de, score_fr, score_es) THEN 'en'
+                WHEN score_de = GREATEST(score_en, score_de, score_fr, score_es) THEN 'de'
+                WHEN score_fr = GREATEST(score_en, score_de, score_fr, score_es) THEN 'fr'
+                ELSE 'es' END AS lang_pred
+      FROM s
+    )
+    SELECT lang_true, lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM p
+    WHERE lang_true IS NOT NULL AND lang_pred IS NOT NULL
+    GROUP BY lang_true, lang_pred
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """Language-ID evaluated against the corpus labels: the langid
+    heuristic's full confusion matrix (lang_true x lang_pred counts)
+    — closing the eval loop on the pipeline's own classifier the way
+    ml_confusion does for the quality screen.  One scan (the stopword
+    scores are codegen regexes), one (true, pred)-keyed map-combined
+    aggregate — at most |langs|² output rows regardless of corpus
+    size.  The oracle restates the exact argmax CASE the text_langid
+    gate already pins."""
+    docs = _t(spark, sf_dir, "documents")
+    preds = docs.select(
+        F.col("lang").alias("lang_true"),
+        X_text.lang_id(F.col("text")).alias("lang_pred"),
+    ).filter(
+        F.col("lang_true").isNotNull() & F.col("lang_pred").isNotNull()
+    )
+    return preds.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@query(
+    "source_csv_malformed",
+    """
+    WITH clean AS (
+      SELECT o_orderpriority AS label,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS price_cents,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders WHERE o_orderkey % 11 = 0
+      GROUP BY o_orderpriority
+    ), bad AS (
+      SELECT '__corrupt__' AS label,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(0 AS BIGINT) AS price_cents,
+             CAST(0 AS BIGINT) AS key_sum
+      FROM orders WHERE o_orderkey % 33 = 0
+    )
+    SELECT * FROM clean UNION ALL SELECT * FROM bad
+    """,
+)
+def source_csv_malformed(spark, sf_dir):
+    """PERMISSIVE malformed-record handling driver-witnessed: a staged
+    CSV carries one well-formed line per ``o_orderkey % 11 = 0`` order
+    plus a deterministically injected junk line (wrong arity,
+    non-numeric field) per ``% 33 = 0`` key; the read uses an explicit
+    schema with ``_corrupt_record`` (production posture: never drop
+    bad lines silently, never fail the whole 100 TB ingest on one) —
+    corrupt rows surface with the payload preserved in the corrupt
+    column and NULL data fields, clean rows parse exactly.  The gate
+    labels rows clean-vs-corrupt and aggregates; the oracle restates
+    both populations from the parquet table, so a parser that drops,
+    duplicates, or mis-classifies any line breaks the hash."""
+    od = _t(spark, sf_dir, "orders")
+
+    def _write(p):
+        good = od.filter(F.col("o_orderkey") % 11 == 0).select(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_totalprice").cast("string"),
+                F.col("o_orderpriority"),
+            ).alias("value")
+        )
+        # the junk corrupts a field the reader always parses
+        # (o_totalprice) — CSV column pruning skips conversion of
+        # unreferenced fields, so junk in o_orderkey alone would
+        # silently pass when a plan prunes it
+        bad = od.filter(F.col("o_orderkey") % 33 == 0).select(
+            F.concat(
+                F.lit("JUNK"),
+                F.col("o_orderkey").cast("string"),
+                F.lit(",not_a_number,bad,extra,cols"),
+            ).alias("value")
+        )
+        good.unionAll(bad).write.text(p)
+
+    stage = _stage_once("srcbadcsv", sf_dir, _write)
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_totalprice double, o_orderpriority string,"
+            " _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(stage)
+    )
+    labeled = back.select(
+        F.when(F.col("_corrupt_record").isNotNull(), F.lit("__corrupt__"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("label"),
+        F.when(
+            F.col("_corrupt_record").isNull(),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("cents"),
+        F.when(
+            F.col("_corrupt_record").isNull(), F.col("o_orderkey")
+        )
+        .otherwise(F.lit(0))
+        .alias("key"),
+    )
+    return labeled.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("price_cents"),
+        F.sum("key").cast("long").alias("key_sum"),
+    )

@@ -643,3 +643,35 @@ class TestKeepBest:
         )
         for r in agg:
             assert r.keepers == 1 and r.n == r.nm
+
+
+class TestLangidConfusion:
+    def test_gate_structure(self, spark, sf_dir):
+        # NOTE: the synthetic corpus text is English-like regardless of
+        # its lang LABEL, so diagonal dominance does NOT hold here —
+        # which is exactly the label/text disagreement this matrix is
+        # built to expose.  Assert structure, not data folklore.
+        rows = QUERIES["text_langid_confusion"](spark, sf_dir).collect()
+        total = sum(r.n for r in rows)
+        docs = QUERIES["text_langid"](spark, sf_dir).filter(
+            F.col("lang_pred").isNotNull()
+        ).count()
+        assert total == docs  # every labeled+predicted doc counted once
+        assert {r.lang_pred for r in rows} <= {"en", "de", "fr", "es", "und"}
+        assert all(r.n > 0 for r in rows)
+
+
+class TestCsvMalformed:
+    def test_gate_corrupt_isolated(self, spark, sf_dir):
+        rows = {
+            r.label: (r.n, r.price_cents, r.key_sum)
+            for r in QUERIES["source_csv_malformed"](spark, sf_dir).collect()
+        }
+        assert "__corrupt__" in rows
+        n_bad, cents_bad, keys_bad = rows["__corrupt__"]
+        assert n_bad > 0 and cents_bad == 0 and keys_bad == 0
+        # clean labels are exactly the five priorities
+        assert len(rows) == 6
+        for label, (n, cents, keys) in rows.items():
+            if label != "__corrupt__":
+                assert n > 0 and cents > 0 and keys > 0
