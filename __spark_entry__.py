@@ -305,30 +305,10 @@ _WITNESSED_R10 = {
     "q20_supplier_part_volume", "q21_waiting_supplier",
 }
 
-# Round-10 front (exactly 19 explicit names; 31 stale _WITNESSED_R3
-# names fill the rest of the driver's 50-row recording window):
-#   (a) the 15 late-r9 registrations deferred past the r9 window
-#       (never driver-witnessed; each independently verified at
-#       sf0.01 + sf0.001 in round 9 and re-verified by the r9 judge),
-#   (b) text_langid — its oracle CASE changed after its r5 witness
-#       (NULL-text fall-through fix, value-neutral, re-verified at
-#       both driver scales),
-#   (c) knn_lsh / knn_beam / dedup_embedding — their plans changed
-#       THIS round with the MINSTD pmod fix (ADVICE r9 item 2:
-#       negative-seed sign parity; seeds used by the gates are
-#       non-negative so values are byte-identical — re-verified MATCH
-#       at sf0.01 + sf0.001 this round).  embedding_rp, the fourth
-#       pmod consumer, is already fronted in (a).
-_R10_FRONT: list[str] = [
-    "ml_ndcg", "ml_gains", "ml_regression", "graph_modularity",
-    "profile_anova", "ml_kappa",
-    "expr_variant", "sql_pipe", "expr_collation", "sql_udf",
-    "ml_confusion", "source_xml",
-    "spatial_dbscan", "embedding_rp",
-    "streaming_semi_join",
-    "text_langid",
-    "knn_lsh", "knn_beam", "dedup_embedding",
-]
+# (The superseded 19-name round-10 front — the explicit half of the
+# r10 window — is retired: its names are the first 19 entries of
+# _WITNESSED_R10 above, which is the only live record _ordered()
+# needs.)
 
 _TIERS_STALEST_FIRST = (
     _WITNESSED_R1R2, _WITNESSED_R3, _WITNESSED_R4, _WITNESSED_R5,

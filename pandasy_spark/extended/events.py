@@ -1256,13 +1256,17 @@ def rolling_corr_daily(
     rising while purchases stall).
 
     The raw events reduce DISTRIBUTED to the bounded day grid first
-    (one shuffle, map-side partial sums; a day with only one of the
-    two types contributes 0 for the other — the spine is the union of
-    observed days).  The trailing ``window_days``-row frame then
-    slides over that grid: bounded BY CONSTRUCTION (the data\'s time
-    span, never its row count — SCALING.md plain-window rule), so at
-    100 TB the window\'s input is unchanged while the aggregate
-    absorbs the volume.
+    (one shuffle, map-side partial sums), then the grid densifies to
+    EVERY calendar day between the first and last observed day
+    (sequence + explode on the 1-row bounds — a day with no events,
+    or only one of the two types, contributes 0: the decoupling
+    signal this screen exists for is "one series stalls to zero",
+    which a sparse observed-days spine would silently drop —
+    round-11 review finding).  The trailing ``window_days``-row frame
+    slides over that dense grid: bounded BY CONSTRUCTION (the
+    data\'s time span, never its row count — SCALING.md plain-window
+    rule), so at 100 TB the window\'s input is unchanged while the
+    aggregate absorbs the volume.
 
     Exactness / portability: the six frame sums (n, Σx, Σy, Σx²,
     Σy², Σxy) are BIGINT on the cent grid; the correlation closes as
@@ -1289,7 +1293,7 @@ def rolling_corr_daily(
         & F.col(type_col).isin([type_x, type_y])
     )
     cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
-    daily = ev.groupBy(
+    observed = ev.groupBy(
         F.date_trunc("day", F.col(ts_col)).alias("day")
     ).agg(
         F.coalesce(
@@ -1298,6 +1302,20 @@ def rolling_corr_daily(
         F.coalesce(
             F.sum(F.when(F.col(type_col) == type_y, cents)), F.lit(0)
         ).cast("long").alias("y"),
+    )
+    spine = observed.agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    ).select(
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day")
+    )
+    daily = spine.join(observed, "day", "left").select(
+        "day",
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+        F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
     )
     w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
     framed = daily.select(

@@ -1029,12 +1029,16 @@ def recall_at_k(
     query."""
     if k <= 0:
         raise ValueError(f"recall_at_k: k must be positive, got {k}")
+    # both sides dedupe on the pair key: a candidate list that names
+    # the same (query, id) twice (multi-table LSH before its own
+    # dropDuplicates, unioned shards) must count ONE hit, or recall
+    # inflates past 10000 bp
     ex = exact.select(
         F.col(query_id_col).alias("query_id"), F.col(id_col).alias("id")
-    )
+    ).dropDuplicates(["query_id", "id"])
     ap = approx.select(
         F.col(query_id_col).alias("query_id"), F.col(id_col).alias("id")
-    )
+    ).dropDuplicates(["query_id", "id"])
     hits = (
         ex.join(ap, ["query_id", "id"])
         .groupBy("query_id")

@@ -1501,7 +1501,14 @@ def lsh_candidate_pairs(
     many pairs they emit).  Exposed separately so a tuning sweep
     (gate pipeline_lsh_tuning) can put candidate volume and recall on
     the same dashboard without re-deriving bucket internals.
-    Same per-table (table, bucket) equi-join, never a cross join."""
+    Same per-table (table, bucket) equi-join, never a cross join.
+
+    The bucketing block is an INTENTIONAL twin of the inline one in
+    :func:`lsh_cosine_topk`: that function feeds driver-witnessed
+    gates (knn_lsh, ml_recall_at_k) and stays byte-stable under the
+    changed-after-witness re-fronting discipline; keep the two in
+    lockstep with the `_lsh_bucket_sql` oracle if the MINSTD mix ever
+    changes."""
 
     def with_buckets(df: DataFrame, idc: str, out: str) -> DataFrame:
         return df.select(

@@ -196,12 +196,16 @@ def stateful_rate_limit(
     == batch fold for any in-order replay split, which is what the
     driver gate pins against the batch oracle.
 
-    State per key is three longs (bounded by key cardinality, never
+    State per key is two longs (bounded by key cardinality, never
     stream length); ``GroupStateTimeout.NoTimeout`` — add an
     event-time TTL like :func:`stateful_sessions` when keys are
     time-scoped.  In-order delivery per key is the operator\'s
     contract (the admission decision is order-defined); an
-    out-of-order deployment puts a watermark sort upstream.
+    out-of-order deployment puts a watermark sort upstream.  Key and
+    event-id columns must be INTEGRAL (long output schema, the
+    stateful_sessions convention in this synthetic setting) —
+    enforced with a TypeError at plan build; dense-rank string ids
+    first.
 
     Output (append): ``(key, event_id, accepted boolean)``.
     """
@@ -209,12 +213,29 @@ def stateful_rate_limit(
         raise ValueError("capacity must be >= 1")
     if refill_us < 1:
         raise ValueError("refill_us must be >= 1")
+    from pyspark.sql import types as _T
+
+    for name in (key_col, id_col):
+        dt = df.schema[name].dataType
+        if not isinstance(
+            dt, (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)
+        ):
+            # the int64 output schema would otherwise crash the
+            # Python worker mid-batch on the first string key — fail
+            # loudly at plan build instead (round-11 review finding)
+            raise TypeError(
+                f"stateful_rate_limit: column {name!r} has type "
+                f"{dt.simpleString()}; expected integral ids "
+                "(dense-rank string ids first)"
+            )
     cap_credits = int(capacity) * int(refill_us)
     cost = int(refill_us)
     out_schema = to_spark_schema(
         f"{key_col}:long,{id_col}:long,accepted:bool"
     )
-    state_schema = to_spark_schema("tok:long,last_us:long,started:long")
+    # two-field state: state.exists already encodes first-event
+    # detection, no third flag needed
+    state_schema = to_spark_schema("tok:long,last_us:long")
     key_name, ts_name, id_name = key_col, ts_col, id_col
 
     def limit_fn(
@@ -232,7 +253,7 @@ def stateful_rate_limit(
             return
         events.sort()
         if state.exists:
-            tok, last, _ = state.get
+            tok, last = state.get
             pending = events
             out_ids, out_acc = [], []
         else:
@@ -250,7 +271,7 @@ def stateful_rate_limit(
                 out_acc.append(False)
             out_ids.append(eid)
             last = us
-        state.update((tok, last, 1))
+        state.update((tok, last))
         yield pd.DataFrame(
             {
                 key_name: pd.Series([key[0]] * len(out_ids), dtype="int64"),

@@ -18646,6 +18646,15 @@ def ml_ece(spark, sf_dir):
       WHERE ts IS NOT NULL AND value IS NOT NULL
         AND event_type IN ('click', 'purchase')
       GROUP BY 1
+    ), b AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM b
+    ), dense AS (
+      SELECT spine.day,
+             COALESCE(d.x, 0) AS x, COALESCE(d.y, 0) AS y
+      FROM spine LEFT JOIN d ON spine.day = d.day
     ), f AS (
       SELECT day, x AS x_cents, y AS y_cents,
              CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
@@ -18654,7 +18663,7 @@ def ml_ece(spark, sf_dir):
              CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
              CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
              CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
-      FROM d
+      FROM dense
       WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
     SELECT CAST(day AS TIMESTAMP) AS day, n_win, x_cents, y_cents,
@@ -18674,7 +18683,9 @@ def events_rolling_corr(spark, sf_dir):
     and purchase daily revenue series (extended/events.py
     rolling_corr_daily) — the metric-pair decoupling screen.  Events
     reduce distributed to the bounded day grid (ONE shuffle with
-    partial sums); the six frame sums are BIGINT window aggregates
+    partial sums), DENSIFIED to every calendar day in the observed
+    span (a stalled-to-zero day must contribute (x, 0), not vanish);
+    the six frame sums are BIGINT window aggregates
     over that ~30-row grid (bounded BY CONSTRUCTION, plain window);
     the close is floor(1000·(num/sqrt(dx·dy))+0.5) with num exact
     int64 and dx·dy multiplied in DOUBLE — association stated
@@ -19172,8 +19183,14 @@ def pipeline_lsh_tuning(spark, sf_dir):
     more candidates and higher recall; the sweep quantifies the knee.
     Fully hash-checked: the MINSTD bucket construction is
     engine-portable, so the oracle rebuilds every configuration."""
+    from pyspark.sql.window import Window
+
     from .extended.ml import recall_at_k as X_recall_at_k
-    from .extended.similarity import lsh_candidate_pairs
+    from .extended.similarity import (
+        as_double_vec,
+        cosine,
+        lsh_candidate_pairs,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = filter_df(emb, F.col("vec_id") >= 10)
@@ -19182,14 +19199,37 @@ def pipeline_lsh_tuning(spark, sf_dir):
     )
     exact = X_sim.cosine_topk(corpus, queries_df, k=5)
     n_q = queries_df.agg(F.count(F.lit(1)).alias("__nq"))
+    cvec = corpus.select(
+        F.col("vec_id").alias("id"),
+        as_double_vec(F.col("embedding")).alias("v"),
+    )
+    qvec = queries_df.select(
+        "query_id", as_double_vec(F.col("embedding")).alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("id"))
     out = None
     for pl in (4, 6, 8):
-        approx = X_sim.lsh_cosine_topk(
-            corpus, queries_df, k=5, query_id_col="query_id", planes=pl
-        )
-        cand = lsh_candidate_pairs(
+        # ONE bucketing pass per configuration: the candidate set
+        # feeds BOTH axes — counted for the cost axis, re-scored
+        # exactly for the recall axis (identical sim lattice and tie
+        # order as lsh_cosine_topk, which scores the same pairs) —
+        # instead of building the buckets twice (round-11 review
+        # finding).  An eager localCheckpoint pins the set so the two
+        # consumers share one computation.
+        cand_pairs = lsh_candidate_pairs(
             corpus, queries_df, query_id_col="query_id", planes=pl
-        ).agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        ).localCheckpoint()
+        cand = cand_pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates")
+        )
+        approx = (
+            cand_pairs.join(cvec, "id")
+            .join(F.broadcast(qvec), "query_id")
+            .withColumn("sim", qr(cosine(F.col("qv"), F.col("v")), 4))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "id")
+        )
         hits = (
             X_recall_at_k(exact, approx, k=5)
             .agg(F.sum("hits").cast("long").alias("total_hits"))

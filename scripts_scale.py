@@ -1621,11 +1621,22 @@ def probe_r11() -> None:
         return e
 
     def recall_probe(sf_dir):
+        # identical workload shape at both scales (round-11 review
+        # finding): corpus = every replica of the ORIGINAL ids >= 100
+        # (so DST corpus is exactly 10x the SRC corpus), queries = the
+        # 10 distinct original vectors 0-9 (replica 0 only at DST —
+        # never 10 copies of one vector)
         e = emb(sf_dir)
-        corpus = e.filter(F.col("vec_id") >= 100)
-        queries = e.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
+        if sf_dir == DST:
+            corpus = e.filter(F.col("vec_id") >= 1000)
+            queries = e.filter(
+                (F.col("vec_id") < 100) & (F.col("vec_id") % 10 == 0)
+            ).select(F.col("vec_id").alias("query_id"), "embedding")
+        else:
+            corpus = e.filter(F.col("vec_id") >= 100)
+            queries = e.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
         exact = cosine_topk(corpus, queries, k=5)
         approx = lsh_cosine_topk(
             corpus, queries, k=5, query_id_col="query_id", planes=6

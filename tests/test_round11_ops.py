@@ -73,15 +73,20 @@ class TestRecallAtK:
         assert h == {0: (0, 0), 1: (2, 5000), 2: (1, 10000)}
 
     def test_duplicate_tolerance(self, spark):
-        # a malformed approx set with a repeated (query, id) pair must
-        # not double-count the hit: the join is on the pair key and
-        # the truth side is distinct per pair by construction
-        ex = spark.createDataFrame([(0, 1), (0, 2)], "query_id long, id long")
+        # an approx set naming the same (query, id) pair twice (LSH
+        # multi-table before its own dedup, unioned shards) must count
+        # ONE hit — the operator dedupes both sides on the pair key
+        # (round-11 review finding: without it recall inflates past
+        # 10000 bp)
+        ex = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 2)], "query_id long, id long"
+        )
         ap = spark.createDataFrame(
-            [(0, 1), (0, 1)], "query_id long, id long"
-        ).dropDuplicates()
+            [(0, 1), (0, 1), (0, 1)], "query_id long, id long"
+        )
         rows = recall_at_k(ex, ap, k=2).collect()
         assert rows[0].hits == 1
+        assert rows[0].recall_bp == 5000
 
     def test_gate_shapes(self, spark, sf_dir):
         out = QUERIES["ml_recall_at_k"](spark, sf_dir).collect()
@@ -517,6 +522,13 @@ class TestStreamingRateLimit:
         )
         with pytest.raises(ValueError):
             stateful_rate_limit(df, capacity=0, refill_us=1)
+        # non-integral key must fail at plan build, not mid-batch in
+        # the Python worker (round-11 review finding)
+        sdf = df.selectExpr(
+            "CAST(user_id AS STRING) AS user_id", "ts", "event_id"
+        )
+        with pytest.raises(TypeError):
+            stateful_rate_limit(sdf, capacity=1, refill_us=1)
 
 
 class TestNgramNovelty:
@@ -675,3 +687,32 @@ class TestCsvMalformed:
         for label, (n, cents, keys) in rows.items():
             if label != "__corrupt__":
                 assert n > 0 and cents > 0 and keys > 0
+
+
+class TestRollingCorrDenseSpine:
+    def test_gap_days_zero_fill(self, spark):
+        """A calendar day with NO events must appear with (0, 0) —
+        and a day where one series stalls to zero must contribute the
+        (x, 0) point (round-11 review finding)."""
+        import datetime as dt
+
+        from pandasy_spark.extended.events import rolling_corr_daily
+
+        rows = [
+            (0, "click", dt.datetime(2024, 5, 1), 10.0),
+            (1, "purchase", dt.datetime(2024, 5, 1), 5.0),
+            # May 2-3: nothing at all
+            (2, "click", dt.datetime(2024, 5, 4), 20.0),
+            # May 4: clicks but zero purchases
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp, value double"
+        )
+        out = {
+            r.day.day: (r.n_win, r.x_cents, r.y_cents)
+            for r in rolling_corr_daily(df, "click", "purchase", 4).collect()
+        }
+        assert set(out) == {1, 2, 3, 4}     # dense spine, 4 calendar days
+        assert out[2] == (2, 0, 0)
+        assert out[3] == (3, 0, 0)
+        assert out[4] == (4, 2000, 0)       # stalled purchases present
