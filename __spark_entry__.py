@@ -371,6 +371,8 @@ _R12_DEFER: list[str] = [
     # round-11 batch 8: classifier-eval of langid + PERMISSIVE
     # malformed-record CSV ingestion
     "text_langid_confusion", "source_csv_malformed",
+    # round-11 batch 9: link prediction + distribution-shape screen
+    "graph_link_prediction", "profile_bimodality",
 ]
 
 

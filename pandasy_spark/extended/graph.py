@@ -31,6 +31,7 @@ __all__ = [
     "hits",
     "modularity",
     "closeness_from_landmarks",
+    "link_prediction_ra",
 ]
 
 #: rank scale: 1.0 == 10^9 nano-units.
@@ -1025,3 +1026,66 @@ def closeness_from_landmarks(
         .alias("closeness_micro"),
         "harmonic_micro",
     )
+
+
+def link_prediction_ra(
+    edges: DataFrame,
+    max_degree: int = 1000,
+    min_common: int = 1,
+) -> DataFrame:
+    """Link prediction by the RESOURCE-ALLOCATION index: for every
+    non-adjacent node pair sharing at least ``min_common`` neighbors,
+    ``RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z)`` — the
+    Adamic-Adar-family score that is EXACT on the integer lattice
+    (``1_000_000 div deg``; Adamic-Adar\'s 1/log(deg) is libm and
+    stays off the hash path, and RA outperforms it on most benchmark
+    graphs anyway: Zhou/Lü/Zhang 2009).  The "which items will
+    co-occur next" / "which accounts are the same actor" primitive.
+
+    Scale shape: symmetrize edges, ONE self-equi-join on the shared
+    neighbor z (candidate volume Σ_z deg(z)² — the wedge count), one
+    (a, b)-keyed aggregate, one anti-join against the existing edge
+    set.  ``max_degree`` drops hub intermediaries BEFORE the wedge
+    join: a hub\'s wedges are quadratic in its degree while its RA
+    contribution (1/deg) is the smallest — the standard guard that
+    keeps the wedge volume bounded at 100 TB (same posture as the
+    bounded neighbor_agg).  Dropped hubs are reported by the caller\'s
+    degree profile, not silently: the parameter is the documented
+    horizon, like knn_join\'s radius.
+
+    Input: undirected edge list ``(x, y)`` with ``x < y`` (the
+    :func:`cooccurrence_edges` shape; extra columns ignored).
+    Output: ``(a, b, common_neighbors, ra_micro)`` with ``a < b``,
+    pairs already adjacent excluded.
+    """
+    if max_degree < 1:
+        raise ValueError("max_degree must be >= 1")
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+    e = edges.select(F.col("x").cast("long").alias("u"),
+                     F.col("y").cast("long").alias("v"))
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("z")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    hops = (
+        sym.select(F.col("v").alias("z"), F.col("u").alias("n"))
+        .join(deg.filter(F.col("deg") <= max_degree), "z")
+    )
+    a, b = hops.alias("a"), hops.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.z") == F.col("b.z")) & (F.col("a.n") < F.col("b.n")),
+        )
+        .groupBy(F.col("a.n").alias("a"), F.col("b.n").alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            # a.z == b.z so a.deg == b.deg; qualify to avoid the
+            # ambiguous-reference error on the self-join
+            F.sum(F.expr("1000000 div a.deg")).cast("long").alias("ra_micro"),
+        )
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    adjacent = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    return pairs.join(adjacent, ["a", "b"], "left_anti")

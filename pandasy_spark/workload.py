@@ -19562,3 +19562,166 @@ def source_csv_malformed(spark, sf_dir):
         F.sum("cents").cast("long").alias("price_cents"),
         F.sum("key").cast("long").alias("key_sum"),
     )
+
+
+@query(
+    "graph_link_prediction",
+    """
+    WITH i AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS x FROM lineitem
+    ), e AS (
+      SELECT a.x AS u, b.x AS v
+      FROM i a JOIN i b ON a.g = b.g AND a.x < b.x
+      GROUP BY a.x, b.x HAVING COUNT(*) >= 2
+    ), sym AS (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), deg AS (
+      SELECT u AS z, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM sym GROUP BY u
+    ), hops AS (
+      SELECT sym.v AS z, sym.u AS n, deg.deg
+      FROM sym JOIN deg ON sym.v = deg.z
+      WHERE deg.deg <= 1000
+    ), pairs AS (
+      SELECT a.n AS a, b.n AS b,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             CAST(SUM(1000000 // a.deg) AS BIGINT) AS ra_micro
+      FROM hops a JOIN hops b ON a.z = b.z AND a.n < b.n
+      GROUP BY a.n, b.n
+      HAVING COUNT(*) >= 2
+    )
+    SELECT pairs.a, pairs.b, pairs.common_neighbors, pairs.ra_micro
+    FROM pairs
+    WHERE NOT EXISTS (
+      SELECT 1 FROM e WHERE e.u = pairs.a AND e.v = pairs.b
+    )
+    """,
+)
+def graph_link_prediction(spark, sf_dir):
+    """Link prediction by the resource-allocation index
+    (extended/graph.py link_prediction_ra) over the parts
+    co-purchase graph: for every NON-adjacent part pair sharing >= 2
+    neighbors, RA = Σ 1/deg(z) over the common neighbors, exact on
+    the micro lattice (1e6 div deg — Adamic-Adar's log is libm and
+    stays off the hash path).  One wedge self-join on the shared
+    neighbor + one pair aggregate + one anti-join; hub intermediaries
+    above the degree horizon are dropped BEFORE the wedge join (their
+    wedge volume is quadratic, their RA contribution minimal).  The
+    min_common=2 floor keeps the candidate set the interesting tail,
+    not every wedge."""
+    from .extended.graph import cooccurrence_edges, link_prediction_ra
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return link_prediction_ra(edges, max_degree=1000, min_common=2)
+
+
+@query(
+    "profile_bimodality",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS grp,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x
+      FROM lineitem WHERE l_quantity IS NOT NULL
+    ), s AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2,
+             CAST(SUM(x * x * x) AS BIGINT) AS s3,
+             CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+      FROM v GROUP BY grp
+    )
+    SELECT grp AS l_returnflag, n,
+           CAST(FLOOR(1000000e0 * (
+             ((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+               - 3e0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+               + 2e0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+              / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))))
+             * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+               - 3e0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+               + 2e0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+              / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+             + 1e0) / (
+               (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+                - 4e0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                + 6e0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                - 3e0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+               / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                  * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+             ) + 0.5) AS BIGINT) AS bc_micro
+    FROM s
+    """,
+)
+def profile_bimodality(spark, sf_dir):
+    """Sarle's bimodality coefficient per group: BC = (skew² + 1) /
+    raw-kurtosis from the SAME exact BIGINT power sums as
+    profile_moments (one map-combined aggregate, four numbers per
+    group) — the cheap "is this distribution one population or two"
+    screen (BC > 5/9 ≈ 0.5556 suggests bimodality; a uniform domain
+    reads 0.6).  Every ratio operand is written `s_k / n` with the
+    IDENTICAL association in the oracle, sqrt not pow — the
+    profile_moments IEEE discipline — so the ×1e6 snap is
+    engine-identical.  (The skew sign itself is already witnessed by
+    profile_moments on the same sums.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.filter(F.col("l_quantity").isNotNull()).select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("x"),
+    )
+    x = F.col("x")
+    s = v.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("s1"),
+        F.sum(x * x).cast("long").alias("s2"),
+        F.sum(x * x * x).cast("long").alias("s3"),
+        F.sum(x * x * x * x).cast("long").alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - m1 * m1
+    m3 = r3 - F.lit(3.0) * m1 * r2 + F.lit(2.0) * m1 * m1 * m1
+    m4 = (
+        r4
+        - F.lit(4.0) * m1 * r3
+        + F.lit(6.0) * m1 * m1 * r2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt_raw = m4 / (m2 * m2)
+    bc = (skew * skew + F.lit(1.0)) / kurt_raw
+    return s.select(
+        F.col("grp").alias("l_returnflag"),
+        "n",
+        F.floor(F.lit(1000000.0) * bc + F.lit(0.5))
+        .cast("long")
+        .alias("bc_micro"),
+    )

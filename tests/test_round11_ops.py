@@ -716,3 +716,53 @@ class TestRollingCorrDenseSpine:
         assert out[2] == (2, 0, 0)
         assert out[3] == (3, 0, 0)
         assert out[4] == (4, 2000, 0)       # stalled purchases present
+
+
+class TestLinkPredictionRA:
+    def test_crafted_wedges(self, spark):
+        from pandasy_spark.extended.graph import link_prediction_ra
+
+        # path 1-2-3 plus 1-4, 3-4: pair (1,3) shares {2, 4};
+        # (2,4) shares {1, 3}; (1,3) and (2,4) are non-adjacent
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 4), (3, 4)], "x long, y long"
+        )
+        out = {
+            (r.a, r.b): (r.common_neighbors, r.ra_micro)
+            for r in link_prediction_ra(
+                edges, min_common=1
+            ).collect()
+        }
+        # deg: 1->2, 2->2, 3->2, 4->2; RA = 2 * (1e6 div 2) = 1e6
+        assert out[(1, 3)] == (2, 1_000_000)
+        assert out[(2, 4)] == (2, 1_000_000)
+        # adjacent pairs excluded
+        assert (1, 2) not in out and (3, 4) not in out
+
+    def test_hub_horizon_drops_intermediary(self, spark):
+        from pandasy_spark.extended.graph import link_prediction_ra
+
+        # star: hub 0 connects 1..5 (deg 5); every leaf pair's only
+        # common neighbor is the hub — max_degree=4 removes them all
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)], "x long, y long"
+        )
+        assert link_prediction_ra(edges, max_degree=4).count() == 0
+        assert link_prediction_ra(edges, max_degree=5).count() == 10
+
+    def test_guards(self, spark):
+        from pandasy_spark.extended.graph import link_prediction_ra
+
+        edges = spark.createDataFrame([(1, 2)], "x long, y long")
+        with pytest.raises(ValueError):
+            link_prediction_ra(edges, max_degree=0)
+        with pytest.raises(ValueError):
+            link_prediction_ra(edges, min_common=0)
+
+
+class TestBimodality:
+    def test_gate_uniform_reads_point_six(self, spark, sf_dir):
+        # uniform quantity domain: BC -> (0 + 1)/1.8 = 0.5556-0.56
+        rows = QUERIES["profile_bimodality"](spark, sf_dir).collect()
+        for r in rows:
+            assert 500_000 < r.bc_micro < 650_000
