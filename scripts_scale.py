@@ -1660,6 +1660,13 @@ def probe_r11() -> None:
         ("events_rolling_corr", table_probe("events_rolling_corr")),
         ("events_rate_limit", table_probe("events_rate_limit")),
         ("text_ngram_novelty", table_probe("text_ngram_novelty")),
+        # wedge-join link prediction over the 10x co-occurrence graph
+        # (lineitem replicas multiply ORDERS, so edges with
+        # support>=2 densify ~10x and wedge volume grows with them)
+        ("graph_link_prediction", table_probe("graph_link_prediction")),
+        # per-slice AUC over 10x documents (bin-bounded windows)
+        ("ml_auc_by_slice", table_probe("ml_auc_by_slice")),
+        ("profile_bimodality", table_probe("profile_bimodality")),
     ):
         results[name] = {}
         for label, sf_dir in (("sf0.1", SRC), ("sf1.0", DST)):
