@@ -394,3 +394,40 @@ def test_tukey_fences_broadcast(spark, sf_dir):
     via broadcast, never a shuffle join on the value side."""
     plan = _plan(spark, sf_dir, "profile_tukey")
     assert "BroadcastHashJoin" in plan
+
+
+def test_recall_at_k_hash_joins_and_partial_agg(spark, sf_dir):
+    """The recall pair join must be a hash join (broadcast or
+    shuffled), never a nested loop — only the exact brute-force
+    scoring is sanctioned BroadcastNestedLoopJoin territory — and the
+    hit counts must map-side combine."""
+    plan = _plan(spark, sf_dir, "ml_recall_at_k")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_events_rate_limit_is_fold_not_window(spark, sf_dir):
+    """The token bucket is an ordered per-key FOLD (collect_list →
+    array_sort → aggregate); a ranking/running window sneaking in
+    would mean someone 'simplified' the recurrence into something
+    associative, which it is not."""
+    plan = _plan(spark, sf_dir, "events_rate_limit")
+    assert "Window" not in plan
+    assert "collect_list" in plan
+
+
+def test_link_prediction_anti_join_and_no_cartesian(spark, sf_dir):
+    """Existing edges must leave via LeftAnti; the wedge join is an
+    equi-join on the shared neighbor."""
+    plan = _plan(spark, sf_dir, "graph_link_prediction")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_corr_day_grid_reduces_before_window(spark, sf_dir):
+    """The six frame sums run over the bounded dense day grid; the
+    raw events must reduce distributed (partial aggregation) BEFORE
+    any window touches them."""
+    plan = _plan(spark, sf_dir, "events_rolling_corr")
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "Window" in plan
