@@ -766,3 +766,101 @@ class TestBimodality:
         rows = QUERIES["profile_bimodality"](spark, sf_dir).collect()
         for r in rows:
             assert 500_000 < r.bc_micro < 650_000
+
+
+class TestRound11FuzzVsPython:
+    @given(
+        gaps=st.lists(st.integers(0, 60), min_size=1, max_size=30),
+        capacity=st.integers(1, 4),
+        refill_s=st.integers(1, 20),
+    )
+    @settings(**_H)
+    def test_token_bucket_fuzz(self, spark, gaps, capacity, refill_s):
+        import datetime as dt
+        import itertools
+
+        from pandasy_spark.extended.events import token_bucket_per_key
+
+        base = dt.datetime(2024, 6, 1)
+        ts, t = [], 0
+        for g in gaps:
+            t += g
+            ts.append(t)
+        rows = [
+            (i, "u", base + dt.timedelta(seconds=s))
+            for i, s in enumerate(ts)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id string, ts timestamp"
+        )
+        refill_us = refill_s * 1_000_000
+        r = token_bucket_per_key(
+            df, capacity=capacity, refill_us=refill_us, key_col="user_id"
+        ).collect()[0]
+        CAP, COST = capacity * refill_us, refill_us
+        tok, n = CAP - COST, 1
+        for prev, cur in itertools.pairwise(sorted(ts)):
+            tok = min(CAP, tok + (cur - prev) * 1_000_000)
+            if tok >= COST:
+                tok -= COST
+                n += 1
+        assert (r.n_events, r.n_accepted, r.tok_credits) == (
+            len(ts), n, tok,
+        )
+
+    @given(
+        series=st.lists(
+            st.tuples(st.integers(0, 50_000), st.integers(0, 50_000)),
+            min_size=1,
+            max_size=12,
+        ),
+        window=st.integers(2, 5),
+    )
+    @settings(**_H)
+    def test_rolling_corr_fuzz(self, spark, series, window):
+        import datetime as dt
+        import math
+
+        from pandasy_spark.extended.events import rolling_corr_daily
+
+        rows, eid = [], 0
+        for d, (xc, yc) in enumerate(series):
+            ts = dt.datetime(2024, 7, 1) + dt.timedelta(days=d)
+            if xc:
+                rows.append((eid, "click", ts, xc / 100.0)); eid += 1
+            if yc:
+                rows.append((eid, "purchase", ts, yc / 100.0)); eid += 1
+        if not rows:
+            return
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp, value double"
+        )
+        got = {
+            (r.day.month, r.day.day): (r.x_cents, r.y_cents, r.corr_milli)
+            for r in rolling_corr_daily(
+                df, "click", "purchase", window
+            ).collect()
+        }
+        # dense spine reference: day d exists for min..max observed
+        first = min(d for d, (xc, yc) in enumerate(series) if xc or yc)
+        last = max(d for d, (xc, yc) in enumerate(series) if xc or yc)
+        dense = [
+            (series[d][0], series[d][1]) for d in range(first, last + 1)
+        ]
+        for i, _ in enumerate(dense):
+            frame = dense[max(0, i - window + 1): i + 1]
+            n = len(frame)
+            sx = sum(x for x, _ in frame); sy = sum(y for _, y in frame)
+            sxx = sum(x * x for x, _ in frame)
+            syy = sum(y * y for _, y in frame)
+            sxy = sum(x * y for x, y in frame)
+            num = n * sxy - sx * sy
+            dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+            want = (
+                math.floor(1000.0 * (float(num) / math.sqrt(float(dx) * float(dy))) + 0.5)
+                if dx > 0 and dy > 0 else None
+            )
+            day = dt.datetime(2024, 7, 1) + dt.timedelta(days=first + i)
+            assert got[(day.month, day.day)] == (
+                dense[i][0], dense[i][1], want,
+            ), f"day {first + i}"
