@@ -373,6 +373,8 @@ _R12_DEFER: list[str] = [
     "text_langid_confusion", "source_csv_malformed",
     # round-11 batch 9: link prediction + distribution-shape screen
     "graph_link_prediction", "profile_bimodality",
+    # round-11 batch 10: grouping-set provenance bitmask
+    "agg_grouping_id",
 ]
 
 

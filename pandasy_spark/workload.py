@@ -19725,3 +19725,45 @@ def profile_bimodality(spark, sf_dir):
         .cast("long")
         .alias("bc_micro"),
     )
+
+
+@query(
+    "agg_grouping_id",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+)
+def agg_grouping_id(spark, sf_dir):
+    """GROUPING SETS with the GROUPING_ID provenance column: the
+    multi-granularity aggregate where each output row carries WHICH
+    grouping set produced it — without the id, a NULL key is
+    ambiguous between "subtotal row" and "NULL-valued group", the
+    classic rollup-consumer bug.  Catalyst expands grouping sets into
+    one Expand + one aggregate (same plan family as agg_rollup/cube);
+    GROUPING_ID is a metadata bitmask, no extra scan.  DuckDB has no
+    GROUPING_ID function, so the oracle restates the identical
+    bitmask from its GROUPING() bits — which also pins the bit order
+    convention (left key = high bit) across engines."""
+    od = _t(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("__gid_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING_ID(o_orderpriority, o_orderstatus)
+                    AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS price_cents
+        FROM __gid_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        """
+    )

@@ -864,3 +864,20 @@ class TestRound11FuzzVsPython:
             assert got[(day.month, day.day)] == (
                 dense[i][0], dense[i][1], want,
             ), f"day {first + i}"
+
+
+class TestGroupingId:
+    def test_gate_bitmask_disambiguates(self, spark, sf_dir):
+        rows = QUERIES["agg_grouping_id"](spark, sf_dir).collect()
+        gids = {r.gid for r in rows}
+        assert gids == {0, 1, 3}  # detail, per-priority subtotal, total
+        for r in rows:
+            if r.gid == 0:
+                assert r.o_orderpriority is not None and r.o_orderstatus is not None
+            if r.gid == 1:
+                assert r.o_orderpriority is not None and r.o_orderstatus is None
+            if r.gid == 3:
+                assert r.o_orderpriority is None and r.o_orderstatus is None
+        total = [r for r in rows if r.gid == 3]
+        assert len(total) == 1
+        assert total[0].n == sum(r.n for r in rows if r.gid == 0)
