@@ -375,6 +375,8 @@ _R12_DEFER: list[str] = [
     "graph_link_prediction", "profile_bimodality",
     # round-11 batch 10: grouping-set provenance bitmask
     "agg_grouping_id",
+    # round-11 batch 11: dense-series repair + seasonality screen
+    "events_interpolate", "events_acf",
 ]
 
 

@@ -34,6 +34,8 @@ __all__ = [
     "markov_removal_effects",
     "rolling_corr_daily",
     "token_bucket_per_key",
+    "interpolate_hourly",
+    "acf_daily",
 ]
 
 
@@ -1436,3 +1438,205 @@ def token_bucket_per_key(
         fold["n"].cast("long").alias("n_accepted"),
         fold["tok"].cast("long").alias("tok_credits"),
     )
+
+
+def interpolate_hourly(
+    events: DataFrame,
+    event_type: str = "purchase",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Linear gap-fill of an event type's HOURLY revenue series — the
+    sensor/metric repair step a monitoring pipeline runs before any
+    window or forecast op that assumes a dense series (a missing hour
+    is "no reading", not "zero revenue", so zero-fill — the
+    rolling_corr_daily choice — would be wrong here; the two
+    operators exist for the two different missingness semantics).
+
+    Scale shape: the raw events reduce DISTRIBUTED to the bounded
+    hour grid first (ONE shuffle with map-side partial sums); the
+    spine densifies min..max observed hour (sequence + explode on the
+    1-row bounds), so every downstream window runs over a frame
+    bounded BY CONSTRUCTION by the calendar span (<= 721 rows at the
+    gate's 30-day window), never by data volume — at 100 TB the
+    aggregate absorbs the rows, the grid is unchanged.
+
+    Exactness: hour sums are cents BIGINT; a gap hour at spine index
+    ``i`` between its nearest observed neighbours ``(ip, vp)`` /
+    ``(in, vn)`` fills with the exact integer-lattice interpolation
+    ``floor((vp*(in - i) + vn*(i - ip)) / (in - ip))`` computed as
+    subtract-mod-then-divide on nonnegative int64 (numerator
+    < 2^53 under the documented magnitude contract: per-hour cent
+    sums x calendar span), so the fill is bit-identical in any
+    engine — no float in the lattice path.  Spine boundaries are
+    observed by construction, so every gap has both neighbours.
+
+    Output: ``(hour, is_observed, val_cents)`` — one row per spine
+    hour; ``val_cents`` is the observed sum on observed hours, the
+    interpolated fill otherwise.
+    """
+    from pyspark.sql.window import Window
+
+    ev = events.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & (F.col(type_col) == event_type)
+    )
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    obs = ev.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("hour")
+    ).agg(F.sum(cents).cast("long").alias("v"))
+    spine = obs.agg(
+        F.min("hour").alias("__lo"), F.max("hour").alias("__hi")
+    ).select(
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"), F.expr("INTERVAL 1 HOUR")
+            )
+        ).alias("hour")
+    )
+    w_idx = Window.orderBy("hour")
+    grid = (
+        spine.join(obs, "hour", "left")
+        .select(
+            "hour",
+            F.row_number().over(w_idx).cast("long").alias("__i"),
+            F.col("v"),
+        )
+    )
+    w_back = Window.orderBy("__i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_fwd = Window.orderBy("__i").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_i = F.when(F.col("v").isNotNull(), F.col("__i"))
+    filled = grid.select(
+        "hour",
+        "__i",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("__vp"),
+        F.last(obs_i, ignorenulls=True).over(w_back).alias("__ip"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("__vn"),
+        F.first(obs_i, ignorenulls=True).over(w_fwd).alias("__in"),
+    )
+    num = F.col("__vp") * (F.col("__in") - F.col("__i")) + F.col(
+        "__vn"
+    ) * (F.col("__i") - F.col("__ip"))
+    # NULL-guard the gap span: on OBSERVED rows it is 0 and the fill
+    # branch is dead (coalesce picks v) — but ANSI mode (the driver
+    # default) makes `% 0` a runtime error, so the guard must be in
+    # the expression, not the control flow.
+    den = F.when(
+        F.col("__in") > F.col("__ip"), F.col("__in") - F.col("__ip")
+    )
+    fill = F.floor((num - num % den) / den).cast("long")
+    return filled.select(
+        "hour",
+        F.col("v").isNotNull().alias("is_observed"),
+        F.coalesce(F.col("v"), fill).cast("long").alias("val_cents"),
+    )
+
+
+def acf_daily(
+    events: DataFrame,
+    event_type: str = "purchase",
+    max_lag: int = 7,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sample autocorrelation of an event type's DAILY revenue series
+    at lags 1..max_lag — the seasonality detector (a weekly cycle
+    shows as a lag-7 peak) run before choosing a forecast model or a
+    week-over-week comparison window.
+
+    Per-lag ACF here is the Pearson correlation of the lagged pair
+    series ``(x_t, x_{t-k})`` over their overlap (the "correlogram
+    of lagged pairs" variant — each lag re-centres on its own
+    overlap means, exact on the integer lattice, rather than the
+    full-series-mean normalisation whose ratios are irrational).
+
+    Scale shape: events reduce DISTRIBUTED to the bounded day grid
+    (ONE shuffle, map-side partials), densified to every calendar
+    day (a no-sales day is a real zero for revenue — zero-fill, the
+    rolling_corr_daily semantics); the ``max_lag`` lag columns come
+    from ONE window pass over that <= span-row grid (bounded BY
+    CONSTRUCTION), stacked and closed with a tiny group-by-lag
+    aggregate.  At 100 TB only the first reduce sees the volume.
+
+    Exactness: all five pair sums (n, Sx, Sy, Sxx, Syy, Sxy) are
+    BIGINT on the cent grid (magnitude contract: n*Sxy < 2^63 is the
+    caller's grid choice, as profile_moments); the close is
+    ``floor(1000*(num/sqrt(dx*dy)) + 0.5)`` with num exact int64 and
+    dx*dy multiplied in DOUBLE — the association stated identically
+    in the oracle.  Zero-variance overlaps emit NULL.
+
+    Output: ``(lag, n_pairs, acf_milli)`` — one row per lag 1..max_lag
+    with at least one overlapping pair.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    from pyspark.sql.window import Window
+
+    ev = events.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & (F.col(type_col) == event_type)
+    )
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    obs = ev.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.sum(cents).cast("long").alias("x"))
+    spine = obs.agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    ).select(
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day")
+    )
+    dense = spine.join(obs, "day", "left").select(
+        "day", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
+    )
+    w = Window.orderBy("day")
+    lag_cols = [
+        F.lag("x", k).over(w).alias(f"__l{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    lagged = dense.select("x", *lag_cols)
+    stack_args = ", ".join(
+        f"CAST({k} AS BIGINT), __l{k}" for k in range(1, max_lag + 1)
+    )
+    pairs = lagged.select(
+        "x",
+        F.expr(
+            f"stack({max_lag}, {stack_args}) AS (lag, y)"
+        ),
+    ).filter(F.col("y").isNotNull())
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("__sx"),
+        F.sum("y").cast("long").alias("__sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("__sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("__syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("__sxy"),
+    )
+    n = F.col("n_pairs")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    acf = F.when(
+        (dx > 0) & (dy > 0),
+        F.floor(
+            F.lit(1000.0)
+            * (
+                num.cast("double")
+                / F.sqrt(dx.cast("double") * dy.cast("double"))
+            )
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return s.select("lag", "n_pairs", acf.alias("acf_milli"))

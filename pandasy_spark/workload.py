@@ -19767,3 +19767,140 @@ def agg_grouping_id(spark, sf_dir):
                                 (o_orderpriority), ())
         """
     )
+
+
+@query(
+    "events_interpolate",
+    """
+    WITH obs AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type = 'purchase'
+      GROUP BY 1
+    ), b AS (
+      SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM obs
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM b
+    ), grid AS (
+      SELECT spine.hour, obs.v,
+             CAST(ROW_NUMBER() OVER (ORDER BY spine.hour) AS BIGINT)
+               AS i
+      FROM spine LEFT JOIN obs ON spine.hour = obs.hour
+    ), f AS (
+      SELECT hour, i, v,
+             LAST_VALUE(v IGNORE NULLS) OVER wb AS vp,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN i END
+                        IGNORE NULLS) OVER wb AS ipos,
+             FIRST_VALUE(v IGNORE NULLS) OVER wf AS vn,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN i END
+                         IGNORE NULLS) OVER wf AS npos
+      FROM grid
+      WINDOW
+        wb AS (ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ), g AS (
+      SELECT hour, v,
+             vp * (npos - i) + vn * (i - ipos) AS num,
+             CASE WHEN npos > ipos THEN npos - ipos END AS den
+      FROM f
+    )
+    SELECT CAST(hour AS TIMESTAMP) AS hour,
+           v IS NOT NULL AS is_observed,
+           CAST(COALESCE(v,
+                  CAST(FLOOR((num - num % den) / den) AS BIGINT))
+                AS BIGINT) AS val_cents
+    FROM g
+    """,
+)
+def events_interpolate(spark, sf_dir):
+    """Linear gap-fill of the purchase HOURLY revenue series
+    (extended/events.py interpolate_hourly) — dense-series repair
+    where a missing hour means "no reading", not zero (the
+    complementary missingness semantics to events_rolling_corr's
+    zero-fill).  Events reduce distributed to the bounded hour grid
+    (ONE shuffle), the spine densifies min..max observed hour
+    (bounded BY CONSTRUCTION: <= 721 rows for the 30-day gate
+    window), and the fill is the exact integer-lattice interpolation
+    floor((vp*(npos-i) + vn*(i-ipos)) / (npos-ipos)) via
+    subtract-mod-then-divide on int64 — no float on the hash path,
+    restated identically in the oracle.  The gap-span divisor is
+    NULL-guarded so observed rows never evaluate `% 0` under ANSI."""
+    from .extended.events import interpolate_hourly
+
+    ev = _t(spark, sf_dir, "events")
+    return interpolate_hourly(ev, event_type="purchase")
+
+
+@query(
+    "events_acf",
+    """
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type = 'purchase'
+      GROUP BY 1
+    ), b AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM b
+    ), dense AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY spine.day) AS BIGINT)
+               AS i,
+             COALESCE(d.x, 0) AS x
+      FROM spine LEFT JOIN d ON spine.day = d.day
+    ), lags AS (
+      SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag
+    ), p AS (
+      SELECT l.lag, a.x AS x, c.x AS y
+      FROM lags l CROSS JOIN dense a
+      JOIN dense c ON c.i = a.i - l.lag
+    ), s AS (
+      SELECT lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM p GROUP BY lag
+    )
+    SELECT lag, n_pairs,
+           CASE WHEN n_pairs * sxx - sx * sx > 0
+                 AND n_pairs * syy - sy * sy > 0
+                THEN CAST(FLOOR(1000e0 *
+                       (CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+                        sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                             * CAST(n_pairs * syy - sy * sy
+                                    AS DOUBLE)))
+                       + 0.5) AS BIGINT)
+           END AS acf_milli
+    FROM s
+    """,
+)
+def events_acf(spark, sf_dir):
+    """Sample autocorrelation (lags 1..7) of the purchase daily
+    revenue series (extended/events.py acf_daily) — the seasonality
+    screen run before picking a forecast model; a weekly cycle shows
+    as the lag-7 peak.  Per-lag ACF is the Pearson correlation of
+    the lagged pair series over its overlap, exact on the cent
+    lattice: dense zero-filled day grid (ONE distributed reduce,
+    calendar-bounded spine), ONE window pass producing all 7 lag
+    columns, stack + group-by-lag with BIGINT pair sums, and the
+    floor(1000*(num/sqrt(dx*dy))+0.5) close with num exact int64 —
+    the rolling_corr/profile_moments association discipline.  The
+    oracle restates the lag pairing as a bounded self-join on the
+    dense grid's row index."""
+    from .extended.events import acf_daily
+
+    ev = _t(spark, sf_dir, "events")
+    return acf_daily(ev, event_type="purchase", max_lag=7)

@@ -431,3 +431,24 @@ def test_rolling_corr_day_grid_reduces_before_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_rolling_corr")
     assert "partial_sum" in plan or "partial_count" in plan
     assert "Window" in plan
+
+
+def test_interpolate_reduces_before_spine_windows(spark, sf_dir):
+    """Events reduce distributed to the hour grid (partial sums)
+    BEFORE the bounded spine windows; the integer-lattice fill adds
+    no Python stage."""
+    plan = _plan(spark, sf_dir, "events_interpolate")
+    assert "partial_sum" in plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_acf_one_window_pass_then_group(spark, sf_dir):
+    """All lag columns come from ONE window pass over the dense day
+    grid (a single Window node), closed by a group-by-lag aggregate
+    with map-side partials — no per-lag re-scan of the events."""
+    plan = _plan(spark, sf_dir, "events_acf")
+    assert plan.count("Window") == 1
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
