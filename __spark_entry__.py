@@ -377,6 +377,9 @@ _R12_DEFER: list[str] = [
     "agg_grouping_id",
     # round-11 batch 11: dense-series repair + seasonality screen
     "events_interpolate", "events_acf",
+    # round-11 batch 12: threshold-sweep curve, fairness panel,
+    # first-hit ranking metric
+    "ml_threshold_sweep", "ml_fairness", "ml_mrr",
 ]
 
 

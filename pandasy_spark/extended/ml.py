@@ -41,6 +41,9 @@ __all__ = [
     "expected_calibration_error",
     "group_kfold_assign",
     "auc_by_group",
+    "roc_points",
+    "fairness_panel",
+    "mrr_exact",
 ]
 
 
@@ -1285,4 +1288,247 @@ def auc_by_group(
                 " AS BIGINT)"
             ),
         ).alias("auc_micro"),
+    )
+
+
+def roc_points(
+    df: DataFrame,
+    score_col: str,
+    is_positive: Column,
+    decimals: int = 4,
+) -> DataFrame:
+    """Full ROC/PR operating-point sweep — one row per DISTINCT
+    observed score threshold with the exact confusion counts and
+    basis-point rates at "predict positive iff score >= threshold".
+    The curve companion to the scalar summaries (:func:`auc_exact`
+    integrates it, :func:`binary_metrics` picks one point); a
+    threshold-selection step reads THIS to pick the operating point
+    that meets a precision or FPR budget.
+
+    Scale shape: identical to :func:`auc_exact` — scores snap to the
+    ``decimals`` grid, ONE map-combined aggregate counts (pos, tot)
+    per distinct score, and the strictly-below cumulative pair comes
+    from ONE range-partitioned prefix scan over both counters (never
+    a single-task value-domain window); the global (n_pos, n_tot)
+    close is a broadcast 1-row join.  Row volume never reaches the
+    curve: the output is bounded by the grid (<= 10^decimals + 1
+    points).
+
+    Exactness: counts are BIGINT; rates close as
+    ``floor(x * 10000 / d)`` in int64 (magnitude contract:
+    ``n * 10^4 < 2^63``, far past any corpus).  ``tp + fp >= 1``
+    always (thresholds are observed scores), so precision needs no
+    guard; TPR/FPR are NULL iff the class is empty.  NULL/NaN scores
+    are excluded; NULL ``is_positive`` counts negative (the
+    :func:`auc_exact` contract).
+
+    Output: ``(thr, tp, fp, fn, tn, tpr_bp, fpr_bp, prec_bp)`` with
+    ``thr`` in grid units (score x 10^decimals, BIGINT), one row per
+    distinct observed score, descending-threshold curve order
+    implied by ``thr``.
+    """
+    from ..operators.sort import ordered_prefix_scan
+
+    _check_grid_decimals(decimals)
+    p = float(10**decimals)
+    sc = F.col(score_col)
+    keep = sc.isNotNull()
+    if isinstance(df.schema[score_col].dataType, (T.FloatType, T.DoubleType)):
+        keep = keep & ~F.isnan(sc)
+    g = df.filter(keep).select(
+        F.floor(sc * p + F.lit(0.5)).cast("long").alias("__v"),
+        F.when(is_positive, 1).otherwise(0).cast("long").alias("__pos"),
+    )
+    per_v = g.groupBy("__v").agg(
+        F.sum("__pos").cast("long").alias("c_p"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    )
+    scanned = ordered_prefix_scan(
+        per_v,
+        ["__v"],
+        ["c_p", "t"],
+        out_col=["p_below", "t_below"],
+        strict=True,
+    )
+    totals = per_v.agg(
+        F.sum("c_p").cast("long").alias("__np"),
+        F.sum("t").cast("long").alias("__nt"),
+    )
+    counted = scanned.join(F.broadcast(totals)).select(
+        F.col("__v").alias("thr"),
+        (F.col("__np") - F.col("p_below")).cast("long").alias("tp"),
+        (
+            F.col("__nt") - F.col("__np")
+            - (F.col("t_below") - F.col("p_below"))
+        ).cast("long").alias("fp"),
+        F.col("p_below").cast("long").alias("fn"),
+        (F.col("t_below") - F.col("p_below")).cast("long").alias("tn"),
+    )
+
+    def _bp(num, den):
+        return F.when(
+            den > 0,
+            ((num * 10000 - (num * 10000) % den) / den).cast("long"),
+        )
+
+    return counted.select(
+        "thr", "tp", "fp", "fn", "tn",
+        _bp(F.col("tp"), F.col("tp") + F.col("fn")).alias("tpr_bp"),
+        _bp(F.col("fp"), F.col("fp") + F.col("tn")).alias("fpr_bp"),
+        _bp(F.col("tp"), F.col("tp") + F.col("fp")).alias("prec_bp"),
+    )
+
+
+def fairness_panel(
+    df: DataFrame,
+    group_col: str,
+    label: Column,
+    pred: Column,
+) -> DataFrame:
+    """Group-fairness audit panel: per-group selection rate, TPR and
+    FPR, plus the demographic-parity and equalized-odds gaps against
+    the best-treated group — the pre-deployment screen that catches a
+    classifier systematically under-selecting or under-recalling one
+    slice (the complement to :func:`auc_by_group`, which slices the
+    threshold-FREE ranking quality; this slices the DEPLOYED
+    threshold's decisions).
+
+    Scale shape: ONE scan with map-combined conditional counts per
+    group (the confusion-quadrant trick of :func:`mcc_binary`,
+    grouped); the cross-group maxima close via a broadcast 1-row
+    aggregate join — never a window over the group rows, so group
+    cardinality only bounds the OUTPUT, not any task.
+
+    Exactness: counts BIGINT; rates close as ``floor(x*10000/d)``
+    int64 subtract-mod division (engine-portable floor with
+    nonnegative operands).  A NULL label or pred drops the row (an
+    unlabeled or unscored example carries no decision evidence).
+    Gap columns are NULL for groups where the underlying rate is
+    NULL (empty class), and the maxima ignore NULL rates.
+
+    Output: one row per group —
+    ``(group, n, n_pos, sel_bp, tpr_bp, fpr_bp, dp_gap_bp,
+    eo_gap_bp)`` where ``dp_gap_bp = max(sel_bp) - sel_bp`` and
+    ``eo_gap_bp = max(tpr_bp) - tpr_bp``.
+    """
+    lab = label.cast("boolean")
+    prd = pred.cast("boolean")
+    base = df.filter(lab.isNotNull() & prd.isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        lab.alias("__y"),
+        prd.alias("__p"),
+    )
+    per = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("__y"), 1).otherwise(0))
+        .cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("__y") & F.col("__p"), 1).otherwise(0))
+        .cast("long").alias("__tp"),
+        F.sum(F.when(~F.col("__y") & F.col("__p"), 1).otherwise(0))
+        .cast("long").alias("__fp"),
+        F.sum(F.when(F.col("__p"), 1).otherwise(0))
+        .cast("long").alias("__sel"),
+    )
+
+    def _bp(num, den):
+        return F.when(
+            den > 0,
+            ((num * 10000 - (num * 10000) % den) / den).cast("long"),
+        )
+
+    rated = per.select(
+        "grp", "n", "n_pos",
+        _bp(F.col("__sel"), F.col("n")).alias("sel_bp"),
+        _bp(F.col("__tp"), F.col("n_pos")).alias("tpr_bp"),
+        _bp(F.col("__fp"), F.col("n") - F.col("n_pos")).alias("fpr_bp"),
+    )
+    tops = rated.agg(
+        F.max("sel_bp").alias("__max_sel"),
+        F.max("tpr_bp").alias("__max_tpr"),
+    )
+    return rated.join(F.broadcast(tops)).select(
+        F.col("grp").alias(group_col),
+        "n", "n_pos", "sel_bp", "tpr_bp", "fpr_bp",
+        (F.col("__max_sel") - F.col("sel_bp"))
+        .cast("long").alias("dp_gap_bp"),
+        (F.col("__max_tpr") - F.col("tpr_bp"))
+        .cast("long").alias("eo_gap_bp"),
+    )
+
+
+def mrr_exact(
+    df: DataFrame,
+    query_col: str,
+    item_col: str,
+    is_relevant: Column,
+    score_col: str,
+) -> DataFrame:
+    """EXACT Mean Reciprocal Rank — the first-hit ranking metric
+    (navigational search, retrieval-augmented lookup: "how deep does
+    the user scroll before the right answer"), completing the ranking
+    eval triad beside :func:`ndcg_exact` (graded, position-weighted)
+    and :func:`recall_at_k` (set overlap at depth k).
+
+    Per query, items rank by ``score_col`` DESC with the item id as
+    the deterministic tiebreak (the :func:`ndcg_exact` convention);
+    the reciprocal rank of the FIRST relevant item lands on the 1e9
+    lattice as ``floor(1e9 / rank)``; a query with no relevant item
+    contributes 0 (the standard MRR convention, stated in the
+    oracle).  The mean closes as one int64 floor division.
+
+    Scale shape: ONE window pass partitioned by query (per-query
+    frames bounded by that query's candidate count), one per-query
+    MIN aggregate, one 1-row close — no global sort, no driver-side
+    loop.  NULL/NaN scores and NULL query/item ids are excluded.
+
+    Output: one row ``(n_queries, n_hit, mean_rr_nano)`` — MRR x 1e9
+    floored, with no-hit queries counted in the denominator.
+    """
+    from pyspark.sql.window import Window
+
+    sc = F.col(score_col)
+    keep = (
+        sc.isNotNull()
+        & F.col(query_col).isNotNull()
+        & F.col(item_col).isNotNull()
+    )
+    if isinstance(df.schema[score_col].dataType, (T.FloatType, T.DoubleType)):
+        keep = keep & ~F.isnan(sc)
+    base = df.filter(keep).select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__it"),
+        F.when(is_relevant, 1).otherwise(0).cast("long").alias("__rel"),
+        sc.alias("__s"),
+    )
+    w = Window.partitionBy("__q").orderBy(
+        F.col("__s").desc(), F.col("__it").asc()
+    )
+    ranked = base.select(
+        "__q", "__rel", F.row_number().over(w).cast("long").alias("__rn")
+    )
+    per_q = ranked.groupBy("__q").agg(
+        F.min(F.when(F.col("__rel") > 0, F.col("__rn"))).alias("__first")
+    )
+    rr = per_q.select(
+        F.coalesce(
+            (
+                F.lit(1_000_000_000)
+                - F.lit(1_000_000_000) % F.col("__first")
+            )
+            / F.col("__first"),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__rr")
+    )
+    return rr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("__rr") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit"),
+        F.expr(
+            "CAST(CASE WHEN COUNT(1) > 0 THEN"
+            " (SUM(__rr) - SUM(__rr) % COUNT(1)) / COUNT(1)"
+            " END AS BIGINT)"
+        ).alias("mean_rr_nano"),
     )

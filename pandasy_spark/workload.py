@@ -19904,3 +19904,229 @@ def events_acf(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return acf_daily(ev, event_type="purchase", max_lag=7)
+
+
+@query(
+    "ml_threshold_sweep",
+    r"""
+    WITH s AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonws,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_len
+      FROM documents
+    ), q AS (
+      SELECT lang,
+             0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (CASE WHEN COALESCE(CASE WHEN n_tokens > 0
+                         THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) >= 2.0
+                       AND COALESCE(CASE WHEN n_tokens > 0
+                         THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) <= 12.0
+                      THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (1.0 - LEAST((CASE WHEN n_len > 0
+                         THEN CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE)
+                         ELSE 0.0 END) * 5.0, 1.0)) AS qraw
+      FROM s
+    ), g AS (
+      SELECT CAST(FLOOR(FLOOR(qraw * 10000 + 0.5) / 10000 * 10000 + 0.5)
+                  AS BIGINT) AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM q
+    ), per_v AS (
+      SELECT v, CAST(SUM(pos) AS BIGINT) AS c_p,
+             CAST(COUNT(*) AS BIGINT) AS t
+      FROM g GROUP BY v
+    ), sc AS (
+      SELECT v, c_p, t,
+             CAST(COALESCE(SUM(c_p) OVER
+               (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS BIGINT) AS p_below,
+             CAST(COALESCE(SUM(t) OVER
+               (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS BIGINT) AS t_below
+      FROM per_v
+    ), tot AS (
+      SELECT CAST(SUM(c_p) AS BIGINT) AS np,
+             CAST(SUM(t) AS BIGINT) AS nt
+      FROM per_v
+    ), c AS (
+      SELECT v AS thr,
+             np - p_below AS tp,
+             (nt - np) - (t_below - p_below) AS fp,
+             p_below AS fn,
+             t_below - p_below AS tn
+      FROM sc CROSS JOIN tot
+    )
+    SELECT thr, tp, fp, fn, tn,
+           CASE WHEN tp + fn > 0 THEN CAST(FLOOR(
+             (tp * 10000 - (tp * 10000) % (tp + fn)) / (tp + fn))
+             AS BIGINT) END AS tpr_bp,
+           CASE WHEN fp + tn > 0 THEN CAST(FLOOR(
+             (fp * 10000 - (fp * 10000) % (fp + tn)) / (fp + tn))
+             AS BIGINT) END AS fpr_bp,
+           CASE WHEN tp + fp > 0 THEN CAST(FLOOR(
+             (tp * 10000 - (tp * 10000) % (tp + fp)) / (tp + fp))
+             AS BIGINT) END AS prec_bp
+    FROM c
+    """,
+)
+def ml_threshold_sweep(spark, sf_dir):
+    """Full ROC operating-point sweep (extended/ml.py roc_points) of
+    the heuristic quality score against the English label — the
+    curve ml_auc integrates, materialized so a threshold-selection
+    step can pick the point meeting a precision/FPR budget.  Same
+    scale shape as ml_auc: per-distinct-score counts from ONE
+    map-combined aggregate, strictly-below (pos, tot) cumulative
+    pair from ONE range-partitioned prefix scan over both counters
+    (never a single-task value-domain window), broadcast 1-row
+    totals close; output bounded by the 1e4 score grid.  Rates are
+    floor(x*10000/d) on int64 — subtract-mod division, restated
+    identically in the oracle's 1-PRECEDING window restatement."""
+    from .extended.ml import roc_points
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = X_text.with_text_stats(docs).select(
+        "quality", (F.col("lang") == "en").alias("pos")
+    )
+    return roc_points(scored, "quality", F.col("pos"), decimals=4)
+
+
+@query(
+    "ml_fairness",
+    r"""
+    WITH s AS (
+      SELECT lang, source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonws,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_len
+      FROM documents
+    ), q AS (
+      SELECT lang, source,
+             0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (CASE WHEN COALESCE(CASE WHEN n_tokens > 0
+                         THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) >= 2.0
+                       AND COALESCE(CASE WHEN n_tokens > 0
+                         THEN CAST(n_nonws AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 0.0) <= 12.0
+                      THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (1.0 - LEAST((CASE WHEN n_len > 0
+                         THEN CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE)
+                         ELSE 0.0 END) * 5.0, 1.0)) AS qraw
+      FROM s
+    ), lp AS (
+      SELECT source AS grp,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CASE WHEN CAST(FLOOR(qraw * 10000 + 0.5) AS BIGINT)
+                       >= 8000 THEN 1 ELSE 0 END AS p
+      FROM q
+    ), per AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(y * p) AS BIGINT) AS tp,
+             CAST(SUM((1 - y) * p) AS BIGINT) AS fp,
+             CAST(SUM(p) AS BIGINT) AS sel
+      FROM lp GROUP BY grp
+    ), rated AS (
+      SELECT grp, n, n_pos,
+             CASE WHEN n > 0 THEN CAST(FLOOR(
+               (sel * 10000 - (sel * 10000) % n) / n) AS BIGINT)
+             END AS sel_bp,
+             CASE WHEN n_pos > 0 THEN CAST(FLOOR(
+               (tp * 10000 - (tp * 10000) % n_pos) / n_pos) AS BIGINT)
+             END AS tpr_bp,
+             CASE WHEN n - n_pos > 0 THEN CAST(FLOOR(
+               (fp * 10000 - (fp * 10000) % (n - n_pos)) / (n - n_pos))
+               AS BIGINT)
+             END AS fpr_bp
+      FROM per
+    ), tops AS (
+      SELECT MAX(sel_bp) AS max_sel, MAX(tpr_bp) AS max_tpr FROM rated
+    )
+    SELECT grp AS source, n, n_pos, sel_bp, tpr_bp, fpr_bp,
+           CAST(max_sel - sel_bp AS BIGINT) AS dp_gap_bp,
+           CAST(max_tpr - tpr_bp AS BIGINT) AS eo_gap_bp
+    FROM rated CROSS JOIN tops
+    """,
+)
+def ml_fairness(spark, sf_dir):
+    """Group-fairness audit (extended/ml.py fairness_panel) of the
+    quality-threshold screen across corpus sources: per-source
+    selection rate, TPR, FPR plus demographic-parity and
+    equalized-odds gaps vs the best-treated source — the deployed-
+    threshold complement to ml_auc_by_slice's threshold-free slicing
+    (a data-curation filter that under-selects one source is a
+    corpus-composition bug even when global precision looks fine).
+    ONE scan with grouped conditional counts, broadcast 1-row maxima
+    join (never a window over the group rows); rates are
+    floor(x*10000/d) int64, label convention eqNullSafe('en'), pred
+    on the integer quality grid (>= 8000) — both restated in the
+    oracle."""
+    from .extended.ml import fairness_panel
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = X_text.with_text_stats(docs)
+    return fairness_panel(
+        scored,
+        "source",
+        F.col("lang").eqNullSafe("en"),
+        F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long")
+        >= 8000,
+    )
+
+
+@query(
+    "ml_mrr",
+    """
+    WITH b AS (
+      SELECT user_id AS q, event_id AS it,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS rel,
+             value AS s
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+        AND user_id IS NOT NULL AND event_id IS NOT NULL
+    ), r AS (
+      SELECT q, rel,
+             ROW_NUMBER() OVER (PARTITION BY q ORDER BY s DESC, it ASC)
+               AS rn
+      FROM b
+    ), pq AS (
+      SELECT q, MIN(CASE WHEN rel = 1 THEN rn END) AS first_rn
+      FROM r GROUP BY q
+    ), rr AS (
+      SELECT COALESCE(CAST(FLOOR(
+               (1000000000 - 1000000000 % first_rn) / first_rn)
+               AS BIGINT), 0) AS rr
+      FROM pq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN rr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           CAST(CASE WHEN COUNT(*) > 0 THEN FLOOR(
+             (SUM(rr) - SUM(rr) % COUNT(*)) / COUNT(*))
+           END AS BIGINT) AS mean_rr_nano
+    FROM rr
+    """,
+)
+def ml_mrr(spark, sf_dir):
+    """EXACT Mean Reciprocal Rank (extended/ml.py mrr_exact) of the
+    event-value ranking's first purchase per user — the first-hit
+    leg completing the ranking eval triad beside ml_ndcg (graded,
+    position-weighted) and ml_recall_at_k (set overlap at k).  One
+    window pass partitioned by user with the deterministic event-id
+    tiebreak (the ndcg convention), per-user MIN for the first
+    relevant rank, reciprocal ranks on the 1e9 lattice via
+    subtract-mod floor division, no-hit users counted as 0 in the
+    mean — all restated in the oracle."""
+    from .extended.ml import mrr_exact
+
+    ev = _t(spark, sf_dir, "events")
+    return mrr_exact(
+        ev,
+        "user_id",
+        "event_id",
+        F.col("event_type") == "purchase",
+        "value",
+    )

@@ -452,3 +452,31 @@ def test_acf_one_window_pass_then_group(spark, sf_dir):
     assert plan.count("Window") == 1
     assert "partial_sum" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_threshold_sweep_prefix_scan_not_global_window(spark, sf_dir):
+    """The strictly-below pair comes from the range-partitioned
+    prefix scan (range exchange present), never a single-task
+    value-domain window; totals close via broadcast."""
+    plan = _plan(spark, sf_dir, "ml_threshold_sweep")
+    assert "windowspecdefinition(__pid" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_fairness_grouped_counts_broadcast_maxima(spark, sf_dir):
+    """ONE grouped conditional-count aggregate with map-side
+    partials; cross-group maxima join broadcast — no window over
+    the group rows."""
+    plan = _plan(spark, sf_dir, "ml_fairness")
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_mrr_single_window_pass_no_global_sort(spark, sf_dir):
+    """One rank window partitioned by query; no global Sort outside
+    the window's per-partition sort, no Python stage."""
+    plan = _plan(spark, sf_dir, "ml_mrr")
+    assert plan.count("Window") == 1
+    assert "BatchEvalPython" not in plan

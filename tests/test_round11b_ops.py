@@ -146,3 +146,169 @@ class TestAcfDaily:
         df = self._daily(spark, [(0, 100), (1, 200), (2, 100)])
         lags = {r.lag for r in acf_daily(df, max_lag=7).collect()}
         assert lags == {1, 2}
+
+
+from pandasy_spark.extended.ml import (  # noqa: E402
+    fairness_panel,
+    mrr_exact,
+    roc_points,
+)
+
+
+class TestRocPoints:
+    def _scored(self, spark, rows):
+        return spark.createDataFrame(rows, "score double, pos boolean")
+
+    def test_crafted_curve_points(self, spark):
+        # scores .9(P) .8(N) .8(P) .5(N): thresholds 9000, 8000, 5000
+        df = self._scored(
+            spark,
+            [(0.9, True), (0.8, False), (0.8, True), (0.5, False)],
+        )
+        out = {
+            r.thr: (r.tp, r.fp, r.fn, r.tn, r.tpr_bp, r.fpr_bp,
+                    r.prec_bp)
+            for r in roc_points(df, "score", F.col("pos")).collect()
+        }
+        assert out == {
+            9000: (1, 0, 1, 2, 5000, 0, 10000),
+            8000: (2, 1, 0, 1, 10000, 5000, 6666),
+            5000: (2, 2, 0, 0, 10000, 10000, 5000),
+        }
+
+    def test_null_nan_scores_excluded_null_label_negative(self, spark):
+        df = self._scored(
+            spark,
+            [(0.7, True), (None, True), (float("nan"), True),
+             (0.7, None)],
+        )
+        rows = roc_points(df, "score", F.col("pos")).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.thr, r.tp, r.fp) == (7000, 1, 1)
+
+    def test_curve_identities(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (round(rng.random(), 3), rng.random() < 0.4)
+            for _ in range(200)
+        ]
+        df = self._scored(spark, rows)
+        pts = roc_points(df, "score", F.col("pos")).collect()
+        n_pos = sum(1 for _, p in rows if p)
+        n = len(rows)
+        for r in pts:
+            assert r.tp + r.fn == n_pos
+            assert r.tp + r.fp + r.fn + r.tn == n
+        # descending threshold -> tp and fp nondecreasing
+        srt = sorted(pts, key=lambda r: -r.thr)
+        for a, b in zip(srt, srt[1:]):
+            assert b.tp >= a.tp and b.fp >= a.fp
+
+
+class TestFairnessPanel:
+    def _lp(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "g string, y boolean, p boolean"
+        )
+
+    def test_rates_and_gaps(self, spark):
+        # A: sel 2/4, tpr 1/2, fpr 1/2;  B: sel 3/4 (max), tpr 2/2
+        df = self._lp(
+            spark,
+            [("A", True, True), ("A", True, False),
+             ("A", False, True), ("A", False, False),
+             ("B", True, True), ("B", True, True),
+             ("B", False, True), ("B", False, False)],
+        )
+        out = {
+            r.g: (r.n, r.n_pos, r.sel_bp, r.tpr_bp, r.fpr_bp,
+                  r.dp_gap_bp, r.eo_gap_bp)
+            for r in fairness_panel(
+                df, "g", F.col("y"), F.col("p")
+            ).collect()
+        }
+        assert out == {
+            "A": (4, 2, 5000, 5000, 5000, 2500, 5000),
+            "B": (4, 2, 7500, 10000, 5000, 0, 0),
+        }
+
+    def test_null_rows_dropped_empty_class_null(self, spark):
+        df = self._lp(
+            spark,
+            [("A", True, True), ("A", None, True), ("A", True, None),
+             ("B", False, False)],
+        )
+        out = {
+            r.g: (r.n, r.tpr_bp, r.fpr_bp)
+            for r in fairness_panel(
+                df, "g", F.col("y"), F.col("p")
+            ).collect()
+        }
+        # A has no negatives -> fpr NULL; B has no positives -> tpr NULL
+        assert out == {"A": (1, 10000, None), "B": (1, None, 0)}
+
+    def test_maxima_ignore_null_rates(self, spark):
+        df = self._lp(
+            spark,
+            [("A", False, True), ("B", True, True),
+             ("B", True, False)],
+        )
+        out = {
+            r.g: (r.tpr_bp, r.eo_gap_bp)
+            for r in fairness_panel(
+                df, "g", F.col("y"), F.col("p")
+            ).collect()
+        }
+        # A's tpr is NULL (no positives): eo gap NULL for A, 0 for B
+        assert out == {"A": (None, None), "B": (5000, 0)}
+
+
+class TestMrrExact:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "q long, it long, rel boolean, s double"
+        )
+
+    def test_first_hit_ranks_and_lattice(self, spark):
+        # q0: hit at rank 1; q1: hit at rank 3 -> floor(1e9/3)
+        df = self._ev(
+            spark,
+            [(0, 1, True, 0.9), (0, 2, False, 0.5),
+             (1, 1, False, 0.9), (1, 2, False, 0.8),
+             (1, 3, True, 0.7)],
+        )
+        r = mrr_exact(df, "q", "it", F.col("rel"), "s").collect()[0]
+        assert (r.n_queries, r.n_hit) == (2, 2)
+        assert r.mean_rr_nano == (1_000_000_000 + 333_333_333) // 2
+
+    def test_no_hit_counts_zero(self, spark):
+        df = self._ev(
+            spark,
+            [(0, 1, True, 0.9), (1, 1, False, 0.9)],
+        )
+        r = mrr_exact(df, "q", "it", F.col("rel"), "s").collect()[0]
+        assert (r.n_queries, r.n_hit, r.mean_rr_nano) == (
+            2, 1, 500_000_000
+        )
+
+    def test_tiebreak_by_item_id(self, spark):
+        # equal scores: item 5 (relevant) ranks after item 2 -> rank 2
+        df = self._ev(
+            spark,
+            [(0, 5, True, 0.5), (0, 2, False, 0.5)],
+        )
+        r = mrr_exact(df, "q", "it", F.col("rel"), "s").collect()[0]
+        assert r.mean_rr_nano == 500_000_000
+
+    def test_nan_and_null_excluded(self, spark):
+        df = self._ev(
+            spark,
+            [(0, 1, True, float("nan")), (0, 2, True, 0.5),
+             (None, 3, True, 0.9), (0, None, True, 0.9)],
+        )
+        r = mrr_exact(df, "q", "it", F.col("rel"), "s").collect()[0]
+        # only (0, 2) survives -> rank 1
+        assert (r.n_queries, r.mean_rr_nano) == (1, 1_000_000_000)
