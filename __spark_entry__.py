@@ -380,6 +380,8 @@ _R12_DEFER: list[str] = [
     # round-11 batch 12: threshold-sweep curve, fairness panel,
     # first-hit ranking metric
     "ml_threshold_sweep", "ml_fairness", "ml_mrr",
+    # round-11 batch 13: co-missingness panel + id-domain gap audit
+    "profile_null_pattern", "profile_id_gaps",
 ]
 
 

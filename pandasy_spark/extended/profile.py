@@ -58,6 +58,8 @@ __all__ = [
     "table_fingerprint",
     "anova_oneway",
     "mad_fences",
+    "null_pattern_panel",
+    "id_gap_profile",
 ]
 
 _NUMERIC = (
@@ -2212,4 +2214,97 @@ def mad_fences(
             F.col("mad_scaled").cast("long").alias("mad_scaled"),
             "n_outliers",
         )
+    )
+
+
+def null_pattern_panel(
+    df: DataFrame, cols: Sequence[str]
+) -> DataFrame:
+    """Co-missingness pattern panel: which columns are missing
+    TOGETHER.  Per-column null rates (:func:`profile_numeric`,
+    :func:`dq_check`) cannot distinguish "two sensors each drop 5%
+    independently" from "one upstream join drops both on the same 5%
+    of rows" — the pattern histogram does, and the distinction
+    decides whether imputation can treat columns independently.
+
+    Each row maps to a bitmask over ``cols`` (leftmost column = high
+    bit, the ``agg_grouping_id`` bit-order convention); missing means
+    NULL, or NaN for float/double columns (a NaN carries no value —
+    the :func:`profile_numeric` missingness semantics).  ONE scan,
+    map-combined count per mask — at most ``2^len(cols)`` groups, so
+    the shuffle moves a bounded handful of rows regardless of data
+    volume; the share close joins a broadcast 1-row total.
+
+    Output: ``(mask, pattern, n, pct_bp)`` — ``pattern`` is the
+    literal bit string (e.g. ``'010'``), ``pct_bp =
+    floor(n * 10000 / total)`` on int64, one row per OBSERVED
+    pattern (absent patterns are absent, not zero).
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if len(cols) > 20:
+        raise ValueError("co-missingness panel past 20 columns is "
+                         "2^k groups — profile per-column instead")
+    bits = []
+    for c in cols:
+        miss = F.col(c).isNull()
+        if isinstance(df.schema[c].dataType, (T.FloatType, T.DoubleType)):
+            miss = miss | F.isnan(F.col(c))
+        bits.append(F.when(miss, 1).otherwise(0).cast("long"))
+    k = len(cols)
+    mask = sum(
+        (b * F.lit(2 ** (k - 1 - i)) for i, b in enumerate(bits)),
+        F.lit(0).cast("long"),
+    )
+    pattern = F.concat(
+        *[F.when(b == 1, F.lit("1")).otherwise(F.lit("0")) for b in bits]
+    )
+    per = df.select(
+        mask.cast("long").alias("mask"), pattern.alias("pattern")
+    ).groupBy("mask", "pattern").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("__tot"))
+    return per.join(F.broadcast(tot)).select(
+        "mask", "pattern", "n",
+        (
+            (F.col("n") * 10000 - (F.col("n") * 10000) % F.col("__tot"))
+            / F.col("__tot")
+        ).cast("long").alias("pct_bp"),
+    )
+
+
+def id_gap_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Gaps in an integer id domain — the sequence-completeness audit
+    (dropped CDC batches, purged ranges, partition loss) that turns
+    "COUNT is lower than expected" into WHICH ranges are missing.
+
+    The classic gaps-and-islands idiom needs each key's immediate
+    predecessor, i.e. a LAG over the TOTAL key order — on Spark that
+    is never a global single-task window: because keys are DISTINCT
+    and ordered, the strict running MAX equals the predecessor, so
+    ONE range-partitioned prefix scan (``ordered_prefix_scan`` with
+    ``agg='max'``) delivers it with per-partition windows and a
+    bounded carry join.
+
+    Output: one row per gap — ``(gap_start, gap_end, gap_len)``,
+    all BIGINT; the first key has no predecessor and opens no gap.
+    Compose with ``top_k`` / a LIMIT for the largest-gaps report.
+    """
+    from ..operators.sort import ordered_prefix_scan
+
+    keys = (
+        df.select(F.col(key_col).cast("long").alias("k"))
+        .filter(F.col("k").isNotNull())
+        .distinct()
+    )
+    scanned = ordered_prefix_scan(
+        keys, ["k"], "k", agg="max", out_col="prev", strict=True
+    )
+    return scanned.filter(
+        F.col("prev").isNotNull() & (F.col("k") - F.col("prev") > 1)
+    ).select(
+        (F.col("prev") + 1).cast("long").alias("gap_start"),
+        (F.col("k") - 1).cast("long").alias("gap_end"),
+        (F.col("k") - F.col("prev") - 1).cast("long").alias("gap_len"),
     )

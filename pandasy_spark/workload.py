@@ -20130,3 +20130,93 @@ def ml_mrr(spark, sf_dir):
         F.col("event_type") == "purchase",
         "value",
     )
+
+
+@query(
+    "profile_null_pattern",
+    """
+    WITH m AS (
+      SELECT CASE WHEN event_id % 4 = 1 OR ts IS NULL
+                  THEN 1 ELSE 0 END AS b_ts,
+             CASE WHEN event_id % 7 = 2 OR value IS NULL
+                       OR isnan(value) THEN 1 ELSE 0 END AS b_v,
+             CASE WHEN event_id % 15 = 7 OR props IS NULL
+                  THEN 1 ELSE 0 END AS b_p
+      FROM events
+    ), per AS (
+      SELECT CAST(b_ts * 4 + b_v * 2 + b_p AS BIGINT) AS mask,
+             CAST(b_ts AS VARCHAR) || CAST(b_v AS VARCHAR)
+               || CAST(b_p AS VARCHAR) AS pattern,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM m GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS t FROM per
+    )
+    SELECT mask, pattern, n,
+           CAST(FLOOR((n * 10000 - (n * 10000) % t) / t) AS BIGINT)
+             AS pct_bp
+    FROM per CROSS JOIN tot
+    """,
+)
+def profile_null_pattern(spark, sf_dir):
+    """Co-missingness pattern histogram (extended/profile.py
+    null_pattern_panel) over a deterministically-degraded events
+    frame (periodic NULLIF masks on ts/value/props with PAIRWISE
+    COPRIME moduli 4/7/15 so every joint pattern actually occurs —
+    the testdata is null-free, so the gate crafts the missingness
+    the way source_xml crafts its malformed rows): which columns go missing TOGETHER,
+    the signal that decides independent-vs-joint imputation.  Each
+    row folds to a bitmask (leftmost column = high bit, the
+    agg_grouping_id convention), ONE map-combined count per mask
+    (<= 2^k groups regardless of volume), broadcast 1-row total for
+    the bp share — restated bit-for-bit in the oracle."""
+    from .extended.profile import null_pattern_panel
+
+    ev = _t(spark, sf_dir, "events")
+    degraded = ev.select(
+        F.when(F.col("event_id") % 4 != 1, F.col("ts")).alias("ts"),
+        F.when(F.col("event_id") % 7 != 2, F.col("value"))
+        .alias("value"),
+        F.when(F.col("event_id") % 15 != 7, F.col("props"))
+        .alias("props"),
+    )
+    return null_pattern_panel(degraded, ["ts", "value", "props"])
+
+
+@query(
+    "profile_id_gaps",
+    """
+    WITH k AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderstatus = 'F' AND o_orderkey IS NOT NULL
+    ), g AS (
+      SELECT k, LAG(k) OVER (ORDER BY k) AS p FROM k
+    )
+    SELECT CAST(p + 1 AS BIGINT) AS gap_start,
+           CAST(k - 1 AS BIGINT) AS gap_end,
+           CAST(k - p - 1 AS BIGINT) AS gap_len
+    FROM g WHERE p IS NOT NULL AND k - p > 1
+    ORDER BY gap_len DESC, gap_start ASC
+    LIMIT 10
+    """,
+)
+def profile_id_gaps(spark, sf_dir):
+    """Largest id-domain gaps (extended/profile.py id_gap_profile)
+    in the finished-orders key sequence — the sequence-completeness
+    audit that turns "the count is low" into WHICH ranges are
+    missing (dropped CDC batches, purged partitions).  The
+    predecessor of each DISTINCT key is the strict running MAX, so
+    the LAG-over-total-order idiom runs as ONE range-partitioned
+    prefix scan (per-partition windows + bounded carry join — never
+    a global single-task window); the top-10 close is a TakeOrdered
+    with the deterministic (len DESC, start ASC) total order.  The
+    oracle restates it with a plain LAG."""
+    from .extended.profile import id_gap_profile
+
+    od = _t(spark, sf_dir, "orders")
+    gaps = id_gap_profile(
+        od.filter(F.col("o_orderstatus") == "F"), "o_orderkey"
+    )
+    return gaps.orderBy(
+        F.col("gap_len").desc(), F.col("gap_start").asc()
+    ).limit(10)

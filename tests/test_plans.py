@@ -480,3 +480,20 @@ def test_mrr_single_window_pass_no_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ml_mrr")
     assert plan.count("Window") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_null_pattern_single_grouped_count_broadcast_total(spark, sf_dir):
+    """ONE map-combined count per mask; total closes broadcast; no
+    window, no Python."""
+    plan = _plan(spark, sf_dir, "profile_null_pattern")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_id_gaps_prefix_scan_not_global_window(spark, sf_dir):
+    """The predecessor comes from the range-partitioned prefix scan
+    (partition-id windows), never an empty-partitionBy global LAG."""
+    plan = _plan(spark, sf_dir, "profile_id_gaps")
+    assert "windowspecdefinition(__pid" in plan
+    assert "BatchEvalPython" not in plan

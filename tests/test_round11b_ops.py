@@ -312,3 +312,94 @@ class TestMrrExact:
         r = mrr_exact(df, "q", "it", F.col("rel"), "s").collect()[0]
         # only (0, 2) survives -> rank 1
         assert (r.n_queries, r.mean_rr_nano) == (1, 1_000_000_000)
+
+
+from pandasy_spark.extended.profile import (  # noqa: E402
+    id_gap_profile,
+    null_pattern_panel,
+)
+
+
+class TestNullPatternPanel:
+    def test_bitmask_counts_and_shares(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1.0, "x"), (None, 1.0, "x"), (None, None, "x"),
+             (None, None, None)],
+            "a int, b double, c string",
+        )
+        out = {
+            r.mask: (r.pattern, r.n, r.pct_bp)
+            for r in null_pattern_panel(df, ["a", "b", "c"]).collect()
+        }
+        assert out == {
+            0: ("000", 1, 2500),
+            4: ("100", 1, 2500),
+            6: ("110", 1, 2500),
+            7: ("111", 1, 2500),
+        }
+
+    def test_nan_counts_as_missing_for_floats(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 1), (float("nan"), 1)], "a double, b int"
+        )
+        out = {
+            r.pattern: r.n
+            for r in null_pattern_panel(df, ["a", "b"]).collect()
+        }
+        assert out == {"00": 1, "10": 1}
+
+    def test_bit_order_leftmost_high(self, spark):
+        df = spark.createDataFrame([(None, 1)], "a int, b int")
+        r = null_pattern_panel(df, ["a", "b"]).collect()[0]
+        assert (r.mask, r.pattern) == (2, "10")
+
+    def test_guards(self, spark):
+        df = spark.createDataFrame([(1,)], "a int")
+        with pytest.raises(ValueError):
+            null_pattern_panel(df, [])
+        with pytest.raises(ValueError):
+            null_pattern_panel(df, ["a"] * 21)
+
+    def test_absent_patterns_absent(self, spark):
+        df = spark.createDataFrame([(1, 2)] * 5, "a int, b int")
+        rows = null_pattern_panel(df, ["a", "b"]).collect()
+        assert len(rows) == 1
+        assert (rows[0].pattern, rows[0].n, rows[0].pct_bp) == (
+            "00", 5, 10000
+        )
+
+
+class TestIdGapProfile:
+    def _keys(self, spark, ks):
+        return spark.createDataFrame([(k,) for k in ks], "id long")
+
+    def test_gaps_found_with_bounds(self, spark):
+        df = self._keys(spark, [1, 2, 5, 6, 10])
+        out = sorted(
+            (r.gap_start, r.gap_end, r.gap_len)
+            for r in id_gap_profile(df, "id").collect()
+        )
+        assert out == [(3, 4, 2), (7, 9, 3)]
+
+    def test_duplicates_and_nulls_ignored(self, spark):
+        df = self._keys(spark, [1, 1, 4, 4, None])
+        out = [(r.gap_start, r.gap_end, r.gap_len)
+               for r in id_gap_profile(df, "id").collect()]
+        assert out == [(2, 3, 2)]
+
+    def test_dense_sequence_no_gaps(self, spark):
+        df = self._keys(spark, list(range(100)))
+        assert id_gap_profile(df, "id").count() == 0
+
+    def test_first_key_opens_no_gap(self, spark):
+        df = self._keys(spark, [100, 101])
+        assert id_gap_profile(df, "id").count() == 0
+
+    def test_many_distinct_keys_distributed(self, spark):
+        # enough keys to spread over multiple range partitions; every
+        # odd key missing -> every even key (except the first) opens
+        # a length-1 gap
+        df = self._keys(spark, [2 * i for i in range(5000)])
+        gaps = id_gap_profile(df, "id")
+        assert gaps.count() == 4999
+        assert gaps.agg(F.max("gap_len")).collect()[0][0] == 1
