@@ -382,6 +382,9 @@ _R12_DEFER: list[str] = [
     "ml_threshold_sweep", "ml_fairness", "ml_mrr",
     # round-11 batch 13: co-missingness panel + id-domain gap audit
     "profile_null_pattern", "profile_id_gaps",
+    # round-11 batch 14: salt-stratified exact matching + compaction
+    # planner
+    "sample_matched_pairs", "layout_compaction_plan",
 ]
 
 

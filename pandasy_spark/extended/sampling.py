@@ -68,6 +68,7 @@ __all__ = [
     "class_balance",
     "token_budget_sample",
     "dsir_weights",
+    "matched_pairs",
 ]
 
 _BUCKETS = 10_000
@@ -879,4 +880,69 @@ def dsir_weights(
             F.count(F.lit(1)).cast("long").alias("n_feat"),
             F.sum("__lwq").cast("long").alias("log_w_nano"),
         )
+    )
+
+
+def matched_pairs(
+    df: DataFrame,
+    stratum_col: str,
+    treated: Column,
+    id_col: str,
+    salts: int = 8,
+) -> DataFrame:
+    """Deterministic 1:1 exact matching on a stratification covariate
+    — the observational-causal prep step (propensity-bucket matching,
+    holdout twin selection) that turns "purchasers vs everyone else"
+    into comparable pairs before an :func:`...events.ab_test`-style
+    comparison.
+
+    Within each stratum, treated and control units pair greedily by
+    ascending id; units past the shorter side's count stay unmatched
+    (dropped).  Matching needs per-stratum ranks, and a raw
+    per-stratum window is the classic skew trap — the modal stratum
+    (e.g. activity = 1) can hold billions of rows at 100 TB.  So the
+    stratum SUBDIVIDES by a deterministic id salt (``id % salts``)
+    first: ranks run within (stratum, salt) — ``salts``× smaller
+    partitions, same exactness guarantees WITHIN each substratum —
+    at the cost of cross-salt matches (a treated unit only pairs
+    inside its salt; expected match loss is the per-salt imbalance,
+    small when strata are large, zero when ``salts=1``).  This is
+    the engine-portable version of the blocked-self-join salting
+    rule (SCALING.md): the pair semantics are part of the contract,
+    stated identically in any engine.
+
+    Output: one row per matched pair —
+    ``(stratum, salt, t_id, c_id)``, BIGINT ids; deterministic for a
+    given (data, salts).
+    """
+    if salts < 1:
+        raise ValueError("salts must be >= 1")
+    from pyspark.sql.window import Window
+
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(stratum_col).isNotNull()
+    ).select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).cast("long").alias("__id"),
+        treated.cast("boolean").alias("__t"),
+    ).filter(F.col("__t").isNotNull())
+    salted = base.select(
+        "stratum",
+        "__id",
+        "__t",
+        F.pmod(F.col("__id"), F.lit(salts)).cast("long").alias("salt"),
+    )
+    w = Window.partitionBy("stratum", "salt", "__t").orderBy("__id")
+    ranked = salted.select(
+        "stratum", "salt", "__id", "__t",
+        F.row_number().over(w).cast("long").alias("__rk"),
+    )
+    t = ranked.filter(F.col("__t")).select(
+        "stratum", "salt", "__rk", F.col("__id").alias("t_id")
+    )
+    c = ranked.filter(~F.col("__t")).select(
+        "stratum", "salt", "__rk", F.col("__id").alias("c_id")
+    )
+    return t.join(c, ["stratum", "salt", "__rk"]).select(
+        "stratum", "salt", "t_id", "c_id"
     )

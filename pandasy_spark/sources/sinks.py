@@ -28,6 +28,7 @@ __all__ = [
     "write_hilbert",
     "schema_diff",
     "compact_parquet",
+    "compaction_plan",
     "read_parquet_merged_schema",
 ]
 
@@ -395,3 +396,61 @@ def schema_diff(spark: SparkSession, path_a: str, path_b: str) -> list[dict]:
                 }
             )
     return diff
+
+
+def compaction_plan(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    row_bytes: Column,
+    target_file_bytes: int,
+) -> DataFrame:
+    """Distributed small-file compaction PLANNER — the survey
+    :func:`compact_parquet` executes on one directory, computed
+    instead from the table's own rows across every hive partition:
+    how many files each partition SHOULD hold at
+    ``target_file_bytes``, and which partitions are coalesce
+    candidates (under half a target file).  A 100 TB lakehouse runs
+    this plan nightly and feeds only the offending partitions to the
+    rewriter — sizing from data stats, not from a filesystem walk,
+    so it works the same over object stores.
+
+    ONE map-combined aggregate per partition key (n_rows +
+    estimated bytes via the caller's ``row_bytes`` expression —
+    serialized-width estimate, deterministic integer per row); the
+    close is pure int64 ceiling division
+    (``(b + t - 1 - ((b + t - 1) % t)) / t``), engine-portable.
+
+    Output: one row per partition —
+    ``(partition_cols..., n_rows, est_bytes, n_files,
+    rows_per_file, coalesce_candidate)``.
+    """
+    if target_file_bytes < 1:
+        raise ValueError("target_file_bytes must be >= 1")
+    from pyspark.sql import functions as F
+
+    per = df.groupBy(*partition_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(row_bytes.cast("long")).cast("long").alias("est_bytes"),
+    )
+
+    def _ceil_div(a, b):
+        num = a + b - F.lit(1)
+        return ((num - num % b) / b).cast("long")
+
+    t = F.lit(int(target_file_bytes)).cast("long")
+    n_files = _ceil_div(F.col("est_bytes"), t)
+    planned = per.select(
+        *partition_cols,
+        "n_rows",
+        "est_bytes",
+        n_files.alias("n_files"),
+    )
+    return planned.select(
+        *partition_cols,
+        "n_rows",
+        "est_bytes",
+        "n_files",
+        _ceil_div(F.col("n_rows"), F.col("n_files"))
+        .alias("rows_per_file"),
+        (F.col("est_bytes") * 2 < t).alias("coalesce_candidate"),
+    )

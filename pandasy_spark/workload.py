@@ -20220,3 +20220,134 @@ def profile_id_gaps(spark, sf_dir):
     return gaps.orderBy(
         F.col("gap_len").desc(), F.col("gap_start").asc()
     ).limit(10)
+
+
+@query(
+    "sample_matched_pairs",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 14
+                  THEN TRUE ELSE FALSE END AS t
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ), s AS (
+      SELECT CAST(n_events // 10 AS BIGINT) AS stratum,
+             CAST(user_id % 2 AS BIGINT) AS salt,
+             user_id, t,
+             ROW_NUMBER() OVER (
+               PARTITION BY n_events // 10, user_id % 2, t
+               ORDER BY user_id) AS rk
+      FROM u
+    )
+    SELECT a.stratum, a.salt,
+           CAST(a.user_id AS BIGINT) AS t_id,
+           CAST(b.user_id AS BIGINT) AS c_id
+    FROM s a JOIN s b
+      ON a.stratum = b.stratum AND a.salt = b.salt AND a.rk = b.rk
+    WHERE a.t AND NOT b.t
+    """,
+)
+def sample_matched_pairs(spark, sf_dir):
+    """Deterministic 1:1 exact matching (extended/sampling.py
+    matched_pairs): heavy purchasers (>= 14 purchases) paired with
+    comparable lighter users inside activity-band strata
+    (n_events DIV 10) — the observational-causal prep that turns a
+    self-selected cohort into comparable pairs before an ab_test
+    comparison.  Per-stratum ranks are the classic modal-stratum
+    skew trap at 100 TB, so strata SUBDIVIDE by a deterministic id
+    salt first (blocked-self-join salting rule, here salts=2 for the
+    gate's 150-user cohort): ranks run within (stratum, salt), pairs
+    join on (stratum, salt, rank) — semantics part of the contract,
+    restated identically in the oracle."""
+    from .extended.sampling import matched_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    users = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)
+                )
+                >= 14
+            ).alias("treated"),
+        )
+        .select(
+            "user_id",
+            "treated",
+            F.expr("n_events DIV 10").cast("long").alias("stratum"),
+        )
+    )
+    return matched_pairs(
+        users, "stratum", F.col("treated"), "user_id", salts=2
+    )
+
+
+@query(
+    "layout_compaction_plan",
+    """
+    WITH b AS (
+      SELECT o_orderstatus AS status,
+             CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                  AS BIGINT) AS ym,
+             CAST(40 + length(o_orderstatus)
+                  + length(o_orderpriority) AS BIGINT) AS rb
+      FROM orders
+    ), per AS (
+      SELECT status, ym,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(rb) AS BIGINT) AS est_bytes
+      FROM b GROUP BY 1, 2
+    ), f AS (
+      SELECT status, ym, n_rows, est_bytes,
+             CAST(FLOOR(((est_bytes + 8191)
+                    - (est_bytes + 8191) % 8192) / 8192) AS BIGINT)
+               AS n_files
+      FROM per
+    )
+    SELECT status, ym, n_rows, est_bytes, n_files,
+           CAST(FLOOR(((n_rows + n_files - 1)
+                  - (n_rows + n_files - 1) % n_files) / n_files)
+                AS BIGINT) AS rows_per_file,
+           est_bytes * 2 < 8192 AS coalesce_candidate
+    FROM f
+    """,
+)
+def layout_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner (sources/sinks.py
+    compaction_plan) over orders hive-partitioned by
+    (status, year-month): how many files each partition should hold
+    at an 8 KiB gate-scale target, and which partitions are
+    coalesce candidates — the nightly lakehouse plan that feeds only
+    offending partitions to compact_parquet's rewriter, sized from
+    the table's own rows (serialized-width estimate per row) instead
+    of a filesystem walk, so it works the same over object stores.
+    ONE map-combined aggregate per partition key; the close is pure
+    int64 ceiling division, restated in the oracle.  The gate's two
+    scales land on opposite sides of the plan: multi-file splits at
+    sf0.01, coalesce candidates at sf0.001."""
+    from .sources.sinks import compaction_plan
+
+    od = _t(spark, sf_dir, "orders")
+    base = od.select(
+        F.col("o_orderstatus").alias("status"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    return compaction_plan(
+        base,
+        ["status", "ym"],
+        F.lit(40)
+        + F.length("o_orderstatus")
+        + F.length("o_orderpriority"),
+        target_file_bytes=8192,
+    )

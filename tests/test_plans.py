@@ -497,3 +497,22 @@ def test_id_gaps_prefix_scan_not_global_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "profile_id_gaps")
     assert "windowspecdefinition(__pid" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_matched_pairs_equi_join_on_rank_no_cartesian(spark, sf_dir):
+    """The pair close is a hash equi-join on (stratum, salt, rank);
+    ranks ride salted windows, never a global sort."""
+    plan = _plan(spark, sf_dir, "sample_matched_pairs")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_compaction_plan_one_grouped_aggregate(spark, sf_dir):
+    """ONE map-combined aggregate per partition key; the ceiling
+    closes are projections — no join, no window, no Python."""
+    plan = _plan(spark, sf_dir, "layout_compaction_plan")
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan

@@ -403,3 +403,113 @@ class TestIdGapProfile:
         gaps = id_gap_profile(df, "id")
         assert gaps.count() == 4999
         assert gaps.agg(F.max("gap_len")).collect()[0][0] == 1
+
+
+from pandasy_spark.extended.sampling import matched_pairs  # noqa: E402
+from pandasy_spark.sources.sinks import compaction_plan  # noqa: E402
+
+
+class TestMatchedPairs:
+    def _u(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "id long, stratum long, t boolean"
+        )
+
+    def test_greedy_by_ascending_id_within_stratum(self, spark):
+        df = self._u(
+            spark,
+            [(10, 1, True), (20, 1, True), (11, 1, False),
+             (21, 1, False), (31, 1, False)],
+        )
+        out = sorted(
+            (r.t_id, r.c_id)
+            for r in matched_pairs(
+                df, "stratum", F.col("t"), "id", salts=1
+            ).collect()
+        )
+        # t ranks: 10->1, 20->2; c ranks: 11->1, 21->2 (31 unmatched)
+        assert out == [(10, 11), (20, 21)]
+
+    def test_no_cross_stratum_or_cross_salt_matches(self, spark):
+        df = self._u(
+            spark,
+            [(0, 1, True), (1, 1, False),  # salts=2: 0 even, 1 odd
+             (2, 2, True), (3, 2, False)],
+        )
+        rows = matched_pairs(
+            df, "stratum", F.col("t"), "id", salts=2
+        ).collect()
+        assert rows == []  # every potential partner in another cell
+
+    def test_salts_one_recovers_full_matching(self, spark):
+        df = self._u(
+            spark,
+            [(0, 1, True), (1, 1, False), (2, 2, True), (3, 2, False)],
+        )
+        out = sorted(
+            (r.stratum, r.t_id, r.c_id)
+            for r in matched_pairs(
+                df, "stratum", F.col("t"), "id", salts=1
+            ).collect()
+        )
+        assert out == [(1, 0, 1), (2, 2, 3)]
+
+    def test_null_rows_dropped_and_guard(self, spark):
+        df = self._u(
+            spark,
+            [(None, 1, True), (1, None, False), (2, 1, None),
+             (3, 1, True), (4, 1, False)],
+        )
+        out = [(r.t_id, r.c_id)
+               for r in matched_pairs(
+                   df, "stratum", F.col("t"), "id", salts=1
+               ).collect()]
+        assert out == [(3, 4)]
+        with pytest.raises(ValueError):
+            matched_pairs(df, "stratum", F.col("t"), "id", salts=0)
+
+
+class TestCompactionPlan:
+    def _rows(self, spark, rows):
+        return spark.createDataFrame(rows, "p string, nb long")
+
+    def test_ceiling_splits_and_rows_per_file(self, spark):
+        # partition A: 3 rows x 100 bytes = 300 -> 3 files at t=100,
+        # rows_per_file ceil(3/3)=1; B: 1 row x 50 -> 1 file, coalesce
+        df = self._rows(
+            spark, [("A", 100), ("A", 100), ("A", 100), ("B", 50)]
+        )
+        out = {
+            r.p: (r.n_rows, r.est_bytes, r.n_files, r.rows_per_file,
+                  r.coalesce_candidate)
+            for r in compaction_plan(
+                df, ["p"], F.col("nb"), 100
+            ).collect()
+        }
+        assert out == {
+            "A": (3, 300, 3, 1, False),
+            "B": (1, 50, 1, 1, False),
+        }
+
+    def test_coalesce_candidate_under_half_target(self, spark):
+        df = self._rows(spark, [("A", 49), ("B", 50)])
+        out = {
+            r.p: r.coalesce_candidate
+            for r in compaction_plan(
+                df, ["p"], F.col("nb"), 100
+            ).collect()
+        }
+        assert out == {"A": True, "B": False}
+
+    def test_non_divisible_ceilings(self, spark):
+        # 250 bytes at t=100 -> 3 files; 7 rows / 3 files -> 3 per file
+        df = self._rows(spark, [("A", 250 // 7 + (1 if i < 250 % 7 else 0)) for i in range(7)])
+        r = compaction_plan(df, ["p"], F.col("nb"), 100).collect()[0]
+        assert (r.n_rows, r.est_bytes, r.n_files, r.rows_per_file) == (
+            7, 250, 3, 3
+        )
+
+    def test_target_guard(self, spark):
+        df = self._rows(spark, [("A", 1)])
+        with pytest.raises(ValueError):
+            compaction_plan(df, ["p"], F.col("nb"), 0)
