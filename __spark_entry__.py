@@ -385,6 +385,8 @@ _R12_DEFER: list[str] = [
     # round-11 batch 14: salt-stratified exact matching + compaction
     # planner
     "sample_matched_pairs", "layout_compaction_plan",
+    # round-11 batch 15: constellation acoustic fingerprint retrieval
+    "multimodal_fingerprint",
 ]
 
 

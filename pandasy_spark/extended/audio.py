@@ -33,6 +33,8 @@ __all__ = [
     "resample_linear",
     "wav_resample_features",
     "RESAMPLE_COLS",
+    "fingerprint_landmarks",
+    "fingerprint_match",
 ]
 
 
@@ -411,3 +413,125 @@ def encode_wav_g711(codes: bytes, sample_rate: int = 8000, law: str = "mu") -> b
     out += b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     out += b"data" + struct.pack("<I", len(data)) + data
     return out
+
+
+def fingerprint_landmarks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_len: int = 256,
+    fanout: int = 2,
+) -> DataFrame:
+    """Constellation landmark hashes per WAV payload — the
+    Shazam-style acoustic fingerprint (Wang 2003, public spec): the
+    clip frames into non-overlapping ``frame_len`` windows, each
+    frame's dominant non-DC rFFT bin becomes a constellation peak,
+    and every peak pairs with the next ``fanout`` frames' peaks into
+    an integer landmark hash ``(b1 * 256 + b2) * 8 + dt`` anchored at
+    the first frame's index.
+
+    The hash packs into one small BIGINT so matching is an EQUI-join
+    on a well-distributed key (the LSH-bucket posture: never a
+    similarity scan) — this function is the indexing half;
+    :func:`fingerprint_match` is the retrieval half.
+
+    Scale shape: narrow Arrow-batched ``mapInPandas``, no shuffle;
+    O(frames · frame_len log frame_len) per payload; output ~
+    ``fanout`` rows per frame.  Peak bins are integers, so the
+    landmark stream is deterministic and engine-replayable whenever
+    the audio's per-frame peaks are unambiguous (the gate constructs
+    exactly that).
+
+    Output: ``(id, t, hash)`` — frame index BIGINT, hash BIGINT.
+    """
+    import numpy as np
+
+    from .multimodal import DECODE_ERRORS
+
+    id_name, payload_name = id_col, payload_col
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ts, hs = [], [], []
+            for did, p in zip(pdf[id_name], pdf[payload_name]):
+                try:
+                    a, _rate = decode_wav(bytes(p))
+                except DECODE_ERRORS:
+                    continue
+                x = a[:, 0].astype(np.float64)
+                n_frames = len(x) // frame_len
+                peaks = []
+                for j in range(n_frames):
+                    fr = x[j * frame_len : (j + 1) * frame_len]
+                    mag2 = np.abs(np.fft.rfft(fr)) ** 2
+                    peaks.append(
+                        int(np.argmax(mag2[1:]) + 1)
+                        if len(mag2) > 1
+                        else 0
+                    )
+                for j in range(n_frames):
+                    for dt in range(1, fanout + 1):
+                        if j + dt < n_frames:
+                            ids.append(int(did))
+                            ts.append(j)
+                            hs.append(
+                                (peaks[j] * 256 + peaks[j + dt]) * 8
+                                + dt
+                            )
+            yield pd.DataFrame(
+                {"id": ids, "t": ts, "hash": hs}
+            ).astype({"id": "int64", "t": "int64", "hash": "int64"})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _extract, schema="id long, t long, hash long"
+    )
+
+
+def fingerprint_match(
+    query_lm: DataFrame, ref_lm: DataFrame, min_count: int = 3
+) -> DataFrame:
+    """Retrieval half of the acoustic fingerprint: match every query
+    clip against the reference index by landmark-hash EQUI-join,
+    histogram the frame offsets per (query, ref) candidate, and keep
+    each query's best time-coherent alignment.
+
+    A true match concentrates its joined landmarks on ONE offset
+    (the clip's shift); chance hash collisions scatter across
+    offsets — the offset histogram is the noise filter, and
+    ``min_count`` is the accept threshold.  Scale shape: ONE shuffle
+    on the hash key (never an all-pairs scan), ONE map-combined
+    count per (query, ref, offset), and a per-query top-1 window
+    over that query's candidate set (bounded by its landmark
+    fan-in), with the deterministic (count DESC, ref ASC, offset
+    ASC) tie order.
+
+    Output: ``(query_id, ref_id, offset_frames, n_aligned)`` — one
+    row per query with an accepted match; unmatched queries are
+    absent.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    q = query_lm.select(
+        F.col("id").alias("query_id"),
+        F.col("t").alias("__tq"),
+        "hash",
+    )
+    r = ref_lm.select(
+        F.col("id").alias("ref_id"), F.col("t").alias("__tr"), "hash"
+    )
+    cand = q.join(r, "hash").groupBy(
+        "query_id",
+        "ref_id",
+        (F.col("__tr") - F.col("__tq")).alias("offset_frames"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_aligned"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_aligned").desc(),
+        F.col("ref_id").asc(),
+        F.col("offset_frames").asc(),
+    )
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter((F.col("__rk") == 1) & (F.col("n_aligned") >= min_count))
+        .select("query_id", "ref_id", "offset_frames", "n_aligned")
+    )

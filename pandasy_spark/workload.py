@@ -20351,3 +20351,134 @@ def layout_compaction_plan(spark, sf_dir):
         + F.length("o_orderpriority"),
         target_file_bytes=8192,
     )
+
+
+# --- multimodal_fingerprint construction (shared by the Spark-side
+# payload synthesizer AND the pure-Python oracle replay below, so the
+# two can never drift) ------------------------------------------------
+_FP_FRAMES, _FP_FLEN, _FP_FAN = 10, 256, 2
+
+
+def _fp_ref_bins(r: int) -> list[int]:
+    return [5 + (7 * r + 3 * j + j * j) % 50 for j in range(_FP_FRAMES)]
+
+
+def _fp_query_bins(qi: int) -> list[int]:
+    filler = 120 + qi % 7
+    if qi < 25:
+        rb = _fp_ref_bins(qi)
+        s = 1 + qi % 3
+        return [
+            rb[j + s] if j + s < _FP_FRAMES else filler
+            for j in range(_FP_FRAMES)
+        ]
+    return [filler] * _FP_FRAMES
+
+
+def _fp_landmarks(bins: list[int]) -> list[tuple[int, int]]:
+    out = []
+    for j in range(len(bins)):
+        for dt in range(1, _FP_FAN + 1):
+            if j + dt < len(bins):
+                out.append((j, (bins[j] * 256 + bins[j + dt]) * 8 + dt))
+    return out
+
+
+def _fp_expected_rows() -> list[tuple[int, int, int, int]]:
+    """Pure-Python replay of fingerprint_match over the constructed
+    corpus (the literal-eigenvector trick: the expected table inlines
+    into the oracle as integer literals, so the driver's DuckDB side
+    never needs an FFT — Spark must reproduce it from the actual
+    decoded WAV bytes)."""
+    from collections import Counter
+
+    ref_lm = {r: _fp_landmarks(_fp_ref_bins(r)) for r in range(30)}
+    rows = []
+    for qi in range(30):
+        cnt: Counter = Counter()
+        for tq, h in _fp_landmarks(_fp_query_bins(qi)):
+            for r, lms in ref_lm.items():
+                for tr, h2 in lms:
+                    if h2 == h:
+                        cnt[(r, tr - tq)] += 1
+        if not cnt:
+            continue
+        (r, off), n = sorted(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        if n >= 3:
+            rows.append((60 + qi, r, off, n))
+    return rows
+
+
+_FP_VALUES = ", ".join(
+    f"({q}, {r}, {o}, {n})" for q, r, o, n in _fp_expected_rows()
+)
+
+
+@query(
+    "multimodal_fingerprint",
+    f"""
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(ref_id AS BIGINT) AS ref_id,
+           CAST(offset_frames AS BIGINT) AS offset_frames,
+           CAST(n_aligned AS BIGINT) AS n_aligned
+    FROM (VALUES {_FP_VALUES})
+      AS t(query_id, ref_id, offset_frames, n_aligned)
+    """,
+)
+def multimodal_fingerprint(spark, sf_dir):
+    """Shazam-style acoustic fingerprint retrieval, end-to-end and
+    driver-checked (extended/audio.py fingerprint_landmarks /
+    fingerprint_match, Wang 2003 public spec): 30 reference clips
+    (per-frame cosines at a deterministic bin constellation) and 30
+    queries — 25 time-SHIFTED copies of a reference plus 5 unrelated
+    clips — are decoded and landmark-hashed inside Arrow-batched
+    mapInPandas, then matched by a landmark-hash EQUI-join + offset
+    histogram + per-query top-1 (never an all-pairs similarity
+    scan).  Exact byte hashing can never find the shifted copies;
+    the constellation must.  The oracle inlines the pure-Python
+    replay of the same construction (shared bin helpers, so
+    synthesizer and replay cannot drift) — collisions and all."""
+    docs = filter_df(
+        _t(spark, sf_dir, "documents"),
+        (F.col("doc_id") < 30)
+        | ((F.col("doc_id") >= 60) & (F.col("doc_id") < 90)),
+    ).select("doc_id")
+
+    def _enc(batches):
+        import numpy as np
+
+        from pandasy_spark.extended.audio import encode_wav
+
+        t = np.arange(_FP_FLEN)
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                bins = (
+                    _fp_ref_bins(d) if d < 30 else _fp_query_bins(d - 60)
+                )
+                frames = [
+                    np.round(
+                        8000 * np.cos(2 * np.pi * b * t / _FP_FLEN)
+                    ).astype(np.int16)
+                    for b in bins
+                ]
+                payloads.append(encode_wav(np.concatenate(frames), 8000))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    from .extended.audio import fingerprint_landmarks, fingerprint_match
+
+    with_wav = docs.mapInPandas(_enc, schema="doc_id long, payload binary")
+    lm = fingerprint_landmarks(
+        with_wav, frame_len=_FP_FLEN, fanout=_FP_FAN
+    )
+    refs = lm.filter(F.col("id") < 30)
+    queries = lm.filter(F.col("id") >= 60)
+    return fingerprint_match(queries, refs, min_count=3)

@@ -516,3 +516,14 @@ def test_compaction_plan_one_grouped_aggregate(spark, sf_dir):
     assert "Window" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_fingerprint_equi_join_no_cartesian(spark, sf_dir):
+    """Landmark extraction is the sanctioned Arrow boundary
+    (MapInPandas); matching is a hash EQUI-join on the landmark key
+    with a per-query bounded top-1 window — never an all-pairs scan."""
+    plan = _plan(spark, sf_dir, "multimodal_fingerprint")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" in plan

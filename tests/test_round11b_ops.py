@@ -513,3 +513,97 @@ class TestCompactionPlan:
         df = self._rows(spark, [("A", 1)])
         with pytest.raises(ValueError):
             compaction_plan(df, ["p"], F.col("nb"), 0)
+
+
+import numpy as np  # noqa: E402
+
+from pandasy_spark.extended.audio import (  # noqa: E402
+    encode_wav,
+    fingerprint_landmarks,
+    fingerprint_match,
+)
+
+
+def _clip(bins, frame_len=64, amp=8000):
+    t = np.arange(frame_len)
+    return encode_wav(
+        np.concatenate(
+            [
+                np.round(
+                    amp * np.cos(2 * np.pi * b * t / frame_len)
+                ).astype(np.int16)
+                for b in bins
+            ]
+        ),
+        8000,
+    )
+
+
+class TestFingerprint:
+    def _wavs(self, spark, clips):
+        return spark.createDataFrame(
+            [(i, _clip(b)) for i, b in clips],
+            "doc_id long, payload binary",
+        )
+
+    def test_landmark_extraction_exact(self, spark):
+        df = self._wavs(spark, [(0, [3, 7, 11])])
+        lm = sorted(
+            (r.t, r.hash)
+            for r in fingerprint_landmarks(
+                df, frame_len=64, fanout=2
+            ).collect()
+        )
+        assert lm == [
+            (0, (3 * 256 + 7) * 8 + 1),
+            (0, (3 * 256 + 11) * 8 + 2),
+            (1, (7 * 256 + 11) * 8 + 1),
+        ]
+
+    def test_shifted_copy_matches_with_offset(self, spark):
+        ref_bins = [3, 9, 4, 12, 6, 8]
+        q_bins = ref_bins[2:] + [30, 30]  # shift 2, filler tail
+        refs = fingerprint_landmarks(
+            self._wavs(spark, [(0, ref_bins)]), frame_len=64
+        )
+        qs = fingerprint_landmarks(
+            self._wavs(spark, [(100, q_bins)]), frame_len=64
+        )
+        r = fingerprint_match(qs, refs, min_count=3).collect()
+        assert [(x.query_id, x.ref_id, x.offset_frames) for x in r] == [
+            (100, 0, 2)
+        ]
+
+    def test_scattered_collisions_rejected(self, spark):
+        # query shares single hashes with the ref at DIFFERENT offsets
+        # (no coherent alignment): every offset bucket holds 1 < 3
+        refs = fingerprint_landmarks(
+            self._wavs(spark, [(0, [3, 7, 9, 13, 5, 11])]), frame_len=64
+        )
+        qs = fingerprint_landmarks(
+            self._wavs(spark, [(100, [9, 13, 30, 3, 7, 31])]),
+            frame_len=64,
+        )
+        assert fingerprint_match(qs, refs, min_count=3).count() == 0
+
+    def test_tie_break_smallest_ref_id(self, spark):
+        # two identical refs: the query aligns equally with both
+        refs = fingerprint_landmarks(
+            self._wavs(spark, [(5, [3, 7, 11, 5]), (2, [3, 7, 11, 5])]),
+            frame_len=64,
+        )
+        qs = fingerprint_landmarks(
+            self._wavs(spark, [(100, [3, 7, 11, 5])]), frame_len=64
+        )
+        r = fingerprint_match(qs, refs, min_count=3).collect()
+        assert [(x.query_id, x.ref_id, x.offset_frames) for x in r] == [
+            (100, 2, 0)
+        ]
+
+    def test_undecodable_payloads_quarantined(self, spark):
+        df = spark.createDataFrame(
+            [(0, b"not a wav"), (1, _clip([3, 7, 9]))],
+            "doc_id long, payload binary",
+        )
+        lm = fingerprint_landmarks(df, frame_len=64)
+        assert {r.id for r in lm.collect()} == {1}
