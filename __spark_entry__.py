@@ -387,6 +387,9 @@ _R12_DEFER: list[str] = [
     "sample_matched_pairs", "layout_compaction_plan",
     # round-11 batch 15: constellation acoustic fingerprint retrieval
     "multimodal_fingerprint",
+    # round-11 batch 16: corpus-frequency boilerplate strip + Allen
+    # interval census
+    "text_boilerplate", "events_allen",
 ]
 
 

@@ -59,6 +59,7 @@ __all__ = [
     "readability",
     "phrase_search",
     "vocab_growth",
+    "boilerplate_strip",
     "oov_rate",
 ]
 
@@ -1937,4 +1938,83 @@ def ngram_novelty(
             "n_unique",
             F.expr("(n_unique * 10000) div n_shingles").alias("novelty_bp"),
         )
+    )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-frequency line-level boilerplate removal — the CCNet
+    rule (Wenzek et al. 2020): a line that appears in >= ``min_docs``
+    DISTINCT documents is template chrome (nav bars, footers, cookie
+    banners) and is dropped EVERYWHERE, including its first
+    occurrence.  The complementary semantics to ``paragraph_dedup``'s
+    first-occurrence rule: dedup keeps one copy of repeated content;
+    boilerplate removal keeps zero copies of template content —
+    a cleaning pipeline typically runs both.
+
+    Scale shape: lines posexplode narrowly off the scan; the document
+    frequency is ONE map-combined distinct-doc count per line hash
+    (count_distinct collapses per-mapper duplicates of a hot line
+    before the shuffle); the verdict joins back by the same hash
+    (hash equi-join — at 100 TB the df table is the distinct-line
+    set, the natural join key distribution); reconstruction is one
+    per-document aggregate whose partitions are bounded by document
+    length.  Empty/whitespace-only lines are dropped from both the
+    count and the rebuilt text.
+
+    Output: ``(id, clean_text, n_lines, n_kept)`` — text rebuilt in
+    original line order (empty string when everything was chrome).
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    lines = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "__pos", "__line"
+            ),
+        )
+        .filter(F.trim(F.col("__line")) != "")
+        .select(
+            "__id",
+            "__pos",
+            "__line",
+            F.md5(F.trim(F.col("__line"))).alias("__key"),
+        )
+    )
+    freq = lines.groupBy("__key").agg(
+        F.countDistinct("__id").alias("__df")
+    )
+    flagged = lines.join(freq, "__key").select(
+        "__id",
+        "__pos",
+        "__line",
+        (F.col("__df") < min_docs).alias("__keep"),
+    )
+    rebuilt = flagged.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct("__pos", "__line"),
+                        )
+                    )
+                ),
+                lambda x: x["__line"],
+            ),
+        ).alias("clean_text"),
+    )
+    return rebuilt.select(
+        F.col("__id").alias(id_col), "clean_text", "n_lines", "n_kept"
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tolerance_join", "interval_join"]
+__all__ = ["tolerance_join", "interval_join", "allen_relation"]
 
 
 def tolerance_join(
@@ -129,3 +129,34 @@ def interval_join(
         )
     )
     return joined.drop("__bucket", "__ls", "__le", "__rs", "__re")
+
+
+def allen_relation(s1, e1, s2, e2):
+    """Classify an OVERLAPPING interval pair into its Allen
+    interval-algebra relation (Allen 1983) — the temporal-reasoning
+    taxonomy (process mining, incident forensics: "did the deploy
+    WINDOW contain the outage, or merely overlap it?").  Pure
+    column CASE ladder over exact endpoint comparisons, identically
+    restatable in any engine.
+
+    Covers the 11 relations a pair surviving the inclusive overlap
+    predicate of :func:`interval_join` can exhibit (``before`` /
+    ``after`` never reach the classifier).  Assumes non-degenerate
+    intervals (start < end); the equality cases are checked first so
+    the strict-inequality cases partition the remainder.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        F.when((s1 == s2) & (e1 == e2), F.lit("equals"))
+        .when((s1 == s2) & (e1 < e2), F.lit("starts"))
+        .when((s1 == s2) & (e1 > e2), F.lit("started_by"))
+        .when((e1 == e2) & (s1 > s2), F.lit("finishes"))
+        .when((e1 == e2) & (s1 < s2), F.lit("finished_by"))
+        .when(e1 == s2, F.lit("meets"))
+        .when(e2 == s1, F.lit("met_by"))
+        .when((s1 > s2) & (e1 < e2), F.lit("during"))
+        .when((s1 < s2) & (e1 > e2), F.lit("contains"))
+        .when((s1 < s2) & (e1 < e2), F.lit("overlaps"))
+        .otherwise(F.lit("overlapped_by"))
+    )

@@ -20482,3 +20482,161 @@ def multimodal_fingerprint(spark, sf_dir):
     refs = lm.filter(F.col("id") < 30)
     queries = lm.filter(F.col("id") >= 60)
     return fingerprint_match(queries, refs, min_count=3)
+
+
+@query(
+    "text_boilerplate",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             'SITE NAV ' || source || chr(10) ||
+             substr(text, 1, 60 + CAST(doc_id % 40 AS INT)) || chr(10)
+             || 'doc ' || CAST(doc_id AS VARCHAR) || ' '
+             || substr(text, 30, 50) || chr(10)
+             || '(c) 2024 ' || source AS text
+      FROM documents
+    ), l0 AS (
+      SELECT doc_id, generate_subscripts(l, 1) AS pos,
+             unnest(l) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM raw)
+    ), l AS (
+      SELECT doc_id, pos, line, md5(trim(line)) AS k
+      FROM l0 WHERE trim(line) != ''
+    ), f AS (
+      SELECT k, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY k
+    ), fl AS (
+      SELECT l.doc_id, l.pos, l.line, f.df < 2 AS keep
+      FROM l JOIN f ON l.k = f.k
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (keep), '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM fl GROUP BY doc_id
+    """,
+)
+def text_boilerplate(spark, sf_dir):
+    """Corpus-frequency line-level boilerplate removal
+    (extended/text.py boilerplate_strip) — the CCNet rule: a line
+    appearing in >= 2 DISTINCT documents is template chrome and is
+    dropped EVERYWHERE, first occurrence included (the complementary
+    semantics to dedup_paragraph's keep-first rule; a cleaning
+    pipeline runs both).  The gate wraps each document in per-source
+    nav/footer lines (shared by every doc of the source at any SF)
+    around unique content lines.  Lines posexplode narrowly; the
+    document frequency is ONE map-combined distinct-doc count per
+    line hash; the verdict joins back by hash and each document
+    rebuilds in original line order — split/normalize/md5/threshold/
+    reassembly restated rule-for-rule in the oracle."""
+    from .extended.text import boilerplate_strip
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.expr(
+            "'SITE NAV ' || source || '\\n' ||"
+            " substr(text, 1, 60 + CAST(doc_id % 40 AS INT)) || '\\n'"
+            " || 'doc ' || CAST(doc_id AS STRING) || ' '"
+            " || substr(text, 30, 50) || '\\n'"
+            " || '(c) 2024 ' || source"
+        ).alias("text"),
+    )
+    return boilerplate_strip(raw, min_docs=2)
+
+
+@query(
+    "events_allen",
+    """
+    WITH c AS (
+      SELECT user_id, date_trunc('minute', ts) AS s,
+             date_trunc('minute', ts)
+               + (1 + user_id % 7) * INTERVAL 1 MINUTE AS e
+      FROM events
+      WHERE event_type = 'click' AND ts IS NOT NULL
+        AND user_id IS NOT NULL
+    ), p AS (
+      SELECT user_id, date_trunc('minute', ts) AS s,
+             date_trunc('minute', ts) + INTERVAL 5 MINUTE AS e
+      FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+        AND user_id IS NOT NULL
+    ), pairs AS (
+      SELECT c.s AS s1, c.e AS e1, p.s AS s2, p.e AS e2
+      FROM c JOIN p ON c.user_id = p.user_id
+      WHERE c.s <= p.e AND p.s <= c.e
+    ), rel AS (
+      SELECT CASE
+        WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+        WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+        WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+        WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+        WHEN e1 = e2 AND s1 < s2 THEN 'finished_by'
+        WHEN e1 = s2 THEN 'meets'
+        WHEN e2 = s1 THEN 'met_by'
+        WHEN s1 > s2 AND e1 < e2 THEN 'during'
+        WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+        WHEN s1 < s2 AND e1 < e2 THEN 'overlaps'
+        ELSE 'overlapped_by' END AS relation
+      FROM pairs
+    )
+    SELECT relation, CAST(COUNT(*) AS BIGINT) AS n
+    FROM rel GROUP BY relation
+    """,
+)
+def events_allen(spark, sf_dir):
+    """Allen interval-algebra census (operators/rangejoin.py
+    allen_relation over interval_join): every overlapping
+    (click-window, purchase-window) pair per user classified into
+    its temporal relation — the process-mining taxonomy that
+    distinguishes "the session CONTAINED the purchase" from "they
+    merely overlapped".  Minute-quantized endpoints make every
+    boundary relation (equals/meets/starts/finishes) actually occur.
+    The pair set comes from the span-bucket interval join (ONE
+    equi-join on (user, bucket), exactly-once emission — never a
+    theta scan); the classifier is a pure CASE ladder on exact
+    endpoint comparisons; the oracle affords the brute-force theta
+    join at gate scale and restates the ladder verbatim."""
+    from .operators.rangejoin import allen_relation, interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        "event_type",
+        F.date_trunc("minute", F.col("ts")).alias("s"),
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("s").alias("c_start"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("s"))
+            + (1 + F.col("user_id") % 7) * 60_000_000
+        ).alias("c_end"),
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("s").alias("p_start"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("s")) + 5 * 60_000_000
+        ).alias("p_end"),
+    )
+    pairs = interval_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_start="c_start",
+        left_end="c_end",
+        right_start="p_start",
+        right_end="p_end",
+        bucket_seconds=300,
+    )
+    rel = allen_relation(
+        F.col("c_start"), F.col("c_end"),
+        F.col("p_start"), F.col("p_end"),
+    )
+    return pairs.select(rel.alias("relation")).groupBy("relation").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

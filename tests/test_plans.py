@@ -527,3 +527,23 @@ def test_fingerprint_equi_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "Window" in plan
+
+
+def test_boilerplate_hash_join_no_window(spark, sf_dir):
+    """Line df is a map-combined distinct count; the verdict joins
+    back by line hash (SortMerge/Hash equi-join); reassembly is a
+    grouped aggregate — no ranking window, no Python."""
+    plan = _plan(spark, sf_dir, "text_boilerplate")
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_allen_census_bucketed_equi_join(spark, sf_dir):
+    """The pair set rides the span-bucket equi-join (hash join on
+    (user, bucket)) — never a nested-loop theta join."""
+    plan = _plan(spark, sf_dir, "events_allen")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange hashpartitioning" in plan

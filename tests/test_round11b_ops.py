@@ -607,3 +607,124 @@ class TestFingerprint:
         )
         lm = fingerprint_landmarks(df, frame_len=64)
         assert {r.id for r in lm.collect()} == {1}
+
+
+from pandasy_spark.extended.text import boilerplate_strip  # noqa: E402
+from pandasy_spark.operators.rangejoin import (  # noqa: E402
+    allen_relation,
+    interval_join,
+)
+
+
+class TestBoilerplateStrip:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_drops_all_copies_keeps_unique(self, spark):
+        df = self._docs(
+            spark,
+            [(1, "NAV\nalpha\nFOOT"), (2, "NAV\nbeta\nFOOT"),
+             (3, "NAV\ngamma\nFOOT")],
+        )
+        out = {
+            r.doc_id: (r.clean_text, r.n_lines, r.n_kept)
+            for r in boilerplate_strip(df, min_docs=2).collect()
+        }
+        assert out == {
+            1: ("alpha", 3, 1),
+            2: ("beta", 3, 1),
+            3: ("gamma", 3, 1),
+        }
+
+    def test_repeats_within_one_doc_not_boilerplate(self, spark):
+        # same line twice in ONE doc: df=1, kept both times
+        df = self._docs(spark, [(1, "x\nx\ny"), (2, "z")])
+        out = {
+            r.doc_id: (r.clean_text, r.n_kept)
+            for r in boilerplate_strip(df, min_docs=2).collect()
+        }
+        assert out[1] == ("x\nx\ny", 3)
+
+    def test_all_chrome_doc_empty_string(self, spark):
+        df = self._docs(spark, [(1, "NAV"), (2, "NAV"), (3, "NAV\nreal")])
+        out = {
+            r.doc_id: (r.clean_text, r.n_kept)
+            for r in boilerplate_strip(df, min_docs=2).collect()
+        }
+        assert out[1] == ("", 0)
+        assert out[3] == ("real", 1)
+
+    def test_whitespace_lines_excluded_trim_keying(self, spark):
+        # '  NAV ' and 'NAV' share a trim key; blank lines vanish
+        df = self._docs(spark, [(1, "  NAV \n\n a "), (2, "NAV\nb")])
+        out = {
+            r.doc_id: (r.clean_text, r.n_lines, r.n_kept)
+            for r in boilerplate_strip(df, min_docs=2).collect()
+        }
+        assert out[1] == (" a ", 2, 1)
+        assert out[2] == ("b", 2, 1)
+
+    def test_min_docs_guard(self, spark):
+        df = self._docs(spark, [(1, "x")])
+        with pytest.raises(ValueError):
+            boilerplate_strip(df, min_docs=1)
+
+
+class TestAllenRelation:
+    def test_all_eleven_relations(self, spark):
+        # intervals as integer micros rendered into timestamps
+        cases = [
+            # (s1, e1, s2, e2, expected)
+            (0, 10, 0, 10, "equals"),
+            (0, 5, 0, 10, "starts"),
+            (0, 10, 0, 5, "started_by"),
+            (5, 10, 0, 10, "finishes"),
+            (0, 10, 5, 10, "finished_by"),
+            (0, 5, 5, 10, "meets"),
+            (5, 10, 0, 5, "met_by"),
+            (2, 8, 0, 10, "during"),
+            (0, 10, 2, 8, "contains"),
+            (0, 6, 4, 10, "overlaps"),
+            (4, 10, 0, 6, "overlapped_by"),
+        ]
+        df = spark.createDataFrame(
+            [(i, s1, e1, s2, e2) for i, (s1, e1, s2, e2, _) in
+             enumerate(cases)],
+            "i long, s1 long, e1 long, s2 long, e2 long",
+        ).select(
+            "i",
+            allen_relation(
+                F.timestamp_micros(F.col("s1")),
+                F.timestamp_micros(F.col("e1")),
+                F.timestamp_micros(F.col("s2")),
+                F.timestamp_micros(F.col("e2")),
+            ).alias("rel"),
+        )
+        got = {r.i: r.rel for r in df.collect()}
+        assert got == {i: exp for i, (_, _, _, _, exp) in
+                       enumerate(cases)}
+
+    def test_census_composes_with_interval_join(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ts(m):
+            return t0 + dt.timedelta(minutes=m)
+
+        left = spark.createDataFrame(
+            [(1, ts(0), ts(10))], "k long, ls timestamp, le timestamp"
+        )
+        right = spark.createDataFrame(
+            [(1, ts(2), ts(8)), (1, ts(10), ts(15)), (1, ts(20), ts(30))],
+            "k long, rs timestamp, re timestamp",
+        )
+        pairs = interval_join(
+            left, right, ["k"], "ls", "le", "rs", "re",
+            bucket_seconds=300,
+        )
+        rel = allen_relation(
+            F.col("ls"), F.col("le"), F.col("rs"), F.col("re")
+        )
+        out = sorted(r.rel for r in pairs.select(rel.alias("rel")).collect())
+        assert out == ["contains", "meets"]
