@@ -390,6 +390,8 @@ _R12_DEFER: list[str] = [
     # round-11 batch 16: corpus-frequency boilerplate strip + Allen
     # interval census
     "text_boilerplate", "events_allen",
+    # round-11 batch 17: FD discovery + hysteresis burst segmentation
+    "profile_fd", "events_hysteresis",
 ]
 
 

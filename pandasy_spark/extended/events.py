@@ -36,6 +36,7 @@ __all__ = [
     "token_bucket_per_key",
     "interpolate_hourly",
     "acf_daily",
+    "burst_segments_per_key",
 ]
 
 
@@ -1640,3 +1641,97 @@ def acf_daily(
         ).cast("long"),
     )
     return s.select("lag", "n_pairs", acf.alias("acf_milli"))
+
+
+def burst_segments_per_key(
+    df: DataFrame,
+    enter_us: int,
+    exit_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Two-threshold (hysteresis) burst segmentation per key — the
+    activity-burst detector that single-threshold sessionization
+    cannot express: a burst OPENS when the inter-event gap drops to
+    <= ``enter_us`` and CLOSES only when a gap reaches >= ``exit_us``
+    (``enter_us < exit_us``); gaps between the thresholds are sticky
+    (they neither open nor close), which is exactly what kills the
+    flapping a single cutoff produces on bursty-with-jitter traffic
+    (abuse detection, incident clustering, crawl-rate forensics).
+
+    The recurrence is an ordered integer fold over each key's gap
+    sequence (state, n_bursts, n_burst_events — all int64
+    add/compare, no division), the :func:`token_bucket_per_key`
+    machinery: collect_list → array_sort → aggregate, per-key state
+    bounded by the key's history.  The key's FIRST event is never in
+    a burst (a burst is evidence of a small gap, and the first event
+    has none).  Engine-portable: the oracle bit-packs the state
+    triple into one BIGINT and folds the same deltas with a scalar
+    ``list_reduce`` (the DuckDB struct-accumulator hazard,
+    SCALING.md round-11).
+
+    Output: ``(key, n_events, n_bursts, n_burst_events)`` — burst
+    events count the events that ENTERED or CONTINUED a burst.
+    """
+    if enter_us < 1 or exit_us <= enter_us:
+        raise ValueError("need 1 <= enter_us < exit_us")
+    s = df.filter(F.col(ts_col).isNotNull()).select(
+        F.col(key_col).alias("k"),
+        F.struct(
+            F.unix_micros(F.col(ts_col)).alias("us"),
+            F.col(id_col).alias("id"),
+        ).alias("s"),
+    )
+    per = s.groupBy("k").agg(
+        F.array_sort(F.collect_list("s")).alias("seq")
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("st"),
+        F.lit(0).cast("long").alias("nb"),
+        F.lit(0).cast("long").alias("ne"),
+        F.element_at(F.col("seq"), 1)["us"].alias("last"),
+    )
+    rest = F.slice(
+        F.col("seq"), 2, F.greatest(F.size("seq") - 1, F.lit(0))
+    )
+    lo, hi = F.lit(int(enter_us)), F.lit(int(exit_us))
+
+    def step(acc, e):
+        d = e["us"] - acc["last"]
+        return (
+            F.when(
+                (acc["st"] == 0) & (d <= lo),
+                F.struct(
+                    F.lit(1).cast("long").alias("st"),
+                    (acc["nb"] + 1).alias("nb"),
+                    (acc["ne"] + 1).alias("ne"),
+                    e["us"].alias("last"),
+                ),
+            )
+            .when(
+                (acc["st"] == 1) & (d < hi),
+                F.struct(
+                    acc["st"].alias("st"),
+                    acc["nb"].alias("nb"),
+                    (acc["ne"] + 1).alias("ne"),
+                    e["us"].alias("last"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.lit(0).cast("long").alias("st"),
+                    acc["nb"].alias("nb"),
+                    acc["ne"].alias("ne"),
+                    e["us"].alias("last"),
+                )
+            )
+        )
+
+    fold = F.aggregate(rest, init, step)
+    return per.select(
+        F.col("k").alias(key_col),
+        F.size("seq").cast("long").alias("n_events"),
+        fold["nb"].cast("long").alias("n_bursts"),
+        fold["ne"].cast("long").alias("n_burst_events"),
+    )

@@ -60,6 +60,7 @@ __all__ = [
     "mad_fences",
     "null_pattern_panel",
     "id_gap_profile",
+    "fd_check",
 ]
 
 _NUMERIC = (
@@ -2308,3 +2309,59 @@ def id_gap_profile(df: DataFrame, key_col: str) -> DataFrame:
         (F.col("k") - 1).cast("long").alias("gap_end"),
         (F.col("k") - F.col("prev") - 1).cast("long").alias("gap_len"),
     )
+
+
+def fd_check(
+    df: DataFrame, pairs: Sequence[tuple]
+) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs —
+    the schema-profiling step (key detection, normalization planning,
+    join-safety audits: "can I use A as the grain for a dimension
+    keyed on B?").  ``A -> B`` holds iff no A value maps to two B
+    values: ``count(distinct A) == count(distinct (A, B))``, and the
+    violation count localizes the breakage.
+
+    Scale shape: one grouped DISTINCT-pair aggregate per candidate
+    pair (two map-combined stages: per-(A,B) collapse, then per-A
+    counts) — the shuffle volume of each check is the pair's
+    distinct-value set, which is the irreducible cost of an exact FD
+    test; the per-pair 1-row summaries union at the end.  NULLs
+    count as ordinary values (a NULL B under one A is a violation
+    against a non-NULL B — the audit semantics).
+
+    Output: one row per candidate —
+    ``(det, dep, n_det, n_pairs, n_violating, fd_holds)`` where
+    ``n_violating`` is the number of A values with more than one
+    distinct B.
+    """
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    outs = []
+    for det, dep in pairs:
+        per_a = (
+            df.select(
+                F.col(det).alias("__a"), F.col(dep).alias("__b")
+            )
+            .distinct()
+            .groupBy("__a")
+            .agg(F.count(F.lit(1)).cast("long").alias("__nb"))
+        )
+        summary = per_a.agg(
+            F.count(F.lit(1)).cast("long").alias("n_det"),
+            F.sum("__nb").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("__nb") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+        )
+        outs.append(
+            summary.select(
+                F.lit(det).alias("det"),
+                F.lit(dep).alias("dep"),
+                "n_det", "n_pairs", "n_violating",
+                (F.col("n_violating") == 0).alias("fd_holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -20640,3 +20640,147 @@ def events_allen(spark, sf_dir):
     return pairs.select(rel.alias("relation")).groupBy("relation").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+@query(
+    "profile_fd",
+    """
+    WITH u1 AS (
+      SELECT o_orderkey AS a, o_orderstatus AS b FROM orders
+      GROUP BY 1, 2
+    ), g1 AS (
+      SELECT a, CAST(COUNT(*) AS BIGINT) AS nb FROM u1 GROUP BY a
+    ), s1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_det,
+             CAST(SUM(nb) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating
+      FROM g1
+    ), u2 AS (
+      SELECT o_custkey AS a, o_orderpriority AS b FROM orders
+      GROUP BY 1, 2
+    ), g2 AS (
+      SELECT a, CAST(COUNT(*) AS BIGINT) AS nb FROM u2 GROUP BY a
+    ), s2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_det,
+             CAST(SUM(nb) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating
+      FROM g2
+    ), u3 AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b FROM orders
+      GROUP BY 1, 2
+    ), g3 AS (
+      SELECT a, CAST(COUNT(*) AS BIGINT) AS nb FROM u3 GROUP BY a
+    ), s3 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_det,
+             CAST(SUM(nb) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating
+      FROM g3
+    ), u4 AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b FROM orders
+      GROUP BY 1, 2
+    ), g4 AS (
+      SELECT a, CAST(COUNT(*) AS BIGINT) AS nb FROM u4 GROUP BY a
+    ), s4 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_det,
+             CAST(SUM(nb) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating
+      FROM g4
+    )
+    SELECT 'o_orderkey' AS det, 'o_orderstatus' AS dep, n_det,
+           n_pairs, n_violating, n_violating = 0 AS fd_holds FROM s1
+    UNION ALL
+    SELECT 'o_custkey', 'o_orderpriority', n_det, n_pairs,
+           n_violating, n_violating = 0 FROM s2
+    UNION ALL
+    SELECT 'o_orderpriority', 'o_orderstatus', n_det, n_pairs,
+           n_violating, n_violating = 0 FROM s3
+    UNION ALL
+    SELECT 'o_orderstatus', 'o_orderpriority', n_det, n_pairs,
+           n_violating, n_violating = 0 FROM s4
+    """,
+)
+def profile_fd(spark, sf_dir):
+    """Functional-dependency discovery (extended/profile.py
+    fd_check) over four orders candidate pairs — the schema-
+    profiling audit (key detection, normalization planning): the
+    primary-key pair (o_orderkey -> o_orderstatus) must HOLD, the
+    behavioral pairs must fail with localized violation counts.
+    Each check is one grouped distinct-pair aggregate (two
+    map-combined stages; shuffle volume = the pair's distinct set,
+    the irreducible cost of an exact FD test) closed by a 1-row
+    summary; the four summaries union.  NULLs count as ordinary
+    values.  The oracle restates each check's two-stage shape."""
+    from .extended.profile import fd_check
+
+    od = _t(spark, sf_dir, "orders")
+    return fd_check(
+        od,
+        [
+            ("o_orderkey", "o_orderstatus"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderpriority", "o_orderstatus"),
+            ("o_orderstatus", "o_orderpriority"),
+        ],
+    )
+
+
+@query(
+    "events_hysteresis",
+    # scalar bit-packed fold (the DuckDB struct-accumulator hazard):
+    # packed = (n_bursts * 2^21 + n_burst_events) * 2 + state;
+    # open: nb+1, ne+1 -> acc//2 + 2097153; continue: ne+1 ->
+    # acc//2 + 1; close/idle: state bit 0.  2^21 event headroom per
+    # key is the same magnitude contract as events_rate_limit.
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS d
+      FROM events WHERE ts IS NOT NULL
+    ), seq AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             list(d ORDER BY us, event_id)
+               FILTER (WHERE d IS NOT NULL) AS dl
+      FROM s GROUP BY user_id
+    ), f AS (
+      SELECT user_id, n_events,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT), COALESCE(dl, [])),
+               (acc, x) -> CASE
+                 WHEN acc % 2 = 0 AND x <= 7200000000
+                   THEN (acc // 2 + 2097153) * 2 + 1
+                 WHEN acc % 2 = 1 AND x < 43200000000
+                   THEN (acc // 2 + 1) * 2 + 1
+                 ELSE (acc // 2) * 2
+               END) AS packed
+      FROM seq
+    )
+    SELECT user_id, n_events,
+           CAST(packed // 2 // 2097152 AS BIGINT) AS n_bursts,
+           CAST(packed // 2 % 2097152 AS BIGINT) AS n_burst_events
+    FROM f
+    """,
+)
+def events_hysteresis(spark, sf_dir):
+    """Two-threshold burst segmentation (extended/events.py
+    burst_segments_per_key): bursts open at gaps <= 2 h and close
+    only at gaps >= 12 h — the hysteresis that kills the flapping a
+    single sessionization cutoff produces on bursty-with-jitter
+    traffic (abuse detection, incident clustering).  Sticky middle
+    zone, first event never in a burst.  Inherently sequential per
+    key (the events_ewma/rate_limit class): collect_list →
+    array_sort → integer fold, per-key state bounded by the key's
+    history; the oracle folds the identical recurrence with the
+    bit-packed scalar list_reduce."""
+    from .extended.events import burst_segments_per_key
+
+    ev = _t(spark, sf_dir, "events")
+    return burst_segments_per_key(
+        ev, enter_us=7_200_000_000, exit_us=43_200_000_000
+    )

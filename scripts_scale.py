@@ -1683,6 +1683,63 @@ def probe_r11() -> None:
     print(json.dumps({"r11_probes": results}))
 
 
+def probe_r11b() -> None:
+    """10x probes for the second round-11 session's operators
+    (batches 11-16), table-based over the built sf1.0 replicas.
+    Expected shapes: interpolate/acf reduce 10x events onto the SAME
+    calendar-bounded grid (near-flat past the reduce);
+    threshold_sweep/mrr/fairness are scan + grid-bounded closes;
+    null_pattern is a <=8-group count; id_gaps scans 10x orders keys
+    through the prefix scan; matched_pairs ranks 10x users in salted
+    strata; boilerplate explodes 10x documents' lines through the
+    df join; allen joins 10x-denser per-user interval sets (pair
+    volume grows ~quadratically in per-user density — the probe
+    reports pair counts so the ratio can be work-normalized);
+    compaction_plan and fingerprint are constant-size constructions
+    riding bigger scans."""
+    import time as _t
+
+    from pandasy_spark.session import get_spark
+    from pandasy_spark.workload import QUERIES
+
+    spark = get_spark("pandasy-scale-probe-r11b")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def table_probe(name):
+        return lambda sf_dir: QUERIES[name](spark, sf_dir)
+
+    results = {}
+    for name in (
+        "events_interpolate", "events_acf", "ml_threshold_sweep",
+        "ml_fairness", "ml_mrr", "profile_null_pattern",
+        "profile_id_gaps", "sample_matched_pairs",
+        "layout_compaction_plan", "multimodal_fingerprint",
+        "text_boilerplate", "events_allen",
+    ):
+        fn = table_probe(name)
+        results[name] = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1.0", DST)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                fn(sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, _t.perf_counter() - t0)
+            results[name][label] = round(best, 2)
+        results[name]["ratio"] = round(
+            results[name]["sf1.0"] / max(results[name]["sf0.1"], 1e-9), 2
+        )
+        print(name, results[name], flush=True)
+    # work-volume context for the allen ratio: pair counts per scale
+    n_src = QUERIES["events_allen"](spark, SRC).agg(
+        {"n": "sum"}
+    ).collect()[0][0]
+    n_dst = QUERIES["events_allen"](spark, DST).agg(
+        {"n": "sum"}
+    ).collect()[0][0]
+    print("events_allen pairs:", n_src, "->", n_dst, flush=True)
+    print(json.dumps({"r11b_probes": results}))
+
+
 if __name__ == "__main__":
     {
         "build": build,
@@ -1699,5 +1756,6 @@ if __name__ == "__main__":
         "probe_r9b": probe_r9b,
         "probe_r10": probe_r10,
         "probe_r11": probe_r11,
+        "probe_r11b": probe_r11b,
         "bpe50k": bpe50k,
     }[sys.argv[1]]()

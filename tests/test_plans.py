@@ -547,3 +547,26 @@ def test_allen_census_bucketed_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange hashpartitioning" in plan
+
+
+def test_fd_two_stage_distinct_no_expand_blowup(spark, sf_dir):
+    """Each FD check is the two-stage distinct-pair shape (map-
+    combined partial aggregates), unioned — no Expand multiplier, no
+    join, no window."""
+    plan = _plan(spark, sf_dir, "profile_fd")
+    assert "Union" in plan
+    assert "partial" in plan
+    assert "Expand" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hysteresis_is_fold_not_window(spark, sf_dir):
+    """The burst recurrence folds per-key collected sequences (one
+    grouped collect + higher-order aggregate); only the ordering
+    LAG-equivalent rides in the collect — no per-event window chain,
+    no Python."""
+    plan = _plan(spark, sf_dir, "events_hysteresis")
+    assert "aggregate(" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -728,3 +728,90 @@ class TestAllenRelation:
         )
         out = sorted(r.rel for r in pairs.select(rel.alias("rel")).collect())
         assert out == ["contains", "meets"]
+
+
+from pandasy_spark.extended.events import burst_segments_per_key  # noqa: E402
+from pandasy_spark.extended.profile import fd_check  # noqa: E402
+
+
+class TestFdCheck:
+    def test_holds_and_violations(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (1, "a", "x"), (2, "b", "x"),
+             (3, "b", "y")],
+            "k long, a string, b string",
+        )
+        out = {
+            (r.det, r.dep): (r.n_det, r.n_pairs, r.n_violating,
+                             r.fd_holds)
+            for r in fd_check(
+                df, [("k", "a"), ("a", "b"), ("b", "a")]
+            ).collect()
+        }
+        # k -> a holds (3 keys, 3 pairs); a -> b fails on 'b'
+        assert out[("k", "a")] == (3, 3, 0, True)
+        assert out[("a", "b")] == (2, 3, 1, False)
+        assert out[("b", "a")] == (2, 3, 1, False)
+
+    def test_nulls_are_values(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (1, "x"), (2, None), (2, None)],
+            "a long, b string",
+        )
+        r = fd_check(df, [("a", "b")]).collect()[0]
+        # a=1 maps to {NULL, 'x'} -> violation; a=2 maps to {NULL}
+        assert (r.n_det, r.n_pairs, r.n_violating, r.fd_holds) == (
+            2, 3, 1, False
+        )
+
+    def test_empty_pairs_guard(self, spark):
+        df = spark.createDataFrame([(1,)], "a long")
+        with pytest.raises(ValueError):
+            fd_check(df, [])
+
+
+class TestBurstSegments:
+    def _ev(self, spark, us_list, key=1):
+        return spark.createDataFrame(
+            [(i, key, dt.datetime(2024, 1, 1)
+              + dt.timedelta(microseconds=u))
+             for i, u in enumerate(us_list)],
+            "event_id long, user_id long, ts timestamp",
+        )
+
+    def test_hysteresis_sticky_middle(self, spark):
+        # gaps: 5 (open), 50 (sticky: stays IN burst), 200 (close),
+        # 50 (sticky: stays OUT), 5 (open again)
+        us = [0, 5, 55, 255, 305, 310]
+        df = self._ev(spark, us)
+        r = burst_segments_per_key(
+            df, enter_us=10, exit_us=100
+        ).collect()[0]
+        assert (r.n_events, r.n_bursts, r.n_burst_events) == (6, 2, 3)
+
+    def test_first_event_never_in_burst(self, spark):
+        df = self._ev(spark, [0, 5])
+        r = burst_segments_per_key(df, enter_us=10, exit_us=100
+                                   ).collect()[0]
+        assert (r.n_bursts, r.n_burst_events) == (1, 1)
+
+    def test_no_small_gaps_no_bursts(self, spark):
+        df = self._ev(spark, [0, 1000, 2000, 3000])
+        r = burst_segments_per_key(df, enter_us=10, exit_us=100
+                                   ).collect()[0]
+        assert (r.n_bursts, r.n_burst_events) == (0, 0)
+
+    def test_guards(self, spark):
+        df = self._ev(spark, [0])
+        with pytest.raises(ValueError):
+            burst_segments_per_key(df, enter_us=0, exit_us=10)
+        with pytest.raises(ValueError):
+            burst_segments_per_key(df, enter_us=10, exit_us=10)
+
+    def test_exit_boundary_closes_enter_boundary_opens(self, spark):
+        # gap exactly == enter opens; gap exactly == exit closes
+        df = self._ev(spark, [0, 10, 110, 120])
+        r = burst_segments_per_key(df, enter_us=10, exit_us=100
+                                   ).collect()[0]
+        # 10 opens (burst 1); 100 closes; 10 opens (burst 2)
+        assert (r.n_bursts, r.n_burst_events) == (2, 2)
