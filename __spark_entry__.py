@@ -392,6 +392,9 @@ _R12_DEFER: list[str] = [
     "text_boilerplate", "events_allen",
     # round-11 batch 17: FD discovery + hysteresis burst segmentation
     "profile_fd", "events_hysteresis",
+    # round-11 batch 18: degree assortativity + certified KMV
+    # quantile sketch
+    "graph_assortativity", "sketch_quantile",
 ]
 
 

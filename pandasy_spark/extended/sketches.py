@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "portable_hash31",
     "portable_hash56",
+    "quantile_kmv_sketch",
     "hll_sketch",
     "hll_estimate",
     "hll_merge",
@@ -661,4 +662,96 @@ def bitmap_distinct(
         merged.groupBy("__g")
         .agg(F.sum(F.bit_count("__bm")).cast("long").alias("n_distinct"))
         .select(F.col("__g").alias(group_col), "n_distinct")
+    )
+
+
+def quantile_kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col,
+    ps_bp: Sequence[int] = (2500, 5000, 7500, 9500),
+    k: int = 1000,
+    eps_bp: int = 500,
+) -> DataFrame:
+    """Mergeable quantile sketch by KMV row sampling, with IN-PLAN
+    certification — the order-statistic sibling of
+    :func:`kmv_estimate`: the ``k`` rows with the smallest portable
+    row hashes are a deterministic uniform sample whose UNION across
+    shards/slices is again a KMV sample (re-rank the merged rows, keep
+    the bottom k) — the reaggregation property that makes it a
+    sketch, not a sample job.  Quantile estimates are exact DISC rank
+    selections on the bounded sample; the plan then counts each
+    estimate's TRUE rank in the full data and emits
+    ``within_eps`` booleans (the agg_approx self-certifying
+    pattern) — the sketch carries its own error evidence.
+
+    Scale shape: the sample is ``orderBy(hash).limit(k)`` — a
+    TakeOrdered with per-partition partial top-k, never a full sort;
+    the rank selection is a window over <= k rows (bounded BY
+    CONSTRUCTION); certification is one broadcast of the |ps|
+    estimates against one scan with a map-combined grouped count.
+    Deterministic end-to-end: hash ties break on the id, value ties
+    rank by (value, hash).
+
+    Output: one row per requested quantile —
+    ``(p_bp, est, n, true_rank, within_eps)`` where ``est`` is in
+    the value column's own units and ``true_rank`` counts
+    ``value <= est`` over the full data.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if not ps_bp:
+        raise ValueError("ps_bp must be non-empty")
+    if any(p < 1 or p > 10000 for p in ps_bp):
+        raise ValueError("quantiles are basis points in [1, 10000]")
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    base = df.filter(
+        F.col(value_col).isNotNull() & idc.isNotNull()
+    ).select(
+        F.col(value_col).alias("__v"),
+        portable_hash56(idc).alias("__h"),
+        idc.alias("__id"),
+    )
+    sample = base.orderBy("__h", "__id").limit(k)
+    w_rank = Window.orderBy("__v", "__h")
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = sample.select(
+        "__v",
+        F.row_number().over(w_rank).cast("long").alias("__rv"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("__m"),
+    )
+    ps = df.sparkSession.createDataFrame(
+        [(int(p),) for p in ps_bp], "p_bp long"
+    )
+    est = (
+        ranked.join(F.broadcast(ps))
+        .filter(
+            F.col("__rv")
+            == F.expr("(p_bp * __m + 9999) DIV 10000")
+        )
+        .select("p_bp", F.col("__v").alias("est"))
+    )
+    counts = (
+        base.select("__v")
+        .join(F.broadcast(est))
+        .groupBy("p_bp", "est")
+        .agg(
+            F.sum(F.when(F.col("__v") <= F.col("est"), 1).otherwise(0))
+            .cast("long")
+            .alias("true_rank"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    within = (
+        F.abs(
+            F.col("true_rank") * 10000 - F.col("p_bp") * F.col("n")
+        )
+        <= F.lit(int(eps_bp)) * F.col("n")
+    )
+    return counts.select(
+        "p_bp", "est", "n", "true_rank", within.alias("within_eps")
     )

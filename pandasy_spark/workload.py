@@ -20784,3 +20784,129 @@ def events_hysteresis(spark, sf_dir):
     return burst_segments_per_key(
         ev, enter_us=7_200_000_000, exit_us=43_200_000_000
     )
+
+
+@query(
+    "graph_assortativity",
+    """
+    WITH i AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS x FROM lineitem
+    ), e AS (
+      SELECT a.x AS x, b.x AS y
+      FROM i a JOIN i b ON a.g = b.g AND a.x < b.x
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), sym AS (
+      SELECT x AS u, y AS v FROM e
+      UNION ALL SELECT y AS u, x AS v FROM e
+    ), deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+    ), p AS (
+      SELECT da.d AS du, db.d AS dv
+      FROM sym JOIN deg da ON sym.u = da.u
+               JOIN deg db ON sym.v = db.u
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+             CAST(SUM(du) AS BIGINT) AS sx,
+             CAST(SUM(dv) AS BIGINT) AS sy,
+             CAST(SUM(du * du) AS BIGINT) AS sxx,
+             CAST(SUM(dv * dv) AS BIGINT) AS syy,
+             CAST(SUM(du * dv) AS BIGINT) AS sxy
+      FROM p
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg
+    )
+    SELECT n_nodes, CAST(m2 // 2 AS BIGINT) AS n_edges,
+           CASE WHEN m2 * sxx - sx * sx > 0
+                 AND m2 * syy - sy * sy > 0
+                THEN CAST(FLOOR(1000e0 *
+                       (CAST(m2 * sxy - sx * sy AS DOUBLE) /
+                        sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE)
+                             * CAST(m2 * syy - sy * sy AS DOUBLE)))
+                       + 0.5) AS BIGINT)
+           END AS r_milli
+    FROM s CROSS JOIN nn
+    """,
+)
+def graph_assortativity(spark, sf_dir):
+    """Newman degree assortativity (extended/graph.py
+    degree_assortativity) of the parts co-purchase graph — the
+    mixing summary that decides whether hub-capped algorithms
+    (link prediction's degree horizon) will bite: Pearson
+    correlation of endpoint degrees over the symmetrized edge list,
+    EXACT on the BIGINT lattice with the shared
+    floor(1000·(num/sqrt(dx·dy))+0.5) IEEE close.  One symmetrizing
+    union, one map-combined degree aggregate, two hash equi-joins,
+    one 1-row moment aggregate — no window, no collect."""
+    from .extended.graph import cooccurrence_edges, degree_assortativity
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
+    )
+    return degree_assortativity(edges)
+
+
+@query(
+    "sketch_quantile",
+    """
+    WITH b AS (
+      SELECT l_orderkey * 10 + l_linenumber AS id,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    ), h AS (
+      SELECT id, v,
+             ('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 14))
+               ::BIGINT AS hh
+      FROM b
+    ), s AS (
+      SELECT * FROM h ORDER BY hh, id LIMIT 1000
+    ), r AS (
+      SELECT v, hh,
+             CAST(ROW_NUMBER() OVER (ORDER BY v, hh) AS BIGINT) AS rv,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM s
+    ), ps AS (
+      SELECT CAST(unnest([2500, 5000, 7500, 9500]) AS BIGINT) AS p_bp
+    ), e AS (
+      SELECT p_bp, v AS est
+      FROM ps JOIN r ON rv = (p_bp * m + 9999) // 10000
+    ), c AS (
+      SELECT p_bp, est,
+             CAST(COUNT(*) FILTER (WHERE b.v <= est) AS BIGINT)
+               AS true_rank,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM b CROSS JOIN e GROUP BY 1, 2
+    )
+    SELECT p_bp, est, n, true_rank,
+           abs(true_rank * 10000 - p_bp * n) <= 500 * n AS within_eps
+    FROM c
+    """,
+)
+def sketch_quantile(spark, sf_dir):
+    """Mergeable KMV quantile sketch with in-plan certification
+    (extended/sketches.py quantile_kmv_sketch) over extended-price
+    cents: the 1000 rows with the smallest portable row hashes are a
+    deterministic uniform sample (union-mergeable across shards —
+    the kmv_union reaggregation property), quantile estimates are
+    exact DISC rank selections on that bounded sample, and the plan
+    certifies each estimate's TRUE rank against the full scan with
+    within-5%% booleans (the agg_approx self-certifying pattern).
+    TakeOrdered sample (partial top-k, no full sort), bounded rank
+    window, broadcast certification — restated plainly in the
+    oracle."""
+    from .extended.sketches import quantile_kmv_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_extendedprice").isNotNull()).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("rid"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return quantile_kmv_sketch(
+        base, "cents", "rid",
+        ps_bp=(2500, 5000, 7500, 9500), k=1000, eps_bp=500,
+    )

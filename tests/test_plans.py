@@ -570,3 +570,22 @@ def test_hysteresis_is_fold_not_window(spark, sf_dir):
     assert "aggregate(" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_assortativity_no_window_no_collect(spark, sf_dir):
+    """Symmetrize + degree aggregate + two equi-joins + one 1-row
+    moment aggregate: no window, no cartesian, no Python."""
+    plan = _plan(spark, sf_dir, "graph_assortativity")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_sketch_quantile_take_ordered_sample(spark, sf_dir):
+    """The KMV sample is a TakeOrdered (partial per-partition top-k),
+    never a full sort exchange; certification joins broadcast."""
+    plan = _plan(spark, sf_dir, "sketch_quantile")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan

@@ -815,3 +815,99 @@ class TestBurstSegments:
                                    ).collect()[0]
         # 10 opens (burst 1); 100 closes; 10 opens (burst 2)
         assert (r.n_bursts, r.n_burst_events) == (2, 2)
+
+
+from pandasy_spark.extended.graph import degree_assortativity  # noqa: E402
+from pandasy_spark.extended.sketches import quantile_kmv_sketch  # noqa: E402
+
+
+class TestDegreeAssortativity:
+    def _e(self, spark, pairs):
+        return spark.createDataFrame(pairs, "x long, y long")
+
+    def test_star_graph_disassortative(self, spark):
+        # star K1,4: hub deg 4 joins leaves deg 1 -> r = -1000
+        df = self._e(spark, [(0, i) for i in range(1, 5)])
+        r = degree_assortativity(df).collect()[0]
+        assert (r.n_nodes, r.n_edges, r.r_milli) == (5, 4, -1000)
+
+    def test_regular_graph_null(self, spark):
+        # 4-cycle: every degree 2 -> zero variance -> NULL
+        df = self._e(spark, [(0, 1), (1, 2), (2, 3), (0, 3)])
+        r = degree_assortativity(df).collect()[0]
+        assert (r.n_nodes, r.n_edges, r.r_milli) == (4, 4, None)
+
+    def test_two_cliques_bridged(self, spark):
+        # two triangles joined by one bridge: positive-leaning mix,
+        # exact value pinned from hand computation
+        edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5),
+                 (2, 3)]
+        r = degree_assortativity(self._e(spark, edges)).collect()[0]
+        assert (r.n_nodes, r.n_edges) == (6, 7)
+        # symmetrized pairs: deg seq {0:2,1:2,2:3,3:3,4:2,5:2}
+        import math
+
+        pairs = []
+        for a, b in edges:
+            pairs.append((a, b)); pairs.append((b, a))
+        deg = {n: sum(1 for a, b in pairs if a == n) for n in range(6)}
+        xs = [deg[a] for a, b in pairs]; ys = [deg[b] for a, b in pairs]
+        m = len(xs)
+        num = m * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+        dx = m * sum(x * x for x in xs) - sum(xs) ** 2
+        dy = m * sum(y * y for y in ys) - sum(ys) ** 2
+        expect = math.floor(1000.0 * (num / math.sqrt(dx * dy)) + 0.5)
+        assert r.r_milli == expect
+
+
+class TestQuantileKmv:
+    def _vals(self, spark, vals):
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "rid long, v long"
+        )
+
+    def test_small_data_exact_disc_quantiles(self, spark):
+        # n < k: the sample IS the data -> DISC quantiles exact
+        df = self._vals(spark, [10, 20, 30, 40, 50, 60, 70, 80, 90,
+                                100])
+        out = {
+            r.p_bp: (r.est, r.n, r.true_rank, r.within_eps)
+            for r in quantile_kmv_sketch(
+                df, "v", "rid", ps_bp=(5000, 9000), k=1000,
+                eps_bp=500,
+            ).collect()
+        }
+        # rank ceil(.5*10)=5 -> 50; ceil(.9*10)=9 -> 90
+        assert out[5000] == (50, 10, 5, True)
+        assert out[9000] == (90, 10, 9, True)
+
+    def test_sampled_estimates_certified(self, spark):
+        vals = list(range(1, 5001))  # uniform 1..5000
+        df = self._vals(spark, vals)
+        out = {
+            r.p_bp: r
+            for r in quantile_kmv_sketch(
+                df, "v", "rid", ps_bp=(2500, 5000, 7500), k=500,
+                eps_bp=500,
+            ).collect()
+        }
+        for p, r in out.items():
+            assert r.n == 5000
+            assert r.within_eps, (p, r)
+
+    def test_deterministic_across_runs(self, spark):
+        df = self._vals(spark, [((i * 37) % 1000) for i in range(2000)])
+        a = sorted(map(tuple, quantile_kmv_sketch(
+            df, "v", "rid", k=200).collect()))
+        b = sorted(map(tuple, quantile_kmv_sketch(
+            df.repartition(7), "v", "rid", k=200).collect()))
+        assert a == b
+
+    def test_guards(self, spark):
+        df = self._vals(spark, [1])
+        with pytest.raises(ValueError):
+            quantile_kmv_sketch(df, "v", "rid", k=1)
+        with pytest.raises(ValueError):
+            quantile_kmv_sketch(df, "v", "rid", ps_bp=())
+        with pytest.raises(ValueError):
+            quantile_kmv_sketch(df, "v", "rid", ps_bp=(0,))
