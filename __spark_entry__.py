@@ -395,6 +395,9 @@ _R12_DEFER: list[str] = [
     # round-11 batch 18: degree assortativity + certified KMV
     # quantile sketch
     "graph_assortativity", "sketch_quantile",
+    # round-11 batch 19: MATCH_RECOGNIZE-style pattern automaton +
+    # systematic sampling
+    "events_pattern_match", "sample_systematic",
 ]
 
 

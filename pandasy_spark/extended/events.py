@@ -37,6 +37,7 @@ __all__ = [
     "interpolate_hourly",
     "acf_daily",
     "burst_segments_per_key",
+    "pattern_match_per_key",
 ]
 
 
@@ -1734,4 +1735,90 @@ def burst_segments_per_key(
         F.size("seq").cast("long").alias("n_events"),
         fold["nb"].cast("long").alias("n_bursts"),
         fold["ne"].cast("long").alias("n_burst_events"),
+    )
+
+
+def pattern_match_per_key(
+    df: DataFrame,
+    anchor_type: str = "click",
+    accept_type: str = "purchase",
+    wildcard_type: str = "view",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sequential pattern matching per key — the SQL-2016
+    MATCH_RECOGNIZE surface Spark lacks, for the pattern
+    ``anchor (wildcard)* accept`` with AFTER MATCH SKIP PAST LAST
+    ROW semantics (non-overlapping matches, the MATCH_RECOGNIZE
+    default): a conversion completes when an ``anchor`` event is
+    followed by an ``accept`` with only ``wildcard`` events between;
+    any OTHER event type breaks the pending pattern; a fresh
+    ``anchor`` re-anchors it.
+
+    The recurrence is a two-state automaton folded over each key's
+    type-code sequence — the :func:`burst_segments_per_key` /
+    token-bucket machinery (collect_list → array_sort → integer
+    fold), inherently sequential per key, per-key state bounded by
+    the key's history.  Engine-portable: the oracle packs
+    (n_matches, state) into one BIGINT and folds the same codes with
+    a scalar ``list_reduce``.
+
+    Output: ``(key, n_events, n_matches, pending)`` — ``pending``
+    TRUE iff the stream ends with an un-accepted anchor.
+    """
+    code = (
+        F.when(F.col(type_col) == anchor_type, 1)
+        .when(F.col(type_col) == accept_type, 2)
+        .when(F.col(type_col) == wildcard_type, 3)
+        .otherwise(0)
+        .cast("long")
+    )
+    s = df.filter(F.col(ts_col).isNotNull()).select(
+        F.col(key_col).alias("k"),
+        F.struct(
+            F.unix_micros(F.col(ts_col)).alias("us"),
+            F.col(id_col).alias("id"),
+            code.alias("c"),
+        ).alias("s"),
+    )
+    per = s.groupBy("k").agg(
+        F.array_sort(F.collect_list("s")).alias("seq")
+    )
+    codes = F.transform(F.col("seq"), lambda x: x["c"])
+    init = F.struct(
+        F.lit(0).cast("long").alias("st"),
+        F.lit(0).cast("long").alias("n"),
+    )
+
+    def step(acc, c):
+        return (
+            F.when(
+                c == 1,
+                F.struct(
+                    F.lit(1).cast("long").alias("st"), acc["n"].alias("n")
+                ),
+            )
+            .when(
+                (c == 2) & (acc["st"] == 1),
+                F.struct(
+                    F.lit(0).cast("long").alias("st"),
+                    (acc["n"] + 1).alias("n"),
+                ),
+            )
+            .when(c == 3, acc)
+            .otherwise(
+                F.struct(
+                    F.lit(0).cast("long").alias("st"), acc["n"].alias("n")
+                )
+            )
+        )
+
+    fold = F.aggregate(codes, init, step)
+    return per.select(
+        F.col("k").alias(key_col),
+        F.size("seq").cast("long").alias("n_events"),
+        fold["n"].cast("long").alias("n_matches"),
+        (fold["st"] == 1).alias("pending"),
     )

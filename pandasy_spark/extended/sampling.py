@@ -69,6 +69,7 @@ __all__ = [
     "token_budget_sample",
     "dsir_weights",
     "matched_pairs",
+    "systematic_sample",
 ]
 
 _BUCKETS = 10_000
@@ -945,4 +946,38 @@ def matched_pairs(
     )
     return t.join(c, ["stratum", "salt", "__rk"]).select(
         "stratum", "salt", "t_id", "c_id"
+    )
+
+
+def systematic_sample(
+    df: DataFrame,
+    order_by: Sequence[str],
+    every: int,
+    offset: int = 0,
+) -> DataFrame:
+    """Systematic (every-k-th) sampling in a TOTAL key order — the
+    audit-sampling flavor (inventory spot checks, compliance pulls)
+    where the contract is "the 3rd, 10th, 17th, ... record in ledger
+    order", not a hash coin-flip: unlike :func:`hash_split`'s
+    per-row Bernoulli determinism, systematic sampling guarantees
+    EXACT stride coverage over the ordered population even when the
+    key domain has gaps (where ``id % k`` silently skews).
+
+    The order rank comes from ``stable_row_ids`` — the distributed
+    range-partitioned prefix-sum numbering, never a global
+    single-task ``row_number`` — and the sample is the narrow filter
+    ``row_id % every == offset``.
+
+    Output: the sampled rows with their ``row_id`` rank retained
+    (rank 0 = first in order).
+    """
+    from ..operators.sort import stable_row_ids
+
+    if every < 2:
+        raise ValueError("every must be >= 2")
+    if not 0 <= offset < every:
+        raise ValueError("offset must be in [0, every)")
+    ranked = stable_row_ids(df, list(order_by), id_col="row_id")
+    return ranked.filter(
+        F.col("row_id") % F.lit(int(every)) == F.lit(int(offset))
     )

@@ -20910,3 +20910,102 @@ def sketch_quantile(spark, sf_dir):
         base, "cents", "rid",
         ps_bp=(2500, 5000, 7500, 9500), k=1000, eps_bp=500,
     )
+
+
+@query(
+    "events_pattern_match",
+    # Oracle restated as the pattern's CLOSED FORM, not a fold replay:
+    # wildcards (views) never change automaton state, so over the
+    # VIEW-FREE sequence a purchase matches iff its immediate
+    # predecessor is a click, and the stream is pending iff its last
+    # non-view event is a click.  (An independent formulation — it
+    # cross-validates the Spark fold rather than re-running it.  Also
+    # load-bearing: DuckDB 1.0's vectorized list_reduce corrupts
+    # accumulators when a lambda branch returns the accumulator
+    # UNCHANGED — `WHEN x = 3 THEN acc` gave 3 of 15 users wrong
+    # counts at sf0.001 while the arithmetically-rebuilt identity
+    # `(acc // 2) * 2 + acc % 2` is correct; refines the round-11
+    # "scalar folds are safe" note, see SCALING.md.)
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE event_type WHEN 'click' THEN 1
+                  WHEN 'purchase' THEN 2
+                  WHEN 'view' THEN 3 ELSE 0 END AS c
+      FROM events WHERE ts IS NOT NULL
+    ), tot AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id
+    ), m AS (
+      SELECT s2.user_id,
+             CAST(COALESCE(SUM(CASE WHEN nv.c = 2 AND nv.pc = 1
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_matches,
+             COALESCE(list(nv.c ORDER BY nv.rn)[-1] = 1, FALSE)
+               AS pending
+      FROM (SELECT DISTINCT user_id FROM s) s2
+      LEFT JOIN (
+        SELECT user_id, c, pc,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS rn
+        FROM (SELECT user_id, us, event_id, c,
+                     LAG(c) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS pc
+              FROM s WHERE c != 3)
+      ) nv ON s2.user_id = nv.user_id
+      GROUP BY s2.user_id
+    )
+    SELECT tot.user_id, tot.n_events, m.n_matches, m.pending
+    FROM tot JOIN m ON tot.user_id = m.user_id
+    """,
+)
+def events_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-style sequential pattern counting
+    (extended/events.py pattern_match_per_key): conversions matching
+    ``click (view)* purchase`` per user with AFTER MATCH SKIP PAST
+    LAST ROW semantics — the SQL-2016 row-pattern surface Spark
+    lacks, expressed as a two-state automaton folded over each
+    user's ordered type codes (a signup/error breaks the pending
+    pattern; a fresh click re-anchors).  The events_ewma/
+    burst-segmentation fold class: collect_list → array_sort →
+    integer fold; the oracle packs (n_matches, state) into one
+    BIGINT and folds the identical scalar recurrence."""
+    from .extended.events import pattern_match_per_key
+
+    ev = _t(spark, sf_dir, "events")
+    return pattern_match_per_key(ev)
+
+
+@query(
+    "sample_systematic",
+    """
+    WITH r AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1
+                  AS BIGINT) AS row_id
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT row_id, o_orderkey, o_orderpriority
+    FROM r WHERE row_id % 7 = 3
+    """,
+)
+def sample_systematic(spark, sf_dir):
+    """Systematic every-7th sampling of finished orders in ledger
+    order (extended/sampling.py systematic_sample) — the
+    audit-sampling contract ("the 4th, 11th, 18th record in key
+    order") that a hash coin-flip cannot give and that ``id % k``
+    silently skews on gappy key domains (this population's keys ARE
+    gappy — profile_id_gaps measures exactly that).  The order rank
+    is stable_row_ids' distributed range-partitioned prefix-sum
+    numbering (never a global single-task row_number); the sample
+    itself is a narrow modulus filter.  The oracle affords the plain
+    ROW_NUMBER at gate scale."""
+    from .extended.sampling import systematic_sample
+
+    od = _t(spark, sf_dir, "orders")
+    base = od.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return systematic_sample(
+        base, ["o_orderkey"], every=7, offset=3
+    ).select("row_id", "o_orderkey", "o_orderpriority")

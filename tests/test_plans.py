@@ -589,3 +589,20 @@ def test_sketch_quantile_take_ordered_sample(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pattern_match_is_fold_not_window_chain(spark, sf_dir):
+    """The automaton folds per-key collected code sequences; no
+    per-event window chain, no Python."""
+    plan = _plan(spark, sf_dir, "events_pattern_match")
+    assert "aggregate(" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_systematic_sample_distributed_row_ids(spark, sf_dir):
+    """The order rank rides stable_row_ids' partition-id machinery
+    (range exchange + per-partition window), never an
+    empty-partitionBy global row_number."""
+    plan = _plan(spark, sf_dir, "sample_systematic")
+    assert "monotonically_increasing_id" in plan
+    assert "BatchEvalPython" not in plan

@@ -911,3 +911,83 @@ class TestQuantileKmv:
             quantile_kmv_sketch(df, "v", "rid", ps_bp=())
         with pytest.raises(ValueError):
             quantile_kmv_sketch(df, "v", "rid", ps_bp=(0,))
+
+
+from pandasy_spark.extended.events import pattern_match_per_key  # noqa: E402
+from pandasy_spark.extended.sampling import systematic_sample  # noqa: E402
+
+
+class TestPatternMatch:
+    def _seq(self, spark, types, key=1):
+        return spark.createDataFrame(
+            [(i, key, dt.datetime(2024, 1, 1)
+              + dt.timedelta(seconds=i), t)
+             for i, t in enumerate(types)],
+            "event_id long, user_id long, ts timestamp, "
+            "event_type string",
+        )
+
+    def _run(self, spark, types):
+        r = pattern_match_per_key(self._seq(spark, types)).collect()[0]
+        return (r.n_matches, r.pending)
+
+    def test_basic_and_wildcards(self, spark):
+        assert self._run(spark, ["click", "purchase"]) == (1, False)
+        assert self._run(
+            spark, ["click", "view", "view", "purchase"]
+        ) == (1, False)
+
+    def test_breaker_resets(self, spark):
+        assert self._run(
+            spark, ["click", "error", "purchase"]
+        ) == (0, False)
+        assert self._run(spark, ["click", "signup"]) == (0, False)
+
+    def test_skip_past_last_row_non_overlapping(self, spark):
+        # click p p: second purchase has no fresh anchor
+        assert self._run(
+            spark, ["click", "purchase", "purchase"]
+        ) == (1, False)
+
+    def test_reanchor_and_pending(self, spark):
+        assert self._run(
+            spark, ["click", "click", "purchase", "click"]
+        ) == (1, True)
+
+    def test_purchase_without_anchor(self, spark):
+        assert self._run(spark, ["purchase", "view"]) == (0, False)
+
+    def test_multiple_users_isolated(self, spark):
+        a = self._seq(spark, ["click", "purchase"], key=1)
+        b = self._seq(spark, ["purchase", "click"], key=2)
+        out = {
+            r.user_id: (r.n_matches, r.pending)
+            for r in pattern_match_per_key(a.unionAll(b)).collect()
+        }
+        assert out == {1: (1, False), 2: (0, True)}
+
+
+class TestSystematicSample:
+    def test_exact_stride_on_gappy_keys(self, spark):
+        # keys with gaps: stride is over ORDER, not value
+        keys = [1, 5, 6, 20, 21, 22, 50, 51, 52, 90]
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        out = sorted(
+            (r.row_id, r.k)
+            for r in systematic_sample(df, ["k"], every=3,
+                                       offset=1).collect()
+        )
+        # ranks 1, 4, 7 -> keys 5, 21, 51
+        assert out == [(1, 5), (4, 21), (7, 51)]
+
+    def test_offset_zero_includes_first(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+        rows = systematic_sample(df, ["k"], every=4, offset=0).collect()
+        assert sorted(r.k for r in rows) == [0, 4, 8]
+
+    def test_guards(self, spark):
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError):
+            systematic_sample(df, ["k"], every=1)
+        with pytest.raises(ValueError):
+            systematic_sample(df, ["k"], every=3, offset=3)
