@@ -398,6 +398,8 @@ _R12_DEFER: list[str] = [
     # round-11 batch 19: MATCH_RECOGNIZE-style pattern automaton +
     # systematic sampling
     "events_pattern_match", "sample_systematic",
+    # round-11 batch 20: streaming MATCH_RECOGNIZE twin
+    "streaming_pattern_match",
 ]
 
 

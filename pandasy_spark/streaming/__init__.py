@@ -11,7 +11,12 @@ from .ops import (
     windowed_agg,
 )
 from .state import rocksdb_state_conf, use_rocksdb_state
-from .stateful import stateful_rate_limit, stateful_sessions, streaming_dedup
+from .stateful import (
+    stateful_pattern_match,
+    stateful_rate_limit,
+    stateful_sessions,
+    streaming_dedup,
+)
 
 __all__ = [
     "rocksdb_state_conf",
@@ -25,6 +30,7 @@ __all__ = [
     "session_window_agg",
     "sessionize_batch",
     "staged_file_stream",
+    "stateful_pattern_match",
     "stateful_rate_limit",
     "stateful_sessions",
     "streaming_dedup",

@@ -22,7 +22,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..types import to_spark_schema
 
-__all__ = ["streaming_dedup", "stateful_sessions", "stateful_rate_limit"]
+__all__ = ["streaming_dedup", "stateful_sessions", "stateful_rate_limit", "stateful_pattern_match"]
 
 
 def streaming_dedup(
@@ -282,6 +282,105 @@ def stateful_rate_limit(
 
     return df.groupBy(key_col).applyInPandasWithState(
         limit_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_pattern_match(
+    df: DataFrame,
+    anchor_type: str = "click",
+    accept_type: str = "purchase",
+    wildcard_type: str = "view",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """STREAMING twin of the batch pattern automaton
+    (``extended.events.pattern_match_per_key``): the SQL-2016
+    MATCH_RECOGNIZE pattern ``anchor (wildcard)* accept`` with AFTER
+    MATCH SKIP PAST LAST ROW, evaluated ONLINE — one decision row per
+    event, ``matched`` TRUE on the event that COMPLETES a match (the
+    live conversion trigger a realtime attribution pipeline fires
+    on).
+
+    The automaton state is ONE long per key carried in the state
+    store; within a batch events sort by (ts, id) and step the
+    identical two-state recurrence, so micro-batch boundaries cannot
+    change any decision — stream output == batch fold for any
+    in-order replay split, which is what the driver gate pins
+    against the batch closed-form oracle.  In-order delivery per key
+    is the operator's contract (same as
+    :func:`stateful_rate_limit`); integral key/id columns enforced
+    at plan build.
+
+    Output (append): ``(key, event_id, matched boolean)``.
+    """
+    from pyspark.sql import types as _T
+
+    for name in (key_col, id_col):
+        dt = df.schema[name].dataType
+        if not isinstance(
+            dt, (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)
+        ):
+            raise TypeError(
+                f"stateful_pattern_match: column {name!r} has type "
+                f"{dt.simpleString()}; expected integral ids "
+                "(dense-rank string ids first)"
+            )
+    out_schema = to_spark_schema(
+        f"{key_col}:long,{id_col}:long,matched:bool"
+    )
+    state_schema = to_spark_schema("st:long")
+    key_name, ts_name, id_name, type_name = (
+        key_col, ts_col, id_col, type_col,
+    )
+
+    def match_fn(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        events: list[tuple[int, int, str]] = []
+        for pdf in pdfs:
+            if len(pdf):
+                us = (
+                    pd.to_datetime(pdf[ts_name]).astype("int64") // 1000
+                ).tolist()
+                ids = pdf[id_name].astype("int64").tolist()
+                tys = pdf[type_name].astype("object").tolist()
+                events.extend(zip(us, ids, tys))
+        if not events:
+            return
+        events.sort(key=lambda e: (e[0], e[1]))
+        (st,) = state.get if state.exists else (0,)
+        out_ids, out_m = [], []
+        for _us, eid, ty in events:
+            matched = False
+            if ty == anchor_type:
+                st = 1
+            elif ty == accept_type:
+                if st == 1:
+                    matched = True
+                st = 0
+            elif ty == wildcard_type:
+                pass
+            else:
+                st = 0
+            out_ids.append(eid)
+            out_m.append(matched)
+        state.update((st,))
+        yield pd.DataFrame(
+            {
+                key_name: pd.Series([key[0]] * len(out_ids), dtype="int64"),
+                id_name: pd.Series(out_ids, dtype="int64"),
+                "matched": pd.Series(out_m, dtype="bool"),
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        match_fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",

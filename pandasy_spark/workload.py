@@ -21009,3 +21009,98 @@ def sample_systematic(spark, sf_dir):
     return systematic_sample(
         base, ["o_orderkey"], every=7, offset=3
     ).select("row_id", "o_orderkey", "o_orderpriority")
+
+
+@query(
+    "streaming_pattern_match",
+    # batch closed-form restatement (the events_pattern_match oracle
+    # minus the pending flag): over the view-free per-user sequence a
+    # purchase completes a match iff its predecessor is a click
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE event_type WHEN 'click' THEN 1
+                  WHEN 'purchase' THEN 2
+                  WHEN 'view' THEN 3 ELSE 0 END AS c
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), tot AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id
+    ), nv AS (
+      SELECT user_id, c,
+             LAG(c) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id) AS pc
+      FROM s WHERE c != 3
+    ), m AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN c = 2 AND pc = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_matches
+      FROM nv GROUP BY user_id
+    )
+    SELECT tot.user_id, tot.n_events,
+           CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches
+    FROM tot LEFT JOIN m ON tot.user_id = m.user_id
+    """,
+)
+def streaming_pattern_match(spark, sf_dir):
+    """STREAMING MATCH_RECOGNIZE, driver-witnessed
+    (streaming/stateful.py stateful_pattern_match): the same
+    click-(view)*-purchase automaton as the batch
+    events_pattern_match gate, run as a custom stateful operator
+    over a staged 3-micro-batch in-order replay (bounded 50k-row
+    slice, the documented streaming-gate staging pattern).  The
+    one-long automaton state carries across batches, so micro-batch
+    BOUNDARIES cannot change any decision — the drained per-event
+    match stream, aggregated per user, must equal the batch
+    closed-form oracle (stream == batch == oracle, the rate-limit
+    discipline applied to row-pattern matching)."""
+    import pandas as pd
+
+    from .streaming import (
+        run_stream_to_memory,
+        staged_file_stream,
+        stateful_pattern_match,
+    )
+
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_pattern_match_gate_{_STREAM_GATE_SEQ[0]}"
+    real = (
+        _t(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(50_000)
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "ts",
+            F.col("event_id").cast("long").alias("event_id"),
+            "event_type",
+        )
+        .toPandas()
+    )
+    if real.empty:
+        raise ValueError(
+            "streaming_pattern_match: the 50k-event slice is empty — "
+            "cannot stage an in-order replay from no events"
+        )
+    ordered = real.sort_values(["ts", "event_id"], ignore_index=True)
+    cut1, cut2 = len(ordered) // 3, 2 * len(ordered) // 3
+    batches = [
+        ordered.iloc[:cut1],
+        ordered.iloc[cut1:cut2],
+        ordered.iloc[cut2:],
+    ]
+    stream = staged_file_stream(spark, [b for b in batches if len(b)])
+    decisions = stateful_pattern_match(stream)
+    q = run_stream_to_memory(decisions, name, output_mode="append")
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("matched").cast("long"))
+            .cast("long")
+            .alias("n_matches"),
+        )
+    )

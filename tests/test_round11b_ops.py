@@ -991,3 +991,54 @@ class TestSystematicSample:
             systematic_sample(df, ["k"], every=1)
         with pytest.raises(ValueError):
             systematic_sample(df, ["k"], every=3, offset=3)
+
+
+class TestStreamingPatternMatch:
+    def test_boundary_mid_pattern_preserves_match(self, spark):
+        import pandas as pd
+
+        from pandasy_spark.streaming import (
+            run_stream_to_memory,
+            staged_file_stream,
+            stateful_pattern_match,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, 1, t0 + dt.timedelta(seconds=0), "click"),
+            (2, 1, t0 + dt.timedelta(seconds=1), "view"),
+            # ---- micro-batch boundary lands HERE (mid-pattern) ----
+            (3, 1, t0 + dt.timedelta(seconds=2), "purchase"),
+            (4, 1, t0 + dt.timedelta(seconds=3), "purchase"),
+            (5, 2, t0 + dt.timedelta(seconds=0), "purchase"),
+        ]
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ts", "event_type"]
+        )
+        batches = [pdf.iloc[:2], pdf.iloc[2:]]
+        stream = staged_file_stream(spark, batches)
+        q = run_stream_to_memory(
+            stateful_pattern_match(stream),
+            "t_stream_pattern_boundary",
+            output_mode="append",
+        )
+        q.stop()
+        out = {
+            r.event_id: r.matched
+            for r in spark.table("t_stream_pattern_boundary").collect()
+        }
+        # purchase 3 completes the click-view-purchase pattern even
+        # though the anchor arrived in the PREVIOUS micro-batch;
+        # purchase 4 has no fresh anchor; user 2's purchase never had one
+        assert out == {1: False, 2: False, 3: True, 4: False, 5: False}
+
+    def test_string_key_rejected_at_plan_build(self, spark):
+        from pandasy_spark.streaming import stateful_pattern_match
+
+        df = spark.createDataFrame(
+            [("u1", 1, dt.datetime(2024, 1, 1), "click")],
+            "user_id string, event_id long, ts timestamp, "
+            "event_type string",
+        )
+        with pytest.raises(TypeError):
+            stateful_pattern_match(df)
