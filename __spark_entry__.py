@@ -400,6 +400,8 @@ _R12_DEFER: list[str] = [
     "events_pattern_match", "sample_systematic",
     # round-11 batch 20: streaming MATCH_RECOGNIZE twin
     "streaming_pattern_match",
+    # round-11 batch 21: KMV set-difference estimate
+    "sketch_kmv_diff",
 ]
 
 

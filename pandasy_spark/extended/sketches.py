@@ -43,6 +43,7 @@ __all__ = [
     "portable_hash31",
     "portable_hash56",
     "quantile_kmv_sketch",
+    "kmv_diff_estimate",
     "hll_sketch",
     "hll_estimate",
     "hll_merge",
@@ -754,4 +755,87 @@ def quantile_kmv_sketch(
     )
     return counts.select(
         "p_bp", "est", "n", "true_rank", within.alias("within_eps")
+    )
+
+
+def kmv_diff_estimate(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    k: int = 64,
+    coarse_bits: int = 12,
+    tol_pct: int = 50,
+) -> DataFrame:
+    """Distinct-count estimate of the set DIFFERENCE ``|A \\ B|``
+    from A's bottom-k sketch — the audience-subtraction operation
+    (reach minus suppression list, corpus minus contamination set)
+    completing the KMV set algebra beside :func:`kmv_union_estimate`
+    and :func:`kmv_intersect_estimate`: A's bottom-k hashes are a
+    uniform sample of A's distinct keys, so the fraction of the
+    sample NOT found in B estimates the difference fraction, scaled
+    by the KMV cardinality estimate of A (Beyer et al. 2007 §4).
+
+    Scale shape: A's sketch costs the one corpus pass of
+    :func:`kmv_bottom`; membership is a k-row broadcast semi/anti
+    probe against B's hashed distinct keys (B is scanned once, never
+    joined at corpus width); the in-plan EXACT difference (one
+    distinct anti-join) is the certification pattern (knn_beam's
+    in-plan ground truth) — drop it in production and keep the
+    estimate, which is the entire point of the sketch.
+
+    All arithmetic int64-exact: the cardinality estimator is the
+    shared ``(k-1)·2^56 div u_k``; the scale-down is subtract-mod
+    floor division.  Emits empty when A has fewer than ``k``
+    distinct keys (the statistic is undefined, the kmv contract).
+
+    Output: one row
+    ``(k, n_sample_not_in_b, a_est, diff_est, diff_exact, ok)`` with
+    ``ok`` = relative error within ``tol_pct`` percent (exact-zero
+    differences require an exact-zero estimate).
+    """
+    if not 2 <= k <= 127:
+        raise ValueError("k must be in [2, 127] for the int64 estimator")
+    a_keys = (
+        df_a.select(F.col(key_col).alias("__ka"))
+        .filter(F.col("__ka").isNotNull())
+        .distinct()
+    )
+    b_keys = (
+        df_b.select(F.col(key_col).alias("__kb"))
+        .filter(F.col("__kb").isNotNull())
+        .distinct()
+    )
+    bottom = kmv_bottom(
+        a_keys, [], "__ka", k, coarse_bits
+    )
+    kth = bottom.filter(F.col("rk") == k).select(
+        F.expr(f"(CAST({k - 1} AS BIGINT) * {1 << 56}) div h")
+        .cast("long")
+        .alias("a_est")
+    )
+    b_hashes = b_keys.select(portable_hash56(F.col("__kb")).alias("h"))
+    not_in_b = bottom.join(b_hashes, "h", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_not")
+    )
+    exact = a_keys.join(
+        b_keys, a_keys["__ka"] == b_keys["__kb"], "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("diff_exact"))
+    est = (
+        F.col("n_not") * F.col("a_est")
+        - (F.col("n_not") * F.col("a_est")) % F.lit(k)
+    ) / F.lit(k)
+    joined = (
+        not_in_b.join(F.broadcast(kth)).join(F.broadcast(exact))
+    )
+    return joined.select(
+        F.lit(int(k)).cast("long").alias("k"),
+        F.col("n_not").alias("n_sample_not_in_b"),
+        "a_est",
+        est.cast("long").alias("diff_est"),
+        "diff_exact",
+        (
+            F.abs(est.cast("long") - F.col("diff_exact"))
+            * F.lit(100)
+            <= F.lit(int(tol_pct)) * F.col("diff_exact")
+        ).alias("ok"),
     )

@@ -21104,3 +21104,67 @@ def streaming_pattern_match(spark, sf_dir):
             .alias("n_matches"),
         )
     )
+
+
+@query(
+    "sketch_kmv_diff",
+    """
+    WITH a AS (
+      SELECT DISTINCT l_partkey AS k FROM lineitem
+      WHERE l_partkey IS NOT NULL
+    ), b AS (
+      SELECT DISTINCT l_partkey AS k FROM lineitem
+      WHERE l_quantity >= 50 AND l_partkey IS NOT NULL
+    ), ah AS (
+      SELECT k, ('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 14))
+               ::BIGINT AS h
+      FROM a
+    ), bot AS (
+      SELECT h FROM ah ORDER BY h LIMIT 64
+    ), kth AS (
+      SELECT CAST((63 * 72057594037927936) // max(h) AS BIGINT)
+               AS a_est
+      FROM bot
+    ), bh AS (
+      SELECT DISTINCT
+             ('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 14))
+               ::BIGINT AS h
+      FROM b
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_not
+      FROM bot WHERE h NOT IN (SELECT h FROM bh)
+    ), ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS diff_exact
+      FROM a WHERE k NOT IN (SELECT k FROM b)
+    )
+    SELECT CAST(64 AS BIGINT) AS k,
+           n_not AS n_sample_not_in_b,
+           a_est,
+           CAST((n_not * a_est - (n_not * a_est) % 64) / 64 AS BIGINT)
+             AS diff_est,
+           diff_exact,
+           abs(CAST((n_not * a_est - (n_not * a_est) % 64) / 64
+                    AS BIGINT) - diff_exact) * 100
+             <= 50 * diff_exact AS ok
+    FROM nn CROSS JOIN kth CROSS JOIN ex
+    """,
+)
+def sketch_kmv_diff(spark, sf_dir):
+    """KMV set-DIFFERENCE estimate with in-plan certification
+    (extended/sketches.py kmv_diff_estimate): |parts ever ordered
+    \\ parts ordered at max quantity| — the audience-subtraction
+    operation (reach minus suppression list, corpus minus
+    contamination set) completing the KMV set algebra beside
+    sketch_kmv_union/intersect.  A's bottom-64 hashes are a uniform
+    distinct sample (two-pass coarse-histogram bottom-k, never a
+    full sort); the not-in-B fraction of that 64-row sample scales
+    A's integer-exact (k-1)·2^56 div u_k cardinality estimate by
+    subtract-mod floor division; the in-plan exact anti-join is the
+    knn_beam certification pattern and the oracle restates sketch,
+    probe, and arithmetic end-to-end."""
+    from .extended.sketches import kmv_diff_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select("l_partkey")
+    b = li.filter(F.col("l_quantity") >= 50).select("l_partkey")
+    return kmv_diff_estimate(a, b, "l_partkey", k=64, tol_pct=50)

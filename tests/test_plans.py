@@ -606,3 +606,13 @@ def test_systematic_sample_distributed_row_ids(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sample_systematic")
     assert "monotonically_increasing_id" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_kmv_diff_bounded_probe_no_corpus_join(spark, sf_dir):
+    """The membership probe runs on the 64-row sketch (left-anti);
+    the only corpus-width work is scans + the certification
+    anti-join — no cartesian, no Python."""
+    plan = _plan(spark, sf_dir, "sketch_kmv_diff")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

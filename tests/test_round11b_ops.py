@@ -1042,3 +1042,45 @@ class TestStreamingPatternMatch:
         )
         with pytest.raises(TypeError):
             stateful_pattern_match(df)
+
+
+from pandasy_spark.extended.sketches import kmv_diff_estimate  # noqa: E402
+
+
+class TestKmvDiff:
+    def _keys(self, spark, ks):
+        return spark.createDataFrame([(k,) for k in ks], "k long")
+
+    def test_disjoint_sets_estimate_full_cardinality(self, spark):
+        a = self._keys(spark, range(0, 500))
+        b = self._keys(spark, range(10_000, 10_100))
+        r = kmv_diff_estimate(a, b, "k", k=64).collect()[0]
+        assert r.n_sample_not_in_b == 64  # nothing in B
+        assert r.diff_exact == 500
+        assert r.ok
+
+    def test_subset_gives_zero(self, spark):
+        a = self._keys(spark, range(0, 300))
+        b = self._keys(spark, range(0, 300))
+        r = kmv_diff_estimate(a, b, "k", k=64).collect()[0]
+        assert (r.n_sample_not_in_b, r.diff_est, r.diff_exact) == (
+            0, 0, 0
+        )
+        assert r.ok  # exact-zero difference needs exact-zero estimate
+
+    def test_partial_overlap_certified(self, spark):
+        a = self._keys(spark, range(0, 1000))
+        b = self._keys(spark, range(500, 1500))
+        r = kmv_diff_estimate(a, b, "k", k=64).collect()[0]
+        assert r.diff_exact == 500
+        assert r.ok
+
+    def test_under_k_distinct_emits_empty(self, spark):
+        a = self._keys(spark, range(0, 10))
+        b = self._keys(spark, [1])
+        assert kmv_diff_estimate(a, b, "k", k=64).count() == 0
+
+    def test_k_guard(self, spark):
+        a = self._keys(spark, [1])
+        with pytest.raises(ValueError):
+            kmv_diff_estimate(a, a, "k", k=1)
