@@ -448,6 +448,17 @@ def fingerprint_landmarks(
 
     from .multimodal import DECODE_ERRORS
 
+    # the packed hash holds dt in 3 bits and each peak bin in 8:
+    # fanout > 7 or peak bins past 255 (frame_len > 510) would make
+    # DISTINCT landmarks share hashes and fingerprint_match report
+    # spurious alignments (round-11 session-2 review finding)
+    if not 1 <= fanout <= 7:
+        raise ValueError("fanout must be in [1, 7] (3-bit dt field)")
+    if not 4 <= frame_len <= 510:
+        raise ValueError(
+            "frame_len must be in [4, 510] (8-bit peak-bin field)"
+        )
+
     id_name, payload_name = id_col, payload_col
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1533,7 +1533,12 @@ def interpolate_hourly(
     den = F.when(
         F.col("__in") > F.col("__ip"), F.col("__in") - F.col("__ip")
     )
-    fill = F.floor((num - num % den) / den).cast("long")
+    # pmod, not `%`: subtract-pmod is TRUE floor division for
+    # negative numerators too (refund-heavy hours can sum negative),
+    # keeping the fill on the documented floor lattice; the oracle
+    # states ((num % den) + den) % den identically (round-11
+    # session-2 review finding)
+    fill = F.floor((num - F.pmod(num, den)) / den).cast("long")
     return filled.select(
         "hour",
         F.col("v").isNotNull().alias("is_observed"),

@@ -1291,6 +1291,17 @@ def auc_by_group(
     )
 
 
+def _bp_floor(num: Column, den: Column) -> Column:
+    """``floor(num * 10000 / den)`` on int64 via subtract-mod —
+    the engine-portable basis-point close shared by the eval family
+    (roc_points, fairness_panel); NULL when ``den`` is not positive.
+    Magnitude contract: ``num * 10^4 < 2^63``."""
+    return F.when(
+        den > 0,
+        ((num * 10000 - (num * 10000) % den) / den).cast("long"),
+    )
+
+
 def roc_points(
     df: DataFrame,
     score_col: str,
@@ -1365,17 +1376,14 @@ def roc_points(
         (F.col("t_below") - F.col("p_below")).cast("long").alias("tn"),
     )
 
-    def _bp(num, den):
-        return F.when(
-            den > 0,
-            ((num * 10000 - (num * 10000) % den) / den).cast("long"),
-        )
-
     return counted.select(
         "thr", "tp", "fp", "fn", "tn",
-        _bp(F.col("tp"), F.col("tp") + F.col("fn")).alias("tpr_bp"),
-        _bp(F.col("fp"), F.col("fp") + F.col("tn")).alias("fpr_bp"),
-        _bp(F.col("tp"), F.col("tp") + F.col("fp")).alias("prec_bp"),
+        _bp_floor(F.col("tp"), F.col("tp") + F.col("fn"))
+        .alias("tpr_bp"),
+        _bp_floor(F.col("fp"), F.col("fp") + F.col("tn"))
+        .alias("fpr_bp"),
+        _bp_floor(F.col("tp"), F.col("tp") + F.col("fp"))
+        .alias("prec_bp"),
     )
 
 
@@ -1430,17 +1438,12 @@ def fairness_panel(
         .cast("long").alias("__sel"),
     )
 
-    def _bp(num, den):
-        return F.when(
-            den > 0,
-            ((num * 10000 - (num * 10000) % den) / den).cast("long"),
-        )
-
     rated = per.select(
         "grp", "n", "n_pos",
-        _bp(F.col("__sel"), F.col("n")).alias("sel_bp"),
-        _bp(F.col("__tp"), F.col("n_pos")).alias("tpr_bp"),
-        _bp(F.col("__fp"), F.col("n") - F.col("n_pos")).alias("fpr_bp"),
+        _bp_floor(F.col("__sel"), F.col("n")).alias("sel_bp"),
+        _bp_floor(F.col("__tp"), F.col("n_pos")).alias("tpr_bp"),
+        _bp_floor(F.col("__fp"), F.col("n") - F.col("n_pos"))
+        .alias("fpr_bp"),
     )
     tops = rated.agg(
         F.max("sel_bp").alias("__max_sel"),

@@ -931,7 +931,10 @@ def matched_pairs(
         "stratum",
         "__id",
         "__t",
-        F.pmod(F.col("__id"), F.lit(salts)).cast("long").alias("salt"),
+        # dividend-signed `%` (not pmod): the documented `id % salts`
+        # contract and the oracle's DuckDB `%` agree on negative ids
+        # (round-11 session-2 review finding)
+        (F.col("__id") % F.lit(salts)).cast("long").alias("salt"),
     )
     w = Window.partitionBy("stratum", "salt", "__t").orderBy("__id")
     ranked = salted.select(

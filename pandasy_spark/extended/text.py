@@ -1966,8 +1966,10 @@ def boilerplate_strip(
     length.  Empty/whitespace-only lines are dropped from both the
     count and the rebuilt text.
 
-    Output: ``(id, clean_text, n_lines, n_kept)`` — text rebuilt in
-    original line order (empty string when everything was chrome).
+    Output: ``(id, clean_text, n_lines, n_kept)`` — one row per input
+    document id, text rebuilt in original line order (empty string
+    when everything was chrome, and ``('', 0, 0)`` for documents with
+    no non-empty lines at all).
     """
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2")
@@ -2015,6 +2017,15 @@ def boilerplate_strip(
             ),
         ).alias("clean_text"),
     )
-    return rebuilt.select(
-        F.col("__id").alias(id_col), "clean_text", "n_lines", "n_kept"
+    # a document with NO non-empty lines contributes no line rows —
+    # restore it as ('', 0, 0) so callers joining back by id never
+    # silently lose documents (round-11 session-2 review finding)
+    all_ids = df.select(F.col(id_col).alias("__id")).distinct()
+    return all_ids.join(rebuilt, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("long")
+        .alias("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+        .alias("n_kept"),
     )

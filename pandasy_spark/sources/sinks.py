@@ -438,7 +438,14 @@ def compaction_plan(
         return ((num - num % b) / b).cast("long")
 
     t = F.lit(int(target_file_bytes)).cast("long")
-    n_files = _ceil_div(F.col("est_bytes"), t)
+    # a non-empty partition always needs >= 1 file, even when the
+    # byte estimate is 0 (or NULL): without the floor, rows_per_file
+    # would divide by 0 — a runtime error under the driver-default
+    # ANSI mode (round-11 session-2 review finding)
+    n_files = F.greatest(
+        _ceil_div(F.coalesce(F.col("est_bytes"), F.lit(0)), t),
+        F.lit(1),
+    )
     planned = per.select(
         *partition_cols,
         "n_rows",

@@ -19813,7 +19813,8 @@ def agg_grouping_id(spark, sf_dir):
     SELECT CAST(hour AS TIMESTAMP) AS hour,
            v IS NOT NULL AS is_observed,
            CAST(COALESCE(v,
-                  CAST(FLOOR((num - num % den) / den) AS BIGINT))
+                  CAST(FLOOR((num - ((num % den) + den) % den) / den)
+                       AS BIGINT))
                 AS BIGINT) AS val_cents
     FROM g
     """,
@@ -20932,7 +20933,8 @@ def sketch_quantile(spark, sf_dir):
              CASE event_type WHEN 'click' THEN 1
                   WHEN 'purchase' THEN 2
                   WHEN 'view' THEN 3 ELSE 0 END AS c
-      FROM events WHERE ts IS NOT NULL
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
     ), tot AS (
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
       FROM s GROUP BY user_id
@@ -20972,7 +20974,14 @@ def events_pattern_match(spark, sf_dir):
     BIGINT and folds the identical scalar recurrence."""
     from .extended.events import pattern_match_per_key
 
-    ev = _t(spark, sf_dir, "events")
+    # NULL users are filtered HERE (not in the operator, which
+    # groups them like any key): the oracle's tot-join drops the
+    # NULL group (NULL = NULL is not true), the streaming twin
+    # filters them, and a NULL actor is not a trackable funnel
+    # (round-11 session-2 review finding)
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
     return pattern_match_per_key(ev)
 
 
@@ -21017,12 +21026,14 @@ def sample_systematic(spark, sf_dir):
     # minus the pending flag): over the view-free per-user sequence a
     # purchase completes a match iff its predecessor is a click
     """
-    WITH s AS (
+    WITH sliced AS (
+      SELECT * FROM events ORDER BY event_id LIMIT 50000
+    ), s AS (
       SELECT user_id, epoch_us(ts) AS us, event_id,
              CASE event_type WHEN 'click' THEN 1
                   WHEN 'purchase' THEN 2
                   WHEN 'view' THEN 3 ELSE 0 END AS c
-      FROM events
+      FROM sliced
       WHERE ts IS NOT NULL AND user_id IS NOT NULL
     ), tot AS (
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events

@@ -1084,3 +1084,72 @@ class TestKmvDiff:
         a = self._keys(spark, [1])
         with pytest.raises(ValueError):
             kmv_diff_estimate(a, a, "k", k=1)
+
+
+class TestRound11bReviewFixes:
+    """Regression pins for the round-11 session-2 review findings."""
+
+    def test_compaction_zero_bytes_partition_one_file(self, spark):
+        df = spark.createDataFrame(
+            [("A", 0), ("A", 0), ("B", 300)], "p string, nb long"
+        )
+        out = {
+            r.p: (r.n_files, r.rows_per_file, r.coalesce_candidate)
+            for r in compaction_plan(
+                df, ["p"], F.col("nb"), 100
+            ).collect()
+        }
+        # zero-byte partition still needs one file; no ANSI % 0 crash
+        assert out["A"] == (1, 2, True)
+        assert out["B"] == (3, 1, False)
+
+    def test_fingerprint_packing_guards(self, spark):
+        df = spark.createDataFrame(
+            [(0, b"x")], "doc_id long, payload binary"
+        )
+        from pandasy_spark.extended.audio import fingerprint_landmarks
+
+        with pytest.raises(ValueError):
+            fingerprint_landmarks(df, fanout=8)
+        with pytest.raises(ValueError):
+            fingerprint_landmarks(df, frame_len=512)
+
+    def test_matched_pairs_negative_ids_dividend_mod(self, spark):
+        # -3 % 2 == -1 (dividend-signed): negative ids land in their
+        # own salt cell, exactly as the documented `id % salts` and
+        # the DuckDB oracle compute it
+        df = spark.createDataFrame(
+            [(-3, 1, True), (-1, 1, False), (2, 1, True),
+             (4, 1, False)],
+            "id long, stratum long, t boolean",
+        )
+        out = sorted(
+            (r.salt, r.t_id, r.c_id)
+            for r in matched_pairs(
+                df, "stratum", F.col("t"), "id", salts=2
+            ).collect()
+        )
+        assert out == [(-1, -3, -1), (0, 2, 4)]
+
+    def test_boilerplate_empty_doc_not_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, "  \n "), (3, "real\nx"), (4, "real\ny")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: (r.clean_text, r.n_lines, r.n_kept)
+            for r in boilerplate_strip(df, min_docs=2).collect()
+        }
+        assert out[1] == ("", 0, 0)
+        assert out[2] == ("", 0, 0)
+        assert out[3] == ("x", 2, 1)
+
+    def test_interpolate_negative_sums_true_floor(self, spark):
+        # refund hours: -1.00 at hour 0, -1.10 at hour 3 ->
+        # fills floor(-310/3) = -104 and floor(-320/3) = -107
+        df = _ev(spark, [(0, -1.00), (3, -1.10)])
+        out = {
+            r.hour.hour: r.val_cents
+            for r in interpolate_hourly(df).collect()
+        }
+        assert out == {0: -100, 1: -104, 2: -107, 3: -110}
