@@ -1740,6 +1740,53 @@ def probe_r11b() -> None:
     print(json.dumps({"r11b_probes": results}))
 
 
+def probe_r11c() -> None:
+    """10x probes for round-11 session-2 batches 17-21 (table-based
+    over the built sf1.0 replicas; streaming_pattern_match is not
+    probed — staged capped replay, the streaming-gate convention).
+    Expected shapes: fd scans 10x orders through per-pair distinct
+    aggregates; hysteresis and pattern_match fold 10x-longer per-key
+    sequences (linear in events); assortativity joins the 10x-denser
+    co-occurrence graph (wedge-family volume growth — report edge
+    counts for work normalization); sketch_quantile's sample stays
+    k=1000 while the scan and certification grow linearly;
+    systematic rides stable_row_ids' fixed floor; kmv_diff's probe
+    stays 64 rows while the exact certification anti-join grows."""
+    import time as _t
+
+    from pandasy_spark.session import get_spark
+    from pandasy_spark.workload import QUERIES
+
+    spark = get_spark("pandasy-scale-probe-r11c")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = {}
+    for name in (
+        "profile_fd", "events_hysteresis", "graph_assortativity",
+        "sketch_quantile", "events_pattern_match",
+        "sample_systematic", "sketch_kmv_diff",
+    ):
+        results[name] = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1.0", DST)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                best = min(best, _t.perf_counter() - t0)
+            results[name][label] = round(best, 2)
+        results[name]["ratio"] = round(
+            results[name]["sf1.0"] / max(results[name]["sf0.1"], 1e-9), 2
+        )
+        print(name, results[name], flush=True)
+    for label, sf_dir in (("sf0.1", SRC), ("sf1.0", DST)):
+        row = QUERIES["graph_assortativity"](spark, sf_dir).collect()[0]
+        print("assortativity", label, "nodes", row.n_nodes,
+              "edges", row.n_edges, flush=True)
+    print(json.dumps({"r11c_probes": results}))
+
+
 if __name__ == "__main__":
     {
         "build": build,
@@ -1757,5 +1804,6 @@ if __name__ == "__main__":
         "probe_r10": probe_r10,
         "probe_r11": probe_r11,
         "probe_r11b": probe_r11b,
+        "probe_r11c": probe_r11c,
         "bpe50k": bpe50k,
     }[sys.argv[1]]()
