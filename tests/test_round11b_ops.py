@@ -1153,3 +1153,84 @@ class TestRound11bReviewFixes:
             for r in interpolate_hourly(df).collect()
         }
         assert out == {0: -100, 1: -104, 2: -107, 3: -110}
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_H = {"max_examples": 20, "deadline": None, "derandomize": True}
+
+
+class TestFoldFuzzVsPython:
+    """Property fuzzes for the session-2 sequential folds against
+    pure-Python replays — the token-bucket fuzz discipline applied
+    to hysteresis and the pattern automaton (random sequences hunt
+    the state-transition corners crafted frames miss)."""
+
+    @given(
+        gaps=st.lists(st.integers(1, 200), min_size=0, max_size=30),
+        lo=st.integers(1, 50),
+        span=st.integers(1, 100),
+    )
+    @settings(**_H)
+    def test_hysteresis_fuzz(self, spark, gaps, lo, span):
+        hi = lo + span
+        us = [0]
+        for g in gaps:
+            us.append(us[-1] + g)
+        df = spark.createDataFrame(
+            [(i, 1, dt.datetime(2024, 1, 1)
+              + dt.timedelta(microseconds=u))
+             for i, u in enumerate(us)],
+            "event_id long, user_id long, ts timestamp",
+        )
+        r = burst_segments_per_key(
+            df, enter_us=lo, exit_us=hi
+        ).collect()[0]
+        # python replay
+        stt = nb = ne = 0
+        for g in gaps:
+            if stt == 0 and g <= lo:
+                stt, nb, ne = 1, nb + 1, ne + 1
+            elif stt == 1 and g < hi:
+                ne += 1
+            else:
+                stt = 0
+        assert (r.n_events, r.n_bursts, r.n_burst_events) == (
+            len(us), nb, ne
+        )
+
+    @given(
+        types=st.lists(
+            st.sampled_from(
+                ["click", "purchase", "view", "error", "signup"]
+            ),
+            min_size=0,
+            max_size=30,
+        ),
+    )
+    @settings(**_H)
+    def test_pattern_fuzz(self, spark, types):
+        if not types:
+            return
+        df = spark.createDataFrame(
+            [(i, 1, dt.datetime(2024, 1, 1)
+              + dt.timedelta(seconds=i), t)
+             for i, t in enumerate(types)],
+            "event_id long, user_id long, ts timestamp, "
+            "event_type string",
+        )
+        r = pattern_match_per_key(df).collect()[0]
+        stt = n = 0
+        for t in types:
+            if t == "click":
+                stt = 1
+            elif t == "purchase":
+                if stt == 1:
+                    n += 1
+                stt = 0
+            elif t == "view":
+                pass
+            else:
+                stt = 0
+        assert (r.n_matches, r.pending) == (n, stt == 1)
