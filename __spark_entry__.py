@@ -402,6 +402,8 @@ _R12_DEFER: list[str] = [
     "streaming_pattern_match",
     # round-11 batch 21: KMV set-difference estimate
     "sketch_kmv_diff",
+    # round-11 batch 22: global transitivity + B-cubed cluster eval
+    "graph_clustering_coeff", "ml_bcubed",
 ]
 
 

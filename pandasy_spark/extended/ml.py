@@ -44,6 +44,7 @@ __all__ = [
     "roc_points",
     "fairness_panel",
     "mrr_exact",
+    "bcubed",
 ]
 
 
@@ -1534,4 +1535,89 @@ def mrr_exact(
             " (SUM(__rr) - SUM(__rr) % COUNT(1)) / COUNT(1)"
             " END AS BIGINT)"
         ).alias("mean_rr_nano"),
+    )
+
+
+def bcubed(
+    df: DataFrame, gold_col: str, pred_col: str
+) -> DataFrame:
+    """B-cubed extrinsic clustering evaluation (Bagga & Baldwin
+    1998; the Amigo et al. 2009 survey's recommended metric) — the
+    standard scorecard for a DEDUP clustering against gold duplicate
+    groups: per item, precision is the fraction of its PREDICTED
+    cluster sharing its gold label, recall the fraction of its GOLD
+    cluster sharing its predicted label; the corpus scores are the
+    item means.  Unlike pair-counting (Rand), B-cubed weights every
+    ITEM equally, so exploding one mega-cluster is punished
+    proportionally to its size — the failure mode that matters when
+    an LSH threshold is too loose.
+
+    Scale shape: three map-combined size aggregates — per (pred),
+    per (gold), per (pred, gold) — joined back onto items by their
+    (bounded-cardinality) cluster keys, then one 1-row mean; no
+    window, no pair materialization (pair-counting metrics are
+    quadratic in cluster size, B-cubed is linear — that IS the
+    100 TB argument for it).
+
+    Exactness: per-item ratios floor onto the bp lattice
+    (``n_both·10^4 div n_side``), the means floor once more —
+    deterministic and engine-portable (documented as the
+    double-floor lattice convention; NULL gold or pred drops the
+    item).
+
+    Output: one row
+    ``(n_items, bcubed_p_bp, bcubed_r_bp, bcubed_f_bp)`` with F the
+    harmonic mean of the two floored means, itself floored.
+    """
+    base = df.filter(
+        F.col(gold_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(
+        F.col(gold_col).alias("__g"), F.col(pred_col).alias("__p")
+    )
+    both = base.groupBy("__g", "__p").agg(
+        F.count(F.lit(1)).cast("long").alias("__nb")
+    )
+    per_p = base.groupBy("__p").agg(
+        F.count(F.lit(1)).cast("long").alias("__np")
+    )
+    per_g = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__ng")
+    )
+    items = (
+        base.join(both, ["__g", "__p"])
+        .join(per_p, "__p")
+        .join(per_g, "__g")
+    )
+
+    def bp(num, den):
+        n4 = num * 10000
+        return ((n4 - n4 % den) / den).cast("long")
+
+    scored = items.select(
+        bp(F.col("__nb"), F.col("__np")).alias("__pi"),
+        bp(F.col("__nb"), F.col("__ng")).alias("__ri"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("__pi").cast("long").alias("__sp"),
+        F.sum("__ri").cast("long").alias("__sr"),
+    )
+    p_mean = (
+        (F.col("__sp") - F.col("__sp") % F.col("n_items"))
+        / F.col("n_items")
+    ).cast("long")
+    r_mean = (
+        (F.col("__sr") - F.col("__sr") % F.col("n_items"))
+        / F.col("n_items")
+    ).cast("long")
+    num_f = F.lit(2) * p_mean * r_mean
+    den_f = p_mean + r_mean
+    return agg.select(
+        "n_items",
+        p_mean.alias("bcubed_p_bp"),
+        r_mean.alias("bcubed_r_bp"),
+        F.when(
+            den_f > 0,
+            ((num_f - num_f % den_f) / den_f).cast("long"),
+        ).alias("bcubed_f_bp"),
     )

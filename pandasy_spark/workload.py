@@ -21179,3 +21179,118 @@ def sketch_kmv_diff(spark, sf_dir):
     a = li.select("l_partkey")
     b = li.filter(F.col("l_quantity") >= 50).select("l_partkey")
     return kmv_diff_estimate(a, b, "l_partkey", k=64, tol_pct=50)
+
+
+@query(
+    "graph_clustering_coeff",
+    """
+    WITH i AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS x FROM lineitem
+    ), e AS (
+      SELECT a.x AS x, b.x AS y
+      FROM i a JOIN i b ON a.g = b.g AND a.x < b.x
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), sym AS (
+      SELECT x AS u FROM e UNION ALL SELECT y AS u FROM e
+    ), deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+    ), w AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d) AS BIGINT) // 2 AS n_edges,
+             CAST(SUM(d * (d - 1)) AS BIGINT) // 2 AS n_wedges
+      FROM deg
+    ), tr AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.y = e2.x
+                JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+    )
+    SELECT n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_wedges AS BIGINT) AS n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN CAST(FLOOR((3 * n_triangles * 1000000
+                       - (3 * n_triangles * 1000000) % n_wedges)
+                      / n_wedges) AS BIGINT)
+           END AS c_micro
+    FROM w CROSS JOIN tr
+    """,
+)
+def graph_clustering_coeff(spark, sf_dir):
+    """Global transitivity (extended/graph.py
+    clustering_coefficient) of the parts co-purchase graph —
+    C = 3·triangles/wedges, completing the one-number graph
+    metrology beside graph_assortativity (mixing) and
+    graph_triangles (closure volume): wedges from one BIGINT degree
+    aggregate (d·(d-1) even, halving exact), triangles from the
+    degree-ORIENTED closure join (wedge volume O(|E|^1.5) even on
+    power-law graphs — the celebrity node contributes zero wedges),
+    close by 1e6-lattice subtract-mod division.  The oracle affords
+    the plain a<b<c closure join at gate scale."""
+    from .extended.graph import clustering_coefficient, cooccurrence_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
+    )
+    return clustering_coefficient(edges)
+
+
+@query(
+    "ml_bcubed",
+    """
+    WITH b AS (
+      SELECT lang AS g, n_chars // 50 AS p FROM documents
+      WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    ), bo AS (
+      SELECT g, p, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM b GROUP BY 1, 2
+    ), pp AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS np FROM b GROUP BY p
+    ), pg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS ng FROM b GROUP BY g
+    ), it AS (
+      SELECT CAST(FLOOR((nb * 10000 - (nb * 10000) % np) / np)
+                  AS BIGINT) AS pi,
+             CAST(FLOOR((nb * 10000 - (nb * 10000) % ng) / ng)
+                  AS BIGINT) AS ri
+      FROM b JOIN bo USING (g, p) JOIN pp USING (p)
+             JOIN pg USING (g)
+    ), a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(pi) AS BIGINT) AS sp,
+             CAST(SUM(ri) AS BIGINT) AS sr
+      FROM it
+    ), m AS (
+      SELECT n_items,
+             CAST(FLOOR((sp - sp % n_items) / n_items) AS BIGINT)
+               AS p_mean,
+             CAST(FLOOR((sr - sr % n_items) / n_items) AS BIGINT)
+               AS r_mean
+      FROM a
+    )
+    SELECT n_items, p_mean AS bcubed_p_bp, r_mean AS bcubed_r_bp,
+           CASE WHEN p_mean + r_mean > 0
+                THEN CAST(FLOOR((2 * p_mean * r_mean
+                       - (2 * p_mean * r_mean) % (p_mean + r_mean))
+                      / (p_mean + r_mean)) AS BIGINT)
+           END AS bcubed_f_bp
+    FROM m
+    """,
+)
+def ml_bcubed(spark, sf_dir):
+    """B-cubed clustering agreement (extended/ml.py bcubed): how
+    well a length-band clustering (n_chars DIV 50) recovers the
+    language partition — the standard extrinsic scorecard for a
+    DEDUP clustering against gold duplicate groups (Amigo et al.
+    2009), item-weighted so an exploded mega-cluster is punished in
+    proportion to its size (the loose-LSH-threshold failure mode).
+    Three map-combined size aggregates + hash joins back onto items
+    + one 1-row mean — LINEAR where pair-counting metrics go
+    quadratic in cluster size, which is the 100 TB argument for
+    B-cubed.  Double-floor bp lattice restated in the oracle."""
+    from .extended.ml import bcubed
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "lang", F.expr("n_chars DIV 50").alias("band")
+    )
+    return bcubed(labeled, "lang", "band")

@@ -616,3 +616,22 @@ def test_kmv_diff_bounded_probe_no_corpus_join(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_clustering_coeff_no_cartesian_no_python(spark, sf_dir):
+    """Degree aggregate + oriented closure joins + broadcast close —
+    no cartesian, no window, no Python."""
+    plan = _plan(spark, sf_dir, "graph_clustering_coeff")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bcubed_linear_joins_no_pair_blowup(spark, sf_dir):
+    """Three size aggregates joined back by cluster keys — hash
+    joins only, no pair materialization (the quadratic Rand-index
+    trap), no window."""
+    plan = _plan(spark, sf_dir, "ml_bcubed")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan

@@ -1234,3 +1234,89 @@ class TestFoldFuzzVsPython:
             else:
                 stt = 0
         assert (r.n_matches, r.pending) == (n, stt == 1)
+
+
+from pandasy_spark.extended.graph import clustering_coefficient  # noqa: E402
+from pandasy_spark.extended.ml import bcubed  # noqa: E402
+
+
+class TestClusteringCoefficient:
+    def _e(self, spark, pairs):
+        return spark.createDataFrame(pairs, "x long, y long")
+
+    def test_triangle_full_closure(self, spark):
+        df = self._e(spark, [(0, 1), (1, 2), (0, 2)])
+        r = clustering_coefficient(df).collect()[0]
+        assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (
+            3, 3, 3, 1
+        )
+        assert r.c_micro == 1_000_000
+
+    def test_star_zero_closure(self, spark):
+        df = self._e(spark, [(0, i) for i in range(1, 5)])
+        r = clustering_coefficient(df).collect()[0]
+        assert (r.n_wedges, r.n_triangles, r.c_micro) == (6, 0, 0)
+
+    def test_path_no_wedge_free_null(self, spark):
+        # single edge: no wedges at all -> NULL
+        df = self._e(spark, [(0, 1)])
+        r = clustering_coefficient(df).collect()[0]
+        assert (r.n_wedges, r.c_micro) == (0, None)
+
+    def test_hand_computed_mixed_graph(self, spark):
+        # triangle 0-1-2 plus pendant 2-3: wedges = 3 + C(3,2 at 2)
+        # deg: 0:2 1:2 2:3 3:1 -> wedges 1+1+3+0 = 5; T=1 -> 3/5
+        df = self._e(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+        r = clustering_coefficient(df).collect()[0]
+        assert (r.n_wedges, r.n_triangles) == (5, 1)
+        assert r.c_micro == 600_000
+
+
+class TestBcubed:
+    def _lp(self, spark, rows):
+        return spark.createDataFrame(rows, "g string, p long")
+
+    def test_perfect_clustering(self, spark):
+        df = self._lp(
+            spark, [("a", 1), ("a", 1), ("b", 2), ("b", 2)]
+        )
+        r = bcubed(df, "g", "p").collect()[0]
+        assert (r.bcubed_p_bp, r.bcubed_r_bp, r.bcubed_f_bp) == (
+            10000, 10000, 10000
+        )
+
+    def test_all_in_one_predicted_cluster(self, spark):
+        # two gold groups of 2 merged into one predicted cluster of 4:
+        # per-item precision 2/4, recall 1 -> P=5000, R=10000, F=6666
+        df = self._lp(
+            spark, [("a", 1), ("a", 1), ("b", 1), ("b", 1)]
+        )
+        r = bcubed(df, "g", "p").collect()[0]
+        assert (r.bcubed_p_bp, r.bcubed_r_bp, r.bcubed_f_bp) == (
+            5000, 10000, 6666
+        )
+
+    def test_singletons_precision_one_recall_low(self, spark):
+        # one gold group of 4 shattered into singletons:
+        # precision 1, recall 1/4
+        df = self._lp(
+            spark, [("a", 1), ("a", 2), ("a", 3), ("a", 4)]
+        )
+        r = bcubed(df, "g", "p").collect()[0]
+        assert (r.bcubed_p_bp, r.bcubed_r_bp) == (10000, 2500)
+
+    def test_item_weighting_punishes_megacluster(self, spark):
+        # 6 items: gold {a:3, b:3}; pred merges everything.
+        # P per item = 3/6 -> 5000; shattering instead would score
+        # P=10000 R=3333 — B-cubed separates the two failure modes
+        df = self._lp(spark, [("a", 9)] * 3 + [("b", 9)] * 3)
+        r = bcubed(df, "g", "p").collect()[0]
+        assert (r.bcubed_p_bp, r.bcubed_r_bp) == (5000, 10000)
+
+    def test_null_labels_dropped(self, spark):
+        df = self._lp(
+            spark, [("a", 1), (None, 1), ("a", None), ("a", 1)]
+        )
+        r = bcubed(df, "g", "p").collect()[0]
+        assert r.n_items == 2
+        assert r.bcubed_p_bp == 10000
