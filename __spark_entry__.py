@@ -404,6 +404,8 @@ _R12_DEFER: list[str] = [
     "sketch_kmv_diff",
     # round-11 batch 22: global transitivity + B-cubed cluster eval
     "graph_clustering_coeff", "ml_bcubed",
+    # round-11 batch 23: matched-pairs observational uplift
+    "events_uplift_matched",
 ]
 
 

@@ -21294,3 +21294,130 @@ def ml_bcubed(spark, sf_dir):
         "lang", F.expr("n_chars DIV 50").alias("band")
     )
     return bcubed(labeled, "lang", "band")
+
+
+@query(
+    "events_uplift_matched",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 14
+                  THEN TRUE ELSE FALSE END AS t,
+             CASE WHEN SUM(CASE WHEN event_type = 'error'
+                               THEN 1 ELSE 0 END) >= 16
+                  THEN 1 ELSE 0 END AS y
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ), s AS (
+      SELECT CAST(n_events // 10 AS BIGINT) AS stratum,
+             CAST(user_id % 2 AS BIGINT) AS salt,
+             user_id, t, y,
+             ROW_NUMBER() OVER (
+               PARTITION BY n_events // 10, user_id % 2, t
+               ORDER BY user_id) AS rk
+      FROM u
+    ), pairs AS (
+      SELECT a.y AS ty, b.y AS cy
+      FROM s a JOIN s b
+        ON a.stratum = b.stratum AND a.salt = b.salt AND a.rk = b.rk
+      WHERE a.t AND NOT b.t
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(ty) AS BIGINT) AS st,
+             CAST(SUM(cy) AS BIGINT) AS sc
+      FROM pairs
+    )
+    SELECT n_pairs,
+           CAST(FLOOR((st * 10000 - (st * 10000) % n_pairs) / n_pairs)
+                AS BIGINT) AS t_rate_bp,
+           CAST(FLOOR((sc * 10000 - (sc * 10000) % n_pairs) / n_pairs)
+                AS BIGINT) AS c_rate_bp,
+           CAST(FLOOR((st * 10000 - (st * 10000) % n_pairs) / n_pairs)
+                - FLOOR((sc * 10000 - (sc * 10000) % n_pairs)
+                        / n_pairs) AS BIGINT) AS uplift_bp
+    FROM agg WHERE n_pairs > 0
+    """,
+)
+def events_uplift_matched(spark, sf_dir):
+    """Observational uplift over MATCHED pairs — the end-to-end
+    workflow sample_matched_pairs exists for: heavy purchasers
+    (>= 14) matched 1:1 with comparable lighter users inside
+    activity-band strata, then the error-proneness outcome
+    (>= 16 error events) compared WITHIN pairs — the
+    selection-bias-corrected read a raw cohort comparison cannot
+    give (heavy users have more of every event by exposure alone;
+    matching on total activity removes exactly that).  The matching
+    is the batch-14 salt-stratified rank join; the close is one
+    1-row aggregate with bp-lattice rates and a signed uplift —
+    matching, outcomes, and rates restated in the oracle."""
+    from .extended.sampling import matched_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    users = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)
+                )
+                >= 14
+            ).alias("treated"),
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "error", 1)
+                    .otherwise(0)
+                )
+                >= 16,
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            "user_id",
+            "treated",
+            "y",
+            F.expr("n_events DIV 10").cast("long").alias("stratum"),
+        )
+    )
+    pairs = matched_pairs(
+        users, "stratum", F.col("treated"), "user_id", salts=2
+    )
+    out = users.select(F.col("user_id").alias("__uid"), "y")
+    joined = (
+        pairs.join(out, pairs["t_id"] == F.col("__uid"))
+        .select("c_id", F.col("y").alias("ty"))
+        .join(
+            out.select(
+                F.col("__uid").alias("__cid"), F.col("y").alias("cy")
+            ),
+            F.col("c_id") == F.col("__cid"),
+        )
+        .select("ty", "cy")
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("ty").cast("long").alias("__st"),
+        F.sum("cy").cast("long").alias("__sc"),
+    ).filter(F.col("n_pairs") > 0)
+
+    def rate(s):
+        n4 = s * 10000
+        return ((n4 - n4 % F.col("n_pairs")) / F.col("n_pairs")).cast(
+            "long"
+        )
+
+    return agg.select(
+        "n_pairs",
+        rate(F.col("__st")).alias("t_rate_bp"),
+        rate(F.col("__sc")).alias("c_rate_bp"),
+        (rate(F.col("__st")) - rate(F.col("__sc")))
+        .cast("long")
+        .alias("uplift_bp"),
+    )
