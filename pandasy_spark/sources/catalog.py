@@ -14,6 +14,7 @@ and projections applied by callers reach the parquet reader
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -57,7 +58,35 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     ]
 
 
+# Session-scoped memo of the LAZY scan definition per (sf_dir, table).
+# This caches METADATA only — the parquet footer/schema read and the
+# file listing that `spark.read.parquet` performs at DataFrame
+# construction (~0.1 s per call on this host, paid by every query's
+# build) — never rows: the returned frame is an unexecuted scan plan,
+# so every action still reads the parquet input in full.  Keyed weakly
+# by session (a stopped session's entries are collectable) and by the
+# resolved sf_dir, so different scale factors never alias.
+_SCAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    per_session = _SCAN_MEMO.get(spark)
+    if per_session is None:
+        per_session = {}
+        _SCAN_MEMO[spark] = per_session
+    key = (os.path.abspath(sf_dir), name)
+    df = per_session.get(key)
+    if df is None:
+        df = _load_table_uncached(spark, sf_dir, name)
+        per_session[key] = df
+    return df
+
+
+def _load_table_uncached(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = table_path(sf_dir, name)
@@ -161,6 +190,17 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     only when the helper fires at all.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # The `.rdd` probe costs ~0.1 s of plan translation per call; for
+    # the memoized catalog scans (load_table) the split count of the
+    # unexecuted scan is fixed metadata, so remember it on the frame
+    # object and pay the probe once per (session, table).
+    parts = getattr(df, "_pandasy_scan_parts", None)
+    if parts is None:
+        parts = df.rdd.getNumPartitions()
+        try:
+            df._pandasy_scan_parts = parts
+        except AttributeError:  # frames that reject new attributes
+            pass
+    if parts < target:
         return df.repartition(target).localCheckpoint(eager=False)
     return df
