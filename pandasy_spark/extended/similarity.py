@@ -376,6 +376,11 @@ def kmeans_centroids(
                 "cluster",
                 F.transform(F.col("pairs"), lambda p: p["m"]).alias("cv"),
             )
+            # pin the k-row centroid table per round: every later
+            # round (and every consumer broadcast) otherwise replays
+            # the whole assign+update chain of ALL earlier rounds —
+            # O(iters²) corpus passes instead of O(iters)
+            .localCheckpoint(eager=False)
         )
     return cents
 
@@ -457,6 +462,9 @@ def kmeans_exact(
             .select(
                 "cluster", F.transform(F.col("p"), lambda s: s["m"]).alias("cv")
             )
+            # same centroid pin as kmeans_centroids: keeps the round
+            # count linear in passes over q
+            .localCheckpoint(eager=False)
         )
     if assigned is None:  # iters == 0: everything in its own seed story
         assigned = (
@@ -926,6 +934,10 @@ def pq_encode(
                 "code",
                 F.transform(F.col("p"), lambda s: s["c"]).alias("cv"),
             )
+            # pin the (m·n_codes)-row codebook per round — without it
+            # each round's broadcast replays every earlier round's
+            # assignment pass over subs (O(iters²) passes)
+            .localCheckpoint(eager=False)
         )
         assigned = _assign(cents)
     return cents, assigned.select("id", "sub", "code")
@@ -1105,6 +1117,8 @@ def ivfpq_topk(
             .select(
                 "cluster", F.transform(F.col("p"), lambda s: s["c"]).alias("cv")
             )
+            # centroid pin (see kmeans_centroids): linear rounds
+            .localCheckpoint(eager=False)
         )
     assigned = _coarse_assign(cents)
 
@@ -1169,6 +1183,8 @@ def ivfpq_topk(
             .select(
                 "sub", "code", F.transform(F.col("p"), lambda s: s["c"]).alias("cv")
             )
+            # codebook pin (see pq_encode): linear rounds
+            .localCheckpoint(eager=False)
         )
     codes = _pq_assign(books).select("id", "cluster", "sub", "code")
 

@@ -165,6 +165,27 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a catalog table from parquet FOOTER metadata
+    — zero Spark jobs, no data read.  Used to size volume-adaptive
+    knobs (e.g. streaming state partitions) without paying a count()
+    action; falls back to 0 when the footer is unreadable so callers
+    degrade to their defaults."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # noqa: BLE001 — sizing hint only, never fatal
+        return 0
+
+
 def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Adaptive small-scan parallelizer: repartition ONLY when the
     scan produced fewer partitions than the cluster has cores.

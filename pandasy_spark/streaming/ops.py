@@ -157,20 +157,78 @@ def staged_file_stream(spark, pdfs: list, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def stream_state_partitions(
+    n_rows: int, rows_per_partition: int = 5_000
+) -> int:
+    """State-store partition count sized by STREAM VOLUME, not by a
+    constant: a streaming query's per-micro-batch floor is (state
+    partitions x state stores x batches) store commits plus the same
+    factor in scheduled tasks, so a bounded replay of tens of
+    thousands of rows should not pay for the session's batch-shuffle
+    parallelism (32-partition state on a 20k-row staged gate spent 8x
+    longer in store machinery than in data, measured at sf0.1 — see
+    OPTIMIZATION_r11.md).  The count grows linearly with rows (one
+    partition per ``rows_per_partition``), so a production-volume
+    stream gets production parallelism from the same rule;
+    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` overrides for deployments
+    that size state partitions explicitly (state partition count is a
+    per-checkpoint commitment in Structured Streaming, so deployments
+    pin it)."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    return max(2, (n_rows + rows_per_partition - 1) // rows_per_partition)
+
+
+class _scoped_shuffle_partitions:
+    """Set spark.sql.shuffle.partitions for the duration of ONE
+    streaming query start+drain, restoring the session value after —
+    the conf is read at stream START and baked into the checkpoint, so
+    scoping it cannot affect any other query."""
+
+    def __init__(self, spark, n: int | None):
+        self._spark, self._n, self._prev = spark, n, None
+
+    def __enter__(self):
+        if self._n is not None:
+            self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+            self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+
+    def __exit__(self, *exc):
+        if self._prev is not None:
+            self._spark.conf.set(
+                "spark.sql.shuffle.partitions", self._prev
+            )
+
+
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    state_rows: int | None = None,
 ):
     """Drive a streaming frame to a memory sink with availableNow (process
     everything currently available, then stop).  Returns the query; the
-    result table is ``spark.table(query_name)``."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    result table is ``spark.table(query_name)``.
+
+    ``state_rows`` (the caller's known stream volume, e.g. the staged
+    replay's row count) sizes the query's state/shuffle partitioning
+    via :func:`stream_state_partitions`; None keeps the session
+    default."""
+    parts = (
+        stream_state_partitions(state_rows) if state_rows is not None else None
     )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(stream_df.sparkSession, parts):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return q
 
 
@@ -221,18 +279,30 @@ def stream_stream_tolerance_join(
     return lw.join(rw, t if cond is None else cond & t, how)
 
 
-def foreach_batch(stream_df: DataFrame, fn, query_name: str = "fb"):
+def foreach_batch(
+    stream_df: DataFrame,
+    fn,
+    query_name: str = "fb",
+    state_rows: int | None = None,
+):
     """Drive a stream through a foreachBatch sink with availableNow
     (fn(batch_df, batch_id) per micro-batch); returns after completion.
     The escape hatch for sinks without native streaming writers
-    (JDBC, bucketed tables, multi-destination fan-out)."""
-    q = (
-        stream_df.writeStream.foreachBatch(fn)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
+    (JDBC, bucketed tables, multi-destination fan-out).
+
+    ``state_rows`` sizes the per-batch shuffle partitioning by stream
+    volume (see :func:`stream_state_partitions`)."""
+    parts = (
+        stream_state_partitions(state_rows) if state_rows is not None else None
     )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(stream_df.sparkSession, parts):
+        q = (
+            stream_df.writeStream.foreachBatch(fn)
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return q
 
 

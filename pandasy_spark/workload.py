@@ -56,6 +56,7 @@ from .operators import (
 )
 from .session import configure_existing
 from .sources import ensure_min_partitions as X_ensure_min_partitions, load_table
+from .sources.catalog import table_rows as X_table_rows
 from .streaming import sessionize_batch, windowed_agg
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -5232,7 +5233,7 @@ def streaming_window(spark, sf_dir):
         },
         keys=["event_type"],
     ).select("bucket", "event_type", "n_events", "sum_value")
-    q = run_stream_to_memory(out, name, output_mode="complete")
+    q = run_stream_to_memory(out, name, output_mode="complete", state_rows=X_table_rows(sf_dir, "events") or None)
     q.stop()
     return spark.table(name)
 
@@ -5315,7 +5316,7 @@ def streaming_sessionize(spark, sf_dir):
     name = f"streaming_sessionize_gate_{_STREAM_GATE_SEQ[0]}"
     ev = stream_table(spark, sf_dir, "events")
     out = session_window_agg(ev, gap="10 minutes", watermark="0 seconds")
-    q = run_stream_to_memory(out, name, output_mode="complete")
+    q = run_stream_to_memory(out, name, output_mode="complete", state_rows=X_table_rows(sf_dir, "events") or None)
     q.stop()
     return spark.table(name)
 
@@ -5398,7 +5399,7 @@ def streaming_eviction(spark, sf_dir):
     s2["ts"] = real["ts"].max() + pd.Timedelta(days=30, minutes=5)
     stream = staged_file_stream(spark, [real, s1, s2])
     sessions = stateful_sessions(stream, gap_minutes=30)
-    q = run_stream_to_memory(sessions, name, output_mode="append")
+    q = run_stream_to_memory(sessions, name, output_mode="append", state_rows=len(real) + 2)
     q.stop()
     return (
         spark.table(name)
@@ -5476,7 +5477,7 @@ def streaming_late_data(spark, sf_dir):
         keys=["event_type"],
         watermark="1 hour",
     ).select("bucket", "event_type", "n_events", "sum_value")
-    q = run_stream_to_memory(out, name, output_mode="append")
+    q = run_stream_to_memory(out, name, output_mode="append", state_rows=len(real) + 202)
     q.stop()
     sink = spark.table(name)
     lo = F.lit(real["ts"].min().floor("h").to_pydatetime())
@@ -6319,7 +6320,7 @@ def streaming_join(spark, sf_dir):
     joined = stream_stream_tolerance_join(
         left, right, ["user_id"], "l_ts", "r_ts", 1800, watermark="1 hour"
     ).select(left["user_id"].alias("user_id"), "l_id", "r_id")
-    q = run_stream_to_memory(joined, name, output_mode="append")
+    q = run_stream_to_memory(joined, name, output_mode="append", state_rows=X_table_rows(sf_dir, "events") or None)
     q.stop()
     return spark.table(name)
 
@@ -7454,7 +7455,7 @@ def streaming_dedup(spark, sf_dir):
             qr(F.col("value"), 2).alias("value"),
         )
     )
-    q = run_stream_to_memory(out, name, output_mode="append")
+    q = run_stream_to_memory(out, name, output_mode="append", state_rows=len(real) + 300)
     q.stop()
     return spark.table(name)
 
@@ -8858,7 +8859,7 @@ def streaming_hll(spark, sf_dir):
     regs = src.groupBy(F.window("ts", "1 hour").alias("w"), "bucket").agg(
         F.max("r").alias("rho")
     )
-    q = run_stream_to_memory(regs, name, output_mode="complete")
+    q = run_stream_to_memory(regs, name, output_mode="complete", state_rows=X_table_rows(sf_dir, "events") or None)
     q.stop()
     sunk = spark.table(name).select(
         F.col("w.start").alias("bucket_ts"), "bucket", "rho"
@@ -9044,7 +9045,7 @@ def streaming_topk(spark, sf_dir):
     counts = ev.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    q = run_stream_to_memory(counts, name, output_mode="complete")
+    q = run_stream_to_memory(counts, name, output_mode="complete", state_rows=X_table_rows(sf_dir, "events") or None)
     q.stop()
     sunk = spark.table(name).select(
         F.col("w.start").alias("bucket_ts"), "event_type", "n"
@@ -9841,7 +9842,7 @@ def streaming_enrich(spark, sf_dir):
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
         ).cast("long").alias("total_cents"),
     )
-    q = run_stream_to_memory(agg_df, name, output_mode="complete")
+    q = run_stream_to_memory(agg_df, name, output_mode="complete", state_rows=X_table_rows(sf_dir, "events") or None)
     q.stop()
     return spark.table(name).select("c_nationkey", "n_events", "total_cents")
 
@@ -10282,7 +10283,7 @@ def streaming_upsert(spark, sf_dir):
             .parquet(spool)
         )
 
-    q = foreach_batch(stream, _apply, name)
+    q = foreach_batch(stream, _apply, name, state_rows=len(real))
     q.stop()
     return (
         spark.read.parquet(spool)
@@ -13365,7 +13366,7 @@ def streaming_cdc(spark, sf_dir):
         ).write.mode("overwrite").parquet(nxt)
         state["cur"] = nxt
 
-    q = foreach_batch(stream, _apply, name)
+    q = foreach_batch(stream, _apply, name, state_rows=len(chg_pdf))
     q.stop()
     return spark.read.parquet(state["cur"])
 
@@ -13657,7 +13658,7 @@ def streaming_outer_join(spark, sf_dir):
         sl, sr, on=["user_id"], left_time="err_ts", right_time="buy_ts",
         tolerance_seconds=600, watermark="0 seconds", how="left_outer",
     ).select("err_id", "buy_id", "err_ts")
-    q = run_stream_to_memory(joined, name, output_mode="append")
+    q = run_stream_to_memory(joined, name, output_mode="append", state_rows=len(ev_pdf) + 4)
     q.stop()
     return spark.table(name).filter(F.col("err_id") >= 0).select(
         "err_id", F.col("buy_id").cast("long").alias("buy_id")
@@ -13986,7 +13987,7 @@ def streaming_bitmap(spark, sf_dir):
             .parquet(spool)
         )
 
-    q = foreach_batch(stream, _apply, name)
+    q = foreach_batch(stream, _apply, name, state_rows=len(real))
     q.stop()
     merged = (
         spark.read.parquet(spool)
@@ -16008,7 +16009,7 @@ def streaming_dedup_rocksdb(spark, sf_dir):
                 qr(F.col("value"), 2).alias("value"),
             )
         )
-        q = run_stream_to_memory(out, name, output_mode="append")
+        q = run_stream_to_memory(out, name, output_mode="append", state_rows=len(real) + 300)
         q.stop()
     finally:
         for k, v in prev.items():
@@ -17157,7 +17158,7 @@ def streaming_semi_join(spark, sf_dir):
         left, right, ["user_id"], "l_ts", "r_ts", 1800,
         watermark="1 hour", how="left_semi",
     ).select(left["user_id"].alias("user_id"), "l_id")
-    q = run_stream_to_memory(joined, name, output_mode="append")
+    q = run_stream_to_memory(joined, name, output_mode="append", state_rows=X_table_rows(sf_dir, "events") or None)
     q.stop()
     return spark.table(name)
 
@@ -17264,7 +17265,7 @@ def streaming_full_outer_join(spark, sf_dir):
         sl, sr, on=["user_id"], left_time="err_ts", right_time="buy_ts",
         tolerance_seconds=600, watermark="0 seconds", how="full_outer",
     ).select("err_id", "buy_id")
-    q = run_stream_to_memory(joined, name, output_mode="append")
+    q = run_stream_to_memory(joined, name, output_mode="append", state_rows=len(ev_pdf) + 4)
     q.stop()
     # keep NULL-padded rows from BOTH directions; drop only sentinel
     # rows (negative ids on whichever side is present)
@@ -18991,7 +18992,7 @@ def streaming_rate_limit(spark, sf_dir):
     decisions = stateful_rate_limit(
         stream, capacity=2, refill_us=21_600_000_000
     )
-    q = run_stream_to_memory(decisions, name, output_mode="append")
+    q = run_stream_to_memory(decisions, name, output_mode="append", state_rows=len(real))
     q.stop()
     return (
         spark.table(name)
@@ -21103,7 +21104,7 @@ def streaming_pattern_match(spark, sf_dir):
     ]
     stream = staged_file_stream(spark, [b for b in batches if len(b)])
     decisions = stateful_pattern_match(stream)
-    q = run_stream_to_memory(decisions, name, output_mode="append")
+    q = run_stream_to_memory(decisions, name, output_mode="append", state_rows=len(real))
     q.stop()
     return (
         spark.table(name)
