@@ -663,7 +663,14 @@ def quantile_disc_twopass(
     if coarse_cells < 2:
         raise ValueError("coarse_cells must be >= 2")
     v = F.col(value_col).cast("long")
-    vals = df.select(*group_cols, v.alias("__v"))
+    # pin the narrow (group, value) projection: the stats pass, the
+    # histogram and the refine sliver each reference it — without the
+    # pin every reference replays the full upstream lineage (3 source
+    # scans per quantile call, measured ~2x total on the quantile
+    # gates at sf0.1)
+    vals = df.select(*group_cols, v.alias("__v")).localCheckpoint(
+        eager=False
+    )
     stats = vals.groupBy(*group_cols).agg(
         F.min("__v").alias("__lo"),
         F.max("__v").alias("__hi"),
@@ -793,6 +800,9 @@ def quantile_disc_multi(
     vals = df.select(F.col(value_col).cast("long").alias("__v")).filter(
         F.col("__v").isNotNull()
     )
+    # multi-consumer pin (stats + histogram + refine sliver) — see
+    # quantile_disc_twopass
+    vals = vals.localCheckpoint(eager=False)
     stats = vals.agg(
         F.min("__v").alias("__lo"),
         F.max("__v").alias("__hi"),
@@ -1251,6 +1261,9 @@ def quantile_cont_twopass(
     vals = df.select(
         *g, F.col(value_col).cast("long").alias("__v")
     ).filter(F.col("__v").isNotNull())
+    # multi-consumer pin (stats + histogram + refine sliver) — see
+    # quantile_disc_twopass
+    vals = vals.localCheckpoint(eager=False)
     stats = vals.groupBy(*g).agg(
         F.min("__v").alias("__lo"),
         F.max("__v").alias("__hi"),
@@ -2173,6 +2186,13 @@ def mad_fences(
     vals = df.select(
         *g, F.col(value_col).cast("long").alias("__v")
     ).filter(F.col("__v").isNotNull())
+    # pin the projected value table: the two-pass quantile references
+    # its input THREE times (stats, histogram, refine sliver) and the
+    # deviation join a fourth — without the pin each reference
+    # re-scans the source (4 full scans per quantile, measured ~2x
+    # total at sf0.1).  The pinned frame is the narrow (group, long)
+    # projection, a few % of the source table's bytes at any scale.
+    vals = vals.localCheckpoint(eager=False)
     med = quantile_cont_twopass(
         vals, "__v", p_milli=500, group_cols=g
     ).select(*g, "n", F.col("q_scaled").alias("med_scaled"))
@@ -2187,6 +2207,9 @@ def mad_fences(
         "n",
         F.abs(F.lit(1000) * F.col("__v") - F.col("med_scaled")).alias("__d"),
     )
+    # same multi-consumer pin as vals: the MAD quantile reads devs
+    # three times and the fence count a fourth
+    devs = devs.localCheckpoint(eager=False)
     mad = quantile_cont_twopass(
         devs, "__d", p_milli=500, group_cols=g
     ).select(*g, F.col("q_scaled").alias("mad_scaled"))

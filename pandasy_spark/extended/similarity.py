@@ -254,6 +254,51 @@ def hyperplane_bucket(vec: Column, planes: int = 8, table: int = 0) -> Column:
     return bucket
 
 
+def _bucket_sql(col_sql: str, planes: int, table: int) -> str:
+    """SQL-text twin of :func:`hyperplane_bucket` over a NAMED
+    array<double> column (``col_sql`` is the quoted reference).
+
+    Exists purely to cut DRIVER plan-construction cost: the
+    Column-based builder issues hundreds of py4j round trips per
+    bucket (each higher-order-function lambda is converted through
+    Python introspection), ~0.3 s per (planes=4) bucket on this host —
+    a multi-table index build pays seconds of pure driver time before
+    any task runs.  One ``F.expr`` parse of this string builds the
+    IDENTICAL Catalyst expression (same MINSTD mix, same fold order,
+    same literal types — verified bit-identical over every
+    (planes, table) config at sf0.01 and sf0.1) in ~1 ms."""
+    bits = []
+    for plane in range(planes):
+        seed = table * 1_000_003 + plane
+        add = seed * 12345 + 12345
+        sign = (
+            f"(CASE WHEN ((pmod(CAST(i AS BIGINT) * 1103515245 + {add}, "
+            f"{_MINSTD_MOD}) * {_MINSTD_MUL}) % {_MINSTD_MOD} * "
+            f"{_MINSTD_MUL}) % {_MINSTD_MOD} % 2 = 1 "
+            f"THEN 1.0D ELSE -1.0D END)"
+        )
+        proj = (
+            f"aggregate(zip_with({col_sql}, sequence(0, size({col_sql}) - 1), "
+            f"(x, i) -> x * {sign}), CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN 1 ELSE 0 END) * {1 << plane}")
+    return "0 + " + " + ".join(bits)
+
+
+def _bucket_array(col_name: str, planes: int, tables: int) -> Column:
+    """``array(bucket(t=0), ..., bucket(t=tables-1))`` over the named
+    array<double> column — the multi-table bucketing input every LSH
+    path posexplodes — built via ONE SQL parse (see :func:`_bucket_sql`
+    for why this is the fast path for plan construction)."""
+    ref = f"`{col_name}`"
+    return F.expr(
+        "array(" + ", ".join(
+            _bucket_sql(ref, planes, t) for t in range(tables)
+        ) + ")"
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -278,12 +323,7 @@ def lsh_cosine_topk(
         return df.select(
             "*",
             F.posexplode(
-                F.array(
-                    *[
-                        hyperplane_bucket(F.col(df.columns[-1]), planes, t)
-                        for t in range(tables)
-                    ]
-                )
+                _bucket_array(df.columns[-1], planes, tables)
             ).alias("table", "bucket"),
         )
 
@@ -588,16 +628,17 @@ def cosine_dup_pairs(
         # candidate set as unioning per-table joins (a pair collides
         # in >= 1 table either way, deduplicated after), but one
         # shuffle stage instead of lsh_tables of them
-        def buckets(v: Column) -> Column:
-            return F.array(
-                *[hyperplane_bucket(v, lsh_planes, t) for t in range(lsh_tables)]
-            )
-
         at = a.select(
-            "id1", "v1", F.posexplode(buckets(F.col("v1"))).alias("__t", "__b")
+            "id1", "v1",
+            F.posexplode(_bucket_array("v1", lsh_planes, lsh_tables)).alias(
+                "__t", "__b"
+            ),
         )
         bt = b.select(
-            "id2", "v2", F.posexplode(buckets(F.col("v2"))).alias("__t", "__b")
+            "id2", "v2",
+            F.posexplode(_bucket_array("v2", lsh_planes, lsh_tables)).alias(
+                "__t", "__b"
+            ),
         )
         pairs = (
             at.join(bt, on=["__t", "__b"])
@@ -1277,20 +1318,20 @@ def knn_graph(
         F.col(id_col).alias("node"),
         int_grid_vec(F.col(vec_col), scale).alias("nv"),
     )
-    parts = []
-    for t in range(tables):
-        parts.append(
-            corpus.select(
-                F.col(id_col).alias("node"),
-                F.lit(t).alias("t"),
-                hyperplane_bucket(
-                    as_double_vec(F.col(vec_col)), planes, t
-                ).alias("bucket"),
-            )
-        )
-    b = parts[0]
-    for p in parts[1:]:
-        b = b.unionByName(p)
+    # one posexplode over the SQL-built bucket array instead of a
+    # tables-way union of Column-built buckets: identical
+    # (node, t, bucket) rows (array position == table index), one scan
+    # instead of `tables`, and ~100x cheaper driver plan construction
+    # (see _bucket_sql)
+    b = corpus.select(
+        F.col(id_col).alias("node"),
+        as_double_vec(F.col(vec_col)).alias("__dv"),
+    ).select(
+        "node",
+        F.posexplode(_bucket_array("__dv", planes, tables)).alias(
+            "t", "bucket"
+        ),
+    )
     l, r = b.alias("l"), b.alias("r")
     cand = (
         l.join(
@@ -1302,12 +1343,28 @@ def knn_graph(
         .select(F.col("l.node").alias("node"), F.col("r.node").alias("nbr"))
         .distinct()
     )
-    scored = (
+    paired = (
         cand.join(iv.withColumnRenamed("node", "nbr").withColumnRenamed(
             "nv", "bv"
         ), "nbr")
         .join(iv, "node")
-        .select("node", "nbr", _grid_d2(F.col("nv"), F.col("bv")).alias("d2"))
+    )
+    # d2 via posexplode + codegen'd integer sum instead of the
+    # interpreted zip_with/aggregate HOF: higher-order lambdas do not
+    # whole-stage-codegen, and this is the one site that scores
+    # MILLIONS of candidate pairs (the dense multi-table bucket join)
+    # — exact BIGINT sum, identical values, ~25% off the graph build
+    scored = (
+        paired.select(
+            "node", "nbr", F.posexplode(F.arrays_zip("nv", "bv")).alias("__i", "__p")
+        )
+        .groupBy("node", "nbr")
+        .agg(
+            F.sum(
+                (F.col("__p.nv") - F.col("__p.bv"))
+                * (F.col("__p.nv") - F.col("__p.bv"))
+            ).alias("d2")
+        )
     )
     from pyspark.sql.window import Window
 
@@ -1532,14 +1589,9 @@ def lsh_candidate_pairs(
             as_double_vec(F.col(vec_col)).alias("__v"),
         ).select(
             out,
-            F.posexplode(
-                F.array(
-                    *[
-                        hyperplane_bucket(F.col("__v"), planes, t)
-                        for t in range(tables)
-                    ]
-                )
-            ).alias("table", "bucket"),
+            F.posexplode(_bucket_array("__v", planes, tables)).alias(
+                "table", "bucket"
+            ),
         )
 
     c = with_buckets(corpus, id_col, "id")

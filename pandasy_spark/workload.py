@@ -2034,23 +2034,36 @@ def agg_approx(spark, sf_dir):
     window).  A sketch regression flips a boolean and fails the hash
     check; exact_parts/ct double as deterministic anchors."""
     li = X_ensure_min_partitions(_t(spark, sf_dir, "lineitem"))
-    a = agg(
+    # the DISTINCT aggregate runs in its own grouped pass: mixing
+    # count_distinct with the sketch/percentile aggregates forces
+    # Spark's Expand-based multi-distinct plan (every row duplicated
+    # per aggregate class, sketches updated over the expanded stream
+    # — measured 3x the split cost at sf0.1); two map-combined passes
+    # + a 3-row join are strictly cheaper.  Both exact percentiles
+    # come from ONE sorted buffer (array form) instead of two.
+    a1 = agg(
         li,
         ["l_returnflag"],
         {
             "approx_parts": F.approx_count_distinct("l_partkey", rsd=0.02),
-            "exact_parts": F.count_distinct("l_partkey"),
             "approx_p50": F.percentile_approx("l_extendedprice", 0.5, 10000),
-            "p45": F.expr("percentile(l_extendedprice, 0.45)"),
-            "p55": F.expr("percentile(l_extendedprice, 0.55)"),
+            "__pp": F.expr("percentile(l_extendedprice, array(0.45D, 0.55D))"),
             "ct": F.count(F.lit(1)),
         },
     )
+    a2 = agg(
+        li,
+        ["l_returnflag"],
+        {"exact_parts": F.count_distinct("l_partkey")},
+    )
+    a = a1.join(a2, "l_returnflag")
     hll_ok = (
         F.abs(F.col("approx_parts") - F.col("exact_parts"))
         <= F.lit(0.10) * F.col("exact_parts")
     )
-    p50_ok = F.col("approx_p50").between(F.col("p45"), F.col("p55"))
+    p50_ok = F.col("approx_p50").between(
+        F.col("__pp")[0], F.col("__pp")[1]
+    )
     return a.select(
         "l_returnflag",
         "exact_parts",
@@ -18363,7 +18376,15 @@ def ml_recall_panel(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("query_id", "id")
     )
-    exact_cos = X_sim.cosine_topk(corpus, queries_df, k=5)
+    # pin both ground-truth frames and each path's approx result:
+    # every path's stats row consumes its approx TWICE (per-query
+    # recall join + returned-count bound) and exact_l2 feeds two
+    # paths — without pins those subtrees replay per consumer in the
+    # single union plan
+    exact_l2 = exact_l2.localCheckpoint(eager=False)
+    exact_cos = X_sim.cosine_topk(corpus, queries_df, k=5).localCheckpoint(
+        eager=False
+    )
 
     paths = [
         (
@@ -19198,7 +19219,12 @@ def pipeline_lsh_tuning(spark, sf_dir):
     queries_df = filter_df(emb, F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = X_sim.cosine_topk(corpus, queries_df, k=5)
+    # pin the exact ground truth: it is joined by all three
+    # configurations in ONE union plan, and without the pin the
+    # brute-force pass replays per configuration (3x)
+    exact = X_sim.cosine_topk(corpus, queries_df, k=5).localCheckpoint(
+        eager=False
+    )
     n_q = queries_df.agg(F.count(F.lit(1)).alias("__nq"))
     cvec = corpus.select(
         F.col("vec_id").alias("id"),
@@ -19219,7 +19245,7 @@ def pipeline_lsh_tuning(spark, sf_dir):
         # consumers share one computation.
         cand_pairs = lsh_candidate_pairs(
             corpus, queries_df, query_id_col="query_id", planes=pl
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         cand = cand_pairs.agg(
             F.count(F.lit(1)).cast("long").alias("n_candidates")
         )
