@@ -396,10 +396,12 @@ def lsh_verified_pairs(
     df = _spread(df)
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
     cands = lsh_candidate_pairs(sigs, bands)
+    # pinned: both join branches consume the shingle pass (see
+    # lsh_anchor_dedup) — one computation instead of two
     sets_ = df.select(
         F.col(id_col).alias("id"),
         hashed_shingles(F.col(text_col), n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    ).filter(F.size("sh") > 0).localCheckpoint(eager=False)
     joined = cands.join(
         sets_.select(F.col("id").alias("id1"), F.col("sh").alias("s1")), "id1"
     ).join(sets_.select(F.col("id").alias("id2"), F.col("sh").alias("s2")), "id2")
@@ -456,10 +458,14 @@ def lsh_anchor_dedup(
         .select("id", "anchor")
         .distinct()
     )
+    # pinned: the hashed-shingle pass is the heaviest per-row kernel
+    # here and BOTH sides of the verify join consume it — unpinned it
+    # runs twice (once per join branch; the exchanges differ by key so
+    # nothing is reused)
     sets_ = df.select(
         F.col(id_col).alias("__sid"),
         hashed_shingles(F.col(text_col), n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    ).filter(F.size("sh") > 0).localCheckpoint(eager=False)
     joined = cands.join(
         sets_.select(F.col("__sid").alias("id"), F.col("sh").alias("s1")), "id"
     ).join(

@@ -1052,73 +1052,82 @@ def markov_removal_effects(
         [("base", None)] + [(f"no_{c}", c) for c in channels],
         "variant string, removed string",
     ).coalesce(1)
-    vt = (
-        counts.crossJoin(F.broadcast(variants))
-        .filter(
-            F.col("removed").isNull() | (F.col("src") != F.col("removed"))
-        )
-        .select(
-            "variant",
-            "src",
-            F.when(
-                F.col("removed").isNotNull()
-                & (F.col("dst") == F.col("removed")),
-                F.lit("END"),
+    # everything from here on operates on grids BOUNDED BY
+    # CONSTRUCTION (<= variants x states^2 rows, independent of corpus
+    # size), so the session's data-sized shuffle parallelism is pure
+    # per-round scheduler overhead at ANY scale: scope these stages'
+    # shuffles to one partition (session.scoped_shuffle_partitions) —
+    # every eager pin below materializes inside the scope
+    from ..session import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, 1):
+        vt = (
+            counts.crossJoin(F.broadcast(variants))
+            .filter(
+                F.col("removed").isNull() | (F.col("src") != F.col("removed"))
             )
-            .otherwise(F.col("dst"))
-            .alias("dst"),
-            "c",
-        )
-        .groupBy("variant", "src", "dst")
-        .agg(F.sum("c").alias("c"))
-    )
-    tot = vt.groupBy("variant", "src").agg(F.sum("c").alias("tot"))
-    p = (
-        vt.join(tot, ["variant", "src"])
-        .select(
-            "variant",
-            "src",
-            "dst",
-            F.expr("CAST(c * 1000000000 div tot AS BIGINT)").alias("p"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    NANO = 1_000_000_000
-    # literal (variant, state, v) rows built driver-side: a crossJoin
-    # of two literal frames re-executes its broadcast in EVERY
-    # iteration round (~8s each of pure broadcast setup at local
-    # scale); a plain literal frame costs nothing
-    variant_names = ["base"] + [f"no_{c}" for c in channels]
-    per_variant_absorbing = spark.createDataFrame(
-        [
-            (vn, st, val)
-            for vn in variant_names
-            for st, val in ((conv_state, NANO), ("END", 0))
-        ],
-        "variant string, state string, v long",
-    ).localCheckpoint(eager=True)
-    v = per_variant_absorbing
-    for _ in range(iterations):
-        stepped = (
-            p.join(
-                v.withColumnRenamed("state", "dst"),
-                ["variant", "dst"],
+            .select(
+                "variant",
+                "src",
+                F.when(
+                    F.col("removed").isNotNull()
+                    & (F.col("dst") == F.col("removed")),
+                    F.lit("END"),
+                )
+                .otherwise(F.col("dst"))
+                .alias("dst"),
+                "c",
             )
-            .groupBy("variant", "src")
-            .agg(
-                F.expr(f"CAST(sum(p * v) div {NANO} AS BIGINT)").alias("v")
-            )
-            .select("variant", F.col("src").alias("state"), "v")
+            .groupBy("variant", "src", "dst")
+            .agg(F.sum("c").alias("c"))
         )
-        # absorbing states keep their fixed values in every variant;
-        # pin each round eagerly — the frames are (variants x states)
-        # tiny, and without the pin six nested join rounds compound
-        # into dozens of shuffle stages of pure scheduler overhead
-        v = (
-            stepped.filter(~F.col("state").isin(conv_state, "END"))
-            .unionByName(per_variant_absorbing)
+        tot = vt.groupBy("variant", "src").agg(F.sum("c").alias("tot"))
+        p = (
+            vt.join(tot, ["variant", "src"])
+            .select(
+                "variant",
+                "src",
+                "dst",
+                F.expr("CAST(c * 1000000000 div tot AS BIGINT)").alias("p"),
+            )
             .localCheckpoint(eager=True)
         )
+        NANO = 1_000_000_000
+        # literal (variant, state, v) rows built driver-side: a crossJoin
+        # of two literal frames re-executes its broadcast in EVERY
+        # iteration round (~8s each of pure broadcast setup at local
+        # scale); a plain literal frame costs nothing
+        variant_names = ["base"] + [f"no_{c}" for c in channels]
+        per_variant_absorbing = spark.createDataFrame(
+            [
+                (vn, st, val)
+                for vn in variant_names
+                for st, val in ((conv_state, NANO), ("END", 0))
+            ],
+            "variant string, state string, v long",
+        ).localCheckpoint(eager=True)
+        v = per_variant_absorbing
+        for _ in range(iterations):
+            stepped = (
+                p.join(
+                    v.withColumnRenamed("state", "dst"),
+                    ["variant", "dst"],
+                )
+                .groupBy("variant", "src")
+                .agg(
+                    F.expr(f"CAST(sum(p * v) div {NANO} AS BIGINT)").alias("v")
+                )
+                .select("variant", F.col("src").alias("state"), "v")
+            )
+            # absorbing states keep their fixed values in every variant;
+            # pin each round eagerly — the frames are (variants x states)
+            # tiny, and without the pin six nested join rounds compound
+            # into dozens of shuffle stages of pure scheduler overhead
+            v = (
+                stepped.filter(~F.col("state").isin(conv_state, "END"))
+                .unionByName(per_variant_absorbing)
+                .localCheckpoint(eager=True)
+            )
     conv = v.filter(F.col("state") == "START").select(
         "variant", F.col("v").alias("conv_nano")
     )

@@ -89,34 +89,47 @@ def pagerank(
         .distinct()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if iterations > 1:
+        # the out-degree table feeds every round's join: pin it so
+        # rounds after the first don't recompute the aggregate
+        deg = deg.localCheckpoint(eager=False)
     base = (100 - damping_pct) * SCALE // 100
-    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank_nano"))
+    # iterate SPARSE on the incoming-mass table: rank(v) is the pure
+    # function base + (damping·incoming(v)) div 100 of it, and a node
+    # absent from `incoming` has exactly rank == base, which the
+    # contribution join below reconstructs via coalesce — so the dense
+    # per-round zero-fill join against the full vertex set is deferred
+    # to the final projection (one |V|-shuffle saved per round,
+    # bit-identical ranks; guide §2.4)
+    rank_expr = (
+        F.lit(base).cast("long")
+        + F.expr(f"({damping_pct} * coalesce(incoming, 0L)) div 100")
+    ).alias("rank_nano")
+    incoming = None
     for i in range(iterations):
-        contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
-            .select(
+        if incoming is None:
+            ranked = e.join(deg, "src").select(
+                "dst", F.lit(SCALE).cast("long").alias("rank_nano"), "outdeg"
+            )
+        else:
+            ranked = (
+                e.join(incoming.withColumnRenamed("node", "src"), "src", "left")
+                .join(deg, "src")
+                .select("dst", rank_expr, "outdeg")
+            )
+        incoming = (
+            ranked.select(
                 F.col("dst").alias("node"),
                 F.expr("rank_nano div outdeg").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("incoming"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"({damping_pct} * coalesce(incoming, 0L)) div 100"
-                    )
-                ).alias("rank_nano"),
-            )
-        )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+            incoming = incoming.localCheckpoint(eager=False)
+    if incoming is None:
+        return nodes.select("node", F.lit(SCALE).cast("long").alias("rank_nano"))
+    return nodes.join(incoming, "node", "left").select("node", rank_expr)
 
 
 def cooccurrence_edges(
@@ -752,43 +765,70 @@ def personalized_pagerank(
     )
     sd = seeds.select(F.col(seed_col).alias("node")).distinct()
     base = (100 - damping_pct) * SCALE // 100
-    seeded = nodes.join(
-        F.broadcast(sd.withColumn("__seed", F.lit(1))), "node", "left"
-    ).select(
-        "node",
-        F.coalesce(F.col("__seed"), F.lit(0)).alias("__seed"),
-    ).localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ranks = seeded.select(
-        "node",
-        (F.col("__seed") * F.lit(SCALE)).cast("long").alias("rank_nano"),
-    )
+    if iterations > 1:
+        deg = deg.localCheckpoint(eager=False)
+    # iterate SPARSE (same argument as :func:`pagerank`): rank(v) is
+    # the pure function seed(v)·base + (damping·incoming(v)) div 100,
+    # a node absent from `incoming` with seed 0 has exactly rank 0 and
+    # contributes nothing, so the per-round dense fill over the vertex
+    # set is deferred to the final projection.  The seed flag rides a
+    # broadcast join wherever rank is reconstructed.
+    seed_flag = F.broadcast(sd.withColumn("__seed", F.lit(1)))
+    rank_expr = (
+        F.coalesce(F.col("__seed"), F.lit(0)) * F.lit(base)
+        + F.expr(f"({damping_pct} * coalesce(incoming, 0L)) div 100")
+    ).cast("long").alias("rank_nano")
+    incoming = None
     for i in range(iterations):
-        contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
-            .select(
+        if incoming is None:
+            ranked = (
+                e.join(
+                    seed_flag.withColumnRenamed("node", "src"), "src"
+                )
+                .join(deg, "src")
+                .select(
+                    "dst",
+                    F.lit(SCALE).cast("long").alias("rank_nano"),
+                    "outdeg",
+                )
+            )
+        else:
+            # both joins LEFT: a seed with no incoming still carries
+            # base rank, a non-seed with incoming carries its share,
+            # and a row absent from both reconstructs exactly rank 0
+            ranked = (
+                e.join(
+                    incoming.withColumnRenamed("node", "src"), "src", "left"
+                )
+                .join(
+                    seed_flag.withColumnRenamed("node", "src"), "src", "left"
+                )
+                .join(deg, "src")
+                .select("dst", rank_expr, "outdeg")
+            )
+        incoming = (
+            ranked.select(
                 F.col("dst").alias("node"),
                 F.expr("rank_nano div outdeg").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("incoming"))
         )
-        ranks = (
-            seeded.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.col("__seed") * F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(incoming, 0L)) div 100"
-                    )
-                ).cast("long").alias("rank_nano"),
-            )
-        )
         if (i + 1) % 2 == 0:
-            ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+            incoming = incoming.localCheckpoint(eager=False)
+    if incoming is None:
+        return nodes.join(seed_flag, "node", "left").select(
+            "node",
+            (F.coalesce(F.col("__seed"), F.lit(0)) * F.lit(SCALE))
+            .cast("long")
+            .alias("rank_nano"),
+        )
+    return (
+        nodes.join(incoming, "node", "left")
+        .join(seed_flag, "node", "left")
+        .select("node", rank_expr)
+    )
 
 
 def hits(
@@ -830,27 +870,35 @@ def hits(
     )
     hub = nodes.select("node", F.lit(1).cast("long").alias("hub"))
     auth = None
+    # iterate SPARSE: a node absent from `auth`/`hub` carries an exact
+    # zero, and zeros contribute nothing to the next round's sums, so
+    # the dense zero-fill against the full vertex set is deferred to
+    # the final projection — two fewer node-sized shuffle joins per
+    # round for bit-identical scores (guide §2.4: remove shuffles
+    # outright)
     for i in range(iterations):
-        a = (
+        auth = (
             e.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hub").alias("__a"))
+            .agg(F.sum("hub").cast("long").alias("auth"))
         )
-        auth = nodes.join(a, "node", "left").select(
-            "node", F.coalesce(F.col("__a"), F.lit(0)).cast("long").alias("auth")
-        )
-        h = (
+        hub = (
             e.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("auth").alias("__h"))
-        )
-        hub = nodes.join(h, "node", "left").select(
-            "node", F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("hub")
+            .agg(F.sum("auth").cast("long").alias("hub"))
         )
         if (i + 1) % 2 == 0:
             hub = hub.localCheckpoint(eager=False)
             auth = auth.localCheckpoint(eager=False)
-    return hub.join(auth, "node")
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0)).cast("long").alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0)).cast("long").alias("auth"),
+        )
+    )
 
 
 def modularity(

@@ -1333,12 +1333,18 @@ def knn_graph(
         ),
     )
     l, r = b.alias("l"), b.alias("r")
+    # candidate edges are SYMMETRIC (co-bucketing is, and d2(u,w) ==
+    # d2(w,u)): build and score only the node<nbr half, then mirror
+    # each scored half-pair into both directions with a map-side
+    # explode — half the distinct's shuffle rows and half the scoring
+    # work for the identical directed edge set (guide §2.3: shuffle
+    # fewer bytes / don't compute things twice)
     cand = (
         l.join(
             r,
             (F.col("l.t") == F.col("r.t"))
             & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.node") != F.col("r.node")),
+            & (F.col("l.node") < F.col("r.node")),
         )
         .select(F.col("l.node").alias("node"), F.col("r.node").alias("nbr"))
         .distinct()
@@ -1354,7 +1360,7 @@ def knn_graph(
     # whole-stage-codegen, and this is the one site that scores
     # MILLIONS of candidate pairs (the dense multi-table bucket join)
     # — exact BIGINT sum, identical values, ~25% off the graph build
-    scored = (
+    scored_half = (
         paired.select(
             "node", "nbr", F.posexplode(F.arrays_zip("nv", "bv")).alias("__i", "__p")
         )
@@ -1366,6 +1372,18 @@ def knn_graph(
             ).alias("d2")
         )
     )
+    scored = scored_half.select(
+        F.explode(
+            F.array(
+                F.struct("node", "nbr", "d2"),
+                F.struct(
+                    F.col("nbr").alias("node"),
+                    F.col("node").alias("nbr"),
+                    F.col("d2"),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.*")
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("node").orderBy(F.asc("d2"), F.asc("nbr"))

@@ -57,6 +57,35 @@ def get_spark(
     return builder.getOrCreate()
 
 
+class scoped_shuffle_partitions:
+    """Set ``spark.sql.shuffle.partitions`` for the duration of a
+    bounded block, restoring the previous value after.
+
+    For jobs over frames that are TINY BY CONSTRUCTION (a value-
+    iteration grid of at most |variants|x|states| rows, a per-round
+    centroid table), the session's data-sized shuffle parallelism is
+    pure scheduler overhead at ANY scale — the bounded domain, not the
+    corpus, fixes the right partition count.  Only jobs PLANNED inside
+    the scope are affected (the conf is read at action planning);
+    callers must materialize (eager checkpoint / action) inside the
+    scope for it to apply, and must not leave lazy frames to be first
+    executed inside someone else's scope."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self._spark, self._n, self._prev = spark, n, None
+
+    def __enter__(self):
+        if self._n is not None:
+            self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+            self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+
+    def __exit__(self, *exc):
+        if self._prev is not None:
+            self._spark.conf.set(
+                "spark.sql.shuffle.partitions", self._prev
+            )
+
+
 def configure_existing(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable semantics configs to a
     session we did not create (e.g. the driver's)."""

@@ -182,25 +182,11 @@ def stream_state_partitions(
     return max(2, (n_rows + rows_per_partition - 1) // rows_per_partition)
 
 
-class _scoped_shuffle_partitions:
-    """Set spark.sql.shuffle.partitions for the duration of ONE
-    streaming query start+drain, restoring the session value after —
-    the conf is read at stream START and baked into the checkpoint, so
-    scoping it cannot affect any other query."""
-
-    def __init__(self, spark, n: int | None):
-        self._spark, self._n, self._prev = spark, n, None
-
-    def __enter__(self):
-        if self._n is not None:
-            self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
-            self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
-
-    def __exit__(self, *exc):
-        if self._prev is not None:
-            self._spark.conf.set(
-                "spark.sql.shuffle.partitions", self._prev
-            )
+# canonical implementation lives in session.py (also used for
+# bounded-grid batch iteration); streaming scopes it around ONE query
+# start+drain — the conf is read at stream START and baked into the
+# checkpoint, so scoping cannot affect any other query
+from ..session import scoped_shuffle_partitions as _scoped_shuffle_partitions
 
 
 def run_stream_to_memory(

@@ -4608,6 +4608,11 @@ def knn_ivf(spark, sf_dir):
         corpus, queries_df, k=5, n_clusters=8, nprobe=3, kmeans_iters=2
     )
     exact = X_sim.cosine_topk(corpus, queries_df, k=5)
+    # same concurrency rationale as knn_pq: approx feeds two consumers
+    # and exact is an independent branch (guide §2.6)
+    from .concurrency import materialize_concurrently
+
+    approx, exact = materialize_concurrently([approx, exact])
     hits = approx.select("query_id", "id").join(
         exact.select("query_id", "id"), ["query_id", "id"]
     )
@@ -7982,6 +7987,13 @@ def knn_pq(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("query_id", "id")
     )
+    # pin approx and exact CONCURRENTLY: approx is consumed twice
+    # below (recall join + returned-count bound) and the exact pass is
+    # an independent branch that otherwise queues behind the whole
+    # index chain (guide §2.6)
+    from .concurrency import materialize_concurrently
+
+    approx, exact = materialize_concurrently([approx, exact])
     hits = approx.select("query_id", "id").join(exact, ["query_id", "id"])
     per_q = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ret"))
     stats = (
@@ -8269,7 +8281,12 @@ def graph_bfs(spark, sf_dir):
     from .extended.graph import bfs_hops, cooccurrence_edges
 
     li = _t(spark, sf_dir, "lineitem")
-    e = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    # pin the edge build: it feeds BOTH the seed derivation and the
+    # BFS symmetrization — unpinned, the co-occurrence self-join runs
+    # twice in the one plan (guide §2.4)
+    e = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("x").alias("node"))
         .union(e.select(F.col("y").alias("node")))
@@ -8789,6 +8806,13 @@ def knn_ivfpq(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("query_id", "id")
     )
+    # pin approx and exact CONCURRENTLY: approx is consumed twice
+    # below (recall join + returned-count bound) and the exact pass is
+    # an independent branch that otherwise queues behind the whole
+    # index chain (guide §2.6)
+    from .concurrency import materialize_concurrently
+
+    approx, exact = materialize_concurrently([approx, exact])
     hits = approx.select("query_id", "id").join(exact, ["query_id", "id"])
     per_q = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ret"))
     stats = (
@@ -9646,7 +9670,11 @@ def graph_sssp(spark, sf_dir):
     from .extended.graph import cooccurrence_edges, sssp
 
     li = _t(spark, sf_dir, "lineitem")
-    e = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    # pinned: the edge build feeds the weight projection AND the seed
+    # derivation (guide §2.4 — one build, two consumers)
+    e = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).localCheckpoint(eager=False)
     ew = e.select(
         "x", "y", (F.lit(1) + (F.col("x") + F.col("y")) % 7).alias("w")
     )
@@ -9735,10 +9763,6 @@ def knn_beam(spark, sf_dir):
     queries_df = filter_df(emb, F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    approx = beam_topk(
-        corpus, queries_df, k=5, m=8, beam_width=32, rounds=3, n_entry=8,
-        planes=4, tables=8,
-    )
     c = corpus.select(
         F.col("vec_id").alias("id"), int_grid_vec(F.col("embedding")).alias("v")
     )
@@ -9751,12 +9775,24 @@ def knn_beam(spark, sf_dir):
         lambda acc, x: acc + x,
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("id"))
-    exact = (
-        c.crossJoin(F.broadcast(q))
-        .withColumn("d2", d2)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("query_id", "id")
+    # the beam chain and the exact ground truth are independent
+    # branches consumed twice each below — pin them concurrently so
+    # the exact pass overlaps the beam rounds instead of queueing
+    # behind them (guide §2.6)
+    from .concurrency import materialize_concurrently
+
+    approx, exact = materialize_concurrently(
+        [
+            beam_topk(
+                corpus, queries_df, k=5, m=8, beam_width=32, rounds=3,
+                n_entry=8, planes=4, tables=8,
+            ),
+            c.crossJoin(F.broadcast(q))
+            .withColumn("d2", d2)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "id"),
+        ]
     )
     hits = approx.select("query_id", "id").join(exact, ["query_id", "id"])
     per_q = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ret"))
@@ -13553,15 +13589,28 @@ def graph_neighbor_agg(spark, sf_dir):
         .distinct()
     )
     a, b = e.alias("a"), e.alias("b")
-    hop2 = (
+    # the slot relation is SYMMETRIC: dedup only the u<w half-pairs
+    # (half the distinct's shuffle rows), then mirror each half-pair
+    # into both directed rows with a map-side explode — the directed
+    # DISTINCT set is identical, and the groupBy below partial-aggs
+    # map-side so the mirror adds no shuffle volume (guide §2.3)
+    hop2_half = (
         a.join(
             b,
             (F.col("b.slot") == F.col("a.slot"))
-            & (F.col("b.u") != F.col("a.u")),
+            & (F.col("b.u") > F.col("a.u")),
         )
         .select(F.col("a.u").alias("u"), F.col("b.u").alias("w"))
         .distinct()
     )
+    hop2 = hop2_half.select(
+        F.explode(
+            F.array(
+                F.struct("u", "w"),
+                F.struct(F.col("w").alias("u"), F.col("u").alias("w")),
+            )
+        ).alias("__e")
+    ).select("__e.*")
     feat = sup.select(
         F.col("s_suppkey"),
         F.floor(F.col("s_acctbal") * 100 + F.lit(0.5))
@@ -17787,7 +17836,11 @@ def graph_closeness(spark, sf_dir):
     from .extended.graph import closeness_from_landmarks, cooccurrence_edges
 
     li = _t(spark, sf_dir, "lineitem")
-    e = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    # pinned: the edge build feeds BOTH the landmark derivation and
+    # the BFS symmetrization (guide §2.4 — one build, two consumers)
+    e = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("x").alias("node"))
         .union(e.select(F.col("y").alias("node")))
@@ -18380,37 +18433,36 @@ def ml_recall_panel(spark, sf_dir):
     # every path's stats row consumes its approx TWICE (per-query
     # recall join + returned-count bound) and exact_l2 feeds two
     # paths — without pins those subtrees replay per consumer in the
-    # single union plan
-    exact_l2 = exact_l2.localCheckpoint(eager=False)
-    exact_cos = X_sim.cosine_topk(corpus, queries_df, k=5).localCheckpoint(
-        eager=False
-    )
+    # single union plan.  The five pinned branches are mutually
+    # INDEPENDENT chains, so materialize them concurrently
+    # (concurrency.materialize_concurrently): lazily they'd serialize
+    # behind the final action and the panel's wall time would be the
+    # SUM of the paths instead of ~the beam chain (guide §2.6).
+    from .concurrency import materialize_concurrently
 
+    exact_l2, exact_cos, ivf_approx, pq_approx, beam_approx = (
+        materialize_concurrently(
+            [
+                exact_l2,
+                X_sim.cosine_topk(corpus, queries_df, k=5),
+                X_sim.ivf_topk(
+                    corpus, queries_df, k=5, n_clusters=8, nprobe=3,
+                    kmeans_iters=2,
+                ),
+                X_sim.pq_topk(
+                    corpus, queries_df, k=5, m=32, n_codes=16, iters=2
+                ),
+                beam_topk(
+                    corpus, queries_df, k=5, m=8, beam_width=32, rounds=3,
+                    n_entry=8, planes=4, tables=8,
+                ),
+            ]
+        )
+    )
     paths = [
-        (
-            "ivf",
-            X_sim.ivf_topk(
-                corpus, queries_df, k=5, n_clusters=8, nprobe=3,
-                kmeans_iters=2,
-            ),
-            exact_cos,
-            0.4,
-        ),
-        (
-            "pq",
-            X_sim.pq_topk(corpus, queries_df, k=5, m=32, n_codes=16, iters=2),
-            exact_l2,
-            0.3,
-        ),
-        (
-            "beam",
-            beam_topk(
-                corpus, queries_df, k=5, m=8, beam_width=32, rounds=3,
-                n_entry=8, planes=4, tables=8,
-            ),
-            exact_l2,
-            0.3,
-        ),
+        ("ivf", ivf_approx, exact_cos, 0.4),
+        ("pq", pq_approx, exact_l2, 0.3),
+        ("beam", beam_approx, exact_l2, 0.3),
     ]
     rows = []
     for method, approx, exact, floor in paths:
@@ -19221,10 +19273,22 @@ def pipeline_lsh_tuning(spark, sf_dir):
     )
     # pin the exact ground truth: it is joined by all three
     # configurations in ONE union plan, and without the pin the
-    # brute-force pass replays per configuration (3x)
-    exact = X_sim.cosine_topk(corpus, queries_df, k=5).localCheckpoint(
-        eager=False
+    # brute-force pass replays per configuration (3x).  The exact pass
+    # and the three configurations' bucketing passes are independent
+    # branches — materialize all four concurrently instead of letting
+    # the final action serialize them (guide §2.6).
+    from .concurrency import materialize_concurrently
+
+    exact, cand4, cand6, cand8 = materialize_concurrently(
+        [X_sim.cosine_topk(corpus, queries_df, k=5)]
+        + [
+            lsh_candidate_pairs(
+                corpus, queries_df, query_id_col="query_id", planes=pl
+            )
+            for pl in (4, 6, 8)
+        ]
     )
+    cand_by_planes = {4: cand4, 6: cand6, 8: cand8}
     n_q = queries_df.agg(F.count(F.lit(1)).alias("__nq"))
     cvec = corpus.select(
         F.col("vec_id").alias("id"),
@@ -19241,11 +19305,9 @@ def pipeline_lsh_tuning(spark, sf_dir):
         # exactly for the recall axis (identical sim lattice and tie
         # order as lsh_cosine_topk, which scores the same pairs) —
         # instead of building the buckets twice (round-11 review
-        # finding).  An eager localCheckpoint pins the set so the two
-        # consumers share one computation.
-        cand_pairs = lsh_candidate_pairs(
-            corpus, queries_df, query_id_col="query_id", planes=pl
-        ).localCheckpoint(eager=False)
+        # finding).  The eager pin above shares the set between the
+        # two consumers.
+        cand_pairs = cand_by_planes[pl]
         cand = cand_pairs.agg(
             F.count(F.lit(1)).cast("long").alias("n_candidates")
         )
