@@ -202,12 +202,18 @@ def triangle_count(
     e = edges.select(
         F.col(src_col).alias("x"), F.col(dst_col).alias("y")
     ).distinct()
+    # pinned: the deduped edge list feeds the degree union (twice) and
+    # the orientation join — unpinned, the upstream edge build replays
+    # once per consumer (guide §2.4)
+    e = e.localCheckpoint(eager=False)
     if orient == "degree":
         deg = (
             e.select(F.col("x").alias("node"))
             .unionAll(e.select(F.col("y").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
+            # pinned: consumed as dx AND dy below
+            .localCheckpoint(eager=False)
         )
         dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
         dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
@@ -237,6 +243,8 @@ def triangle_count(
         ).distinct()
     else:
         raise ValueError(f"unknown orient: {orient!r} (degree|id)")
+    # pinned: the oriented list feeds all three closure-join legs
+    e = e.localCheckpoint(eager=False)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     return (
         e1.join(e2, F.col("e1.y") == F.col("e2.x"))
@@ -515,7 +523,11 @@ def neighbor_jaccard(
     e = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).distinct()
-    adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # pinned: the symmetrized adjacency feeds both wedge-join legs AND
+    # the degree aggregate (guide §2.4)
+    adj = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
     a, b = adj.alias("a"), adj.alias("b")
     common = (
         a.join(
@@ -1114,6 +1126,9 @@ def link_prediction_ra(
         raise ValueError("min_common must be >= 1")
     e = edges.select(F.col("x").cast("long").alias("u"),
                      F.col("y").cast("long").alias("v"))
+    # pinned: e feeds the symmetrizing union (twice) and the final
+    # adjacency anti-join (guide §2.4)
+    e = e.localCheckpoint(eager=False)
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy(F.col("u").alias("z")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
@@ -1121,6 +1136,8 @@ def link_prediction_ra(
     hops = (
         sym.select(F.col("v").alias("z"), F.col("u").alias("n"))
         .join(deg.filter(F.col("deg") <= max_degree), "z")
+        # pinned: both legs of the wedge self-join consume it
+        .localCheckpoint(eager=False)
     )
     a, b = hops.alias("a"), hops.alias("b")
     pairs = (
@@ -1171,9 +1188,13 @@ def degree_assortativity(
             F.col(dst_col).alias("u"), F.col(src_col).alias("v")
         )
     )
+    # pins: sym feeds the degree aggregate AND the decoration join;
+    # deg feeds du, dv and the node count — unpinned, each consumer
+    # replays the upstream edge build (guide §2.4)
+    sym = sym.localCheckpoint(eager=False)
     deg = sym.groupBy("u").agg(
         F.count(F.lit(1)).cast("long").alias("d")
-    )
+    ).localCheckpoint(eager=False)
     pairs = (
         sym.join(deg.withColumnRenamed("u", "__a"), sym["u"] == F.col("__a"))
         .select("v", F.col("d").alias("du"))
@@ -1238,6 +1259,10 @@ def clustering_coefficient(
     ``(n_nodes, n_edges, n_wedges, n_triangles, c_micro)`` —
     ``c_micro`` NULL on wedge-free graphs.
     """
+    # pinned: the caller's edge list feeds the wedge-count degree pass
+    # (twice, via the symmetrizing union) and the triangle closure —
+    # one upstream build instead of five (guide §2.4)
+    edges = edges.select(src_col, dst_col).localCheckpoint(eager=False)
     sym = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).unionAll(

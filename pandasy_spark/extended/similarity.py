@@ -1436,11 +1436,23 @@ def beam_topk(
 
     if graph is None:
         graph = knn_graph(corpus, m, planes, tables, id_col, vec_col, scale)
-    graph = graph.select("node", "nbr").localCheckpoint(eager=False)
     iv = corpus.select(
         F.col(id_col).alias("node"),
         int_grid_vec(F.col(vec_col), scale).alias("nv"),
     ).localCheckpoint(eager=False)
+    # pre-join each edge with its DESTINATION vector once: every round
+    # expands along edges and immediately needs the neighbor's vector,
+    # so pinning (node, nbr, bv) amortizes the graph-vector join
+    # across all rounds instead of re-joining the full beam against
+    # the vector table per round (guide §2.4)
+    g2 = (
+        graph.select("node", "nbr")
+        .join(
+            iv.select(F.col("node").alias("nbr"), F.col("nv").alias("bv")),
+            "nbr",
+        )
+        .localCheckpoint(eager=False)
+    )
     qv = queries.select(
         F.col(query_id_col).alias("query_id"),
         int_grid_vec(F.col(vec_col), scale).alias("qv"),
@@ -1450,23 +1462,42 @@ def beam_topk(
         .orderBy("node")
         .limit(n_entry)
     )
-    beam = qv.select("query_id").crossJoin(F.broadcast(entries))
+    ev = iv.join(F.broadcast(entries), "node")
     w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("node"))
-    for rnd in range(rounds + 1):
-        if rnd > 0:
-            expand = beam.join(graph, "node").select(
-                "query_id", F.col("nbr").alias("node")
-            )
-            beam = beam.select("query_id", "node").union(expand).distinct()
-        scored = (
-            beam.join(iv, "node")
+    # round 0: score the fixed entry set (tiny — broadcast) per query
+    beam = (
+        qv.crossJoin(F.broadcast(ev))
+        .select(
+            "query_id", "node", _grid_d2(F.col("nv"), F.col("qv")).alias("d2")
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= beam_width)
+        .select("query_id", "node", "d2")
+        .localCheckpoint(eager=False)
+    )
+    # rounds 1..n: score ONLY the expansion — surviving beam rows
+    # already carry their exact d2 (deterministic integer arithmetic,
+    # identical on re-evaluation), so re-scoring them every round was
+    # pure repeated work; duplicates collapse through a map-combinable
+    # min aggregate (values equal by construction) instead of a
+    # pre-scoring DISTINCT exchange (guide §2.3)
+    for _ in range(rounds):
+        expanded = (
+            beam.select("query_id", "node")
+            .join(g2, "node")
             .join(F.broadcast(qv), "query_id")
             .select(
-                "query_id", "node", _grid_d2(F.col("nv"), F.col("qv")).alias("d2")
+                "query_id",
+                F.col("nbr").alias("node"),
+                _grid_d2(F.col("bv"), F.col("qv")).alias("d2"),
             )
         )
         beam = (
-            scored.withColumn("__rk", F.row_number().over(w))
+            beam.select("query_id", "node", "d2")
+            .unionByName(expanded)
+            .groupBy("query_id", "node")
+            .agg(F.min("d2").alias("d2"))
+            .withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= beam_width)
             .select("query_id", "node", "d2")
             .localCheckpoint(eager=False)
