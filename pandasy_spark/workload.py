@@ -2056,6 +2056,11 @@ def agg_approx(spark, sf_dir):
         ["l_returnflag"],
         {"exact_parts": F.count_distinct("l_partkey")},
     )
+    # the sketch pass and the exact-distinct pass are independent —
+    # overlap them (guide §2.6)
+    from .concurrency import materialize_concurrently
+
+    a1, a2 = materialize_concurrently([a1, a2])
     a = a1.join(a2, "l_returnflag")
     hll_ok = (
         F.abs(F.col("approx_parts") - F.col("exact_parts"))
@@ -17662,12 +17667,21 @@ def profile_tukey(spark, sf_dir):
         .cast("long")
         .alias("val"),
     )
-    q1 = quantile_cont_twopass(
-        vals, "val", p_milli=250, group_cols=["grp"]
-    ).select("grp", "n", F.col("q_scaled").alias("q1s"))
-    q3 = quantile_cont_twopass(
-        vals, "val", p_milli=750, group_cols=["grp"]
-    ).select("grp", F.col("q_scaled").alias("q3s"))
+    # the two two-pass quantiles are independent chains over the same
+    # input — materialize them concurrently instead of letting the
+    # final action serialize the two fixed floors (guide §2.6)
+    from .concurrency import materialize_concurrently
+
+    q1, q3 = materialize_concurrently(
+        [
+            quantile_cont_twopass(
+                vals, "val", p_milli=250, group_cols=["grp"]
+            ).select("grp", "n", F.col("q_scaled").alias("q1s")),
+            quantile_cont_twopass(
+                vals, "val", p_milli=750, group_cols=["grp"]
+            ).select("grp", F.col("q_scaled").alias("q3s")),
+        ]
+    )
     fences = q1.join(q3, "grp")
     iqr = F.col("q3s") - F.col("q1s")
     lo = 2 * F.col("q1s") - 3 * iqr
@@ -18364,9 +18378,17 @@ def ml_recall_at_k(spark, sf_dir):
     queries_df = filter_df(emb, F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = X_sim.cosine_topk(corpus, queries_df, k=5)
-    approx = X_sim.lsh_cosine_topk(
-        corpus, queries_df, k=5, query_id_col="query_id", planes=6
+    # exact and approx are independent chains — overlap them
+    # (guide §2.6)
+    from .concurrency import materialize_concurrently
+
+    exact, approx = materialize_concurrently(
+        [
+            X_sim.cosine_topk(corpus, queries_df, k=5),
+            X_sim.lsh_cosine_topk(
+                corpus, queries_df, k=5, query_id_col="query_id", planes=6
+            ),
+        ]
     )
     return X_recall_at_k(exact, approx, k=5)
 
