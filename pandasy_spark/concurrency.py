@@ -36,7 +36,11 @@ def materialize_concurrently(
     descriptions/groups are thread-local in Spark, so concurrent jobs
     stay correctly labelled.
     """
-    if len(dfs) <= 1:
+    import os
+
+    if len(dfs) <= 1 or os.environ.get("SPARK_GRAFT_NO_CONCURRENCY"):
+        # measurement escape hatch: pin sequentially (same frames,
+        # same results) so overlap-vs-serial can be A/B'd in isolation
         return [df.localCheckpoint(eager=True) for df in dfs]
 
     def _pin(df: DataFrame) -> DataFrame:
