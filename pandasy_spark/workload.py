@@ -4613,11 +4613,6 @@ def knn_ivf(spark, sf_dir):
         corpus, queries_df, k=5, n_clusters=8, nprobe=3, kmeans_iters=2
     )
     exact = X_sim.cosine_topk(corpus, queries_df, k=5)
-    # same concurrency rationale as knn_pq: approx feeds two consumers
-    # and exact is an independent branch (guide §2.6)
-    from .concurrency import materialize_concurrently
-
-    approx, exact = materialize_concurrently([approx, exact])
     hits = approx.select("query_id", "id").join(
         exact.select("query_id", "id"), ["query_id", "id"]
     )
@@ -7992,13 +7987,6 @@ def knn_pq(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("query_id", "id")
     )
-    # pin approx and exact CONCURRENTLY: approx is consumed twice
-    # below (recall join + returned-count bound) and the exact pass is
-    # an independent branch that otherwise queues behind the whole
-    # index chain (guide §2.6)
-    from .concurrency import materialize_concurrently
-
-    approx, exact = materialize_concurrently([approx, exact])
     hits = approx.select("query_id", "id").join(exact, ["query_id", "id"])
     per_q = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ret"))
     stats = (
@@ -8811,13 +8799,6 @@ def knn_ivfpq(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("query_id", "id")
     )
-    # pin approx and exact CONCURRENTLY: approx is consumed twice
-    # below (recall join + returned-count bound) and the exact pass is
-    # an independent branch that otherwise queues behind the whole
-    # index chain (guide §2.6)
-    from .concurrency import materialize_concurrently
-
-    approx, exact = materialize_concurrently([approx, exact])
     hits = approx.select("query_id", "id").join(exact, ["query_id", "id"])
     per_q = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ret"))
     stats = (
@@ -18378,17 +18359,9 @@ def ml_recall_at_k(spark, sf_dir):
     queries_df = filter_df(emb, F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # exact and approx are independent chains — overlap them
-    # (guide §2.6)
-    from .concurrency import materialize_concurrently
-
-    exact, approx = materialize_concurrently(
-        [
-            X_sim.cosine_topk(corpus, queries_df, k=5),
-            X_sim.lsh_cosine_topk(
-                corpus, queries_df, k=5, query_id_col="query_id", planes=6
-            ),
-        ]
+    exact = X_sim.cosine_topk(corpus, queries_df, k=5)
+    approx = X_sim.lsh_cosine_topk(
+        corpus, queries_df, k=5, query_id_col="query_id", planes=6
     )
     return X_recall_at_k(exact, approx, k=5)
 
@@ -18451,40 +18424,43 @@ def ml_recall_panel(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("query_id", "id")
     )
-    # pin both ground-truth frames and each path's approx result:
-    # every path's stats row consumes its approx TWICE (per-query
-    # recall join + returned-count bound) and exact_l2 feeds two
-    # paths — without pins those subtrees replay per consumer in the
-    # single union plan.  The five pinned branches are mutually
-    # INDEPENDENT chains, so materialize them concurrently
-    # (concurrency.materialize_concurrently): lazily they'd serialize
-    # behind the final action and the panel's wall time would be the
-    # SUM of the paths instead of ~the beam chain (guide §2.6).
-    from .concurrency import materialize_concurrently
-
-    exact_l2, exact_cos, ivf_approx, pq_approx, beam_approx = (
-        materialize_concurrently(
-            [
-                exact_l2,
-                X_sim.cosine_topk(corpus, queries_df, k=5),
-                X_sim.ivf_topk(
-                    corpus, queries_df, k=5, n_clusters=8, nprobe=3,
-                    kmeans_iters=2,
-                ),
-                X_sim.pq_topk(
-                    corpus, queries_df, k=5, m=32, n_codes=16, iters=2
-                ),
-                beam_topk(
-                    corpus, queries_df, k=5, m=8, beam_width=32, rounds=3,
-                    n_entry=8, planes=4, tables=8,
-                ),
-            ]
-        )
+    # pin both ground-truth frames: exact_l2 feeds two paths and each
+    # is consumed by every path's stats row — without pins those
+    # subtrees replay per consumer in the single union plan.  (An
+    # eager-concurrent pin of all five branches was TRIED this round
+    # and REVERTED: it traded the final job's intra-stage parallelism
+    # for sequential checkpoint barriers — bench 10.8 -> 13.8-15.7 s;
+    # see OPTIMIZATION_r11.md.)
+    exact_l2 = exact_l2.localCheckpoint(eager=False)
+    exact_cos = X_sim.cosine_topk(corpus, queries_df, k=5).localCheckpoint(
+        eager=False
     )
+
     paths = [
-        ("ivf", ivf_approx, exact_cos, 0.4),
-        ("pq", pq_approx, exact_l2, 0.3),
-        ("beam", beam_approx, exact_l2, 0.3),
+        (
+            "ivf",
+            X_sim.ivf_topk(
+                corpus, queries_df, k=5, n_clusters=8, nprobe=3,
+                kmeans_iters=2,
+            ),
+            exact_cos,
+            0.4,
+        ),
+        (
+            "pq",
+            X_sim.pq_topk(corpus, queries_df, k=5, m=32, n_codes=16, iters=2),
+            exact_l2,
+            0.3,
+        ),
+        (
+            "beam",
+            beam_topk(
+                corpus, queries_df, k=5, m=8, beam_width=32, rounds=3,
+                n_entry=8, planes=4, tables=8,
+            ),
+            exact_l2,
+            0.3,
+        ),
     ]
     rows = []
     for method, approx, exact, floor in paths:
