@@ -38,7 +38,13 @@ def materialize_concurrently(
     """
     import os
 
-    if len(dfs) <= 1 or os.environ.get("SPARK_GRAFT_NO_CONCURRENCY"):
+    # explicit flag parse: "", "0" and "false" mean concurrency ON —
+    # a bare `SPARK_GRAFT_NO_CONCURRENCY=0` must not silently disable
+    # it (A/B-measurement footgun, r11 advice)
+    no_conc = os.environ.get("SPARK_GRAFT_NO_CONCURRENCY", "").lower() not in (
+        "", "0", "false",
+    )
+    if len(dfs) <= 1 or no_conc:
         # measurement escape hatch: pin sequentially (same frames,
         # same results) so overlap-vs-serial can be A/B'd in isolation
         return [df.localCheckpoint(eager=True) for df in dfs]

@@ -18,7 +18,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "DEFAULT_SF_DIR"]
+__all__ = ["get_spark", "scoped_shuffle_partitions", "DEFAULT_SF_DIR"]
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -69,7 +69,14 @@ class scoped_shuffle_partitions:
     the scope are affected (the conf is read at action planning);
     callers must materialize (eager checkpoint / action) inside the
     scope for it to apply, and must not leave lazy frames to be first
-    executed inside someone else's scope."""
+    executed inside someone else's scope.
+
+    NOT thread-safe: ``spark.sql.shuffle.partitions`` is session-
+    global, so a scope held on one driver thread leaks into any job
+    another thread plans concurrently (e.g. inside
+    ``concurrency.materialize_concurrently``).  Callers must hold the
+    scope only on a single-threaded driver path — every current call
+    site (markov grid rounds, streaming query start) does."""
 
     def __init__(self, spark: SparkSession, n: int | None):
         self._spark, self._n, self._prev = spark, n, None

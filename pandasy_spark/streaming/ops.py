@@ -158,7 +158,7 @@ def staged_file_stream(spark, pdfs: list, ts_col: str = "ts") -> DataFrame:
 
 
 def stream_state_partitions(
-    n_rows: int, rows_per_partition: int = 5_000
+    n_rows: int, rows_per_partition: int = 5_000, max_partitions: int = 200
 ) -> int:
     """State-store partition count sized by STREAM VOLUME, not by a
     constant: a streaming query's per-micro-batch floor is (state
@@ -173,13 +173,24 @@ def stream_state_partitions(
     ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` overrides for deployments
     that size state partitions explicitly (state partition count is a
     per-checkpoint commitment in Structured Streaming, so deployments
-    pin it)."""
+    pin it).
+
+    The volume-linear rule is CAPPED at ``max_partitions`` (default
+    200, Spark's own shuffle-partition default): without a ceiling a
+    production-volume replay (billions of rows) would derive an absurd
+    state partition count, and every one of them costs a store commit
+    per micro-batch forever after — above the cap, explicit deployment
+    sizing via the env override is the right tool (r11 verdict
+    what's-wrong #4)."""
     import os
 
     env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
     if env:
         return max(1, int(env))
-    return max(2, (n_rows + rows_per_partition - 1) // rows_per_partition)
+    return min(
+        max_partitions,
+        max(2, (n_rows + rows_per_partition - 1) // rows_per_partition),
+    )
 
 
 # canonical implementation lives in session.py (also used for

@@ -18424,43 +18424,38 @@ def ml_recall_panel(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("query_id", "id")
     )
-    # pin both ground-truth frames: exact_l2 feeds two paths and each
-    # is consumed by every path's stats row — without pins those
-    # subtrees replay per consumer in the single union plan.  (An
-    # eager-concurrent pin of all five branches was TRIED this round
-    # and REVERTED: it traded the final job's intra-stage parallelism
-    # for sequential checkpoint barriers — bench 10.8 -> 13.8-15.7 s;
-    # see OPTIMIZATION_r11.md.)
-    exact_l2 = exact_l2.localCheckpoint(eager=False)
-    exact_cos = X_sim.cosine_topk(corpus, queries_df, k=5).localCheckpoint(
-        eager=False
-    )
+    # pin all five branches (three index paths, two ground truths)
+    # CONCURRENTLY: each path is internally serialized by its own
+    # checkpoint chain (kmeans/pq rounds, beam rounds), so the lazy
+    # form materialized the paths one after another behind the final
+    # action.  r11 tried this pre-beam-rewrite and reverted (neutral
+    # A/B); after the r12 beam array-fold rewrite the paired A/B reads
+    # sequential 13.4 min / 14.1 med vs concurrent 12.6 min / 12.8 med
+    # (guide §2.6 — overlap jobs that are already serialized by
+    # internal checkpoints).  SPARK_GRAFT_NO_CONCURRENCY=1 restores
+    # the sequential pins for A/B.
+    from .concurrency import materialize_concurrently
 
-    paths = [
-        (
-            "ivf",
+    ivf_a, pq_a, beam_a, exact_l2, exact_cos = materialize_concurrently(
+        [
             X_sim.ivf_topk(
                 corpus, queries_df, k=5, n_clusters=8, nprobe=3,
                 kmeans_iters=2,
             ),
-            exact_cos,
-            0.4,
-        ),
-        (
-            "pq",
             X_sim.pq_topk(corpus, queries_df, k=5, m=32, n_codes=16, iters=2),
-            exact_l2,
-            0.3,
-        ),
-        (
-            "beam",
             beam_topk(
                 corpus, queries_df, k=5, m=8, beam_width=32, rounds=3,
                 n_entry=8, planes=4, tables=8,
             ),
             exact_l2,
-            0.3,
-        ),
+            X_sim.cosine_topk(corpus, queries_df, k=5),
+        ]
+    )
+
+    paths = [
+        ("ivf", ivf_a, exact_cos, 0.4),
+        ("pq", pq_a, exact_l2, 0.3),
+        ("beam", beam_a, exact_l2, 0.3),
     ]
     rows = []
     for method, approx, exact, floor in paths:

@@ -31,18 +31,28 @@ def main(names):
     out = {}
     for name in names:
         ts = []
-        jobs = 0
+        jobs = None
+
+        def _job_id():
+            # private Spark internals: degrade to None on any change
+            # across Spark versions rather than breaking the tool
+            try:
+                return sc._jsc.sc().dagScheduler().nextJobId()
+            except Exception:  # noqa: BLE001 — diagnostics only
+                return None
+
         for _ in range(reps):
             for tv in spark.catalog.listTables():
                 if tv.isTemporary:
                     spark.catalog.dropTempView(tv.name)
             spark.catalog.clearCache()
-            n0 = sc._jsc.sc().dagScheduler().nextJobId()
+            n0 = _job_id()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             ts.append(time.perf_counter() - t0)
-            jobs = sc._jsc.sc().dagScheduler().nextJobId() - n0
+            n1 = _job_id()
+            jobs = (n1 - n0) if n0 is not None and n1 is not None else None
         out[name] = {
             "min": round(min(ts), 3),
             "med": round(statistics.median(ts), 3),
