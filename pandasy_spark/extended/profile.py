@@ -45,6 +45,7 @@ __all__ = [
     "ks_statistic",
     "mann_whitney",
     "quantile_cont_twopass",
+    "quantile_cont_multi",
     "quantile_disc_multi",
     "gini_concentration",
     "k_anonymity",
@@ -1364,6 +1365,218 @@ def quantile_cont_twopass(
             )
             * F.min("__rem")
         ).cast("long").alias("q_scaled"),
+    )
+
+
+def quantile_cont_multi(
+    df: DataFrame,
+    value_col: str,
+    p_millis: Sequence[int],
+    coarse_cells: int = 4096,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Several EXACT interpolated quantiles from ONE histogram pass —
+    the multi-p generalization of :func:`quantile_cont_twopass`
+    (identical per-p semantics, pinned by
+    tests/test_r12_optimizations.py against the single-p kernel).
+
+    A gate that needs q1 AND q3 of the same column previously ran the
+    whole two-pass machinery twice (2 stats passes, 2 histogram
+    passes, 2 sliver passes over the same values).  Here the stats
+    pass, the histogram and the sliver scan are SHARED: the per-p rank
+    targets are located on one cumulative histogram, the refine sliver
+    is the union of every p's covering cells, and each sliver value's
+    GLOBAL rank is reconstructed as ``hist_count_before_its_cell +
+    within-cell running count`` — so one ``min(v WHERE rank >= r_p)``
+    per p reads every quantile off the same ranked sliver (guide §2.3:
+    don't compute the same pass twice).
+
+    Rank identity: for the single-p sliver, ``before + sliver_cum``
+    counts values in cells before cell_lo plus sliver values ≤ v; the
+    per-cell form here is the same number — ``hist_before(cell(v))``
+    absorbs every earlier cell (all of whose values are in the sliver
+    when covered, or counted by the histogram when not).
+
+    Scale shape: three map-combined aggregates over the data (stats,
+    histogram, sliver) regardless of ``len(p_millis)``; the bounded
+    structures (cum histogram ≤ coarse_cells rows per group, covering
+    ranges ≤ len(p_millis) per group) stay plain windows/arrays.  The
+    within-cell running count is bounded by the densest covered cell —
+    per-(group, cell) windows when grouped, the distributed prefix
+    scan minus bounded per-cell offsets in the no-group form (same
+    skew rule as the single-p kernel, finer partitioning).
+
+    Output: one row per (group..., p_milli): ``(group..., p_milli, n,
+    q_scaled)`` with ``q_scaled`` = 1000x the interpolated quantile.
+    """
+    ps = list(p_millis)
+    if not ps or len(set(ps)) != len(ps):
+        raise ValueError("p_millis must be non-empty and distinct")
+    if any(not 0 <= p <= 1000 for p in ps):
+        raise ValueError("every p_milli must be in [0, 1000]")
+    if coarse_cells < 2:
+        raise ValueError("coarse_cells must be >= 2")
+    g = list(group_cols)
+
+    def _attach(left: DataFrame, right: DataFrame) -> DataFrame:
+        return (
+            left.join(F.broadcast(right), g)
+            if g
+            else left.crossJoin(F.broadcast(right))
+        )
+
+    vals = df.select(
+        *g, F.col(value_col).cast("long").alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    # multi-consumer pin (stats + histogram + sliver), shared by ALL p
+    vals = vals.localCheckpoint(eager=False)
+    stats = (
+        vals.groupBy(*g)
+        .agg(
+            F.min("__v").alias("__lo"),
+            F.max("__v").alias("__hi"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .withColumn(
+            "__step",
+            F.expr(
+                f"greatest((__hi - __lo + {coarse_cells}) div"
+                f" {coarse_cells}, CAST(1 AS BIGINT))"
+            ),
+        )
+    )
+    # one row per (group, p): the exact BIGINT rank targets
+    pstats = (
+        stats.select(
+            *g,
+            "n",
+            F.explode(
+                F.array(*[F.lit(int(p)) for p in ps])
+            ).alias("__p"),
+        )
+        .withColumn("__pos_milli", (F.col("n") - 1) * F.col("__p"))
+        .withColumn("__rlo", F.expr("__pos_milli div 1000") + 1)
+        .withColumn("__rem", F.expr("__pos_milli % 1000"))
+        .withColumn("__rhi", F.least(F.col("__rlo") + 1, F.col("n")))
+        .select(*g, "__p", "__rlo", "__rem", "__rhi")
+    )
+    joined = _attach(vals, stats.select(*g, "__lo", "__step"))
+    hist = joined.groupBy(
+        *g, F.expr("(__v - __lo) div __step").alias("__cell")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    # bounded by construction: <= coarse_cells rows per group
+    wc = (
+        Window.partitionBy(*g).orderBy("__cell")
+        if g
+        else Window.orderBy("__cell")
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(wc)).localCheckpoint(
+        eager=False
+    )  # consumed by the per-p locate AND the rank reconstruction
+    kc = (
+        _attach(cum, pstats)
+        .groupBy(*g, "__p")
+        .agg(
+            F.min(
+                F.when(F.col("__cum") >= F.col("__rlo"), F.col("__cell"))
+            ).alias("__cell_lo"),
+            F.min(
+                F.when(F.col("__cum") >= F.col("__rhi"), F.col("__cell"))
+            ).alias("__cell_hi"),
+        )
+    )
+    # union of covering ranges per group (<= len(ps) entries)
+    ranges = kc.groupBy(*g).agg(
+        F.collect_list(
+            F.struct(F.col("__cell_lo"), F.col("__cell_hi"))
+        ).alias("__rng")
+    )
+    cell_of_v = F.expr("(__v - __lo) div __step")
+    covered = _attach(
+        joined.withColumn("__cell", cell_of_v), ranges
+    ).filter(
+        F.exists(
+            F.col("__rng"),
+            lambda r: (F.col("__cell") >= r["__cell_lo"])
+            & (F.col("__cell") <= r["__cell_hi"]),
+        )
+    )
+    sliver = covered.groupBy(*g, "__cell", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__vc")
+    )
+    if g:
+        # per-(group, cell) running count — strictly finer partitions
+        # than the single-p kernel's per-group window
+        wv = Window.partitionBy(*g, "__cell").orderBy("__v")
+        scum = sliver.withColumn("__wcum", F.sum("__vc").over(wv))
+    else:
+        # no-group: global prefix scan over (cell, v), then subtract
+        # the bounded per-cell offsets so the count restarts per cell
+        from ..operators.sort import ordered_prefix_scan
+
+        gcum = ordered_prefix_scan(
+            sliver, ["__cell", "__v"], "__vc", agg="sum", out_col="__gcum"
+        )
+        celltot = (
+            sliver.groupBy("__cell")
+            .agg(F.sum("__vc").alias("__ct"))
+            .withColumn(
+                "__cells_before",
+                F.coalesce(
+                    F.sum("__ct").over(
+                        Window.orderBy("__cell").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0).cast("long"),
+                ),
+            )
+            .select("__cell", "__cells_before")
+        )  # bounded: <= 2*len(ps) covered cells
+        scum = gcum.join(F.broadcast(celltot), "__cell").withColumn(
+            "__wcum", F.col("__gcum") - F.col("__cells_before")
+        )
+    ranked = scum.join(
+        cum.select(
+            *g, "__cell", (F.col("__cum") - F.col("__c")).alias("__hb")
+        ),
+        [*g, "__cell"],
+    ).withColumn("__rank", F.col("__hb") + F.col("__wcum"))
+    res = _attach(ranked, pstats)
+    return (
+        res.groupBy(*g, "__p")
+        .agg(
+            F.min(
+                F.when(F.col("__rank") >= F.col("__rlo"), F.col("__v"))
+            ).alias("__vlo"),
+            F.min(
+                F.when(F.col("__rank") >= F.col("__rhi"), F.col("__v"))
+            ).alias("__vhi"),
+            F.min("__rem").alias("__remm"),
+        )
+        .join(F.broadcast(stats.select(*g, "n")), g)
+        if g
+        else res.groupBy("__p")
+        .agg(
+            F.min(
+                F.when(F.col("__rank") >= F.col("__rlo"), F.col("__v"))
+            ).alias("__vlo"),
+            F.min(
+                F.when(F.col("__rank") >= F.col("__rhi"), F.col("__v"))
+            ).alias("__vhi"),
+            F.min("__rem").alias("__remm"),
+        )
+        .crossJoin(F.broadcast(stats.select("n")))
+    ).select(
+        *g,
+        F.col("__p").alias("p_milli"),
+        F.col("n"),
+        (
+            F.col("__vlo") * (F.lit(1000) - F.col("__remm"))
+            + F.col("__vhi") * F.col("__remm")
+        )
+        .cast("long")
+        .alias("q_scaled"),
     )
 
 

@@ -17630,17 +17630,15 @@ def events_ohlc(spark, sf_dir):
 )
 def profile_tukey(spark, sf_dir):
     """Tukey outlier fences per group, exactly: Q1/Q3 from the
-    two-pass order-statistic quantile (extended/profile.py
-    quantile_cont_twopass — histogram + sliver refine, never a global
-    sort), fences compared on the doubled x1000 integer lattice
+    shared-grid multi-p two-pass order-statistic quantile
+    (extended/profile.py quantile_cont_multi — one histogram + sliver
+    refine locating BOTH ranks, never a global sort), fences compared on the doubled x1000 integer lattice
     (``2000·v < 2·q1s − 3·iqr_s``) so the 1.5×IQR rule needs NO
     float division anywhere — the boxplot-style anomaly screen a
     data-quality pipeline runs per segment.  The broadcast of the
     per-group fence row back onto the values is one map-side join;
     the oracle restates the quantiles with the global-sort ROW_NUMBER
     definition."""
-    from .extended.profile import quantile_cont_twopass
-
     li = _t(spark, sf_dir, "lineitem")
     vals = li.filter(F.col("l_extendedprice").isNotNull()).select(
         F.col("l_returnflag").alias("grp"),
@@ -17648,22 +17646,27 @@ def profile_tukey(spark, sf_dir):
         .cast("long")
         .alias("val"),
     )
-    # the two two-pass quantiles are independent chains over the same
-    # input — materialize them concurrently instead of letting the
-    # final action serialize the two fixed floors (guide §2.6)
-    from .concurrency import materialize_concurrently
+    # ONE multi-p two-pass locates q1 AND q3 on a shared histogram —
+    # the r11 form ran the whole two-pass machinery twice (2 stats, 2
+    # histogram, 2 sliver passes over the same values) and overlapped
+    # the two chains; the shared-grid kernel removes the second set of
+    # passes outright (guide §2.3; equivalence vs the single-p kernel
+    # pinned in test_quantile_cont_multi_matches_single_p_grouped)
+    from .extended.profile import quantile_cont_multi
 
-    q1, q3 = materialize_concurrently(
-        [
-            quantile_cont_twopass(
-                vals, "val", p_milli=250, group_cols=["grp"]
-            ).select("grp", "n", F.col("q_scaled").alias("q1s")),
-            quantile_cont_twopass(
-                vals, "val", p_milli=750, group_cols=["grp"]
-            ).select("grp", F.col("q_scaled").alias("q3s")),
-        ]
+    qq = quantile_cont_multi(
+        vals, "val", [250, 750], group_cols=["grp"]
+    ).localCheckpoint(eager=False)
+    fences = (
+        qq.filter(F.col("p_milli") == 250)
+        .select("grp", "n", F.col("q_scaled").alias("q1s"))
+        .join(
+            qq.filter(F.col("p_milli") == 750).select(
+                "grp", F.col("q_scaled").alias("q3s")
+            ),
+            "grp",
+        )
     )
-    fences = q1.join(q3, "grp")
     iqr = F.col("q3s") - F.col("q1s")
     lo = 2 * F.col("q1s") - 3 * iqr
     hi = 2 * F.col("q3s") + 3 * iqr

@@ -192,3 +192,58 @@ def test_no_concurrency_flag_parses_falsey_values(monkeypatch, spark):
         ra, rb = materialize_concurrently([a, b])
         assert sorted(map(tuple, ra.collect())) == [(i, i * 2) for i in range(5)]
         assert sorted(map(tuple, rb.collect())) == [(i, i + 10) for i in range(3)]
+
+
+def _multi_vs_single(spark, p_millis, frames, groupings):
+    from pandasy_spark.extended.profile import (
+        quantile_cont_multi,
+        quantile_cont_twopass,
+    )
+
+    for label, rows in frames.items():
+        df = spark.createDataFrame(rows, "grp string, val long")
+        for g in groupings:
+            got = {
+                ((tuple(r[k] for k in g)), r.p_milli): (r.n, r.q_scaled)
+                for r in quantile_cont_multi(
+                    df, "val", p_millis, coarse_cells=8, group_cols=g
+                ).collect()
+            }
+            want = {}
+            for p in p_millis:
+                for r in quantile_cont_twopass(
+                    df, "val", p_milli=p, coarse_cells=8, group_cols=g
+                ).collect():
+                    want[((tuple(r[k] for k in g)), p)] = (r.n, r.q_scaled)
+            assert got == want, f"{label} g={g} p={p_millis}: {got} != {want}"
+
+
+def test_quantile_cont_multi_matches_single_p_grouped(spark):
+    """quantile_cont_multi must reproduce quantile_cont_twopass for
+    every requested p across distribution shapes that stress the
+    histogram/sliver machinery (the tukey rewrite's oracle-pinned
+    invariant — build the equivalence test first, r12 plan)."""
+    frames = {
+        "uniform": [("a", v) for v in range(1, 101)],
+        "concentrated": [("a", 7)] * 50 + [("a", 1_000_000)],
+        "two-values": [("a", 1)] * 9 + [("a", 2)] * 3,
+        "negatives": [("a", v) for v in range(-50, 51, 3)],
+        "tiny": [("a", 42)],
+        "pair": [("a", 10), ("a", 20)],
+        "two-groups": [("a", v) for v in range(10)]
+        + [("b", v * v) for v in range(1, 30)],
+    }
+    _multi_vs_single(spark, [250, 750], frames, [["grp"]])
+    _multi_vs_single(spark, [0, 500, 1000], frames, [["grp"]])
+
+
+def test_quantile_cont_multi_matches_single_p_ungrouped(spark):
+    """No-group form routes through the distributed prefix scan minus
+    per-cell offsets — pin it on the shapes where the offsets matter
+    (multiple covered cells, dense single cell)."""
+    frames = {
+        "uniform": [("a", v) for v in range(1, 101)],
+        "concentrated": [("a", 7)] * 50 + [("a", 1_000_000)],
+        "tiny": [("a", 42)],
+    }
+    _multi_vs_single(spark, [250, 750], frames, [[]])
