@@ -1026,9 +1026,23 @@ def markov_removal_effects(
     trunc = ev.join(fp, "u", "left").filter(
         F.col("__fp").isNull() | (F.col("o") <= F.col("__fp"))
     )
+    # the per-user journey window's exchange carries few bytes but the
+    # lead/row_number pass over the whole truncated corpus is CPU-heavy,
+    # so AQE's byte-based coalescing collapses it to ONE task (measured
+    # 1 task × 4.15 s at sf0.1).  Pin the exchange at the session's
+    # shuffle parallelism — exempt from AQE coalescing, reused by the
+    # window (the knn_graph top-m fix, guide §2.5).
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     w = Window.partitionBy("u").orderBy("o")
-    seq = trunc.withColumn("__nxt", F.lead("t").over(w)).withColumn(
-        "__rn", F.row_number().over(w)
+    # multi-consumer pin: BOTH the steps projection and the starts
+    # filter consume the windowed sequence — unpinned, the union's two
+    # branches each recomputed the whole scan+join+window chain
+    # (verified in the before-plan: Scan parquet ×2, Window ×2)
+    seq = (
+        trunc.repartition(n_shuffle, "u")
+        .withColumn("__nxt", F.lead("t").over(w))
+        .withColumn("__rn", F.row_number().over(w))
+        .localCheckpoint(eager=False)
     )
     steps = seq.select(
         F.col("t").alias("src"),
@@ -1120,13 +1134,15 @@ def markov_removal_effects(
                 .select("variant", F.col("src").alias("state"), "v")
             )
             # absorbing states keep their fixed values in every variant;
-            # pin each round eagerly — the frames are (variants x states)
-            # tiny, and without the pin six nested join rounds compound
-            # into dozens of shuffle stages of pure scheduler overhead
+            # pin each round LAZILY — v is consumed once per round, so
+            # lazy pins chain the six bounded-grid rounds into the final
+            # job instead of paying an eager py4j checkpoint round trip
+            # per round (interleaved A/B at sf0.1: eager 6.04/7.06 vs
+            # lazy 5.72/6.15 min/med, identical output)
             v = (
                 stepped.filter(~F.col("state").isin(conv_state, "END"))
                 .unionByName(per_variant_absorbing)
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
     conv = v.filter(F.col("state") == "START").select(
         "variant", F.col("v").alias("conv_nano")

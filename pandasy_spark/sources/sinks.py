@@ -237,6 +237,15 @@ def with_hilbert(
     out = out.withColumn("__hst", F.lit(0).cast("long")).withColumn(
         h_col, F.lit(0).cast("long")
     )
+    # branch-free level step (r12): every CASE WHEN of the classic
+    # construction is 0/1 integer algebra —
+    #   swap-under-s:  rx = tx ^ ((tx^ty)·s),  ry = ty ^ ((tx^ty)·s)
+    #   quad digit:    the (0,1,3,2) Gray order is 2·rx + (rx^ry)
+    #   state update:  s' = s ^ 1 ^ ry,  c' = c ^ (rx·(1−ry))
+    # — same values level-for-level (exhaustive xy2d equivalence pinned
+    # in tests/test_sinks.py; the gate oracle unrolls the CASE form and
+    # still hash-matches), but the 16-level codegen chain shrinks ~3x
+    # and drops every branch (guide §1.2: per-task work, after shape).
     one = F.lit(1).cast("long")
     for b in range(bits - 1, -1, -1):
         xb = F.shiftright(F.col(norm_names[0]), b).bitwiseAND(one)
@@ -245,14 +254,14 @@ def with_hilbert(
         s = F.col("__hst").bitwiseAND(one)
         tx = xb.bitwiseXOR(c)
         ty = yb.bitwiseXOR(c)
-        rx = F.when(s == 1, ty).otherwise(tx)
-        ry = F.when(s == 1, tx).otherwise(ty)
-        out = out.withColumn("__rx", rx).withColumn("__ry", ry)
+        swap = tx.bitwiseXOR(ty) * s
+        out = out.withColumn("__rx", tx.bitwiseXOR(swap)).withColumn(
+            "__ry", ty.bitwiseXOR(swap)
+        )
         rx, ry = F.col("__rx"), F.col("__ry")
-        q = rx * 2 + ry
-        digit = F.when(q == 3, F.lit(2)).when(q == 2, F.lit(3)).otherwise(q)
-        s_new = F.when(ry == 0, s.bitwiseXOR(one)).otherwise(s)
-        c_new = F.when((ry == 0) & (rx == 1), c.bitwiseXOR(one)).otherwise(c)
+        digit = rx * 2 + rx.bitwiseXOR(ry)
+        s_new = s.bitwiseXOR(one).bitwiseXOR(ry)
+        c_new = c.bitwiseXOR(rx * (one - ry))
         out = out.withColumn(
             h_col, F.col(h_col) + digit.cast("long") * F.lit(4**b).cast("long")
         ).withColumn("__hst", (c_new * 2 + s_new).cast("long"))

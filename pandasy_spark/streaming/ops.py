@@ -205,6 +205,7 @@ def run_stream_to_memory(
     query_name: str,
     output_mode: str = "complete",
     state_rows: int | None = None,
+    rows_per_partition: int = 5_000,
 ):
     """Drive a streaming frame to a memory sink with availableNow (process
     everything currently available, then stop).  Returns the query; the
@@ -213,9 +214,19 @@ def run_stream_to_memory(
     ``state_rows`` (the caller's known stream volume, e.g. the staged
     replay's row count) sizes the query's state/shuffle partitioning
     via :func:`stream_state_partitions`; None keeps the session
-    default."""
+    default.  ``rows_per_partition`` tunes the volume-linear rule per
+    OPERATOR SHAPE: stream-stream joins maintain TWO state stores per
+    partition and their per-partition commit overhead dwarfs the join
+    compute, so tolerance-join callers pass a coarser value (measured
+    at sf0.1: the 100k-row tolerance joins read 5.3-8.6 s at the
+    default 20 partitions vs 2.2-2.7 s at 4 — interleaved per-gate
+    A/B, OPTIMIZATION_r12.md); per-row-compute operators
+    (applyInPandasWithState) keep the 5 000 default, where the SAME
+    A/B shows fewer partitions hurting (4.4 s at 10 vs 8.7 s at 2)."""
     parts = (
-        stream_state_partitions(state_rows) if state_rows is not None else None
+        stream_state_partitions(state_rows, rows_per_partition)
+        if state_rows is not None
+        else None
     )
     with _scoped_shuffle_partitions(stream_df.sparkSession, parts):
         q = (

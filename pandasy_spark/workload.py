@@ -6338,7 +6338,15 @@ def streaming_join(spark, sf_dir):
     joined = stream_stream_tolerance_join(
         left, right, ["user_id"], "l_ts", "r_ts", 1800, watermark="1 hour"
     ).select(left["user_id"].alias("user_id"), "l_id", "r_id")
-    q = run_stream_to_memory(joined, name, output_mode="append", state_rows=X_table_rows(sf_dir, "events") or None)
+    # tolerance join: TWO state stores per partition make per-partition
+    # commit overhead the floor — size partitions 5x coarser than the
+    # default volume rule (interleaved A/B at sf0.1: 20 parts 5.3-8.6 s
+    # vs 4 parts 2.2-2.7 s; see OPTIMIZATION_r12.md)
+    q = run_stream_to_memory(
+        joined, name, output_mode="append",
+        state_rows=X_table_rows(sf_dir, "events") or None,
+        rows_per_partition=25_000,
+    )
     q.stop()
     return spark.table(name)
 
@@ -17206,7 +17214,15 @@ def streaming_semi_join(spark, sf_dir):
         left, right, ["user_id"], "l_ts", "r_ts", 1800,
         watermark="1 hour", how="left_semi",
     ).select(left["user_id"].alias("user_id"), "l_id")
-    q = run_stream_to_memory(joined, name, output_mode="append", state_rows=X_table_rows(sf_dir, "events") or None)
+    # tolerance join: TWO state stores per partition make per-partition
+    # commit overhead the floor — size partitions 5x coarser than the
+    # default volume rule (interleaved A/B at sf0.1: 20 parts 5.3-8.6 s
+    # vs 4 parts 2.2-2.7 s; see OPTIMIZATION_r12.md)
+    q = run_stream_to_memory(
+        joined, name, output_mode="append",
+        state_rows=X_table_rows(sf_dir, "events") or None,
+        rows_per_partition=25_000,
+    )
     q.stop()
     return spark.table(name)
 

@@ -781,6 +781,7 @@ def test_domain_cap_keeps_top_n_per_domain(spark):
     assert kept == [("d1", 0), ("d1", 1), ("d2", 5), ("d2", 6)]
 
 
+@pytest.mark.slow
 def test_bpe_learn_matches_python_reference(spark):
     from pandasy_spark.extended.text import bpe_learn
 

@@ -9,8 +9,12 @@ mixed-type columns every round.
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+pytestmark = pytest.mark.slow
 
 from pandasy_spark.operators import (
     agg,

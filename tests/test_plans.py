@@ -109,6 +109,7 @@ def test_multimodal_frames_is_arrow_batched(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+@pytest.mark.slow
 def test_no_query_regresses_to_cartesian_or_row_python(spark, sf_dir):
     """Fleet-wide plan audit: no workload query may plan a
     CartesianProduct or row-at-a-time Python eval (BatchEvalPython).

@@ -10,6 +10,8 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from pandasy_spark.convert import to_df
+
+pytestmark = pytest.mark.slow
 from pandasy_spark.functions import (
     case_when,
     cast,

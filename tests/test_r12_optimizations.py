@@ -218,23 +218,31 @@ def _multi_vs_single(spark, p_millis, frames, groupings):
             assert got == want, f"{label} g={g} p={p_millis}: {got} != {want}"
 
 
+_QCM_FRAMES = {
+    "uniform": [("a", v) for v in range(1, 101)],
+    "concentrated": [("a", 7)] * 50 + [("a", 1_000_000)],
+    "two-values": [("a", 1)] * 9 + [("a", 2)] * 3,
+    "negatives": [("a", v) for v in range(-50, 51, 3)],
+    "tiny": [("a", 42)],
+    "pair": [("a", 10), ("a", 20)],
+    "two-groups": [("a", v) for v in range(10)]
+    + [("b", v * v) for v in range(1, 30)],
+}
+
+
 def test_quantile_cont_multi_matches_single_p_grouped(spark):
     """quantile_cont_multi must reproduce quantile_cont_twopass for
     every requested p across distribution shapes that stress the
     histogram/sliver machinery (the tukey rewrite's oracle-pinned
-    invariant — build the equivalence test first, r12 plan)."""
-    frames = {
-        "uniform": [("a", v) for v in range(1, 101)],
-        "concentrated": [("a", 7)] * 50 + [("a", 1_000_000)],
-        "two-values": [("a", 1)] * 9 + [("a", 2)] * 3,
-        "negatives": [("a", v) for v in range(-50, 51, 3)],
-        "tiny": [("a", 42)],
-        "pair": [("a", 10), ("a", 20)],
-        "two-groups": [("a", v) for v in range(10)]
-        + [("b", v * v) for v in range(1, 30)],
-    }
-    _multi_vs_single(spark, [250, 750], frames, [["grp"]])
-    _multi_vs_single(spark, [0, 500, 1000], frames, [["grp"]])
+    invariant — build the equivalence test first, r12 plan).  The
+    default tier pins the tukey p-set; the boundary p-set matrix runs
+    in the slow tier."""
+    _multi_vs_single(spark, [250, 750], _QCM_FRAMES, [["grp"]])
+
+
+@pytest.mark.slow
+def test_quantile_cont_multi_boundary_ps_grouped(spark):
+    _multi_vs_single(spark, [0, 500, 1000], _QCM_FRAMES, [["grp"]])
 
 
 def test_quantile_cont_multi_matches_single_p_ungrouped(spark):

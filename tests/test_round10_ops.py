@@ -473,6 +473,7 @@ _H = dict(
 )
 
 
+@pytest.mark.slow
 class TestFuzzVsPython:
     @given(
         rows=st.lists(

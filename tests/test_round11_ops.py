@@ -100,6 +100,7 @@ class TestRecallAtK:
             assert r.recall_ok and r.bounded_ok and r.k == 5
 
 
+@pytest.mark.slow
 class TestRecallFuzzVsPython:
     @given(
         data=st.lists(
@@ -768,6 +769,7 @@ class TestBimodality:
             assert 500_000 < r.bc_micro < 650_000
 
 
+@pytest.mark.slow
 class TestRound11FuzzVsPython:
     @given(
         gaps=st.lists(st.integers(0, 60), min_size=1, max_size=30),

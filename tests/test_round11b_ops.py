@@ -1161,6 +1161,7 @@ from hypothesis import strategies as st  # noqa: E402
 _H = {"max_examples": 20, "deadline": None, "derandomize": True}
 
 
+@pytest.mark.slow
 class TestFoldFuzzVsPython:
     """Property fuzzes for the session-2 sequential folds against
     pure-Python replays — the token-bucket fuzz discipline applied

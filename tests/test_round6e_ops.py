@@ -62,6 +62,7 @@ def test_streaks_windows_are_user_partitioned(spark):
 # ------------------------------------------------- cont quantiles
 
 
+@pytest.mark.slow
 def test_quantile_cont_matches_numpy(spark):
     vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
     df = spark.createDataFrame([(v,) for v in vals], "v long")

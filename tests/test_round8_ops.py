@@ -132,6 +132,7 @@ class TestQuantileSliverPrefixScan:
         assert (r.n, r.q_value) == (len(vals), vals[rank - 1])
 
 
+@pytest.mark.slow
 class TestQuantileTwopassFuzz:
     """Hypothesis fuzz of the two-pass quantiles vs exact Python
     order statistics — small coarse_cells force real multi-cell

@@ -406,6 +406,7 @@ _H = dict(
     k=st.integers(1, 6),
 )
 @settings(**_H)
+@pytest.mark.slow
 def test_ndcg_fuzz_vs_python(spark, rows, k):
     data = [
         (q, i, rel, float(s) / 4.0) for i, (q, rel, s) in enumerate(rows)
@@ -430,6 +431,7 @@ def test_ndcg_fuzz_vs_python(spark, rows, k):
     buckets=st.integers(2, 7),
 )
 @settings(**_H)
+@pytest.mark.slow
 def test_gains_fuzz_vs_python(spark, rows, buckets):
     data = [(i, float(s), p) for i, (s, p) in enumerate(rows)]
     df = spark.createDataFrame(data, "id long, s double, pos boolean")
@@ -472,6 +474,7 @@ def test_gains_fuzz_vs_python(spark, rows, buckets):
     )
 )
 @settings(**_H)
+@pytest.mark.slow
 def test_regression_fuzz_vs_python(spark, rows):
     data = [(i, y, p) for i, (y, p) in enumerate(rows)]
     df = spark.createDataFrame(data, "id long, y long, p long")
@@ -506,6 +509,7 @@ def test_regression_fuzz_vs_python(spark, rows):
     )
 )
 @settings(**_H)
+@pytest.mark.slow
 def test_anova_fuzz_vs_python(spark, rows):
     from pandasy_spark.extended.profile import anova_oneway
 

@@ -337,6 +337,7 @@ def _py_dbscan(pts, eps, min_pts):
     min_pts=st.integers(1, 5),
 )
 @settings(**_H)
+@pytest.mark.slow
 def test_dbscan_fuzz_vs_python(spark, pts, eps, min_pts):
     from pandasy_spark.extended.spatial import dbscan
 
@@ -357,6 +358,7 @@ def test_dbscan_fuzz_vs_python(spark, pts, eps, min_pts):
     )
 )
 @settings(**_H)
+@pytest.mark.slow
 def test_confusion_fuzz_vs_python(spark, rows):
     from pandasy_spark.extended.ml import confusion_multiclass
 
@@ -403,6 +405,7 @@ def test_confusion_fuzz_vs_python(spark, rows):
     seed=st.integers(0, 3),
 )
 @settings(**_H)
+@pytest.mark.slow
 def test_rp_fuzz_vs_python(spark, vecs, out_dim, seed):
     from pandasy_spark.extended.similarity import random_projection
 

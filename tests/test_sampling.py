@@ -1,3 +1,4 @@
+import pytest
 """Deterministic sampling / splitting / packing (extended/sampling.py).
 
 Each operator is checked against an independent Python reimplementation
@@ -209,6 +210,7 @@ def _greedy_oracle(pdf: pd.DataFrame, budget: int) -> dict[int, tuple]:
     return out
 
 
+@pytest.mark.slow
 def test_greedy_pack_matches_python_oracle(spark, sf_dir):
     d = docs(spark, sf_dir).select(
         (F.col("doc_id") % 8).cast("long").alias("shard"),

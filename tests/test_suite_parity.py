@@ -99,6 +99,7 @@ def test_joins_datetime_keys(spark, how, sql, seed):
 
 
 @pytest.mark.parametrize("ctype,schema", [(str, "b:long,c:str"), (dt.datetime, "b:long,c:datetime")])
+@pytest.mark.slow
 def test_setops_rand(spark, ctype, schema):
     a = _rand(spark, 30, 2, schema, b=(int, 10), c=(ctype, 10))
     b = _rand(spark, 80, 3, schema, b=(int, 50), c=(ctype, 50))
